@@ -1,0 +1,202 @@
+package graft.core
+
+import graft.model.{EdgeRow, NodeRow}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The distributed graph value: a nodes Dataset and an edges Dataset.
+  *
+  * Mirrors the reference's immutable `Graph` value (`Graph.fs:46-47`) —
+  * every mutation returns a new [[GraphState]] — but each operation is a
+  * lazy, distributed Dataset transformation instead of an O(n) list walk.
+  *
+  * Scale posture: single-key probes broadcast the probe side
+  * (`broadcast(keysDf)` + semi/anti join) so they never shuffle the graph;
+  * bulk mutations are unions + dedup that Catalyst plans as hash
+  * aggregations; cascade deletes are two anti-joins. Persisted layout
+  * partitions by `nodeType` ([[GraphIO]]) so type-filtered scans prune files.
+  */
+final case class GraphState(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow]) {
+  import GraphState._
+
+  private def spark: SparkSession = nodes.sparkSession
+
+  // ---------------------------------------------------------------- reads
+
+  /** P1/P2 — key lookup (reference `Graph.fs:54-61`, `Storage.fs:223-237`).
+    * The reference scans the whole list; here the filter is pushed to the
+    * scan and, on a partitioned store, prunes to one file group.
+    */
+  def nodeByKey(key: String): Dataset[NodeRow] =
+    nodes.filter(col("key") === key)
+
+  /** Batch variant — broadcast the (small) key set, preserve input order
+    * via an ordinal column like the reference preserves list order
+    * (`Storage.fs:233-237`).
+    */
+  def nodesByKeys(keys: Seq[String]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val probe = keys.zipWithIndex.toDF("key", "ord")
+    nodes.join(broadcast(probe), "key").orderBy("ord").drop("ord")
+  }
+
+  /** P3/P7 — all nodes of one type (reference `Graph.fs:550-554`,
+    * `Forms.fs:507-528`). Partition-pruning filter on the store.
+    */
+  def nodesOfType(nodeType: String): Dataset[NodeRow] =
+    nodes.filter(col("nodeType") === nodeType)
+
+  /** P6 — regex filter on display names (reference `Library.fs:1396-1399`). */
+  def filterPrettyName(pattern: String): Dataset[NodeRow] =
+    nodes.filter(col("prettyName").rlike(pattern))
+
+  /** A2/P8 — per-type counts (reference `Storage.fs:188-193`). */
+  def nodeCountsByType(): DataFrame =
+    nodes.groupBy("nodeType").agg(count(lit(1)).as("n")).orderBy("nodeType")
+
+  /** S2-shaped index projection (reference `NodeIndexItem`,
+    * `Storage.fs:76-80`), sorted + distinct like the index writer
+    * (`Storage.fs:160-171`).
+    */
+  def index(): DataFrame =
+    nodes
+      .select("key", "nodeType", "prettyName")
+      .dropDuplicates("nodeType", "key")
+      .orderBy("nodeType", "key")
+
+  // ----------------------------------------------------------- traversals
+
+  /** J1 — the core query primitive (reference `Graph.fs:744-764`): sink
+    * keys of out-edges of `srcKey` with relation `relType`.
+    */
+  def nodeIdsByRelation(srcKey: String, relType: String): DataFrame =
+    edges
+      .filter(col("src") === srcKey && col("relType") === relType)
+      .select(col("dst"))
+
+  /** J2 — one-hop dereference: traverse a relation (from every source, or
+    * one) and materialize the sink nodes (reference `Library.fs:845-900`).
+    */
+  def hop(relType: String, from: Option[String] = None): DataFrame = {
+    val e0 = edges.filter(col("relType") === relType)
+    val e = from.fold(e0)(k => e0.filter(col("src") === k))
+    e.join(nodes, e("dst") === nodes("key"))
+      .select(
+        e("src").as("from"),
+        e("relType"),
+        nodes("key").as("to"),
+        nodes("nodeType").as("toType"),
+        nodes("prettyName").as("toName"),
+        nodes("payload").as("toPayload")
+      )
+  }
+
+  /** J3 — chained two-hop traversal: `src —r1→ mid —r2→ dst`. Planned as
+    * two hash joins; Catalyst reorders/broadcasts by size.
+    */
+  def twoHop(rel1: String, rel2: String): DataFrame = {
+    val e1 = edges.filter(col("relType") === rel1).select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.filter(col("relType") === rel2).select(col("src").as("b2"), col("dst").as("c"))
+    e1.join(e2, e1("b") === e2("b2")).select(col("a"), col("b"), col("c"))
+  }
+
+  /** J4 — existence semi-join: nodes having ≥1 out-edge of `relType`
+    * (reference "is primary source?", `Library.fs:346-353`).
+    */
+  def withOutEdge(relType: String): Dataset[NodeRow] =
+    nodes
+      .join(edges.filter(col("relType") === relType), nodes("key") === edges("src"), "left_semi")
+      .as(nodes.encoder)
+
+  // ------------------------------------------------------------ mutations
+
+  /** M1 — strict insert; error on duplicate key (reference `Graph.fs:63-70`).
+    * The duplicate check is a broadcast-friendly semi-join (one action).
+    */
+  def addNodes(newNodes: Dataset[NodeRow]): Either[Seq[String], GraphState] = {
+    val dups = newNodes
+      .join(nodes.select("key"), Seq("key"), "left_semi")
+      .select("key").limit(20).collect().map(_.getString(0)).toSeq
+    if (dups.nonEmpty) Left(dups)
+    else Right(copy(nodes = nodes.unionByName(newNodes)))
+  }
+
+  /** M2 — idempotent insert: skip rows whose key already exists
+    * (reference `Graph.fs:72-79`). Pure transformation, no action.
+    */
+  def addNodesOrSkip(newNodes: Dataset[NodeRow]): GraphState = {
+    val fresh = newNodes
+      .dropDuplicates("key")
+      .join(nodes.select("key"), Seq("key"), "left_anti")
+      .as(nodes.encoder)
+    copy(nodes = nodes.unionByName(fresh))
+  }
+
+  /** M4 — replace payload keeping key and adjacency (reference
+    * `Graph.fs:81-90`, `Storage.fs:239-283`): anti-join out the old rows,
+    * union the replacements.
+    */
+  def replaceNodes(replacements: Dataset[NodeRow]): GraphState = {
+    val kept = nodes
+      .join(replacements.select("key"), Seq("key"), "left_anti")
+      .as(nodes.encoder)
+    copy(nodes = kept.unionByName(replacements))
+  }
+
+  /** M5 — cascade delete (reference `Graph.fs:119-132`): drop the nodes and
+    * every edge touching them, in either direction. Two anti-joins; the
+    * key set broadcasts.
+    */
+  def removeNodes(keys: Dataset[String]): GraphState = {
+    val ks = broadcast(keys.toDF("k"))
+    val n2 = nodes.join(ks, nodes("key") === ks("k"), "left_anti").as(nodes.encoder)
+    val e1 = edges.join(ks, edges("src") === ks("k"), "left_anti")
+    val e2 = e1.join(ks, e1("dst") === ks("k"), "left_anti").as(edges.encoder)
+    GraphState(n2, e2)
+  }
+
+  /** M6 — add edges with dedup of identical `(src,dst,weight,relType,
+    * relPayload)` tuples (reference `Graph.fs:134-152`) and foreign-key
+    * validation of BOTH endpoints — fixing the reference bug where the sink
+    * check re-tests the source (`Graph.fs:137-138`).
+    */
+  def addRelations(newEdges: Dataset[EdgeRow]): Either[Seq[String], GraphState] = {
+    val keys = nodes.select(col("key"))
+    val danglingSrc = newEdges.join(keys, newEdges("src") === keys("key"), "left_anti").select(col("src").as("k"))
+    val danglingDst = newEdges.join(keys, newEdges("dst") === keys("key"), "left_anti").select(col("dst").as("k"))
+    val dangling = danglingSrc.unionByName(danglingDst).limit(20).collect().map(_.getString(0)).toSeq
+    if (dangling.nonEmpty) Left(dangling)
+    else Right(copy(edges = edges.unionByName(newEdges).dropDuplicates()))
+  }
+
+  /** M6 without the FK action — pure transformation with tuple dedup. */
+  def addRelationsUnchecked(newEdges: Dataset[EdgeRow]): GraphState =
+    copy(edges = edges.unionByName(newEdges).dropDuplicates())
+
+  // ----------------------------------------------------------- statistics
+
+  /** A1-shaped conditional-count fold (reference `GenStatistics`,
+    * `Library.fs:328-367`): one pass, N `sum(when(cond,1))` counters —
+    * Spark plans this as a single partial+final hash aggregate.
+    */
+  def conditionalCounts(nodeType: String, counters: Map[String, Column]): DataFrame = {
+    val aggs = counters.toSeq.sortBy(_._1).map { case (name, cond) =>
+      sum(when(cond, 1).otherwise(0)).as(name)
+    }
+    nodesOfType(nodeType).agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+object GraphState {
+
+  def empty(spark: SparkSession): GraphState = {
+    import spark.implicits._
+    GraphState(spark.emptyDataset[NodeRow], spark.emptyDataset[EdgeRow])
+  }
+
+  def apply(spark: SparkSession, nodes: DataFrame, edges: DataFrame): GraphState = {
+    import spark.implicits._
+    GraphState(nodes.as[NodeRow], edges.as[EdgeRow])
+  }
+}

@@ -1,0 +1,60 @@
+package graft.core
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S14 — seed graph (reference `Seed.fs:48-99`): the calendar-year time
+  * index (−72..14000 cal yr BP, 14,073 nodes), the Holocene label, the six
+  * biodiversity-outcome dimension nodes, the `Life` taxon root, and the
+  * Holocene extent edges (`EarliestTime`→11650ybp, `LatestTime`→0ybp).
+  *
+  * The year dimension is generated with `spark.range` (no driver-side loop;
+  * the reference's list-append seed is O(n²), `Graph.fs:69`) and is small
+  * enough to broadcast in every join against it — the Spark analogue of the
+  * reference's consolidated single-file store for `CalYearNode`
+  * (`Storage.fs:94-105`).
+  */
+object Seed {
+
+  val HoloceneAuthority = "Global Stratotype Section and Point"
+
+  /** The six outcome measures seeded by the reference (`Seed.fs:75-84`). */
+  val outcomes: Seq[String] =
+    Seq("abundance", "beta_diversity", "evenness", "presence", "presence_absence", "richness")
+
+  /** The 14,073-row year dimension as a nodes Dataset. */
+  def yearDimension(spark: SparkSession): Dataset[NodeRow] = {
+    import spark.implicits._
+    spark
+      .range(Time.MinYearBP.toLong, Time.MaxYearBP.toLong + 1)
+      .select(
+        concat(lit(NodeTypes.CalYearNode + "_"), col("id").cast("string"), lit("ybp")).as("key"),
+        lit(NodeTypes.CalYearNode).as("nodeType"),
+        concat(col("id").cast("string"), lit(" cal yr BP")).as("prettyName"),
+        to_json(struct(col("id").cast("int").as("year"))).as("payload")
+      )
+      .as[NodeRow]
+  }
+
+  /** Full seed: year dim + Holocene label + outcomes + Life root + extent
+    * edges (reference `Seed.fs:64-98`).
+    */
+  def seedGraph(spark: SparkSession): GraphState = {
+    import spark.implicits._
+    val holoceneKey = Keys.qualitativeLabelKey("holocene", HoloceneAuthority)
+    val dims = (
+      Seq(
+        NodeRow(holoceneKey, NodeTypes.QualitativeLabelNode, "Holocene",
+          s"""{"Name":"Holocene","DesignatingAuthority":"$HoloceneAuthority"}"""),
+        NodeRow(Keys.taxonKey("life"), NodeTypes.TaxonNode, "Life", """{"Life":{}}""")
+      ) ++ outcomes.map(o =>
+        NodeRow(Keys.outcomeKey(o), NodeTypes.BiodiversityDimensionNode, o, s"""{"$o":{}}"""))
+    ).toDS()
+    val extentEdges = Seq(
+      EdgeRow(holoceneKey, Keys.calYearKey(Time.HoloceneBoundaryBP), 1, "EarliestTime", "{}"),
+      EdgeRow(holoceneKey, Keys.calYearKey(0), 1, "LatestTime", "{}")
+    ).toDS()
+    GraphState(yearDimension(spark).unionByName(dims), extentEdges)
+  }
+}

@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed around
+  * Spark's shuffle model:
+  *
+  *  - exact / fingerprint dedup: one hash aggregation (map-side partial);
+  *  - n-gram Jaccard: inverted-index self-join (gram → doc list) — the
+  *    scalable formulation; never a full doc×doc cross join;
+  *  - MinHash + LSH banding: signatures are computed map-side with
+  *    codegen'd array expressions; candidate generation is a shuffle on
+  *    (band, bucket) keys only, so the shuffle volume is O(docs × bands),
+  *    independent of corpus size per doc;
+  *  - SimHash: 64-bit signature via per-bit weighted majority.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact-duplicate clusters keyed by md5 of the raw text: keep the
+    * smallest id as the cluster representative.
+    */
+  def exactClusters(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("text_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Normalized-fingerprint dedup (case/whitespace-insensitive). */
+  def fingerprintClusters(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextOps.fingerprint(text).as("fp"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ----------------------------------------------------------- shingles
+
+  /** Distinct word `n`-grams per document, exploded to
+    * `(id, gram)` rows — the inverted-index input.
+    */
+  def wordNgrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val toks = TextOps.tokens(lower(text))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+    )
+    df.select(id.as("id"), explode(array_distinct(grams)).as("gram"))
+      .filter(length(col("gram")) > 0)
+  }
+
+  /** n-gram Jaccard similarity for all pairs sharing ≥1 gram, via the
+    * inverted-index join: |A∩B| from the gram self-join, |A|,|B| from
+    * per-doc gram counts. Returns `(id_a, id_b, jaccard)` with
+    * `id_a < id_b`, filtered to `jaccard >= minJaccard`.
+    */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int, minJaccard: Double): DataFrame = {
+    val grams = wordNgrams(df, id, text, n).cache()
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(col("id").as("id_a"), col("gram"))
+    val b = grams.select(col("id").as("id_b"), col("gram"))
+    val inter = a.join(b, "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    withJaccard(inter, sizes, minJaccard)
+  }
+
+  /** Attach exact Jaccard to `(id_a, id_b, n_common)` pair rows given
+    * per-doc gram counts; filter on the RAW value (rounding only for
+    * output) so thresholding is engine-portable.
+    */
+  private def withJaccard(pairs: DataFrame, sizes: DataFrame, minJaccard: Double): DataFrame =
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard_raw",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+
+  // ------------------------------------------------------------ MinHash
+
+  /** 28-bit gram hash for MinHash permutations: first 7 hex chars of md5.
+    * Bounded so `a*h + b` with `a,b < 2^31` stays below 2^59 — no long
+    * overflow under ANSI mode, and portable to any engine with md5.
+    */
+  def gramHash(gram: Column): Column =
+    conv(substring(md5(gram), 1, 7), 16, 10).cast("long")
+
+  /** 60-bit token hash (15 hex chars of md5) for SimHash bit votes. */
+  def gramHash60(gram: Column): Column =
+    conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Deterministic permutation parameters for MinHash (splitmix-style
+    * constants; fixed seed so distributed retries are reproducible).
+    * Bounded to `[1, 2^31)` to keep the modular arithmetic overflow-free.
+    */
+  def permutationParams(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z & Long.MaxValue) % MersennePrime
+    }
+    (0 until numHashes).map(_ => (math.max(1L, next()), next()))
+  }
+
+  /** MinHash signature: for each permutation `(a,b)`, the min over grams of
+    * `(a*h + b) mod p` with `p = 2^31-1`. Computed entirely with array
+    * expressions (no UDF): per row,
+    * `array_min(transform(gramHashes, h => (a*h+b) % p))`.
+    */
+  def minHashSignature(df: DataFrame, id: Column, text: Column, n: Int, numHashes: Int): DataFrame = {
+    val grams = wordNgrams(df, id, text, n)
+      .withColumn("h", gramHash(col("gram")))
+      .groupBy("id").agg(collect_list(col("h")).as("hs"))
+    val sig = array(permutationParams(numHashes).map { case (a, b) =>
+      array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+    grams.select(col("id"), sig.as("signature"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * hash each band, and emit `(band, bucket, id)`; candidate pairs are ids
+    * sharing a `(band, bucket)` key. The only shuffle is on the compact
+    * band keys.
+    */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(
+      col("id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)))
+        )
+      ).as(Seq("band", "bucket"))
+    )
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Signature-agreement Jaccard estimate for candidate pairs. */
+  def estimatedJaccard(cands: DataFrame, sigs: DataFrame, numHashes: Int): DataFrame = {
+    val a = sigs.select(col("id").as("id_a"), col("signature").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("signature").as("sig_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("est_jaccard",
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / numHashes, 6))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** End-to-end MinHash-LSH near-dup detection: LSH banding proposes
+    * candidates (shuffle only on band keys), then EXACT n-gram Jaccard
+    * verifies them — computed only for the candidate pairs, via a
+    * candidate-restricted gram join. With `bands=32, rows=2` the
+    * probability of missing a pair with true J ≥ 0.9 is ~1e-23, so the
+    * output equals the exact-Jaccard answer with overwhelming probability
+    * while never comparing all O(n²) pairs.
+    */
+  def minHashNearDups(df: DataFrame, id: Column, text: Column,
+                      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                      minJaccard: Double = 0.9): DataFrame = {
+    val rows = numHashes / bands
+    val grams = wordNgrams(df, id, text, n).cache()
+    val hashed = grams.withColumn("h", gramHash(col("gram")))
+      .groupBy("id").agg(collect_list(col("h")).as("hs"))
+    val sig = array(permutationParams(numHashes).map { case (a, b) =>
+      array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+    val sigs = hashed.select(col("id"), sig.as("signature"))
+    val cands = lshCandidates(sigs, bands, rows)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val ga = grams.select(col("id").as("id_a"), col("gram"))
+    val gb = grams.select(col("id").as("id_b"), col("gram"))
+    val inter = cands.join(ga, "id_a").join(gb, Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    withJaccard(inter, sizes, minJaccard)
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash: per token hash, each bit votes ±1; the signature is
+    * the sign vector. Bit arithmetic via array expressions over 64 bit
+    * positions — map-side only.
+    */
+  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("id"), explode(TextOps.tokens(lower(text))).as("tok"))
+      .withColumn("h", gramHash60(col("tok")))
+    val votes = toks.groupBy("id").agg(
+      array((0 until 63).map { bit =>
+        sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1))
+      }: _*).as("votes")
+    )
+    votes.select(
+      col("id"),
+      aggregate(
+        zip_with(col("votes"), sequence(lit(0), lit(62)),
+          (v, bit) => when(v > 0, pow(lit(2.0), bit).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)
+      ).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

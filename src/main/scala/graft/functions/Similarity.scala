@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity / approximate-nearest-neighbor operators over an
+  * embedding column (`array<float>`).
+  *
+  * All arithmetic is done with higher-order array expressions
+  * (`zip_with` + `aggregate`) in DOUBLE precision — codegen-friendly, no
+  * UDF, deterministic accumulation order (left-to-right over the array),
+  * which makes results reproducible across engines.
+  *
+  * Scale path: brute-force top-k is a broadcast of the query vector and a
+  * single narrow pass + `orderBy ... limit k` (Spark plans it as TakeOrdered
+  * — no full sort). The LSH variant buckets vectors by random-hyperplane
+  * signs so candidate generation shuffles only `(bucket, id)` keys.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector (given as a
+    * literal sequence — broadcast by construction).
+    */
+  def cosineTopK(df: DataFrame, id: Column, vec: Column,
+                 query: Seq[Double], k: Int, roundTo: Int = 6): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(id.as("id"), round(cosine(vec, q), roundTo).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** All-pairs top-1 neighbor for a (small/filtered) vector set: broadcast
+    * one side, rank per id. For the full-corpus case use [[lshBuckets]]
+    * first and run this within buckets.
+    */
+  def nearestNeighbor(df: DataFrame, id: Column, vec: Column, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = df.select(id.as("id_a"), vec.as("va"))
+    val b = df.select(id.as("id_b"), vec.as("vb"))
+    val pairs = a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), roundTo))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id_a"), col("id_b").as("nn"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: component
+    * `j` of plane `p` derives from the splitmix stream, mapped to
+    * [-1, 1]. Seeded → identical across retries and executors.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Double = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Random-hyperplane signature: bit `p` = sign of `v · plane_p`.
+    * Returns `(id, bucket)` where bucket packs the sign bits — vectors in
+    * the same bucket are ANN candidates.
+    */
+  def lshBuckets(df: DataFrame, id: Column, vec: Column, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, array(p.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.select(id.as("id"), bucket.as("bucket"))
+  }
+
+  /** LSH-accelerated ANN: candidates share a bucket in ≥1 of `tables`
+    * independent sign-LSH tables; exact cosine re-ranks candidates.
+    */
+  def lshTopK(df: DataFrame, id: Column, vec: Column,
+              query: Seq[Double], k: Int, dim: Int,
+              planesPerTable: Int = 8, tables: Int = 4): DataFrame = {
+    val qDf = df.sparkSession.range(1).select(array(query.map(lit): _*).as("qv"))
+    val withBuckets = (0 until tables).map { t =>
+      val planes = hyperplanes(planesPerTable, dim, seed = 7L + t)
+      def sig(v: Column) = planes.zipWithIndex.map { case (p, i) =>
+        when(dot(v, array(p.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      val data = df.select(id.as("id"), vec.as("v")).withColumn("bucket", sig(col("v"))).withColumn("tbl", lit(t))
+      val qb = qDf.select(sig(col("qv")).as("bucket")).withColumn("tbl", lit(t))
+      data.join(broadcast(qb), Seq("tbl", "bucket"), "left_semi")
+    }.reduce(_ unionByName _).dropDuplicates("id")
+    val q = array(query.map(lit): _*)
+    withBuckets
+      .select(col("id"), round(cosine(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+}

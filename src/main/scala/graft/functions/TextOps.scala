@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (incl.
+  * higher-order array functions) — no UDFs — so the whole pipeline stays
+  * inside whole-stage codegen and scales linearly with no shuffle except
+  * the final aggregations a caller adds.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer: split on runs of whitespace, drop empty edge
+    * tokens (leading/trailing whitespace would otherwise yield "").
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of alphanumeric runs + punctuation
+    * marks, a cheap deterministic stand-in for a real tokenizer's token
+    * count (useful for budget estimates over 100 TB of text).
+    */
+  def subwordCountApprox(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|\\s+"), t => length(trim(t)) > 0))
+
+  /** Count of tokens that appear in `vocab`. */
+  def tokenHits(text: Column, vocab: Seq[String]): Column = {
+    val arr = array(vocab.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(arr, t)))
+  }
+
+  /** Quality signals: length, mean token length, punctuation ratio,
+    * stopword ratio, uppercase ratio. Returns a struct column; callers
+    * project / threshold.
+    */
+  def qualitySignals(text: Column, stopwords: Seq[String]): Column = {
+    val nChars = length(text)
+    val nTok = tokenCount(text)
+    val punct = nChars - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val upper = nChars - length(regexp_replace(text, "[A-Z]", ""))
+    val stops = tokenHits(text, stopwords)
+    struct(
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(nChars.cast("double") / greatest(nTok, lit(1)), 4).as("mean_token_len"),
+      round(punct.cast("double") / greatest(nChars, lit(1)), 4).as("punct_ratio"),
+      round(upper.cast("double") / greatest(nChars, lit(1)), 4).as("upper_ratio"),
+      round(stops.cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio")
+    )
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  /** Marker-word language ID: score each language by marker-token hits,
+    * pick the argmax with a deterministic tie-break (declaration order).
+    * Pure column expressions → replicable in ANSI SQL for the oracle.
+    * (A real n-gram profile model slots into the same shape.)
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, markers) => lang -> tokenHits(text, markers) }
+    val best = greatest(scores.map(_._2): _*)
+    // first language (in declaration order) reaching the max score
+    scores.reverse.foldLeft(lit(langMarkers.head._1)) { case (acc, (lang, score)) =>
+      when(score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed text —
+    * the exact-dedup key that survives trivial reformatting.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

@@ -1,0 +1,299 @@
+package graft.operators
+
+import graft.core.{GraphState, Seed}
+import graft.model.{NodeRow, Time}
+import graft.sources.TpchGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 graph-operator inventory, exercised on the deterministic
+  * TPC-H-derived property graph ([[TpchGraph]]) so each operator has a
+  * plain-SQL DuckDB oracle. The `gNN` numbering cross-references the
+  * SURVEY §2 operator ids in each doc string.
+  */
+object GraphQueries {
+
+  private def g(s: SparkSession, dir: String): GraphState = TpchGraph.graph(s, dir)
+
+  /** Deduped lineitem (graph hyperedge source) — see [[TpchGraph.lineitemDedupSql]]. */
+  private val liSql = TpchGraph.lineitemDedupSql
+
+  /** All-table node count used by the cascade-delete oracle. */
+  private val allNodeCountSql =
+    "(SELECT count(*) FROM region)+(SELECT count(*) FROM nation)+(SELECT count(*) FROM customer)" +
+      "+(SELECT count(*) FROM supplier)+(SELECT count(*) FROM part)+(SELECT count(*) FROM orders)" +
+      s"+(SELECT count(*) FROM $liSql)"
+
+  private val allEdgeCountSql =
+    "(SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier)+(SELECT count(*) FROM nation)" +
+      s"+(SELECT count(*) FROM orders)+3*(SELECT count(*) FROM $liSql)"
+
+  val all: Seq[Q] = Seq(
+
+    Q("g01_nodes_by_type",
+      (s, d) => g(s, d).nodeCountsByType(),
+      Some("""
+        SELECT nodeType, CAST(n AS BIGINT) AS n FROM (
+          SELECT 'region' AS nodeType, count(*) AS n FROM region UNION ALL
+          SELECT 'nation', count(*) FROM nation UNION ALL
+          SELECT 'customer', count(*) FROM customer UNION ALL
+          SELECT 'supplier', count(*) FROM supplier UNION ALL
+          SELECT 'part', count(*) FROM part UNION ALL
+          SELECT 'order', count(*) FROM orders UNION ALL
+          SELECT 'lineitem', count(*) FROM """ + liSql + """
+        ) ORDER BY nodeType"""),
+      "A2/S1 — full-graph load + per-type counts (ref Storage.fs:188-193)"),
+
+    Q("g02_node_lookup",
+      (s, d) => g(s, d).nodesByKeys(Seq("customer_1", "supplier_2", "nation_3"))
+        .select("key", "nodeType", "prettyName"),
+      Some("""
+        SELECT * FROM (
+          SELECT 'customer_1' AS key, 'customer' AS nodeType,
+                 (SELECT c_name FROM customer WHERE c_custkey=1) AS prettyName UNION ALL
+          SELECT 'supplier_2', 'supplier', (SELECT s_name FROM supplier WHERE s_suppkey=2) UNION ALL
+          SELECT 'nation_3', 'nation', (SELECT n_name FROM nation WHERE n_nationkey=3)
+        )"""),
+      "P1/P2/S3 — batch key lookup preserving input order (ref Storage.fs:223-237)"),
+
+    Q("g03_filter_regex",
+      (s, d) => g(s, d).filterPrettyName("[13579]$")
+        .filter(col("nodeType") === "customer")
+        .select("key", "prettyName").orderBy("key"),
+      Some("""
+        SELECT 'customer_'||c_custkey AS key, c_name AS prettyName
+        FROM customer WHERE regexp_matches(c_name, '[13579]$')
+        ORDER BY key"""),
+      "P6 — regex filter on display names (ref Library.fs:1396-1399)"),
+
+    Q("g04_traverse_in",
+      (s, d) => {
+        val gr = g(s, d)
+        val e = gr.edges.filter(col("relType") === "PlacedBy" && col("dst") === "customer_42")
+        e.join(gr.nodes, e("src") === gr.nodes("key"))
+          .select(gr.nodes("key"), gr.nodes("prettyName")).orderBy("key")
+      },
+      Some("""
+        SELECT 'order_'||o_orderkey AS key, 'Order '||o_orderkey AS prettyName
+        FROM orders WHERE o_custkey = 42 ORDER BY key"""),
+      "J1/J2 — edge traversal + sink materialization (ref Graph.fs:744-764)"),
+
+    Q("g05_two_hop",
+      (s, d) => {
+        val gr = g(s, d)
+        val hops = gr.twoHop("InNation", "InRegion").filter(col("a").startsWith("customer_"))
+        hops.join(gr.nodes, hops("c") === gr.nodes("key"))
+          .groupBy(gr.nodes("prettyName").as("r_name"))
+          .agg(count(lit(1)).as("n")).orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name, CAST(count(*) AS BIGINT) AS n
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        GROUP BY r_name ORDER BY r_name"""),
+      "J3 — two-hop chain customer→nation→region (ref Library.fs:1090-1101)"),
+
+    Q("g06_exists_semi",
+      (s, d) => {
+        val gr = g(s, d)
+        gr.nodesOfType("customer")
+          .join(gr.edges.filter(col("relType") === "PlacedBy"),
+            col("key") === col("dst"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+      "J4 — existence semi-join (ref Library.fs:346-353)"),
+
+    Q("g07_hyperedge_motif",
+      (s, d) => {
+        val gr = g(s, d)
+        val li = gr.edges.filter(col("relType") === "PartOf" && col("dst") === "order_1")
+          .select(col("src").as("li"))
+        val ofPart = gr.edges.filter(col("relType") === "OfPart")
+          .select(col("src").as("li"), col("dst").as("pk"))
+        val bySupp = gr.edges.filter(col("relType") === "SuppliedBy")
+          .select(col("src").as("li"), col("dst").as("sk"))
+        val parts = gr.nodesOfType("part").select(col("key").as("pk"), col("prettyName").as("part_name"))
+        val supps = gr.nodesOfType("supplier").select(col("key").as("sk"), col("prettyName").as("supplier_name"))
+        li.join(ofPart, "li").join(bySupp, "li").join(parts, "pk").join(supps, "sk")
+          .select("li", "part_name", "supplier_name").orderBy("li")
+      },
+      Some("""
+        SELECT 'lineitem_'||l_orderkey||'_'||l_linenumber AS li,
+               p_name AS part_name, s_name AS supplier_name
+        FROM """ + liSql + """ JOIN part ON l_partkey=p_partkey
+        JOIN supplier ON l_suppkey=s_suppkey
+        WHERE l_orderkey = 1 ORDER BY li"""),
+      "J5/J6 — hyperedge read-back motif (ref Population.fs:181-184, Library.fs:204-251)"),
+
+    Q("g08_cascade_delete",
+      (s, d) => {
+        import s.implicits._
+        val g2 = g(s, d).removeNodes(Seq("nation_0").toDS())
+        g2.nodes.agg(count(lit(1)).as("nodes_n"))
+          .crossJoin(g2.edges.agg(count(lit(1)).as("edges_n")))
+      },
+      Some(s"""
+        SELECT CAST($allNodeCountSql - 1 AS BIGINT) AS nodes_n,
+               CAST($allEdgeCountSql
+                 - (SELECT count(*) FROM customer WHERE c_nationkey=0)
+                 - (SELECT count(*) FROM supplier WHERE s_nationkey=0)
+                 - 1 AS BIGINT) AS edges_n"""),
+      "M5 — cascade delete of a node and all touching edges (ref Graph.fs:119-132)"),
+
+    Q("g09_edge_dedup",
+      (s, d) => {
+        val gr = g(s, d)
+        val dups = TpchGraph.edges(s, d).filter(col("relType") === "PlacedBy")
+        gr.addRelationsUnchecked(dups).edges
+          .filter(col("relType") === "PlacedBy").agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n FROM orders"),
+      "M6/U2 — edge add with identical-tuple dedup (ref Graph.fs:134-152)"),
+
+    Q("g10_insert_conflict",
+      (s, d) => {
+        import s.implicits._
+        val gr = g(s, d)
+        val newNodes = gr.nodesOfType("customer")
+          .filter(col("key").isin((0 until 10).map(i => s"customer_$i"): _*))
+        gr.addNodes(newNodes.as[NodeRow]) match {
+          case Left(dups) => dups.sorted.toDF("key")
+          case Right(_)   => s.emptyDataset[String].toDF("key")
+        }
+      },
+      Some("SELECT 'customer_'||c_custkey AS key FROM customer WHERE c_custkey < 10 ORDER BY key"),
+      "M1 — strict insert errors on duplicate keys (ref Graph.fs:63-70)"),
+
+    Q("g11_upsert_skip",
+      (s, d) => {
+        import s.implicits._
+        val gr = g(s, d)
+        val newNodes = ((0 until 10).map(i =>
+          NodeRow(s"customer_$i", "customer", "SHOULD_NOT_APPEAR", "{}")) :+
+          NodeRow("customer_99999999", "customer", "NEW", "{}")).toDS()
+        gr.addNodesOrSkip(newNodes).nodesOfType("customer").agg(
+          count(lit(1)).as("n"),
+          max(when(col("key") === "customer_1", col("prettyName"))).as("name1"),
+          max(when(col("key") === "customer_99999999", col("prettyName"))).as("new_name"))
+      },
+      Some("""
+        SELECT CAST(count(*)+1 AS BIGINT) AS n,
+               (SELECT c_name FROM customer WHERE c_custkey=1) AS name1,
+               'NEW' AS new_name
+        FROM customer"""),
+      "M2 — idempotent insert skips existing keys (ref Graph.fs:72-79)"),
+
+    Q("g12_replace_node",
+      (s, d) => {
+        import s.implicits._
+        val gr = g(s, d)
+        val repl = Seq(NodeRow("customer_1", "customer", "UPDATED", "{}")).toDS()
+        gr.replaceNodes(repl).nodeByKey("customer_1").select("key", "prettyName")
+      },
+      Some("SELECT 'customer_1' AS key, 'UPDATED' AS prettyName"),
+      "M4 — replace payload keeping key + adjacency (ref Graph.fs:81-90)"),
+
+    Q("g13_seed_graph",
+      (s, d) => {
+        val sg = Seed.seedGraph(s)
+        sg.nodes.filter(col("nodeType") === "calyearnode").agg(count(lit(1)).as("years_n"))
+          .crossJoin(sg.nodes.agg(count(lit(1)).as("nodes_n")))
+          .crossJoin(sg.edges.agg(count(lit(1)).as("edges_n")))
+          .crossJoin(sg.edges.agg(
+            max(when(col("relType") === "EarliestTime", col("dst"))).as("earliest_dst"),
+            max(when(col("relType") === "LatestTime", col("dst"))).as("latest_dst")))
+      },
+      Some("""
+        SELECT CAST((SELECT count(*) FROM generate_series(-72,14000)) AS BIGINT) AS years_n,
+               CAST((SELECT count(*) FROM generate_series(-72,14000)) + 8 AS BIGINT) AS nodes_n,
+               CAST(2 AS BIGINT) AS edges_n,
+               'calyearnode_11650ybp' AS earliest_dst,
+               'calyearnode_0ybp' AS latest_dst"""),
+      "S14 — seed graph invariants (ref Seed.fs:48-99)"),
+
+    Q("g14_stats_fold",
+      (s, d) => g(s, d).conditionalCounts("order", Map(
+        "high_value" -> (get_json_object(col("payload"), "$.o_totalprice").cast("double") > 300000),
+        "n_f" -> (get_json_object(col("payload"), "$.o_orderstatus") === "F"),
+        "n_o" -> (get_json_object(col("payload"), "$.o_orderstatus") === "O"),
+        "n_p" -> (get_json_object(col("payload"), "$.o_orderstatus") === "P"))),
+      Some("""
+        SELECT CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+               CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders"""),
+      "A1 — single-pass conditional-count fold incl. JSON payload projection (ref Library.fs:328-367)"),
+
+    Q("g15_next_edges",
+      (s, d) => {
+        val o = TpchGraph.table(s, d, "orders")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        o.withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(concat(lit("order_"), col("o_orderkey")).as("src"),
+                  concat(lit("order_"), col("nxt")).as("dst"))
+          .orderBy("src")
+      },
+      Some("""
+        SELECT 'order_'||o_orderkey AS src, 'order_'||nxt AS dst FROM (
+          SELECT o_orderkey,
+                 lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS nxt
+          FROM orders)
+        WHERE nxt IS NOT NULL ORDER BY src"""),
+      "§2.5 — derive Next sequence edges with a lead window (ref Exposure.fs:123)"),
+
+    Q("g16_index",
+      (s, d) => g(s, d).index(),
+      Some("""
+        SELECT key, nodeType, prettyName FROM (
+          SELECT 'region_'||r_regionkey AS key, 'region' AS nodeType, r_name AS prettyName FROM region UNION ALL
+          SELECT 'nation_'||n_nationkey, 'nation', n_name FROM nation UNION ALL
+          SELECT 'customer_'||c_custkey, 'customer', c_name FROM customer UNION ALL
+          SELECT 'supplier_'||s_suppkey, 'supplier', s_name FROM supplier UNION ALL
+          SELECT 'part_'||p_partkey, 'part', p_name FROM part UNION ALL
+          SELECT 'order_'||o_orderkey, 'order', 'Order '||o_orderkey FROM orders UNION ALL
+          SELECT 'lineitem_'||l_orderkey||'_'||l_linenumber, 'lineitem',
+                 'Line '||l_orderkey||'_'||l_linenumber FROM """ + liSql + """
+        ) ORDER BY nodeType, key"""),
+      "S2/S6/O1/A4 — sorted-distinct index projection (ref Storage.fs:160-171)"),
+
+    Q("g17_year_normalize",
+      (s, d) => {
+        import s.implicits._
+        val fromOrders = TpchGraph.table(s, d, "orders")
+          .select(lit("AD").as("calendar"), year(col("o_orderdate")).cast("double").as("val"))
+          .distinct()
+        val probes = Seq(("BP", 12000.0), ("BC", 300.0), ("AD", 1950.0), ("calYrBP", 9999.4))
+          .toDF("calendar", "val")
+        fromOrders.unionByName(probes)
+          .withColumn("year_bp", Time.holoceneCalYearCol(col("calendar"), col("val")))
+          .withColumn("node_key", Time.timeNodeKeyCol(col("year_bp")))
+          .orderBy("calendar", "val")
+      },
+      Some(s"""
+        SELECT calendar, val,
+               CAST(round(CASE WHEN calendar='AD' THEN 1950-val
+                               WHEN calendar='BC' THEN 1950+val
+                               ELSE val END) AS INT) AS year_bp,
+               CASE WHEN CAST(round(CASE WHEN calendar='AD' THEN 1950-val
+                                         WHEN calendar='BC' THEN 1950+val
+                                         ELSE val END) AS INT) > 11650
+                    THEN '${Time.PreHoloceneKey}'
+                    ELSE 'calyearnode_'||CAST(round(CASE WHEN calendar='AD' THEN 1950-val
+                                                         WHEN calendar='BC' THEN 1950+val
+                                                         ELSE val END) AS INT)||'ybp'
+               END AS node_key
+        FROM (
+          SELECT DISTINCT 'AD' AS calendar, CAST(year(o_orderdate) AS DOUBLE) AS val FROM orders
+          UNION ALL SELECT * FROM (VALUES ('BP', 12000.0), ('BC', 300.0),
+                                          ('AD', 1950.0), ('calYrBP', 9999.4)) t(calendar, val)
+        ) ORDER BY calendar, val"""),
+      "F6/F7/J8/J9 — calendar normalization + time-index routing (ref Scenarios.fs:12-40)")
+  )
+}

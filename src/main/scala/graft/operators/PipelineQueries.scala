@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.TpchGraph.table
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings` /
+  * `events`: dedup (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
+  * SimHash), text analysis, vector similarity, streaming, multimodal
+  * plumbing.
+  */
+object PipelineQueries {
+
+  /** The lambda-list SQL fragment for whitespace tokens in DuckDB. */
+  private def sqlTokens(expr: String) =
+    s"list_filter(regexp_split_to_array($expr, '\\s+'), x -> len(x) > 0)"
+
+  /** DuckDB replica of [[TextOps.langId]]: per-language marker hits,
+    * greatest-score argmax with declaration-order tie-break.
+    */
+  private def langIdOracle: String = {
+    val hits = TextOps.langMarkers.map { case (lang, markers) =>
+      val inList = markers.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(${sqlTokens("lower(text)")}, x -> x IN ($inList))) AS INT) AS s_$lang"
+    }.mkString(",\n                 ")
+    val langs = TextOps.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""
+        WITH t AS (
+          SELECT doc_id,
+                 $hits
+          FROM documents)
+        SELECT doc_id, CASE $cases END AS lang_pred
+        FROM t ORDER BY doc_id"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("p01_token_count",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens
+        FROM documents ORDER BY doc_id"""),
+      "text analysis — whitespace token counting"),
+
+    Q("p02_quality_signals",
+      (s, d) => {
+        val q = TextOps.qualitySignals(col("text"), TextOps.defaultStopwords)
+        table(s, d, "documents")
+          .select(col("doc_id"), q.as("q"))
+          .select(col("doc_id"), col("q.n_chars"), col("q.n_tokens"),
+            col("q.mean_token_len"), col("q.punct_ratio"), col("q.upper_ratio"),
+            col("q.stopword_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS INT) AS n_chars,
+                 CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INT) AS n_punct,
+                 CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper,
+                 CAST(len(list_filter(${sqlTokens("lower(text)")},
+                      x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS INT) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens,
+               round(CAST(n_chars AS DOUBLE)/greatest(n_tokens,1),4) AS mean_token_len,
+               round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1),4) AS punct_ratio,
+               round(CAST(n_upper AS DOUBLE)/greatest(n_chars,1),4) AS upper_ratio,
+               round(CAST(n_stop AS DOUBLE)/greatest(n_tokens,1),4) AS stopword_ratio
+        FROM t ORDER BY doc_id"""),
+      "text analysis — quality scoring (length/punct/stopword/case ratios)"),
+
+    Q("p03_langid",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(langIdOracle),
+      "text analysis — marker-token language ID with deterministic argmax"),
+
+    Q("p04_fingerprint",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents ORDER BY doc_id"""),
+      "text analysis — normalized document fingerprint (md5 of casefolded text)"),
+
+    Q("p05_exact_dedup",
+      (s, d) => Dedup.exactClusters(table(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy("text_hash"),
+      Some("""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      "dedup — exact clusters by content hash (hash groupBy, map-side combine)"),
+
+    Q("p06_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(
+        table(s, d, "documents").filter(col("doc_id") < 100),
+        col("doc_id"), col("text"), n = 3, minJaccard = 0.05)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${sqlTokens("lower(text)")} AS ts
+          FROM documents WHERE doc_id < 100),
+        grams AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(ts)-2, 1)),
+                          i -> array_to_string(ts[i:i+2], ' '))) AS gram
+            FROM toks)
+          WHERE len(gram) > 0),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.05
+        ORDER BY id_a, id_b"""),
+      "dedup — n-gram Jaccard via inverted-index self-join (no doc×doc cross join)"),
+
+    Q("p07_minhash_pairs",
+      (s, d) => {
+        // plant exact copies (doc_id + 10000) so LSH always has true positives
+        val docs = table(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        Dedup.minHashNearDups(docs.unionByName(planted), col("doc_id"), col("text"),
+            n = 3, numHashes = 64, bands = 32, minJaccard = 0.9)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100),
+        toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM corpus),
+        grams AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(ts)-2, 1)),
+                          i -> array_to_string(ts[i:i+2], ' '))) AS gram
+            FROM toks)
+          WHERE len(gram) > 0),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.9
+        ORDER BY id_a, id_b"""),
+      "dedup — MinHash+LSH candidates verified by exact Jaccard (oracle = exact answer)"),
+
+    Q("p08_simhash",
+      (s, d) => Dedup.simHash(table(s, d, "documents").filter(col("doc_id") < 50),
+        col("doc_id"), col("text")).orderBy("id"),
+      None, // base hash (md5→int64) is not portably expressible in DuckDB SQL; covered by DedupSpec
+      "dedup — 64-bit SimHash signatures (per-bit weighted majority)"),
+
+    Q("p09_cosine_topk",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), query, k = 10)
+      },
+      Some("""
+        SELECT vec_id AS id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        FROM embeddings ORDER BY cos DESC, id LIMIT 10"""),
+      "similarity — brute-force cosine top-k (broadcast query, TakeOrdered)"),
+
+    Q("p10_nearest_neighbor",
+      (s, d) => Similarity.nearestNeighbor(
+        table(s, d, "embeddings").filter(col("vec_id") < 40),
+        col("vec_id"), col("embedding")).orderBy("id_a"),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id < 40),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.e, b.e), 6) AS cos
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+          FROM pairs)
+        SELECT id_a, id_b AS nn, cos FROM ranked WHERE rn = 1 ORDER BY id_a"""),
+      "similarity — all-pairs top-1 neighbor (broadcast nested loop + rank)"),
+
+    Q("p11_lsh_ann",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        Similarity.lshTopK(emb, col("vec_id"), col("embedding"), query,
+          k = 10, dim = query.length)
+      },
+      None, // recall vs brute force asserted in SimilaritySpec; hyperplane PRNG not portable to SQL
+      "similarity — sign-LSH bucketed ANN with exact re-rank"),
+
+    Q("p12_stream_hourly",
+      (s, d) => EventStream.runHourlyStream(s, d),
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value),2) AS sum_value
+        FROM events GROUP BY 1,2 ORDER BY 1,2"""),
+      "streaming — Structured Streaming windowed aggregation == batch answer"),
+
+    Q("p13_multimodal_features",
+      (s, d) => Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+          col("height"), col("brightness"))
+        .orderBy("media_id"),
+      Some("""
+        SELECT i AS media_id,
+               CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CAST(64 + (i % 64) AS INT) AS n_bytes,
+               CAST(4 + (i % 16) AS INT) AS width,
+               CAST(4 + (i % 8) AS INT) AS height,
+               round(CAST(list_sum(list_transform(generate_series(0, (64 + (i % 64)) - 1),
+                          j -> (i*31 + j*7) % 256)) AS DOUBLE)
+                     / (64 + (i % 64)), 4) AS brightness
+        FROM generate_series(0, 199) s(i) ORDER BY media_id"""),
+      "multimodal — binary columns + batched (stub) decode via mapPartitions")
+  )
+}

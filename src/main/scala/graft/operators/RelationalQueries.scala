@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.sources.TpchGraph.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator layer: scans → filters → joins → aggregations →
+  * windows → sorts, tuned for scale (broadcast the dimensions, let the
+  * fact tables shuffle on join keys, keep arithmetic codegen'd).
+  * Double aggregates are rounded (2 dp money, 4 dp ratios) so results are
+  * stable under partial-aggregation reordering and engine-portable.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q01_pricing_summary",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity),2) AS sum_qty,
+               round(sum(l_extendedprice),2) AS sum_base_price,
+               round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+               round(avg(l_quantity),2) AS avg_qty,
+               round(avg(l_discount),4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""),
+      "TPC-H Q1 shape: full-scan hash aggregate with partial+final combine"),
+
+    Q("q02_revenue_by_nation",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val o = table(s, d, "orders").select("o_orderkey", "o_custkey")
+        val c = table(s, d, "customer").select("c_custkey", "c_nationkey")
+        val n = table(s, d, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        JOIN customer ON o_custkey=c_custkey
+        JOIN nation ON c_nationkey=n_nationkey
+        GROUP BY 1 ORDER BY 1"""),
+      "TPC-H Q5 shape: fact-fact shuffle join + broadcast dimension joins"),
+
+    Q("q03_top_orders",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""
+        SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        FROM lineitem GROUP BY 1
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      "TPC-H Q3 shape: aggregate + TakeOrderedAndProject top-k (no full sort)"),
+
+    Q("q04_order_priority",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val li = table(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+                   col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey=o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY 1 ORDER BY 1"""),
+      "TPC-H Q4 shape: conditional existence semi-join"),
+
+    Q("q05_forecast_revenue",
+      (s, d) => table(s, d, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24 &&
+                year(col("l_shipdate")) === 1996)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n")),
+      Some("""
+        SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+          AND year(l_shipdate) = 1996"""),
+      "TPC-H Q6 shape: predicate-pushdown scan + scalar aggregate"),
+
+    Q("q06_rank_window",
+      (s, d) => {
+        val o = table(s, d, "orders").filter(col("o_custkey") < 50)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders WHERE o_custkey < 50)
+        WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      "§2.5 — ranking window (top-3 orders per customer)"),
+
+    Q("q07_running_sum",
+      (s, d) => {
+        val li = table(s, d, "lineitem").filter(col("l_suppkey") < 20)
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        FROM lineitem WHERE l_suppkey < 20
+        ORDER BY l_suppkey, l_orderkey, l_linenumber"""),
+      "§2.5 — running aggregate over an explicit row frame"),
+
+    Q("q08_events_hourly",
+      (s, d) => table(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type"),
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value),2) AS sum_value
+        FROM events GROUP BY 1,2 ORDER BY 1,2"""),
+      "tumbling-window aggregation over the event table (batch form of the streaming op)"),
+
+    Q("q09_events_json",
+      (s, d) => table(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(round(avg(col("k")), 4).as("avg_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)),4) AS avg_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "F13 — JSON payload projection + aggregate"),
+
+    Q("q10_top_suppliers",
+      (s, d) => {
+        val sup = table(s, d, "supplier")
+        val n = table(s, d, "nation")
+        sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), col("n_name"), col("s_acctbal"))
+          .orderBy(col("s_acctbal").desc, col("s_name"))
+          .limit(10)
+      },
+      Some("""
+        SELECT s_name, n_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey=n_nationkey
+        ORDER BY s_acctbal DESC, s_name LIMIT 10"""),
+      "O1-O3 — broadcast dim join + top-k sort/limit")
+  )
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.core.GraphState
+import graft.model.{EdgeRow, NodeRow}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a typed property graph from the driver's synthetic star schema,
+  * exercising the same graph shapes as the reference:
+  *
+  *   - dimension chains `customer —InNation→ nation —InRegion→ region`
+  *     (like the taxonomy `IsA` chains, reference `Population.fs:187-195`);
+  *   - fact edges `order —PlacedBy→ customer`;
+  *   - `lineitem` reified as a payload-less HYPEREDGE node fanning out
+  *     `PartOf`/`OfPart`/`SuppliedBy` — structurally identical to the
+  *     reference's `ProxiedTaxonNode` fanning out
+  *     `InferredFrom`/`InferredUsing`/`InferredAs` (reference
+  *     `Graph.fs:727-742`, `Population.fs:137-148`).
+  *
+  * Because the derivation is deterministic, every graph operator run on this
+  * graph has a plain-SQL oracle over the source tables — which is exactly
+  * what the driver's DuckDB gate checks.
+  */
+object TpchGraph {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 refuses by default — read nanos as long and convert to a
+    * microsecond timestamp (floor), matching DuckDB's ns→hour truncation
+    * for any sub-second-insensitive query.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  private def k(t: String, c: org.apache.spark.sql.Column) =
+    concat(lit(t + "_"), c.cast("string"))
+
+  /** The synthetic lineitem table has duplicate `(l_orderkey,
+    * l_linenumber)` pairs; the graph's hyperedge key derives from that
+    * pair, so apply the reference's insert-or-skip semantics (M2,
+    * `Graph.fs:72-79`) deterministically: keep the first row under a total
+    * order of all columns. Same dedup is expressed in each oracle via
+    * [[lineitemDedupSql]].
+    */
+  def lineitemDeduped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(orderCols.map(col): _*)
+    li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  private val orderCols = Seq("l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** DuckDB subquery equivalent of [[lineitemDeduped]]. */
+  val lineitemDedupSql: String =
+    "(SELECT * EXCLUDE (rn) FROM (SELECT *, row_number() OVER (" +
+      "PARTITION BY l_orderkey, l_linenumber ORDER BY " + orderCols.mkString(", ") +
+      ") AS rn FROM lineitem) WHERE rn = 1)"
+
+  /** Nodes: region, nation, customer, supplier, part, order, lineitem. */
+  def nodes(spark: SparkSession, dir: String): Dataset[NodeRow] = {
+    import spark.implicits._
+    def mk(df: DataFrame, t: String, id: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column) =
+      df.select(
+        k(t, id).as("key"),
+        lit(t).as("nodeType"),
+        name.cast("string").as("prettyName"),
+        to_json(struct(df.columns.map(col): _*)).as("payload"))
+    val region   = mk(table(spark, dir, "region"),   "region",   col("r_regionkey"), col("r_name"))
+    val nation   = mk(table(spark, dir, "nation"),   "nation",   col("n_nationkey"), col("n_name"))
+    val customer = mk(table(spark, dir, "customer"), "customer", col("c_custkey"),  col("c_name"))
+    val supplier = mk(table(spark, dir, "supplier"), "supplier", col("s_suppkey"),  col("s_name"))
+    val part     = mk(table(spark, dir, "part"),     "part",     col("p_partkey"),  col("p_name"))
+    val order    = mk(table(spark, dir, "orders"),   "order",    col("o_orderkey"),
+                      concat(lit("Order "), col("o_orderkey")))
+    val li       = lineitemDeduped(spark, dir)
+    val lineitem = li.select(
+      concat(lit("lineitem_"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("key"),
+      lit("lineitem").as("nodeType"),
+      concat(lit("Line "), col("l_orderkey"), lit("_"), col("l_linenumber")).as("prettyName"),
+      to_json(struct(li.columns.map(col): _*)).as("payload"))
+    Seq(region, nation, customer, supplier, part, order, lineitem)
+      .reduce(_ unionByName _).as[NodeRow]
+  }
+
+  /** Edges: the dimension chains, fact edge, and hyperedge fan-out. */
+  def edges(spark: SparkSession, dir: String): Dataset[EdgeRow] = {
+    import spark.implicits._
+    def e(df: DataFrame, st: String, s: org.apache.spark.sql.Column,
+          dt: String, d: org.apache.spark.sql.Column, rel: String) =
+      df.select(k(st, s).as("src"), k(dt, d).as("dst"),
+        lit(1).as("weight"), lit(rel).as("relType"), lit("{}").as("relPayload"))
+    val cust = table(spark, dir, "customer")
+    val supp = table(spark, dir, "supplier")
+    val nat  = table(spark, dir, "nation")
+    val ord  = table(spark, dir, "orders")
+    val li   = lineitemDeduped(spark, dir)
+    val liKey = concat(lit("lineitem_"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+    def eli(dt: String, d: org.apache.spark.sql.Column, rel: String) =
+      li.select(liKey.as("src"), k(dt, d).as("dst"),
+        lit(1).as("weight"), lit(rel).as("relType"),
+        to_json(struct(col("l_quantity"), col("l_extendedprice"))).as("relPayload"))
+    Seq(
+      e(cust, "customer", col("c_custkey"), "nation", col("c_nationkey"), "InNation"),
+      e(supp, "supplier", col("s_suppkey"), "nation", col("s_nationkey"), "InNation"),
+      e(nat, "nation", col("n_nationkey"), "region", col("n_regionkey"), "InRegion"),
+      e(ord, "order", col("o_orderkey"), "customer", col("o_custkey"), "PlacedBy"),
+      eli("order", col("l_orderkey"), "PartOf"),
+      eli("part", col("l_partkey"), "OfPart"),
+      eli("supplier", col("l_suppkey"), "SuppliedBy")
+    ).reduce(_ unionByName _).as[EdgeRow]
+  }
+
+  def graph(spark: SparkSession, dir: String): GraphState =
+    GraphState(nodes(spark, dir), edges(spark, dir))
+}
