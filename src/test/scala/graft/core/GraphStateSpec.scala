@@ -1,0 +1,105 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.model.{EdgeRow, NodeRow}
+
+class GraphStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture: GraphState = {
+    val nodes = Seq(
+      NodeRow("taxonnode_genus_salix", "taxonnode", "Salix", "{}"),
+      NodeRow("taxonnode_family_salicaceae", "taxonnode", "Salicaceae", "{}"),
+      NodeRow("contextnode_a", "contextnode", "Site A", "{}")
+    ).toDS()
+    val edges = Seq(
+      EdgeRow("taxonnode_genus_salix", "taxonnode_family_salicaceae", 1, "IsA", "{}")
+    ).toDS()
+    GraphState(nodes, edges)
+  }
+
+  test("M1 addNodes errors on duplicate key (ref Graph.fs:63-70)") {
+    val g = fixture
+    val dup = Seq(NodeRow("contextnode_a", "contextnode", "Other", "{}")).toDS()
+    g.addNodes(dup) match {
+      case Left(keys) => assert(keys == Seq("contextnode_a"))
+      case Right(_)   => fail("expected duplicate-key error")
+    }
+    val fresh = Seq(NodeRow("contextnode_b", "contextnode", "Site B", "{}")).toDS()
+    assert(g.addNodes(fresh).toOption.get.nodes.count() == 4)
+  }
+
+  test("M2 addNodesOrSkip is idempotent and keeps the old row (ref Graph.fs:72-79)") {
+    val g = fixture
+    val mixed = Seq(
+      NodeRow("contextnode_a", "contextnode", "SHOULD_NOT_APPEAR", "{}"),
+      NodeRow("contextnode_b", "contextnode", "Site B", "{}")
+    ).toDS()
+    val g2 = g.addNodesOrSkip(mixed)
+    assert(g2.nodes.count() == 4)
+    assert(g2.nodeByKey("contextnode_a").head().prettyName == "Site A")
+    // idempotent: applying again changes nothing
+    assert(g2.addNodesOrSkip(mixed).nodes.count() == 4)
+  }
+
+  test("M4 replaceNodes swaps payload keeping key (ref Graph.fs:81-90)") {
+    val g = fixture
+    val repl = Seq(NodeRow("contextnode_a", "contextnode", "Renamed", """{"x":1}""")).toDS()
+    val g2 = g.replaceNodes(repl)
+    assert(g2.nodes.count() == 3)
+    assert(g2.nodeByKey("contextnode_a").head().prettyName == "Renamed")
+  }
+
+  test("M5 removeNodes cascades to in- and out-edges (ref Graph.fs:119-132)") {
+    val g = fixture
+    val g2 = g.removeNodes(Seq("taxonnode_family_salicaceae").toDS())
+    assert(g2.nodes.count() == 2)
+    assert(g2.edges.count() == 0) // the IsA edge pointed at the removed node
+    val g3 = g.removeNodes(Seq("taxonnode_genus_salix").toDS())
+    assert(g3.edges.count() == 0) // out-edge removed with its source
+  }
+
+  test("M6 addRelations dedups identical tuples and checks BOTH endpoints (ref Graph.fs:134-152)") {
+    val g = fixture
+    val dupEdge = Seq(
+      EdgeRow("taxonnode_genus_salix", "taxonnode_family_salicaceae", 1, "IsA", "{}"),
+      EdgeRow("taxonnode_genus_salix", "taxonnode_family_salicaceae", 1, "IsA", "{}")
+    ).toDS()
+    g.addRelations(dupEdge) match {
+      case Right(g2) => assert(g2.edges.count() == 1)
+      case Left(e)   => fail(s"unexpected FK failure: $e")
+    }
+    // dangling sink must be rejected (the reference's bug checked src twice)
+    val dangling = Seq(EdgeRow("taxonnode_genus_salix", "missing_node", 1, "IsA", "{}")).toDS()
+    assert(g.addRelations(dangling).isLeft)
+    val danglingSrc = Seq(EdgeRow("missing_node", "taxonnode_genus_salix", 1, "IsA", "{}")).toDS()
+    assert(g.addRelations(danglingSrc).isLeft)
+  }
+
+  test("J1 nodeIdsByRelation returns sinks of matching typed edges (ref Graph.fs:744-764)") {
+    val ids = fixture.nodeIdsByRelation("taxonnode_genus_salix", "IsA")
+      .collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("taxonnode_family_salicaceae"))
+    assert(fixture.nodeIdsByRelation("taxonnode_genus_salix", "Next").count() == 0)
+  }
+
+  test("J4 withOutEdge finds nodes with at least one typed out-edge") {
+    val keys = fixture.withOutEdge("IsA").collect().map(_.key)
+    assert(keys.toSeq == Seq("taxonnode_genus_salix"))
+  }
+
+  test("index is sorted and distinct (O1/A4, ref Storage.fs:160-171)") {
+    val g = fixture
+    val rows = g.index().collect().map(_.getString(0))
+    assert(rows.toSeq == rows.toSeq.sorted)
+  }
+
+  test("GraphIO round-trips a graph through partitioned parquet (S1-S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val g = fixture
+    GraphIO.save(g, dir)
+    val g2 = GraphIO.load(spark, dir)
+    assert(g2.nodes.count() == 3 && g2.edges.count() == 1)
+    assert(g2.nodeByKey("contextnode_a").head().prettyName == "Site A")
+  }
+}

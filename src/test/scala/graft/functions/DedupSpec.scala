@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank"), // near dup of 1
+    (4L, "completely different content about spark distributed query engines"),
+    (5L, "THE  Quick   Brown fox jumps over the lazy dog near the river bank") // fingerprint dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup clusters identical texts") {
+    val clusters = Dedup.exactClusters(docs, col("doc_id"), col("text")).collect()
+    val dupCluster = clusters.find(_.getLong(2) == 2L)
+    assert(dupCluster.exists(_.getLong(1) == 1L)) // keep_id = min
+    assert(clusters.length == 4)
+  }
+
+  test("fingerprint dedup is case/whitespace-insensitive") {
+    val clusters = Dedup.fingerprintClusters(docs, col("doc_id"), col("text")).collect()
+    assert(clusters.length == 3) // {1,2,5}, {3}, {4}
+    assert(clusters.exists(r => r.getLong(2) == 3L && r.getLong(1) == 1L))
+  }
+
+  test("jaccardPairs finds near-duplicates via inverted-index join") {
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0)) // exact dup
+    val nearDup = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(nearDup.exists(p => p._3 > 0.5 && p._3 < 1.0))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L)) // unrelated doc excluded
+  }
+
+  test("minHashNearDups recovers exact-Jaccard answer via LSH candidates") {
+    val expected = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.minHashNearDups(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 64, bands = 32, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
+  test("minhash signature: identical texts get identical signatures; est≈1") {
+    val sigs = Dedup.minHashSignature(docs, col("doc_id"), col("text"), 3, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs.values.forall(_.length == 64))
+  }
+
+  test("simhash: identical texts identical; near-dups close in Hamming distance") {
+    val sh = Dedup.simHash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+    assert(ham(sh(1L), sh(3L)) <= 16)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine of a vector with itself is 1") {
+    val self = emb.filter(col("vec_id") === 0)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("cosineTopK ranks the query vector itself first") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val top = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), q, k = 5)
+      .collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(top.head.getDouble(1) == 1.0)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("lshTopK achieves high recall vs brute force") {
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, col("vec_id"), col("embedding"), q,
+        k = 10, dim = q.length, planesPerTable = 4, tables = 16)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low; exact=$exact approx=$approx")
+  }
+
+  test("nearestNeighbor is symmetric-consistent on a tiny set") {
+    val nn = Similarity.nearestNeighbor(emb.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding")).collect()
+    assert(nn.length == 10)
+    nn.foreach { r => assert(r.getLong(0) != r.getLong(1)) }
+  }
+
+  test("deterministic hyperplanes: same seed → same planes") {
+    assert(Similarity.hyperplanes(4, 8, 7L) == Similarity.hyperplanes(4, 8, 7L))
+    assert(Similarity.hyperplanes(4, 8, 7L) != Similarity.hyperplanes(4, 8, 8L))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount handles edge whitespace and empty strings") {
+    val df = Seq("a b c", "  a   b  ", "", "   ", "one").toDF("t")
+    val counts = df.select(TextOps.tokenCount(col("t"))).collect().map(_.getInt(0)).toSeq
+    assert(counts == Seq(3, 2, 0, 0, 1))
+  }
+
+  test("qualitySignals ratios are bounded and null-safe") {
+    val df = Seq("The quick, brown fox!", "").toDF("t")
+    val q = df.select(TextOps.qualitySignals(col("t"), TextOps.defaultStopwords).as("q"))
+      .select("q.*").collect()
+    val r = q.head
+    assert(r.getAs[Int]("n_chars") == 21)
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Double]("punct_ratio") > 0 && r.getAs[Double]("punct_ratio") < 1)
+    assert(r.getAs[Double]("stopword_ratio") == 0.25) // "the"
+    val empty = q(1)
+    assert(empty.getAs[Int]("n_tokens") == 0)
+  }
+
+  test("langId picks the language with most marker hits, tie-break by order") {
+    val df = Seq(
+      "the cat and the dog is here",  // en markers
+      "el gato de la casa que canta", // es markers
+      "der hund und die katze ist",   // de markers
+      "xyz qqq www"                   // no markers → tie → en (first)
+    ).toDF("t")
+    val langs = df.select(TextOps.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(langs == Seq("en", "es", "de", "en"))
+  }
+
+  test("fingerprint collapses case and whitespace") {
+    val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
+    val r = df.select(TextOps.fingerprint(col("x")).as("fx"),
+      TextOps.fingerprint(col("y")).as("fy")).head()
+    assert(r.getString(0) == r.getString(1))
+  }
+}
