@@ -27,12 +27,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against one query vector (given as a
-    * literal sequence — broadcast by construction).
+    * literal sequence — broadcast by construction). The query's norm is
+    * folded driver-side so the per-row expression is one dot product and
+    * one row-norm, not three array folds.
     */
   def cosineTopK(df: DataFrame, id: Column, vec: Column,
                  query: Seq[Double], k: Int, roundTo: Int = 6): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
     val q = array(query.map(lit): _*)
-    df.select(id.as("id"), round(cosine(vec, q), roundTo).as("cos"))
+    df.select(id.as("id"),
+        round(dot(vec, q) / (norm(vec) * lit(qNorm)), roundTo).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }

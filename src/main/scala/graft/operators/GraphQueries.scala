@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
-  private def g(s: SparkSession, dir: String): GraphState = TpchGraph.graph(s, dir)
+  private def g(s: SparkSession, dir: String): GraphState = TpchGraph.cachedGraph(s, dir)
 
   /** Deduped lineitem (graph hyperedge source) — see [[TpchGraph.lineitemDedupSql]]. */
   private val liSql = TpchGraph.lineitemDedupSql
@@ -110,15 +110,19 @@ object GraphQueries {
     Q("g07_hyperedge_motif",
       (s, d) => {
         val gr = g(s, d)
-        val li = gr.edges.filter(col("relType") === "PartOf" && col("dst") === "order_1")
-          .select(col("src").as("li"))
+        // the filtered hyperedge set is tiny — broadcast it through every
+        // join so the large edge/node sets stream without shuffling
+        val li = broadcast(gr.edges
+          .filter(col("relType") === "PartOf" && col("dst") === "order_1")
+          .select(col("src").as("li")))
         val ofPart = gr.edges.filter(col("relType") === "OfPart")
           .select(col("src").as("li"), col("dst").as("pk"))
         val bySupp = gr.edges.filter(col("relType") === "SuppliedBy")
           .select(col("src").as("li"), col("dst").as("sk"))
         val parts = gr.nodesOfType("part").select(col("key").as("pk"), col("prettyName").as("part_name"))
         val supps = gr.nodesOfType("supplier").select(col("key").as("sk"), col("prettyName").as("supplier_name"))
-        li.join(ofPart, "li").join(bySupp, "li").join(parts, "pk").join(supps, "sk")
+        val motif = broadcast(li.join(ofPart, "li").join(bySupp, "li"))
+        motif.join(parts, "pk").join(supps, "sk")
           .select("li", "part_name", "supplier_name").orderBy("li")
       },
       Some("""
@@ -216,7 +220,10 @@ object GraphQueries {
       "S14 — seed graph invariants (ref Seed.fs:48-99)"),
 
     Q("g14_stats_fold",
-      (s, d) => g(s, d).conditionalCounts("order", Map(
+      // uncached graph: this query consumes the JSON payload, and the
+      // uncached plan lets Catalyst prune payload construction to the
+      // single union branch (orders) it reads
+      (s, d) => TpchGraph.graph(s, d).conditionalCounts("order", Map(
         "high_value" -> (get_json_object(col("payload"), "$.o_totalprice").cast("double") > 300000),
         "n_f" -> (get_json_object(col("payload"), "$.o_orderstatus") === "F"),
         "n_o" -> (get_json_object(col("payload"), "$.o_orderstatus") === "O"),

@@ -49,11 +49,13 @@ object TpchGraph {
     * [[lineitemDedupSql]].
     */
   def lineitemDeduped(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // keep the minimum row under the lexicographic order of orderCols —
+    // expressed as min(struct(...)) so Spark plans a hash aggregate with
+    // map-side partial combine instead of a window sort-shuffle
     val li = table(spark, dir, "lineitem")
-    val w = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
-      .orderBy(orderCols.map(col): _*)
-    li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(struct(orderCols.map(col): _*)).as("m"))
+      .select(col("l_orderkey") +: col("l_linenumber") +: orderCols.map(c => col(s"m.$c")): _*)
   }
 
   private val orderCols = Seq("l_partkey", "l_suppkey", "l_quantity",
@@ -65,15 +67,21 @@ object TpchGraph {
       "PARTITION BY l_orderkey, l_linenumber ORDER BY " + orderCols.mkString(", ") +
       ") AS rn FROM lineitem) WHERE rn = 1)"
 
-  /** Nodes: region, nation, customer, supplier, part, order, lineitem. */
-  def nodes(spark: SparkSession, dir: String): Dataset[NodeRow] = {
+  /** Nodes: region, nation, customer, supplier, part, order, lineitem.
+    * `withPayload = false` substitutes an empty payload — used by the
+    * traversal cache, where materializing JSON for every row would defeat
+    * column pruning (payload-consuming queries build uncached, so Catalyst
+    * prunes payload construction to just the node type they touch).
+    */
+  def nodes(spark: SparkSession, dir: String, withPayload: Boolean = true,
+            li0: Option[DataFrame] = None): Dataset[NodeRow] = {
     import spark.implicits._
     def mk(df: DataFrame, t: String, id: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column) =
       df.select(
         k(t, id).as("key"),
         lit(t).as("nodeType"),
         name.cast("string").as("prettyName"),
-        to_json(struct(df.columns.map(col): _*)).as("payload"))
+        (if (withPayload) to_json(struct(df.columns.map(col): _*)) else lit("{}")).as("payload"))
     val region   = mk(table(spark, dir, "region"),   "region",   col("r_regionkey"), col("r_name"))
     val nation   = mk(table(spark, dir, "nation"),   "nation",   col("n_nationkey"), col("n_name"))
     val customer = mk(table(spark, dir, "customer"), "customer", col("c_custkey"),  col("c_name"))
@@ -81,18 +89,19 @@ object TpchGraph {
     val part     = mk(table(spark, dir, "part"),     "part",     col("p_partkey"),  col("p_name"))
     val order    = mk(table(spark, dir, "orders"),   "order",    col("o_orderkey"),
                       concat(lit("Order "), col("o_orderkey")))
-    val li       = lineitemDeduped(spark, dir)
+    val li       = li0.getOrElse(lineitemDeduped(spark, dir))
     val lineitem = li.select(
       concat(lit("lineitem_"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("key"),
       lit("lineitem").as("nodeType"),
       concat(lit("Line "), col("l_orderkey"), lit("_"), col("l_linenumber")).as("prettyName"),
-      to_json(struct(li.columns.map(col): _*)).as("payload"))
+      (if (withPayload) to_json(struct(li.columns.map(col): _*)) else lit("{}")).as("payload"))
     Seq(region, nation, customer, supplier, part, order, lineitem)
       .reduce(_ unionByName _).as[NodeRow]
   }
 
   /** Edges: the dimension chains, fact edge, and hyperedge fan-out. */
-  def edges(spark: SparkSession, dir: String): Dataset[EdgeRow] = {
+  def edges(spark: SparkSession, dir: String, withPayload: Boolean = true,
+            li0: Option[DataFrame] = None): Dataset[EdgeRow] = {
     import spark.implicits._
     def e(df: DataFrame, st: String, s: org.apache.spark.sql.Column,
           dt: String, d: org.apache.spark.sql.Column, rel: String) =
@@ -102,12 +111,13 @@ object TpchGraph {
     val supp = table(spark, dir, "supplier")
     val nat  = table(spark, dir, "nation")
     val ord  = table(spark, dir, "orders")
-    val li   = lineitemDeduped(spark, dir)
+    val li   = li0.getOrElse(lineitemDeduped(spark, dir))
     val liKey = concat(lit("lineitem_"), col("l_orderkey"), lit("_"), col("l_linenumber"))
     def eli(dt: String, d: org.apache.spark.sql.Column, rel: String) =
       li.select(liKey.as("src"), k(dt, d).as("dst"),
         lit(1).as("weight"), lit(rel).as("relType"),
-        to_json(struct(col("l_quantity"), col("l_extendedprice"))).as("relPayload"))
+        (if (withPayload) to_json(struct(col("l_quantity"), col("l_extendedprice")))
+         else lit("{}")).as("relPayload"))
     Seq(
       e(cust, "customer", col("c_custkey"), "nation", col("c_nationkey"), "InNation"),
       e(supp, "supplier", col("s_suppkey"), "nation", col("s_nationkey"), "InNation"),
@@ -121,4 +131,27 @@ object TpchGraph {
 
   def graph(spark: SparkSession, dir: String): GraphState =
     GraphState(nodes(spark, dir), edges(spark, dir))
+
+  private val cache = scala.collection.concurrent.TrieMap[String, GraphState]()
+
+  /** Process-cached, storage-persisted graph: the derivation (7 table
+    * scans, JSON payload encode, unions) runs once per data directory and
+    * every subsequent operator starts from the materialized nodes/edges —
+    * the local analogue of a long-running engine keeping its base tables
+    * hot. MEMORY_AND_DISK so an over-sized graph spills instead of OOMing.
+    */
+  def cachedGraph(spark: SparkSession, dir: String): GraphState =
+    cache.getOrElseUpdate(dir, {
+      import org.apache.spark.storage.StorageLevel
+      // dedup lineitem once and share it across the node branch and the
+      // three hyperedge fan-out branches — otherwise each union branch
+      // re-runs the 600k-row dedup window (no cross-branch CSE in Catalyst)
+      val li = lineitemDeduped(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = GraphState(
+        nodes(spark, dir, withPayload = false, li0 = Some(li)),
+        edges(spark, dir, withPayload = false, li0 = Some(li)))
+      GraphState(
+        g.nodes.persist(StorageLevel.MEMORY_AND_DISK),
+        g.edges.persist(StorageLevel.MEMORY_AND_DISK))
+    })
 }
