@@ -1,0 +1,158 @@
+package graft.core
+
+import java.util.UUID
+import graft.model._
+
+/** M9–M13 — the reference's composite "macro-transactions", re-expressed
+  * as pure functions building node/edge batches that commit through the
+  * [[GraphState]] mutation primitives. The reference chains `Result`
+  * through 10–15 step in-memory updates (`Scenarios.fs:133-311`,
+  * `Storage.fs:396-427`, `Library.fs:204-251`); here each transaction
+  * assembles its rows first (read-your-writes within the batch) and
+  * commits once — the idempotent, retry-safe shape for distributed writes.
+  *
+  * GUID-keyed nodes take explicit UUIDs (SURVEY §7.4 hard-part 2): no
+  * PRNG inside the transaction, so a re-run commits the same keys.
+  */
+object Transactions {
+
+  final case class TxBatch(nodes: Seq[NodeRow], edges: Seq[EdgeRow]) {
+    def ++(other: TxBatch): TxBatch = TxBatch(nodes ++ other.nodes, edges ++ other.edges)
+  }
+
+  /** M9/M10 — hyperedge transaction (`Storage.fs:396-427`,
+    * `Library.fs:204-251`): reify a proxied-taxon hyperedge node and fan
+    * out `InferredFrom` (proxy), `InferredUsing` (method), `InferredAs`
+    * (taxa), `MeasuredBy` (outcome), plus `HasProxyInfo` from the
+    * timeline. Duplicate taxa within one hyperedge are rejected
+    * (reference `Storage.fs:425-427`); identical hyperedges across calls
+    * are allowed (fresh UUID — reference `Graph.fs:724-726`).
+    */
+  def proxiedTaxon(
+      timelineKey: String, proxyKey: String, methodKey: String,
+      taxonKeys: Seq[String], outcomeKey: String,
+      uuid: UUID): Either[String, TxBatch] = {
+    if (taxonKeys.distinct.size != taxonKeys.size)
+      Left(s"duplicate taxa in hyperedge: ${taxonKeys.diff(taxonKeys.distinct).mkString(",")}")
+    else if (taxonKeys.isEmpty) Left("hyperedge requires at least one taxon")
+    else {
+      val hk = Keys.uuidKey(NodeTypes.ProxiedTaxonNode, uuid)
+      val node = NodeRow(hk, NodeTypes.ProxiedTaxonNode, "", "{}")
+      val edges =
+        EdgeRow(hk, proxyKey, 1, "InferredFrom", "{}") +:
+        EdgeRow(hk, methodKey, 1, "InferredUsing", "{}") +:
+        EdgeRow(hk, outcomeKey, 1, "MeasuredBy", "{}") +:
+        EdgeRow(timelineKey, hk, 1, "HasProxyInfo", "{}") +:
+        taxonKeys.map(t => EdgeRow(hk, t, 1, "InferredAs", "{}"))
+      Right(TxBatch(Seq(node), edges))
+    }
+  }
+
+  /** M11 — `automateSimpleSite` (`Scenarios.fs:133-224`): insert a
+    * timeline + context for a source, wiring `HasTemporalExtent`,
+    * `ExtentEarliestSpecified`/`ExtentLatestSpecified` to year nodes
+    * (out-of-scope dates route to the pre-Holocene label — J9),
+    * uncertainty edges for ± errors, and `IsLocatedAt`.
+    */
+  def simpleSite(
+      sourceKey: String,
+      siteName: String, latDD: Double, lonDD: Double, sampleOrigin: String,
+      earliest: (String, Double), latest: (String, Double),
+      earliestError: Option[Double],
+      timelineUuid: UUID, contextUuid: UUID): Either[String, TxBatch] = {
+    if (latDD < -90 || latDD > 90) Left(s"latitude out of range: $latDD")
+    else if (lonDD < -180 || lonDD > 180) Left(s"longitude out of range: $lonDD")
+    else {
+      val tlKey = Keys.uuidKey(NodeTypes.IndividualTimelineNode, timelineUuid)
+      val ctxKey = Keys.uuidKey(NodeTypes.ContextNode, contextUuid)
+      val eYr = Time.holoceneCalYear(earliest._1, earliest._2)
+      val lYr = Time.holoceneCalYear(latest._1, latest._2)
+      if (lYr > eYr) Left(s"latest ($lYr BP) older than earliest ($eYr BP)")
+      else {
+        val nodes = Seq(
+          NodeRow(tlKey, NodeTypes.IndividualTimelineNode, s"Timeline: $siteName",
+            """{"Continuous":{"TemporalResolution":"Irregular"}}"""),
+          NodeRow(ctxKey, NodeTypes.ContextNode, siteName,
+            s"""{"Name":"$siteName","SamplingLocation":{"Site":[$latDD,$lonDD]},"SampleOrigin":"$sampleOrigin"}""")
+        )
+        val uncertainty = earliestError.toSeq.flatMap { err =>
+          val oldest = Time.timeNodeKey(eYr + math.round(err).toInt)
+          val youngest = Time.timeNodeKey(math.max(eYr - math.round(err).toInt, Time.MinYearBP))
+          Seq(
+            EdgeRow(tlKey, oldest, 1, "ExtentEarliestUncertainty", "{}"),
+            EdgeRow(tlKey, youngest, 1, "UncertaintyYoungest", "{}"))
+        }
+        val edges = Seq(
+          EdgeRow(sourceKey, tlKey, 1, "HasTemporalExtent", "{}"),
+          EdgeRow(tlKey, Time.timeNodeKey(eYr), 1,
+            if (eYr > Time.HoloceneBoundaryBP) "ExtentEarliestOutOfScope" else "ExtentEarliestSpecified",
+            s"""{"calYearBP":$eYr}"""),
+          EdgeRow(tlKey, Time.timeNodeKey(lYr), 1, "ExtentLatestSpecified", s"""{"calYearBP":$lYr}"""),
+          EdgeRow(tlKey, ctxKey, 1, "IsLocatedAt", "{}")
+        ) ++ uncertainty
+        Right(TxBatch(nodes, edges))
+      }
+    }
+  }
+
+  /** M12 — `automateTreeRing` (`Scenarios.fs:226-311`): continuous annual
+    * timeline from a collection year, context, and an implicit-inference
+    * hyperedge to the `presence` outcome.
+    */
+  def treeRing(
+      sourceKey: String, siteName: String, latDD: Double, lonDD: Double,
+      collectionYearAD: Int, taxonKey: String, proxyKey: String,
+      timelineUuid: UUID, contextUuid: UUID, hyperUuid: UUID): Either[String, TxBatch] = {
+    val collectedBP = Time.holoceneCalYear("AD", collectionYearAD.toDouble)
+    if (!Time.inBounds(collectedBP)) Left(s"collection year out of index bounds: $collectedBP BP")
+    else {
+      val tlKey = Keys.uuidKey(NodeTypes.IndividualTimelineNode, timelineUuid)
+      val ctxKey = Keys.uuidKey(NodeTypes.ContextNode, contextUuid)
+      val base = TxBatch(
+        Seq(
+          NodeRow(tlKey, NodeTypes.IndividualTimelineNode, s"Tree-ring timeline: $siteName",
+            """{"Continuous":{"TemporalResolution":{"Regular":[1,"Rings"]}}}"""),
+          NodeRow(ctxKey, NodeTypes.ContextNode, siteName,
+            s"""{"Name":"$siteName","SamplingLocation":{"Site":[$latDD,$lonDD]},"SampleOrigin":"LivingOrganism"}""")),
+        Seq(
+          EdgeRow(sourceKey, tlKey, 1, "HasTemporalExtent", "{}"),
+          EdgeRow(tlKey, Time.timeNodeKey(collectedBP), 1, "ExtentLatestSpecified",
+            s"""{"calYearBP":$collectedBP}"""),
+          EdgeRow(tlKey, ctxKey, 1, "IsLocatedAt", "{}")))
+      proxiedTaxon(tlKey, proxyKey,
+        Keys.key(NodeTypes.InferenceMethodNode, "implicit"),
+        Seq(taxonKey), Keys.outcomeKey("presence"), hyperUuid).map(base ++ _)
+    }
+  }
+
+  /** M13 — screening state machine (`Library.fs:398-424,715-785`,
+    * states `Sources.fs:181-202`): `Unscreened → Included | Excluded`,
+    * then section-progress transitions for included sources. Illegal
+    * transitions are rejected.
+    */
+  val screeningTransitions: Map[(String, String), Boolean] = Map(
+    ("Unscreened", "Included") -> true,
+    ("Unscreened", "Excluded") -> true,
+    ("Included", "InProgress") -> true,
+    ("InProgress", "CompletedAll") -> true,
+    ("InProgress", "Stalled") -> true,
+    ("Stalled", "InProgress") -> true
+  ).withDefaultValue(false)
+
+  def screen(current: String, next: String): Either[String, String] =
+    if (screeningTransitions((current, next))) Right(next)
+    else Left(s"illegal screening transition $current -> $next")
+
+  /** Commit a batch through the graph's transactional primitives:
+    * strict-insert the nodes (duplicate keys abort — M1) then add the
+    * edges with FK validation and tuple dedup (M6).
+    */
+  def commit(g: GraphState, batch: TxBatch): Either[String, GraphState] = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    for {
+      g1 <- g.addNodes(batch.nodes.toDS()).left.map(d => s"duplicate keys: ${d.mkString(",")}")
+      g2 <- g1.addRelations(batch.edges.toDS()).left.map(d => s"dangling endpoints: ${d.mkString(",")}")
+    } yield g2
+  }
+}

@@ -301,6 +301,62 @@ object GraphQueries {
           UNION ALL SELECT * FROM (VALUES ('BP', 12000.0), ('BC', 300.0),
                                           ('AD', 1950.0), ('calYrBP', 9999.4)) t(calendar, val)
         ) ORDER BY calendar, val"""),
-      "F6/F7/J8/J9 — calendar normalization + time-index routing (ref Scenarios.fs:12-40)")
+      "F6/F7/J8/J9 — calendar normalization + time-index routing (ref Scenarios.fs:12-40)"),
+
+    Q("g18_graphx_components",
+      (s, d) => {
+        val gr = g(s, d)
+        val cc = graft.plans.GraphAnalytics.connectedComponents(s, gr,
+          Seq("InNation", "InRegion"), Seq("region", "nation", "customer", "supplier"))
+        val sizes = cc.groupBy("component").agg(count(lit(1)).as("n"))
+        val regions = cc.join(gr.nodesOfType("region"), "key")
+          .select(col("component"), col("prettyName").as("r_name"))
+        regions.join(sizes, "component").select("r_name", "n").orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name,
+               CAST(1 + (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+                      + (SELECT count(*) FROM customer JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                         WHERE n2.n_regionkey = r_regionkey)
+                      + (SELECT count(*) FROM supplier JOIN nation n3 ON s_nationkey = n3.n_nationkey
+                         WHERE n3.n_regionkey = r_regionkey) AS BIGINT) AS n
+        FROM region ORDER BY r_name"""),
+      "GraphX — connected components over the dimension subgraph (SURVEY §7.3 analytics path)"),
+
+    Q("g19_graphx_bfs",
+      (s, d) => {
+        val gr = g(s, d)
+        val rootKeys = gr.nodesOfType("region").select("key").collect().map(_.getString(0)).toSet
+        graft.plans.GraphAnalytics.bfsDepths(s, gr, rootKeys,
+            Seq("InNation", "InRegion"), Seq("region", "nation", "customer", "supplier"),
+            maxDepth = 2, reverse = true)
+          .groupBy("depth").agg(count(lit(1)).as("n")).orderBy("depth")
+      },
+      Some("""
+        SELECT depth, CAST(n AS BIGINT) AS n FROM (
+          SELECT 0 AS depth, count(*) AS n FROM region UNION ALL
+          SELECT 1, count(*) FROM nation UNION ALL
+          SELECT 2, (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        ) ORDER BY depth"""),
+      "GraphX — Pregel BFS hop-distance from root set (recursive-closure engine)"),
+
+    Q("g20_graphx_rollup",
+      (s, d) => {
+        val gr = g(s, d)
+        val rootKeys = gr.nodesOfType("region").select("key").collect().map(_.getString(0)).toSet
+        graft.plans.GraphAnalytics.labelFromRoots(s, gr, rootKeys,
+            Seq("InNation", "InRegion"), Seq("region", "nation", "customer", "supplier"),
+            maxDepth = 2)
+          .groupBy("rootKey").agg(count(lit(1)).as("n")).orderBy("rootKey")
+      },
+      Some("""
+        SELECT 'region_'||r_regionkey AS rootKey,
+               CAST(1 + (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+                      + (SELECT count(*) FROM customer JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                         WHERE n2.n_regionkey = r_regionkey)
+                      + (SELECT count(*) FROM supplier JOIN nation n3 ON s_nationkey = n3.n_nationkey
+                         WHERE n3.n_regionkey = r_regionkey) AS BIGINT) AS n
+        FROM region ORDER BY rootKey"""),
+      "GraphX — Pregel root-label propagation (taxonomy IsA* rollup pattern)")
   )
 }

@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.core.GraphState
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX bridge for analytical multi-hop queries (SURVEY §7.3: taxonomy
+  * `IsA` closure, time-chain reachability, neighborhood analytics at
+  * scale). Transactional/point operations stay on DataFrames; GraphX is
+  * batch-only and applied to *filtered* subgraphs — never materialize the
+  * full 100 TB edge set into one GraphX graph (SURVEY §7.4 posture).
+  *
+  * Vertex ids are a 64-bit FNV-1a hash of the node key (collision
+  * probability ~n²/2⁶⁵ — negligible below billions of nodes); the key is
+  * kept as the vertex attribute so results join back to the nodes table.
+  */
+object GraphAnalytics {
+
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Build a GraphX graph from (sub)sets of the nodes/edges tables. */
+  def build(g: GraphState, relTypes: Seq[String], nodeTypes: Seq[String]): Graph[String, String] = {
+    val verts: RDD[(VertexId, String)] = g.nodes
+      .filter(col("nodeType").isin(nodeTypes: _*))
+      .select("key").rdd.map(r => (fnv64(r.getString(0)), r.getString(0)))
+    val edges: RDD[Edge[String]] = g.edges
+      .filter(col("relType").isin(relTypes: _*))
+      .select("src", "dst", "relType").rdd
+      .map(r => Edge(fnv64(r.getString(0)), fnv64(r.getString(1)), r.getString(2)))
+    Graph(verts, edges)
+  }
+
+  /** Connected components over a typed subgraph; returns
+    * `(key, componentId)` as a DataFrame for joining back.
+    */
+  def connectedComponents(spark: SparkSession, g: GraphState,
+                          relTypes: Seq[String], nodeTypes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val graph = build(g, relTypes, nodeTypes)
+    val cc = graph.connectedComponents()
+    graph.vertices.join(cc.vertices)
+      .map { case (_, (key, comp)) => (key, comp) }
+      .toDF("key", "component")
+  }
+
+  /** Pregel BFS: hop distance from a set of root keys, following edges in
+    * reverse (sink→source) when `reverse` — e.g. region ← nation ←
+    * customer. Unreached vertices are dropped. This is the general engine
+    * for the reference's recursive closures (`IsA*` ancestor chains,
+    * `Next`-chain reachability) — fixed-point iteration, not a
+    * driver-side loop.
+    */
+  def bfsDepths(spark: SparkSession, g: GraphState, rootKeys: Set[String],
+                relTypes: Seq[String], nodeTypes: Seq[String],
+                maxDepth: Int, reverse: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val graph0 = build(g, relTypes, nodeTypes)
+    val graph = if (reverse) graph0.reverse else graph0
+    val roots = rootKeys.map(fnv64)
+    val init = graph.mapVertices { case (id, key) =>
+      (key, if (roots.contains(id)) 0 else Int.MaxValue)
+    }
+    val bfs = init.pregel(Int.MaxValue, maxIterations = maxDepth)(
+      vprog = (_, attr, msg) => (attr._1, math.min(attr._2, msg)),
+      sendMsg = t =>
+        if (t.srcAttr._2 != Int.MaxValue && t.srcAttr._2 + 1 < t.dstAttr._2)
+          Iterator((t.dstId, t.srcAttr._2 + 1))
+        else Iterator.empty,
+      mergeMsg = math.min
+    )
+    bfs.vertices.values
+      .filter(_._2 != Int.MaxValue)
+      .toDF("key", "depth")
+  }
+
+  /** Ancestor-closure labeling: propagate each root's key to everything
+    * that reaches it through `relType` chains (the taxonomy `IsA*` /
+    * hierarchy-rollup pattern). Returns `(key, rootKey)`.
+    */
+  def labelFromRoots(spark: SparkSession, g: GraphState, rootKeys: Set[String],
+                     relTypes: Seq[String], nodeTypes: Seq[String],
+                     maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val graph = build(g, relTypes, nodeTypes).reverse // roots are sinks
+    val roots = rootKeys.map(fnv64)
+    val init = graph.mapVertices { case (id, key) =>
+      (key, if (roots.contains(id)) key else "")
+    }
+    val labeled = init.pregel("", maxIterations = maxDepth)(
+      vprog = (_, attr, msg) => (attr._1, if (attr._2.nonEmpty) attr._2 else msg),
+      sendMsg = t =>
+        if (t.srcAttr._2.nonEmpty && t.dstAttr._2.isEmpty)
+          Iterator((t.dstId, t.srcAttr._2))
+        else Iterator.empty,
+      mergeMsg = (a, b) => if (a <= b) a else b // deterministic tie-break
+    )
+    labeled.vertices.values
+      .filter(_._2.nonEmpty)
+      .toDF("key", "rootKey")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest operators mirroring the reference's source-import surface:
+  *
+  *  - S8  BibTeX (`Sources.fs:223-247`): regex-defined record shape —
+  *    one `@article{...}` per record with fields author, title, journal,
+  *    year, volume, number, pages, month;
+  *  - S9  Colandr screening CSV (`Sources.fs:337-366`): header CSV
+  *    filtered to `citation_screening_status == "included"`;
+  *  - S12 digitised data-table TSV (`Datasets.fs:47-85`): wide matrix
+  *    (first column = depth/age index, remaining columns = morphotypes)
+  *    unpivoted to long format `(depth, morphotype, value)`.
+  *
+  * All three are expressed as DataFrame transformations so they scale to
+  * arbitrary corpus sizes: record splitting via `split`+`explode`, field
+  * extraction via `regexp_extract` (codegen'd), unpivot via `stack`.
+  */
+object Ingest {
+
+  // ---------------------------------------------------------------- S8
+
+  /** One parsed BibTeX record. */
+  final case class BibRecord(citekey: String, author: String, title: String,
+                             journal: String, year: Option[Int], volume: String,
+                             number: String, pages: String, month: String)
+
+  // fields are newline-separated in the reference record shape
+  // (`Sources.fs:227`); anchor per line so braced values may contain commas
+  private val fieldPattern = (field: String) =>
+    s"(?m)^$field\\s*=\\s*\\{?(.*?)\\}*,?\\s*$$"
+
+  /** Parse a BibTeX string into records — the DataFrame path: split on
+    * `@` record starts, explode, regex-extract each field (reference
+    * `Sources.fs:227`; exact record shape in FIXTURES §5).
+    */
+  def parseBibtex(spark: SparkSession, bibtex: String): DataFrame = {
+    import spark.implicits._
+    Seq(bibtex).toDF("raw").transform(parseBibtexCol)
+  }
+
+  /** Same, over a DataFrame with a `raw` column holding BibTeX text (e.g.
+    * from `spark.read.option("wholetext", true).text(...)`).
+    */
+  def parseBibtexCol(df: DataFrame): DataFrame = {
+    val records = df
+      .select(explode(split(col("raw"), "(?=@[A-Za-z]+\\s*\\{)")).as("rec"))
+      .filter(col("rec").rlike("^@[A-Za-z]+\\s*\\{"))
+    records.select(
+      regexp_extract(col("rec"), "^@[A-Za-z]+\\s*\\{\\s*([^,]+),", 1).as("citekey"),
+      regexp_extract(col("rec"), fieldPattern("author"), 1).as("author"),
+      regexp_extract(col("rec"), fieldPattern("title"), 1).as("title"),
+      regexp_extract(col("rec"), fieldPattern("journal"), 1).as("journal"),
+      regexp_extract(col("rec"), "year\\s*=\\s*\\{?(\\d{1,4})\\}?", 1).cast("int").as("year"),
+      regexp_extract(col("rec"), fieldPattern("volume"), 1).as("volume"),
+      regexp_extract(col("rec"), fieldPattern("number"), 1).as("number"),
+      regexp_extract(col("rec"), "pages\\s*=\\s*\\{?(\\d+\\s*--?\\s*\\d+)\\}?", 1).as("pages"),
+      regexp_extract(col("rec"), fieldPattern("month"), 1).as("month")
+    ).withColumn("author", trim(col("author")))
+      .withColumn("title", trim(col("title")))
+  }
+
+  // ---------------------------------------------------------------- S9
+
+  /** Colandr screening export: keep only included citations and project
+    * the source fields the reference consumes (FIXTURES §6).
+    */
+  def syncColandr(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path).transform(colandrIncluded)
+
+  def colandrIncluded(df: DataFrame): DataFrame =
+    df.filter(col("citation_screening_status") === "included")
+      .select(
+        col("citation_title").as("title"),
+        col("citation_abstract").as("abstract"),
+        col("citation_authors").as("authors"),
+        col("citation_journal_name").as("journal"),
+        col("citation_journal_volume").as("volume"),
+        col("citation_pub_year").cast("int").as("year"))
+
+  // --------------------------------------------------------------- S12
+
+  /** F11 — classify the index column header (reference `Datasets.fs:35-44`). */
+  def indexColumnType(header: String): String = header.trim.toLowerCase match {
+    case "depth" => "Depths"
+    case "bp" | "year before present" => "AgesBP"
+    case "cal yr bp" | "calendar year before present" => "AgesCalYrBP"
+    case "ad" => "AgesAD"
+    case "bc" => "AgesBC"
+    case other => s"Unknown($other)"
+  }
+
+  /** Wide digitised data table → long format `(depth, morphotype, value)`
+    * via `stack` — the scalable shape for per-taxon analytics (SURVEY
+    * §1.3: `DataTable` → long-format DataFrame).
+    */
+  def dataTableLong(wide: DataFrame): DataFrame = {
+    val indexCol = wide.columns.head
+    val morphs = wide.columns.tail
+    val stackExpr = morphs.map(m => s"'${m.replace("'", "''")}', `$m`").mkString(", ")
+    wide.selectExpr(s"`$indexCol` AS depth",
+        s"stack(${morphs.length}, $stackExpr) AS (morphotype, value)")
+      .select(col("depth").cast("double"), col("morphotype"), col("value").cast("double"))
+  }
+
+  /** Read a TSV data table file and unpivot (reference parse:
+    * tab-delimited, first row headers, all cells float).
+    */
+  def readDataTable(spark: SparkSession, path: String): DataFrame =
+    dataTableLong(spark.read.option("sep", "\t").option("header", "true").csv(path))
+
+  /** A5 — `DataTable.depths()` equivalence: pivot long form back to a
+    * per-depth map (reference `Datasets.fs:92-95`).
+    */
+  def depthsPivot(long: DataFrame): DataFrame =
+    long.groupBy("depth").pivot("morphotype").agg(first("value")).orderBy("depth")
+}

@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.GraphState
+import graft.model.{EdgeRow, NodeRow}
+
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two taxonomy chains: salix→salicaceae→plantae, pinus→pinaceae→plantae,
+    * and a disconnected singleton.
+    */
+  private def taxonomy: GraphState = {
+    val nodes = Seq(
+      "taxonnode_genus_salix", "taxonnode_family_salicaceae",
+      "taxonnode_genus_pinus", "taxonnode_family_pinaceae",
+      "taxonnode_kingdom_plantae", "taxonnode_isolated"
+    ).map(k => NodeRow(k, "taxonnode", k, "{}")).toDS()
+    val edges = Seq(
+      EdgeRow("taxonnode_genus_salix", "taxonnode_family_salicaceae", 1, "IsA", "{}"),
+      EdgeRow("taxonnode_family_salicaceae", "taxonnode_kingdom_plantae", 1, "IsA", "{}"),
+      EdgeRow("taxonnode_genus_pinus", "taxonnode_family_pinaceae", 1, "IsA", "{}"),
+      EdgeRow("taxonnode_family_pinaceae", "taxonnode_kingdom_plantae", 1, "IsA", "{}")
+    ).toDS()
+    GraphState(nodes, edges)
+  }
+
+  test("fnv64 is deterministic and spreads keys") {
+    assert(GraphAnalytics.fnv64("abc") == GraphAnalytics.fnv64("abc"))
+    assert(GraphAnalytics.fnv64("abc") != GraphAnalytics.fnv64("abd"))
+  }
+
+  test("connected components separate the chains from the singleton") {
+    val cc = GraphAnalytics.connectedComponents(spark, taxonomy, Seq("IsA"), Seq("taxonnode"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cc.size == 6)
+    assert(cc("taxonnode_genus_salix") == cc("taxonnode_genus_pinus")) // joined via plantae
+    assert(cc("taxonnode_isolated") != cc("taxonnode_genus_salix"))
+  }
+
+  test("BFS depths from the kingdom root follow IsA chains in reverse") {
+    val d = GraphAnalytics.bfsDepths(spark, taxonomy, Set("taxonnode_kingdom_plantae"),
+        Seq("IsA"), Seq("taxonnode"), maxDepth = 3, reverse = true)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d("taxonnode_kingdom_plantae") == 0)
+    assert(d("taxonnode_family_salicaceae") == 1)
+    assert(d("taxonnode_genus_salix") == 2)
+    assert(!d.contains("taxonnode_isolated"))
+  }
+
+  test("labelFromRoots implements the IsA* ancestor rollup") {
+    val lab = GraphAnalytics.labelFromRoots(spark, taxonomy,
+        Set("taxonnode_family_salicaceae", "taxonnode_family_pinaceae"),
+        Seq("IsA"), Seq("taxonnode"), maxDepth = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lab("taxonnode_genus_salix") == "taxonnode_family_salicaceae")
+    assert(lab("taxonnode_genus_pinus") == "taxonnode_family_pinaceae")
+    assert(lab("taxonnode_family_salicaceae") == "taxonnode_family_salicaceae")
+    assert(!lab.contains("taxonnode_isolated"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+
+  val bib: String =
+    """@article{smith1987,
+      |author = {Smith, J. A.},
+      |title = {The example title},
+      |journal = {Journal of Examples},
+      |year = 1987,
+      |volume = {12},
+      |number = {3},
+      |pages = {20--24},
+      |month = {jan}}
+      |@article{jones1990,
+      |author = {Jones, B.},
+      |title = {Another title},
+      |journal = {J. Other},
+      |year = 1990,
+      |volume = {1},
+      |number = {1},
+      |pages = {1--2},
+      |month = {feb}}
+      |""".stripMargin
+
+  test("S8 BibTeX parse extracts all fields of the reference record shape") {
+    val rows = Ingest.parseBibtex(spark, bib).orderBy("citekey").collect()
+    assert(rows.length == 2)
+    val r = rows.find(_.getString(0) == "smith1987").get
+    assert(r.getAs[String]("author") == "Smith, J. A.")
+    assert(r.getAs[String]("title") == "The example title")
+    assert(r.getAs[String]("journal") == "Journal of Examples")
+    assert(r.getAs[Int]("year") == 1987)
+    assert(r.getAs[String]("pages") == "20--24")
+    assert(r.getAs[String]("month") == "jan")
+  }
+
+  test("S8 malformed input yields no records, no crash") {
+    assert(Ingest.parseBibtex(spark, "not bibtex at all").count() == 0)
+    assert(Ingest.parseBibtex(spark, "").count() == 0)
+  }
+
+  test("S9 Colandr sync filters to included citations") {
+    import spark.implicits._
+    val csv = Seq(
+      ("included", "T1", "A1", "auth1", "J1", "2", "1999"),
+      ("excluded", "T2", "A2", "auth2", "J2", "3", "2000"),
+      ("included", "T3", "A3", "auth3", "J3", "4", "2001")
+    ).toDF("citation_screening_status", "citation_title", "citation_abstract",
+      "citation_authors", "citation_journal_name", "citation_journal_volume",
+      "citation_pub_year")
+    val out = Ingest.colandrIncluded(csv).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("title")).toSet == Set("T1", "T3"))
+    assert(out.head.schema.fieldNames.contains("year"))
+  }
+
+  test("F11 index column classification (ref Datasets.fs:35-44)") {
+    assert(Ingest.indexColumnType("depth") == "Depths")
+    assert(Ingest.indexColumnType("BP") == "AgesBP")
+    assert(Ingest.indexColumnType("Cal yr BP") == "AgesCalYrBP")
+    assert(Ingest.indexColumnType("AD") == "AgesAD")
+    assert(Ingest.indexColumnType("weird") startsWith "Unknown")
+  }
+
+  test("S12 wide data table unpivots to long format and pivots back (A5)") {
+    import spark.implicits._
+    val wide = Seq((10.0, 12.0, 3.5, 0.0), (20.0, 8.2, 4.1, 1.0))
+      .toDF("depth", "Salix-type", "Betula", "Pinus")
+    val long = Ingest.dataTableLong(wide)
+    assert(long.count() == 6)
+    val r = long.filter(col("depth") === 10.0 && col("morphotype") === "Betula").head()
+    assert(r.getDouble(2) == 3.5)
+    val back = Ingest.depthsPivot(long)
+    assert(back.columns.toSet == Set("depth", "Salix-type", "Betula", "Pinus"))
+    assert(back.count() == 2)
+  }
+}
