@@ -228,6 +228,29 @@ object PipelineQueries {
         FROM events GROUP BY 1,2 ORDER BY 1,2"""),
       "streaming — Structured Streaming windowed aggregation == batch answer"),
 
+    Q("p14_sessionize",
+      (s, d) => EventStream.sessionizeBatch(table(s, d, "events"), gapMinutes = 30),
+      Some("""
+        WITH t AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_id, value,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR epoch(date_trunc('second', ts))
+                             - epoch(date_trunc('second', prev_ts)) > 1800
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+          FROM t)
+        SELECT user_id,
+               strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value),2) AS sum_value
+        FROM s GROUP BY user_id, session_no
+        ORDER BY user_id, session_start"""),
+      "streaming — gap-based sessionization (batch form; stateful-streaming twin in EventStreamSpec)"),
+
     Q("p13_multimodal_features",
       (s, d) => Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
         .toDF()

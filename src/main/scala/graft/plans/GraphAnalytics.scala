@@ -18,22 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
-  def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  def fnv64(s: String): Long =
+    graft.functions.expressions.Fnv64.hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Build a GraphX graph from (sub)sets of the nodes/edges tables. */
+  /** Build a GraphX graph from (sub)sets of the nodes/edges tables.
+    * Vertex-id hashing runs as the codegen'd [[Fnv64]] expression inside
+    * the DataFrame scan (not a per-row Scala closure), so the id
+    * assignment stays in whole-stage codegen before the RDD boundary.
+    */
   def build(g: GraphState, relTypes: Seq[String], nodeTypes: Seq[String]): Graph[String, String] = {
+    import graft.functions.expressions.Fnv64.fnv64Col
     val verts: RDD[(VertexId, String)] = g.nodes
       .filter(col("nodeType").isin(nodeTypes: _*))
-      .select("key").rdd.map(r => (fnv64(r.getString(0)), r.getString(0)))
+      .select(fnv64Col(col("key")).as("id"), col("key")).rdd
+      .map(r => (r.getLong(0), r.getString(1)))
     val edges: RDD[Edge[String]] = g.edges
       .filter(col("relType").isin(relTypes: _*))
-      .select("src", "dst", "relType").rdd
-      .map(r => Edge(fnv64(r.getString(0)), fnv64(r.getString(1)), r.getString(2)))
+      .select(fnv64Col(col("src")), fnv64Col(col("dst")), col("relType")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     Graph(verts, edges)
   }
 

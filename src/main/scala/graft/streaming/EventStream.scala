@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming ingest of the `events` table (the reference has no
   * streaming surface — SURVEY §2.9 — so this is the engine's
@@ -49,5 +50,71 @@ object EventStream {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name).orderBy("hour_start", "event_type")
+  }
+
+  // ------------------------------------------------------- sessionization
+
+  final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
+  final case class Session(user_id: Long, session_start: String, n_events: Long, sum_value: Double)
+
+  /** Batch sessionization: split each user's event stream into sessions
+    * at gaps > `gapMinutes`. One shuffle (by user), then window
+    * functions: `lag` marks session starts, a running sum numbers them.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Stateful-streaming sessionization via `flatMapGroupsWithState` — the
+    * custom-state operator of SURVEY §2.9's streaming extension. The
+    * bounded smoke path feeds all data in one batch (NoTimeout, emit at
+    * group end); a production deployment would use event-time timeout +
+    * watermark to flush sessions incrementally.
+    */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[SessionEvent], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], _: GroupState[Seq[SessionEvent]]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val sessions = scala.collection.mutable.ArrayBuffer[Seq[SessionEvent]]()
+            var current = scala.collection.mutable.ArrayBuffer(sorted.head)
+            sorted.tail.foreach { e =>
+              if (e.tsMicros - current.last.tsMicros > gapMicros) {
+                sessions += current.toSeq
+                current = scala.collection.mutable.ArrayBuffer(e)
+              } else current += e
+            }
+            sessions += current.toSeq
+            sessions.iterator.map { s =>
+              val fmt = java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+              Session(user, fmt.format(java.time.Instant.ofEpochSecond(
+                  s.head.tsMicros / 1000000L)),
+                s.length.toLong,
+                math.round(s.map(_.value).sum * 100.0) / 100.0)
+            }
+          }
+      }
   }
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters —
+  * required since Spark 4 made `Column` wrap a `ColumnNode` instead of an
+  * `Expression`. Lives under `org.apache.spark.sql` for package-private
+  * access; the public engine API is [[graft.functions.expressions]].
+  */
+object CatalystBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
