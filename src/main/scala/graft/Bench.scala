@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one trivial job to absorb JVM/executor/codegen bootstrap (~3 s)
+    // so it isn't charged to whichever query happens to run first
+    spark.range(1000).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -26,16 +26,22 @@ object GraphAnalytics {
     * the DataFrame scan (not a per-row Scala closure), so the id
     * assignment stays in whole-stage codegen before the RDD boundary.
     */
-  def build(g: GraphState, relTypes: Seq[String], nodeTypes: Seq[String]): Graph[String, String] = {
+  def build(g: GraphState, relTypes: Seq[String], nodeTypes: Seq[String],
+            numPartitions: Int = 8): Graph[String, String] = {
     import graft.functions.expressions.Fnv64.fnv64Col
+    // Pregel-style algorithms shuffle per iteration; for the filtered
+    // subgraphs this bridge targets, fewer/larger partitions beat the
+    // session's scan parallelism (tune up for billion-edge subgraphs)
     val verts: RDD[(VertexId, String)] = g.nodes
       .filter(col("nodeType").isin(nodeTypes: _*))
       .select(fnv64Col(col("key")).as("id"), col("key")).rdd
       .map(r => (r.getLong(0), r.getString(1)))
+      .coalesce(numPartitions)
     val edges: RDD[Edge[String]] = g.edges
       .filter(col("relType").isin(relTypes: _*))
       .select(fnv64Col(col("src")), fnv64Col(col("dst")), col("relType")).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+      .coalesce(numPartitions)
     Graph(verts, edges)
   }
 

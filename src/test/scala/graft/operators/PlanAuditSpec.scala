@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.TpchGraph
+
+/** Plan audits: assert the physical plans have the shape a 100 TB run
+  * needs — predicate pushdown reaching the parquet scan, column pruning,
+  * broadcast joins for dimensions, TakeOrdered for top-k (no full sort).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q05 pushes filters into the parquet scan and prunes columns") {
+    val p = plan("q05_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"), p)
+    // projection pruning: the scan reads exactly the 4 needed columns
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"), p)
+  }
+
+  test("q02 broadcasts the dimension tables") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q03 plans top-k as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q03_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 aggregate runs partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("uncached edge filter prunes non-matching union branches (no lineitem scan)") {
+    import org.apache.spark.sql.functions.col
+    // relType filter + constant folding must eliminate the 3 hyperedge
+    // branches: scanning PlacedBy edges must not read lineitem.parquet
+    val p = TpchGraph.edges(spark, sf)
+      .filter(col("relType") === "PlacedBy")
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("Union"), p)          // all other branches eliminated
+    assert(!p.contains("l_orderkey"), p)     // no lineitem relation remains
+    assert(p.contains("o_orderkey"), p)      // only the orders branch survives
+  }
+}
