@@ -57,6 +57,50 @@ object Similarity {
       .select(col("id_a"), col("id_b").as("nn"), col("cos"))
   }
 
+  /** Per-label mean embedding ("class centroids") as a long-format
+    * DataFrame `(label, pos, c)` — one `posexplode` + hash aggregate,
+    * map-side combinable; the natural coarse quantizer for [[ivfTopK]].
+    */
+  def labelCentroids(df: DataFrame, label: Column, vec: Column, roundTo: Int = 4): DataFrame =
+    df.select(label.as("label"), posexplode(vec).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), roundTo).as("c"))
+      .orderBy("label", "pos")
+
+  /** IVF (inverted-file) ANN: assign every vector to its nearest coarse
+    * centroid (bucket); a query probes only the `nprobe` nearest buckets
+    * and re-ranks exactly. At scale the bucket assignment partitions the
+    * corpus, so a query touches ~nprobe/K of the data.
+    */
+  def ivfAssign(df: DataFrame, id: Column, vec: Column,
+                centroids: Seq[Seq[Double]]): DataFrame = {
+    val best = centroids.zipWithIndex.map { case (cvec, i) =>
+      struct(cosine(vec, array(cvec.map(lit): _*)).as("cos"), lit(i).as("bucket"))
+    }
+    df.select(id.as("id"), vec.as("v"),
+      greatest(best: _*).getField("bucket").as("bucket"))
+  }
+
+  def ivfTopK(df: DataFrame, id: Column, vec: Column,
+              centroids: Seq[Seq[Double]], query: Seq[Double],
+              k: Int, nprobe: Int): DataFrame = {
+    def cosScalar(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probe = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cosScalar(c, query) }
+      .take(nprobe).map(_._2)
+    val assigned = ivfAssign(df, id, vec, centroids)
+      .filter(col("bucket").isin(probe: _*))
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val q = array(query.map(lit): _*)
+    assigned
+      .select(col("id"), round(dot(col("v"), q) / (norm(col("v")) * lit(qNorm)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component
     * `j` of plane `p` derives from the splitmix stream, mapped to
     * [-1, 1]. Seeded → identical across retries and executors.

@@ -228,6 +228,32 @@ object PipelineQueries {
         FROM events GROUP BY 1,2 ORDER BY 1,2"""),
       "streaming — Structured Streaming windowed aggregation == batch answer"),
 
+    Q("p15_label_centroids",
+      (s, d) => Similarity.labelCentroids(table(s, d, "embeddings"),
+        col("label"), col("embedding")),
+      Some("""
+        SELECT label, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+        FROM (SELECT label,
+                     unnest(list_transform(generate_series(1, len(embedding)),
+                            i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+              FROM embeddings)
+        GROUP BY label, u.i ORDER BY label, pos"""),
+      "similarity — per-label mean embeddings (IVF coarse quantizer) via posexplode aggregate"),
+
+    Q("p16_ivf_ann",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val cents = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+          .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        val query = emb.filter(col("vec_id") === 3)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+          cents, query, k = 10, nprobe = 4)
+      },
+      None, // recall vs brute force asserted in SimilaritySpec
+      "similarity — IVF bucketed ANN (probe nearest buckets, exact re-rank)"),
+
     Q("p14_sessionize",
       (s, d) => EventStream.sessionizeBatch(table(s, d, "events"), gapMinutes = 30),
       Some("""

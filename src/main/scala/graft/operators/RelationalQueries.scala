@@ -169,6 +169,41 @@ object RelationalQueries {
         FROM events GROUP BY 1 ORDER BY 1"""),
       "F13 — JSON payload projection + aggregate"),
 
+    Q("q11_customers_without_orders",
+      (s, d) => {
+        val c = table(s, d, "customer")
+        val o = table(s, d, "orders").select("o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey"""),
+      "anti-join (NOT EXISTS) — left_anti physical plan"),
+
+    Q("q12_parts_above_brand_avg",
+      (s, d) => {
+        val p = table(s, d, "part")
+        val brandAvg = p.groupBy(col("p_brand").as("b"))
+          .agg(avg(col("p_retailprice")).as("brand_avg"))
+        p.join(broadcast(brandAvg), col("p_brand") === col("b"))
+          .filter(col("p_retailprice") > col("brand_avg") * 1.2)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), round(max(col("p_retailprice")), 2).as("max_price"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               round(max(p_retailprice), 2) AS max_price
+        FROM part p1
+        WHERE p_retailprice > 1.2 * (SELECT avg(p_retailprice) FROM part p2
+                                     WHERE p2.p_brand = p1.p_brand)
+        GROUP BY 1 ORDER BY 1"""),
+      "correlated scalar subquery — decorrelated to aggregate + broadcast join"),
+
     Q("q10_top_suppliers",
       (s, d) => {
         val sup = table(s, d, "supplier")

@@ -27,6 +27,12 @@ class Fnv64Spec extends SparkSpec {
     assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
   }
 
+  test("fnv64 is callable from SQL after extension registration") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    val h = spark.sql("SELECT fnv64('customer_1') AS h").head().getLong(0)
+    assert(h == graft.plans.GraphAnalytics.fnv64("customer_1"))
+  }
+
   test("expression participates in whole-stage codegen over a real scan") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select(Fnv64.fnv64Col(col("text")).as("h"))

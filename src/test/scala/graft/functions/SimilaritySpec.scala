@@ -45,6 +45,23 @@ class SimilaritySpec extends SparkSpec {
     nn.foreach { r => assert(r.getLong(0) != r.getLong(1)) }
   }
 
+  test("ivfTopK achieves reasonable recall and full recall at nprobe=K") {
+    val cents = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val probed = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), cents, q,
+        k = 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+    val all = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), cents, q,
+        k = 10, nprobe = cents.length).collect().map(_.getLong(0)).toSet
+    assert(all == exact) // probing every bucket must equal brute force
+    val recall = (exact intersect probed).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf recall $recall; exact=$exact probed=$probed")
+  }
+
   test("deterministic hyperplanes: same seed → same planes") {
     assert(Similarity.hyperplanes(4, 8, 7L) == Similarity.hyperplanes(4, 8, 7L))
     assert(Similarity.hyperplanes(4, 8, 7L) != Similarity.hyperplanes(4, 8, 8L))
