@@ -204,6 +204,50 @@ object RelationalQueries {
         GROUP BY 1 ORDER BY 1"""),
       "correlated scalar subquery — decorrelated to aggregate + broadcast join"),
 
+    Q("q13_rollup_revenue",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val c = table(s, d, "customer").select("c_custkey", "c_nationkey")
+        val n = table(s, d, "nation")
+        val r = table(s, d, "region")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "o_totalprice")
+          .createOrReplaceTempView("graft_rollup_src")
+        s.sql("""
+          SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total,
+                 count(*) AS n
+          FROM graft_rollup_src
+          GROUP BY ROLLUP (r_name, n_name)
+          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT r_name, n_name, round(sum(o_totalprice),2) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey=c_custkey
+        JOIN nation ON c_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""),
+      "rollup hierarchy aggregation (region → nation → grand total)"),
+
+    Q("q14_distinct_counts",
+      (s, d) => table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "multi-distinct aggregation (expand + two-phase aggregate)"),
+
     Q("q10_top_suppliers",
       (s, d) => {
         val sup = table(s, d, "supplier")
