@@ -35,6 +35,29 @@ object GraphIO {
     GraphState(nodes, edges)
   }
 
+  /** Bucketed table layout for co-located joins: nodes bucketed by
+    * `key`, edges bucketed by `src`, same bucket count — a sort-merge
+    * join of `edges.src == nodes.key` then needs NO shuffle on either
+    * side (the 100 TB answer to repeated traversal joins; asserted in
+    * BucketedIOSpec). Requires a catalog table (`saveAsTable`), not a
+    * bare path.
+    */
+  def saveBucketed(g: GraphState, buckets: Int, prefix: String = "graft"): Unit = {
+    g.nodes.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "key").sortBy("key")
+      .saveAsTable(s"${prefix}_nodes")
+    g.edges.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"${prefix}_edges")
+  }
+
+  def loadBucketed(spark: SparkSession, prefix: String = "graft"): GraphState = {
+    import spark.implicits._
+    GraphState(
+      spark.table(s"${prefix}_nodes").as[NodeRow],
+      spark.table(s"${prefix}_edges").as[EdgeRow])
+  }
+
   /** S7 — integrity sweep (reference `Storage.fs:175-185`): recompute
     * display names map-side and report rows whose stored `prettyName`
     * drifted. Naturally parallel — the reference needed
