@@ -43,6 +43,20 @@ object GraphIO {
     * bare path.
     */
   def saveBucketed(g: GraphState, buckets: Int, prefix: String = "graft"): Unit = {
+    val spark = g.nodes.sparkSession
+    // drop any prior table AND its on-disk location: with an in-memory
+    // catalog, files from a previous session outlive the table entry and
+    // Overwrite then fails with LOCATION_ALREADY_EXISTS
+    Seq(s"${prefix}_nodes", s"${prefix}_edges").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(warehouse, t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     g.nodes.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "key").sortBy("key")
       .saveAsTable(s"${prefix}_nodes")
