@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.model.NodeRow
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming graph ingest (the SURVEY §2.9 extension shape): an
+  * append-only stream of node rows upserted into the parquet-backed
+  * nodes store via `foreachBatch` + key-dedup — the reference's
+  * idempotent insert (M2, `Graph.fs:72-79`) applied per micro-batch.
+  *
+  * Idempotence is per-key, so replayed batches (at-least-once delivery)
+  * converge to the same store; checkpointing gives exactly-once batch
+  * ids. Edges follow the identical pattern keyed on the full tuple.
+  */
+object GraphStream {
+
+  /** One micro-batch upsert: skip rows whose key already exists in the
+    * store, append the rest partitioned by nodeType.
+    */
+  def upsertBatch(batch: Dataset[NodeRow], storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val path = s"$storeDir/nodes"
+    val existingKeys =
+      if (new java.io.File(path).exists())
+        spark.read.parquet(path).select("key")
+      else spark.range(0).select(col("id").cast("string").as("key"))
+    val fresh = batch
+      .dropDuplicates("key")
+      .join(existingKeys, Seq("key"), "left_anti")
+    fresh.write.mode(SaveMode.Append).partitionBy("nodeType").parquet(path)
+  }
+
+  /** Attach the upsert sink to a node-row stream. */
+  def upsertStream(nodes: Dataset[NodeRow], storeDir: String, checkpointDir: String): StreamingQuery =
+    nodes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[NodeRow], _: Long) =>
+        upsertBatch(batch, storeDir)
+      }
+      .start()
+
+  def loadStore(spark: SparkSession, storeDir: String): Dataset[NodeRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$storeDir/nodes")
+      .select("key", "nodeType", "prettyName", "payload").as[NodeRow]
+  }
+}
