@@ -248,6 +248,22 @@ object RelationalQueries {
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
       "multi-distinct aggregation (expand + two-phase aggregate)"),
 
+    Q("q15_topk_custom_operator",
+      (s, d) => graft.plans.TopKPerGroup.topK(
+          table(s, d, "orders").filter(col("o_custkey") < 200),
+          Seq(col("o_custkey")),
+          struct(col("o_totalprice"), -col("o_orderkey")), k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders WHERE o_custkey < 200)
+        WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""),
+      "custom LogicalPlan+Strategy+Exec: two-phase grouped top-k via bounded heaps (no sort, no window)"),
+
     Q("q10_top_suppliers",
       (s, d) => {
         val sup = table(s, d, "supplier")
