@@ -184,6 +184,23 @@ object Dedup {
     withJaccard(inter, sizes, minJaccard)
   }
 
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding-cosine near-duplicate pairs: all `(id_a < id_b)` with
+    * cosine ≥ `minCos`. This exact form broadcasts one side — use it on a
+    * bounded or pre-bucketed set; at corpus scale feed each
+    * [[Similarity.lshBuckets]] bucket through it so the quadratic term is
+    * per-bucket.
+    */
+  def embeddingNearDups(df: DataFrame, id: Column, vec: Column, minCos: Double): DataFrame = {
+    val a = df.select(id.as("id_a"), vec.as("va"))
+    val b = df.select(id.as("id_b"), vec.as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos_raw", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash: per token hash, each bit votes ±1; the signature is

@@ -21,12 +21,18 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** A BPE-ish subword proxy: count of alphanumeric runs + punctuation
-    * marks, a cheap deterministic stand-in for a real tokenizer's token
-    * count (useful for budget estimates over 100 TB of text).
+  /** A BPE-ish subword proxy: count of alphanumeric runs plus count of
+    * punctuation marks — a cheap deterministic stand-in for a real
+    * tokenizer's token count (useful for budget estimates over 100 TB of
+    * text). Formulated with global `regexp_replace` (no lookahead) so it
+    * is portable to RE2-based engines.
     */
-  def subwordCountApprox(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|\\s+"), t => length(trim(t)) > 0))
+  def subwordCountApprox(text: Column): Column = {
+    val collapsed = regexp_replace(text, "[A-Za-z0-9]+", "\u0001")
+    val nRuns = length(collapsed) - length(regexp_replace(collapsed, "\u0001", ""))
+    val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    nRuns + nPunct
+  }
 
   /** Count of tokens that appear in `vocab`. */
   def tokenHits(text: Column, vocab: Seq[String]): Column = {

@@ -40,12 +40,33 @@ object PipelineQueries {
 
     Q("p01_token_count",
       (s, d) => table(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.subwordCountApprox(col("text")).as("n_subwords"))
         .orderBy("doc_id"),
       Some(s"""
-        SELECT doc_id, CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens
+        SELECT doc_id, CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g'))
+                    - length(replace(regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g'), chr(1), ''))
+                    + length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                 AS INT) AS n_subwords
         FROM documents ORDER BY doc_id"""),
-      "text analysis — whitespace token counting"),
+      "text analysis — whitespace token counting + BPE-ish subword proxy"),
+
+    Q("p17_cosine_near_dups",
+      (s, d) => Dedup.embeddingNearDups(
+        table(s, d, "embeddings").filter(col("vec_id") < 300),
+        col("vec_id"), col("embedding"), minCos = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        ORDER BY id_a, id_b"""),
+      "dedup — embedding-cosine near-duplicate pairs (exact on bounded set; LSH-bucketed at scale)"),
 
     Q("p02_quality_signals",
       (s, d) => {
