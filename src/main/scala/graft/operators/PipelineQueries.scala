@@ -53,6 +53,39 @@ object PipelineQueries {
         FROM documents ORDER BY doc_id"""),
       "text analysis — whitespace token counting + BPE-ish subword proxy"),
 
+    Q("p19_winnowing_fingerprints",
+      (s, d) => table(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(TextOps.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
+        .orderBy("doc_id", "fp"),
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                   i -> ('0x' || substring(md5(substring(text, i, 5)), 1, 7))::BIGINT) AS hs
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, unnest(list_sort(list_distinct(
+                 list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                   j -> list_min(hs[j:j+7]))))) AS fp
+        FROM h ORDER BY doc_id, fp"""),
+      "text analysis — winnowing (rolling-hash) local fingerprints for substring-level dedup"),
+
+    Q("p18_quality_quantiles",
+      (s, d) => table(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+          count(lit(1)).as("n"))
+        .orderBy("lang"),
+      Some("""
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+               round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      "text analysis — exact interpolated quantiles per language (quality thresholds)"),
+
     Q("p17_cosine_near_dups",
       (s, d) => Dedup.embeddingNearDups(
         table(s, d, "embeddings").filter(col("vec_id") < 300),

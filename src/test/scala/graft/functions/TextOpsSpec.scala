@@ -36,6 +36,20 @@ class TextOpsSpec extends SparkSpec {
     assert(langs == Seq("en", "es", "de", "en"))
   }
 
+  test("winnowing fingerprints survive a prefix insertion (local dedup property)") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val df = Seq(base, "PREPENDED NEW CONTENT " + base).toDF("t")
+    val fps = df.select(TextOps.winnowingFingerprints(col("t"), 5, 8).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val overlap = (fps(0) intersect fps(1)).size.toDouble / fps(0).size
+    assert(overlap >= 0.5, s"overlap $overlap too low")
+    // identical docs → identical fingerprint sets
+    val same = Seq(base, base).toDF("t")
+      .select(TextOps.winnowingFingerprints(col("t"), 5, 8).as("f"))
+      .collect().map(_.getSeq[Long](0))
+    assert(same(0) == same(1))
+  }
+
   test("fingerprint collapses case and whitespace") {
     val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
     val r = df.select(TextOps.fingerprint(col("x")).as("fx"),
