@@ -143,6 +143,27 @@ object Transactions {
     if (screeningTransitions((current, next))) Right(next)
     else Left(s"illegal screening transition $current -> $next")
 
+  /** A6 — batch validation fold (reference `ValidateOrConfirmBatch`,
+    * `Library.fs:627-682`): classify proposed taxon names against the
+    * graph into linked (an existing taxon matches the computed latin
+    * name), unlinked (parseable but no match), and error (empty/invalid
+    * name). One broadcast join + a `when` classification — no driver
+    * loop.
+    */
+  def classifyTaxa(g: GraphState, proposed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val taxa = g.nodesOfType(NodeTypes.TaxonNode)
+      .select(col("key").as("taxon_key"), lower(col("prettyName")).as("latin"))
+    proposed
+      .withColumn("latin", lower(trim(col("name"))))
+      .join(broadcast(taxa), Seq("latin"), "left_outer")
+      .withColumn("status",
+        when(col("name").isNull || trim(col("name")) === "", "error")
+          .when(col("taxon_key").isNotNull, "linked")
+          .otherwise("unlinked"))
+      .select(col("name"), col("status"), col("taxon_key"))
+  }
+
   /** Commit a batch through the graph's transactional primitives:
     * strict-insert the nodes (duplicate keys abort — M1) then add the
     * edges with FK validation and tuple dedup (M6).

@@ -112,14 +112,17 @@ object Dedup {
     * expressions (no UDF): per row,
     * `array_min(transform(gramHashes, h => (a*h+b) % p))`.
     */
-  def minHashSignature(df: DataFrame, id: Column, text: Column, n: Int, numHashes: Int): DataFrame = {
-    val grams = wordNgrams(df, id, text, n)
+  def minHashSignature(df: DataFrame, id: Column, text: Column, n: Int, numHashes: Int): DataFrame =
+    signaturesFromGrams(wordNgrams(df, id, text, n), numHashes)
+
+  private def signaturesFromGrams(grams: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = grams
       .withColumn("h", gramHash(col("gram")))
       .groupBy("id").agg(collect_list(col("h")).as("hs"))
     val sig = array(permutationParams(numHashes).map { case (a, b) =>
       array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
     }: _*)
-    grams.select(col("id"), sig.as("signature"))
+    hashed.select(col("id"), sig.as("signature"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
@@ -169,12 +172,7 @@ object Dedup {
                       minJaccard: Double = 0.9): DataFrame = {
     val rows = numHashes / bands
     val grams = wordNgrams(df, id, text, n).cache()
-    val hashed = grams.withColumn("h", gramHash(col("gram")))
-      .groupBy("id").agg(collect_list(col("h")).as("hs"))
-    val sig = array(permutationParams(numHashes).map { case (a, b) =>
-      array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
-    val sigs = hashed.select(col("id"), sig.as("signature"))
+    val sigs = signaturesFromGrams(grams, numHashes)
     val cands = lshCandidates(sigs, bands, rows)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val ga = grams.select(col("id").as("id_a"), col("gram"))

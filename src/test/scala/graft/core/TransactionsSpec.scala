@@ -85,6 +85,21 @@ class TransactionsSpec extends SparkSpec {
     assert(Transactions.screen("Unscreened", "CompletedAll").isLeft)
   }
 
+  test("A6 classifyTaxa partitions proposed names into linked/unlinked/error") {
+    import org.apache.spark.sql.functions.col
+    val g = baseGraph
+    val proposed = Seq("Salix", "Nonexistus maximus", "", "LIFE").toDF("name")
+    val out = Transactions.classifyTaxa(g, proposed)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("Salix") == "linked")      // matches prettyName "Salix"
+    assert(out("LIFE") == "linked")       // case-insensitive latin match
+    assert(out("Nonexistus maximus") == "unlinked")
+    assert(out("") == "error")
+    val key = Transactions.classifyTaxa(g, Seq("Salix").toDF("name"))
+      .select(col("taxon_key")).head().getString(0)
+    assert(key == Keys.taxonKey("genus", "Salix"))
+  }
+
   test("commit is atomic-per-step: dangling edge endpoint aborts (M6 FK check)") {
     val bad = Transactions.TxBatch(
       Seq(NodeRow("contextnode_x", NodeTypes.ContextNode, "X", "{}")),
