@@ -115,9 +115,16 @@ final case class GraphState(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow]) {
     * The duplicate check is a broadcast-friendly semi-join (one action).
     */
   def addNodes(newNodes: Dataset[NodeRow]): Either[Seq[String], GraphState] = {
-    val dups = newNodes
+    val existing = newNodes
       .join(nodes.select("key"), Seq("key"), "left_semi")
-      .select("key").limit(20).collect().map(_.getString(0)).toSeq
+      .select("key")
+    // intra-batch duplicates violate key uniqueness just as surely as
+    // collisions with existing nodes (the reference inserts sequentially
+    // and errors on the second occurrence, Graph.fs:63-70)
+    val intraBatch = newNodes.groupBy("key")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("key")
+    val dups = existing.unionByName(intraBatch).distinct()
+      .limit(20).collect().map(_.getString(0)).toSeq
     if (dups.nonEmpty) Left(dups)
     else Right(copy(nodes = nodes.unionByName(newNodes)))
   }

@@ -47,6 +47,10 @@ object Seed {
       Seq(
         NodeRow(holoceneKey, NodeTypes.QualitativeLabelNode, "Holocene",
           s"""{"Name":"Holocene","DesignatingAuthority":"$HoloceneAuthority"}"""),
+        // out-of-scope routing target (J9) — must exist or every
+        // pre-Holocene extent edge dangles at commit time
+        NodeRow(Time.PreHoloceneKey, NodeTypes.QualitativeLabelOutOfScopeNode, "Pre-Holocene",
+          s"""{"Name":"Pre-Holocene","DesignatingAuthority":"$HoloceneAuthority"}"""),
         NodeRow(Keys.taxonKey("life"), NodeTypes.TaxonNode, "Life", """{"Life":{}}""")
       ) ++ outcomes.map(o =>
         NodeRow(Keys.outcomeKey(o), NodeTypes.BiodiversityDimensionNode, o, s"""{"$o":{}}"""))

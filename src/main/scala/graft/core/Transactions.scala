@@ -67,7 +67,12 @@ object Transactions {
       val ctxKey = Keys.uuidKey(NodeTypes.ContextNode, contextUuid)
       val eYr = Time.holoceneCalYear(earliest._1, earliest._2)
       val lYr = Time.holoceneCalYear(latest._1, latest._2)
+      // years older than the Holocene boundary route to the out-of-scope
+      // label (J9); years NEWER than the index floor have no node at all
+      // and must be rejected here, not at FK-check time
       if (lYr > eYr) Left(s"latest ($lYr BP) older than earliest ($eYr BP)")
+      else if (eYr < Time.MinYearBP || lYr < Time.MinYearBP)
+        Left(s"date newer than the time index floor (${Time.MinYearBP} BP): earliest=$eYr latest=$lYr")
       else {
         val nodes = Seq(
           NodeRow(tlKey, NodeTypes.IndividualTimelineNode, s"Timeline: $siteName",
@@ -75,12 +80,15 @@ object Transactions {
           NodeRow(ctxKey, NodeTypes.ContextNode, siteName,
             s"""{"Name":"$siteName","SamplingLocation":{"Site":[$latDD,$lonDD]},"SampleOrigin":"$sampleOrigin"}""")
         )
+        // both uncertainty bounds carry ExtentEarliestUncertainty, like the
+        // reference (Scenarios.fs:169-177) — UncertaintyYoungest belongs to
+        // IndividualDateNode relations, not timelines (Exposure.fs:131)
         val uncertainty = earliestError.toSeq.flatMap { err =>
           val oldest = Time.timeNodeKey(eYr + math.round(err).toInt)
           val youngest = Time.timeNodeKey(math.max(eYr - math.round(err).toInt, Time.MinYearBP))
           Seq(
             EdgeRow(tlKey, oldest, 1, "ExtentEarliestUncertainty", "{}"),
-            EdgeRow(tlKey, youngest, 1, "UncertaintyYoungest", "{}"))
+            EdgeRow(tlKey, youngest, 1, "ExtentEarliestUncertainty", "{}"))
         }
         val edges = Seq(
           EdgeRow(sourceKey, tlKey, 1, "HasTemporalExtent", "{}"),

@@ -52,7 +52,11 @@ object Dedup {
     * `id_a < id_b`, filtered to `jaccard >= minJaccard`.
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int, minJaccard: Double): DataFrame = {
-    val grams = wordNgrams(df, id, text, n).cache()
+    // grams feed three plan branches; recomputing the (cheap, narrow)
+    // projection beats an unmanaged .cache() that would leak storage
+    // memory for the session lifetime — long-running callers should
+    // persist the gram table themselves and own its lifecycle
+    val grams = wordNgrams(df, id, text, n)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("id").as("id_a"), col("gram"))
     val b = grams.select(col("id").as("id_b"), col("gram"))
@@ -84,9 +88,6 @@ object Dedup {
   def gramHash(gram: Column): Column =
     conv(substring(md5(gram), 1, 7), 16, 10).cast("long")
 
-  /** 60-bit token hash (15 hex chars of md5) for SimHash bit votes. */
-  def gramHash60(gram: Column): Column =
-    conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
 
   private val MersennePrime = (1L << 31) - 1
 
@@ -171,7 +172,7 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                       minJaccard: Double = 0.9): DataFrame = {
     val rows = numHashes / bands
-    val grams = wordNgrams(df, id, text, n).cache()
+    val grams = wordNgrams(df, id, text, n) // see jaccardPairs on lifecycle
     val sigs = signaturesFromGrams(grams, numHashes)
     val cands = lshCandidates(sigs, bands, rows)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
@@ -201,13 +202,15 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash
 
-  /** 64-bit SimHash: per token hash, each bit votes ±1; the signature is
-    * the sign vector. Bit arithmetic via array expressions over 64 bit
-    * positions — map-side only.
+  /** 63-bit SimHash: per token hash, each bit votes ±1; the signature is
+    * the sign vector packed into a non-negative long (bit 63 is left
+    * clear so the signature never needs the sign bit). Token hashes come
+    * from Spark's native `xxhash64` so every bit position carries signal.
+    * Bit arithmetic via array expressions — map-side only.
     */
   def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("id"), explode(TextOps.tokens(lower(text))).as("tok"))
-      .withColumn("h", gramHash60(col("tok")))
+      .withColumn("h", xxhash64(col("tok")))
     val votes = toks.groupBy("id").agg(
       array((0 until 63).map { bit =>
         sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1))

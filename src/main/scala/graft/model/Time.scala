@@ -22,8 +22,13 @@ object Time {
   /** Holocene boundary (reference `Seed.fs:96-98`): 11,650 cal yr BP. */
   val HoloceneBoundaryBP: Int = 11650
 
+  /** Out-of-scope label node key — typed as
+    * `QualitativeLabelOutOfScopeNode` like the reference
+    * (`Scenarios.fs:40`, `Exposure.fs:77-80`), seeded by [[graft.core.Seed]].
+    */
   val PreHoloceneKey: String =
-    Keys.qualitativeLabelKey("pre-holocene", "Global Stratotype Section and Point")
+    NodeTypes.QualitativeLabelOutOfScopeNode +
+      "_pre_holocene_by_global_stratotype_section_and_point"
 
   /** F6 — `holoceneCalYear` (reference `Scenarios.fs:12-19`): normalize a
     * date in one of the four calendars to integer cal yr BP.

@@ -213,7 +213,7 @@ object GraphQueries {
       },
       Some("""
         SELECT CAST((SELECT count(*) FROM generate_series(-72,14000)) AS BIGINT) AS years_n,
-               CAST((SELECT count(*) FROM generate_series(-72,14000)) + 8 AS BIGINT) AS nodes_n,
+               CAST((SELECT count(*) FROM generate_series(-72,14000)) + 9 AS BIGINT) AS nodes_n,
                CAST(2 AS BIGINT) AS edges_n,
                'calyearnode_11650ybp' AS earliest_dst,
                'calyearnode_0ybp' AS latest_dst"""),

@@ -77,18 +77,27 @@ final case class TopKPerGroupExec(
             h
         }
         // struct-typed order values are reused mutable row buffers —
-        // copy before retaining, or every heap entry aliases one buffer
-        val v = bound.eval(row) match {
-          case r: InternalRow => r.copy()
-          case x => x
-        }
-        if (heap.size < kk) heap.enqueue((v, row.copy()))
-        else if (valueOrd.gt(v, heap.head._1)) {
-          heap.dequeue()
-          heap.enqueue((v, row.copy()))
+        // copy before retaining, or every heap entry aliases one buffer.
+        // null order values are excluded (NULLS-LAST semantics: a null
+        // can never be in the top k).
+        bound.eval(row) match {
+          case null =>
+          case r: InternalRow =>
+            insert(heap, r.copy(), row, kk, valueOrd)
+          case x =>
+            insert(heap, x, row, kk, valueOrd)
         }
       }
       heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+    }
+  }
+
+  private def insert(heap: mutable.PriorityQueue[(Any, InternalRow)], v: Any,
+                     row: InternalRow, k: Int, ord: Ordering[Any]): Unit = {
+    if (heap.size < k) heap.enqueue((v, row.copy()))
+    else if (ord.gt(v, heap.head._1)) {
+      heap.dequeue()
+      heap.enqueue((v, row.copy()))
     }
   }
 }

@@ -34,8 +34,10 @@ object TpchGraph {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: epoch-nanos exceed double's 2^53 mantissa, so
+    // `/ 1000` (double) can land on the wrong microsecond
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private def k(t: String, c: org.apache.spark.sql.Column) =

@@ -40,7 +40,7 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = "graft_stream_hourly"
     val q = hourlyAgg(stream).writeStream
       .outputMode("complete")

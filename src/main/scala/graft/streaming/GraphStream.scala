@@ -22,8 +22,12 @@ object GraphStream {
   def upsertBatch(batch: Dataset[NodeRow], storeDir: String): Unit = {
     val spark = batch.sparkSession
     val path = s"$storeDir/nodes"
+    // existence check through the Hadoop FS API — java.io.File is always
+    // false for hdfs://, s3a://, … and would silently disable the dedup
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existingKeys =
-      if (new java.io.File(path).exists())
+      if (fs.exists(hPath))
         spark.read.parquet(path).select("key")
       else spark.range(0).select(col("id").cast("string").as("key"))
     val fresh = batch

@@ -12,8 +12,9 @@ class SeedSpec extends SparkSpec {
     assert(byType("calyearnode") == 14073L)      // −72..14000
     assert(byType("biodiversitydimensionnode") == 6L)
     assert(byType("qualitativelabelnode") == 1L)
+    assert(byType("qualitativelabeloutofscopenode") == 1L) // J9 routing target
     assert(byType("taxonnode") == 1L)
-    assert(g.nodes.count() == 14081L)
+    assert(g.nodes.count() == 14082L)
 
     val extents = g.edges.collect().map(e => e.relType -> e.dst).toMap
     assert(extents("EarliestTime") == "calyearnode_11650ybp")

@@ -36,11 +36,11 @@ class TransactionsSpec extends SparkSpec {
       earliestError = Some(100.0), timelineUuid = u1, contextUuid = u2).toOption.get
     assert(batch.nodes.map(_.nodeType).sorted ==
       Seq(NodeTypes.ContextNode, NodeTypes.IndividualTimelineNode))
-    val rels = batch.edges.map(e => e.relType -> e.dst).toMap
-    assert(rels("ExtentEarliestSpecified") == "calyearnode_9000ybp")
-    assert(rels("ExtentLatestSpecified") == "calyearnode_0ybp")
-    assert(rels("ExtentEarliestUncertainty") == "calyearnode_9100ybp")
-    assert(rels("UncertaintyYoungest") == "calyearnode_8900ybp")
+    val rels = batch.edges.groupBy(_.relType).view.mapValues(_.map(_.dst).toSet).toMap
+    assert(rels("ExtentEarliestSpecified") == Set("calyearnode_9000ybp"))
+    assert(rels("ExtentLatestSpecified") == Set("calyearnode_0ybp"))
+    // both uncertainty bounds under ExtentEarliestUncertainty (ref Scenarios.fs:169-177)
+    assert(rels("ExtentEarliestUncertainty") == Set("calyearnode_9100ybp", "calyearnode_8900ybp"))
     assert(rels.contains("IsLocatedAt") && rels.contains("HasTemporalExtent"))
 
     // commits cleanly against a seeded graph (year nodes must exist)
@@ -49,20 +49,27 @@ class TransactionsSpec extends SparkSpec {
     assert(g2.toOption.get.edges.count() == 2 + batch.edges.length)
   }
 
-  test("M11 J9 routing: pre-Holocene earliest date becomes OutOfScope to the label node") {
+  test("M11 J9 routing: pre-Holocene earliest date becomes OutOfScope and COMMITS (label node seeded)") {
     val batch = Transactions.simpleSite(
-      "src", "Old Site", 60, 20, "PeatCore",
+      "sourcenode_pub_smith_tet_1987", "Old Site", 60, 20, "PeatCore",
       earliest = ("BP", 13000.0), latest = ("BP", 9000.0),
       earliestError = None, timelineUuid = u1, contextUuid = u2).toOption.get
     val e = batch.edges.find(_.relType == "ExtentEarliestOutOfScope").get
     assert(e.dst == Time.PreHoloceneKey)
+    // end-to-end: the out-of-scope label exists in the seed, so the
+    // routed edge passes FK validation
+    val committed = Transactions.commit(baseGraph, batch)
+    assert(committed.isRight, committed.left.toOption.mkString)
   }
 
-  test("M11 validation: inverted extents and bad coordinates rejected") {
+  test("M11 validation: inverted extents, bad coordinates, and post-index dates rejected") {
     assert(Transactions.simpleSite("s", "X", 0, 0, "O",
       ("BP", 1000.0), ("BP", 2000.0), None, u1, u2).isLeft) // latest older than earliest
     assert(Transactions.simpleSite("s", "X", 91, 0, "O",
       ("BP", 2000.0), ("BP", 1000.0), None, u1, u2).isLeft)
+    // newer than the index floor (−72 BP): no year node exists → validation Left
+    assert(Transactions.simpleSite("s", "X", 0, 0, "O",
+      ("BP", 2000.0), ("AD", 2100.0), None, u1, u2).isLeft)
   }
 
   test("M12 treeRing builds timeline + implicit-inference hyperedge to presence (ref Scenarios.fs:226-311)") {
