@@ -13,14 +13,16 @@ object Bench {
     // one trivial job to absorb JVM/executor/codegen bootstrap (~3 s)
     // so it isn't charged to whichever query happens to run first
     spark.range(1000).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order keeps per-query attribution stable across rounds
+    // (shared-cache materialization always lands on the same first query)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Vector similarity / approximate-nearest-neighbor operators over an
   * embedding column (`array<float>`).
   *
-  * All arithmetic is done with higher-order array expressions
-  * (`zip_with` + `aggregate`) in DOUBLE precision — codegen-friendly, no
-  * UDF, deterministic accumulation order (left-to-right over the array),
-  * which makes results reproducible across engines.
+  * All arithmetic runs through the native
+  * [[graft.functions.expressions.ArrayDot]] expression in DOUBLE
+  * precision with deterministic left-to-right accumulation — results are
+  * reproducible across engines and bit-identical to the
+  * `zip_with`+`aggregate` formulation, but stay inside whole-stage
+  * codegen (higher-order functions are CodegenFallback and dominate
+  * similarity scans when evaluated interpreted).
   *
   * Scale path: brute-force top-k is a broadcast of the query vector and a
   * single narrow pass + `orderBy ... limit k` (Spark plans it as TakeOrdered
@@ -19,8 +22,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.VectorOps.dotCol(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

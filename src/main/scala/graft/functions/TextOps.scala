@@ -95,18 +95,11 @@ object TextOps {
     * MOSS): hash every `k`-char gram, then keep the minimum hash of each
     * sliding window of `w` consecutive gram hashes. Any sufficiently long
     * shared substring between two documents yields shared fingerprints,
-    * robust to insertions elsewhere. Pure array expressions — the
-    * windowed-min here is O(n·w) per row; a production `Expression` would
-    * use a monotonic deque for O(n), same semantics.
+    * robust to insertions elsewhere. Backed by the native
+    * [[graft.functions.expressions.WinnowingFp]] expression — one O(n)
+    * codegen'd pass per row (rolling polynomial hash + monotonic-deque
+    * windowed min).
     */
-  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => text.substr(i, lit(k)))
-    val hashes = transform(grams, g => conv(substring(md5(g), 1, 7), 16, 10).cast("long"))
-    val mins = transform(
-      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-      j => array_min(slice(hashes, j, lit(w))))
-    array_sort(array_distinct(mins))
-  }
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    graft.functions.expressions.Winnowing.winnowingFpCol(text, k, w)
 }

@@ -58,11 +58,18 @@ object PipelineQueries {
         .select(col("doc_id"),
           explode(TextOps.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
         .orderBy("doc_id", "fp"),
+      // polynomial gram hash, B=31, P=2^31-1: matches expressions.Winnowing
+      // (constants are B^4..B^0 for k=5; one mod suffices since the
+      // weighted sum of 5 printable-ASCII codes stays below 2^31)
       Some("""
         WITH h AS (
           SELECT doc_id,
-                 list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-                   i -> ('0x' || substring(md5(substring(text, i, 5)), 1, 7))::BIGINT) AS hs
+                 list_transform(generate_series(1, length(text) - 4),
+                   i -> (ascii(substring(text, i, 1)) * 923521
+                       + ascii(substring(text, i + 1, 1)) * 29791
+                       + ascii(substring(text, i + 2, 1)) * 961
+                       + ascii(substring(text, i + 3, 1)) * 31
+                       + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
           FROM documents WHERE doc_id < 50)
         SELECT doc_id, unnest(list_sort(list_distinct(
                  list_transform(generate_series(1, greatest(len(hs) - 7, 1)),

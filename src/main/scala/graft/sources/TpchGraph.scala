@@ -51,13 +51,20 @@ object TpchGraph {
     * [[lineitemDedupSql]].
     */
   def lineitemDeduped(spark: SparkSession, dir: String): DataFrame = {
-    // keep the minimum row under the lexicographic order of orderCols —
-    // expressed as min(struct(...)) so Spark plans a hash aggregate with
-    // map-side partial combine instead of a window sort-shuffle
+    // keep the minimum row under the lexicographic order of orderCols.
+    // One shuffle on the key, an in-partition radix-friendly sort on flat
+    // columns, then first() per key consumes the sorted run directly (the
+    // key-prefix sort satisfies SortAggregate's ordering requirement, so
+    // no re-sort). This beats min(struct(...)) — struct min compares rows
+    // interpreted — and row_number(), which pays the same sort plus a
+    // window pass. Columns are non-null, so first()==lexicographic min.
     val li = table(spark, dir, "lineitem")
-    li.groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(min(struct(orderCols.map(col): _*)).as("m"))
-      .select(col("l_orderkey") +: col("l_linenumber") +: orderCols.map(c => col(s"m.$c")): _*)
+      .select((Seq("l_orderkey", "l_linenumber") ++ orderCols).map(col): _*)
+    li.repartition(col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions((Seq("l_orderkey", "l_linenumber") ++ orderCols).map(col): _*)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(first(orderCols.head).as(orderCols.head),
+        orderCols.tail.map(c => first(c).as(c)): _*)
   }
 
   private val orderCols = Seq("l_partkey", "l_suppkey", "l_quantity",
