@@ -37,9 +37,35 @@ object Seed {
       .as[NodeRow]
   }
 
-  /** Full seed: year dim + Holocene label + outcomes + Life root + extent
-    * edges (reference `Seed.fs:64-98`).
+  /** `Next` sequence edges over the time index: `y ybp → (y−1) ybp`,
+    * i.e. pointing forward in time toward the present (reference models
+    * the relation as `Next of CalYearNode * CalYearNode`,
+    * `Exposure.fs:123`, but its seed never emits the edges,
+    * `Seed.fs:48-99`). A dense integer index needs no `lead` window —
+    * the successor is computable, so this is a map-side `spark.range`
+    * projection (the window-derived form for non-dense sequences is
+    * exercised by query g15).
     */
+  def nextEdges(spark: SparkSession): Dataset[EdgeRow] = {
+    import spark.implicits._
+    spark.range(Time.MinYearBP.toLong + 1, Time.MaxYearBP.toLong + 1)
+      .select(
+        concat(lit(NodeTypes.CalYearNode + "_"), col("id").cast("string"), lit("ybp")).as("src"),
+        concat(lit(NodeTypes.CalYearNode + "_"), (col("id") - 1).cast("string"), lit("ybp")).as("dst"),
+        lit(1).as("weight"), lit("Next").as("relType"), lit("{}").as("relPayload"))
+      .as[EdgeRow]
+  }
+
+  /** Full seed: year dim + Holocene label + outcomes + Life root + extent
+    * edges (reference `Seed.fs:64-98`). `withNextEdges` additionally
+    * materializes the year-sequence `Next` edges ([[nextEdges]]).
+    */
+  def seedGraph(spark: SparkSession, withNextEdges: Boolean): GraphState = {
+    val g = seedGraph(spark)
+    if (withNextEdges) GraphState(g.nodes, g.edges.unionByName(nextEdges(spark)))
+    else g
+  }
+
   def seedGraph(spark: SparkSession): GraphState = {
     import spark.implicits._
     val holoceneKey = Keys.qualitativeLabelKey("holocene", HoloceneAuthority)

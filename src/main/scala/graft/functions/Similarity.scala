@@ -69,6 +69,25 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), roundTo).as("c"))
       .orderBy("label", "pos")
 
+  /** Nearest-centroid classification: label every vector with the argmax
+    * of cosine similarity against the (driver-collected, broadcast-by-
+    * construction) per-label centroids; ties break toward the smallest
+    * label. Map-side only — 10s of native dot products per row inside one
+    * codegen stage; the only shuffle is whatever the caller aggregates
+    * afterward. This is the "assign to coarse quantizer" step of IVF
+    * reused as a classifier.
+    */
+  def nearestCentroid(df: DataFrame, id: Column, vec: Column, label: Column,
+                      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = centroids.map { case (lab, c) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(vec, array(c.map(lit): _*)) / (norm(vec) * lit(cNorm))).as("cos"),
+        lit(-lab).as("nl"))
+    }
+    df.select(id.as("id"), label.as("label"),
+      (greatest(scored: _*).getField("nl") * -1).as("predicted"))
+  }
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest coarse
     * centroid (bucket); a query probes only the `nprobe` nearest buckets
     * and re-ranks exactly. At scale the bucket assignment partitions the

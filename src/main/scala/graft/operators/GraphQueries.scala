@@ -357,6 +357,20 @@ object GraphQueries {
                       + (SELECT count(*) FROM supplier JOIN nation n3 ON s_nationkey = n3.n_nationkey
                          WHERE n3.n_regionkey = r_regionkey) AS BIGINT) AS n
         FROM region ORDER BY rootKey"""),
-      "GraphX — Pregel root-label propagation (taxonomy IsA* rollup pattern)")
+      "GraphX — Pregel root-label propagation (taxonomy IsA* rollup pattern)"),
+
+    Q("g21_motif_api",
+      (s, d) => Motif.find(g(s, d), "(c)-[:InNation]->(n); !(x)-[:PlacedBy]->(c)")
+        .filter(col("c.nodeType") === "customer")
+        .groupBy(col("n.prettyName").as("n_name"))
+        .agg(count(lit(1)).as("orderless_customers"))
+        .orderBy("n_name"),
+      Some("""
+        SELECT n_name, CAST(count(*) AS BIGINT) AS orderless_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY n_name ORDER BY n_name"""),
+      "J6 generalized — GraphFrames-style motif pattern (join-tree compile incl. " +
+        "negated term → anti-join); declarative form of ref Library.fs:204-251")
   )
 }

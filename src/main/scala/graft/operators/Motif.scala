@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.core.GraphState
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** GraphFrames-style motif finding: compile a structural pattern into a
+  * join tree over the nodes/edges tables.
+  *
+  * Pattern grammar (a GraphFrames-compatible subset):
+  * {{{
+  *   (a)-[e:RelType]->(b); (b)-[:RelType]->(c); !(x)-[:RelType]->(a)
+  * }}}
+  *   - terms separated by `;`
+  *   - vertex names bind across terms; `()` is anonymous (fresh variable,
+  *     not in the output)
+  *   - the edge name and the `:RelType` filter are each optional
+  *   - `!` negates a term: no such edge may exist. A variable appearing
+  *     only in a negated term is existential ("no edge to ANY x");
+  *     at least one endpoint must be bound by a positive term.
+  *
+  * Output: one struct column per named vertex `(key, nodeType,
+  * prettyName)` and per named edge `(src, dst, weight, relType,
+  * relPayload)`.
+  *
+  * This is the declarative generalization of the reference's hand-written
+  * hyperedge read-back (J6, `Library.fs:204-251` walks
+  * HasProxyInfo→InferredFrom/Using/As chains imperatively): each term is
+  * an equi-join on vertex keys, so Catalyst plans hash joins with the
+  * relType filters pushed into the edge scans, AQE picks
+  * broadcast/shuffle per term, and negated terms become anti-joins — the
+  * whole motif is one distributed plan instead of per-atom traversal.
+  */
+object Motif {
+
+  private[operators] final case class Term(src: String, edgeName: Option[String],
+                                           relType: Option[String], dst: String, negated: Boolean)
+
+  private val TermRe =
+    """^(!)?\s*\((\w*)\)\s*-\s*\[(\w*)(?::(\w+))?\]\s*->\s*\((\w*)\)$""".r
+
+  /** Parse a motif pattern; visible for tests. */
+  private[operators] def parse(pattern: String): Seq[Term] = {
+    var anon = 0
+    pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case TermRe(neg, src, e, rel, dst) =>
+        def v(name: String): String =
+          if (name.nonEmpty) name else { anon += 1; s"__anon$anon" }
+        val t = Term(v(src), Option(e).filter(_.nonEmpty), Option(rel), v(dst), neg != null)
+        require(!(t.negated && t.edgeName.nonEmpty),
+          s"negated term may not bind an edge name: $pattern")
+        t
+      case other => throw new IllegalArgumentException(s"cannot parse motif term '$other'")
+    }
+  }
+
+  private def kcol(v: String) = s"__${v}_key"
+
+  /** Find all matches of `pattern` in the graph. */
+  def find(g: GraphState, pattern: String): DataFrame = {
+    val terms = parse(pattern)
+    val (neg, pos) = terms.partition(_.negated)
+    require(pos.nonEmpty, "motif needs at least one positive term")
+    val edgeNames = pos.flatMap(_.edgeName)
+    require(edgeNames.distinct.size == edgeNames.size,
+      s"duplicate edge name in pattern '$pattern'")
+
+    val edges = g.edges.toDF()
+
+    def termDf(t: Term): DataFrame = {
+      val base = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
+      val selfLoop = t.src == t.dst
+      val filtered = if (selfLoop) base.filter(col("src") === col("dst")) else base
+      val keyCols =
+        if (selfLoop) Seq(col("src").as(kcol(t.src)))
+        else Seq(col("src").as(kcol(t.src)), col("dst").as(kcol(t.dst)))
+      val eCols = t.edgeName.toSeq.flatMap(e => Seq(
+        col("src").as(s"__${e}_src"), col("dst").as(s"__${e}_dst"),
+        col("weight").as(s"__${e}_weight"), col("relType").as(s"__${e}_relType"),
+        col("relPayload").as(s"__${e}_relPayload")))
+      filtered.select(keyCols ++ eCols: _*)
+    }
+
+    // fold positive terms: join each on the vertex variables it shares
+    // with the accumulated plan (cross join if disjoint, like GraphFrames)
+    var joined = termDf(pos.head)
+    for (t <- pos.tail) {
+      val df = termDf(t)
+      val common = df.columns.toSet.intersect(joined.columns.toSet).toSeq.sorted
+      joined =
+        if (common.nonEmpty) joined.join(df, common, "inner")
+        else joined.crossJoin(df)
+    }
+
+    // negated terms → anti-joins on the endpoints bound by positive terms
+    for (t <- neg) {
+      val bound = joined.columns.toSet
+      val srcBound = bound.contains(kcol(t.src))
+      val dstBound = bound.contains(kcol(t.dst))
+      require(srcBound || dstBound,
+        s"negated term (${t.src})->(${t.dst}) binds no positive-term vertex")
+      val base = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
+      val probe = base.select(
+        (if (srcBound) Seq(col("src").as(kcol(t.src))) else Nil) ++
+          (if (dstBound) Seq(col("dst").as(kcol(t.dst))) else Nil): _*)
+      val keys = (if (srcBound) Seq(kcol(t.src)) else Nil) ++
+        (if (dstBound) Seq(kcol(t.dst)) else Nil)
+      joined = joined.join(probe, keys, "left_anti")
+    }
+
+    // attach node attributes for named (non-anonymous) vertices, then
+    // project to GraphFrames-shaped struct columns
+    val namedVs = pos.flatMap(t => Seq(t.src, t.dst)).distinct.filterNot(_.startsWith("__anon"))
+    val nodes = g.nodes.toDF()
+    for (v <- namedVs) {
+      val attrs = nodes.select(col("key").as(kcol(v)),
+        col("nodeType").as(s"__${v}_nodeType"), col("prettyName").as(s"__${v}_prettyName"))
+      joined = joined.join(attrs, Seq(kcol(v)))
+    }
+    val vStructs: Seq[Column] = namedVs.map(v => struct(
+      col(kcol(v)).as("key"), col(s"__${v}_nodeType").as("nodeType"),
+      col(s"__${v}_prettyName").as("prettyName")).as(v))
+    val eStructs: Seq[Column] = pos.flatMap(_.edgeName).map(e => struct(
+      col(s"__${e}_src").as("src"), col(s"__${e}_dst").as("dst"),
+      col(s"__${e}_weight").as("weight"), col(s"__${e}_relType").as("relType"),
+      col(s"__${e}_relPayload").as("relPayload")).as(e))
+    joined.select(vStructs ++ eStructs: _*)
+  }
+}

@@ -315,6 +315,38 @@ object PipelineQueries {
       None, // recall vs brute force asserted in SimilaritySpec
       "similarity — IVF bucketed ANN (probe nearest buckets, exact re-rank)"),
 
+    Q("p20_nearest_centroid",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val cents = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+          .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map { case (lab, rows) => lab -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+        Similarity.nearestCentroid(emb, col("vec_id"), col("embedding"), col("label"), cents)
+          .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+          .orderBy("label", "predicted")
+      },
+      Some("""
+        WITH cent AS (
+          SELECT label AS clabel, list(c ORDER BY pos) AS cvec FROM (
+            SELECT label, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+            FROM (SELECT label,
+                         unnest(list_transform(generate_series(1, len(embedding)),
+                                i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+                  FROM embeddings)
+            GROUP BY label, u.i)
+          GROUP BY label),
+        best AS (
+          SELECT e.vec_id, e.label, c.clabel AS predicted,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                            c.clabel) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+        FROM best WHERE rn = 1 GROUP BY label, predicted
+        ORDER BY label, predicted"""),
+      "similarity — nearest-centroid classification (broadcast centroids, map-side " +
+        "argmax, confusion-matrix aggregate)"),
+
     Q("p14_sessionize",
       (s, d) => EventStream.sessionizeBatch(table(s, d, "events"), gapMinutes = 30),
       Some("""

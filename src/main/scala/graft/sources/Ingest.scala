@@ -27,10 +27,13 @@ object Ingest {
                              journal: String, year: Option[Int], volume: String,
                              number: String, pages: String, month: String)
 
-  // fields are newline-separated in the reference record shape
-  // (`Sources.fs:227`); anchor per line so braced values may contain commas
+  // braced values may contain commas AND span lines (BibTeX wraps long
+  // titles/author lists); (?s) lets `.` cross newlines, (?m)`$` ends the
+  // value at the first line-terminating `}` — one nesting level like
+  // `{The {BIG} title}` survives because the match must end at a line end.
+  // Unbraced single-line values (`year = 1987,`) are the second branch.
   private val fieldPattern = (field: String) =>
-    s"(?m)^$field\\s*=\\s*\\{?(.*?)\\}*,?\\s*$$"
+    s"(?smi)^\\s*$field\\s*=\\s*(?:\\{(.*?)\\}+|([^{][^,\\n]*)),?\\s*$$"
 
   /** Parse a BibTeX string into records — the DataFrame path: split on
     * `@` record starts, explode, regex-extract each field (reference
@@ -48,18 +51,24 @@ object Ingest {
     val records = df
       .select(explode(split(col("raw"), "(?=@[A-Za-z]+\\s*\\{)")).as("rec"))
       .filter(col("rec").rlike("^@[A-Za-z]+\\s*\\{"))
+    // braced (group 1) or bare (group 2) value; wrapped lines collapse to
+    // a single space, per BibTeX whitespace semantics
+    def fieldValue(field: String): org.apache.spark.sql.Column = {
+      val braced = regexp_extract(col("rec"), fieldPattern(field), 1)
+      val bare = regexp_extract(col("rec"), fieldPattern(field), 2)
+      trim(regexp_replace(when(braced =!= "", braced).otherwise(bare), "\\s+", " "))
+    }
     records.select(
       regexp_extract(col("rec"), "^@[A-Za-z]+\\s*\\{\\s*([^,]+),", 1).as("citekey"),
-      regexp_extract(col("rec"), fieldPattern("author"), 1).as("author"),
-      regexp_extract(col("rec"), fieldPattern("title"), 1).as("title"),
-      regexp_extract(col("rec"), fieldPattern("journal"), 1).as("journal"),
+      fieldValue("author").as("author"),
+      fieldValue("title").as("title"),
+      fieldValue("journal").as("journal"),
       regexp_extract(col("rec"), "year\\s*=\\s*\\{?(\\d{1,4})\\}?", 1).cast("int").as("year"),
-      regexp_extract(col("rec"), fieldPattern("volume"), 1).as("volume"),
-      regexp_extract(col("rec"), fieldPattern("number"), 1).as("number"),
+      fieldValue("volume").as("volume"),
+      fieldValue("number").as("number"),
       regexp_extract(col("rec"), "pages\\s*=\\s*\\{?(\\d+\\s*--?\\s*\\d+)\\}?", 1).as("pages"),
-      regexp_extract(col("rec"), fieldPattern("month"), 1).as("month")
-    ).withColumn("author", trim(col("author")))
-      .withColumn("title", trim(col("title")))
+      fieldValue("month").as("month")
+    )
   }
 
   // ---------------------------------------------------------------- S9

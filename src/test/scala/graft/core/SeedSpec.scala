@@ -16,6 +16,13 @@ class SeedSpec extends SparkSpec {
     assert(byType("taxonnode") == 1L)
     assert(g.nodes.count() == 14082L)
 
+    // Next sequence edges: one per consecutive year pair, forward in time
+    val withNext = Seed.seedGraph(spark, withNextEdges = true)
+    val next = withNext.edges.filter(_.relType == "Next")
+    assert(next.count() == 14072L) // −71..14000 each point to year−1
+    assert(next.filter(e => e.src == "calyearnode_11650ybp").head().dst == "calyearnode_11649ybp")
+    assert(next.filter(e => e.dst == "calyearnode_-72ybp").head().src == "calyearnode_-71ybp")
+
     val extents = g.edges.collect().map(e => e.relType -> e.dst).toMap
     assert(extents("EarliestTime") == "calyearnode_11650ybp")
     assert(extents("LatestTime") == "calyearnode_0ybp")

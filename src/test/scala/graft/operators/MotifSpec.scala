@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.GraphState
+import graft.model.{EdgeRow, NodeRow}
+import org.apache.spark.sql.functions._
+
+class MotifSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** a→b→c chain, a→c shortcut, d isolated, self-loop on e. */
+  private def fixture: GraphState = {
+    val nodes = Seq("a", "b", "c", "d", "e").map(k =>
+      NodeRow(s"t_$k", "t", k.toUpperCase, "{}")).toDS()
+    val edges = Seq(
+      EdgeRow("t_a", "t_b", 1, "Next", "{}"),
+      EdgeRow("t_b", "t_c", 1, "Next", "{}"),
+      EdgeRow("t_a", "t_c", 1, "Shortcut", "{}"),
+      EdgeRow("t_e", "t_e", 1, "Self", "{}")
+    ).toDS()
+    GraphState(nodes, edges)
+  }
+
+  test("two-term chain join binds the shared vertex") {
+    val m = Motif.find(fixture, "(x)-[:Next]->(y); (y)-[:Next]->(z)")
+      .select(col("x.key"), col("y.key"), col("z.key")).collect()
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("t_a", "t_b", "t_c")))
+  }
+
+  test("edge name captures edge attributes; untyped term matches any relType") {
+    val m = Motif.find(fixture, "(x)-[e]->(y)")
+      .select(col("e.relType")).collect().map(_.getString(0)).sorted
+    assert(m.toSeq == Seq("Next", "Next", "Self", "Shortcut"))
+  }
+
+  test("negated term excludes matches (chain pairs without a shortcut)") {
+    val m = Motif.find(fixture, "(x)-[:Next]->(y); !(x)-[:Shortcut]->(y)")
+      .select(col("x.key"), col("y.key")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // a→b (no shortcut a→b) and b→c (no shortcut b→c) both survive;
+    // nothing else matches Next
+    assert(m == Set(("t_a", "t_b"), ("t_b", "t_c")))
+  }
+
+  test("negation with an existential variable: vertices with no in-edge of a type") {
+    // x such that NOTHING points to x via Next
+    val m = Motif.find(fixture, "(x)-[:Next]->(y); !(w)-[:Next]->(x)")
+      .select(col("x.key")).collect().map(_.getString(0)).toSet
+    assert(m == Set("t_a")) // b has an in-Next from a
+  }
+
+  test("self-loop pattern matches only genuine self-edges") {
+    val m = Motif.find(fixture, "(x)-[:Self]->(x)")
+      .select(col("x.key")).collect().map(_.getString(0)).toSeq
+    assert(m == Seq("t_e"))
+  }
+
+  test("anonymous vertices are existential and excluded from output") {
+    val m = Motif.find(fixture, "(x)-[:Next]->()")
+    assert(m.columns.toSeq == Seq("x"))
+    assert(m.select(col("x.key")).collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("t_a", "t_b"))
+  }
+
+  test("bad patterns are rejected") {
+    intercept[IllegalArgumentException](Motif.find(fixture, "(a)->(b)"))
+    intercept[IllegalArgumentException](Motif.find(fixture, "!(a)-[:X]->(b)"))
+    intercept[IllegalArgumentException](Motif.find(fixture, "(a)-[e:X]->(b); (a)-[e:Y]->(b)"))
+  }
+
+  test("triangle motif on the TPC-H graph shape (hyperedge fan-out)") {
+    // lineitem-shaped hyperedge: h fans out to three typed sinks
+    val nodes = Seq(
+      NodeRow("h_1", "hyper", "H1", "{}"), NodeRow("o_1", "order", "O1", "{}"),
+      NodeRow("p_1", "part", "P1", "{}"), NodeRow("s_1", "supplier", "S1", "{}")).toDS()
+    val edges = Seq(
+      EdgeRow("h_1", "o_1", 1, "PartOf", "{}"),
+      EdgeRow("h_1", "p_1", 1, "OfPart", "{}"),
+      EdgeRow("h_1", "s_1", 1, "SuppliedBy", "{}")).toDS()
+    val m = Motif.find(GraphState(nodes, edges),
+      "(h)-[:PartOf]->(o); (h)-[:OfPart]->(p); (h)-[:SuppliedBy]->(s)")
+      .select(col("h.key"), col("o.key"), col("p.key"), col("s.key")).collect()
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("h_1", "o_1", "p_1", "s_1")))
+  }
+}

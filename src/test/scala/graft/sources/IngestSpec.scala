@@ -43,6 +43,26 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.parseBibtex(spark, "").count() == 0)
   }
 
+  test("S8 multi-line braced values are joined with single spaces; bare values parse") {
+    val bib =
+      """@article{wrap2001,
+        |  author = {Long, A. B. and
+        |            Other, C. D.},
+        |  title = {A title that
+        |     wraps over three
+        |     whole lines},
+        |  journal = {Journal of {Nested} Braces},
+        |  volume = 12,
+        |  year = {2001},
+        |}""".stripMargin
+    val r = Ingest.parseBibtex(spark, bib).head()
+    assert(r.getAs[String]("author") == "Long, A. B. and Other, C. D.")
+    assert(r.getAs[String]("title") == "A title that wraps over three whole lines")
+    assert(r.getAs[String]("journal") == "Journal of {Nested} Braces")
+    assert(r.getAs[String]("volume") == "12")
+    assert(r.getAs[Int]("year") == 2001)
+  }
+
   test("S9 Colandr sync filters to included citations") {
     import spark.implicits._
     val csv = Seq(
