@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.Fnv64
+import graft.functions.expressions.{ArrayDot, Fnv64, WinnowingFp}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -15,20 +15,43 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - an already-running session (tests, notebooks): [[GraftExtensions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(GraftExtensions.fnv64Description)
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
 }
 
 object GraftExtensions {
   private val fnv64Builder: Seq[Expression] => Expression = exprs => Fnv64(exprs.head)
 
-  val fnv64Description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("fnv64"),
-    new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
-    fnv64Builder)
+  private val arrayDotBuilder: Seq[Expression] => Expression =
+    exprs => ArrayDot(exprs.head, exprs(1))
+
+  // k and w must be literal ints in SQL text: winnowing_fp(text, 5, 8)
+  private val winnowingBuilder: Seq[Expression] => Expression = { exprs =>
+    def intArg(e: Expression, name: String): Int = {
+      require(e.foldable, s"winnowing_fp: $name must be a literal integer")
+      e.eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"winnowing_fp: $name must be an integer literal, got $other")
+      }
+    }
+    WinnowingFp(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "w"))
+  }
+
+  private def fn(name: String, clazz: Class[_], b: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), b)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("fnv64", classOf[Fnv64], fnv64Builder),
+    fn("array_dot", classOf[ArrayDot], arrayDotBuilder),
+    fn("winnowing_fp", classOf[WinnowingFp], winnowingBuilder))
 
   /** Register all engine functions on an existing session. */
   def registerAll(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("fnv64", fnv64Builder, "scala_udf")
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
 }

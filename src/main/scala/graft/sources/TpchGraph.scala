@@ -159,8 +159,19 @@ object TpchGraph {
       val g = GraphState(
         nodes(spark, dir, withPayload = false, li0 = Some(li)),
         edges(spark, dir, withPayload = false, li0 = Some(li)))
-      GraphState(
+      val persisted = GraphState(
         g.nodes.persist(StorageLevel.MEMORY_AND_DISK),
         g.edges.persist(StorageLevel.MEMORY_AND_DISK))
+      // warm the edge cache off-thread: the first caller is usually a
+      // node-side query, so the edge build overlaps it on idle cores
+      // instead of serializing in front of the first traversal. Block
+      // locks make a concurrent first use safe (it waits per partition);
+      // failures surface on first real use.
+      val prefetch = new Thread(() =>
+        try persisted.edges.count() catch { case _: Throwable => () })
+      prefetch.setName("graft-edge-prefetch")
+      prefetch.setDaemon(true)
+      prefetch.start()
+      persisted
     })
 }

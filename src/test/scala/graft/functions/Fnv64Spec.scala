@@ -33,6 +33,19 @@ class Fnv64Spec extends SparkSpec {
     assert(h == graft.plans.GraphAnalytics.fnv64("customer_1"))
   }
 
+  test("array_dot and winnowing_fp are callable from SQL; winnowing k/w must be literal") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    val d = spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+    val fps = spark.sql("SELECT winnowing_fp('the quick brown fox jumps', 5, 8) AS f")
+      .head().getSeq[Long](0)
+    assert(fps.nonEmpty)
+    intercept[Exception] { // non-literal k
+      spark.sql("SELECT winnowing_fp('abc', CAST(rand() * 5 AS INT), 8)").collect()
+    }
+  }
+
   test("expression participates in whole-stage codegen over a real scan") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select(Fnv64.fnv64Col(col("text")).as("h"))

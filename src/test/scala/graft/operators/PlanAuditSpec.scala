@@ -47,4 +47,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), p)     // no lineitem relation remains
     assert(p.contains("o_orderkey"), p)      // only the orders branch survives
   }
+
+  test("motif negated term plans as an anti hash join, positive terms as equi-joins") {
+    val p = plan("g21_motif_api")
+    assert(p.contains("LeftAnti"), p)
+    // no cartesian products: every positive term joined on vertex keys
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("similarity scan keeps the native dot product inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Similarity
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" spans mark codegen stages; the projection with array_dot
+    // must be inside one (HOF formulations fall out of codegen)
+    assert(p.contains("*(1) Project"), p)
+    assert(p.contains("array_dot"), p)
+  }
 }
