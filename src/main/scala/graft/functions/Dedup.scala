@@ -50,16 +50,34 @@ object Dedup {
     * inverted-index join: |A∩B| from the gram self-join, |A|,|B| from
     * per-doc gram counts. Returns `(id_a, id_b, jaccard)` with
     * `id_a < id_b`, filtered to `jaccard >= minJaccard`.
+    *
+    * `maxGramDocFreq`: at corpus scale the self-join explodes on grams
+    * occurring in many documents (a gram in f docs yields f² candidate
+    * rows — stopword trigrams make this quadratic in corpus size).
+    * Capping document frequency drops those grams from the INDEX side
+    * only; per-doc totals stay exact, so the reported jaccard is a lower
+    * bound and a pair is found iff it shares at least one sub-cap gram.
+    * Near-duplicates always share rare grams, so dedup recall survives;
+    * `None` keeps exact all-pairs semantics for oracle comparison.
     */
-  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int, minJaccard: Double): DataFrame = {
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int, minJaccard: Double,
+                   maxGramDocFreq: Option[Int] = None): DataFrame = {
     // grams feed three plan branches; recomputing the (cheap, narrow)
     // projection beats an unmanaged .cache() that would leak storage
     // memory for the session lifetime — long-running callers should
     // persist the gram table themselves and own its lifecycle
     val grams = wordNgrams(df, id, text, n)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val a = grams.select(col("id").as("id_a"), col("gram"))
-    val b = grams.select(col("id").as("id_b"), col("gram"))
+    val indexed = maxGramDocFreq match {
+      case Some(cap) =>
+        val hot = grams.groupBy("gram")
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap).select("gram")
+        // hot-gram sets are small → broadcast anti-join, no extra shuffle
+        grams.join(broadcast(hot), Seq("gram"), "left_anti")
+      case None => grams
+    }
+    val a = indexed.select(col("id").as("id_a"), col("gram"))
+    val b = indexed.select(col("id").as("id_b"), col("gram"))
     val inter = a.join(b, "gram")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))

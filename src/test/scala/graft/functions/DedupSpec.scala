@@ -36,6 +36,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L)) // unrelated doc excluded
   }
 
+  test("jaccardPairs doc-frequency cap drops hot-gram-only pairs, keeps rare-gram near-dups") {
+    import spark.implicits._
+    // every doc shares the hot running phrase; only 1/2 share rare tails
+    val corpus = Seq(
+      (1L, "common shingle text alpha beta gamma"),
+      (2L, "common shingle text alpha beta delta"),
+      (3L, "common shingle text zzz yyy xxx"),
+      (4L, "common shingle text qqq www eee")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"), 3, 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "common shingle text" grams appear in all 4 docs → every pair shares a gram
+    assert(uncapped.size == 6)
+    val capped = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"), 3, 0.01,
+      maxGramDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // only the rare-gram pair (1,2) survives the index cap...
+    assert(capped.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    // ...and its jaccard is a lower bound of the uncapped value
+    val exact = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"), 3, 0.01)
+      .filter(col("id_a") === 1 && col("id_b") === 2).head().getDouble(2)
+    assert(capped.head._3 <= exact)
+  }
+
   test("minHashNearDups recovers exact-Jaccard answer via LSH candidates") {
     val expected = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
