@@ -34,7 +34,8 @@ object EventStream {
   /** `sfDir` is the directory holding `events.parquet` — the file-stream
     * source requires a directory path, so glob-filter within it.
     */
-  def runHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def runHourlyStream(spark: SparkSession, sfDir: String,
+                      statePartitions: Int = 4): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
@@ -42,11 +43,19 @@ object EventStream {
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = "graft_stream_hourly"
-    val q = hourlyAgg(stream).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
+    // streaming state partition count is fixed at query start and should
+    // track KEY cardinality (event_type × open windows — tens of keys),
+    // not the batch-side shuffle width: every state partition pays a
+    // store commit per microbatch regardless of data
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try hourlyAgg(stream).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name).orderBy("hour_start", "event_type")
