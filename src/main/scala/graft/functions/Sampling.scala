@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * `rand()`-based sampling is non-reproducible across retries, partitions
+  * and engines; hash sampling keys every decision off a stable id, so
+  * membership is a pure function of the row — re-running the pipeline,
+  * re-partitioning the data, or recomputing a lost partition yields the
+  * same sample (critical for train/test splits at 100 TB, where partial
+  * recomputation is routine). The hash is md5-derived so any engine can
+  * reproduce the exact sample (the DuckDB oracle does).
+  */
+object Sampling {
+
+  /** Uniform [0,1) value derived from the first 28 bits of md5(id). */
+  def hash01(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 7), 16, 10).cast("double") /
+      lit((1L << 28).toDouble)
+
+  /** Keep rows whose hash falls below `rate` — a deterministic Bernoulli
+    * sample, map-side only (the filter pushes to the scan).
+    */
+  def hashSample(df: DataFrame, id: Column, rate: Double): DataFrame =
+    df.filter(hash01(id) < rate)
+
+  /** Assign each row to a named split by cumulative hash thresholds,
+    * e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`.
+    * Weights must sum to ~1; the last split absorbs rounding.
+    */
+  def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val h = hash01(id)
+    val cuts = splits.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), rest) => when(h < cut, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Per-stratum deterministic sampling: each stratum keeps rows under
+    * its own rate (absent strata keep nothing). Rates broadcast as a
+    * literal map — map-side only, no shuffle, no skew sensitivity.
+    */
+  def stratifiedHashSample(df: DataFrame, id: Column, stratum: Column,
+                           rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0): Column) {
+      case (acc, (k, r)) => when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hash01(id) < rate)
+  }
+}

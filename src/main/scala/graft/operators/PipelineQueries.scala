@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -314,6 +314,25 @@ object PipelineQueries {
       },
       None, // recall vs brute force asserted in SimilaritySpec
       "similarity — IVF bucketed ANN (probe nearest buckets, exact re-rank)"),
+
+    Q("p21_hash_split",
+      (s, d) => table(s, d, "documents")
+        .withColumn("split", Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split"),
+      Some("""
+        SELECT lang,
+               CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT lang,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       / 268435456.0 AS h
+              FROM documents)
+        GROUP BY lang, split ORDER BY lang, split"""),
+      "sampling — deterministic md5-hash train/val/test split (reproducible across " +
+        "engines, retries, and repartitioning; no rand())"),
 
     Q("p20_nearest_centroid",
       (s, d) => {

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = spark.range(0, 10000).toDF("id")
+
+  test("hash sampling is deterministic and approximately at rate") {
+    val a = Sampling.hashSample(ids, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    assert(a == b) // rerun → identical membership
+    assert(math.abs(a.size - 1000) < 150, s"got ${a.size}")
+    // nested property: a 5% sample is a subset of the 10% sample
+    val c = Sampling.hashSample(ids, col("id"), 0.05).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("splitColumn partitions every row into exactly one split at ~weights") {
+    val withSplit = ids.withColumn("split",
+      Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = withSplit.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 8000) < 300, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 150, counts.toString)
+    // membership is stable under repartitioning
+    val again = withSplit.repartition(7).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("stratified sampling applies per-stratum rates; unknown strata drop") {
+    val df = ids.withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("de"))
+    val s = Sampling.stratifiedHashSample(df, col("id"), col("lang"),
+      Map("en" -> 0.2, "fr" -> 0.9))
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("de")) // rate 0
+    assert(math.abs(counts("en") - 1000) < 150, counts.toString)
+  }
+
+  test("bad split weights are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+}
