@@ -323,6 +323,27 @@ object GraphQueries {
         FROM region ORDER BY r_name"""),
       "GraphX — connected components over the dimension subgraph (SURVEY §7.3 analytics path)"),
 
+    Q("g23_dataframe_components",
+      (s, d) => {
+        val gr = g(s, d)
+        val cc = graft.plans.DfConnectedComponents.connectedComponents(s, gr,
+          Seq("InNation", "InRegion"), Seq("region", "nation", "customer", "supplier"))
+        val sizes = cc.groupBy("component").agg(count(lit(1)).as("n"))
+        val regions = cc.join(gr.nodesOfType("region"), "key")
+          .select(col("component"), col("prettyName").as("r_name"))
+        regions.join(sizes, "component").select("r_name", "n").orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name,
+               CAST(1 + (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+                      + (SELECT count(*) FROM customer JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                         WHERE n2.n_regionkey = r_regionkey)
+                      + (SELECT count(*) FROM supplier JOIN nation n3 ON s_nationkey = n3.n_nationkey
+                         WHERE n3.n_regionkey = r_regionkey) AS BIGINT) AS n
+        FROM region ORDER BY r_name"""),
+      "DataFrame-native connected components (large-star/small-star contraction, " +
+        "O(log n) rounds, Tungsten-only) — the scale path where GraphX RDDs are wrong"),
+
     Q("g19_graphx_bfs",
       (s, d) => {
         val gr = g(s, d)
@@ -371,6 +392,40 @@ object GraphQueries {
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY n_name ORDER BY n_name"""),
       "J6 generalized — GraphFrames-style motif pattern (join-tree compile incl. " +
-        "negated term → anti-join); declarative form of ref Library.fs:204-251")
+        "negated term → anti-join); declarative form of ref Library.fs:204-251"),
+
+    Q("g22_range_contains",
+      (s, d) => {
+        import s.implicits._
+        // the three ratified Holocene stages (GSSP), as [newest, oldest] BP
+        val eras = Seq(
+          ("greenlandian", 8327, 11650),
+          ("northgrippian", 4201, 8326),
+          ("meghalayan", 0, 4200)).toDF("era", "lo", "hi")
+        val years = Seed.yearDimension(s)
+          .select(col("key"), get_json_object(col("payload"), "$.year").cast("int").as("y"))
+        // interval containment as a range predicate against a broadcast
+        // dim (the alternative to materializing one Contains edge per
+        // year, ref Exposure.fs:125); post-1950 years match no era
+        years.join(broadcast(eras), col("y").between(col("lo"), col("hi")))
+          .groupBy("era")
+          .agg(count(lit(1)).as("n_years"),
+            concat(lit("calyearnode_"), max(col("y")).cast("string"), lit("ybp")).as("earliest_key"),
+            concat(lit("calyearnode_"), min(col("y")).cast("string"), lit("ybp")).as("latest_key"))
+          .orderBy("era")
+      },
+      Some("""
+        WITH eras(era, lo, hi) AS (VALUES
+          ('greenlandian', 8327, 11650),
+          ('northgrippian', 4201, 8326),
+          ('meghalayan', 0, 4200)),
+        years AS (SELECT unnest(generate_series(-72, 14000)) AS y)
+        SELECT era, CAST(count(*) AS BIGINT) AS n_years,
+               'calyearnode_' || max(y) || 'ybp' AS earliest_key,
+               'calyearnode_' || min(y) || 'ybp' AS latest_key
+        FROM years JOIN eras ON y BETWEEN lo AND hi
+        GROUP BY era ORDER BY era"""),
+      "§2.3 range join — year-interval containment as a BETWEEN predicate against a " +
+        "broadcast era dim (alternative to materialized Contains edges, ref Exposure.fs:125)")
   )
 }

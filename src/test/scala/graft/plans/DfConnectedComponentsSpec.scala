@@ -1,0 +1,44 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.TpchGraph
+import org.apache.spark.sql.functions._
+
+class DfConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("long chain collapses to one component (log-round contraction, not diameter)") {
+    // 0-1-2-...-199: label propagation would need ~200 rounds; star
+    // contraction must finish inside the 50-round cap (it needs ~log n)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = DfConnectedComponents.run(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 200)
+    assert(cc.values.toSet == Set(0L))
+  }
+
+  test("disjoint blobs, self-loops, and duplicate edges resolve to per-blob minima") {
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle
+      (20L, 21L), (21L, 20L), (20L, 20L), // pair + dup + self-loop
+      (30L, 31L)
+    ).toDF("src", "dst")
+    val cc = DfConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("matches GraphX connectedComponents on the TPC-H subgraph, including isolated vertices") {
+    val g = TpchGraph.graph(spark, sf)
+    val rels = Seq("InNation", "InRegion")
+    val types = Seq("region", "nation", "customer", "supplier")
+    val df = DfConnectedComponents.connectedComponents(spark, g, rels, types)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gx = GraphAnalytics.connectedComponents(spark, g, rels, types)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // GraphX drops nothing here (all vertices touched by edges), and both
+    // label components by minimum vertex id → maps must be identical
+    assert(df == gx)
+  }
+}
