@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    // rank-filter → bounded-heap rewrite (semantics guards in TopKRewrite)
+    e.injectOptimizerRule(_ => TopKRewrite)
   }
 }
 
