@@ -125,4 +125,18 @@ object Ingest {
     */
   def depthsPivot(long: DataFrame): DataFrame =
     long.groupBy("depth").pivot("morphotype").agg(first("value")).orderBy("depth")
+
+  /** F12 — `DataTable.isValid` (reference `Datasets.fs:87-90`): the matrix
+    * is rectangular — in long form, a complete (depth × morphotype) grid
+    * with no duplicate cells. Two aggregate jobs, no collect of the data.
+    */
+  def dataTableShapeOk(long: DataFrame): Boolean = {
+    val agg = long.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("depth")).as("d"),
+      countDistinct(col("morphotype")).as("m")).head()
+    val (n, d, m) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    n == d * m &&
+      long.groupBy("depth", "morphotype").count().filter(col("count") > 1).isEmpty
+  }
 }
