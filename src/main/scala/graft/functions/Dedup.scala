@@ -149,16 +149,22 @@ object Dedup {
     * sharing a `(band, bucket)` key. The only shuffle is on the compact
     * band keys.
     */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = signatures.select(
+  /** Banded bucket index `(band, bucket, id)` for a signature table —
+    * the persistent probe structure for incremental dedup
+    * ([[graft.streaming.StreamingDedup]]).
+    */
+  def bandBuckets(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    signatures.select(
       col("id"),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)))
         )
-      ).as(Seq("band", "bucket"))
-    )
+      ).as(Seq("band", "bucket")))
+
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandBuckets(signatures, bands, rowsPerBand)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.functions.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (micro-batch) near-duplicate filtering — the streaming
+  * form of corpus dedup a training-data pipeline actually runs: documents
+  * arrive continuously and each batch must be checked against everything
+  * already accepted, without re-scanning the corpus.
+  *
+  * State is two parquet tables under `storeDir`:
+  *   - `sigs`    — `(id, signature)` MinHash signatures of accepted docs;
+  *   - `buckets` — `(band, bucket, id)` LSH banding of those signatures,
+  *     the probe index: a new batch joins ONLY on compact band keys, so
+  *     per-batch cost is O(batch × matching buckets), not O(corpus).
+  *
+  * At cluster scale the buckets table is bucketed/partitioned by
+  * `(band, bucket)` so the probe is a pruned, co-located join; signatures
+  * join only for the candidate ids. Batches are idempotent per id (an id
+  * already in the store is never re-added), so at-least-once replay
+  * converges like [[GraphStream.upsertBatch]].
+  */
+object StreamingDedup {
+
+  final case class BatchResult(fresh: DataFrame, duplicates: DataFrame)
+
+  private def readOr(spark: SparkSession, path: String, empty: => DataFrame): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) spark.read.parquet(path) else empty
+  }
+
+  /** Process one micro-batch of `(id, text)` documents:
+    * returns the accepted (fresh) ids and the duplicate pairs
+    * `(id, dup_of, est_jaccard)`, and appends the fresh docs' signatures
+    * and buckets to the store. A doc is a duplicate if its estimated
+    * Jaccard against an accepted doc — stored or a smaller-id doc of the
+    * same batch — reaches `minEstJaccard`.
+    */
+  def dedupeBatch(batch: DataFrame, id: Column, text: Column, storeDir: String,
+                  n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                  minEstJaccard: Double = 0.9): BatchResult = {
+    val spark = batch.sparkSession
+    val rows = numHashes / bands
+    val newSigs = Dedup.minHashSignature(batch.dropDuplicates(), id, text, n, numHashes)
+      .localCheckpoint() // signatures feed probe + verify + store append
+    val newBuckets = Dedup.bandBuckets(newSigs, bands, rows)
+
+    val storedSigs = readOr(spark, s"$storeDir/sigs",
+      newSigs.limit(0))
+    val storedBuckets = readOr(spark, s"$storeDir/buckets",
+      newBuckets.limit(0))
+
+    // candidates vs the store: join on compact (band, bucket) keys only
+    val vsStore = newBuckets.select(col("band"), col("bucket"), col("id"))
+      .join(storedBuckets.withColumnRenamed("id", "dup_of"), Seq("band", "bucket"))
+      .select(col("id"), col("dup_of")).distinct()
+    // candidates within the batch: keep the smaller id as the original
+    val intra = Dedup.lshCandidates(newSigs, bands, rows)
+      .select(col("id_b").as("id"), col("id_a").as("dup_of"))
+    val cands = vsStore.unionByName(intra)
+      .select(col("id").as("id_a"), col("dup_of").as("id_b"))
+
+    val allSigs = newSigs.unionByName(storedSigs)
+    val dups = Dedup.estimatedJaccard(cands, allSigs, numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a").as("id"), col("id_b").as("dup_of"), col("est_jaccard"))
+      .localCheckpoint()
+
+    val freshSigs = newSigs
+      .join(dups.select("id"), Seq("id"), "left_anti")
+      .join(storedSigs.select("id"), Seq("id"), "left_anti") // replay idempotence
+      .localCheckpoint()
+
+    freshSigs.write.mode(SaveMode.Append).parquet(s"$storeDir/sigs")
+    Dedup.bandBuckets(freshSigs, bands, rows)
+      .write.mode(SaveMode.Append).parquet(s"$storeDir/buckets")
+
+    // fresh/dups are materialized; the intermediate signature checkpoint
+    // would otherwise live until session end
+    org.apache.spark.sql.graft.CatalystBridge.unpersistCheckpoint(newSigs)
+    BatchResult(freshSigs.select("id"), dups)
+  }
+}
