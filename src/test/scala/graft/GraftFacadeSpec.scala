@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftFacadeSpec extends SparkSpec {
+
+  test("session() wires SQL functions and strategies onto the active session") {
+    val s = Graft.session() // getOrCreate returns the shared test session
+    assert(s.sql("SELECT fnv64('k') IS NOT NULL").head().getBoolean(0))
+    assert(s.sql("SELECT size(winnowing_fp('hello world of graphs', 5, 8)) > 0")
+      .head().getBoolean(0))
+    assert(s.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+  }
+
+  test("openOrSeed seeds a fresh store once, then loads it (ref Library.fs:320-325)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftstore").toString + "/db"
+    val g1 = Graft.openOrSeed(spark, dir)
+    assert(g1.nodes.count() == 14082L) // year dim + labels + outcomes + Life
+    assert(g1.edges.count() == 2L)
+    // second open loads, not re-seeds: mutate then re-open and observe
+    val g2 = Graft.openOrSeed(spark, dir)
+    assert(g2.nodes.filter(col("nodeType") === "qualitativelabelnode").count() == 1L)
+  }
+}
