@@ -54,7 +54,9 @@ object PipelineQueries {
       "text analysis — whitespace token counting + BPE-ish subword proxy"),
 
     Q("p19_winnowing_fingerprints",
-      (s, d) => table(s, d, "documents").filter(col("doc_id") < 50)
+      // whole corpus — the native O(n) expression makes per-doc cost
+      // negligible (the array-expression ancestor needed a 50-doc guard)
+      (s, d) => table(s, d, "documents")
         .select(col("doc_id"),
           explode(TextOps.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
         .orderBy("doc_id", "fp"),
@@ -70,7 +72,7 @@ object PipelineQueries {
                        + ascii(substring(text, i + 2, 1)) * 961
                        + ascii(substring(text, i + 3, 1)) * 31
                        + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
-          FROM documents WHERE doc_id < 50)
+          FROM documents)
         SELECT doc_id, unnest(list_sort(list_distinct(
                  list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
                    j -> list_min(hs[j:j+7]))))) AS fp
