@@ -10,9 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one trivial job to absorb JVM/executor/codegen bootstrap (~3 s)
-    // so it isn't charged to whichever query happens to run first
-    spark.range(1000).count()
+    // absorb JVM/executor/codegen bootstrap so fixed engine-warmup cost
+    // isn't charged to whichever query happens to run first: exercise the
+    // heavy codegen shapes (shuffle join, hash agg, window, exchange) on
+    // tiny synthetic data — the SF-dir parquet is deliberately NOT
+    // touched, so measured scan/IO work stays honest
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val a = spark.range(1000).select(col("id"), (col("id") % 7).as("g"))
+      a.join(a.withColumnRenamed("id", "id2"), "g")
+        .groupBy("g").agg(count(lit(1)), sum("id"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("g")).orderBy(col("g"))))
+        .filter(col("rn") >= 0).count()
+    }
     // sorted order keeps per-query attribution stable across rounds
     // (shared-cache materialization always lands on the same first query)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
