@@ -224,6 +224,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** Corpus-scale variant of [[embeddingNearDups]]: sign-LSH blocking
+    * first — vectors are candidates only if they share a bucket in at
+    * least one of `tables` independent hyperplane tables — then exact
+    * cosine verifies candidates. The all-pairs join never happens: the
+    * only shuffles are on compact `(table, bucket)` keys and the
+    * candidate-id joins, so cost tracks candidates, not n². Precision is
+    * exact (every emitted pair is verified); recall rises with `tables`
+    * and falls with `planesPerTable` — at near-dup thresholds
+    * (cos ≥ 0.9) a handful of 4-plane tables recovers almost everything
+    * (asserted in DedupSpec).
+    */
+  def embeddingNearDupsLsh(df: DataFrame, id: Column, vec: Column, minCos: Double,
+                           dim: Int, planesPerTable: Int = 4, tables: Int = 6): DataFrame = {
+    val data = df.select(id.as("id"), vec.as("v"))
+    val bucketed = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        when(Similarity.dot(col("v"), array(p.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      data.select(col("id"), lit(t).as("tbl"), bucket.as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val cands = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(data.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(data.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos_raw", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 63-bit SimHash: per token hash, each bit votes ±1; the signature is

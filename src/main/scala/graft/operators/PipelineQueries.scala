@@ -282,6 +282,22 @@ object PipelineQueries {
       None, // recall vs brute force asserted in SimilaritySpec; hyperplane PRNG not portable to SQL
       "similarity — sign-LSH bucketed ANN with exact re-rank"),
 
+    Q("p22_lsh_near_dups",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        // this synthetic corpus has no true near-dups (max pairwise cos
+        // ≈ 0.6), so block at the similar-pair threshold p17 uses; LSH
+        // recall at cos 0.4 is partial by design — the returned subset is
+        // still deterministic (seeded hyperplanes)
+        Dedup.embeddingNearDupsLsh(emb, col("vec_id"), col("embedding"),
+            minCos = 0.4, dim = dim)
+          .orderBy("id_a", "id_b")
+      },
+      None, // precision/recall vs brute force asserted in DedupSpec (PRNG planes not SQL-portable)
+      "dedup — corpus-scale embedding near-dup: sign-LSH blocking + exact cosine verify " +
+        "(no all-pairs join; shuffles only bucket keys and candidates)"),
+
     Q("p12_stream_hourly",
       (s, d) => EventStream.runHourlyStream(s, d),
       Some("""

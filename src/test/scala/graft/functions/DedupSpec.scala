@@ -69,6 +69,27 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("embeddingNearDupsLsh: exact precision, high recall vs brute force at near-dup threshold") {
+    import spark.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(11)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextFloat() * 2 - 1)))
+    // plant 20 noisy near-duplicates of the first 20 vectors
+    val dups = (0 until 20).map(i =>
+      (1000L + i, base(i)._2.map(x => x + rng.nextFloat() * 0.01f)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDups(df, col("vec_id"), col("embedding"), minCos = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(df, col("vec_id"), col("embedding"),
+        minCos = 0.95, dim = dim, planesPerTable = 4, tables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))               // exact verify → perfect precision
+    assert(brute.nonEmpty)
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
   test("minhash signature: identical texts get identical signatures; est≈1") {
     val sigs = Dedup.minHashSignature(docs, col("doc_id"), col("text"), 3, 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
