@@ -426,6 +426,20 @@ object GraphQueries {
         FROM years JOIN eras ON y BETWEEN lo AND hi
         GROUP BY era ORDER BY era"""),
       "§2.3 range join — year-interval containment as a BETWEEN predicate against a " +
-        "broadcast era dim (alternative to materialized Contains edges, ref Exposure.fs:125)")
+        "broadcast era dim (alternative to materialized Contains edges, ref Exposure.fs:125)"),
+
+    Q("g24_degree_histogram",
+      (s, d) => g(s, d).edges
+        .filter(col("relType") === "PlacedBy")
+        .groupBy(col("dst")).agg(count(lit(1)).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders"),
+      Some("""
+        SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1)
+        GROUP BY 1 ORDER BY 1"""),
+      "graph analytics — in-degree distribution (two cascaded hash aggregates, " +
+        "both map-side combinable; the scale shape for degree/frequency histograms)")
   )
 }

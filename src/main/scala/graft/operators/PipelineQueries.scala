@@ -352,6 +352,38 @@ object PipelineQueries {
       "sampling — deterministic md5-hash train/val/test split (reproducible across " +
         "engines, retries, and repartitioning; no rand())"),
 
+    Q("p23_gap_fill",
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+        // dense hour spine from one scalar-agg row; broadcast both small
+        // sides — zero-filling never reshuffles the fact table
+        val spine = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+        val types = ev.select("event_type").distinct()
+        broadcast(spine).crossJoin(broadcast(types))
+          .join(counts, Seq("h", "event_type"), "left")
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("hour_start", "event_type")
+      },
+      Some("""
+        WITH e AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type FROM events),
+        b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        spine AS (SELECT unnest(list_transform(
+                    generate_series(0, date_diff('hour', lo, hi)),
+                    i -> lo + to_hours(i))) AS h FROM b),
+        t AS (SELECT DISTINCT event_type FROM e),
+        c AS (SELECT h, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
+        SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_start, t.event_type,
+               COALESCE(c.n, 0) AS n
+        FROM spine s CROSS JOIN t
+        LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type
+        ORDER BY 1, 2"""),
+      "time series — zero-filled hourly event grid (dense spine from sequence(), " +
+        "broadcast spine x types, fact table never reshuffled)"),
+
     Q("p20_nearest_centroid",
       (s, d) => {
         val emb = table(s, d, "embeddings")

@@ -277,6 +277,67 @@ object RelationalQueries {
         SELECT s_name, n_name, s_acctbal
         FROM supplier JOIN nation ON s_nationkey=n_nationkey
         ORDER BY s_acctbal DESC, s_name LIMIT 10"""),
-      "O1-O3 — broadcast dim join + top-k sort/limit")
+      "O1-O3 — broadcast dim join + top-k sort/limit"),
+
+    Q("q16_volume_shipping",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val o = table(s, d, "orders").select("o_orderkey", "o_custkey")
+        val c = table(s, d, "customer").select("c_custkey", "c_nationkey")
+        val sup = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val n = table(s, d, "nation")
+        val n1 = n.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        val n2 = n.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("ck"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("sk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("supp_nation"), col("cust_nation"), col("l_year"))
+          .limit(20)
+      },
+      Some("""
+        SELECT supp_nation, cust_nation, l_year, revenue FROM (
+          SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE n1.n_name <> n2.n_name
+          GROUP BY 1, 2, 3)
+        ORDER BY revenue DESC, supp_nation, cust_nation, l_year LIMIT 20"""),
+      "TPC-H Q7 shape: nation-pair trade volume — two fact joins + 4 broadcast dims, " +
+        "grouped by derived year, total-order top-20"),
+
+    Q("q17_potential_promotion",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val parts = table(s, d, "part")
+          .filter(col("p_name").startsWith("c")).select("p_partkey")
+        val active = li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 80)
+          .select("l_suppkey")
+        table(s, d, "supplier")
+          .join(active, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+      },
+      Some("""
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'c%')
+          GROUP BY l_suppkey HAVING count(*) > 80)
+        ORDER BY s_name"""),
+      "TPC-H Q20 shape: nested IN subqueries -> broadcast semi-joins with a grouped " +
+        "HAVING threshold in the inner query")
   )
 }
