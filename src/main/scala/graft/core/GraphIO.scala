@@ -82,4 +82,38 @@ object GraphIO {
       .withColumn("recomputed", recompute)
       .filter(col("recomputed") =!= col("prettyName"))
       .select("key", "nodeType", "prettyName", "recomputed")
+
+  /** Small-file compaction for append-heavy stores (streaming upserts —
+    * [[graft.streaming.GraphStream]], [[graft.streaming.StreamingDedup]] —
+    * add one file set per micro-batch; thousands of tiny parquet files
+    * destroy scan throughput via per-file open/footer costs). Rewrites
+    * the dataset into ~`targetFileMB` files sized from the actual on-disk
+    * bytes, atomically via a temp dir + rename. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"no dataset at $path")
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(hPath)
+    val bytes = before.map(_.getLen).sum
+    val targetFiles = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    spark.read.parquet(path)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val after = parquetFiles(tmp).size
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    (before.size, after)
+  }
 }

@@ -102,4 +102,19 @@ class GraphStateSpec extends SparkSpec {
     assert(g2.nodes.count() == 3 && g2.edges.count() == 1)
     assert(g2.nodeByKey("contextnode_a").head().prettyName == "Site A")
   }
+
+  test("compact merges many small append files into few, preserving data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // simulate 10 micro-batch appends, several files each
+    for (b <- 0 until 10)
+      spark.range(b * 100L, (b + 1) * 100L).repartition(4)
+        .write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(_.getLong(0)).sorted.toSeq
+    val (nBefore, nAfter) = GraphIO.compact(spark, dir, targetFileMB = 128)
+    assert(nBefore >= 40 && nAfter < nBefore && nAfter <= 2, s"$nBefore -> $nAfter")
+    val afterRows = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterRows == beforeRows)
+  }
 }

@@ -48,6 +48,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("o_orderkey"), p)      // only the orders branch survives
   }
 
+  test("q16 broadcasts all four dimensions around the fact joins") {
+    val p = plan("q16_volume_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
   test("motif negated term plans as an anti hash join, positive terms as equi-joins") {
     val p = plan("g21_motif_api")
     assert(p.contains("LeftAnti"), p)
