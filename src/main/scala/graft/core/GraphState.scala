@@ -181,6 +181,30 @@ final case class GraphState(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow]) {
   def addRelationsUnchecked(newEdges: Dataset[EdgeRow]): GraphState =
     copy(edges = edges.unionByName(newEdges).dropDuplicates())
 
+  /** Structural diff against another graph state: nodes added/removed/
+    * changed (same key, different payload or name) and edges added/
+    * removed — the primitive for store synchronization and audit between
+    * two snapshots. Four anti-joins plus one inner join, each on keys.
+    */
+  def diff(other: GraphState): GraphDiff = {
+    val a = nodes
+    val b = other.nodes
+    val addedNodes = b.join(a.select("key"), Seq("key"), "left_anti").as(b.encoder)
+    val removedNodes = a.join(b.select("key"), Seq("key"), "left_anti").as(a.encoder)
+    val changedNodes = b.toDF().alias("n")
+      .join(a.toDF().select(col("key"),
+        col("prettyName").as("old_prettyName"), col("payload").as("old_payload")), "key")
+      .filter(col("n.prettyName") =!= col("old_prettyName") ||
+        col("n.payload") =!= col("old_payload"))
+      .select(col("key"), col("n.nodeType").as("nodeType"),
+        col("n.prettyName").as("prettyName"), col("n.payload").as("payload"))
+      .as(b.encoder)
+    val eCols = Seq("src", "dst", "weight", "relType", "relPayload")
+    val addedEdges = other.edges.join(edges.toDF(), eCols, "left_anti").as(edges.encoder)
+    val removedEdges = edges.join(other.edges.toDF(), eCols, "left_anti").as(edges.encoder)
+    GraphDiff(addedNodes, removedNodes, changedNodes, addedEdges, removedEdges)
+  }
+
   // ----------------------------------------------------------- statistics
 
   /** A1-shaped conditional-count fold (reference `GenStatistics`,
@@ -207,3 +231,11 @@ object GraphState {
     GraphState(nodes.as[NodeRow], edges.as[EdgeRow])
   }
 }
+
+/** Result of [[GraphState.diff]] — every member is a lazy Dataset. */
+final case class GraphDiff(
+    addedNodes: Dataset[NodeRow],
+    removedNodes: Dataset[NodeRow],
+    changedNodes: Dataset[NodeRow],
+    addedEdges: Dataset[EdgeRow],
+    removedEdges: Dataset[EdgeRow])

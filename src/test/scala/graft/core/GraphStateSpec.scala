@@ -103,6 +103,41 @@ class GraphStateSpec extends SparkSpec {
     assert(g2.nodeByKey("contextnode_a").head().prettyName == "Site A")
   }
 
+  test("diff reports added/removed/changed nodes and added/removed edges") {
+    import spark.implicits._
+    val before = fixture
+    val after = GraphState(
+      Seq(
+        NodeRow("taxonnode_genus_salix", "taxonnode", "Salix", "{}"),
+        NodeRow("taxonnode_family_salicaceae", "taxonnode", "RENAMED", "{}"), // changed
+        NodeRow("contextnode_b", "contextnode", "Site B", "{}")               // added
+        // contextnode_a removed
+      ).toDS(),
+      Seq(
+        EdgeRow("taxonnode_genus_salix", "taxonnode_family_salicaceae", 1, "IsA", "{}"),
+        EdgeRow("contextnode_b", "taxonnode_genus_salix", 1, "HasProxyInfo", "{}") // added
+      ).toDS())
+    val d = before.diff(after)
+    assert(d.addedNodes.collect().map(_.key).toSeq == Seq("contextnode_b"))
+    assert(d.removedNodes.collect().map(_.key).toSeq == Seq("contextnode_a"))
+    assert(d.changedNodes.collect().map(n => (n.key, n.prettyName)).toSeq ==
+      Seq(("taxonnode_family_salicaceae", "RENAMED")))
+    assert(d.addedEdges.collect().map(_.relType).toSeq == Seq("HasProxyInfo"))
+    assert(d.removedEdges.isEmpty)
+  }
+
+  test("approx_count_distinct tracks exact distinct within HLL error (sketch aggregation)") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
+    val df = spark.range(100000).select((col("id") % 5000).as("v"))
+    val r = df.agg(
+      countDistinct(col("v")).as("exact"),
+      approx_count_distinct(col("v"), 0.02).as("approx")).head()
+    val exact: Long = r.getLong(0)
+    val approx: Long = r.getLong(1)
+    assert(exact == 5000L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx")
+  }
+
   test("compact merges many small append files into few, preserving data") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
