@@ -181,6 +181,17 @@ final case class GraphState(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow]) {
   def addRelationsUnchecked(newEdges: Dataset[EdgeRow]): GraphState =
     copy(edges = edges.unionByName(newEdges).dropDuplicates())
 
+  /** Register the graph as temp views (`<prefix>_nodes` / `<prefix>_edges`)
+    * so the full SQL-text surface works against it — traversals as joins,
+    * the custom functions after [[graft.plans.GraftExtensions.registerAll]].
+    * (The reference has no query language at all; SQL comes free from
+    * Catalyst once the graph is relational.)
+    */
+  def createOrReplaceViews(prefix: String = "graph"): Unit = {
+    nodes.createOrReplaceTempView(s"${prefix}_nodes")
+    edges.createOrReplaceTempView(s"${prefix}_edges")
+  }
+
   /** Structural diff against another graph state: nodes added/removed/
     * changed (same key, different payload or name) and edges added/
     * removed — the primitive for store synchronization and audit between

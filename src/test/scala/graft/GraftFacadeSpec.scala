@@ -12,6 +12,23 @@ class GraftFacadeSpec extends SparkSpec {
     assert(s.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
   }
 
+  test("SQL-text traversal over registered graph views, with engine functions") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerAll(spark)
+    val g = graft.core.GraphState(
+      Seq(graft.model.NodeRow("a_1", "a", "A One", "{}"),
+        graft.model.NodeRow("b_1", "b", "B One", "{}")).toDS(),
+      Seq(graft.model.EdgeRow("a_1", "b_1", 1, "Points", "{}")).toDS())
+    g.createOrReplaceViews("t")
+    val r = spark.sql("""
+      SELECT n2.prettyName AS target, fnv64(n2.key) AS h
+      FROM t_edges e
+      JOIN t_nodes n2 ON e.dst = n2.key
+      WHERE e.relType = 'Points'""").head()
+    assert(r.getString(0) == "B One")
+    assert(r.getLong(1) == graft.plans.GraphAnalytics.fnv64("b_1"))
+  }
+
   test("openOrSeed seeds a fresh store once, then loads it (ref Library.fs:320-325)") {
     val dir = java.nio.file.Files.createTempDirectory("graftstore").toString + "/db"
     val g1 = Graft.openOrSeed(spark, dir)
