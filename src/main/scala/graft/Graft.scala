@@ -33,9 +33,10 @@ object Graft {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     // getOrCreate may return a pre-existing session built WITHOUT the
-    // extension (tests, shells) — registering directly is idempotent
+    // extension (tests, shells) — register directly (idempotent):
+    // functions, the planner strategy, AND the rank-filter rewrite rule
     graft.plans.GraftExtensions.registerAll(spark)
-    graft.plans.TopKPerGroup.register(spark)
+    graft.plans.TopKRewrite.enable(spark)
     spark
   }
 

@@ -88,8 +88,15 @@ object GraphIO {
     * add one file set per micro-batch; thousands of tiny parquet files
     * destroy scan throughput via per-file open/footer costs). Rewrites
     * the dataset into ~`targetFileMB` files sized from the actual on-disk
-    * bytes, atomically via a temp dir + rename. Returns
-    * (filesBefore, filesAfter).
+    * bytes. Returns (filesBefore, filesAfter).
+    *
+    * Concurrency contract: writers MUST be quiesced for the duration —
+    * files appended after the rewrite reads the dataset would be deleted
+    * with the old files (plain parquet directories have no transaction
+    * log; a table format is the at-scale answer for online compaction).
+    * The delete+rename pair is also not crash-atomic: on failure between
+    * the two, the compacted data survives at `<path>.compact-tmp` for
+    * manual recovery.
     */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)

@@ -205,8 +205,8 @@ final case class GraphState(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow]) {
     val changedNodes = b.toDF().alias("n")
       .join(a.toDF().select(col("key"),
         col("prettyName").as("old_prettyName"), col("payload").as("old_payload")), "key")
-      .filter(col("n.prettyName") =!= col("old_prettyName") ||
-        col("n.payload") =!= col("old_payload"))
+      .filter(!(col("n.prettyName") <=> col("old_prettyName")) ||
+        !(col("n.payload") <=> col("old_payload"))) // null-safe: NULL↔value IS a change
       .select(col("key"), col("n.nodeType").as("nodeType"),
         col("n.prettyName").as("prettyName"), col("n.payload").as("payload"))
       .as(b.encoder)

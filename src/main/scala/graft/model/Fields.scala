@@ -36,9 +36,11 @@ object Fields {
     if (s == null || s.isEmpty) Left("Text must not be empty") else Right(LongText(s))
 
   /** `DigitalObjectIdentifier.create` (`Types.fs:317-325`): extracts the
-    * DOI from bare or URL form via the reference's regex.
+    * DOI from bare or URL form. The reference's regex leaves the dot
+    * after `10` unescaped (any character matches there) — escaped here,
+    * per the documented format (SURVEY §4: don't replicate known bugs).
     */
-  private val DoiRe = """(10.\d{4,9}/[-._;()/:A-Za-z0-9]+)""".r
+  private val DoiRe = """(10\.\d{4,9}/[-._;()/:A-Za-z0-9]+)""".r
   def createDoi(s: String): Either[String, Doi] =
     DoiRe.findFirstMatchIn(Option(s).getOrElse("")) match {
       case Some(m) => Right(Doi(m.group(1)))

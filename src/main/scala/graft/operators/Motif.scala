@@ -100,11 +100,18 @@ object Motif {
       require(srcBound || dstBound,
         s"negated term (${t.src})->(${t.dst}) binds no positive-term vertex")
       val base = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
-      val probe = base.select(
-        (if (srcBound) Seq(col("src").as(kcol(t.src))) else Nil) ++
-          (if (dstBound) Seq(col("dst").as(kcol(t.dst))) else Nil): _*)
-      val keys = (if (srcBound) Seq(kcol(t.src)) else Nil) ++
-        (if (dstBound) Seq(kcol(t.dst)) else Nil)
+      // negated self-loop: one key column, and the probe must only carry
+      // genuine self-edges
+      val (probe, keys) =
+        if (t.src == t.dst)
+          (base.filter(col("src") === col("dst")).select(col("src").as(kcol(t.src))),
+            Seq(kcol(t.src)))
+        else
+          (base.select(
+            (if (srcBound) Seq(col("src").as(kcol(t.src))) else Nil) ++
+              (if (dstBound) Seq(col("dst").as(kcol(t.dst))) else Nil): _*),
+            (if (srcBound) Seq(kcol(t.src)) else Nil) ++
+              (if (dstBound) Seq(kcol(t.dst)) else Nil))
       joined = joined.join(probe, keys, "left_anti")
     }
 

@@ -72,7 +72,8 @@ object PipelineQueries {
                        + ascii(substring(text, i + 2, 1)) * 961
                        + ascii(substring(text, i + 3, 1)) * 31
                        + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
-          FROM documents)
+          FROM documents
+          WHERE length(text) >= 5)  -- docs below k have NO fingerprints (empty array in Spark)
         SELECT doc_id, unnest(list_sort(list_distinct(
                  list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
                    j -> list_min(hs[j:j+7]))))) AS fp

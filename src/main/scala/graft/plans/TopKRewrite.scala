@@ -54,6 +54,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
       extractK(cond, rn) match {
         case Some(k)
             if k >= 1 &&
+              part.nonEmpty && // global top-k: ClusteredDistribution(Nil) is invalid — leave to TakeOrdered
               projList.forall(!_.references.contains(rn)) &&
               projList.forall(_.references.subsetOf(child.outputSet)) =>
           Project(projList, TopKPerGroup(part, oExpr, k, child))

@@ -23,7 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  final case class BatchResult(fresh: DataFrame, duplicates: DataFrame)
+  final case class BatchResult(fresh: DataFrame, duplicates: DataFrame) {
+    /** Free the checkpointed RDDs behind `fresh`/`duplicates` once
+      * consumed — a long-running stream calling [[dedupeBatch]] per
+      * micro-batch would otherwise accumulate dead storage blocks for
+      * the session lifetime.
+      */
+    def release(): Unit = {
+      org.apache.spark.sql.graft.CatalystBridge.unpersistCheckpoint(fresh)
+      org.apache.spark.sql.graft.CatalystBridge.unpersistCheckpoint(duplicates)
+    }
+  }
 
   private def readOr(spark: SparkSession, path: String, empty: => DataFrame): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -55,6 +65,10 @@ object StreamingDedup {
     // candidates vs the store: join on compact (band, bucket) keys only
     val vsStore = newBuckets.select(col("band"), col("bucket"), col("id"))
       .join(storedBuckets.withColumnRenamed("id", "dup_of"), Seq("band", "bucket"))
+      // a doc never duplicates itself: replays meet their own stored (or
+      // crash-orphaned) buckets, and must be handled by the sigs
+      // anti-join, not flagged as dups
+      .filter(col("id") =!= col("dup_of"))
       .select(col("id"), col("dup_of")).distinct()
     // candidates within the batch: keep the smaller id as the original
     val intra = Dedup.lshCandidates(newSigs, bands, rows)
@@ -73,12 +87,19 @@ object StreamingDedup {
       .join(storedSigs.select("id"), Seq("id"), "left_anti") // replay idempotence
       .localCheckpoint()
 
-    freshSigs.write.mode(SaveMode.Append).parquet(s"$storeDir/sigs")
+    // write order matters for crash-safety: buckets first, sigs last.
+    // The replay-idempotence anti-join keys off sigs, so a crash between
+    // the two writes leaves orphan bucket rows whose ids are NOT in sigs
+    // — replay re-processes those ids (duplicate bucket rows are
+    // harmless: candidate pairs are distinct()ed). The reverse order
+    // would leave ids in sigs with no probe-index entry, permanently
+    // invisible to future duplicate checks.
     Dedup.bandBuckets(freshSigs, bands, rows)
       .write.mode(SaveMode.Append).parquet(s"$storeDir/buckets")
+    freshSigs.write.mode(SaveMode.Append).parquet(s"$storeDir/sigs")
 
-    // fresh/dups are materialized; the intermediate signature checkpoint
-    // would otherwise live until session end
+    // the intermediate signature checkpoint would otherwise live until
+    // session end (fresh/dups checkpoints are freed by BatchResult.release)
     org.apache.spark.sql.graft.CatalystBridge.unpersistCheckpoint(newSigs)
     BatchResult(freshSigs.select("id"), dups)
   }

@@ -22,13 +22,14 @@ object CatalystBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
-  /** Free the persisted RDD behind a `localCheckpoint()`ed DataFrame —
+  /** Free the persisted RDDs behind a `localCheckpoint()`ed DataFrame
+    * (including checkpoints under projections/filters) —
     * `Dataset.unpersist` only covers CacheManager entries, so iterative
     * algorithms that checkpoint per round would otherwise leak storage
     * until the session dies.
     */
   def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed match {
+    df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }

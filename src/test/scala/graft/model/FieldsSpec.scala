@@ -21,6 +21,7 @@ class FieldsSpec extends SparkSpec {
     assert(Fields.createDoi("https://doi.org/10.1126/science.aar3646").toOption.get.value ==
       "10.1126/science.aar3646")
     assert(Fields.createDoi("not-a-doi").isLeft)
+    assert(Fields.createDoi("10x1234/suffix").isLeft) // dot must be literal
   }
 
   test("F9 IntRange parses and orders; Percent bounds and x100 storage (Types.fs:343-372)") {

@@ -63,6 +63,13 @@ class MotifSpec extends SparkSpec {
       Seq("t_a", "t_b"))
   }
 
+  test("negated self-loop term excludes vertices carrying a self-edge") {
+    val m = Motif.find(fixture, "(x)-[e]->(y); !(x)-[:Self]->(x)")
+      .select(col("x.key")).distinct().collect().map(_.getString(0)).toSet
+    // e matches Next/Shortcut/Self sources {a, b, e}; x=e is excluded
+    assert(m == Set("t_a", "t_b"))
+  }
+
   test("bad patterns are rejected") {
     intercept[IllegalArgumentException](Motif.find(fixture, "(a)->(b)"))
     intercept[IllegalArgumentException](Motif.find(fixture, "!(a)-[:X]->(b)"))

@@ -50,4 +50,14 @@ class TopKRewriteSpec extends SparkSpec {
     assert(!keepsRn.queryExecution.executedPlan.toString.contains("TopKPerGroup ["))
     assert(keepsRn.count() == 21)
   }
+
+  test("global top-k (empty partitionBy) is left to the vanilla plan, and still works") {
+    TopKRewrite.enable(spark)
+    val global = df.withColumn("rn", row_number().over(
+        Window.orderBy(struct($"score", $"id").desc)))
+      .filter($"rn" <= 5).drop("rn")
+    // ClusteredDistribution(Nil) is invalid — the rewrite must not fire
+    assert(!global.queryExecution.executedPlan.toString.contains("TopKPerGroup ["))
+    assert(global.count() == 5)
+  }
 }

@@ -35,5 +35,25 @@ class StreamingDedupSpec extends SparkSpec {
     val stored = spark.read.parquet(s"$dir/sigs").select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(stored == Seq(1L, 2L, 5L))
+    Seq(r1, r2, r3).foreach(_.release()) // free per-batch checkpoints
+  }
+
+  test("crash between bucket and sig writes is repaired by replay (orphan buckets are harmless)") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedup2").toString + "/store"
+    val b = Seq((1L, docA)).toDF("id", "text")
+    val r = StreamingDedup.dedupeBatch(b, col("id"), col("text"), dir)
+    r.release()
+    // simulate the crash window: buckets written, sigs lost
+    val sigsDir = new java.io.File(s"$dir/sigs")
+    sigsDir.listFiles().foreach(_.delete()); sigsDir.delete()
+    // replay: id 1 is NOT in sigs → re-accepted; duplicate bucket rows
+    // merely widen the probe set
+    val r2 = StreamingDedup.dedupeBatch(b, col("id"), col("text"), dir)
+    assert(r2.fresh.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val b2 = Seq((2L, docA)).toDF("id", "text")
+    val r3 = StreamingDedup.dedupeBatch(b2, col("id"), col("text"), dir)
+    val d3 = r3.duplicates.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(d3 == Set((2L, 1L))) // dedup still works after the repair
+    Seq(r2, r3).foreach(_.release())
   }
 }
