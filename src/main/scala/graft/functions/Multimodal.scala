@@ -63,7 +63,7 @@ object Multimodal {
       .withColumn("scale", round(lit(targetWidth).cast("double") / greatest(col("width"), lit(1)), 4))
       .withColumn("out_width", lit(targetWidth))
       .withColumn("out_height", greatest(round(col("height") * col("scale")).cast("int"), lit(1)))
-      .repartition(shufflePartitions, col("kind"))
+      .repartition(shufflePartitions, col("kind"), col("media_id"))
 
   /** Frame-sampling plan for video-like rows: explode a deterministic
     * frame index sequence (every `stride`-th frame of `n_frames`).

@@ -80,14 +80,18 @@ object Keys {
     */
   final case class ParsedKey(nodeType: String, id: String, isUuid: Boolean)
 
+  // canonical 8-4-4-4-12 form only: java.util.UUID.fromString is lenient
+  // (accepts "1-2-3-4-5"), which would misclassify friendly ids as UUIDs
+  private val CanonicalUuid =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
+
   def parseKey(key: String): Option[ParsedKey] = {
     if (key == null) return None
     val i = key.indexOf('_')
     if (i <= 0 || i == key.length - 1) None
     else {
       val (t, rest) = (key.substring(0, i), key.substring(i + 1))
-      val uuid = Try(UUID.fromString(rest)).isSuccess
-      Some(ParsedKey(t, rest, uuid))
+      Some(ParsedKey(t, rest, CanonicalUuid.matches(rest)))
     }
   }
 }

@@ -15,11 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: a hash of ALL input columns, so a
+    * recomputed task after executor loss assigns the same salts
+    * (`monotonically_increasing_id` depends on partition layout and
+    * in-partition order — nondeterministic under stage retry, which
+    * forces Spark to roll back or abort shuffled stages). Identical rows
+    * share a salt; they are duplicates, so the spread is unaffected.
+    */
+  private def rowSalt(df: DataFrame, saltFactor: Int): Column = {
+    require(!df.columns.contains("_salt"), "input already has a _salt column")
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor.toLong)).cast("int")
+  }
+
   /** Equi-join `large ⋈ small` on `key`, salted. Result equals the plain
     * inner join (verified by SkewSpec).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, saltFactor: Int): DataFrame = {
-    val salted = large.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val salted = large.withColumn("_salt", rowSalt(large, saltFactor))
     val replicated = small.withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
@@ -30,7 +42,7 @@ object Skew {
     * key to 1/saltFactor.
     */
   def saltedSum(df: DataFrame, key: String, valueCol: Column, saltFactor: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    df.withColumn("_salt", rowSalt(df, saltFactor))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_partial"))
       .groupBy(col(key))

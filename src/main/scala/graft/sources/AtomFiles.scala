@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory}
 import graft.core.GraphState
-import graft.model.{EdgeRow, NodeRow}
+import graft.model.{EdgeRow, Keys, NodeRow}
 import org.apache.spark.sql.SparkSession
 
 /** Compatibility layer for the reference's on-disk atom-file layout
@@ -20,18 +20,23 @@ import org.apache.spark.sql.SparkSession
   * or the bare string `"CaseName"` for field-less cases — we carry them
   * opaquely in the `payload`/`relPayload` columns.
   *
-  * Parsing runs inside tasks (Jackson per partition) so a directory of
-  * millions of atom files ingests in parallel; the one-file-per-atom
-  * WRITE path exists only for round-trip compatibility with the reference
-  * tooling — the scale path is [[graft.core.GraphIO]] (partitioned
-  * parquet).
+  * Parsing runs inside tasks (one shared thread-safe Jackson mapper) so a
+  * directory of millions of atom files ingests in parallel; the
+  * one-file-per-atom WRITE path exists only for round-trip compatibility
+  * with the reference tooling — the scale path is [[graft.core.GraphIO]]
+  * (partitioned parquet).
   */
 object AtomFiles {
+
+  // ObjectMapper is thread-safe for read/write after construction
+  private val mapper = new ObjectMapper()
 
   private def parseKey(k: JsonNode): (String, String) = {
     val (tag, arr) =
       if (k.has("FriendlyKey")) ("FriendlyKey", k.get("FriendlyKey"))
-      else ("UUID", k.get("UUID"))
+      else if (k.has("UUID")) ("UUID", k.get("UUID"))
+      else throw new IllegalArgumentException(
+        s"atom key is neither FriendlyKey nor UUID: ${k.toString.take(80)}")
     val t = arr.get(0).asText()
     val rest = arr.get(1).asText()
     (s"${t}_$rest", tag)
@@ -39,14 +44,15 @@ object AtomFiles {
 
   /** Parse one atom-file JSON string → (node, out-edges). */
   def parseAtom(json: String): (NodeRow, Seq[EdgeRow]) = {
-    val m = new ObjectMapper()
+    val m = mapper
     val root = m.readTree(json)
     val nodePart = root.get(0)
     val (key, _) = parseKey(nodePart.get(0))
     val payload = nodePart.get(1)
     // payload is {"RoutingCase": {"ConcreteCase": {...}}} — node type comes
     // from the key prefix (lowercased type name, ref Graph.fs:20-23)
-    val nodeType = key.substring(0, key.indexOf('_'))
+    val sep = key.indexOf('_')
+    val nodeType = if (sep > 0) key.substring(0, sep) else key
     val pretty = "" // display names live in the index; recomputable via F5
     val node = NodeRow(key, nodeType, pretty, m.writeValueAsString(payload))
     val adj = root.get(1)
@@ -65,6 +71,7 @@ object AtomFiles {
     */
   def relCase(rel: JsonNode): String = {
     if (rel.isTextual) rel.asText()
+    else if (!rel.fields().hasNext) "Unknown"
     else {
       val inner = rel.fields().next().getValue
       if (inner.isTextual) inner.asText()
@@ -74,26 +81,33 @@ object AtomFiles {
   }
 
   /** S1 — load a directory of `atom-*.json` files into a [[GraphState]].
-    * `wholetext` keeps one file per row; parsing is distributed.
+    * `wholetext` keeps one file per row; parsing is distributed, and the
+    * parsed dataset is materialized ONCE (localCheckpoint) so the node
+    * and edge sides don't each re-read and re-parse the directory — the
+    * eager in-memory load mirrors the reference's `loadOrInitGraph`
+    * (`Storage.fs:195-220`), which also holds the whole graph in memory.
     */
   def load(spark: SparkSession, dir: String): GraphState = {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true")
       .option("pathGlobFilter", "atom-*.json").text(dir).as[String]
-    val parsed = raw.map(parseAtom _)
+    val parsed = raw.map(parseAtom _).localCheckpoint()
     GraphState(parsed.map(_._1), parsed.flatMap(_._2))
   }
 
-  /** Serialize one atom back to the reference JSON shape. */
+  /** Serialize one atom back to the reference JSON shape. The
+    * FriendlyKey/UUID tag re-derives from the canonical UUID form
+    * ([[Keys.parseKey]]) — matching how the reference's `stringToKey`
+    * classifies (`Graph.fs:25-28`).
+    */
   def renderAtom(node: NodeRow, edges: Seq[EdgeRow]): String = {
-    val m = new ObjectMapper()
+    val m = mapper
     val f = JsonNodeFactory.instance
     def keyJson(key: String): JsonNode = {
-      val i = key.indexOf('_')
-      val (t, rest) = (key.substring(0, i), key.substring(i + 1))
-      val isUuid = scala.util.Try(java.util.UUID.fromString(rest)).isSuccess
-      f.objectNode().set[JsonNode](if (isUuid) "UUID" else "FriendlyKey",
-        f.arrayNode().add(t).add(rest))
+      val parsed = Keys.parseKey(key).getOrElse(
+        throw new IllegalArgumentException(s"cannot render unparseable key '$key'"))
+      f.objectNode().set[JsonNode](if (parsed.isUuid) "UUID" else "FriendlyKey",
+        f.arrayNode().add(parsed.nodeType).add(parsed.id))
     }
     val root = f.arrayNode()
     root.add(f.arrayNode().add(keyJson(node.key)).add(m.readTree(node.payload)))
@@ -112,6 +126,13 @@ object AtomFiles {
     m.writeValueAsString(root)
   }
 
+  /** Filename-safe rendering of a key: path separators and traversal
+    * sequences must not reach the filesystem (keys parsed from external
+    * atom files are arbitrary text).
+    */
+  private def fileSafe(key: String): String =
+    key.replaceAll("[/\\\\]", "_").replace("..", "_")
+
   /** S5 — write one JSON file per atom (reference layout; local-fs test
     * path — NOT the scale path).
     */
@@ -121,7 +142,7 @@ object AtomFiles {
     g.nodes.collect().foreach { n =>
       val json = renderAtom(n, edgesBySrc.getOrElse(n.key, Array.empty).toSeq)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, s"atom-${n.key}.json"), json)
+        java.nio.file.Paths.get(dir, s"atom-${fileSafe(n.key)}.json"), json)
     }
   }
 }

@@ -94,10 +94,18 @@ object EventStream {
     * bounded smoke path feeds all data in one batch (NoTimeout, emit at
     * group end); a production deployment would use event-time timeout +
     * watermark to flush sessions incrementally.
+    *
+    * Semantics deliberately mirror [[sessionizeBatch]] so the two are
+    * interchangeable (EventStreamSpec asserts equality): the gap compares
+    * SECOND-truncated timestamps (the batch form uses `unix_timestamp`),
+    * `session_start` renders in the session time zone, and the sum rounds
+    * HALF_UP like Spark's `round`.
     */
   def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMicros = gapMinutes * 60L * 1000000L
+    val gapSeconds = gapMinutes * 60L
+    val zone = java.time.ZoneId.of(
+      events.sparkSession.conf.get("spark.sql.session.timeZone"))
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[SessionEvent], Session](
@@ -109,7 +117,7 @@ object EventStream {
             val sessions = scala.collection.mutable.ArrayBuffer[Seq[SessionEvent]]()
             var current = scala.collection.mutable.ArrayBuffer(sorted.head)
             sorted.tail.foreach { e =>
-              if (e.tsMicros - current.last.tsMicros > gapMicros) {
+              if (e.tsMicros / 1000000L - current.last.tsMicros / 1000000L > gapSeconds) {
                 sessions += current.toSeq
                 current = scala.collection.mutable.ArrayBuffer(e)
               } else current += e
@@ -117,11 +125,12 @@ object EventStream {
             sessions += current.toSeq
             sessions.iterator.map { s =>
               val fmt = java.time.format.DateTimeFormatter
-                .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+                .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(zone)
               Session(user, fmt.format(java.time.Instant.ofEpochSecond(
                   s.head.tsMicros / 1000000L)),
                 s.length.toLong,
-                math.round(s.map(_.value).sum * 100.0) / 100.0)
+                BigDecimal(s.map(_.value).sum)
+                  .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
             }
           }
       }

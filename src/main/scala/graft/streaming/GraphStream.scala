@@ -23,12 +23,16 @@ object GraphStream {
     val spark = batch.sparkSession
     val path = s"$storeDir/nodes"
     // existence check through the Hadoop FS API — java.io.File is always
-    // false for hdfs://, s3a://, … and would silently disable the dedup
+    // false for hdfs://, s3a://, … and would silently disable the dedup.
+    // Check for committed DATA files, not the directory: a failed first
+    // write can leave an empty dir whose schema inference would throw on
+    // every later batch (a crash loop the stream can never exit).
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(hPath) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.parquet")).nonEmpty
     val existingKeys =
-      if (fs.exists(hPath))
-        spark.read.parquet(path).select("key")
+      if (hasData) spark.read.parquet(path).select("key")
       else spark.range(0).select(col("id").cast("string").as("key"))
     val fresh = batch
       .dropDuplicates("key")
