@@ -78,7 +78,7 @@ object Transactions {
           NodeRow(tlKey, NodeTypes.IndividualTimelineNode, s"Timeline: $siteName",
             """{"Continuous":{"TemporalResolution":"Irregular"}}"""),
           NodeRow(ctxKey, NodeTypes.ContextNode, siteName,
-            s"""{"Name":"$siteName","SamplingLocation":{"Site":[$latDD,$lonDD]},"SampleOrigin":"$sampleOrigin"}""")
+            s"""{"Name":"${Json.str(siteName)}","SamplingLocation":{"Site":[$latDD,$lonDD]},"SampleOrigin":"${Json.str(sampleOrigin)}"}""")
         )
         // both uncertainty bounds carry ExtentEarliestUncertainty, like the
         // reference (Scenarios.fs:169-177) — UncertaintyYoungest belongs to
@@ -121,7 +121,7 @@ object Transactions {
           NodeRow(tlKey, NodeTypes.IndividualTimelineNode, s"Tree-ring timeline: $siteName",
             """{"Continuous":{"TemporalResolution":{"Regular":[1,"Rings"]}}}"""),
           NodeRow(ctxKey, NodeTypes.ContextNode, siteName,
-            s"""{"Name":"$siteName","SamplingLocation":{"Site":[$latDD,$lonDD]},"SampleOrigin":"LivingOrganism"}""")),
+            s"""{"Name":"${Json.str(siteName)}","SamplingLocation":{"Site":[$latDD,$lonDD]},"SampleOrigin":"LivingOrganism"}""")),
         Seq(
           EdgeRow(sourceKey, tlKey, 1, "HasTemporalExtent", "{}"),
           EdgeRow(tlKey, Time.timeNodeKey(collectedBP), 1, "ExtentLatestSpecified",

@@ -54,13 +54,13 @@ object HttpSources {
             val auth = name.getOrElse("authorship", "")
             val key = Keys.taxonKey("species", genus, sp, auth)
             (NodeRow(key, NodeTypes.TaxonNode, s"$genus $sp $auth".trim,
-              s"""{"Species":["$genus","$sp","$auth"]}"""), key)
+              s"""{"Species":["${Json.str(genus)}","${Json.str(sp)}","${Json.str(auth)}"]}"""), key)
           case _ =>
-            (NodeRow(genusKey, NodeTypes.TaxonNode, genus, s"""{"Genus":"$genus"}"""), genusKey)
+            (NodeRow(genusKey, NodeTypes.TaxonNode, genus, s"""{"Genus":"${Json.str(genus)}"}"""), genusKey)
         }
         val ancestors = Seq(
-          NodeRow(genusKey, NodeTypes.TaxonNode, genus, s"""{"Genus":"$genus"}"""),
-          NodeRow(familyKey, NodeTypes.TaxonNode, family, s"""{"Family":"$family"}"""),
+          NodeRow(genusKey, NodeTypes.TaxonNode, genus, s"""{"Genus":"${Json.str(genus)}"}"""),
+          NodeRow(familyKey, NodeTypes.TaxonNode, family, s"""{"Family":"${Json.str(family)}"}"""),
           NodeRow(lifeKey, NodeTypes.TaxonNode, "Life", """{"Life":{}}"""))
         val chain = (chainStart +: ancestors.map(_.key)).distinct
         val edges = chain.zip(chain.tail).map { case (a, b) => EdgeRow(a, b, 1, "IsA", "{}") }

@@ -72,6 +72,15 @@ class TransactionsSpec extends SparkSpec {
       ("BP", 2000.0), ("AD", 2100.0), None, u1, u2).isLeft)
   }
 
+  test("site names with quotes/backslashes produce valid JSON payloads") {
+    val batch = Transactions.simpleSite(
+      "src", """Lake "Deep\End"""", 60, 20, "PeatCore",
+      ("BP", 9000.0), ("BP", 1000.0), None, u1, u2).toOption.get
+    val payload = batch.nodes.find(_.nodeType == NodeTypes.ContextNode).get.payload
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(payload)
+    assert(parsed.get("Name").asText() == """Lake "Deep\End"""")
+  }
+
   test("M12 treeRing builds timeline + implicit-inference hyperedge to presence (ref Scenarios.fs:226-311)") {
     val batch = Transactions.treeRing("sourcenode_pub_smith_tet_1987", "Forest B",
       65.0, 22.0, collectionYearAD = 2000,
