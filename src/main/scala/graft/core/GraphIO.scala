@@ -80,7 +80,7 @@ object GraphIO {
   def staleIndexRows(g: GraphState, recompute: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
     g.nodes
       .withColumn("recomputed", recompute)
-      .filter(col("recomputed") =!= col("prettyName"))
+      .filter(!(col("recomputed") <=> col("prettyName"))) // null-safe: null↔value IS drift
       .select("key", "nodeType", "prettyName", "recomputed")
 
   /** Small-file compaction for append-heavy stores (streaming upserts —
@@ -97,8 +97,14 @@ object GraphIO {
     * The delete+rename pair is also not crash-atomic: on failure between
     * the two, the compacted data survives at `<path>.compact-tmp` for
     * manual recovery.
+    *
+    * `partitionBy` must name the dataset's partition columns (e.g.
+    * `nodeType` for the nodes store) — compacting a partitioned layout
+    * flat would strip partition pruning and collide with later
+    * partitioned appends.
     */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): (Int, Int) = {
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128,
+              partitionBy: Seq[String] = Nil): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"no dataset at $path")
@@ -115,9 +121,13 @@ object GraphIO {
     val bytes = before.map(_.getLen).sum
     val targetFiles = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    spark.read.parquet(path)
-      .repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val df = spark.read.parquet(path)
+    val writer =
+      (if (partitionBy.nonEmpty)
+         df.repartition(targetFiles, partitionBy.map(col): _*).write.partitionBy(partitionBy: _*)
+       else df.repartition(targetFiles).write)
+        .mode(SaveMode.Overwrite)
+    writer.parquet(tmp.toString)
     val after = parquetFiles(tmp).size
     fs.delete(hPath, true)
     require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")

@@ -79,13 +79,16 @@ object Similarity {
     */
   def nearestCentroid(df: DataFrame, id: Column, vec: Column, label: Column,
                       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "nearestCentroid needs at least one centroid")
     val scored = centroids.map { case (lab, c) =>
       val cNorm = math.sqrt(c.map(x => x * x).sum)
       struct((dot(vec, array(c.map(lit): _*)) / (norm(vec) * lit(cNorm))).as("cos"),
         lit(-lab).as("nl"))
     }
+    // Spark's greatest() requires >= 2 arguments; K=1 degenerates
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     df.select(id.as("id"), label.as("label"),
-      (greatest(scored: _*).getField("nl") * -1).as("predicted"))
+      (best.getField("nl") * -1).as("predicted"))
   }
 
   /** IVF (inverted-file) ANN: assign every vector to its nearest coarse
@@ -95,11 +98,12 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, id: Column, vec: Column,
                 centroids: Seq[Seq[Double]]): DataFrame = {
-    val best = centroids.zipWithIndex.map { case (cvec, i) =>
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (cvec, i) =>
       struct(cosine(vec, array(cvec.map(lit): _*)).as("cos"), lit(i).as("bucket"))
     }
-    df.select(id.as("id"), vec.as("v"),
-      greatest(best: _*).getField("bucket").as("bucket"))
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.select(id.as("id"), vec.as("v"), best.getField("bucket").as("bucket"))
   }
 
   def ivfTopK(df: DataFrame, id: Column, vec: Column,

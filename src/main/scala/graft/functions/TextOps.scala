@@ -76,8 +76,26 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "我")
   )
 
+  /** Single-character non-ASCII markers (CJK function words) score by
+    * SUBSTRING occurrence — unsegmented scripts have no whitespace
+    * tokens, so token-equality scoring could never fire for them.
+    */
+  private[functions] def isCjkMarker(m: String): Boolean = m.length == 1 && m.head > 127
+
+  /** Marker score: whitespace-token hits for word markers + occurrence
+    * counts for single-char CJK markers (`translate` strips every
+    * occurrence; the length delta counts them — codegen'd, no regex).
+    */
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val (cjk, words) = markers.partition(isCjkMarker)
+    val wordScore = if (words.nonEmpty) tokenHits(text, words) else lit(0)
+    cjk.foldLeft(wordScore) { (acc, m) =>
+      acc + (length(text) - length(translate(text, m, "")))
+    }
+  }
+
   def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, markers) => lang -> tokenHits(text, markers) }
+    val scores = langMarkers.map { case (lang, markers) => lang -> markerHits(lower(text), markers) }
     val best = greatest(scores.map(_._2): _*)
     // first language (in declaration order) reaching the max score
     scores.reverse.foldLeft(lit(langMarkers.head._1)) { case (acc, (lang, score)) =>

@@ -51,7 +51,11 @@ object Display {
       }
     case NodeTypes.QualitativeLabelNode => fields.getOrElse("Name", "")
     case NodeTypes.BioticProxyNode =>
-      s"${fields.getOrElse("name", "")} (${fields.getOrElse("group", "")})".trim
+      val name = fields.getOrElse("name", "")
+      fields.get("group").filter(_.nonEmpty) match {
+        case Some(grp) => s"$name ($grp)".trim
+        case None => name // no dangling "()" when the group is absent
+      }
     case NodeTypes.SourceNode =>
       val authors = fields.getOrElse("authors", "")
       val year = fields.getOrElse("year", "")

@@ -36,10 +36,16 @@ object Time {
     *   BC y  → 1950 + y
     *   BP / calYrBP → pass-through (rounded)
     */
+  // HALF_UP (away from zero) to match Spark's round() in the Column form
+  // exactly — scala math.round is floor(x+0.5), which differs at negative
+  // half-integers (e.g. AD 1950.5 → −0.5: HALF_UP gives −1, floor gives 0)
+  private def halfUp(d: Double): Int =
+    BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+
   def holoceneCalYear(calendar: String, value: Double): Int = calendar match {
-    case "AD" => math.round(1950d - value).toInt
-    case "BC" => math.round(1950d + value).toInt
-    case _    => math.round(value).toInt // "BP" | "calYrBP" | "uncalYrBP"
+    case "AD" => halfUp(1950d - value)
+    case "BC" => halfUp(1950d + value)
+    case _    => halfUp(value) // "BP" | "calYrBP" | "uncalYrBP"
   }
 
   /** Column form of [[holoceneCalYear]] — a codegen-friendly `when` chain,

@@ -21,8 +21,16 @@ object PipelineQueries {
     */
   private def langIdOracle: String = {
     val hits = TextOps.langMarkers.map { case (lang, markers) =>
-      val inList = markers.map(m => s"'$m'").mkString(", ")
-      s"CAST(len(list_filter(${sqlTokens("lower(text)")}, x -> x IN ($inList))) AS INT) AS s_$lang"
+      // word markers count token hits; single-char CJK markers count
+      // substring occurrences (mirrors TextOps.markerHits)
+      val (cjk, words) = markers.partition(m => m.length == 1 && m.head > 127)
+      val inList = words.map(m => s"'$m'").mkString(", ")
+      val wordScore =
+        if (words.nonEmpty) s"len(list_filter(${sqlTokens("lower(text)")}, x -> x IN ($inList)))"
+        else "0"
+      val cjkScore = cjk.map(m =>
+        s" + (length(lower(text)) - length(replace(lower(text), '$m', '')))").mkString
+      s"CAST($wordScore$cjkScore AS INT) AS s_$lang"
     }.mkString(",\n                 ")
     val langs = TextOps.langMarkers.map(_._1)
     val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"

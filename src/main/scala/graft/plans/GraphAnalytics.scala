@@ -32,14 +32,24 @@ object GraphAnalytics {
     // Pregel-style algorithms shuffle per iteration; for the filtered
     // subgraphs this bridge targets, fewer/larger partitions beat the
     // session's scan parallelism (tune up for billion-edge subgraphs)
-    val verts: RDD[(VertexId, String)] = g.nodes
+    val vertDf = g.nodes
       .filter(col("nodeType").isin(nodeTypes: _*))
-      .select(fnv64Col(col("key")).as("id"), col("key")).rdd
+      .select(fnv64Col(col("key")).as("id"), col("key"))
+    // edges must stay INSIDE the typed vertex set: GraphX materializes
+    // missing endpoints with a null attribute, which would leak null-key
+    // rows into results and let traversals hop through excluded types
+    val vertIds = vertDf.select(col("id"))
+    val edgeDf = g.edges
+      .filter(col("relType").isin(relTypes: _*))
+      .select(fnv64Col(col("src")).as("sid"), fnv64Col(col("dst")).as("did"), col("relType"))
+      .join(vertIds.withColumnRenamed("id", "sid"), Seq("sid"), "left_semi")
+      .join(vertIds.withColumnRenamed("id", "did"), Seq("did"), "left_semi")
+      // using-joins move the key column first — restore (src, dst) order
+      .select(col("sid"), col("did"), col("relType"))
+    val verts: RDD[(VertexId, String)] = vertDf.rdd
       .map(r => (r.getLong(0), r.getString(1)))
       .coalesce(numPartitions)
-    val edges: RDD[Edge[String]] = g.edges
-      .filter(col("relType").isin(relTypes: _*))
-      .select(fnv64Col(col("src")), fnv64Col(col("dst")), col("relType")).rdd
+    val edges: RDD[Edge[String]] = edgeDf.rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
       .coalesce(numPartitions)
     Graph(verts, edges)

@@ -29,11 +29,13 @@ object Ingest {
 
   // braced values may contain commas AND span lines (BibTeX wraps long
   // titles/author lists); (?s) lets `.` cross newlines, (?m)`$` ends the
-  // value at the first line-terminating `}` — one nesting level like
-  // `{The {BIG} title}` survives because the match must end at a line end.
-  // Unbraced single-line values (`year = 1987,`) are the second branch.
+  // value at the first line-terminating `}` — nested groups like
+  // `{The {BIG} title}` and double-brace `{{Corporate Name}}` survive
+  // because backtracking must keep the closing braces balanced up to the
+  // line end (the RECORD-closing brace is stripped before matching, see
+  // parseBibtexCol). Unbraced values (`year = 1987,`) are branch two.
   private val fieldPattern = (field: String) =>
-    s"(?smi)^\\s*$field\\s*=\\s*(?:\\{(.*?)\\}+|([^{][^,\\n]*)),?\\s*$$"
+    s"(?smi)^\\s*$field\\s*=\\s*(?:\\{(.*?)\\}|([^{][^,\\n]*)),?\\s*$$"
 
   /** Parse a BibTeX string into records — the DataFrame path: split on
     * `@` record starts, explode, regex-extract each field (reference
@@ -51,6 +53,10 @@ object Ingest {
     val records = df
       .select(explode(split(col("raw"), "(?=@[A-Za-z]+\\s*\\{)")).as("rec"))
       .filter(col("rec").rlike("^@[A-Za-z]+\\s*\\{"))
+      // strip the RECORD-closing brace so a final field's value brace is
+      // unambiguous (`month = {jan}}` → `month = {jan}`) without breaking
+      // double-braced values like `{{Corporate Name}}`
+      .withColumn("rec", regexp_replace(col("rec"), "\\}\\s*$", ""))
     // braced (group 1) or bare (group 2) value; wrapped lines collapse to
     // a single space, per BibTeX whitespace semantics
     def fieldValue(field: String): org.apache.spark.sql.Column = {
@@ -63,10 +69,15 @@ object Ingest {
       fieldValue("author").as("author"),
       fieldValue("title").as("title"),
       fieldValue("journal").as("journal"),
-      regexp_extract(col("rec"), "year\\s*=\\s*\\{?(\\d{1,4})\\}?", 1).cast("int").as("year"),
+      // anchored + case-insensitive like the other fields (BibTeX field
+      // names are case-insensitive; unanchored forms could match inside
+      // another field's value)
+      regexp_extract(col("rec"), "(?mi)^\\s*year\\s*=\\s*\\{?(\\d{1,4})\\}?", 1)
+        .cast("int").as("year"),
       fieldValue("volume").as("volume"),
       fieldValue("number").as("number"),
-      regexp_extract(col("rec"), "pages\\s*=\\s*\\{?(\\d+\\s*--?\\s*\\d+)\\}?", 1).as("pages"),
+      regexp_extract(col("rec"), "(?mi)^\\s*pages\\s*=\\s*\\{?(\\d+\\s*--?\\s*\\d+)\\}?", 1)
+        .as("pages"),
       fieldValue("month").as("month")
     )
   }
@@ -108,9 +119,12 @@ object Ingest {
   def dataTableLong(wide: DataFrame): DataFrame = {
     val indexCol = wide.columns.head
     val morphs = wide.columns.tail
-    val stackExpr = morphs.map(m => s"'${m.replace("'", "''")}', `$m`").mkString(", ")
-    wide.selectExpr(s"`$indexCol` AS depth",
-        s"stack(${morphs.length}, $stackExpr) AS (morphotype, value)")
+    // native unpivot (no SQL-string assembly — morphotype headers with
+    // quotes/backticks are just column names); exact-name quoting so a
+    // header containing a backtick is data, not attribute syntax
+    def exact(n: String) = col("`" + n.replace("`", "``") + "`")
+    wide.unpivot(Array(exact(indexCol).as("depth")), morphs.map(exact).toArray,
+        "morphotype", "value")
       .select(col("depth").cast("double"), col("morphotype"), col("value").cast("double"))
   }
 

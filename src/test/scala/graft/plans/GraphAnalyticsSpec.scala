@@ -58,4 +58,18 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(lab("taxonnode_family_salicaceae") == "taxonnode_family_salicaceae")
     assert(!lab.contains("taxonnode_isolated"))
   }
+
+  test("edges to excluded node types stay outside the typed subgraph (no phantom vertices)") {
+    val g = GraphState(
+      (Seq("taxonnode_a", "taxonnode_b").map(k => NodeRow(k, "taxonnode", k, "{}")) :+
+        NodeRow("contextnode_x", "contextnode", "X", "{}")).toDS(),
+      Seq(
+        // a and b are connected ONLY through the excluded context node
+        EdgeRow("taxonnode_a", "contextnode_x", 1, "IsA", "{}"),
+        EdgeRow("contextnode_x", "taxonnode_b", 1, "IsA", "{}")).toDS())
+    val cc = GraphAnalytics.connectedComponents(spark, g, Seq("IsA"), Seq("taxonnode"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == Set("taxonnode_a", "taxonnode_b")) // no null keys
+    assert(cc("taxonnode_a") != cc("taxonnode_b")) // not merged through contextnode_x
+  }
 }

@@ -63,6 +63,31 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[Int]("year") == 2001)
   }
 
+  test("S8 double-braced values and capitalized field names parse correctly") {
+    val bib =
+      """@article{corp1999,
+        |  Author = {{Van Der Berg Institute}},
+        |  Title = {Ecology of {Salix} habitats},
+        |  Year = {1999},
+        |  Pages = {10--20},
+        |}""".stripMargin
+    val r = Ingest.parseBibtex(spark, bib).head()
+    assert(r.getAs[String]("author") == "{Van Der Berg Institute}")
+    assert(r.getAs[String]("title") == "Ecology of {Salix} habitats")
+    assert(r.getAs[Int]("year") == 1999)
+    assert(r.getAs[String]("pages") == "10--20")
+  }
+
+  test("S12 morphotype headers with quotes and backticks survive the unpivot") {
+    import spark.implicits._
+    val wide = Seq((0.0, 1.0, 2.0), (5.0, 3.0, 4.0))
+      .toDF("depth", "O'Brien type", "weird`name")
+    val long = Ingest.dataTableLong(wide).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSet
+    assert(long == Set((0.0, "O'Brien type", 1.0), (0.0, "weird`name", 2.0),
+      (5.0, "O'Brien type", 3.0), (5.0, "weird`name", 4.0)))
+  }
+
   test("S9 Colandr sync filters to included citations") {
     import spark.implicits._
     val csv = Seq(
