@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's output in place —
+        // the gate would silently compare stale (possibly passing) results
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

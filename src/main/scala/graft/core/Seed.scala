@@ -29,7 +29,7 @@ object Seed {
     spark
       .range(Time.MinYearBP.toLong, Time.MaxYearBP.toLong + 1)
       .select(
-        concat(lit(NodeTypes.CalYearNode + "_"), col("id").cast("string"), lit("ybp")).as("key"),
+        Keys.calYearKeyCol(col("id")).as("key"),
         lit(NodeTypes.CalYearNode).as("nodeType"),
         concat(col("id").cast("string"), lit(" cal yr BP")).as("prettyName"),
         to_json(struct(col("id").cast("int").as("year"))).as("payload")
@@ -50,8 +50,8 @@ object Seed {
     import spark.implicits._
     spark.range(Time.MinYearBP.toLong + 1, Time.MaxYearBP.toLong + 1)
       .select(
-        concat(lit(NodeTypes.CalYearNode + "_"), col("id").cast("string"), lit("ybp")).as("src"),
-        concat(lit(NodeTypes.CalYearNode + "_"), (col("id") - 1).cast("string"), lit("ybp")).as("dst"),
+        Keys.calYearKeyCol(col("id")).as("src"),
+        Keys.calYearKeyCol(col("id") - 1).as("dst"),
         lit(1).as("weight"), lit("Next").as("relType"), lit("{}").as("relPayload"))
       .as[EdgeRow]
   }

@@ -60,8 +60,15 @@ object Transactions {
       earliest: (String, Double), latest: (String, Double),
       earliestError: Option[Double],
       timelineUuid: UUID, contextUuid: UUID): Either[String, TxBatch] = {
-    if (latDD < -90 || latDD > 90) Left(s"latitude out of range: $latDD")
-    else if (lonDD < -180 || lonDD > 180) Left(s"longitude out of range: $lonDD")
+    // NaN compares false to everything, so explicit finiteness checks —
+    // a NaN coordinate would otherwise pass the range guards and emit
+    // invalid JSON in the context payload
+    if (!java.lang.Double.isFinite(latDD) || latDD < -90 || latDD > 90)
+      Left(s"latitude out of range: $latDD")
+    else if (!java.lang.Double.isFinite(lonDD) || lonDD < -180 || lonDD > 180)
+      Left(s"longitude out of range: $lonDD")
+    else if (earliestError.exists(e => !java.lang.Double.isFinite(e) || e < 0))
+      Left(s"earliest-date error must be a finite non-negative year count: $earliestError")
     else {
       val tlKey = Keys.uuidKey(NodeTypes.IndividualTimelineNode, timelineUuid)
       val ctxKey = Keys.uuidKey(NodeTypes.ContextNode, contextUuid)
@@ -73,6 +80,12 @@ object Transactions {
       if (lYr > eYr) Left(s"latest ($lYr BP) older than earliest ($eYr BP)")
       else if (eYr < Time.MinYearBP || lYr < Time.MinYearBP)
         Left(s"date newer than the time index floor (${Time.MinYearBP} BP): earliest=$eYr latest=$lYr")
+      // only the EARLIEST date has out-of-scope routing; the reference
+      // selects the latest via trySelectTimeNode, which has no label
+      // fallback and errors for pre-Holocene years (Scenarios.fs:154-156)
+      else if (lYr > Time.HoloceneBoundaryBP)
+        Left(s"latest date ($lYr BP) is older than the Holocene boundary " +
+          s"(${Time.HoloceneBoundaryBP} BP) — no year node exists for it")
       else {
         val nodes = Seq(
           NodeRow(tlKey, NodeTypes.IndividualTimelineNode, s"Timeline: $siteName",
@@ -162,9 +175,13 @@ object Transactions {
     import org.apache.spark.sql.functions._
     val taxa = g.nodesOfType(NodeTypes.TaxonNode)
       .select(col("key").as("taxon_key"), lower(col("prettyName")).as("latin"))
+    // homonyms: two taxa may share a display name — collapse to one
+    // deterministic key per latin name BEFORE the join, so each proposed
+    // row yields exactly one output row and batch counts stay exact
+    val uniqueTaxa = taxa.groupBy(col("latin")).agg(min(col("taxon_key")).as("taxon_key"))
     proposed
       .withColumn("latin", lower(trim(col("name"))))
-      .join(broadcast(taxa), Seq("latin"), "left_outer")
+      .join(broadcast(uniqueTaxa), Seq("latin"), "left_outer")
       .withColumn("status",
         when(col("name").isNull || trim(col("name")) === "", "error")
           .when(col("taxon_key").isNotNull, "linked")

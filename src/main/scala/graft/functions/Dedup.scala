@@ -145,13 +145,10 @@ object Dedup {
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
-    * hash each band, and emit `(band, bucket, id)`; candidate pairs are ids
-    * sharing a `(band, bucket)` key. The only shuffle is on the compact
-    * band keys.
-    */
-  /** Banded bucket index `(band, bucket, id)` for a signature table —
-    * the persistent probe structure for incremental dedup
-    * ([[graft.streaming.StreamingDedup]]).
+    * hash each band, and emit `(band, bucket, id)` — the probe index
+    * ([[lshCandidates]] self-joins it; [[graft.streaming.StreamingDedup]]
+    * persists it). Map-side only; downstream joins shuffle just the
+    * compact band keys.
     */
   def bandBuckets(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     signatures.select(

@@ -16,29 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0,1) value derived from the first 28 bits of md5(id). */
-  def hash01(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 7), 16, 10).cast("double") /
+  /** Uniform [0,1) value derived from the first 28 bits of md5(salt+id).
+    *
+    * `salt` separates DECISIONS: two samples/splits keyed off the same id
+    * with the same salt are perfectly correlated (a 5% sample is a subset
+    * of a 10% one — sometimes wanted), while different salts are
+    * independent (a sampled subset then split by an independent salt gets
+    * all splits represented). Default "" keeps decisions reproducible
+    * across runs.
+    */
+  def hash01(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 7), 16, 10).cast("double") /
       lit((1L << 28).toDouble)
 
   /** Keep rows whose hash falls below `rate` — a deterministic Bernoulli
     * sample, map-side only (the filter pushes to the scan).
     */
-  def hashSample(df: DataFrame, id: Column, rate: Double): DataFrame =
-    df.filter(hash01(id) < rate)
+  def hashSample(df: DataFrame, id: Column, rate: Double, salt: String = ""): DataFrame =
+    df.filter(hash01(id, salt) < rate)
 
   /** Assign each row to a named split by cumulative hash thresholds,
     * e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`.
-    * Weights must sum to ~1; the last split absorbs rounding.
+    * Weights must sum to ~1; the last split absorbs rounding. A null id
+    * yields a null split (not a silent assignment to the last split).
     */
-  def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {
+  def splitColumn(id: Column, splits: Seq[(String, Double)], salt: String = ""): Column = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1: $splits")
-    val h = hash01(id)
+    val h = hash01(id, salt)
     val cuts = splits.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
-    splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
+    val assigned = splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), rest) => when(h < cut, lit(name)).otherwise(rest)
     }
+    when(h.isNotNull, assigned)
   }
 
   /** Per-stratum deterministic sampling: each stratum keeps rows under
@@ -46,10 +56,10 @@ object Sampling {
     * literal map — map-side only, no shuffle, no skew sensitivity.
     */
   def stratifiedHashSample(df: DataFrame, id: Column, stratum: Column,
-                           rates: Map[String, Double]): DataFrame = {
+                           rates: Map[String, Double], salt: String = ""): DataFrame = {
     val rate = rates.foldLeft(lit(0.0): Column) {
       case (acc, (k, r)) => when(stratum === k, lit(r)).otherwise(acc)
     }
-    df.filter(hash01(id) < rate)
+    df.filter(hash01(id, salt) < rate)
   }
 }

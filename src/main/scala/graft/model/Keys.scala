@@ -47,6 +47,14 @@ object Keys {
   // `<year>ybp` (reference `Graph.fs:527`)
   def calYearKey(yearBP: Int): String = s"${NodeTypes.CalYearNode}_${yearBP}ybp"
 
+  /** Column form of [[calYearKey]] — the ONE place the key format lives
+    * for column-side builders (Seed, Time routing).
+    */
+  def calYearKeyCol(yearBP: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    concat(lit(NodeTypes.CalYearNode + "_"), yearBP.cast("string"), lit("ybp"))
+  }
+
   // taxon ranks (reference `Graph.fs:407-423`), e.g.
   // `taxonnode_species_salix_herbacea_l`
   def taxonKey(rank: String, parts: String*): String =

@@ -70,5 +70,5 @@ object Time {
   /** Column form of [[timeNodeKey]]. */
   def timeNodeKeyCol(yearBP: Column): Column =
     when(yearBP > HoloceneBoundaryBP, lit(PreHoloceneKey))
-      .otherwise(concat(lit(NodeTypes.CalYearNode + "_"), yearBP.cast("string"), lit("ybp")))
+      .otherwise(Keys.calYearKeyCol(yearBP))
 }

@@ -33,6 +33,9 @@ object TpchGraph {
     * for any sub-second-insensitive query.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // intentionally session-global (Graft.session sets it too): nanos
+    // event data is part of the engine's surface, and the flag must hold
+    // from schema inference through every later scan of the plan
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer division: epoch-nanos exceed double's 2^53 mantissa, so
     // `/ 1000` (double) can land on the wrong microsecond
