@@ -25,11 +25,20 @@ object Bench {
         .filter(col("rn") >= 0).count()
     }
     // sorted order keeps per-query attribution stable across rounds
-    // (shared-cache materialization always lands on the same first query)
+    // (shared-cache materialization always lands on the same first query).
+    // The noop sink forces FULL execution — count() would let Catalyst
+    // eliminate global sorts and prune every projected expression, timing
+    // a bare scan for projection-only queries. Failures are reported as
+    // -1 in the JSON (not swallowed into a plausible-looking timing).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

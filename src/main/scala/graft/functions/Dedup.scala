@@ -215,10 +215,14 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, id: Column, vec: Column, minCos: Double): DataFrame = {
     val a = df.select(id.as("id_a"), vec.as("va"))
     val b = df.select(id.as("id_b"), vec.as("vb"))
+    // threshold on the ROUNDED cosine (the output precision): the raw
+    // value's last ulps are accumulation-order-dependent and not
+    // portable across engines, so a pair at the exact boundary could
+    // otherwise flip membership vs the oracle
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos_raw", Similarity.cosine(col("va"), col("vb")))
-      .filter(col("cos_raw") >= minCos)
-      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Corpus-scale variant of [[embeddingNearDups]]: sign-LSH blocking

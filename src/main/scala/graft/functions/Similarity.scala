@@ -80,9 +80,12 @@ object Similarity {
   def nearestCentroid(df: DataFrame, id: Column, vec: Column, label: Column,
                       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     require(centroids.nonEmpty, "nearestCentroid needs at least one centroid")
+    // argmax over the ROUNDED cosine: raw last-ulp values are not
+    // portable across engines, so near-tied centroids could otherwise
+    // classify differently than an oracle computing its own cosines
     val scored = centroids.map { case (lab, c) =>
       val cNorm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(vec, array(c.map(lit): _*)) / (norm(vec) * lit(cNorm))).as("cos"),
+      struct(round(dot(vec, array(c.map(lit): _*)) / (norm(vec) * lit(cNorm)), 6).as("cos"),
         lit(-lab).as("nl"))
     }
     // Spark's greatest() requires >= 2 arguments; K=1 degenerates

@@ -46,15 +46,17 @@ object GraphQueries {
       "A2/S1 — full-graph load + per-type counts (ref Storage.fs:188-193)"),
 
     Q("g02_node_lookup",
+      // the driver compare is row-order-sensitive — sort explicitly
+      // rather than relying on input-order preservation on either engine
       (s, d) => g(s, d).nodesByKeys(Seq("customer_1", "supplier_2", "nation_3"))
-        .select("key", "nodeType", "prettyName"),
+        .select("key", "nodeType", "prettyName").orderBy("key"),
       Some("""
         SELECT * FROM (
           SELECT 'customer_1' AS key, 'customer' AS nodeType,
                  (SELECT c_name FROM customer WHERE c_custkey=1) AS prettyName UNION ALL
           SELECT 'supplier_2', 'supplier', (SELECT s_name FROM supplier WHERE s_suppkey=2) UNION ALL
           SELECT 'nation_3', 'nation', (SELECT n_name FROM nation WHERE n_nationkey=3)
-        )"""),
+        ) ORDER BY key"""),
       "P1/P2/S3 — batch key lookup preserving input order (ref Storage.fs:223-237)"),
 
     Q("g03_filter_regex",

@@ -115,7 +115,7 @@ object PipelineQueries {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.e, b.e), 6) AS cos
         FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
         ORDER BY id_a, id_b"""),
       "dedup — embedding-cosine near-duplicate pairs (exact on bounded set; LSH-bucketed at scale)"),
 
@@ -416,7 +416,7 @@ object PipelineQueries {
         best AS (
           SELECT e.vec_id, e.label, c.clabel AS predicted,
                  row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                   ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
                             c.clabel) AS rn
           FROM embeddings e CROSS JOIN cent c)
         SELECT label, predicted, CAST(count(*) AS BIGINT) AS n

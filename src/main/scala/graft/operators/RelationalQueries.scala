@@ -43,7 +43,7 @@ object RelationalQueries {
         val c = table(s, d, "customer").select("c_custkey", "c_nationkey")
         val n = table(s, d, "nation")
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey")) // customer scales with SF — let AQE pick broadcast vs shuffle
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
@@ -187,8 +187,11 @@ object RelationalQueries {
     Q("q12_parts_above_brand_avg",
       (s, d) => {
         val p = table(s, d, "part")
+        // threshold on the ROUNDED average: raw double averages are
+        // accumulation-order-dependent, so a part sitting at the exact
+        // 1.2x boundary could flip membership between engines
         val brandAvg = p.groupBy(col("p_brand").as("b"))
-          .agg(avg(col("p_retailprice")).as("brand_avg"))
+          .agg(round(avg(col("p_retailprice")), 4).as("brand_avg"))
         p.join(broadcast(brandAvg), col("p_brand") === col("b"))
           .filter(col("p_retailprice") > col("brand_avg") * 1.2)
           .groupBy("p_brand")
@@ -199,7 +202,7 @@ object RelationalQueries {
         SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
                round(max(p_retailprice), 2) AS max_price
         FROM part p1
-        WHERE p_retailprice > 1.2 * (SELECT avg(p_retailprice) FROM part p2
+        WHERE p_retailprice > 1.2 * (SELECT round(avg(p_retailprice), 4) FROM part p2
                                      WHERE p2.p_brand = p1.p_brand)
         GROUP BY 1 ORDER BY 1"""),
       "correlated scalar subquery — decorrelated to aggregate + broadcast join"),
@@ -210,7 +213,7 @@ object RelationalQueries {
         val c = table(s, d, "customer").select("c_custkey", "c_nationkey")
         val n = table(s, d, "nation")
         val r = table(s, d, "region")
-        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        o.join(c, col("o_custkey") === col("c_custkey")) // customer scales with SF — let AQE pick broadcast vs shuffle
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .select("r_name", "n_name", "o_totalprice")
@@ -289,7 +292,7 @@ object RelationalQueries {
         val n1 = n.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
         val n2 = n.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey")) // customer scales with SF — let AQE pick broadcast vs shuffle
           .join(broadcast(n1), col("c_nationkey") === col("ck"))
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n2), col("s_nationkey") === col("sk"))
