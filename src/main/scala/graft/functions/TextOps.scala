@@ -43,20 +43,23 @@ object TextOps {
   /** Quality signals: length, mean token length, punctuation ratio,
     * stopword ratio, uppercase ratio. Returns a struct column; callers
     * project / threshold.
+    *
+    * Counters come from the native
+    * [[graft.functions.expressions.QualityCounts]] expression — one char
+    * scan per row instead of two full-text regex rewrites plus a split
+    * and two higher-order filters (which also fall out of codegen).
     */
   def qualitySignals(text: Column, stopwords: Seq[String]): Column = {
-    val nChars = length(text)
-    val nTok = tokenCount(text)
-    val punct = nChars - length(regexp_replace(text, "[\\p{Punct}]", ""))
-    val upper = nChars - length(regexp_replace(text, "[A-Z]", ""))
-    val stops = tokenHits(text, stopwords)
+    val c = graft.functions.expressions.QualityCounts.qualityCountsCol(text, stopwords)
+    val nChars = c.getField("n_chars")
+    val nTok = c.getField("n_tokens")
     struct(
       nChars.as("n_chars"),
       nTok.as("n_tokens"),
       round(nChars.cast("double") / greatest(nTok, lit(1)), 4).as("mean_token_len"),
-      round(punct.cast("double") / greatest(nChars, lit(1)), 4).as("punct_ratio"),
-      round(upper.cast("double") / greatest(nChars, lit(1)), 4).as("upper_ratio"),
-      round(stops.cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio")
+      round(c.getField("n_punct").cast("double") / greatest(nChars, lit(1)), 4).as("punct_ratio"),
+      round(c.getField("n_upper").cast("double") / greatest(nChars, lit(1)), 4).as("upper_ratio"),
+      round(c.getField("n_stop").cast("double") / greatest(nTok, lit(1)), 4).as("stopword_ratio")
     )
   }
 
