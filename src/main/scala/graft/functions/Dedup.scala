@@ -254,9 +254,12 @@ object Dedup {
     cands
       .join(data.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(data.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("cos_raw", Similarity.cosine(col("va"), col("vb")))
-      .filter(col("cos_raw") >= minCos)
-      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+      // threshold on the ROUNDED cosine, matching embeddingNearDups: raw
+      // last-ulps aren't portable across engines, and the exact/LSH twins
+      // must agree on boundary pairs
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   // ------------------------------------------------------------ SimHash

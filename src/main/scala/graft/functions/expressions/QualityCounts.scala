@@ -34,7 +34,7 @@ case class QualityCounts(child: Expression, stopwords: Seq[String]) extends Unar
 
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    stopwords.foreach(w => s.add(w.toLowerCase))
+    stopwords.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
     s
   }
 
@@ -73,6 +73,9 @@ object QualityCounts {
   /** One pass: counts + inline tokenization. Called from generated code. */
   def compute(s: String, stops: java.util.HashSet[String]): InternalRow = {
     val n = s.length
+    // n_chars counts CODE POINTS (what Spark's length() returns), not
+    // UTF-16 code units — they differ for non-BMP text
+    val nChars = s.codePointCount(0, n)
     var punct = 0
     var upper = 0
     var tokens = 0
@@ -85,7 +88,8 @@ object QualityCounts {
         tokens += 1
         // skip the substring allocation unless the token could be a stopword
         if (end - tokStart <= maxStopLen &&
-            stops.contains(s.substring(tokStart, end).toLowerCase)) stopHits += 1
+            stops.contains(s.substring(tokStart, end)
+              .toLowerCase(java.util.Locale.ROOT))) stopHits += 1
         tokStart = -1
       }
     }
@@ -100,7 +104,7 @@ object QualityCounts {
       i += 1
     }
     closeToken(n)
-    InternalRow(n, tokens, punct, upper, stopHits)
+    InternalRow(nChars, tokens, punct, upper, stopHits)
   }
 
   /** Column wrapper. */

@@ -27,10 +27,13 @@ object GraphStream {
     // Check for committed DATA files, not the directory: a failed first
     // write can leave an empty dir whose schema inference would throw on
     // every later batch (a crash loop the stream can never exit).
+    // The writer uses partitionBy(nodeType), so data files live one level
+    // down (nodes/nodeType=X/part-*.parquet); Hadoop globs don't cross path
+    // components, so the glob must include the partition directory.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(hPath) &&
-      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.parquet")).nonEmpty
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*/*.parquet")).nonEmpty
     val existingKeys =
       if (hasData) spark.read.parquet(path).select("key")
       else spark.range(0).select(col("id").cast("string").as("key"))

@@ -25,8 +25,12 @@ class GraphStreamSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val store = GraphStream.loadStore(spark, dir).collect().map(n => n.key -> n.prettyName).toMap
-    assert(store.keySet == Set("taxonnode_a", "taxonnode_b", "taxonnode_c"))
-    assert(store("taxonnode_b") == "B") // first write wins, replay-safe
+    // Assert on raw rows, not a keyed Map: a Map would hide duplicate keys
+    // (last file-read-order occurrence wins) and green-light broken dedup.
+    val rows = GraphStream.loadStore(spark, dir).collect()
+    assert(rows.length == 3, s"expected 3 rows, got ${rows.map(r => r.key -> r.prettyName).toList}")
+    assert(rows.map(_.key).distinct.length == rows.length, "duplicate keys in store")
+    assert(rows.map(_.key).toSet == Set("taxonnode_a", "taxonnode_b", "taxonnode_c"))
+    assert(rows.find(_.key == "taxonnode_b").get.prettyName == "B") // first write wins, replay-safe
   }
 }
