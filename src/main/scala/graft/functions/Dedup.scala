@@ -264,24 +264,28 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash
 
-  /** 63-bit SimHash: per token hash, each bit votes ±1; the signature is
-    * the sign vector packed into a non-negative long (bit 63 is left
-    * clear so the signature never needs the sign bit). Token hashes come
-    * from Spark's native `xxhash64` so every bit position carries signal.
+  /** Number of signature bits in [[simHash]]. */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash: per token hash, each bit votes ±1; the signature is
+    * the sign vector packed into a non-negative long. The token hash is
+    * the first 15 hex chars of md5 (same portability trick as
+    * [[gramHash]]) so any engine with md5 can replicate the signature
+    * bit-for-bit — 60 well-mixed bits is plenty for near-dup banding.
     * Bit arithmetic via array expressions — map-side only.
     */
   def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("id"), explode(TextOps.tokens(lower(text))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val votes = toks.groupBy("id").agg(
-      array((0 until 63).map { bit =>
+      array((0 until SimHashBits).map { bit =>
         sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1))
       }: _*).as("votes")
     )
     votes.select(
       col("id"),
       aggregate(
-        zip_with(col("votes"), sequence(lit(0), lit(62)),
+        zip_with(col("votes"), sequence(lit(0), lit(SimHashBits - 1)),
           (v, bit) => when(v > 0, pow(lit(2.0), bit).cast("long")).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc.bitwiseOR(x)
       ).as("simhash"))

@@ -102,8 +102,11 @@ object Similarity {
   def ivfAssign(df: DataFrame, id: Column, vec: Column,
                 centroids: Seq[Seq[Double]]): DataFrame = {
     require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
+    // argmax over the ROUNDED cosine (see nearestCentroid) so bucket
+    // assignment is reproducible across engines; ties break toward the
+    // larger bucket index (greatest over (cos, bucket) structs)
     val scored = centroids.zipWithIndex.map { case (cvec, i) =>
-      struct(cosine(vec, array(cvec.map(lit): _*)).as("cos"), lit(i).as("bucket"))
+      struct(round(cosine(vec, array(cvec.map(lit): _*)), 6).as("cos"), lit(i).as("bucket"))
     }
     val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     df.select(id.as("id"), vec.as("v"), best.getField("bucket").as("bucket"))
@@ -116,8 +119,13 @@ object Similarity {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
       d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
+    // rank probes on the ROUNDED cosine with an explicit index tie-break
+    // (HALF_UP matches SQL round) so an oracle re-deriving the probe set
+    // agrees even when two centroids score identically at 6 decimals
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
     val probe = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cosScalar(c, query) }
+      .sortBy { case (c, i) => (-r6(cosScalar(c, query)), i) }
       .take(nprobe).map(_._2)
     val assigned = ivfAssign(df, id, vec, centroids)
       .filter(col("bucket").isin(probe: _*))

@@ -16,6 +16,109 @@ object PipelineQueries {
   private def sqlTokens(expr: String) =
     s"list_filter(regexp_split_to_array($expr, '\\s+'), x -> len(x) > 0)"
 
+  /** Embedding dimensionality of the `embeddings` table (fixed across
+    * scale factors; asserted implicitly — a mismatch makes the Spark and
+    * oracle bucket expressions disagree and the gate fails loudly).
+    */
+  private val EmbDim = 64
+
+  /** DuckDB double-list literal, e.g. `[0.1, -0.2]::DOUBLE[]`. */
+  private def doubleList(xs: Seq[Double]): String =
+    xs.mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** Sign-LSH bucket over `vecExpr` for one hyperplane table, as DuckDB
+    * SQL with the (deterministic, seeded) plane components inlined as
+    * literals — the exact twin of the `when(dot(v, planes) > 0, 1<<i)`
+    * column in [[Similarity.lshBuckets]] / [[Dedup.embeddingNearDupsLsh]].
+    */
+  private def lshBucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product($vecExpr, ${doubleList(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB replica of [[Similarity.lshTopK]] (p11): per-table buckets
+    * for data and query with plane literals inlined; candidates share a
+    * bucket in ≥1 table; exact cosine re-ranks.
+    */
+  private def lshAnnOracle: String = {
+    val conds = (0 until 4).map { t =>
+      val planes = Similarity.hyperplanes(8, EmbDim, seed = 7L + t)
+      s"(${lshBucketSql("e", planes)}) = (${lshBucketSql("qe", planes)})"
+    }.mkString("\n           OR ")
+    s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        cand AS (
+          SELECT v.vec_id, v.e, q.qe FROM v CROSS JOIN q
+          WHERE $conds)
+        SELECT vec_id AS id, round(list_cosine_similarity(e, qe), 6) AS cos
+        FROM cand ORDER BY cos DESC, id LIMIT 10"""
+  }
+
+  /** DuckDB replica of [[Dedup.embeddingNearDupsLsh]] (p22): 6 union'd
+    * bucket tables (plane literals inlined) → self-join on (tbl, bucket)
+    * → exact cosine verify at the rounded threshold.
+    */
+  private def lshNearDupOracle: String = {
+    val buckets = (0 until 6).map { t =>
+      val planes = Similarity.hyperplanes(4, EmbDim, seed = 7L + t)
+      s"SELECT $t AS tbl, vec_id, ${lshBucketSql("e", planes)} AS bucket FROM v"
+    }.mkString("\n          UNION ALL ")
+    s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        bk AS (
+          $buckets),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                             AND a.vec_id < b.vec_id),
+        pr AS (
+          SELECT id_a, id_b, round(list_cosine_similarity(va.e, vb.e), 6) AS cos
+          FROM cand
+          JOIN v va ON va.vec_id = cand.id_a
+          JOIN v vb ON vb.vec_id = cand.id_b)
+        SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB replica of [[Similarity.ivfTopK]] (p16): centroids re-derived
+    * in SQL exactly as p15 does (4-dp rounded per-label means), probe set
+    * = 4 nearest centroids to the query by 6-dp rounded cosine (index
+    * ascending tie-break), bucket assignment = rounded-cosine argmax with
+    * ties toward the larger bucket, then exact re-rank within probed
+    * buckets.
+    */
+  private def ivfAnnOracle: String =
+    """
+        WITH cent AS (
+          SELECT label AS bucket, list(c ORDER BY pos) AS cvec FROM (
+            SELECT label, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+            FROM (SELECT label,
+                         unnest(list_transform(generate_series(1, len(embedding)),
+                                i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+                  FROM embeddings)
+            GROUP BY label, u.i)
+          GROUP BY label),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 3),
+        probe AS (
+          SELECT bucket FROM (
+            SELECT c.bucket,
+                   row_number() OVER (
+                     ORDER BY round(list_cosine_similarity(c.cvec, (SELECT qe FROM q)), 6) DESC,
+                              c.bucket) AS rn
+            FROM cent c) WHERE rn <= 4),
+        assign AS (
+          SELECT vec_id, e, bucket FROM (
+            SELECT v.vec_id, v.e, c.bucket,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY round(list_cosine_similarity(v.e, c.cvec), 6) DESC,
+                              c.bucket DESC) AS rn
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v
+            CROSS JOIN cent c) WHERE rn = 1)
+        SELECT a.vec_id AS id,
+               round(list_cosine_similarity(a.e, (SELECT qe FROM q)), 6) AS cos
+        FROM assign a JOIN probe p ON a.bucket = p.bucket
+        ORDER BY cos DESC, id LIMIT 10"""
+
   /** DuckDB replica of [[TextOps.langId]]: per-language marker hits,
     * greatest-score argmax with declaration-order tie-break.
     */
@@ -243,8 +346,20 @@ object PipelineQueries {
     Q("p08_simhash",
       (s, d) => Dedup.simHash(table(s, d, "documents").filter(col("doc_id") < 50),
         col("doc_id"), col("text")).orderBy("id"),
-      None, // base hash (md5→int64) is not portably expressible in DuckDB SQL; covered by DedupSpec
-      "dedup — 64-bit SimHash signatures (per-bit weighted majority)"),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS tok
+          FROM documents WHERE doc_id < 50),
+        h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN generate_series(0, 59) b(bit)
+          GROUP BY 1, 2)
+        SELECT doc_id AS id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY id"""),
+      "dedup — 60-bit SimHash signatures (per-bit weighted majority, md5-derived token hash)"),
 
     Q("p09_cosine_topk",
       (s, d) => {
@@ -288,7 +403,7 @@ object PipelineQueries {
         Similarity.lshTopK(emb, col("vec_id"), col("embedding"), query,
           k = 10, dim = query.length)
       },
-      None, // recall vs brute force asserted in SimilaritySpec; hyperplane PRNG not portable to SQL
+      Some(lshAnnOracle), // seeded planes inlined as literals — exact SQL twin
       "similarity — sign-LSH bucketed ANN with exact re-rank"),
 
     Q("p22_lsh_near_dups",
@@ -303,7 +418,7 @@ object PipelineQueries {
             minCos = 0.4, dim = dim)
           .orderBy("id_a", "id_b")
       },
-      None, // precision/recall vs brute force asserted in DedupSpec (PRNG planes not SQL-portable)
+      Some(lshNearDupOracle), // seeded planes inlined as literals — exact SQL twin
       "dedup — corpus-scale embedding near-dup: sign-LSH blocking + exact cosine verify " +
         "(no all-pairs join; shuffles only bucket keys and candidates)"),
 
@@ -339,7 +454,7 @@ object PipelineQueries {
         Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
           cents, query, k = 10, nprobe = 4)
       },
-      None, // recall vs brute force asserted in SimilaritySpec
+      Some(ivfAnnOracle), // centroids/probes re-derived in SQL from the same rounded means
       "similarity — IVF bucketed ANN (probe nearest buckets, exact re-rank)"),
 
     Q("p21_hash_split",
