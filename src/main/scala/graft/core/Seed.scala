@@ -56,6 +56,30 @@ object Seed {
       .as[EdgeRow]
   }
 
+  /** Materialized `Contains` edges (reference `Exposure.fs:125`): one
+    * edge per calendar year inside a label's temporal extent — the
+    * edge-parity twin of the BETWEEN range join (query g22). Input rows
+    * are `(labelKey, earliestBP, latestBP)` with earliest ≥ latest on the
+    * BP axis; extents are clipped to the seeded year bounds so no edge
+    * ever dangles. Derivation is a map-side `sequence`+`explode` (one
+    * output row per contained year — linear work, no shuffle, no driver
+    * loop), so materializing membership for a 10k-label timeline set is
+    * a single narrow stage at any scale.
+    */
+  def containsEdges(extents: org.apache.spark.sql.DataFrame): Dataset[EdgeRow] = {
+    import extents.sparkSession.implicits._
+    extents
+      .select(col("labelKey"),
+        explode(sequence(
+          greatest(col("latestBP"), lit(Time.MinYearBP)),
+          least(col("earliestBP"), lit(Time.MaxYearBP)))).as("y"))
+      .select(
+        col("labelKey").as("src"),
+        Keys.calYearKeyCol(col("y")).as("dst"),
+        lit(1).as("weight"), lit("Contains").as("relType"), lit("{}").as("relPayload"))
+      .as[EdgeRow]
+  }
+
   /** Full seed: year dim + Holocene label + outcomes + Life root + extent
     * edges (reference `Seed.fs:64-98`). `withNextEdges` additionally
     * materializes the year-sequence `Next` edges ([[nextEdges]]).

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{GraphState, Seed}
-import graft.model.{NodeRow, Time}
+import graft.model.{NodeRow, NodeTypes, Time}
 import graft.sources.TpchGraph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -429,6 +429,35 @@ object GraphQueries {
         GROUP BY era ORDER BY era"""),
       "§2.3 range join — year-interval containment as a BETWEEN predicate against a " +
         "broadcast era dim (alternative to materialized Contains edges, ref Exposure.fs:125)"),
+
+    Q("g25_contains_edges",
+      (s, d) => {
+        import s.implicits._
+        // same three Holocene stages as g22, edge-materialized this time
+        // (the reference's declared parity semantics, Exposure.fs:125)
+        val eras = Seq(
+          ("greenlandian", 8327, 11650),
+          ("northgrippian", 4201, 8326),
+          ("meghalayan", 0, 4200)).toDF("era", "latestBP", "earliestBP")
+        val extents = eras.select(
+          concat(lit(NodeTypes.QualitativeLabelNode + "_"), col("era")).as("labelKey"),
+          col("earliestBP"), col("latestBP"))
+        Seed.containsEdges(extents)
+          .select("src", "dst", "relType")
+          .orderBy("src", "dst")
+      },
+      Some("""
+        WITH eras(era, lo, hi) AS (VALUES
+          ('greenlandian', 8327, 11650),
+          ('northgrippian', 4201, 8326),
+          ('meghalayan', 0, 4200))
+        SELECT 'qualitativelabelnode_' || era AS src,
+               'calyearnode_' || y || 'ybp' AS dst,
+               'Contains' AS relType
+        FROM (SELECT era, unnest(generate_series(lo, hi)) AS y FROM eras)
+        ORDER BY src, dst"""),
+      "§2.3 materialized Contains edges — year-range membership as explicit edge rows " +
+        "(sequence+explode, map-side linear; parity twin of g22's range join, ref Exposure.fs:125)"),
 
     Q("g24_degree_histogram",
       (s, d) => g(s, d).edges

@@ -208,19 +208,22 @@ object PipelineQueries {
       "text analysis — exact interpolated quantiles per language (quality thresholds)"),
 
     Q("p17_cosine_near_dups",
+      // full corpus: the exact form is the ground-truth twin of the
+      // oracled LSH path (p22); at test SFs the all-pairs broadcast is
+      // affordable, at 100 TB p22 is the production path
       (s, d) => Dedup.embeddingNearDups(
-        table(s, d, "embeddings").filter(col("vec_id") < 300),
+        table(s, d, "embeddings"),
         col("vec_id"), col("embedding"), minCos = 0.4)
         .orderBy("id_a", "id_b"),
       Some("""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                   FROM embeddings WHERE vec_id < 300)
+                   FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.e, b.e), 6) AS cos
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
         ORDER BY id_a, id_b"""),
-      "dedup — embedding-cosine near-duplicate pairs (exact on bounded set; LSH-bucketed at scale)"),
+      "dedup — embedding-cosine near-duplicate pairs (exact ground truth; LSH-bucketed twin p22 at scale)"),
 
     Q("p02_quality_signals",
       (s, d) => {

@@ -35,4 +35,19 @@ class SeedSpec extends SparkSpec {
     assert(years.filter(col("key") === "calyearnode_-72ybp").count() == 1)
     assert(years.filter(col("key") === "calyearnode_14000ybp").count() == 1)
   }
+
+  test("containsEdges materializes one edge per contained year, clipped to seed bounds") {
+    import spark.implicits._
+    val extents = Seq(
+      ("qualitativelabelnode_tiny", 5, 3),          // 3,4,5
+      ("qualitativelabelnode_deep", 20000, 13998)   // clipped to 13998..14000
+    ).toDF("labelKey", "earliestBP", "latestBP")
+    val edges = Seed.containsEdges(extents).collect()
+    assert(edges.forall(_.relType == "Contains"))
+    val byLabel = edges.groupBy(_.src).view.mapValues(_.map(_.dst).sorted.toSeq).toMap
+    assert(byLabel("qualitativelabelnode_tiny") ==
+      Seq("calyearnode_3ybp", "calyearnode_4ybp", "calyearnode_5ybp"))
+    assert(byLabel("qualitativelabelnode_deep") ==
+      Seq("calyearnode_13998ybp", "calyearnode_13999ybp", "calyearnode_14000ybp"))
+  }
 }
