@@ -19,6 +19,49 @@ object GraphQueries {
   /** Deduped lineitem (graph hyperedge source) — see [[TpchGraph.lineitemDedupSql]]. */
   private val liSql = TpchGraph.lineitemDedupSql
 
+  /** M9–M12 composite-transaction scenario (oracled end-to-end): seed the
+    * reference graph, strict-insert the dimension nodes a coded source
+    * needs (M1), then commit a `simpleSite` and a `treeRing`
+    * macro-transaction (M11, M12 — each routing through `proxiedTaxon`
+    * M9/M10 and the edge FK/dedup gate M6). UUIDs are fixed so the
+    * committed keys are deterministic and a DuckDB oracle can recompute
+    * every expected row (ref Scenarios.fs:133-311).
+    */
+  private def committedScenario(s: SparkSession): GraphState = {
+    import java.util.UUID
+    import graft.core.Transactions
+    import graft.model.Keys
+    val srcKey = Keys.publicationKey("doe", "Tree ring chronology of northern forests", 2020)
+    val proxyKey = Keys.morphotypeKey("Pollen", "Betula")
+    val methodKey = Keys.key(NodeTypes.InferenceMethodNode, "implicit")
+    val setup = Transactions.TxBatch(
+      Seq(
+        NodeRow(srcKey, NodeTypes.SourceNode, "Doe 2020", "{}"),
+        NodeRow(proxyKey, NodeTypes.BioticProxyNode, "Betula pollen", "{}"),
+        NodeRow(methodKey, NodeTypes.InferenceMethodNode, "Implicit", """{"Implicit":{}}""")),
+      Nil)
+    val site = Transactions.simpleSite(
+      srcKey, "Lake Vatn", 65.6, -17.0, "LakeSediment",
+      earliest = ("BP", 11000.0), latest = ("AD", 1000.0),
+      earliestError = Some(100.0),
+      timelineUuid = UUID.fromString("00000000-0000-4000-8000-000000000101"),
+      contextUuid = UUID.fromString("00000000-0000-4000-8000-000000000102"))
+    val rings = Transactions.treeRing(
+      srcKey, "Forest Plot 7", 60.25, 25.5,
+      collectionYearAD = 2000,
+      taxonKey = Keys.taxonKey("life"), proxyKey = proxyKey,
+      timelineUuid = UUID.fromString("00000000-0000-4000-8000-000000000201"),
+      contextUuid = UUID.fromString("00000000-0000-4000-8000-000000000202"),
+      hyperUuid = UUID.fromString("00000000-0000-4000-8000-000000000203"))
+    (for {
+      b1 <- site
+      b2 <- rings
+      g1 <- Transactions.commit(Seed.seedGraph(s), setup)
+      g2 <- Transactions.commit(g1, b1)
+      g3 <- Transactions.commit(g2, b2)
+    } yield g3).fold(e => throw new IllegalStateException(s"composite txn failed: $e"), identity)
+  }
+
   /** All-table node count used by the cascade-delete oracle. */
   private val allNodeCountSql =
     "(SELECT count(*) FROM region)+(SELECT count(*) FROM nation)+(SELECT count(*) FROM customer)" +
@@ -458,6 +501,73 @@ object GraphQueries {
         ORDER BY src, dst"""),
       "§2.3 materialized Contains edges — year-range membership as explicit edge rows " +
         "(sequence+explode, map-side linear; parity twin of g22's range join, ref Exposure.fs:125)"),
+
+    Q("g26_txn_composite_edges",
+      (s, _) => committedScenario(s).edges.toDF()
+        .select("src", "dst", "relType", "relPayload")
+        .orderBy("relType", "src", "dst"),
+      Some("""
+        WITH expected(src, dst, relType, relPayload) AS (VALUES
+          -- seed extent edges (Seed.fs:64-98)
+          ('qualitativelabelnode_holocene_by_global_stratotype_section_and_point',
+           'calyearnode_11650ybp', 'EarliestTime', '{}'),
+          ('qualitativelabelnode_holocene_by_global_stratotype_section_and_point',
+           'calyearnode_0ybp', 'LatestTime', '{}'),
+          -- simpleSite (M11): extent wiring incl. +/-100yr uncertainty
+          ('sourcenode_pub_doe_trconf_2020',
+           'individualtimelinenode_00000000-0000-4000-8000-000000000101', 'HasTemporalExtent', '{}'),
+          ('individualtimelinenode_00000000-0000-4000-8000-000000000101',
+           'calyearnode_11000ybp', 'ExtentEarliestSpecified', '{"calYearBP":11000}'),
+          ('individualtimelinenode_00000000-0000-4000-8000-000000000101',
+           'calyearnode_' || (1950 - 1000) || 'ybp', 'ExtentLatestSpecified', '{"calYearBP":950}'),
+          ('individualtimelinenode_00000000-0000-4000-8000-000000000101',
+           'contextnode_00000000-0000-4000-8000-000000000102', 'IsLocatedAt', '{}'),
+          ('individualtimelinenode_00000000-0000-4000-8000-000000000101',
+           'calyearnode_' || (11000 + 100) || 'ybp', 'ExtentEarliestUncertainty', '{}'),
+          ('individualtimelinenode_00000000-0000-4000-8000-000000000101',
+           'calyearnode_' || (11000 - 100) || 'ybp', 'ExtentEarliestUncertainty', '{}'),
+          -- treeRing (M12): collection year AD 2000 -> -50 BP
+          ('sourcenode_pub_doe_trconf_2020',
+           'individualtimelinenode_00000000-0000-4000-8000-000000000201', 'HasTemporalExtent', '{}'),
+          ('individualtimelinenode_00000000-0000-4000-8000-000000000201',
+           'calyearnode_' || (1950 - 2000) || 'ybp', 'ExtentLatestSpecified', '{"calYearBP":-50}'),
+          ('individualtimelinenode_00000000-0000-4000-8000-000000000201',
+           'contextnode_00000000-0000-4000-8000-000000000202', 'IsLocatedAt', '{}'),
+          -- proxiedTaxon hyperedge (M9/M10) fan-out
+          ('proxiedtaxonnode_00000000-0000-4000-8000-000000000203',
+           'bioticproxynode_morphotype_pollen_betula', 'InferredFrom', '{}'),
+          ('proxiedtaxonnode_00000000-0000-4000-8000-000000000203',
+           'inferencemethodnode_implicit', 'InferredUsing', '{}'),
+          ('proxiedtaxonnode_00000000-0000-4000-8000-000000000203',
+           'biodiversitydimensionnode_presence', 'MeasuredBy', '{}'),
+          ('individualtimelinenode_00000000-0000-4000-8000-000000000201',
+           'proxiedtaxonnode_00000000-0000-4000-8000-000000000203', 'HasProxyInfo', '{}'),
+          ('proxiedtaxonnode_00000000-0000-4000-8000-000000000203',
+           'taxonnode_life', 'InferredAs', '{}'))
+        SELECT * FROM expected ORDER BY relType, src, dst"""),
+      "M9-M12 end-to-end — commit simpleSite + treeRing macro-transactions through the " +
+        "M1/M6 gates; every emitted edge recomputed by the oracle (ref Scenarios.fs:133-311)"),
+
+    Q("g27_txn_node_counts",
+      (s, _) => committedScenario(s).nodes.toDF()
+        .groupBy("nodeType").agg(count(lit(1)).as("n"))
+        .orderBy("nodeType"),
+      Some("""
+        WITH expected(nodeType, n) AS (VALUES
+          ('biodiversitydimensionnode', 6),
+          ('bioticproxynode', 1),
+          ('calyearnode', 14000 - (-72) + 1),
+          ('contextnode', 2),
+          ('individualtimelinenode', 2),
+          ('inferencemethodnode', 1),
+          ('proxiedtaxonnode', 1),
+          ('qualitativelabelnode', 1),
+          ('qualitativelabeloutofscopenode', 1),
+          ('sourcenode', 1),
+          ('taxonnode', 1))
+        SELECT nodeType, CAST(n AS BIGINT) AS n FROM expected ORDER BY nodeType"""),
+      "M9-M12 end-to-end — node population after the composite commits (strict insert " +
+        "M1 over the 14k-node seed; per-type counts match the oracle's expected census)"),
 
     Q("g24_degree_histogram",
       (s, d) => g(s, d).edges
