@@ -40,10 +40,15 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // the driver captures only a bounded stdout TAIL: millisecond
+    // precision keeps the whole JSON line ~2 KB so the head is never
+    // truncated away (full-precision doubles overflowed the tail window
+    // in rounds 1-2 and the driver recorded parsed:null)
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
