@@ -69,6 +69,12 @@ object Seed {
   def containsEdges(extents: org.apache.spark.sql.DataFrame): Dataset[EdgeRow] = {
     import extents.sparkSession.implicits._
     extents
+      // an extent entirely outside the seeded year window clips to an
+      // EMPTY range, not a descending one: sequence(start, stop) with
+      // start > stop silently steps -1 and would emit edges to year
+      // nodes that don't exist
+      .filter(greatest(col("latestBP"), lit(Time.MinYearBP)) <=
+              least(col("earliestBP"), lit(Time.MaxYearBP)))
       .select(col("labelKey"),
         explode(sequence(
           greatest(col("latestBP"), lit(Time.MinYearBP)),

@@ -242,7 +242,7 @@ object Dedup {
     val bucketed = (0 until tables).map { t =>
       val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
       val bucket = planes.zipWithIndex.map { case (p, i) =>
-        when(Similarity.dot(col("v"), array(p.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+        Similarity.signBit(col("v"), p, i)
       }.reduce((a, b) => a.bitwiseOR(b))
       data.select(col("id"), lit(t).as("tbl"), bucket.as("bucket"))
     }.reduce(_ unionByName _)

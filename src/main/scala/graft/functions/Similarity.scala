@@ -158,11 +158,18 @@ object Similarity {
     * Returns `(id, bucket)` where bucket packs the sign bits — vectors in
     * the same bucket are ANN candidates.
     */
+  /** Sign bit of one hyperplane projection. The sign tests the ROUNDED
+    * dot product — the same cross-engine convention as every other
+    * float comparison here: a projection within an ulp of zero must not
+    * flip a bucket bit depending on an oracle's accumulation order.
+    */
+  private[graft] def signBit(vec: Column, plane: Seq[Double], i: Int): Column =
+    when(round(dot(vec, array(plane.map(lit): _*)), 6) > 0, lit(1L << i)).otherwise(lit(0L))
+
   def lshBuckets(df: DataFrame, id: Column, vec: Column, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, array(p.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val bucket = planes.zipWithIndex.map { case (p, i) => signBit(vec, p, i) }
+      .reduce((a, b) => a.bitwiseOR(b))
     df.select(id.as("id"), bucket.as("bucket"))
   }
 
@@ -175,9 +182,8 @@ object Similarity {
     val qDf = df.sparkSession.range(1).select(array(query.map(lit): _*).as("qv"))
     val withBuckets = (0 until tables).map { t =>
       val planes = hyperplanes(planesPerTable, dim, seed = 7L + t)
-      def sig(v: Column) = planes.zipWithIndex.map { case (p, i) =>
-        when(dot(v, array(p.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
+      def sig(v: Column) = planes.zipWithIndex.map { case (p, i) => signBit(v, p, i) }
+        .reduce((a, b) => a.bitwiseOR(b))
       val data = df.select(id.as("id"), vec.as("v")).withColumn("bucket", sig(col("v"))).withColumn("tbl", lit(t))
       val qb = qDf.select(sig(col("qv")).as("bucket")).withColumn("tbl", lit(t))
       data.join(broadcast(qb), Seq("tbl", "bucket"), "left_semi")

@@ -32,18 +32,33 @@ object RefKeys {
   // ---------------------------------------------------------- primitives
 
   /** .NET `WebUtility.HtmlEncode`: `< > & " '` become entities; chars in
-    * U+00A0..U+00FF become numeric entities; U+0100+ pass through.
+    * U+00A0..U+00FF become numeric entities; BMP chars U+0100+ pass
+    * through; valid surrogate PAIRS become decimal numeric entities of
+    * the full code point (so an emoji leaves its code-point digits in a
+    * safe-stripped key, same as the documented `é` → `233` case); lone
+    * surrogates become U+FFFD, as .NET writes.
     */
   private[model] def htmlEncode(s: String): String = {
     val b = new StringBuilder(s.length)
-    s.foreach {
-      case '<'                          => b.append("&lt;")
-      case '>'                          => b.append("&gt;")
-      case '&'                          => b.append("&amp;")
-      case '"'                          => b.append("&quot;")
-      case '\''                         => b.append("&#39;")
-      case c if c >= 160 && c < 256     => b.append("&#").append(c.toInt).append(';')
-      case c                            => b.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '<'                      => b.append("&lt;")
+        case '>'                      => b.append("&gt;")
+        case '&'                      => b.append("&amp;")
+        case '"'                      => b.append("&quot;")
+        case '\''                     => b.append("&#39;")
+        case c if c >= 160 && c < 256 => b.append("&#").append(c.toInt).append(';')
+        case c if Character.isHighSurrogate(c) =>
+          if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) {
+            b.append("&#").append(Character.toCodePoint(c, s.charAt(i + 1))).append(';')
+            i += 1
+          } else b.append('�')
+        case c if Character.isLowSurrogate(c) => b.append('�')
+        case c                        => b.append(c)
+      }
+      i += 1
     }
     b.toString
   }
@@ -54,6 +69,19 @@ object RefKeys {
   def safeString(s: String): String =
     if (s == null) "" else htmlEncode(s).replaceAll("[^aA-zZ_ \\-+0-9]", "")
 
+  /** The reference's `tryAlphanum` predicate is .NET
+    * `Char.IsLetter || Char.IsNumber` (`Graph.fs:212`); `IsNumber` also
+    * accepts the Nl/No categories (`½`, `Ⅻ`, circled digits), unlike
+    * Java's `isLetterOrDigit` which stops at Nd.
+    */
+  private[model] def isRefAlphanum(c: Char): Boolean =
+    Character.isLetter(c) || {
+      val t = Character.getType(c)
+      t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+    }
+
   /** `tryAlphanum` word-initials (`Graph.fs:369,455-458`): head char of
     * each space-separated word, kept only when alphanumeric. (The
     * reference throws on empty words; empty words are skipped here.)
@@ -63,7 +91,7 @@ object RefKeys {
     else s.split(" ", -1).iterator
       .filter(_.nonEmpty)
       .map(_.head)
-      .filter(Character.isLetterOrDigit)
+      .filter(isRefAlphanum)
       .mkString
 
   /** Any-head-char word initials — the grey-literature fold
@@ -79,7 +107,7 @@ object RefKeys {
   private def nameInitials(names: Seq[String]): String =
     names.iterator
       .flatMap(n => Option(n).flatMap(_.headOption))
-      .filter(Character.isLetterOrDigit)
+      .filter(isRefAlphanum)
       .mkString
 
   private def friendly(nodeType: String, text: String): String =

@@ -28,12 +28,13 @@ object PipelineQueries {
 
   /** Sign-LSH bucket over `vecExpr` for one hyperplane table, as DuckDB
     * SQL with the (deterministic, seeded) plane components inlined as
-    * literals — the exact twin of the `when(dot(v, planes) > 0, 1<<i)`
-    * column in [[Similarity.lshBuckets]] / [[Dedup.embeddingNearDupsLsh]].
+    * literals — the exact twin of the `when(round(dot(v, plane), 6) > 0,
+    * 1<<i)` column in [[Similarity.signBit]] (used by
+    * [[Similarity.lshBuckets]] / [[Dedup.embeddingNearDupsLsh]]).
     */
   private def lshBucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_inner_product($vecExpr, ${doubleList(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      s"(CASE WHEN round(list_inner_product($vecExpr, ${doubleList(p)}), 6) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
   /** DuckDB replica of [[Similarity.lshTopK]] (p11): per-table buckets

@@ -50,4 +50,16 @@ class SeedSpec extends SparkSpec {
     assert(byLabel("qualitativelabelnode_deep") ==
       Seq("calyearnode_13998ybp", "calyearnode_13999ybp", "calyearnode_14000ybp"))
   }
+
+  test("containsEdges drops extents entirely outside the seeded year window") {
+    import spark.implicits._
+    // clipping an all-outside extent would otherwise hand sequence() a
+    // start > stop pair, which silently steps -1 and emits edges to
+    // year nodes that don't exist
+    val extents = Seq(
+      ("qualitativelabelnode_future", -100, -200),   // entirely after MinYearBP
+      ("qualitativelabelnode_archean", 99999, 88888) // entirely before MaxYearBP
+    ).toDF("labelKey", "earliestBP", "latestBP")
+    assert(Seed.containsEdges(extents).count() == 0L)
+  }
 }

@@ -27,12 +27,22 @@ class RefKeysSpec extends AnyFunSuite {
     assert(RefKeys.htmlEncode("<a href='x'>&\"") == "&lt;a href=&#39;x&#39;&gt;&amp;&quot;")
     assert(RefKeys.htmlEncode("café") == "caf&#233;")
     assert(RefKeys.htmlEncode("中") == "中") // >= U+0100 passes through
+    // non-BMP: .NET writes the surrogate PAIR as one decimal entity of
+    // the full code point, so the digits survive safeString like é→233
+    assert(RefKeys.htmlEncode("a😀b") == "a&#128512;b") // 😀
+    assert(RefKeys.safeString("a😀b") == "a128512b")
+    // lone surrogates become U+FFFD (stripped entirely by safeString)
+    assert(RefKeys.htmlEncode("x\uD83Dy") == "x�y")
+    assert(RefKeys.safeString("x\uD83Dy") == "xy")
   }
 
   test("the three initials folds differ exactly as in the reference") {
     assert(RefKeys.initials("A pollen record from (new) data") == "Aprfd") // '(' dropped
     assert(RefKeys.headChars("Survey of (unpublished) data") == "So(d")   // '(' kept
     assert(RefKeys.initials("") == "")
+    // .NET Char.IsNumber accepts Nl/No (vulgar fractions, Roman
+    // numerals, circled digits), not just Nd — the reference keeps them
+    assert(RefKeys.initials("½ cup of Ⅻ things ① two") == "½coⅫt①t")
   }
 
   // ------------------------------------------------------ biotic proxies
