@@ -164,6 +164,101 @@ object Transactions {
     if (screeningTransitions((current, next))) Right(next)
     else Left(s"illegal screening transition $current -> $next")
 
+  // ---------------------------------------------- M13 section progress
+
+  /** The coding-section keys an included source must complete
+    * (reference `Library.fs:39-44`).
+    */
+  val CodingSections: Seq[String] =
+    Seq("source-primary-or-secondary", "exposure", "outcome")
+
+  /** M13 — `CodingProgress` (reference `Sources.fs:198-202`). */
+  sealed trait CodingProgress
+  case object CompletedNone extends CodingProgress
+  final case class InProgress(completed: List[String]) extends CodingProgress
+  final case class Stalled(completed: List[String], section: String, reason: String) extends CodingProgress
+  case object CompletedAll extends CodingProgress
+
+  /** The reference's completeness test (`Library.fs:720-722`):
+    * `Set.difference(sections, completed)` is empty.
+    */
+  private def allSectionsComplete(completed: List[String]): Boolean =
+    (CodingSections.toSet -- completed).isEmpty
+
+  /** M13 — `CompleteSection` fold (`Library.fs:715-753`): mark one
+    * section done. `CompletedAll` is absorbing; completing the stalled
+    * section un-stalls; completing any other section of a stalled
+    * source accumulates but stays stalled. `section :: completed |>
+    * List.distinct` keeps first-occurrence order, mirrored exactly.
+    */
+  def completeSection(progress: CodingProgress, section: String): CodingProgress =
+    progress match {
+      case CompletedAll => CompletedAll
+      case CompletedNone =>
+        if (allSectionsComplete(List(section))) CompletedAll
+        else InProgress(List(section))
+      case InProgress(completed) =>
+        val done = (section :: completed).distinct
+        if (allSectionsComplete(done)) CompletedAll else InProgress(done)
+      case Stalled(completed, stalledOn, reason) =>
+        if (stalledOn == section) {
+          val done = (section :: completed).distinct
+          if (allSectionsComplete(done)) CompletedAll else InProgress(done)
+        } else Stalled((section :: completed).distinct, stalledOn, reason)
+    }
+
+  /** M13 — `SubmitCodingProblem` (`Library.fs:755-785`): flag a section
+    * as stalled. Completed sources and already-completed sections
+    * reject.
+    */
+  def flagProblem(progress: CodingProgress, section: String, reason: String): Either[String, CodingProgress] =
+    progress match {
+      case CompletedAll => Left("Cannot flag when all completed")
+      case CompletedNone => Right(Stalled(Nil, section, reason))
+      case InProgress(completed) =>
+        if (completed.contains(section)) Left("Cannot flag a completed section")
+        else Right(Stalled(completed, section, reason))
+      case Stalled(completed, _, _) =>
+        if (completed.contains(section)) Left("Cannot flag a completed section")
+        else Right(Stalled(completed, section, reason))
+    }
+
+  /** Column form of [[completeSection]] — the same fold as a single
+    * `when` chain over `(progress, completedSections, stalledSection,
+    * stalledReason)` columns, so a million-source store updates
+    * section progress in one codegen'd map stage (no UDF, no driver
+    * loop). The completeness test is the reference's `Set.difference`
+    * as `array_except(sections, completed)`. Returns a struct with
+    * fields `(progress, completedSections, stalledSection,
+    * stalledReason)`.
+    */
+  def completeSectionCol(progress: org.apache.spark.sql.Column,
+                         completed: org.apache.spark.sql.Column,
+                         stalledSection: org.apache.spark.sql.Column,
+                         stalledReason: org.apache.spark.sql.Column,
+                         section: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val sectionsLit = array(CodingSections.map(lit): _*)
+    val nullStr = lit(null).cast("string")
+    val completed0 = coalesce(completed, array().cast("array<string>"))
+    // section :: completed |> List.distinct — array_distinct keeps the
+    // first occurrence, matching F# List.distinct order
+    val done = array_distinct(concat(array(section), completed0))
+    val allDone = size(array_except(sectionsLit, done)) === 0
+    val progressed = struct(
+      when(allDone, lit("CompletedAll")).otherwise(lit("InProgress")).as("progress"),
+      done.as("completedSections"),
+      nullStr.as("stalledSection"),
+      nullStr.as("stalledReason"))
+    when(progress === "CompletedAll",
+      struct(lit("CompletedAll").as("progress"), completed0.as("completedSections"),
+        nullStr.as("stalledSection"), nullStr.as("stalledReason")))
+      .when(progress === "Stalled" && !(stalledSection <=> section),
+        struct(lit("Stalled").as("progress"), done.as("completedSections"),
+          stalledSection.as("stalledSection"), stalledReason.as("stalledReason")))
+      .otherwise(progressed)
+  }
+
   /** A6 — batch validation fold (reference `ValidateOrConfirmBatch`,
     * `Library.fs:627-682`): classify proposed taxon names against the
     * graph into linked (an existing taxon matches the computed latin

@@ -569,6 +569,83 @@ object GraphQueries {
       "M9-M12 end-to-end — node population after the composite commits (strict insert " +
         "M1 over the 14k-node seed; per-type counts match the oracle's expected census)"),
 
+    Q("g28_section_progress",
+      (s, d) => {
+        import graft.core.Transactions
+        val sections = Transactions.CodingSections
+        val sectionsArr = array(sections.map(lit): _*)
+        // deterministic fixture: each order is an "included source";
+        // bits of o_orderkey%8 pick its completed sections, o_orderkey%4
+        // marks some partially-coded sources stalled, o_orderkey%3 picks
+        // the section the CompleteSection event targets — together the
+        // fixture hits every branch of the reference fold
+        // (Library.fs:715-753): absorbing CompletedAll, None→InProgress,
+        // InProgress→CompletedAll on the last missing section,
+        // un-stalling, and stalled accumulation
+        val o = TpchGraph.table(s, d, "orders").select(col("o_orderkey").cast("long").as("k"))
+        val mask = (col("k") % 8).cast("int")
+        def bit(b: Int, name: String) =
+          when(mask.bitwiseAND(lit(b)) =!= 0, array(lit(name))).otherwise(array().cast("array<string>"))
+        val before = o
+          .withColumn("completed", concat(bit(1, sections(0)), bit(2, sections(1)), bit(4, sections(2))))
+          .withColumn("progress",
+            when(size(col("completed")) === 3, "CompletedAll")
+              .when(size(col("completed")) === 0, "CompletedNone")
+              .when(col("k") % 4 === 0, "Stalled")
+              .otherwise("InProgress"))
+          .withColumn("stalledSection",
+            when(col("progress") === "Stalled",
+              element_at(array_except(sectionsArr, col("completed")), 1))
+              .otherwise(lit(null).cast("string")))
+          .withColumn("stalledReason",
+            when(col("progress") === "Stalled", lit("awaiting data")).otherwise(lit(null).cast("string")))
+          .withColumn("section", element_at(sectionsArr, (col("k") % 3).cast("int") + 1))
+        before
+          .withColumn("res", Transactions.completeSectionCol(
+            col("progress"), col("completed"), col("stalledSection"), col("stalledReason"), col("section")))
+          .groupBy(col("progress").as("before_state"), col("res.progress").as("after_state"))
+          .agg(count(lit(1)).as("n"),
+            sum(size(col("res.completedSections"))).cast("long").as("sections_done"))
+          .orderBy("before_state", "after_state")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey % 8 AS mask, o_orderkey % 4 AS m4, o_orderkey % 3 AS m3,
+            (CASE WHEN (o_orderkey % 8) & 1 <> 0 THEN ['source-primary-or-secondary'] ELSE [] END) ||
+            (CASE WHEN (o_orderkey % 8) & 2 <> 0 THEN ['exposure'] ELSE [] END) ||
+            (CASE WHEN (o_orderkey % 8) & 4 <> 0 THEN ['outcome'] ELSE [] END) AS completed
+          FROM orders),
+        st AS (
+          SELECT *,
+            CASE WHEN len(completed) = 3 THEN 'CompletedAll'
+                 WHEN len(completed) = 0 THEN 'CompletedNone'
+                 WHEN m4 = 0 THEN 'Stalled' ELSE 'InProgress' END AS progress,
+            ['source-primary-or-secondary','exposure','outcome'][m3 + 1] AS section
+          FROM base),
+        st2 AS (
+          SELECT *,
+            CASE WHEN progress = 'Stalled'
+                 THEN list_filter(['source-primary-or-secondary','exposure','outcome'],
+                                  x -> NOT list_contains(completed, x))[1]
+                 ELSE NULL END AS stalled_section,
+            list_distinct(list_prepend(section, completed)) AS done
+          FROM st),
+        res AS (
+          SELECT progress AS before_state,
+            CASE WHEN progress = 'CompletedAll' THEN 'CompletedAll'
+                 WHEN progress = 'Stalled' AND stalled_section IS DISTINCT FROM section THEN 'Stalled'
+                 WHEN len(list_filter(['source-primary-or-secondary','exposure','outcome'],
+                                      x -> NOT list_contains(done, x))) = 0 THEN 'CompletedAll'
+                 ELSE 'InProgress' END AS after_state,
+            CASE WHEN progress = 'CompletedAll' THEN len(completed) ELSE len(done) END AS done_n
+          FROM st2)
+        SELECT before_state, after_state, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(done_n) AS BIGINT) AS sections_done
+        FROM res GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "M13 — per-section coding-progress machine: the CompleteSection fold with the " +
+        "Set.difference completeness test as one codegen'd when-chain + array_except " +
+        "(ref Library.fs:715-753, Sources.fs:198-202); one map stage + a 4-group agg at any scale"),
+
     Q("g24_degree_histogram",
       (s, d) => g(s, d).edges
         .filter(col("relType") === "PlacedBy")

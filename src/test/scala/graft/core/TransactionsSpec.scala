@@ -122,4 +122,76 @@ class TransactionsSpec extends SparkSpec {
       Seq(EdgeRow("contextnode_x", "missing_node", 1, "IsLocatedAt", "{}")))
     assert(Transactions.commit(baseGraph, bad).isLeft)
   }
+
+  test("M13 CompleteSection fold matches the reference case list (ref Library.fs:715-753)") {
+    import Transactions._
+    val Seq(s1, s2, s3) = CodingSections
+    // CompletedAll absorbs
+    assert(completeSection(CompletedAll, s1) == CompletedAll)
+    // CompletedNone starts an InProgress list with just the section
+    assert(completeSection(CompletedNone, s2) == InProgress(List(s2)))
+    // last missing section completes everything
+    assert(completeSection(InProgress(List(s1, s2)), s3) == CompletedAll)
+    // duplicates collapse, first-occurrence order preserved
+    assert(completeSection(InProgress(List(s2)), s2) == InProgress(List(s2)))
+    assert(completeSection(InProgress(List(s1)), s2) == InProgress(List(s2, s1)))
+    // completing the stalled section un-stalls
+    assert(completeSection(Stalled(List(s1), s2, "why"), s2) == InProgress(List(s2, s1)))
+    assert(completeSection(Stalled(List(s1, s3), s2, "why"), s2) == CompletedAll)
+    // completing any other section accumulates but stays stalled
+    assert(completeSection(Stalled(List(s1), s2, "why"), s3) == Stalled(List(s3, s1), s2, "why"))
+  }
+
+  test("M13 SubmitCodingProblem rejects completed sources and sections (ref Library.fs:755-785)") {
+    import Transactions._
+    val Seq(s1, s2, _) = CodingSections
+    assert(flagProblem(CompletedAll, s1, "r").isLeft)
+    assert(flagProblem(CompletedNone, s1, "r") == Right(Stalled(Nil, s1, "r")))
+    assert(flagProblem(InProgress(List(s1)), s1, "r").isLeft)
+    assert(flagProblem(InProgress(List(s1)), s2, "r") == Right(Stalled(List(s1), s2, "r")))
+    assert(flagProblem(Stalled(List(s1), s2, "old"), s1, "r").isLeft)
+    assert(flagProblem(Stalled(List(s1), s2, "old"), s2, "new") == Right(Stalled(List(s1), s2, "new")))
+  }
+
+  test("M13 column fold agrees with the ADT fold on every state/section combination") {
+    import Transactions._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Seq(s1, s2, s3) = CodingSections
+    val states: Seq[CodingProgress] = Seq(
+      CompletedNone, CompletedAll,
+      InProgress(List(s1)), InProgress(List(s2, s3)), InProgress(List(s3, s1)),
+      Stalled(Nil, s1, "r"), Stalled(List(s2), s1, "r"), Stalled(List(s1, s3), s2, "r"))
+    val cases = for (st <- states; sec <- CodingSections) yield (st, sec)
+    val rows = cases.map { case (st, sec) =>
+      val (tag, completed, stSec, stReason) = st match {
+        case CompletedNone => ("CompletedNone", Nil, null, null)
+        case CompletedAll => ("CompletedAll", Nil, null, null)
+        case InProgress(c) => ("InProgress", c, null, null)
+        case Stalled(c, s, r) => ("Stalled", c, s, r)
+      }
+      (tag, completed, stSec, stReason, sec)
+    }
+    val df = rows.toDF("progress", "completed", "stalledSection", "stalledReason", "section")
+      .withColumn("res", Transactions.completeSectionCol(
+        col("progress"), col("completed"), col("stalledSection"), col("stalledReason"), col("section")))
+    val got = df.select(col("res.progress"), col("res.completedSections"),
+      col("res.stalledSection"), col("res.stalledReason")).collect()
+    cases.zip(got).foreach { case ((st, sec), row) =>
+      val expected = completeSection(st, sec)
+      val (eTag, eCompleted, eStalled) = expected match {
+        case CompletedNone => ("CompletedNone", Nil, null)
+        case CompletedAll => ("CompletedAll", Nil, null)
+        case InProgress(c) => ("InProgress", c, null)
+        case Stalled(c, s, _) => ("Stalled", c, s)
+      }
+      assert(row.getString(0) == eTag, s"state tag for $st + $sec")
+      // the column form carries the completed list through CompletedAll
+      // transitions (the ADT drops it — CompletedAll is terminal), so
+      // only compare lists for non-terminal results
+      if (eTag != "CompletedAll")
+        assert(row.getSeq[String](1).toList == eCompleted, s"completed for $st + $sec")
+      assert(row.getString(2) == eStalled, s"stalled section for $st + $sec")
+    }
+  }
 }
