@@ -646,6 +646,72 @@ object GraphQueries {
         "Set.difference completeness test as one codegen'd when-chain + array_except " +
         "(ref Library.fs:715-753, Sources.fs:198-202); one map stage + a 4-group agg at any scale"),
 
+    Q("g29_bibtex_ingest",
+      (s, d) => {
+        import graft.sources.Ingest
+        // render a deterministic BibTeX document from the customer table,
+        // then run it through the S8 parser — the oracle recomputes the
+        // expected parse output directly from the table, so the regex
+        // extraction (multi-line records, braced + bare values) is what's
+        // actually under test (ref Sources.fs:223-247)
+        val c = TpchGraph.table(s, d, "customer").filter(col("c_custkey") % 17 === 0)
+        val entry = concat(
+          lit("@article{c"), col("c_custkey"),
+          lit(",\n  author = {"), col("c_name"),
+          lit("},\n  title = {Account "), col("c_custkey"), lit(": "), col("c_mktsegment"),
+          lit("},\n  journal = {Journal of "), col("c_mktsegment"),
+          lit("},\n  year = 19"), lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
+          lit(",\n  volume = {"), (col("c_custkey") % 40) + 1,
+          lit("},\n  number = {"), col("c_nationkey"),
+          lit("},\n  pages = {"), col("c_custkey") * 3, lit("--"), col("c_custkey") * 3 + 9,
+          lit("},\n  month = {jan}\n}"))
+        c.agg(concat_ws("\n", collect_list(entry)).as("raw"))
+          .transform(Ingest.parseBibtexCol)
+          .orderBy("citekey")
+      },
+      Some("""
+        SELECT 'c' || c_custkey AS citekey,
+               c_name AS author,
+               'Account ' || c_custkey || ': ' || c_mktsegment AS title,
+               'Journal of ' || c_mktsegment AS journal,
+               CAST('19' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS INT) AS year,
+               CAST(c_custkey % 40 + 1 AS VARCHAR) AS volume,
+               CAST(c_nationkey AS VARCHAR) AS number,
+               (c_custkey * 3) || '--' || (c_custkey * 3 + 9) AS pages,
+               'jan' AS month
+        FROM customer WHERE c_custkey % 17 = 0 ORDER BY citekey"""),
+      "S8 — BibTeX ingest: record split + regexp field extraction round-trips a " +
+        "rendered corpus (braced, bare, and multi-record forms; ref Sources.fs:223-247)"),
+
+    Q("g30_datatable_ingest",
+      (s, d) => {
+        import graft.sources.Ingest
+        // S12: wide digitised matrix → long (depth, morphotype, value).
+        // Cell values are COUNTS (exact integers) so the unpivot is
+        // tested without cross-engine float-summation fragility.
+        val wide = TpchGraph.table(s, d, "orders")
+          .groupBy((col("o_orderkey") % 20).as("depth"))
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("Betula"),
+            count(when(col("o_orderstatus") === "O", 1)).as("Salix"),
+            count(when(col("o_orderstatus") === "P", 1)).as("Pinus"))
+        Ingest.dataTableLong(wide).orderBy("depth", "morphotype")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT o_orderkey % 20 AS depth,
+                 CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS betula,
+                 CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS salix,
+                 CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS DOUBLE) AS pinus
+          FROM orders GROUP BY 1)
+        SELECT CAST(depth AS DOUBLE) AS depth, morphotype, value FROM (
+          SELECT depth, 'Betula' AS morphotype, betula AS value FROM wide
+          UNION ALL SELECT depth, 'Salix', salix FROM wide
+          UNION ALL SELECT depth, 'Pinus', pinus FROM wide)
+        ORDER BY depth, morphotype"""),
+      "S12 — digitised data-table unpivot to long format via native unpivot " +
+        "(one narrow stage at any width; ref Datasets.fs:47-85)"),
+
     Q("g24_degree_histogram",
       (s, d) => g(s, d).edges
         .filter(col("relType") === "PlacedBy")
