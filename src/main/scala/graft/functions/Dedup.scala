@@ -213,14 +213,22 @@ object Dedup {
     * per-bucket.
     */
   def embeddingNearDups(df: DataFrame, id: Column, vec: Column, minCos: Double): DataFrame = {
+    // norms are computed ONCE PER ROW before the pair join (n array
+    // folds instead of n² per side). sqrt(dot(v,v)) on the same data is
+    // the same float ops as computing it inside cosine(), so the
+    // quotient — and therefore the rounded output — is bit-identical to
+    // the inline form; only redundant work is removed
     val a = df.select(id.as("id_a"), vec.as("va"))
+      .withColumn("na", Similarity.norm(col("va")))
     val b = df.select(id.as("id_b"), vec.as("vb"))
+      .withColumn("nb", Similarity.norm(col("vb")))
     // threshold on the ROUNDED cosine (the output precision): the raw
     // value's last ulps are accumulation-order-dependent and not
     // portable across engines, so a pair at the exact boundary could
     // otherwise flip membership vs the oracle
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
