@@ -567,6 +567,48 @@ object PipelineQueries {
         ORDER BY user_id, session_start"""),
       "streaming — gap-based sessionization (batch form; stateful-streaming twin in EventStreamSpec)"),
 
+    Q("p24_dedup_clusters",
+      (s, d) => {
+        // the dedup ENDGAME: near-dup pairs → connected components →
+        // one canonical representative (min id) per cluster, the rest
+        // dropped. Pair generation is the oracled exact form here (the
+        // LSH twin p22 generates the same pairs at scale); the collapse
+        // is large-star/small-star CC — O(log n) rounds, no driver
+        // iteration — followed by one aggregate. At 100 TB this is the
+        // only correct shape: transitive near-dups (A~B~C with A!~C)
+        // must collapse to ONE keeper, which pairwise filtering alone
+        // cannot decide.
+        val pairs = Dedup.embeddingNearDups(
+          table(s, d, "embeddings"), col("vec_id"), col("embedding"), minCos = 0.4)
+          .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+        graft.plans.DfConnectedComponents.run(pairs)
+          .groupBy(col("component").cast("long").as("canonical_id"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            (count(lit(1)) - 1).cast("long").as("n_dropped"))
+          .orderBy("canonical_id")
+      },
+      Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT CAST(component AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        FROM comp GROUP BY 1 ORDER BY 1"""),
+      "dedup — near-dup CLUSTER collapse: transitive closure of near-dup pairs via " +
+        "DataFrame CC, one canonical keeper per cluster (min id), rest dropped"),
+
     Q("p13_multimodal_features",
       (s, d) => Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
         .toDF()
