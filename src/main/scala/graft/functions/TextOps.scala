@@ -106,6 +106,44 @@ object TextOps {
     }
   }
 
+  /** Tokens that are a marker for ANY language — ONE tokenization shared
+    * by every per-language score. [[langId]] embeds the tokenizer in each
+    * language's score subtree, and because higher-order filters are
+    * CodegenFallback (no CSE), that splits the text N_langs times per
+    * row. Projecting this array once and scoring from it does the split
+    * exactly once; the per-language filters then scan a few dozen marker
+    * tokens instead of the whole document. (Keep it in its OWN projection
+    * — multiple non-cheap references stop `CollapseProject` from
+    * re-inlining the split.)
+    */
+  def markerTokens(loweredText: Column): Column = {
+    val words = langMarkers.flatMap(_._2).filterNot(isCjkMarker).distinct
+    val arr = array(words.map(lit): _*)
+    filter(tokens(loweredText), t => array_contains(arr, t))
+  }
+
+  /** [[langId]] over a pre-projected [[markerTokens]] array (word scores)
+    * and the pre-lowered text (CJK substring scores). Scores — and
+    * therefore ties and the declaration-order tie-break — are identical
+    * to [[langId]]: filtering tokens to the all-language marker subset
+    * first cannot change any per-language hit count.
+    */
+  def langIdFromMarkerTokens(markerTok: Column, loweredText: Column): Column = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      val (cjk, words) = markers.partition(isCjkMarker)
+      val arr = array(words.map(lit): _*)
+      val wordScore =
+        if (words.nonEmpty) size(filter(markerTok, t => array_contains(arr, t))) else lit(0)
+      lang -> cjk.foldLeft(wordScore) { (acc, m) =>
+        acc + (length(loweredText) - length(translate(loweredText, m, "")))
+      }
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit(langMarkers.head._1)) { case (acc, (lang, score)) =>
+      when(score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Document fingerprint: md5 of case-folded, whitespace-collapsed text —
     * the exact-dedup key that survives trivial reformatting.
     */

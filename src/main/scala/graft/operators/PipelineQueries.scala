@@ -256,10 +256,17 @@ object PipelineQueries {
 
     Q("p03_langid",
       (s, d) => table(s, d, "documents")
-        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        // stage the lowered text and the single shared tokenization as
+        // their own projections (see TextOps.markerTokens) — same scores
+        // as TextOps.langId, one split instead of four per row
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .select(col("doc_id"), col("lt"), TextOps.markerTokens(col("lt")).as("mtok"))
+        .select(col("doc_id"),
+          TextOps.langIdFromMarkerTokens(col("mtok"), col("lt")).as("lang_pred"))
         .orderBy("doc_id"),
       Some(langIdOracle),
-      "text analysis — marker-token language ID with deterministic argmax"),
+      "text analysis — marker-token language ID with deterministic argmax " +
+        "(shared single-pass tokenization)"),
 
     Q("p04_fingerprint",
       (s, d) => table(s, d, "documents")

@@ -36,6 +36,25 @@ class TextOpsSpec extends SparkSpec {
     assert(langs == Seq("en", "es", "de", "en"))
   }
 
+  test("langIdFromMarkerTokens (shared tokenization) agrees with langId") {
+    val docs = Seq(
+      "the cat and the dog is here",
+      "el gato de la casa que canta",
+      "der hund und die katze ist",
+      "le chat est une merveille et les autres",
+      "我是谁 我在哪里 的的的",          // CJK substring scoring
+      "the el der le 的",               // cross-language marker soup
+      "xyz qqq www", "", "   ")
+    val df = docs.toDF("t")
+    val direct = df.select(TextOps.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    val staged = df
+      .select(col("t"), lower(col("t")).as("lt"))
+      .select(col("lt"), TextOps.markerTokens(col("lt")).as("mtok"))
+      .select(TextOps.langIdFromMarkerTokens(col("mtok"), col("lt")))
+      .collect().map(_.getString(0)).toSeq
+    assert(staged == direct)
+  }
+
   test("winnowing fingerprints survive a prefix insertion (local dedup property)") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home"
     val df = Seq(base, "PREPENDED NEW CONTENT " + base).toDF("t")
