@@ -60,6 +60,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("g28 section-progress fold is one map stage + one aggregate (no joins)") {
+    val p = plan("g28_section_progress")
+    // the whole CompleteSection fold must be column expressions over the
+    // scan — a join or driver loop here would not survive 100 TB
+    assert(!p.contains("Join"), p)
+    assert(p.contains("array_except"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("p03 langid tokenizes once, not once per language") {
+    val p = plan("p03_langid")
+    // the staged markerTokens projection must survive CollapseProject:
+    // one split() in the plan — langId's naive form embeds it in every
+    // per-language score (4x the scan cost)
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits == 1, s"expected exactly 1 split(), got $splits in:\n$p")
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
