@@ -712,6 +712,35 @@ object GraphQueries {
       "S12 — digitised data-table unpivot to long format via native unpivot " +
         "(one narrow stage at any width; ref Datasets.fs:47-85)"),
 
+    Q("g31_integrity_sweep",
+      (s, d) => {
+        import graft.core.{GraphIO, GraphState}
+        import s.implicits._
+        // S7: plant deterministic drift (every 5th nation's stored
+        // prettyName gains a suffix), then sweep — recompute display
+        // names map-side from the payload and report rows that differ
+        // (ref Storage.fs:175-185). One narrow stage; nothing but the
+        // drifted rows leaves the scan.
+        val gr = TpchGraph.graph(s, d)
+        val drifted = gr.nodes.toDF()
+          .withColumn("prettyName",
+            when(col("nodeType") === "nation" &&
+              get_json_object(col("payload"), "$.n_nationkey").cast("int") % 5 === 3,
+              concat(col("prettyName"), lit(" (stale)")))
+              .otherwise(col("prettyName")))
+        val recompute =
+          when(col("nodeType") === "nation", get_json_object(col("payload"), "$.n_name"))
+            .otherwise(col("prettyName"))
+        GraphIO.staleIndexRows(GraphState(drifted.as[graft.model.NodeRow], gr.edges), recompute)
+          .orderBy("key")
+      },
+      Some("""
+        SELECT 'nation_' || n_nationkey AS key, 'nation' AS nodeType,
+               n_name || ' (stale)' AS prettyName, n_name AS recomputed
+        FROM nation WHERE n_nationkey % 5 = 3 ORDER BY key"""),
+      "S7 — index integrity sweep: map-side display-name recompute + null-safe drift " +
+        "filter (the reference's Array.Parallel scan as one narrow stage)"),
+
     Q("g24_degree_histogram",
       (s, d) => g(s, d).edges
         .filter(col("relType") === "PlacedBy")
