@@ -192,6 +192,52 @@ object PipelineQueries {
         FROM h ORDER BY doc_id, fp"""),
       "text analysis — winnowing (rolling-hash) local fingerprints for substring-level dedup"),
 
+    Q("p25_decontamination",
+      (s, d) => {
+        // train/eval contamination check — the decontamination pass every
+        // training pipeline needs: does a training document share enough
+        // local (substring-level) fingerprints with the held-out set to
+        // be a leak? Eval set = doc_id % 97 == 0 (deterministic stand-in
+        // for a benchmark corpus). The eval fingerprint set is tiny
+        // relative to the corpus → broadcast; the check is then a
+        // map-side semi-join + partial-aggregated count per train doc.
+        // At 100 TB: same shape — eval benchmarks are always broadcast-
+        // sized, the train side never shuffles.
+        val fps = table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
+        val evalFps = fps.filter(col("doc_id") % 97 === 0).select("fp").distinct()
+        fps.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalFps), "fp")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("fp")).cast("long").as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(text) - 4),
+                   i -> (ascii(substring(text, i, 1)) * 923521
+                       + ascii(substring(text, i + 1, 1)) * 29791
+                       + ascii(substring(text, i + 2, 1)) * 961
+                       + ascii(substring(text, i + 3, 1)) * 31
+                       + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
+          FROM documents
+          WHERE length(text) >= 5),
+        fps AS (
+          SELECT doc_id, unnest(list_distinct(
+                 list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                   j -> list_min(hs[j:j+7])))) AS fp
+          FROM h),
+        eval_fps AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+        train AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 97 <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM train JOIN eval_fps USING (fp)
+        GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id"""),
+      "text analysis — train/eval DECONTAMINATION: winnowing-fingerprint overlap with a " +
+        "broadcast eval set (substring-level leak detection, map-side at any corpus size)"),
+
     Q("p18_quality_quantiles",
       (s, d) => table(s, d, "documents")
         .groupBy("lang")
