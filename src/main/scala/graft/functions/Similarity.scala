@@ -154,10 +154,6 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(next()))
   }
 
-  /** Random-hyperplane signature: bit `p` = sign of `v · plane_p`.
-    * Returns `(id, bucket)` where bucket packs the sign bits — vectors in
-    * the same bucket are ANN candidates.
-    */
   /** Sign bit of one hyperplane projection. The sign tests the ROUNDED
     * dot product — the same cross-engine convention as every other
     * float comparison here: a projection within an ulp of zero must not
@@ -166,6 +162,10 @@ object Similarity {
   private[graft] def signBit(vec: Column, plane: Seq[Double], i: Int): Column =
     when(round(dot(vec, array(plane.map(lit): _*)), 6) > 0, lit(1L << i)).otherwise(lit(0L))
 
+  /** Random-hyperplane signature: bit `p` = sign of `v · plane_p`.
+    * Returns `(id, bucket)` where bucket packs the sign bits — vectors in
+    * the same bucket are ANN candidates.
+    */
   def lshBuckets(df: DataFrame, id: Column, vec: Column, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val bucket = planes.zipWithIndex.map { case (p, i) => signBit(vec, p, i) }

@@ -46,19 +46,50 @@ object Payloads {
       .when(raw.startsWith("{"), element_at(json_object_keys(raw), 1))
       .otherwise(raw)
 
-  /** JSON text of a double column (Spark renders 50.0 → "50.0"). */
+  /** JSON text of a double column. Spark's double→string rendering
+    * ("50.0", or "1.0E7" beyond 7 digits) is what the re-encode emits —
+    * semantically identical JSON (the round-trip contract is
+    * Jackson-tree equality), not necessarily the same numeric-literal
+    * spelling .NET chose.
+    */
   private def num(c: Column): Column = c.cast("double").cast("string")
 
   private def intNum(c: Column): Column = c.cast("int").cast("string")
 
-  /** A compact JSON string literal via escape replacements (quotes and
-    * backslashes; control characters are out of scope for these
-    * payloads — [[Json.str]] is the driver-side escaper for free text).
+  /** A compact JSON string literal: escape backslashes, quotes, and the
+    * whitespace control characters free text can realistically carry
+    * (newline/CR/tab — a decoded `\n` re-embedded literally would be
+    * invalid JSON).
     */
-  private def jsonString(c: Column): Column =
-    concat(lit("\""),
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-      lit("\""))
+  private def jsonString(c: Column): Column = {
+    val esc = Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
+      "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
+      .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+    concat(lit("\""), esc, lit("\""))
+  }
+
+  /** Loud-failure arm for every union `when` chain: an unrecognized (or
+    * null) case must abort the job, not null-propagate through `concat`
+    * and silently drop the whole re-encoded document.
+    */
+  private def unknownCase(what: String, c: Column): Column =
+    raise_error(concat(lit(s"Payloads.$what: unencodable union case "), coalesce(c, lit("null"))))
+
+  /** Fields-serialized .NET `Author` (`Types.fs:263`): shared by the
+    * calibration-origin and digitised-dataset encoders. An empty
+    * initials list renders `[]` (not `[""]`).
+    */
+  private def encodeAuthor(a: Column): Column = {
+    val initials = coalesce(a.getField("item1"), array().cast("array<string>"))
+    concat(
+      lit("{\"item1\":"),
+      when(size(initials) === 0, lit("[]"))
+        .otherwise(concat(lit("[\""), array_join(initials, "\",\""), lit("\"]"))),
+      lit(",\"item2\":"), jsonString(a.getField("item2")),
+      lit(",\"item3\":"),
+      when(a.getField("item3").isNotNull, jsonString(a.getField("item3"))).otherwise(lit("null")),
+      lit("}"))
+  }
 
   /** The compact tuple of a multi-field case as positional strings
     * (objects/arrays keep raw JSON text).
@@ -99,6 +130,7 @@ object Payloads {
       .when(c === "DatingErrorRangeSigma",
         concat(lit("{\"DatingErrorRangeSigma\":[\""), t.getField("sigma"), lit("\","),
           num(t.getField("errorOlder")), lit(","), num(t.getField("errorYounger")), lit("]}")))
+      .otherwise(unknownCase("MeasurementError", c))
   }
 
   // -------------------------------------- CalibratedRadiocarbonDate(s)
@@ -182,6 +214,7 @@ object Payloads {
         concat(lit("{\"HistoryYearAD\":"), num(t.getField("year")), lit("}")))
       .when(c === "HistoryYearBC",
         concat(lit("{\"HistoryYearBC\":"), num(t.getField("year")), lit("}")))
+      .otherwise(unknownCase("OldDate", c))
   }
 
   // ------------------------------------------------ OldDatingMethod
@@ -245,6 +278,7 @@ object Payloads {
         concat(lit("{\"CollectionDate\":"), num(t.getField("year")), lit("}")))
       .when(c === "DepositionalZone",
         concat(lit("{\"DepositionalZone\":"), jsonString(t.getField("name")), lit("}")))
+      .otherwise(unknownCase("OldDatingMethod", c))
   }
 
   // ---------------------------------------------------- DepthInCore
@@ -273,6 +307,7 @@ object Payloads {
         lit(","), num(t.getField("upper")), lit("]}")))
       .when(c === "DepthQualitativeLevel",
         concat(lit("{\"DepthQualitativeLevel\":"), jsonString(t.getField("levelName")), lit("}")))
+      .otherwise(unknownCase("DepthInCore", c))
   }
 
   // ------------------------------------------- IndividualDateNode (F#)
@@ -373,19 +408,16 @@ object Payloads {
           concat(lit("{\"OxCalModel\":"), jsonString(m.getField("text")), lit("}")))
         .when(mc === "OtherModel",
           concat(lit("{\"OtherModel\":"), jsonString(m.getField("text")), lit("}")))
+        .otherwise(unknownCase("CalibrationModel", mc))
     val o = t.getField("origin")
     val oc = o.getField("case")
     val author = o.getField("conductedBy")
     val originJson =
       when(oc === "FromOriginalWork", lit("\"FromOriginalWork\""))
         .when(oc === "PartOfReanalysis",
-          concat(lit("{\"PartOfReanalysis\":[{\"item1\":[\""),
-            array_join(author.getField("item1"), "\",\""),
-            lit("\"],\"item2\":"), jsonString(author.getField("item2")),
-            lit(",\"item3\":"),
-            when(author.getField("item3").isNotNull, jsonString(author.getField("item3")))
-              .otherwise(lit("null")),
-            lit("},"), jsonString(o.getField("date")), lit("]}")))
+          concat(lit("{\"PartOfReanalysis\":["), encodeAuthor(author),
+            lit(","), jsonString(o.getField("date")), lit("]}")))
+        .otherwise(unknownCase("DateCalibrationOrigin", oc))
     concat(
       lit("{\"CalibrationCurve\":"), jsonString(t.getField("calibrationCurve")),
       lit(",\"ModelApplied\":"), modelJson,
@@ -471,30 +503,28 @@ object Payloads {
           concat(lit("{\"FromSupplementaryFigure\":"), jsonString(l.getField("label")), lit("}")))
         .when(lc === "FromSupplementaryTable",
           concat(lit("{\"FromSupplementaryTable\":"), jsonString(l.getField("label")), lit("}")))
+        .otherwise(unknownCase("SourceDataLocation", lc))
     val s = t.getField("software"); val sc = s.getField("case")
     val swJson =
       when(sc === "PlotDigitizer", lit("\"PlotDigitizer\""))
         .when(sc === "OtherSoftware",
           concat(lit("{\"OtherSoftware\":"), jsonString(s.getField("name")), lit("}")))
+        .otherwise(unknownCase("SoftwareUsed", sc))
     val m = t.getField("metric"); val mc = m.getField("case")
     val metricJson =
       when(mc === "OtherMetric",
         concat(lit("{\"OtherMetric\":"), jsonString(m.getField("text")), lit("}")))
-        .otherwise(concat(lit("\""), mc, lit("\"")))
+        .when(mc.isNotNull, concat(lit("\""), mc, lit("\"")))
+        .otherwise(unknownCase("Metric", mc))
     val u = t.getField("units"); val uc = u.getField("case")
     val unitsJson =
       when(uc === "CountPerCmCubed",
         concat(lit("{\"CountPerCmCubed\":"), intNum(u.getField("cm3")), lit("}")))
         .when(uc === "OtherUnit",
           concat(lit("{\"OtherUnit\":"), jsonString(u.getField("text")), lit("}")))
-        .otherwise(concat(lit("\""), uc, lit("\"")))
-    val a = t.getField("digitisedBy")
-    val authorJson =
-      concat(lit("{\"item1\":[\""), array_join(a.getField("item1"), "\",\""),
-        lit("\"],\"item2\":"), jsonString(a.getField("item2")),
-        lit(",\"item3\":"),
-        when(a.getField("item3").isNotNull, jsonString(a.getField("item3"))).otherwise(lit("null")),
-        lit("}"))
+        .when(uc.isNotNull, concat(lit("\""), uc, lit("\"")))
+        .otherwise(unknownCase("MetricUnit", uc))
+    val authorJson = encodeAuthor(t.getField("digitisedBy"))
     concat(
       lit("{\"WhatWasDigitised\":"), locJson,
       lit(",\"SoftwareUsed\":"), swJson,

@@ -653,7 +653,12 @@ object PipelineQueries {
         reach(id, lbl) AS (
           SELECT id, id AS lbl FROM nodes
           UNION
-          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t),
+          -- only labels smaller than the receiving id can ever be a
+          -- component min (the min label is below every other member),
+          -- so pruning r.lbl >= e.s bounds the recursion without
+          -- changing min(lbl)
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
         SELECT CAST(component AS BIGINT) AS canonical_id,
                CAST(count(*) AS BIGINT) AS n_members,

@@ -51,7 +51,11 @@ class PayloadsSpec extends SparkSpec {
       """"MaterialDated":"sediment","SampleDepth":{"DepthPoint":4.5},"Discarded":false}""",
     // collection date (simple scalar case)
     """{"Date":{"CollectionDate":1987.0},"MeasurementError":"NoDatingErrorSpecified",""" +
-      """"MaterialDated":"living wood","Discarded":false}""")
+      """"MaterialDated":"living wood","Discarded":false}""",
+    // free text with embedded newline/tab/quote — jsonString must
+    // re-escape what get_json_object unescaped
+    """{"Date":{"DepositionalZone":"Zone \"B\"\n\tupper"},"MeasurementError":"NoDatingErrorSpecified",""" +
+      """"MaterialDated":"bulk\nsediment","Discarded":false}""")
 
   test("IndividualDateNode round-trips and exposes typed fields (ref Types.fs:544-657)") {
     val df = roundTrip(dateFixtures,
@@ -91,7 +95,11 @@ class PayloadsSpec extends SparkSpec {
       """"AgeDepthModel":[{"Depth":10.0,"Date":1234.0,"StandardDeviation":45.0},{"Depth":20.0,"Date":2345.0}]}""",
     // all the field-less cases + no age-depth model
     """{"CalibrationCurve":"IntCal13","ModelApplied":"Unmodelled","SoftwareName":"CALIB",""" +
-      """"SoftwareVersion":"7.1","Origin":"FromOriginalWork"}""")
+      """"SoftwareVersion":"7.1","Origin":"FromOriginalWork"}""",
+    // corporate author: EMPTY initials list must round-trip as [] not [""]
+    """{"CalibrationCurve":"IntCal20","ModelApplied":"Unmodelled","SoftwareName":"OxCal",""" +
+      """"SoftwareVersion":"4.4","Origin":{"PartOfReanalysis":""" +
+      """[{"item1":[],"item2":"Arctic Consortium","item3":null},"2025-01-01"]}}""")
 
   test("DateCalibrationNode round-trips and exposes typed fields (ref Exposure.fs:87-105)") {
     val df = roundTrip(calibrationFixtures,
