@@ -70,6 +70,9 @@ object Scratch {
         .groupBy(keys.map(col): _*)
         .agg(first(orderCols.head).as(orderCols.head), orderCols.tail.map(c => first(c).as(c)): _*)
       println(s"[scratch] content diff a-b=${a.exceptAll(b).count()} b-a=${b.exceptAll(a).count()}")
+    } else if (name.startsWith("explain:")) {
+      val q = name.stripPrefix("explain:")
+      SparkEntry.queries(q)(spark, sfDir).explain("formatted")
     } else {
       val fn = SparkEntry.queries(name)
       for (i <- 1 to 3) {

@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and relevance scoring for training-data
+  * pipelines: TF-IDF term weighting, BM25 query ranking, repetition
+  * (quality) signals, and vocabulary / out-of-vocabulary coverage.
+  *
+  * Scale shape, per operator:
+  *
+  *  - TF-IDF: one explode + two hash aggregations. The document-frequency
+  *    table is vocabulary-sized (≪ corpus — natural-language vocabularies
+  *    grow ~O(corpus^0.5), Heaps' law), so it broadcasts; the only
+  *    corpus-sized shuffles are the (doc, term) partial-aggregated count
+  *    and the per-doc top-k window, both keyed by doc — the partitioning a
+  *    downstream per-doc pipeline wants anyway.
+  *  - BM25: corpus constants (N, avg length, per-term document frequency)
+  *    come from ONE scalar aggregate pass; scoring is then map-side only
+  *    (the constants cross-join a single broadcast row) and the top-k is
+  *    a TakeOrdered — the fact table is never shuffled.
+  *  - Repetition signals: two (doc, gram)-keyed aggregations; everything
+  *    partial-aggregates map-side first.
+  *  - Vocabulary: global top-N via aggregate + TakeOrdered (partial top-N
+  *    per partition — no full sort); OOV scoring is map-side against the
+  *    broadcast-by-construction vocabulary literal.
+  *
+  * Cross-engine float determinism (the repo-wide convention): every
+  * emitted double is `round(..., n)`; scores that SUM several float terms
+  * (BM25) add them in a fixed literal order so the accumulation order —
+  * and therefore the last ulp — is identical in any engine evaluating the
+  * same expression tree.
+  */
+object Corpus {
+
+  /** Per-(doc, term) occurrence counts — the term-frequency table. */
+  def termCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(TextOps.tokens(lower(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` terms per document by smoothed TF-IDF
+    * (`tf * (ln((N+1)/(df+1)) + 1)`), ties broken by term ascending.
+    * Ranking uses the ROUNDED score so an oracle re-deriving it agrees on
+    * boundary ties.
+    */
+  def tfIdfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tf = termCounts(df, id, text)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
+  /** BM25 document ranking for a literal query-term list.
+    *
+    * `score(d) = Σ_t idf_t · tf_t(k1+1) / (tf_t + k1(1 − b + b·|d|/avgdl))`
+    * with `idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))`.
+    *
+    * Per-term contributions are summed left-to-right in query order
+    * (see the object scaladoc); zero-score documents are dropped.
+    */
+  def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.select(id.as("doc_id"), TextOps.tokens(lower(text)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("len"))
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +:
+        (sum(col("len")).cast("double") / count(lit(1))).as("avglen") +:
+        terms.map(t =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+            .cast("double").as(s"df_$t"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val termScores = terms.map { t =>
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      val dfc = col(s"df_$t")
+      val idf = log(lit(1.0) + ((col("n") - dfc) + lit(0.5)) / (dfc + lit(0.5)))
+      val denom = tf + lit(k1) *
+        ((lit(1.0) - lit(b)) + lit(b) * (col("len").cast("double") / col("avglen")))
+      when(tf > 0, idf * ((tf * lit(k1 + 1)) / denom)).otherwise(lit(0.0))
+    }
+    scored.select(col("doc_id"), round(termScores.reduceLeft(_ + _), 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Raw (non-distinct) word bigrams per document — repetition needs
+    * occurrence counts, so this deliberately does NOT dedupe like
+    * [[Dedup.wordNgrams]] does.
+    */
+  private def rawBigrams(toks: Column): Column =
+    transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+
+  /** Max occurrence count of any element == max run length of the SORTED
+    * array — one local O(n log n) pass per row, no explode, no shuffle.
+    */
+  private def maxRunCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals per document: distinct-token ratio,
+    * most-frequent-token fraction, most-frequent-bigram fraction, and a
+    * `repetitive` flag (most-frequent-token fraction at or above
+    * `topTokenFracMax`, tested on the ROUNDED value so any engine agrees).
+    * `repetitive` is emitted as 0/1 int for cross-engine schema stability.
+    *
+    * Entirely map-side: per-doc counts come from sorted-array run lengths
+    * ([[maxRunCount]]), not an exploded (doc, gram) aggregation — zero
+    * shuffles at any corpus size (the exploded form moves every token
+    * over the network twice; this moves nothing). Documents with no
+    * tokens are dropped (no signals to compute).
+    */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column,
+                        topTokenFracMax: Double = 0.15): DataFrame = {
+    val stats = df
+      .select(id.as("doc_id"), TextOps.tokens(lower(text)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        maxRunCount(col("toks")).as("top_tf"),
+        maxRunCount(filter(rawBigrams(col("toks")), g => length(g) > 0))
+          .as("top_bigram_tf"))
+    val topTokenFrac =
+      round(col("top_tf").cast("double") / greatest(col("n_tokens"), lit(1)), 4)
+    stats.select(
+      col("doc_id"),
+      col("n_tokens"),
+      round(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)), 4)
+        .as("distinct_frac"),
+      topTokenFrac.as("top_token_frac"),
+      round(col("top_bigram_tf").cast("double") / greatest(col("n_tokens") - 1, lit(1)), 4)
+        .as("top_bigram_frac"),
+      when(topTokenFrac >= topTokenFracMax, 1).otherwise(0).as("repetitive"))
+  }
+
+  /** The `topN` most frequent corpus terms (ties broken by term
+    * ascending), collected driver-side — vocabularies are bounded by
+    * construction, so this is the broadcast-constant pattern, not a
+    * corpus collect.
+    */
+  def topVocabulary(df: DataFrame, text: Column, topN: Int): Seq[String] =
+    df.select(explode(TextOps.tokens(lower(text))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(topN)
+      .collect().map(_.getString(0)).toSeq
+
+  /** Per-document out-of-vocabulary counts against a literal vocabulary:
+    * token count, OOV token count, OOV ratio. Map-side only.
+    */
+  def oovStats(df: DataFrame, id: Column, text: Column, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "oovStats needs a non-empty vocabulary")
+    val vArr = array(vocab.map(lit): _*)
+    val toks = TextOps.tokens(lower(text))
+    df.select(id.as("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), x => !array_contains(vArr, x))).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.functions.{Corpus, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -148,7 +148,123 @@ object PipelineQueries {
         FROM t ORDER BY doc_id"""
   }
 
+  /** DuckDB replica of [[Corpus.bm25]]: float constants are interpolated
+    * from the SAME Scala doubles the Spark side uses (Java's shortest
+    * round-trip `toString` parses back to the identical bit pattern in
+    * any IEEE engine), and per-term scores add left-to-right in query
+    * order — the whole expression tree matches term by term.
+    */
+  private def bm25Oracle(terms: Seq[String], k1: Double, b: Double, topK: Int): String = {
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(",\n                 ")
+    val termScores = terms.map { t =>
+      val tf = s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE)"
+      s"""(CASE WHEN $tf > 0
+             THEN ln(1.0 + ((n - df_$t) + 0.5) / (df_$t + 0.5))
+                  * (($tf * ${k1 + 1}) / ($tf + $k1 * ((1.0 - $b) + $b * (CAST(len AS DOUBLE) / avglen))))
+             ELSE 0.0 END)"""
+    }.mkString("\n             + ")
+    s"""
+        WITH base AS (
+          SELECT doc_id, ${sqlTokens("lower(text)")} AS ts,
+                 len(${sqlTokens("lower(text)")}) AS len
+          FROM documents),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(len) AS DOUBLE) / count(*) AS avglen,
+                 $dfCols
+          FROM base)
+        SELECT doc_id,
+               round($termScores, 6) AS bm25
+        FROM base CROSS JOIN stats
+        WHERE round($termScores, 6) > 0
+        ORDER BY bm25 DESC, doc_id LIMIT $topK"""
+  }
+
   val all: Seq[Q] = Seq(
+
+    Q("p26_tfidf_terms",
+      (s, d) => Corpus.tfIdfTopTerms(table(s, d, "documents"),
+          col("doc_id"), col("text"), k = 3)
+        .orderBy("doc_id", "rank"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 round(tf * (ln(CAST(n + 1 AS DOUBLE) / (df + 1)) + 1), 6) AS tfidf
+          FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        r AS (SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+              FROM scored)
+        SELECT doc_id, CAST(rnk AS INT) AS "rank", term, tfidf
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
+      "relevance — per-doc top-3 terms by smoothed TF-IDF (broadcast vocab-sized df " +
+        "table; corpus shuffles stay doc-keyed)"),
+
+    Q("p27_bm25_rank",
+      (s, d) => Corpus.bm25(table(s, d, "documents"), col("doc_id"), col("text"),
+        terms = Seq("spark", "vector", "stream"), k1 = 1.2, b = 0.75, topK = 20),
+      Some(bm25Oracle(Seq("spark", "vector", "stream"), k1 = 1.2, b = 0.75, topK = 20)),
+      "relevance — BM25 query ranking (one scalar-agg pass for corpus constants, " +
+        "map-side scoring, TakeOrdered top-k; corpus never shuffles)"),
+
+    Q("p28_repetition",
+      (s, d) => Corpus.repetitionSignals(table(s, d, "documents"),
+          col("doc_id"), col("text"), topTokenFracMax = 0.15)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        t AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        tok_stats AS (SELECT doc_id, CAST(sum(tf) AS INT) AS n_tokens,
+                             count(*) AS n_distinct, max(tf) AS top_tf
+                      FROM tf GROUP BY 1),
+        bgr AS (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 1)),
+                              i -> array_to_string(ts[i:i+1], ' '))) AS bg
+                FROM toks),
+        bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgr WHERE len(bg) > 0 GROUP BY 1, 2),
+        bgt AS (SELECT doc_id, max(c) AS top_bigram_tf FROM bgc GROUP BY 1)
+        SELECT s.doc_id, s.n_tokens,
+               round(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 4) AS distinct_frac,
+               round(CAST(top_tf AS DOUBLE) / greatest(n_tokens, 1), 4) AS top_token_frac,
+               round(CAST(COALESCE(top_bigram_tf, 0) AS DOUBLE) / greatest(n_tokens - 1, 1), 4)
+                 AS top_bigram_frac,
+               CASE WHEN round(CAST(top_tf AS DOUBLE) / greatest(n_tokens, 1), 4) >= 0.15
+                    THEN 1 ELSE 0 END AS repetitive
+        FROM tok_stats s LEFT JOIN bgt USING (doc_id)
+        ORDER BY s.doc_id"""),
+      "quality — Gopher-style repetition signals (distinct-token ratio, top-token / " +
+        "top-bigram fractions) + repetitive flag; two gram-keyed partial aggregations"),
+
+    Q("p29_oov_coverage",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        // bounded top-N vocabulary — the broadcast-constant pattern (same
+        // as centroids in p16/p20); at 100 TB the vocab aggregate is one
+        // partial-agg + TakeOrdered pass, never a full sort
+        val vocab = Corpus.topVocabulary(docs, col("text"), topN = 30)
+        Corpus.oovStats(docs, col("doc_id"), col("text"), vocab).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        t AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        vocab AS (SELECT term FROM (SELECT term, count(*) AS c FROM t GROUP BY 1)
+                  ORDER BY c DESC, term LIMIT 30),
+        oovc AS (SELECT t.doc_id, sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS oov
+                 FROM t LEFT JOIN vocab v ON t.term = v.term GROUP BY 1)
+        SELECT k.doc_id, CAST(len(k.ts) AS INT) AS n_tokens,
+               CAST(COALESCE(o.oov, 0) AS INT) AS n_oov,
+               round(CAST(COALESCE(o.oov, 0) AS DOUBLE) / greatest(len(k.ts), 1), 4) AS oov_ratio
+        FROM toks k LEFT JOIN oovc o ON k.doc_id = o.doc_id
+        ORDER BY k.doc_id"""),
+      "quality — vocabulary build (top-30 corpus terms, deterministic tie-break) + " +
+        "per-doc out-of-vocabulary coverage (map-side against the broadcast vocab)"),
+
 
     Q("p01_token_count",
       (s, d) => table(s, d, "documents")
