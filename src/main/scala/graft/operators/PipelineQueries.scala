@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Corpus, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.functions.{Clustering, Corpus, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -56,17 +56,17 @@ object PipelineQueries {
         FROM cand ORDER BY cos DESC, id LIMIT 10"""
   }
 
-  /** DuckDB replica of [[Dedup.embeddingNearDupsLsh]] (p22): 6 union'd
-    * bucket tables (plane literals inlined) → self-join on (tbl, bucket)
-    * → exact cosine verify at the rounded threshold.
+  /** The CTE chain (no leading WITH) replicating
+    * [[Dedup.embeddingNearDupsLsh]]: 6 union'd bucket tables (plane
+    * literals inlined) → self-join on (tbl, bucket) → exact cosine
+    * verify. `pr` holds the candidate pairs with rounded cosine.
     */
-  private def lshNearDupOracle: String = {
+  private def lshPairCtes: String = {
     val buckets = (0 until 6).map { t =>
       val planes = Similarity.hyperplanes(4, EmbDim, seed = 7L + t)
       s"SELECT $t AS tbl, vec_id, ${lshBucketSql("e", planes)} AS bucket FROM v"
     }.mkString("\n          UNION ALL ")
-    s"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         bk AS (
           $buckets),
         cand AS (
@@ -77,9 +77,38 @@ object PipelineQueries {
           SELECT id_a, id_b, round(list_cosine_similarity(va.e, vb.e), 6) AS cos
           FROM cand
           JOIN v va ON va.vec_id = cand.id_a
-          JOIN v vb ON vb.vec_id = cand.id_b)
-        SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+          JOIN v vb ON vb.vec_id = cand.id_b)"""
   }
+
+  /** DuckDB replica of [[Dedup.embeddingNearDupsLsh]] (p22). */
+  private def lshNearDupOracle: String =
+    s"""
+        WITH $lshPairCtes
+        SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+
+  /** DuckDB replica of p32: connected components (semi-naive recursive
+    * CTE, labels pruned to `lbl < id` — only a below-everyone label can
+    * be a component min) over the LSH pair set, then one keeper per
+    * component. Same collapse as p24's oracle, but over the
+    * literal-inlined LSH pairs instead of exact all-pairs.
+    */
+  private def lshCollapseOracle: String =
+    s"""
+        WITH RECURSIVE $lshPairCtes,
+        pairs AS (SELECT id_a, id_b FROM pr WHERE cos >= 0.4),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT CAST(component AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        FROM comp GROUP BY 1 ORDER BY 1"""
 
   /** DuckDB replica of [[Similarity.ivfTopK]] (p16): centroids re-derived
     * in SQL exactly as p15 does (4-dp rounded per-label means), probe set
@@ -264,6 +293,96 @@ object PipelineQueries {
         ORDER BY k.doc_id"""),
       "quality — vocabulary build (top-30 corpus terms, deterministic tie-break) + " +
         "per-doc out-of-vocabulary coverage (map-side against the broadcast vocab)"),
+
+    Q("p30_kmeans",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        // deterministic init: the 8 lowest-id vectors, cluster = vec_id
+        val init = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+        Clustering.sphericalKMeans(emb, col("vec_id"), col("embedding"), init, iters = 2)
+          .orderBy("cluster", "pos")
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cluster, e AS cvec FROM v WHERE vec_id < 8),
+        a1 AS (SELECT vec_id, e, cluster FROM (
+                 SELECT v.vec_id, v.e, c.cluster,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(list_cosine_similarity(v.e, c.cvec), 6) DESC,
+                                   c.cluster) AS rn
+                 FROM v CROSS JOIN c0 c) WHERE rn = 1),
+        c1 AS (SELECT cluster, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+               FROM (SELECT cluster, unnest(list_transform(generate_series(1, len(e)),
+                            i -> {'i': i, 'v': e[i]})) AS u FROM a1)
+               GROUP BY cluster, u.i),
+        c1v AS (SELECT cluster, list(c ORDER BY pos) AS cvec FROM c1 GROUP BY cluster),
+        a2 AS (SELECT vec_id, e, cluster FROM (
+                 SELECT v.vec_id, v.e, c.cluster,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(list_cosine_similarity(v.e, c.cvec), 6) DESC,
+                                   c.cluster) AS rn
+                 FROM v CROSS JOIN c1v c) WHERE rn = 1),
+        c2 AS (SELECT cluster, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+               FROM (SELECT cluster, unnest(list_transform(generate_series(1, len(e)),
+                            i -> {'i': i, 'v': e[i]})) AS u FROM a2)
+               GROUP BY cluster, u.i)
+        SELECT cluster, CAST(pos AS INT) AS pos, c FROM c2 ORDER BY cluster, pos"""),
+      "clustering — spherical k-means, 2 Lloyd iterations from deterministic init " +
+        "(map-side rounded-cosine argmax per pass + one partial-aggregated mean; " +
+        "K x dim centroids are the only driver state)"),
+
+    Q("p31_quantize",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        // dim×(min,max) — broadcast-constant scale, like centroids
+        val bounds = Clustering.dimMinMax(emb, col("embedding"))
+        Clustering.scalarQuantize(emb, col("vec_id"), col("embedding"), bounds)
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        x AS (SELECT vec_id, u.i - 1 AS pos, u.v AS val
+              FROM (SELECT vec_id, unnest(list_transform(generate_series(1, len(e)),
+                           i -> {'i': i, 'v': e[i]})) AS u FROM v)),
+        d AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM x GROUP BY 1),
+        q AS (SELECT vec_id, x.pos, val, mn, mx,
+                     CASE WHEN mx > mn
+                          THEN CAST(floor(round((val - mn) * (255.0 / (mx - mn)), 6) + 0.5) AS INT)
+                          ELSE 0 END AS code
+              FROM x JOIN d USING (pos)),
+        e AS (SELECT vec_id, code, pos,
+                     round(abs((CASE WHEN mx > mn THEN code * ((mx - mn) / 255.0) + mn
+                                     ELSE mn END) - val), 6) AS err
+              FROM q)
+        SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+               CAST(sum(code * (pos + 1)) AS BIGINT) AS code_checksum,
+               max(err) AS max_err
+        FROM e GROUP BY 1 ORDER BY vec_id"""),
+      "compression — int8 scalar quantization of embeddings (per-dim bounds broadcast " +
+        "as literals; encoding + fidelity stats fully map-side, corpus never shuffled)"),
+
+    Q("p32_lsh_dedup_clusters",
+      (s, d) => {
+        // the 100 TB dedup path END TO END: LSH-blocked pair generation
+        // (p22 — no all-pairs join anywhere) feeding the same CC collapse
+        // as p24. p24 keeps the exact pair set as its ground-truth twin;
+        // this is the composition a production pipeline runs.
+        val emb = table(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val pairs = Dedup.embeddingNearDupsLsh(emb, col("vec_id"), col("embedding"),
+            minCos = 0.4, dim = dim)
+          .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+        graft.plans.DfConnectedComponents.run(pairs)
+          .groupBy(col("component").cast("long").as("canonical_id"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            (count(lit(1)) - 1).cast("long").as("n_dropped"))
+          .orderBy("canonical_id")
+      },
+      Some(lshCollapseOracle),
+      "dedup — the corpus-scale collapse pipeline: sign-LSH blocked near-dup pairs " +
+        "(never all-pairs) -> DataFrame CC -> one canonical keeper per cluster"),
 
 
     Q("p01_token_count",
