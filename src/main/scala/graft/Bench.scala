@@ -1,5 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * prints ONE compact JSON line for the driver, plus a full-fidelity copy
+  * to `BENCH_FULL.json` in the working directory.
+  *
+  * Capture constraints (learned rounds 1–4): the driver records only a
+  * bounded stdout TAIL (~2 KB). A full-name 80-query JSON line is ~2.2 KB,
+  * so its head (g01–g08) fell outside the window three rounds running.
+  * Two fixes: (1) the stdout line keys queries by their short id prefix
+  * ("g01", "p30", "q15" — unique by construction, same ids CORRECTNESS
+  * uses), keeping the line ~1.1 KB; (2) the complete record — full query
+  * names, both raw runs, and the min — goes to BENCH_FULL.json, which is
+  * not subject to the tail window.
+  *
+  * Timing: each query runs TWICE and the min is reported. Observed
+  * run-to-run noise at sf0.1 is up to 8× on a single query (BENCH_r03 vs
+  * r04 on identical code), so single-shot numbers cannot adjudicate a 2×
+  * performance gate; min-of-2 strips the worst of the scheduling/GC noise
+  * while keeping the bench under the driver's time budget.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,25 +50,42 @@ object Bench {
     // eliminate global sorts and prune every projected expression, timing
     // a bare scan for projection-only queries. Failures are reported as
     // -1 in the JSON (not swallowed into a plausible-looking timing).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
+      }
     }
-    // the driver captures only a bounded stdout TAIL: millisecond
-    // precision keeps the whole JSON line ~2 KB so the head is never
-    // truncated away (full-precision doubles overflowed the tail window
-    // in rounds 1-2 and the driver recorded parsed:null)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r1 = once(name, fn)
+      val r2 = if (r1 < 0) -1.0 else once(name, fn)
+      val best = if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2)
+      System.err.println(f"[bench] $name: ${best}%.3f s (runs ${r1}%.3f / ${r2}%.3f)")
+      (name, best, r1, r2)
+    }
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    // full-fidelity record, immune to the stdout tail window
+    val fullQs = results.map { case (name, best, r1, r2) =>
+      s""""$name":{"min":${f3(best)},"runs":[${f3(r1)},${f3(r2)}]}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full record -> ${p.toAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // compact stdout line for the driver: short unique id prefixes keep it
+    // ~1.1 KB so the whole line fits the capture window
+    val qs = results.map { case (name, best, _, _) =>
+      "\"" + name.takeWhile(_ != '_') + "\":" + f3(best)
+    }.mkString("{", ",", "}")
+    val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","queries":$qs,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

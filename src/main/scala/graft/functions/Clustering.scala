@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism (repo convention): assignment uses the
   * ROUNDED cosine with an explicit tie-break toward the smaller cluster,
-  * and centroid updates round to 4 dp — so an oracle re-deriving the
-  * iterations from the same init reproduces every intermediate bit.
+  * and the centroid mean is accumulation-order INDEPENDENT — each
+  * component is pre-rounded to an integer 1e-6 grid and summed as exact
+  * longs before dividing (the same integer-exactness pattern
+  * [[scalarQuantize]] uses), so any engine re-running the recurrence from
+  * the same init lands on identical 4-dp centroids regardless of
+  * partition or accumulation order. (A plain `avg` over doubles is NOT
+  * order-stable; 4-dp rounding can flip at boundaries and iteration 2
+  * amplifies any flipped component.)
   */
 object Clustering {
 
@@ -45,6 +51,12 @@ object Clustering {
     * `(cluster, pos, c)` with 4-dp rounded components. Clusters that end
     * an iteration empty drop out (no rows to average) — mirrored by any
     * engine re-running the same recurrence.
+    *
+    * The per-component mean is computed as `round(Σ round(x·1e6) /
+    * (n·1e6), 4)` with the sum over exact longs: integer addition
+    * commutes, so the centroid is bit-identical no matter how Spark (or
+    * an oracle engine) orders the accumulation — a plain `avg(double)`
+    * is not, which made 4-dp rounding flip at boundaries.
     */
   def sphericalKMeans(df: DataFrame, id: Column, vec: Column,
                       init: Seq[(Int, Seq[Double])], iters: Int): DataFrame = {
@@ -53,7 +65,9 @@ object Clustering {
     for (_ <- 1 to iters) {
       val centRows = assignClusters(df, id, vec, cents)
         .select(col("cluster"), posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(round(avg("x"), 4).as("c"))
+        .groupBy("cluster", "pos")
+        .agg(round(sum(round(col("x") * lit(1e6)).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 4).as("c"))
         .collect() // K×dim rows — broadcast-constant scale, not a corpus collect
       cents = centRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (k, rows) =>
         k -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq

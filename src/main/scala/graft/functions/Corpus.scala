@@ -94,11 +94,15 @@ object Corpus {
 
   /** Raw (non-distinct) word bigrams per document — repetition needs
     * occurrence counts, so this deliberately does NOT dedupe like
-    * [[Dedup.wordNgrams]] does.
+    * [[Dedup.wordNgrams]] does. A document with fewer than 2 tokens has
+    * NO bigrams (empty array) — without the guard the lone token leaks
+    * through as a length-1 "bigram" and `top_bigram_frac` reports 1.0
+    * for single-token docs.
     */
   private def rawBigrams(toks: Column): Column =
-    transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
 
   /** Max occurrence count of any element == max run length of the SORTED
     * array — one local O(n log n) pass per row, no explode, no shuffle.
@@ -135,8 +139,7 @@ object Corpus {
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         maxRunCount(col("toks")).as("top_tf"),
-        maxRunCount(filter(rawBigrams(col("toks")), g => length(g) > 0))
-          .as("top_bigram_tf"))
+        maxRunCount(rawBigrams(col("toks"))).as("top_bigram_tf"))
     val topTokenFrac =
       round(col("top_tf").cast("double") / greatest(col("n_tokens"), lit(1)), 4)
     stats.select(

@@ -25,8 +25,12 @@ import org.apache.spark.sql.types._
   *  3. ENCODE is the exact inverse: a `when` chain over `case`
   *     reassembles the compact-union text (field-less → bare string,
   *     one field → `{"Case": v}`, tuples → `{"Case": [v1, v2]}`,
-  *     `None` → field omitted), so `encode(decode(j))` is
-  *     token-identical to the reference serializer's output.
+  *     `None` → field omitted), so `encode(decode(j))` equals the
+  *     reference serializer's output as a JSON TREE (Jackson-tree
+  *     equality): key order, separators, and string escapes match, but
+  *     numeric literals keep Spark's double rendering ("50.0",
+  *     "1.0E7"), which can differ from the spelling .NET chose — see
+  *     [[num]].
   *
   * Everything is Column-level (codegen'd `from_json`/`get_json_object`/
   * string ops — no UDF, no driver parsing), so a 100 TB store can
@@ -56,15 +60,25 @@ object Payloads {
 
   private def intNum(c: Column): Column = c.cast("int").cast("string")
 
-  /** A compact JSON string literal: escape backslashes, quotes, and the
-    * whitespace control characters free text can realistically carry
-    * (newline/CR/tab — a decoded `\n` re-embedded literally would be
-    * invalid JSON).
+  /** A compact JSON string literal: escape backslashes, quotes, the
+    * short-form control characters (`\n`/`\r`/`\t` — RFC 8259 names
+    * them, and the reference serializer emits the short forms), and
+    * every OTHER control character U+0000–U+001F as `\u00XX` — a decoded
+    * `\b` or U+0001 re-embedded raw would be invalid JSON and break the
+    * codec's round-trip contract. The generic arm only fires on strings
+    * that actually carry such a character (guarded by one `rlike`), so
+    * the common path stays at the five cheap replaces.
     */
   private def jsonString(c: Column): Column = {
-    val esc = Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
+    val named = Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
       "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
       .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+    // remaining control range: everything but \n \r \t (already short-form)
+    val ctl = (0x00 to 0x1f).filterNot(Set(0x09, 0x0a, 0x0d))
+    val esc = when(named.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"),
+      ctl.foldLeft(named) { (acc, cp) =>
+        regexp_replace(acc, f"\\x$cp%02x", f"\\\\u$cp%04x")
+      }).otherwise(named)
     concat(lit("\""), esc, lit("\""))
   }
 

@@ -741,6 +741,75 @@ object GraphQueries {
       "S7 — index integrity sweep: map-side display-name recompute + null-safe drift " +
         "filter (the reference's Array.Parallel scan as one narrow stage)"),
 
+    Q("g32_colandr_ingest",
+      (s, d) => {
+        import graft.sources.Ingest
+        import s.implicits._
+        // S9: render a Colandr screening export (quoted CSV — the title
+        // carries an embedded comma so the quote path is exercised) from
+        // the customer table, parse it through Spark's real CSV reader,
+        // then apply the included-only filter + projection. The oracle
+        // recomputes the expected rows relationally, so what's under
+        // test is the CSV round-trip + screening semantics
+        // (ref Sources.fs:337-366)
+        val c = TpchGraph.table(s, d, "customer").filter(col("c_custkey") % 11 === 0)
+        val status = when(col("c_custkey") % 3 === 0, "included")
+          .when(col("c_custkey") % 3 === 1, "excluded")
+          .otherwise(lit("not_screened"))
+        val line = concat(
+          lit("\"Study "), col("c_custkey"), lit(": segment, "), col("c_mktsegment"),
+          lit("\",\"Abstract for "), col("c_name"), lit("\","),
+          col("c_name"), lit(","),
+          lit("Journal of "), col("c_mktsegment"), lit(","),
+          (col("c_custkey") % 40) + 1, lit(","),
+          lit("19"), lpad((col("c_custkey") % 100).cast("string"), 2, "0"), lit(","),
+          status)
+        val parsed = s.read
+          .schema("citation_title string, citation_abstract string, " +
+            "citation_authors string, citation_journal_name string, " +
+            "citation_journal_volume string, citation_pub_year string, " +
+            "citation_screening_status string")
+          .csv(c.select(line.as("value")).as[String])
+        parsed.transform(Ingest.colandrIncluded).orderBy("title")
+      },
+      Some("""
+        SELECT 'Study ' || c_custkey || ': segment, ' || c_mktsegment AS title,
+               'Abstract for ' || c_name AS abstract,
+               c_name AS authors,
+               'Journal of ' || c_mktsegment AS journal,
+               CAST(c_custkey % 40 + 1 AS VARCHAR) AS volume,
+               CAST('19' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS INT) AS year
+        FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 3 = 0
+        ORDER BY title"""),
+      "S9 — Colandr screening CSV sync: quoted-CSV parse + included-only filter and " +
+        "projection (ref Sources.fs:337-366); scales as a plain distributed CSV scan"),
+
+    Q("g33_depths_pivot",
+      (s, d) => {
+        import graft.sources.Ingest
+        // A5 `DataTable.depths()`: the g30 wide fixture goes long via S12
+        // then back to a per-depth morphotype map — pivot with a bounded
+        // (morphotype-count) column set, one shuffle on depth
+        val wide = TpchGraph.table(s, d, "orders")
+          .groupBy((col("o_orderkey") % 20).as("depth"))
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("Betula"),
+            count(when(col("o_orderstatus") === "O", 1)).as("Salix"),
+            count(when(col("o_orderstatus") === "P", 1)).as("Pinus"))
+        Ingest.depthsPivot(Ingest.dataTableLong(wide))
+      },
+      Some("""
+        WITH wide AS (
+          SELECT CAST(o_orderkey % 20 AS DOUBLE) AS depth,
+                 CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+                 CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS s,
+                 CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS DOUBLE) AS p
+          FROM orders GROUP BY 1)
+        SELECT depth, b AS "Betula", p AS "Pinus", s AS "Salix"
+        FROM wide ORDER BY depth"""),
+      "A5 — DataTable.depths(): long-form table pivoted back to a per-depth " +
+        "morphotype map (ref Datasets.fs:92-95); bounded pivot column set"),
+
     Q("g24_degree_histogram",
       (s, d) => g(s, d).edges
         .filter(col("relType") === "PlacedBy")

@@ -253,10 +253,10 @@ object PipelineQueries {
                              count(*) AS n_distinct, max(tf) AS top_tf
                       FROM tf GROUP BY 1),
         bgr AS (SELECT doc_id,
-                       unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 1)),
+                       unnest(list_transform(generate_series(1, len(ts) - 1),
                               i -> array_to_string(ts[i:i+1], ' '))) AS bg
-                FROM toks),
-        bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgr WHERE len(bg) > 0 GROUP BY 1, 2),
+                FROM toks WHERE len(ts) >= 2),
+        bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
         bgt AS (SELECT doc_id, max(c) AS top_bigram_tf FROM bgc GROUP BY 1)
         SELECT s.doc_id, s.n_tokens,
                round(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 4) AS distinct_frac,
@@ -313,7 +313,9 @@ object PipelineQueries {
                           ORDER BY round(list_cosine_similarity(v.e, c.cvec), 6) DESC,
                                    c.cluster) AS rn
                  FROM v CROSS JOIN c0 c) WHERE rn = 1),
-        c1 AS (SELECT cluster, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+        c1 AS (SELECT cluster, u.i - 1 AS pos,
+                      round(CAST(sum(CAST(round(u.v * 1000000) AS BIGINT)) AS DOUBLE)
+                            / (count(*) * 1000000.0), 4) AS c
                FROM (SELECT cluster, unnest(list_transform(generate_series(1, len(e)),
                             i -> {'i': i, 'v': e[i]})) AS u FROM a1)
                GROUP BY cluster, u.i),
@@ -324,7 +326,9 @@ object PipelineQueries {
                           ORDER BY round(list_cosine_similarity(v.e, c.cvec), 6) DESC,
                                    c.cluster) AS rn
                  FROM v CROSS JOIN c1v c) WHERE rn = 1),
-        c2 AS (SELECT cluster, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+        c2 AS (SELECT cluster, u.i - 1 AS pos,
+                      round(CAST(sum(CAST(round(u.v * 1000000) AS BIGINT)) AS DOUBLE)
+                            / (count(*) * 1000000.0), 4) AS c
                FROM (SELECT cluster, unnest(list_transform(generate_series(1, len(e)),
                             i -> {'i': i, 'v': e[i]})) AS u FROM a2)
                GROUP BY cluster, u.i)

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the cross-engine determinism contract of the clustering ops:
+  * the centroid mean must be accumulation-order independent (integer-
+  * scaled exact sums), so the same data under different partitionings
+  * yields bit-identical 4-dp centroids — the property whose absence
+  * made p30 flap against its DuckDB oracle.
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDf(partitions: Int) = {
+    // values chosen to sit near a 4-dp rounding boundary once averaged:
+    // plain double avg() can land on either side depending on order
+    val rows = (0 until 64).map { i =>
+      (i.toLong, Seq(0.1 + i * 1e-7, -0.05 + (63 - i) * 1e-7, 1.0 / (i + 3)))
+    }
+    rows.toDF("vec_id", "embedding").repartition(partitions, col("vec_id"))
+  }
+
+  test("sphericalKMeans centroids are identical across partitionings") {
+    val init = (0 until 4).map(k => k -> Seq(0.1 * k + 0.01, -0.05, 0.3)).toSeq
+    def run(parts: Int) =
+      Clustering.sphericalKMeans(mkDf(parts), col("vec_id"), col("embedding"), init, iters = 2)
+        .orderBy("cluster", "pos").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    val a = run(1)
+    val b = run(7)
+    val c = run(32)
+    assert(a == b, "centroids differ between 1 and 7 partitions")
+    assert(a == c, "centroids differ between 1 and 32 partitions")
+    assert(a.nonEmpty && a.forall { case (_, _, v) =>
+      (math.abs(v * 10000) - math.round(math.abs(v * 10000))).abs < 1e-9
+    }, "centroid components must be 4-dp rounded")
+  }
+
+  test("assignClusters breaks cosine ties toward the smaller cluster id") {
+    val df = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    // two identical centroids → identical cosine → smaller id wins
+    val out = Clustering.assignClusters(df, col("vec_id"), col("embedding"),
+      Seq(3 -> Seq(1.0, 0.0), 7 -> Seq(1.0, 0.0))).collect()
+    assert(out.head.getAs[Int]("cluster") == 3)
+  }
+}

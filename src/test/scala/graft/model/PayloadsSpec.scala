@@ -55,7 +55,12 @@ class PayloadsSpec extends SparkSpec {
     // free text with embedded newline/tab/quote — jsonString must
     // re-escape what get_json_object unescaped
     """{"Date":{"DepositionalZone":"Zone \"B\"\n\tupper"},"MeasurementError":"NoDatingErrorSpecified",""" +
-      """"MaterialDated":"bulk\nsediment","Discarded":false}""")
+      """"MaterialDated":"bulk\nsediment","Discarded":false}""",
+    // control characters beyond \n\r\t: backspace, form feed, U+0001 —
+    // re-encoded via the generic \u00XX arm (raw control bytes would be
+    // invalid JSON); Jackson-tree equality accepts \\u0008 for \\b
+    """{"Date":{"DepositionalZone":"zone""" + "\\b\\f\\u0001" +
+      """end"},"MeasurementError":"NoDatingErrorSpecified","MaterialDated":"peat","Discarded":false}""")
 
   test("IndividualDateNode round-trips and exposes typed fields (ref Types.fs:544-657)") {
     val df = roundTrip(dateFixtures,

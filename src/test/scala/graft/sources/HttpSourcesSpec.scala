@@ -25,9 +25,11 @@ class HttpSourcesSpec extends SparkSpec {
     assert(taxon.key == "taxonnode_species_salix_herbacea_l")
     assert(edges.map(_.relType).distinct == Seq("IsA"))
     assert(edges.last.dst == Keys.taxonKey("life"))
-    // chain: species → genus → family → Life
+    // chain: species → genus → family → kingdom Plantae → Life
+    // (ref TaxonomicBackbone.fs:58-60,80-105 interposes Kingdom Plantae)
     assert(edges.map(_.dst).containsSlice(
-      Seq(Keys.taxonKey("genus", "Salix"), Keys.taxonKey("family", "Salicaceae"), Keys.taxonKey("life"))))
+      Seq(Keys.taxonKey("genus", "Salix"), Keys.taxonKey("family", "Salicaceae"),
+        Keys.taxonKey("kingdom", "Plantae"), Keys.taxonKey("life"))))
 
     val g = Seed.seedGraph(spark).addNodesOrSkip((taxon +: ancestors).toDS())
     val g2 = g.addRelations(edges.toDS())
