@@ -810,6 +810,33 @@ object GraphQueries {
       "A5 — DataTable.depths(): long-form table pivoted back to a per-depth " +
         "morphotype map (ref Datasets.fs:92-95); bounded pivot column set"),
 
+    Q("g34_visualisation_elements",
+      (s, d) => {
+        import graft.sources.Visualisation
+        // S13: the Cytoscape element rows for a typed subgraph (region +
+        // nation nodes, InRegion edges) — the DataFrame half of the
+        // visualisation export; the HTML render around it is a bounded
+        // driver-side template (Visualisation.toHtml). A pure narrow
+        // projection: to_json over structs, no shuffle at any scale.
+        val gr = g(s, d)
+        Visualisation.nodeElements(gr, Seq("region", "nation"))
+          .unionByName(Visualisation.edgeElements(gr, Seq("InRegion")))
+          .orderBy("element")
+      },
+      Some("""
+        SELECT element FROM (
+          SELECT '{"data":{"id":"region_' || r_regionkey || '","label":"' || r_name ||
+                 '","group":"region"}}' AS element FROM region
+          UNION ALL
+          SELECT '{"data":{"id":"nation_' || n_nationkey || '","label":"' || n_name ||
+                 '","group":"nation"}}' FROM nation
+          UNION ALL
+          SELECT '{"data":{"source":"nation_' || n_nationkey || '","target":"region_' ||
+                 n_regionkey || '","label":"InRegion"}}' FROM nation)
+        ORDER BY element"""),
+      "S13 — visualisation export: Cytoscape node/edge element JSON for a typed " +
+        "subgraph (ref Library.fs:7-32); narrow to_json projection, no shuffle"),
+
     Q("g24_degree_histogram",
       (s, d) => g(s, d).edges
         .filter(col("relType") === "PlacedBy")
