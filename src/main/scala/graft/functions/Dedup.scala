@@ -301,4 +301,38 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ----------------------------------------------------------- SemDedup
+
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023, "SemDedup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster embeddings against a fixed centroid set,
+    * then compare pairs ONLY within a cluster — any item with a
+    * smaller-id cluster-mate at cosine ≥ `minCos` is marked dropped.
+    * Returns every input row as `(vec_id, cluster, kept)`.
+    *
+    * Scale shape: the cluster id plays the role LSH buckets play in
+    * [[embeddingNearDupsLsh]] — the quadratic pair term is bounded per
+    * cluster, the corpus shuffles once on the cluster key, and centroids
+    * are broadcast-constant driver state. Norms are precomputed per row
+    * (the [[embeddingNearDups]] lesson), and the drop decision thresholds
+    * the ROUNDED cosine so membership is engine-portable.
+    */
+  def semDedup(df: DataFrame, id: Column, vec: Column,
+               cents: Seq[(Int, Seq[Double])], minCos: Double): DataFrame = {
+    val assigned = Clustering.assignClusters(df, id, vec, cents)
+      .withColumn("nv", Similarity.norm(col("v")))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= minCos)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped.withColumn("hit", lit(1)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        when(col("hit").isNull, 1).otherwise(0).as("kept"))
+  }
 }

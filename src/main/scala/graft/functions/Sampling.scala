@@ -62,4 +62,16 @@ object Sampling {
     }
     df.filter(hash01(id, salt) < rate)
   }
+
+  /** Deterministic global shuffle for training order: sort by
+    * `md5(salt + id)`. The hex key is the shuffle position — consumers
+    * read in `shuffle_key` order (or range-partition on it) and get the
+    * same pseudo-random permutation on every engine and every re-run,
+    * with per-salt independent epochs. Scale shape: one range-partitioned
+    * sort (Spark's distributed sort), no global window, no driver state.
+    */
+  def shuffleOrder(df: DataFrame, id: Column, salt: String = ""): DataFrame =
+    df.select(id.as("doc_id"),
+        md5(concat(lit(salt), id.cast("string"))).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
 }

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing for training-data preparation: detect and redact
+  * email addresses, NANP-style phone numbers, and IPv4 addresses,
+  * reporting per-document match counts alongside the scrubbed text.
+  *
+  * Patterns deliberately avoid lookarounds and backreferences so the
+  * SAME pattern strings run identically under Java regex (Spark
+  * codegen'd `regexp_replace`/`regexp_count`) and RE2-family engines
+  * (DuckDB, Go) — portability is part of the operator contract, since
+  * the redaction must be reproducible wherever the corpus is re-read.
+  *
+  * Entirely map-side: a narrow projection at any corpus size.
+  */
+object Scrub {
+
+  /** Email-ish: local part @ dotted domain with an alphabetic TLD. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style `ddd-ddd-dddd` phone numbers on word boundaries. */
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Dotted-quad IPv4 (syntactic — no octet range check). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** `(doc_id, n_emails, n_phones, n_ips, scrubbed)` — counts of each
+    * PII class plus the text with matches replaced by typed tokens.
+    * Emails are replaced first (their domains would otherwise be
+    * partially shadowed by the IPv4 pattern on numeric hosts).
+    */
+  def scrubPii(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>")
+    df.select(
+      id.as("doc_id"),
+      regexp_count(text, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(text, lit(PhoneRe)).cast("int").as("n_phones"),
+      regexp_count(text, lit(Ipv4Re)).cast("int").as("n_ips"),
+      scrubbed.as("scrubbed"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Clustering, Corpus, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.functions.{Clustering, Corpus, Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -922,6 +922,107 @@ object PipelineQueries {
                           j -> (i*31 + j*7) % 256)) AS DOUBLE)
                      / (64 + (i % 64)), 4) AS brightness
         FROM generate_series(0, 199) s(i) ORDER BY media_id"""),
-      "multimodal — binary columns + batched (stub) decode via mapPartitions")
+      "multimodal — binary columns + batched (stub) decode via mapPartitions"),
+
+    Q("p33_sequence_packing",
+      (s, d) => Packing.packSequences(table(s, d, "documents"),
+          col("doc_id"), col("text"), col("source"), contextLen = 256)
+        .orderBy("shard", "doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, source AS shard,
+                          CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens
+                   FROM documents),
+        p AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+                     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS tok_start FROM t)
+        SELECT doc_id, shard, n_tokens, tok_start,
+               CAST(floor(tok_start / 256.0) AS BIGINT) AS win_start,
+               CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
+                 AS win_end
+        FROM p ORDER BY shard, doc_id"""),
+      "packing — GPT-style pack-and-chunk sequence packing: per-shard token prefix " +
+        "sums map every document to its context-window range (data-parallel across " +
+        "shards, no global order)"),
+
+    Q("p34_pii_scrub",
+      (s, d) => {
+        // deterministic PII is injected per doc_id (email / phone / IPv4 /
+        // none by doc_id % 4) so the scrubber has known ground truth; the
+        // oracle builds the identical augmented text and applies the SAME
+        // pattern strings (interpolated below), making the redaction
+        // engine-portable by construction
+        val suffix = when(col("doc_id") % 4 === 0,
+            concat(lit(" reach user"), col("doc_id"), lit("@example.com now")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" host 10."), col("doc_id") % 256, lit(".0."),
+              col("doc_id") % 100, lit(" up")))
+          .otherwise(lit(""))
+        val aug = table(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"), suffix).as("text"))
+        Scrub.scrubPii(aug, col("doc_id"), col("text")).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH aug AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0 THEN ' reach user' || doc_id || '@example.com now'
+               WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+               WHEN doc_id % 4 = 2 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' up'
+               ELSE '' END AS text FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '${Scrub.EmailRe}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '${Scrub.PhoneRe}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(text, '${Scrub.Ipv4Re}')) AS INT) AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '${Scrub.EmailRe}', '<EMAIL>', 'g'),
+                 '${Scrub.PhoneRe}', '<PHONE>', 'g'),
+                 '${Scrub.Ipv4Re}', '<IP>', 'g') AS scrubbed
+        FROM aug ORDER BY doc_id"""),
+      "scrubbing — PII detection + redaction (email / phone / IPv4) with per-class " +
+        "counts; lookaround-free patterns run identically on Java regex and RE2 " +
+        "engines; pure map-side projection"),
+
+    Q("p35_semdedup",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        // same deterministic init as p30: the 8 lowest-id vectors are the
+        // cluster centroids; pairs are compared within clusters only
+        val init = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+        Dedup.semDedup(emb, col("vec_id"), col("embedding"), init, minCos = 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cluster, e AS cvec FROM v WHERE vec_id < 8),
+        a1 AS (SELECT vec_id, e, cluster FROM (
+                 SELECT v.vec_id, v.e, c.cluster,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(list_cosine_similarity(v.e, c.cvec), 6) DESC,
+                                   c.cluster) AS rn
+                 FROM v CROSS JOIN c0 c) WHERE rn = 1),
+        drp AS (SELECT DISTINCT b.vec_id
+                FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4)
+        SELECT a1.vec_id, a1.cluster,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        FROM a1 LEFT JOIN drp d ON a1.vec_id = d.vec_id
+        ORDER BY a1.vec_id"""),
+      "dedup — SemDedup-style semantic dedup (Abbas et al. 2023): centroid " +
+        "clustering bounds the pairwise term per cluster (the k-means analogue of " +
+        "LSH blocking); drop = smaller-id cluster-mate at rounded cosine >= 0.4"),
+
+    Q("p36_shuffle_order",
+      (s, d) => Sampling.shuffleOrder(table(s, d, "documents"),
+        col("doc_id"), salt = "epoch0:"),
+      Some("""
+        SELECT doc_id, md5('epoch0:' || doc_id) AS shuffle_key
+        FROM documents ORDER BY shuffle_key, doc_id"""),
+      "sampling — deterministic global training-order shuffle: sort by " +
+        "md5(salt+id); range-partitioned distributed sort, identical permutation " +
+        "on every engine/re-run, new salt = new epoch")
   )
 }

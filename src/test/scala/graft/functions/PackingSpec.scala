@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // shard a: 3 + 2 + 4 tokens, L=4 → windows 0, 0-1, 1-2
+    (0L, "a", "t1 t2 t3"),
+    (1L, "a", "t4 t5"),
+    (2L, "a", "t6 t7 t8 t9"),
+    // shard b: empty doc then a 5-token doc spanning two windows
+    (10L, "b", "   "),
+    (11L, "b", "u1 u2 u3 u4 u5")
+  ).toDF("doc_id", "shard", "text")
+
+  test("packSequences assigns per-shard offsets and window ranges") {
+    val out = Packing.packSequences(docs, col("doc_id"), col("text"), col("shard"), 4)
+      .orderBy("shard", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, "a", 3, 0L, 0L, 0L),
+      (1L, "a", 2, 3L, 0L, 1L),   // spans the window boundary
+      (2L, "a", 4, 5L, 1L, 2L),
+      (10L, "b", 0, 0L, 0L, 0L),  // zero-token doc occupies its start window
+      (11L, "b", 5, 0L, 0L, 1L)))
+  }
+
+  test("token stream is conserved: next offset = previous offset + length") {
+    val big = (0 until 200).map(i => (i.toLong, s"s${i % 3}",
+      (0 to i % 7).map(j => s"w$j").mkString(" "))).toDF("doc_id", "shard", "text")
+    // conservation per shard: max(tok_start + n_tokens) == sum(n_tokens)
+    val ok = Packing.packSequences(big, col("doc_id"), col("text"), col("shard"), 16)
+      .groupBy("shard")
+      .agg(max(col("tok_start") + col("n_tokens")).as("end"),
+        sum(col("n_tokens")).as("total"))
+      .filter(col("end") =!= col("total"))
+    assert(ok.isEmpty, "per-shard token stream must have no gaps or overlaps")
+  }
+}

@@ -47,4 +47,19 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> 0.2))
     }
   }
+
+  test("shuffleOrder is a deterministic permutation, independent per salt") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    def order(salt: String, parts: Int) =
+      Sampling.shuffleOrder(df.repartition(parts), col("id"), salt)
+        .collect().map(_.getLong(0)).toSeq
+    val a = order("e0:", 1)
+    val b = order("e0:", 13)
+    assert(a == b, "same salt must give the same order under any partitioning")
+    assert(a.sorted == (0L until 500L), "output must be a permutation of the input")
+    val c = order("e1:", 13)
+    assert(a != c, "different salts must give different epoch orders")
+    assert(c.sorted == (0L until 500L))
+  }
 }

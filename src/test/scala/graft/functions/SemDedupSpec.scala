@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDedup invariants: drops happen only within a cluster, only against
+  * a smaller-id mate above the threshold, and the output partitions the
+  * input. (The full cross-engine recurrence is oracled as p35.)
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight groups around orthogonal axes plus a lone outlier
+  private val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0)),
+    (1L, Seq(0.999, 0.01, 0.0)),   // near-dup of 0
+    (2L, Seq(0.0, 1.0, 0.0)),
+    (3L, Seq(0.01, 0.999, 0.0)),   // near-dup of 2
+    (4L, Seq(0.0, 0.0, 1.0))       // alone in its neighborhood
+  ).toDF("vec_id", "embedding")
+
+  private val cents = Seq(0 -> Seq(1.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0),
+    2 -> Seq(0.0, 0.0, 1.0))
+
+  test("drops exactly the larger-id member of each near-dup pair") {
+    val out = Dedup.semDedup(vecs, col("vec_id"), col("embedding"), cents, minCos = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((0L, 0, 1), (1L, 0, 0), (2L, 1, 1), (3L, 1, 0), (4L, 2, 1)))
+  }
+
+  test("a threshold above every pairwise cosine keeps everything") {
+    // no two distinct vectors here are exactly parallel, so cos < 1.0
+    val out = Dedup.semDedup(vecs, col("vec_id"), col("embedding"), cents, minCos = 1.0)
+    assert(out.filter(col("kept") === 0).isEmpty)
+    assert(out.count() == 5)
+  }
+
+  test("cross-cluster near-dups are NOT compared (blocking semantics)") {
+    // two identical vectors forced into different clusters by init choice:
+    // cluster assignment is argmax cosine, so both land in cluster 0 —
+    // instead verify via distinct centroids that only same-cluster pairs count
+    val two = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(two, col("vec_id"), col("embedding"),
+      Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0)), minCos = -1.0)
+      .orderBy("vec_id").collect().map(_.getInt(2)).toSeq
+    // cos(v0,v1)=0 ≥ -1 would drop id 1 if compared; different clusters → both kept
+    assert(out == Seq(1, 1))
+  }
+}
