@@ -78,6 +78,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(splits == 1, s"expected exactly 1 split(), got $splits in:\n$p")
   }
 
+  test("p33 packing shuffles exactly once (on the shard key)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Packing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = Packing.packSequences(docs, col("doc_id"), col("text"), col("source"), 256)
+      .queryExecution.executedPlan.toString
+    // one hash exchange feeding the per-shard window — a second shuffle
+    // (or a single-partition global window) would not survive 100 TB
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges in:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("p34 PII scrub is a pure narrow projection (no exchange, pruned scan)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Scrub
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = Scrub.scrubPii(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("p35 semdedup never plans a cartesian or nested-loop pair join") {
+    val p = plan("p35_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p36 epoch shuffle is a range-partitioned sort, not a global window") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Sampling
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = Sampling.shuffleOrder(docs, col("doc_id"), "e:")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
