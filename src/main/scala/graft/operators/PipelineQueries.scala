@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Clustering, Corpus, Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextOps}
+import graft.functions.{AsOf, Clustering, Corpus, Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -1023,6 +1023,38 @@ object PipelineQueries {
         FROM documents ORDER BY shuffle_key, doc_id"""),
       "sampling — deterministic global training-order shuffle: sort by " +
         "md5(salt+id); range-partitioned distributed sort, identical permutation " +
-        "on every engine/re-run, new salt = new epoch")
+        "on every engine/re-run, new salt = new epoch"),
+
+    Q("p37_asof_join",
+      (s, d) => {
+        // attach to every purchase the latest at-or-before error of the
+        // same user. The right side is pre-deduplicated to unique
+        // (user, ts) — max event_id wins — which is the determinism
+        // contract native ASOF engines (DuckDB, kdb) assume too.
+        val ev = graft.sources.TpchGraph.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy("user_id", "ts")
+          .agg(max(struct(col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("ts"),
+            col("m.event_id").as("err_id"), col("m.value").as("err_value"))
+        AsOf.asofJoin(purchases, errors, "user_id", "ts")
+          .select(col("event_id"), col("user_id"),
+            col("asof_err_id").as("err_id"), col("asof_err_value").as("err_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        e AS (SELECT user_id, ts, event_id AS err_id, value AS err_value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                             ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'error') WHERE rn = 1)
+        SELECT p.event_id, p.user_id, e.err_id, e.err_value
+        FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+        ORDER BY p.event_id"""),
+      "as-of join — an operator Spark lacks natively, against DuckDB's native ASOF " +
+        "JOIN as the oracle: union-and-window form, ONE key shuffle, linear cost " +
+        "(a range join + argmax is per-key quadratic and dies on hot keys)")
   )
 }

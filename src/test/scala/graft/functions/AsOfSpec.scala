@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // key 1: rights at t=10, 20; key 2: right only at t=100; key 3: none
+  private val right = Seq(
+    (1L, 10L, "r10"), (1L, 20L, "r20"), (2L, 100L, "r100")
+  ).toDF("k", "ts", "tag")
+
+  private val left = Seq(
+    (1L, 5L, "before-any"), (1L, 10L, "at-first"), (1L, 15L, "between"),
+    (1L, 25L, "after-both"), (2L, 99L, "just-before"), (3L, 50L, "no-rights")
+  ).toDF("k", "ts", "what")
+
+  test("asofJoin attaches the latest right row at-or-before each left ts") {
+    val out = AsOf.asofJoin(left, right, "k", "ts")
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (1L, 5L, "before-any", None),          // nothing yet → null
+      (1L, 10L, "at-first", Some("r10")),    // equal ts is INCLUSIVE
+      (1L, 15L, "between", Some("r10")),
+      (1L, 25L, "after-both", Some("r20")),  // latest, not first
+      (2L, 99L, "just-before", None),        // right exists but later
+      (3L, 50L, "no-rights", None)))         // key absent on the right
+  }
+
+  test("result is partitioning-independent and keeps every left row") {
+    val bigL = (0L until 300L).map(i => (i % 7, i, s"l$i")).toDF("k", "ts", "what")
+    val bigR = (0L until 100L).map(i => (i % 7, i * 3, s"r$i")).toDF("k", "ts", "tag")
+    def run(parts: Int) =
+      AsOf.asofJoin(bigL.repartition(parts), bigR.repartition(parts), "k", "ts")
+        .orderBy("k", "ts").collect().toSeq
+    assert(run(1) == run(13))
+    assert(run(1).size == 300)
+  }
+
+  test("multiple right value columns all come through with the prefix") {
+    val r2 = Seq((1L, 10L, "x", 1.5)).toDF("k", "ts", "tag", "score")
+    val out = AsOf.asofJoin(Seq((1L, 11L, "go")).toDF("k", "ts", "what"), r2, "k", "ts")
+    assert(out.columns.toSeq == Seq("k", "ts", "what", "asof_tag", "asof_score"))
+    val row = out.collect().head
+    assert(row.getString(3) == "x" && row.getDouble(4) == 1.5)
+  }
+}
