@@ -81,52 +81,65 @@ object Clustering {
   }
 
   /** Per-dimension (min, max) over the corpus, collected driver-side —
-    * `dim` groups, order-independent extremes (exact even over floats).
+    * order-independent extremes (exact even over floats; min/max commute,
+    * so any partitioning yields the same bounds).
+    *
+    * One per-partition primitive fold over the scanned rows (genuine
+    * per-partition imperative logic — the documented case for dropping
+    * below the DataFrame API), then a dim-sized combine: the shuffle
+    * carries one 2×dim vector PER PARTITION. The previous `posexplode`
+    * form moved corpus×dim exploded rows over the network — exactly the
+    * explosion a 100 TB corpus cannot afford — and a 2×dim-column
+    * aggregate blows past codegen method limits for wide vectors.
     */
-  def dimMinMax(df: DataFrame, vec: Column): Seq[(Double, Double)] =
-    df.select(posexplode(vec.cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
-      .orderBy("pos")
-      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+  def dimMinMax(df: DataFrame, vec: Column): Seq[(Double, Double)] = {
+    val staged = df.select(vec.cast("array<double>").as("__v"))
+    val parts = staged.queryExecution.toRdd.mapPartitions { it =>
+      var mn: Array[Double] = null
+      var mx: Array[Double] = null
+      while (it.hasNext) {
+        val arr = it.next().getArray(0).toDoubleArray()
+        if (mn == null) { mn = arr.clone(); mx = arr.clone() }
+        else {
+          var i = 0
+          while (i < arr.length) {
+            if (arr(i) < mn(i)) mn(i) = arr(i)
+            if (arr(i) > mx(i)) mx(i) = arr(i)
+            i += 1
+          }
+        }
+      }
+      if (mn == null) Iterator.empty else Iterator((mn, mx))
+    }
+    val (mins, maxs) = parts.reduce { case ((mn1, mx1), (mn2, mx2)) =>
+      var i = 0
+      while (i < mn1.length) {
+        if (mn2(i) < mn1(i)) mn1(i) = mn2(i)
+        if (mx2(i) > mx1(i)) mx1(i) = mx2(i)
+        i += 1
+      }
+      (mn1, mx1)
+    }
+    mins.zip(maxs).toSeq
+  }
 
   /** Int8 scalar quantization against per-dimension bounds:
     * `code = floor(round((x − mn)·(255/(mx − mn)), 6) + 0.5)` (0 for a
     * constant dimension). Emits per-vector integrity/fidelity stats:
     * exact integer code sum and position-weighted checksum, plus the max
     * dequantization error. Entirely map-side — the corpus is never
-    * exploded or shuffled; the bounds ride along as array literals.
+    * exploded or shuffled; the bounds travel inside the native
+    * [[graft.functions.expressions.QuantizeStats]] expression (one
+    * compiled pass per row; the previous `transform` + 3×`aggregate`
+    * Column form was CodegenFallback and ~0.5 ms/row — QuantizeStatsSpec
+    * pins bit-equality against that formulation).
     */
   def scalarQuantize(df: DataFrame, id: Column, vec: Column,
                      bounds: Seq[(Double, Double)]): DataFrame = {
     require(bounds.nonEmpty, "scalarQuantize needs per-dimension bounds")
-    val dim = bounds.length
-    val mnA = array(bounds.map(b => lit(b._1)): _*)
-    val mxA = array(bounds.map(b => lit(b._2)): _*)
-    val v = vec.cast("array<double>")
-    // one staged struct array per row: (code, pos-weighted contribution,
-    // dequantization error). Its OWN projection, so the three aggregates
-    // below reference a materialized array instead of re-deriving it
-    // (higher-order functions have no common-subexpression elimination).
-    val parts = transform(sequence(lit(0), lit(dim - 1)), i => {
-      val x = element_at(v, i + 1)
-      val mn = element_at(mnA, i + 1)
-      val mx = element_at(mxA, i + 1)
-      val code = when(mx > mn,
-        floor(round((x - mn) * (lit(255.0) / (mx - mn)), 6) + 0.5).cast("int"))
-        .otherwise(lit(0))
-      val dequant = when(mx > mn, code * ((mx - mn) / lit(255.0)) + mn).otherwise(mn)
-      struct(code.as("code"),
-        (code.cast("long") * (i.cast("long") + 1L)).as("contrib"),
-        round(abs(dequant - x), 6).as("err"))
-    })
-    df.select(id.as("vec_id"), parts.as("parts"))
-      .select(
-        col("vec_id"),
-        aggregate(col("parts"), lit(0L), (acc, p) => acc + p.getField("code").cast("long"))
-          .as("code_sum"),
-        aggregate(col("parts"), lit(0L), (acc, p) => acc + p.getField("contrib"))
-          .as("code_checksum"),
-        aggregate(col("parts"), lit(0.0), (acc, p) => greatest(acc, p.getField("err")))
-          .as("max_err"))
+    val q = graft.functions.expressions.QuantizeOps.quantizeStatsCol(vec, bounds)
+    df.select(id.as("vec_id"), q.as("q"))
+      .select(col("vec_id"), col("q.code_sum").as("code_sum"),
+        col("q.code_checksum").as("code_checksum"), col("q.max_err").as("max_err"))
   }
 }
