@@ -92,30 +92,13 @@ object Corpus {
       .limit(topK)
   }
 
-  /** Raw (non-distinct) word bigrams per document — repetition needs
-    * occurrence counts, so this deliberately does NOT dedupe like
-    * [[Dedup.wordNgrams]] does. A document with fewer than 2 tokens has
-    * NO bigrams (empty array) — without the guard the lone token leaks
-    * through as a length-1 "bigram" and `top_bigram_frac` reports 1.0
-    * for single-token docs.
-    */
-  private def rawBigrams(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-
-  /** Max occurrence count of any element == max run length of the SORTED
-    * array — one local O(n log n) pass per row, no explode, no shuffle.
-    */
-  private def maxRunCount(arr: Column): Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+  // Max-occurrence counting (top token / top bigram) runs in the native
+  // [[graft.functions.expressions.MaxRunCount]] expression: one compiled
+  // index-sort + run-scan per document inside whole-stage codegen. The
+  // previous Column forms (array_sort + aggregate fold; bigrams via
+  // transform + concat_ws) were three interpreted CodegenFallback passes
+  // per document — MaxRunCountSpec pins equality against them, including
+  // the <2-token bigram guard (no bigrams → count 0).
 
   /** Gopher-style repetition signals per document: distinct-token ratio,
     * most-frequent-token fraction, most-frequent-bigram fraction, and a
@@ -132,14 +115,19 @@ object Corpus {
   def repetitionSignals(df: DataFrame, id: Column, text: Column,
                         topTokenFracMax: Double = 0.15): DataFrame = {
     val stats = df
+      // "has at least one token" ⇔ "contains a non-whitespace char": the
+      // rlike form is a cheap scan predicate, while filtering on
+      // size(toks) > 0 gets PUSHED BELOW the staging projection and
+      // re-derives the entire tokenization inside the filter (observed:
+      // 2 extra split+filter evaluations per row in the p28 plan)
+      .filter(text.rlike("\\S"))
       .select(id.as("doc_id"), TextOps.tokens(lower(text)).as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
-        maxRunCount(col("toks")).as("top_tf"),
-        maxRunCount(rawBigrams(col("toks"))).as("top_bigram_tf"))
+        expressions.RunOps.maxRunCol(col("toks")).as("top_tf"),
+        expressions.RunOps.maxBigramRunCol(col("toks")).as("top_bigram_tf"))
     val topTokenFrac =
       round(col("top_tf").cast("double") / greatest(col("n_tokens"), lit(1)), 4)
     stats.select(

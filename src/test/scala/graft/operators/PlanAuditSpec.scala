@@ -78,6 +78,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(splits == 1, s"expected exactly 1 split(), got $splits in:\n$p")
   }
 
+  test("p28 repetition tokenizes once (filter must not re-derive the split)") {
+    val p = plan("p28_repetition")
+    // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
+    // filter gets pushed below the staging projection and re-derives the
+    // whole tokenization per row
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits == 1, s"expected exactly 1 split(), got $splits in:\n$p")
+    assert("max_run_count".r.findAllIn(p).length == 2, p)
+  }
+
   test("p33 packing shuffles exactly once (on the shard key)") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Packing
