@@ -221,12 +221,26 @@ final case class GraphState(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow]) {
   /** A1-shaped conditional-count fold (reference `GenStatistics`,
     * `Library.fs:328-367`): one pass, N `sum(when(cond,1))` counters —
     * Spark plans this as a single partial+final hash aggregate.
+    *
+    * `payloadFields` stages ONE `json_tuple` parse of the payload and
+    * exposes each field as `pf_<name>` to the counter conditions. N
+    * separate `get_json_object` conditions each re-parse the whole
+    * payload string per row — at a 10⁹-node store that is N-1 wasted
+    * JSON parses per node. (`json_tuple` is a Generator, so the staging
+    * cannot be collapsed back into the consumers.)
     */
-  def conditionalCounts(nodeType: String, counters: Map[String, Column]): DataFrame = {
+  def conditionalCounts(nodeType: String, counters: Map[String, Column],
+                        payloadFields: Seq[String] = Nil): DataFrame = {
+    val rows = nodesOfType(nodeType).toDF()
+    val staged =
+      if (payloadFields.isEmpty) rows
+      else rows.select(col("*"),
+        json_tuple(col("payload"), payloadFields: _*)
+          .as(payloadFields.map("pf_" + _)))
     val aggs = counters.toSeq.sortBy(_._1).map { case (name, cond) =>
       sum(when(cond, 1).otherwise(0)).as(name)
     }
-    nodesOfType(nodeType).agg(aggs.head, aggs.tail: _*)
+    staged.agg(aggs.head, aggs.tail: _*)
   }
 }
 

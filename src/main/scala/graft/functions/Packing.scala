@@ -40,4 +40,32 @@ object Packing {
         floor((col("tok_start") + greatest(col("n_tokens"), lit(1)) - 1) / contextLen)
           .cast("long").as("win_end"))
   }
+
+  /** Per-document overlapping chunk windows (RAG / context-window
+    * chunking): token ranges `[i·stride, min(i·stride + chunkLen, n))`
+    * covering every token, with `chunkLen − stride` tokens of overlap
+    * between consecutive chunks. Documents with no tokens produce no
+    * chunks; a document at or under `chunkLen` produces exactly one.
+    *
+    * Entirely map-side: one `explode` over a per-row chunk-count
+    * sequence — no shuffle at any corpus size. (The no-token filter is
+    * the cheap `rlike` scan-predicate form — see
+    * [[Corpus.repetitionSignals]] for why `size(tokens) > 0` is a trap.)
+    */
+  def chunkWindows(df: DataFrame, id: Column, text: Column,
+                   chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"chunkWindows needs 0 < stride <= chunkLen, got $stride/$chunkLen")
+    df.filter(text.rlike("\\S"))
+      .select(id.as("doc_id"), TextOps.tokenCount(text).cast("int").as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= chunkLen, lit(1))
+          .otherwise(ceil((col("n_tokens") - chunkLen).cast("double") / stride)
+            .cast("int") + 1))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        (col("chunk_id") * stride).cast("int").as("tok_start"),
+        least(col("chunk_id") * stride + chunkLen, col("n_tokens")).cast("int").as("tok_end"))
+  }
 }

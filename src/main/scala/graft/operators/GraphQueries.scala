@@ -269,10 +269,13 @@ object GraphQueries {
       // uncached plan lets Catalyst prune payload construction to the
       // single union branch (orders) it reads
       (s, d) => TpchGraph.graph(s, d).conditionalCounts("order", Map(
-        "high_value" -> (get_json_object(col("payload"), "$.o_totalprice").cast("double") > 300000),
-        "n_f" -> (get_json_object(col("payload"), "$.o_orderstatus") === "F"),
-        "n_o" -> (get_json_object(col("payload"), "$.o_orderstatus") === "O"),
-        "n_p" -> (get_json_object(col("payload"), "$.o_orderstatus") === "P"))),
+        "high_value" -> (col("pf_o_totalprice").cast("double") > 300000),
+        "n_f" -> (col("pf_o_orderstatus") === "F"),
+        "n_o" -> (col("pf_o_orderstatus") === "O"),
+        "n_p" -> (col("pf_o_orderstatus") === "P")),
+        // one json_tuple parse feeding all four counters — N separate
+        // get_json_object conditions would re-parse the payload N times
+        payloadFields = Seq("o_totalprice", "o_orderstatus")),
       Some("""
         SELECT CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
                CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -1055,6 +1055,60 @@ object PipelineQueries {
         ORDER BY p.event_id"""),
       "as-of join — an operator Spark lacks natively, against DuckDB's native ASOF " +
         "JOIN as the oracle: union-and-window form, ONE key shuffle, linear cost " +
-        "(a range join + argmax is per-key quadratic and dies on hot keys)")
+        "(a range join + argmax is per-key quadratic and dies on hot keys)"),
+
+    Q("p38_chunk_windows",
+      (s, d) => Packing.chunkWindows(table(s, d, "documents"),
+          col("doc_id"), col("text"), chunkLen = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS INT) AS n
+                   FROM documents WHERE regexp_matches(text, '\\S')),
+        c AS (SELECT doc_id, n,
+                     CASE WHEN n <= 64 THEN 1
+                          ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 END AS n_chunks
+              FROM t WHERE n > 0),
+        x AS (SELECT doc_id, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+              FROM c)
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               CAST(chunk_id * 48 AS INT) AS tok_start,
+               CAST(least(chunk_id * 48 + 64, n) AS INT) AS tok_end
+        FROM x ORDER BY doc_id, chunk_id"""),
+      "chunking — overlapping token windows per document (chunkLen 64, stride 48: " +
+        "16-token overlap, full coverage); map-side explode, no shuffle at any scale"),
+
+    Q("p39_quality_topk",
+      (s, d) => {
+        // per-source quality selection through the custom two-phase-heap
+        // physical operator (TopKPerGroup, same operator as q15) — the
+        // shuffle carries at most k rows per (source, partition), never
+        // the corpus; a window row_number sorts every partition fully
+        val scored = table(s, d, "documents").select(col("source"), col("doc_id"),
+          TextOps.qualitySignals(col("text"), TextOps.defaultStopwords)
+            .getField("stopword_ratio").as("stop_ratio"))
+        graft.plans.TopKPerGroup.topK(scored, Seq(col("source")),
+            struct(col("stop_ratio"), -col("doc_id")), k = 3)
+          .select("source", "doc_id", "stop_ratio")
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT source, doc_id,
+                 CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens,
+                 CAST(len(list_filter(${sqlTokens("lower(text)")},
+                      x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS INT) AS n_stop
+          FROM documents),
+        r AS (SELECT source, doc_id,
+                     round(CAST(n_stop AS DOUBLE)/greatest(n_tokens,1),4) AS stop_ratio
+              FROM t),
+        k AS (SELECT source, doc_id, stop_ratio,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY stop_ratio DESC, doc_id) AS rn
+              FROM r)
+        SELECT source, doc_id, stop_ratio FROM k WHERE rn <= 3
+        ORDER BY source, doc_id"""),
+      "selection — per-source top-k by quality score through the custom " +
+        "TopKPerGroup operator (bounded heaps, k rows per group per partition " +
+        "shuffled — the data-selection shape for corpus curation at 100 TB)")
   )
 }

@@ -29,6 +29,26 @@ class PackingSpec extends SparkSpec {
       (11L, "b", 5, 0L, 0L, 1L)))
   }
 
+  test("chunkWindows covers every token with the configured overlap") {
+    val df = Seq(
+      (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks → 2 chunks
+      (1L, "a b c"),                                   // under chunkLen → 1 chunk
+      (2L, " \t ")                                     // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkWindows(df, col("doc_id"), col("text"), chunkLen = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(out == Seq((0L, 0, 0, 64), (0L, 1, 48, 100), (1L, 0, 0, 3)))
+    // coverage: chunk 1 starts at 48 < 64 (overlap) and ends at n
+  }
+
+  test("chunkWindows rejects a stride above the chunk length") {
+    intercept[IllegalArgumentException] {
+      Packing.chunkWindows(Seq((0L, "x")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), chunkLen = 8, stride = 9)
+    }
+  }
+
   test("token stream is conserved: next offset = previous offset + length") {
     val big = (0 until 200).map(i => (i.toLong, s"s${i % 3}",
       (0 to i % 7).map(j => s"w$j").mkString(" "))).toDF("doc_id", "shard", "text")

@@ -78,6 +78,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(splits == 1, s"expected exactly 1 split(), got $splits in:\n$p")
   }
 
+  test("g14 stats fold parses the payload once (json_tuple, not N get_json_object)") {
+    val p = plan("g14_stats_fold")
+    assert(!p.contains("get_json_object"), p)
+    assert("json_tuple".r.findAllIn(p).length == 1, p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
