@@ -167,4 +167,30 @@ object Corpus {
       .withColumn("oov_ratio",
         round(col("n_oov").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
   }
+
+  /** Per-stratum corpus mixture statistics and uniform-target sampling
+    * weights: document and token totals, each stratum's token share, and
+    * the resampling weight (`(1/k) / share`) that would flatten the
+    * mixture to uniform across the k strata — over- vs under-sampling
+    * ratios in DoReMi-style mixture tuning.
+    *
+    * One partially-aggregated shuffle on the stratum; the global-total
+    * window runs over the post-aggregate frame (k rows — one per
+    * stratum), so the unpartitioned window is k-row work, not a corpus
+    * sort.
+    */
+  def mixtureWeights(df: DataFrame, stratum: Column, text: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.groupBy(stratum.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TextOps.tokenCount(text)).cast("long").as("n_tokens"))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / sum("n_tokens").over(w), 6))
+      .withColumn("uniform_weight",
+        round((lit(1.0) / count(lit(1)).over(w)) / col("token_share"), 6))
+      .select("source", "n_docs", "n_tokens", "token_share", "uniform_weight")
+  }
 }

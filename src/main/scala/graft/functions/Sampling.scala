@@ -74,4 +74,27 @@ object Sampling {
     df.select(id.as("doc_id"),
         md5(concat(lit(salt), id.cast("string"))).as("shuffle_key"))
       .orderBy(col("shuffle_key"), col("doc_id"))
+
+  /** Greedy per-stratum selection under a token budget: rank documents
+    * within each stratum by `quality` descending (id ascending breaks
+    * ties), keep from the top while the running token total stays at or
+    * under `budget` — the curation step that turns "we crawled 10 PB"
+    * into "we train on this mixture".
+    *
+    * One shuffle, keyed on the stratum (the running sum is a window over
+    * it); at 100 TB strata are domains/sources, so cardinality is high
+    * and AQE evens out the skewed ones. The quality column is computed
+    * by the caller — any map-side score composes here.
+    */
+  def tokenBudgetSelect(df: DataFrame, id: Column, stratum: Column,
+                        nTokens: Column, quality: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(id.as("doc_id"), stratum.as("source"),
+        nTokens.cast("int").as("n_tokens"), quality.as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

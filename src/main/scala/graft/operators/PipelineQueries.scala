@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{AsOf, Clustering, Corpus, Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextOps}
+import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -1109,6 +1109,92 @@ object PipelineQueries {
         ORDER BY source, doc_id"""),
       "selection — per-source top-k by quality score through the custom " +
         "TopKPerGroup operator (bounded heaps, k rows per group per partition " +
-        "shuffled — the data-selection shape for corpus curation at 100 TB)")
+        "shuffled — the data-selection shape for corpus curation at 100 TB)"),
+
+    Q("p40_boilerplate_lines",
+      (s, d) => {
+        // the synthetic docs are single-line, so the fixture renders a
+        // multi-line page in-query: per-source nav header + body + per-
+        // source copyright footer. Header/footer lines recur across the
+        // ~25 docs of each source (df >= 5 at every SF); body lines stay
+        // rare (the 8 duplicate texts at sf0.1 give df = 2)
+        val aug = table(s, d, "documents").select(col("doc_id"),
+          concat(lit("NAV "), col("source"), lit(" HOME\n"), col("text"),
+                 lit("\nCOPYRIGHT "), col("source")).as("text"))
+        Boilerplate.removeFrequentLines(aug, col("doc_id"), col("text"), minDf = 5)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH aug AS (SELECT doc_id, 'NAV ' || source || ' HOME' || chr(10) || text ||
+                            chr(10) || 'COPYRIGHT ' || source AS text FROM documents),
+        l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+        lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+                 i -> struct_pack(pos := i, line := ls[i]))) AS u FROM l0)),
+        freq AS (SELECT line FROM (
+          SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line)
+          WHERE c >= 5),
+        tag AS (SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS is_bp
+                FROM lines l LEFT JOIN freq f ON l.line = f.line)
+        SELECT doc_id,
+               COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT is_bp), '') AS clean_text,
+               CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS INT) AS n_kept,
+               CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS INT) AS n_dropped
+        FROM tag GROUP BY doc_id ORDER BY doc_id"""),
+      "boilerplate — CCNet-style frequent-line removal: per-doc line dedup is " +
+        "map-side, the df count is one word-count-shaped shuffle, and the " +
+        "heavy-hitter lexicon joins back broadcast — document text never shuffles"),
+
+    Q("p41_token_budget",
+      (s, d) => {
+        val doc = table(s, d, "documents")
+        Sampling.tokenBudgetSelect(doc, col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")),
+            TextOps.qualitySignals(col("text"), TextOps.defaultStopwords)
+              .getField("stopword_ratio"), budget = 700L)
+          .orderBy("source", "cum_tokens", "doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT source, doc_id,
+                 CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens,
+                 CAST(len(list_filter(${sqlTokens("lower(text)")},
+                      x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS INT) AS n_stop
+          FROM documents),
+        r AS (SELECT source, doc_id, n_tokens,
+                     round(CAST(n_stop AS DOUBLE)/greatest(n_tokens,1),4) AS quality
+              FROM t),
+        c AS (SELECT source, doc_id, n_tokens, quality,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source
+                          ORDER BY quality DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_tokens
+              FROM r)
+        SELECT doc_id, source, n_tokens, quality, cum_tokens
+        FROM c WHERE cum_tokens <= 700 ORDER BY source, cum_tokens, doc_id"""),
+      "curation — greedy per-source selection under a token budget: rank by " +
+        "quality, keep while the running token total fits; one stratum-keyed " +
+        "window shuffle, AQE handles skewed sources"),
+
+    Q("p42_mixture_weights",
+      (s, d) => Corpus.mixtureWeights(table(s, d, "documents"),
+          col("source"), col("text"))
+        .orderBy("source"),
+      Some(s"""
+        WITH t AS (SELECT source, count(*) AS n_docs,
+                          CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        s AS (SELECT source, n_docs, n_tokens,
+                     round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+                       AS token_share,
+                     count(*) OVER () AS k
+              FROM t)
+        SELECT source, n_docs, n_tokens, token_share,
+               round((1.0 / k) / token_share, 6) AS uniform_weight
+        FROM s ORDER BY source"""),
+      "mixture — per-source doc/token totals, token share, and the uniform-target " +
+        "resampling weight (DoReMi-style mixture flattening); one aggregate " +
+        "shuffle, the global-total window runs over k post-aggregate rows")
   )
 }

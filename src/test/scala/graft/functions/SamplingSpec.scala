@@ -18,6 +18,23 @@ class SamplingSpec extends SparkSpec {
     assert(c.subsetOf(a))
   }
 
+  test("tokenBudgetSelect keeps the quality-ranked prefix within budget") {
+    val docs = Seq(
+      // (id, stratum, n_tokens, quality) — budget 10 per stratum
+      (0L, "a", 4, 0.9), (1L, "a", 4, 0.8), (2L, "a", 4, 0.7), (3L, "a", 1, 0.6),
+      (4L, "b", 20, 0.9), (5L, "b", 5, 0.5)
+    ).toDF("id", "src", "n", "q")
+    val out = Sampling.tokenBudgetSelect(docs, col("id"), col("src"),
+        col("n"), col("q"), budget = 10L)
+      .orderBy("source", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq
+    // stratum a: 0 (cum 4), 1 (cum 8); 2 would hit 12 > 10 and, greedily,
+    // doc 3 after it is also out (cum 13). stratum b: 4 alone busts the
+    // budget, so nothing is selected from it — the operator is a prefix
+    // rule, not a knapsack
+    assert(out == Seq((0L, "a", 4L), (1L, "a", 8L)))
+  }
+
   test("splitColumn partitions every row into exactly one split at ~weights") {
     val withSplit = ids.withColumn("split",
       Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))

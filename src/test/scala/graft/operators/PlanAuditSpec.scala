@@ -133,6 +133,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("p40 boilerplate joins the heavy-hitter lexicon broadcast; doc text never sort-merges") {
+    val p = plan("p40_boilerplate_lines")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p41 token budget is one stratum-keyed window, no extra exchanges") {
+    val p = plan("p41_token_budget")
+    // one hashpartitioning exchange for the per-source window; the final
+    // orderBy adds a range exchange; nothing else may shuffle
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx in:\n$p")
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
