@@ -71,7 +71,9 @@ object Bench {
     val fullQs = results.map { case (name, best, r1, r2) =>
       s""""$name":{"min":${f3(best)},"runs":[${f3(r1)},${f3(r2)}]}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries report -1 per query but must not SUBTRACT from the
+    // total — a run with failures may never look faster than a clean one
+    val total = results.map(_._2).filter(_ >= 0).sum
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","queries":$fullQs,"sf":"$sfDir"}"""
     try {

@@ -22,7 +22,7 @@ object Boilerplate {
     * distinct line (`array_distinct` is map-side; repeats within one
     * document are not corpus-level evidence).
     */
-  def frequentLines(df: DataFrame, id: Column, text: Column, minDf: Int): DataFrame = {
+  def frequentLines(df: DataFrame, text: Column, minDf: Int): DataFrame = {
     require(minDf >= 2, s"minDf < 2 would classify every line as boilerplate: $minDf")
     df.select(explode(array_distinct(split(text, "\n"))).as("line"))
       .groupBy("line").agg(count(lit(1)).as("line_df"))
@@ -37,7 +37,7 @@ object Boilerplate {
     */
   def removeFrequentLines(df: DataFrame, id: Column, text: Column, minDf: Int): DataFrame = {
     val lexicon = broadcast(
-      frequentLines(df, id, text, minDf).select(col("line"), lit(true).as("is_bp")))
+      frequentLines(df, text, minDf).select(col("line"), lit(true).as("is_bp")))
     df.select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
       .join(lexicon, Seq("line"), "left")
       .groupBy("doc_id")

@@ -98,29 +98,60 @@ object Clustering {
       var mn: Array[Double] = null
       var mx: Array[Double] = null
       while (it.hasNext) {
-        val arr = it.next().getArray(0).toDoubleArray()
-        if (mn == null) { mn = arr.clone(); mx = arr.clone() }
-        else {
-          var i = 0
-          while (i < arr.length) {
-            if (arr(i) < mn(i)) mn(i) = arr(i)
-            if (arr(i) > mx(i)) mx(i) = arr(i)
-            i += 1
+        val row = it.next()
+        if (!row.isNullAt(0)) { // null vectors carry no bounds
+          val arr = row.getArray(0).toDoubleArray()
+          if (mn == null) { mn = arr.clone(); mx = arr.clone() }
+          else {
+            if (arr.length > mn.length) {
+              // ragged input: a position's bounds come from the rows
+              // that HAVE that position (the posexplode semantics)
+              val old = mn.length
+              mn = java.util.Arrays.copyOf(mn, arr.length)
+              mx = java.util.Arrays.copyOf(mx, arr.length)
+              var j = old
+              while (j < arr.length) { mn(j) = arr(j); mx(j) = arr(j); j += 1 }
+            }
+            var i = 0
+            while (i < arr.length) {
+              if (arr(i) < mn(i)) mn(i) = arr(i)
+              if (arr(i) > mx(i)) mx(i) = arr(i)
+              i += 1
+            }
           }
         }
       }
       if (mn == null) Iterator.empty else Iterator((mn, mx))
     }
-    val (mins, maxs) = parts.reduce { case ((mn1, mx1), (mn2, mx2)) =>
-      var i = 0
-      while (i < mn1.length) {
-        if (mn2(i) < mn1(i)) mn1(i) = mn2(i)
-        if (mx2(i) > mx1(i)) mx1(i) = mx2(i)
-        i += 1
-      }
-      (mn1, mx1)
+    // treeAggregate, not reduce: the zero makes an empty (or all-null)
+    // corpus yield Seq.empty instead of throwing, and the tree combine
+    // keeps the driver from absorbing every partition's pair at once
+    val combined = parts.treeAggregate(Option.empty[(Array[Double], Array[Double])])(
+      (acc, p) => Some(acc.fold(p)(combineBounds(_, p))),
+      (a, b) => (a, b) match {
+        case (Some(x), Some(y)) => Some(combineBounds(x, y))
+        case _ => a.orElse(b)
+      })
+    combined.fold(Seq.empty[(Double, Double)]) { case (mins, maxs) => mins.zip(maxs).toSeq }
+  }
+
+  /** Merge two (min, max) bound pairs of possibly different widths:
+    * shared positions take the tighter extreme, extra positions pass
+    * through (never mutates its inputs — partition results are reused
+    * by the tree combine).
+    */
+  private def combineBounds(a: (Array[Double], Array[Double]),
+                            b: (Array[Double], Array[Double])): (Array[Double], Array[Double]) = {
+    val ((shortMn, shortMx), (longMn, longMx)) =
+      if (a._1.length <= b._1.length) (a, b) else (b, a)
+    val mn = longMn.clone(); val mx = longMx.clone()
+    var i = 0
+    while (i < shortMn.length) {
+      if (shortMn(i) < mn(i)) mn(i) = shortMn(i)
+      if (shortMx(i) > mx(i)) mx(i) = shortMx(i)
+      i += 1
     }
-    mins.zip(maxs).toSeq
+    (mn, mx)
   }
 
   /** Int8 scalar quantization against per-dimension bounds:

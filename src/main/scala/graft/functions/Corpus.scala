@@ -187,10 +187,17 @@ object Corpus {
     df.groupBy(stratum.as("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(TextOps.tokenCount(text)).cast("long").as("n_tokens"))
+      // the weight divides exact integer totals (total / (k·tokens)):
+      // one IEEE division, identical in any engine — dividing by the
+      // 6-dp ROUNDED share would turn a <5e-7 share into a zero divisor
+      // (Infinity here, NULL in ANSI SQL). A zero-token stratum has no
+      // finite flattening weight → null, never Infinity
       .withColumn("token_share",
         round(col("n_tokens").cast("double") / sum("n_tokens").over(w), 6))
       .withColumn("uniform_weight",
-        round((lit(1.0) / count(lit(1)).over(w)) / col("token_share"), 6))
+        when(col("n_tokens") > 0,
+          round(sum("n_tokens").over(w).cast("double") /
+            (count(lit(1)).over(w) * col("n_tokens")), 6)))
       .select("source", "n_docs", "n_tokens", "token_share", "uniform_weight")
   }
 }

@@ -30,19 +30,22 @@ object Scrub {
     * PII class plus the text with matches replaced by typed tokens.
     * Emails are replaced first (their domains would otherwise be
     * partially shadowed by the IPv4 pattern on numeric hosts).
+    *
+    * Each class is counted on the text AS IT EXISTS at that stage of
+    * the sequential replacement, so the counts equal the replacements
+    * actually made — counting every class against the raw text would
+    * report a phone inside an already-redacted email (digits and
+    * hyphens are valid local-part chars) that produces no `<PHONE>`
+    * token in the output.
     */
   def scrubPii(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val scrubbed =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        Ipv4Re, "<IP>")
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
     df.select(
       id.as("doc_id"),
       regexp_count(text, lit(EmailRe)).cast("int").as("n_emails"),
-      regexp_count(text, lit(PhoneRe)).cast("int").as("n_phones"),
-      regexp_count(text, lit(Ipv4Re)).cast("int").as("n_ips"),
-      scrubbed.as("scrubbed"))
+      regexp_count(afterEmail, lit(PhoneRe)).cast("int").as("n_phones"),
+      regexp_count(afterPhone, lit(Ipv4Re)).cast("int").as("n_ips"),
+      regexp_replace(afterPhone, Ipv4Re, "<IP>").as("scrubbed"))
   }
 }

@@ -970,16 +970,19 @@ object PipelineQueries {
                WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
                WHEN doc_id % 4 = 2 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' up'
-               ELSE '' END AS text FROM documents)
+               ELSE '' END AS text FROM documents),
+        st AS (SELECT doc_id, text,
+                      regexp_replace(text, '${Scrub.EmailRe}', '<EMAIL>', 'g') AS after_email
+               FROM aug),
+        st2 AS (SELECT *, regexp_replace(after_email, '${Scrub.PhoneRe}', '<PHONE>', 'g')
+                       AS after_phone
+                FROM st)
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '${Scrub.EmailRe}')) AS INT) AS n_emails,
-               CAST(len(regexp_extract_all(text, '${Scrub.PhoneRe}')) AS INT) AS n_phones,
-               CAST(len(regexp_extract_all(text, '${Scrub.Ipv4Re}')) AS INT) AS n_ips,
-               regexp_replace(regexp_replace(regexp_replace(text,
-                 '${Scrub.EmailRe}', '<EMAIL>', 'g'),
-                 '${Scrub.PhoneRe}', '<PHONE>', 'g'),
-                 '${Scrub.Ipv4Re}', '<IP>', 'g') AS scrubbed
-        FROM aug ORDER BY doc_id"""),
+               CAST(len(regexp_extract_all(after_email, '${Scrub.PhoneRe}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(after_phone, '${Scrub.Ipv4Re}')) AS INT) AS n_ips,
+               regexp_replace(after_phone, '${Scrub.Ipv4Re}', '<IP>', 'g') AS scrubbed
+        FROM st2 ORDER BY doc_id"""),
       "scrubbing — PII detection + redaction (email / phone / IPv4) with per-class " +
         "counts; lookaround-free patterns run identically on Java regex and RE2 " +
         "engines; pure map-side projection"),
@@ -1031,6 +1034,10 @@ object PipelineQueries {
         // same user. The right side is pre-deduplicated to unique
         // (user, ts) — max event_id wins — which is the determinism
         // contract native ASOF engines (DuckDB, kdb) assume too.
+        // Timestamp contract: both engines see the TIMESTAMP_NS parquet
+        // truncated to MICROseconds — TpchGraph.events does ts div 1000
+        // here, DuckDB truncates on parquet read — so dedup grouping and
+        // the >= comparison agree even for sub-microsecond source data.
         val ev = graft.sources.TpchGraph.events(s, d)
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), col("event_id"))
@@ -1188,10 +1195,13 @@ object PipelineQueries {
         s AS (SELECT source, n_docs, n_tokens,
                      round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
                        AS token_share,
-                     count(*) OVER () AS k
+                     count(*) OVER () AS k,
+                     sum(n_tokens) OVER () AS total
               FROM t)
         SELECT source, n_docs, n_tokens, token_share,
-               round((1.0 / k) / token_share, 6) AS uniform_weight
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(total AS DOUBLE) / (k * n_tokens), 6) END
+                 AS uniform_weight
         FROM s ORDER BY source"""),
       "mixture — per-source doc/token totals, token share, and the uniform-target " +
         "resampling weight (DoReMi-style mixture flattening); one aggregate " +

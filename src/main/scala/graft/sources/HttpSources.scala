@@ -50,16 +50,21 @@ object HttpSources {
     val kingdomKey = Keys.taxonKey("kingdom", "Plantae")
     val familyKey = Keys.taxonKey("family", family)
     val genusKey = Keys.taxonKey("genus", genus)
+    val genusNode =
+      NodeRow(genusKey, NodeTypes.TaxonNode, genus, s"""{"Genus":"${Json.str(genus)}"}""")
     val (target, chainStart) = rank match {
       case "species" =>
         val key = Keys.taxonKey("species", genus, species, authorship)
         (NodeRow(key, NodeTypes.TaxonNode, s"$genus $species $authorship".trim,
           s"""{"Species":["${Json.str(genus)}","${Json.str(species)}","${Json.str(authorship)}"]}"""), key)
+      case "family" =>
+        (NodeRow(familyKey, NodeTypes.TaxonNode, family,
+          s"""{"Family":"${Json.str(family)}"}"""), familyKey)
       case _ =>
-        (NodeRow(genusKey, NodeTypes.TaxonNode, genus, s"""{"Genus":"${Json.str(genus)}"}"""), genusKey)
+        (genusNode, genusKey)
     }
-    val ancestors = Seq(
-      NodeRow(genusKey, NodeTypes.TaxonNode, genus, s"""{"Genus":"${Json.str(genus)}"}"""),
+    // a family lookup has no genus level: its chain starts at the family
+    val ancestors = (if (rank == "family") Nil else Seq(genusNode)) ++ Seq(
       NodeRow(familyKey, NodeTypes.TaxonNode, family, s"""{"Family":"${Json.str(family)}"}"""),
       NodeRow(kingdomKey, NodeTypes.TaxonNode, "Plantae", s"""{"Kingdom":"Plantae"}"""),
       NodeRow(lifeKey, NodeTypes.TaxonNode, "Life", """{"Life":{}}"""))
@@ -72,13 +77,15 @@ object HttpSources {
   object OfflineBackbone extends TaxonomicBackbone {
     private val families = Map("Salix" -> "Salicaceae", "Betula" -> "Betulaceae", "Pinus" -> "Pinaceae")
 
-    def lookup(rank: String, name: Map[String, String]): Option[(NodeRow, Seq[NodeRow], Seq[EdgeRow])] = {
-      val genus = name.getOrElse("genus", return None)
-      families.get(genus).map { family =>
-        taxonChain(rank, genus, family,
-          name.getOrElse("species", ""), name.getOrElse("authorship", ""))
-      }
-    }
+    def lookup(rank: String, name: Map[String, String]): Option[(NodeRow, Seq[NodeRow], Seq[EdgeRow])] =
+      if (rank == "family")
+        name.get("family").filter(families.values.toSet)
+          .map(family => taxonChain(rank, "", family, "", ""))
+      else for {
+        genus <- name.get("genus")
+        family <- families.get(genus)
+      } yield taxonChain(rank, genus, family,
+        name.getOrElse("species", ""), name.getOrElse("authorship", ""))
   }
 
   /** S11 live implementation — GlobalPollenProject's backbone/trace API,
@@ -94,15 +101,20 @@ object HttpSources {
       base: String = "https://globalpollenproject.org/api/v1/backbone",
       timeoutSec: Long = 30) extends TaxonomicBackbone {
     def lookup(rank: String, name: Map[String, String]): Option[(NodeRow, Seq[NodeRow], Seq[EdgeRow])] = {
-      val genus = name.getOrElse("genus", return None)
+      val genus = name.getOrElse("genus", "")
       val species = name.getOrElse("species", "")
       val authorship = name.getOrElse("authorship", "")
       val family = name.getOrElse("family", "")
       def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      // each rank requires its own name part — genus is NOT required for
+      // a family lookup (the reference queries family by latin name alone)
       val query = rank match {
-        case "family" => s"rank=Family&family=${enc(family)}&latinname=${enc(family)}"
-        case "genus" => s"rank=Genus&family=${enc(family)}&genus=${enc(genus)}&latinname=${enc(genus)}"
-        case "species" => s"rank=Species&family=${enc(family)}&genus=${enc(genus)}" +
+        case "family" if family.nonEmpty =>
+          s"rank=Family&family=${enc(family)}&latinname=${enc(family)}"
+        case "genus" if genus.nonEmpty =>
+          s"rank=Genus&family=${enc(family)}&genus=${enc(genus)}&latinname=${enc(genus)}"
+        case "species" if genus.nonEmpty && species.nonEmpty =>
+          s"rank=Species&family=${enc(family)}&genus=${enc(genus)}" +
           s"&species=${enc(species)}&latinname=${enc(s"$genus $species")}&authorship=${enc(authorship)}"
         case _ => return None
       }
@@ -158,8 +170,9 @@ object HttpSources {
         val authors = {
           val a = m.path("author")
           (0 until a.size).map(a.get).map { x =>
-            (x.path("family").asText("") + ", " + x.path("given").asText("")).stripSuffix(", ")
-          }.mkString("; ")
+            Seq(x.path("family").asText(""), x.path("given").asText(""))
+              .filter(_.nonEmpty).mkString(", ")
+          }.filter(_.nonEmpty).mkString("; ")
         }
         val year = {
           val dp = m.path("published").path("date-parts")
@@ -170,13 +183,18 @@ object HttpSources {
     }
   }
 
-  /** Minimal blocking GET over the JDK HttpClient (Java 17). */
+  /** Minimal blocking GET over the JDK HttpClient (Java 17). One shared
+    * client (documented thread-safe) — a per-call client would allocate
+    * a fresh connection pool and executor per GET and never reuse
+    * connections to the same host across a backbone sync.
+    */
   private[sources] object Http {
+    private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
     def getString(url: String, timeoutSec: Long): String = {
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofSeconds(timeoutSec))
-        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
-        .build()
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(timeoutSec))
         .header("User-Agent", "graft-engine/0.1 (Spark analytics library)")

@@ -18,7 +18,7 @@ class BoilerplateSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("frequentLines counts one vote per document") {
-    val freq = Boilerplate.frequentLines(docs, col("doc_id"), col("text"), minDf = 6)
+    val freq = Boilerplate.frequentLines(docs, col("text"), minDf = 6)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // doc 4's repeated HEADER must not double-count: df is 6, not 7
     assert(freq == Map("HEADER" -> 6L, "FOOTER" -> 6L))

@@ -37,6 +37,24 @@ class ClusteringSpec extends SparkSpec {
     }, "centroid components must be 4-dp rounded")
   }
 
+  test("dimMinMax: empty input, null vectors, and ragged lengths") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    assert(Clustering.dimMinMax(empty, col("v")) == Seq.empty)
+
+    val withNull = Seq((0L, Some(Seq(1.0, 2.0))), (1L, None), (2L, Some(Seq(-1.0, 5.0))))
+      .toDF("id", "v")
+    assert(Clustering.dimMinMax(withNull, col("v")) == Seq((-1.0, 1.0), (2.0, 5.0)))
+    assert(Clustering.dimMinMax(withNull.filter(col("v").isNull), col("v")) == Seq.empty)
+
+    // ragged: position 2's bounds come from the only row that has it,
+    // regardless of partitioning
+    val ragged = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(0.0, 3.0, 7.0))).toDF("id", "v")
+    val expect = Seq((0.0, 1.0), (2.0, 3.0), (7.0, 7.0))
+    assert(Clustering.dimMinMax(ragged, col("v")) == expect)
+    assert(Clustering.dimMinMax(ragged.repartition(5), col("v")) == expect)
+  }
+
   test("assignClusters breaks cosine ties toward the smaller cluster id") {
     val df = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
     // two identical centroids → identical cosine → smaller id wins

@@ -21,6 +21,16 @@ class ScrubSpec extends SparkSpec {
     assert(out(2).getString(4) == "clean text with no pii at all")
   }
 
+  test("counts reflect the replacements actually made, not raw-text matches") {
+    // the whole phone-shaped string is consumed by the email match
+    // (digits/hyphens are valid local-part chars), so NO <PHONE> token is
+    // produced — and n_phones must say 0, not 1
+    val df = Seq((0L, "call 555-123-4567@mail.io now")).toDF("doc_id", "text")
+    val out = Scrub.scrubPii(df, col("doc_id"), col("text")).collect()(0)
+    assert(out.getString(4) == "call <EMAIL> now")
+    assert((out.getInt(1), out.getInt(2), out.getInt(3)) == (1, 0, 0))
+  }
+
   test("scrubbing is idempotent and leaves no residual matches") {
     val df = Seq((0L, "x user@example.com 555-000-1111 8.8.8.8 y")).toDF("doc_id", "text")
     val once = Scrub.scrubPii(df, col("doc_id"), col("text"))

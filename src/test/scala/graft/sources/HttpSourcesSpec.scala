@@ -39,4 +39,18 @@ class HttpSourcesSpec extends SparkSpec {
   test("S11 unknown genus resolves to None") {
     assert(HttpSources.OfflineBackbone.lookup("genus", Map("genus" -> "Nonexistus")).isEmpty)
   }
+
+  test("S11 family-rank lookup targets the family node, no genus level") {
+    val Some((taxon, ancestors, edges)) = HttpSources.OfflineBackbone.lookup(
+      "family", Map("family" -> "Salicaceae")) // no genus supplied
+    assert(taxon.key == Keys.taxonKey("family", "Salicaceae"))
+    assert(taxon.payload == """{"Family":"Salicaceae"}""")
+    // chain: family → kingdom Plantae → Life — no genus node anywhere
+    assert(ancestors.map(_.key) ==
+      Seq(Keys.taxonKey("kingdom", "Plantae"), Keys.taxonKey("life")))
+    assert(edges.map(e => (e.src, e.dst)) == Seq(
+      Keys.taxonKey("family", "Salicaceae") -> Keys.taxonKey("kingdom", "Plantae"),
+      Keys.taxonKey("kingdom", "Plantae") -> Keys.taxonKey("life")))
+    assert(HttpSources.OfflineBackbone.lookup("family", Map("family" -> "Nonexistaceae")).isEmpty)
+  }
 }
