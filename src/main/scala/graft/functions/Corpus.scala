@@ -200,4 +200,54 @@ object Corpus {
             (count(lit(1)).over(w) * col("n_tokens")), 6)))
       .select("source", "n_docs", "n_tokens", "token_share", "uniform_weight")
   }
+
+  /** Duplicate-n-gram coverage per document for each gram size in `ns`:
+    * the total n-gram position count and the fraction of positions whose
+    * n-gram occurs ≥ 2 times in the document — the "fraction of
+    * duplicated n-grams" family of repetition filters (complementing
+    * [[repetitionSignals]]'s top-gram fractions). Documents with no
+    * tokens are dropped (no positions to measure).
+    *
+    * Zero shuffle at any corpus size: one shared tokenization, then a
+    * native [[expressions.DupGramCount]] run-scan per gram size inside
+    * the same codegen stage — nothing is exploded, no gram strings are
+    * materialized.
+    */
+  def dupNgramStats(df: DataFrame, id: Column, text: Column,
+                    ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "dupNgramStats needs gram sizes >= 1")
+    val staged = df
+      .filter(text.rlike("\\S")) // see repetitionSignals: rlike stays a scan predicate
+      .select(id.as("doc_id"), TextOps.tokens(lower(text)).as("toks"))
+    val cols = ns.flatMap { n =>
+      val m = greatest(size(col("toks")) - (n - 1), lit(0))
+      val dup = expressions.DupGramOps.dupGramCountCol(col("toks"), n)
+      Seq(m.as(s"n_grams_$n"),
+        round(dup.cast("double") / greatest(m, lit(1)), 4).as(s"dup_frac_$n"))
+    }
+    staged.select(col("doc_id") +: cols: _*)
+  }
+
+  /** The `topN` most frequent word n-grams corpus-wide with their counts
+    * (ties broken by gram ascending) — vocabulary induction / common-
+    * phrase mining. The explode is map-side; the count is one partially-
+    * aggregated word-count-shaped shuffle on the gram (map-side combine
+    * collapses each partition's repeats before the exchange), and the
+    * top-N is TakeOrdered — no global sort is ever materialized.
+    */
+  def topNgrams(df: DataFrame, text: Column, n: Int, topN: Int): DataFrame = {
+    require(n >= 1 && topN >= 1, "topNgrams needs n >= 1 and topN >= 1")
+    val toks = TextOps.tokens(lower(text))
+    // guard BEFORE sequence(): sequence(0, -1) is a descending range in
+    // Spark, which would fabricate grams for docs shorter than n
+    val grams =
+      if (n == 1) explode(toks)
+      else explode(when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+    df.select(grams.as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(topN)
+  }
 }

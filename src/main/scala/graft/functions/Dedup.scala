@@ -335,4 +335,38 @@ object Dedup {
       .select(col("id").as("vec_id"), col("cluster"),
         when(col("hit").isNull, 1).otherwise(0).as("kept"))
   }
+
+  // ----------------------------------- cross-document duplicate coverage
+
+  /** How much of each document's LOCAL substring structure is shared with
+    * at least one other document: per doc, the count of its winnowing
+    * fingerprints (distinct by construction — [[TextOps
+    * .winnowingFingerprints]] emits a sorted set) that also occur in ≥ 1
+    * other document, and that count as a fraction of the doc's
+    * fingerprints. This is the diagnostic form of exact-substring
+    * deduplication: a high `shared_frac` flags documents whose content is
+    * largely copied across the corpus even when no WHOLE-document dup
+    * test fires. Documents shorter than the gram size k have no
+    * fingerprints and are dropped.
+    *
+    * Scale shape: explode → one window count over the fingerprint key →
+    * one doc-keyed aggregate. The window count equals the fingerprint's
+    * document frequency (per-doc fingerprints are distinct), so no
+    * doc×doc pair is ever formed — the same inverted-index discipline as
+    * [[jaccardPairs]]. Hot fingerprints (boilerplate shared by millions
+    * of docs) skew the fp partition; AQE skew-split or a pre-count df cap
+    * handles them without changing per-doc answers below the cap.
+    */
+  def sharedFingerprintCoverage(df: DataFrame, id: Column, text: Column,
+                                k: Int = 5, w: Int = 8): DataFrame = {
+    val fps = df.select(id.as("doc_id"),
+      explode(TextOps.winnowingFingerprints(text, k, w)).as("fp"))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    fps.withColumn("df", count(lit(1)).over(byFp))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_fp"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / greatest(col("n_fp"), lit(1)), 4))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextOps}
+import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Multimodal, Packing, Quality, Sampling, Scrub, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -1205,6 +1205,119 @@ object PipelineQueries {
         FROM s ORDER BY source"""),
       "mixture — per-source doc/token totals, token share, and the uniform-target " +
         "resampling weight (DoReMi-style mixture flattening); one aggregate " +
-        "shuffle, the global-total window runs over k post-aggregate rows")
+        "shuffle, the global-total window runs over k post-aggregate rows"),
+
+    Q("p43_quality_gate",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), Quality.gate(col("text")).as("g"))
+        .select(col("doc_id"), col("g.r_len"), col("g.r_wordlen"), col("g.r_stop"),
+          col("g.r_punct"), col("g.r_upper"), col("g.passes"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS INT) AS n_chars,
+                 CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INT) AS n_punct,
+                 CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper,
+                 CAST(len(list_filter(${sqlTokens("lower(text)")},
+                      x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS INT) AS n_stop
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 n_tokens BETWEEN 30 AND 80 AS r_len,
+                 round(CAST(n_chars AS DOUBLE)/greatest(n_tokens,1),4) BETWEEN 3.0 AND 6.0 AS r_wordlen,
+                 round(CAST(n_stop AS DOUBLE)/greatest(n_tokens,1),4) >= 0.03 AS r_stop,
+                 round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1),4) <= 0.1 AS r_punct,
+                 round(CAST(n_upper AS DOUBLE)/greatest(n_chars,1),4) <= 0.3 AS r_upper
+          FROM t)
+        SELECT doc_id, r_len, r_wordlen, r_stop, r_punct, r_upper,
+               (r_len AND r_wordlen AND r_stop AND r_punct AND r_upper) AS passes
+        FROM r ORDER BY doc_id"""),
+      "quality — composite rule gate (Gopher/C4-style length, word-length, " +
+        "stopword, symbol, and case rules over one native signal pass; " +
+        "thresholds compare 4-dp-rounded ratios so engines agree; map-side, " +
+        "zero shuffle — a passes-filter pushes onto the scan)"),
+
+    Q("p44_dup_ngrams",
+      (s, d) => Corpus.dupNgramStats(table(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts
+                   FROM documents WHERE regexp_matches(text, '\\S')),
+        g AS (SELECT doc_id,
+                greatest(len(ts) - 1, 0) AS m2,
+                list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                  i -> array_to_string(ts[i:i+1], ' ')) AS g2,
+                greatest(len(ts) - 2, 0) AS m3,
+                list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                  i -> array_to_string(ts[i:i+2], ' ')) AS g3
+              FROM t),
+        d2 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+               FROM (SELECT doc_id, x, count(*) AS c
+                     FROM (SELECT doc_id, unnest(g2) AS x FROM g) GROUP BY doc_id, x)
+               GROUP BY doc_id),
+        d3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+               FROM (SELECT doc_id, x, count(*) AS c
+                     FROM (SELECT doc_id, unnest(g3) AS x FROM g) GROUP BY doc_id, x)
+               GROUP BY doc_id)
+        SELECT g.doc_id,
+               CAST(m2 AS INT) AS n_grams_2,
+               round(CAST(coalesce(d2.dup, 0) AS DOUBLE)/greatest(m2, 1), 4) AS dup_frac_2,
+               CAST(m3 AS INT) AS n_grams_3,
+               round(CAST(coalesce(d3.dup, 0) AS DOUBLE)/greatest(m3, 1), 4) AS dup_frac_3
+        FROM g LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+        ORDER BY doc_id"""),
+      "repetition — duplicate-n-gram coverage (fraction of 2-/3-gram positions " +
+        "whose gram repeats within the doc): native index-sort run-scan per row, " +
+        "zero shuffle at any corpus size (nothing exploded, no gram strings built)"),
+
+    Q("p45_shared_fp_coverage",
+      (s, d) => Dedup.sharedFingerprintCoverage(table(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      // the h/fps CTEs replicate p19's winnowing recurrence (B=31 gram
+      // hash, window w=8) — fps are distinct per doc by construction, so
+      // the per-fp window count IS the document frequency
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(text) - 4),
+                   i -> (ascii(substring(text, i, 1)) * 923521
+                       + ascii(substring(text, i + 1, 1)) * 29791
+                       + ascii(substring(text, i + 2, 1)) * 961
+                       + ascii(substring(text, i + 3, 1)) * 31
+                       + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
+          FROM documents
+          WHERE length(text) >= 5),
+        f AS (
+          SELECT doc_id, unnest(list_distinct(
+                 list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                   j -> list_min(hs[j:j+7])))) AS fp
+          FROM h),
+        w AS (SELECT doc_id, count(*) OVER (PARTITION BY fp) AS df FROM f)
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_fp,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INT) AS n_shared,
+               round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / greatest(count(*), 1), 4) AS shared_frac
+        FROM w GROUP BY doc_id ORDER BY doc_id"""),
+      "dedup diagnostics — cross-doc duplicate SPAN coverage: fraction of each " +
+        "doc's winnowing fingerprints shared with any other doc (substring-level " +
+        "copy detection); inverted-index window count, never a doc×doc join"),
+
+    Q("p47_top_ngrams",
+      (s, d) => Corpus.topNgrams(table(s, d, "documents"), col("text"),
+        n = 2, topN = 20),
+      Some(s"""
+        WITH t AS (SELECT ${sqlTokens("lower(text)")} AS ts FROM documents),
+        g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                i -> array_to_string(ts[i:i+1], ' '))) AS gram FROM t)
+        SELECT gram, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""),
+      "corpus stats — top-k word bigrams (phrase mining / vocab induction): " +
+        "map-side explode, partially-aggregated word-count shuffle, TakeOrdered " +
+        "top-k — no global sort; ties break on the gram for determinism")
   )
 }

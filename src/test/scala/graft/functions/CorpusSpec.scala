@@ -24,4 +24,19 @@ class CorpusSpec extends SparkSpec {
     assert(bySrc("b") > 1.0 && bySrc("a") < 1.0)
     assert(math.abs(bySrc("a") - (1.0 / 3) / 0.5) < 1e-4)
   }
+
+  test("topNgrams: counts, case folding, tie-break on the gram, short docs") {
+    val docs = Seq(
+      (0L, "big Data big data"),   // "big data"×2 (case-folded), "data big"×1
+      (1L, "big data rules"),
+      (2L, "solo"),                // 1 token → no bigrams
+      (3L, "")                     // empty → nothing
+    ).toDF("doc_id", "text")
+    val rows = Corpus.topNgrams(docs, col("text"), n = 2, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("big data", 3L), ("data big", 1L), ("data rules", 1L)))
+    val uni = Corpus.topNgrams(docs, col("text"), n = 1, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(uni == Seq(("big", 3L), ("data", 3L))) // tie broken by gram asc
+  }
 }

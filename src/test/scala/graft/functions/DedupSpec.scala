@@ -106,4 +106,20 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
     assert(ham(sh(1L), sh(3L)) <= 16)
   }
+
+  test("sharedFingerprintCoverage: copies share everything, uniques nothing") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact copy of 1
+      (3L, "zq xv jkw qqz vxj kzz wqx zzv xqk jjw zkq"), // disjoint alphabet: no 5-gram overlap
+      (4L, "abc") // shorter than k=5 → no fingerprints, dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedFingerprintCoverage(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == out(2L))                         // symmetric by construction
+    assert(out(1L)._3 == 1.0 && out(1L)._2 == out(1L)._1) // every fp shared with the copy
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0.0)       // nothing shared
+    assert(out.values.forall(v => v._2 <= v._1))
+  }
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val okDoc = // 30+ tokens, mixed, stopword-bearing, lowercase
+    (("the quick brown fox jumps over a lazy dog and then " * 3) + "rests now").trim
+
+  test("gate: passing doc passes every rule; rule violations flip exactly their flag") {
+    val df = Seq(
+      (0L, okDoc),                                   // passes
+      (1L, "too short to pass"),                     // r_len fails (4 tokens)
+      (2L, ("supercalifragilistic expialidocious extraordinarily " * 12).trim), // r_wordlen + r_stop fail
+      (3L, ("dog cat bird fish cow hen pig fox owl bee " * 4).trim)             // r_stop fails (no stopwords)
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Quality.gate(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*")).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(byId(0L) == ((true, true, true, true, true, true)))
+    assert(!byId(1L)._1 && !byId(1L)._6)             // length rule + conjunction fail
+    assert(!byId(2L)._2 && !byId(2L)._6)             // mean-word-length rule fails
+    assert(byId(3L)._1 && !byId(3L)._3 && !byId(3L)._6) // only stopword rule fails
+  }
+
+  test("passes is exactly the conjunction of the five rule flags") {
+    val df = (0 until 200).map { i =>
+      val words = (0 until (i % 100)).map(j => if (j % 7 == 0) "the" else s"w${j % 9}x")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val bad = df.select(Quality.gate(col("text")).as("g"))
+      .filter(col("g.passes") =!= (col("g.r_len") && col("g.r_wordlen") &&
+        col("g.r_stop") && col("g.r_punct") && col("g.r_upper")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("thresholds compare the ROUNDED ratios (boundary doc is stable)") {
+    // 100 chars of which exactly 10 punct → punct_ratio 0.1 == max bound: passes
+    val boundary = ("ab cd ef gh ij " * 6).trim + " !!!!!!!!!!" // tune: punct adds to chars
+    val r = Seq((0L, boundary)).toDF("doc_id", "text")
+      .select(Quality.gate(col("text")).getField("r_punct")).head().getBoolean(0)
+    val ratio = Seq((0L, boundary)).toDF("doc_id", "text")
+      .select(TextOps.qualitySignals(col("text"), TextOps.defaultStopwords)
+        .getField("punct_ratio")).head().getDouble(0)
+    assert(r == (ratio <= 0.1)) // flag agrees with the rounded ratio it gates on
+  }
+}
