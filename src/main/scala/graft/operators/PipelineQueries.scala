@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Multimodal, Packing, Quality, Sampling, Scrub, Similarity, TextOps}
+import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -148,6 +148,59 @@ object PipelineQueries {
                round(list_cosine_similarity(a.e, (SELECT qe FROM q)), 6) AS cos
         FROM assign a JOIN probe p ON a.bucket = p.bucket
         ORDER BY cos DESC, id LIMIT 10"""
+
+  /** DuckDB replica of [[graft.functions.Pq]] (p46): codebooks re-derived
+    * with the p30 integer-exact mean, per-subspace argmin on the same
+    * `ss − 2·sc + cc` 6-dp-rounded decomposition (left-to-right adds ⇒
+    * bit-identical doubles), ADC as the same m-ascending lookup chain.
+    */
+  private def pqAdcOracle: String = {
+    val m = 8; val sub = EmbDim / m
+    val codeCols = (0 until m).map(i => s"max(CASE WHEN m = $i THEN code END) AS c$i")
+      .mkString(",\n                 ")
+    val adcChain = (0 until m).map(i =>
+      s"(SELECT d FROM dt WHERE dt.m = $i AND dt.code = codes.c$i)")
+      .mkString("\n             + ")
+    val codeList = (0 until m).map(i => s"c$i").mkString("[", ", ", "]")
+    s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (
+          SELECT label, (u.i - 1) // $sub AS m, (u.i - 1) % $sub AS j,
+                 round(CAST(sum(CAST(round(u.x * 1000000) AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1000000.0), 4) AS c
+          FROM (SELECT label, unnest(list_transform(generate_series(1, $EmbDim),
+                       i -> {'i': i, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+                FROM embeddings)
+          GROUP BY label, m, j),
+        cb AS (SELECT label AS code, m, list(c ORDER BY j) AS cvec
+               FROM cent GROUP BY label, m),
+        sub AS (SELECT vec_id, m, list(x ORDER BY j) AS sv FROM (
+                  SELECT vec_id, (u.i - 1) // $sub AS m, (u.i - 1) % $sub AS j, u.x AS x
+                  FROM (SELECT vec_id, unnest(list_transform(generate_series(1, $EmbDim),
+                               i -> {'i': i, 'x': e[i]})) AS u FROM v))
+                GROUP BY vec_id, m),
+        enc AS (SELECT vec_id, m, code FROM (
+                  SELECT s.vec_id, s.m, b.code,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY round(list_inner_product(s.sv, s.sv)
+                                     - 2 * list_inner_product(s.sv, b.cvec)
+                                     + list_inner_product(b.cvec, b.cvec), 6) + 0.0 ASC,
+                                    b.code) AS rn
+                  FROM sub s JOIN cb b ON s.m = b.m) WHERE rn = 1),
+        q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 3),
+        dt AS (SELECT b.m, b.code,
+                      round(list_inner_product(q.qv, q.qv)
+                            - 2 * list_inner_product(q.qv, b.cvec)
+                            + list_inner_product(b.cvec, b.cvec), 6) + 0.0 AS d
+               FROM cb b JOIN q ON b.m = q.m),
+        codes AS (SELECT vec_id,
+                 $codeCols
+                  FROM enc GROUP BY vec_id)
+        SELECT vec_id AS id,
+               array_to_string($codeList, ',') AS codes,
+               round($adcChain, 6) AS adc
+        FROM codes ORDER BY adc, id LIMIT 10"""
+  }
 
   /** DuckDB replica of [[TextOps.langId]]: per-language marker hits,
     * greatest-score argmax with declaration-order tie-break.
@@ -1318,6 +1371,20 @@ object PipelineQueries {
         FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""),
       "corpus stats — top-k word bigrams (phrase mining / vocab induction): " +
         "map-side explode, partially-aggregated word-count shuffle, TakeOrdered " +
-        "top-k — no global sort; ties break on the gram for determinism")
+        "top-k — no global sort; ties break on the gram for determinism"),
+
+    Q("p46_pq_adc",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val books = Pq.trainCodebooks(emb, col("label"), col("embedding"),
+          numSubspaces = 8)
+        val query = emb.filter(col("vec_id") === 3)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        Pq.adcTopK(emb, col("vec_id"), col("embedding"), books, query, k = 10)
+      },
+      Some(pqAdcOracle),
+      "similarity — product quantization: per-subspace codebooks (integer-exact " +
+        "means), map-side argmin encode, ADC top-k via M broadcast table lookups " +
+        "per row — the corpus never shuffles and never rescans full vectors")
   )
 }
