@@ -1385,6 +1385,74 @@ object PipelineQueries {
       Some(pqAdcOracle),
       "similarity — product quantization: per-subspace codebooks (integer-exact " +
         "means), map-side argmin encode, ADC top-k via M broadcast table lookups " +
-        "per row — the corpus never shuffles and never rescans full vectors")
+        "per row — the corpus never shuffles and never rescans full vectors"),
+
+    Q("p48_curation_funnel",
+      (s, d) => graft.pipeline.Curation.curate(table(s, d, "documents"),
+          col("doc_id"), col("text"), col("source"),
+          evalFilter = col("doc_id") % 97 === 0,
+          minShared = 31, budgetPerSource = 700L)
+        .funnel.orderBy("stage_idx"),
+      // each CTE replicates the stage's oracled operator: gate = p43,
+      // dedup key = p05's fingerprint (md5 of folded text), fps = p25's
+      // winnowing recurrence, selection = p41's budget window
+      Some(s"""
+        WITH base AS (SELECT doc_id, text, source, doc_id % 97 = 0 AS is_eval
+                      FROM documents),
+        train AS (SELECT doc_id, text, source,
+                         CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens
+                  FROM base WHERE NOT is_eval),
+        sig AS (SELECT doc_id, text, source, n_tokens,
+                       CAST(length(text) AS INT) AS n_chars,
+                       CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INT) AS n_punct,
+                       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper,
+                       CAST(len(list_filter(${sqlTokens("lower(text)")},
+                            x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS INT) AS n_stop
+                FROM train),
+        gated AS (SELECT doc_id, text, source, n_tokens, n_stop FROM sig
+                  WHERE n_tokens BETWEEN 30 AND 80
+                    AND round(CAST(n_chars AS DOUBLE)/greatest(n_tokens,1),4) BETWEEN 3.0 AND 6.0
+                    AND round(CAST(n_stop AS DOUBLE)/greatest(n_tokens,1),4) >= 0.03
+                    AND round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1),4) <= 0.1
+                    AND round(CAST(n_upper AS DOUBLE)/greatest(n_chars,1),4) <= 0.3),
+        dedup AS (SELECT doc_id, text, source, n_tokens, n_stop FROM (
+                    SELECT g.*, row_number() OVER (
+                      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                      ORDER BY doc_id) AS rn FROM gated g) WHERE rn = 1),
+        h AS (SELECT doc_id,
+                     list_transform(generate_series(1, length(text) - 4),
+                       i -> (ascii(substring(text, i, 1)) * 923521
+                           + ascii(substring(text, i + 1, 1)) * 29791
+                           + ascii(substring(text, i + 2, 1)) * 961
+                           + ascii(substring(text, i + 3, 1)) * 31
+                           + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
+              FROM base WHERE length(text) >= 5),
+        fps AS (SELECT doc_id, unnest(list_distinct(
+                       list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                         j -> list_min(hs[j:j+7])))) AS fp
+                FROM h),
+        eval_fps AS (SELECT DISTINCT fp FROM fps JOIN base USING (doc_id) WHERE is_eval),
+        cont AS (SELECT fps.doc_id FROM fps
+                 JOIN dedup USING (doc_id) JOIN eval_fps USING (fp)
+                 GROUP BY fps.doc_id HAVING count(*) >= 31),
+        clean AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        sel AS (SELECT doc_id, source, n_tokens FROM (
+                  SELECT c.doc_id, c.source, c.n_tokens,
+                         CAST(sum(c.n_tokens) OVER (PARTITION BY c.source
+                              ORDER BY round(CAST(c.n_stop AS DOUBLE)/greatest(c.n_tokens,1),4) DESC, c.doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM clean c) WHERE cum <= 700)
+        SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM train
+        UNION ALL SELECT 1, 'quality_gate', count(*), coalesce(sum(n_tokens), 0) FROM gated
+        UNION ALL SELECT 2, 'exact_dedup', count(*), coalesce(sum(n_tokens), 0) FROM dedup
+        UNION ALL SELECT 3, 'decontaminate', count(*), coalesce(sum(n_tokens), 0) FROM clean
+        UNION ALL SELECT 4, 'token_budget', count(*), coalesce(sum(n_tokens), 0) FROM sel
+        ORDER BY stage_idx"""),
+      "curation pipeline — gate → exact dedup → decontaminate → token budget " +
+        "composed into ONE DataFrame DAG with a per-stage attrition funnel; " +
+        "every stage keeps its operator's scale shape (pushable gate, hash-keyed " +
+        "dedup window, broadcast eval fps, stratum-keyed selection window)")
   )
 }
