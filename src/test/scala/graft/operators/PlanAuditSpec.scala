@@ -147,6 +147,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx in:\n$p")
   }
 
+  test("p43 quality gate is a pure narrow projection (no hash exchange, pruned scan)") {
+    val p = plan("p43_quality_gate")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("p44 dup-ngram signals tokenize once and never shuffle (native run-scan)") {
+    val p = plan("p44_dup_ngrams")
+    assert(!p.contains("hashpartitioning"), p)
+    assert("split\\(lower".r.findAllIn(p).length == 1, p)
+    assert(p.contains("dup_gram_count"), p)
+  }
+
+  test("p45 shared-fp coverage shuffles only the fp window + doc aggregate; no joins") {
+    val p = plan("p45_shared_fp_coverage")
+    assert("hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("p46 PQ encode+ADC is one codegen stage with TakeOrdered top-k, zero exchanges") {
+    val p = plan("p46_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("array_dot"), p)
+    assert(p.contains("*(1) Project"), p)
+  }
+
+  test("p47 top n-grams partially aggregates before the exchange; top-k is TakeOrdered") {
+    val p = plan("p47_top_ngrams")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p48 funnel: gate rules push into the scan filter; eval fps broadcast; no cartesian") {
+    val p = plan("p48_curation_funnel")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the gate's rule predicates evaluate as scan-adjacent Filter, not a
+    // post-shuffle stage: quality_counts appears inside a Filter node
+    assert(p.contains("Filter ") && p.contains("quality_counts"), p)
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
