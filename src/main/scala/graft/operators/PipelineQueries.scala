@@ -1453,6 +1453,29 @@ object PipelineQueries {
       "curation pipeline — gate → exact dedup → decontaminate → token budget " +
         "composed into ONE DataFrame DAG with a per-stage attrition funnel; " +
         "every stage keeps its operator's scale shape (pushable gate, hash-keyed " +
-        "dedup window, broadcast eval fps, stratum-keyed selection window)")
+        "dedup window, broadcast eval fps, stratum-keyed selection window)"),
+
+    Q("p49_jsonl_ingest",
+      (s, d) => {
+        // render JSONL from the documents table (planting a malformed
+        // line every 50 ids), then parse it back through the schema-on-
+        // read path — the round-trip is what's under test; the oracle
+        // recomputes the expected output directly from the table
+        val lines = table(s, d, "documents").select(
+          when(col("doc_id") % 50 === 0, lit("{corrupt json line"))
+            .otherwise(to_json(struct(col("doc_id"), col("text"), col("source"))))
+            .as("line"))
+        graft.sources.Ingest.parseJsonl(lines, col("line"))
+          .filter(col("valid"))
+          .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"),
+            col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(length(text) AS INT) AS n_chars, source
+        FROM documents WHERE doc_id % 50 <> 0 ORDER BY doc_id"""),
+      "ingest — JSONL documents (the training-data interchange format): " +
+        "schema-on-read from_json, malformed lines quarantined as valid=false " +
+        "instead of failing the job; map-side, one codegen'd parse per line")
   )
 }

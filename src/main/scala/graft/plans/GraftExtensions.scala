@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{ArrayDot, Fnv64, WinnowingFp}
+import graft.functions.expressions.{ArrayDot, DupGramCount, Fnv64, MaxRunCount, WinnowingFp}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,13 +42,31 @@ object GraftExtensions {
     WinnowingFp(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "w"))
   }
 
+  private def literalInt(e: Expression, fname: String, arg: String): Int = {
+    require(e.foldable, s"$fname: $arg must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fname: $arg must be an integer literal, got $other")
+    }
+  }
+
+  // dup_gram_count(toks, n): n must be a literal int in SQL text
+  private val dupGramBuilder: Seq[Expression] => Expression =
+    exprs => DupGramCount(exprs.head, literalInt(exprs(1), "dup_gram_count", "n"))
+
   private def fn(name: String, clazz: Class[_], b: Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), b)
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("fnv64", classOf[Fnv64], fnv64Builder),
     fn("array_dot", classOf[ArrayDot], arrayDotBuilder),
-    fn("winnowing_fp", classOf[WinnowingFp], winnowingBuilder))
+    fn("winnowing_fp", classOf[WinnowingFp], winnowingBuilder),
+    fn("max_run_count", classOf[MaxRunCount],
+      exprs => MaxRunCount(exprs.head, pairs = false)),
+    fn("max_bigram_run", classOf[MaxRunCount],
+      exprs => MaxRunCount(exprs.head, pairs = true)),
+    fn("dup_gram_count", classOf[DupGramCount], dupGramBuilder))
 
   /** Register all engine functions on an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -153,4 +153,35 @@ object Ingest {
     n == d * m &&
       long.groupBy("depth", "morphotype").count().filter(col("count") > 1).isEmpty
   }
+
+  // ------------------------------------------------------------- JSONL
+
+  /** The JSONL document schema every training-data interchange uses:
+    * one JSON object per line with an id, the text payload, and flat
+    * metadata.
+    */
+  val jsonlDocSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+
+  /** Parse JSONL document lines (schema-on-read): `from_json` against
+    * [[jsonlDocSchema]] in FAILFAST-off mode — a malformed line yields a
+    * null struct, surfaced as `valid = false` instead of killing the
+    * job, which is how a 100 TB crawl ingest must behave (corrupt lines
+    * are counted and quarantined, never fatal). Map-side only; the JSON
+    * parse is one codegen'd `from_json` per line.
+    */
+  def parseJsonl(lines: DataFrame, line: org.apache.spark.sql.Column): DataFrame =
+    lines
+      .select(from_json(line, jsonlDocSchema).as("j"))
+      // from_json yields a struct of all-null fields (not a null struct)
+      // for malformed input; a real document must carry id + text
+      .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
+        col("j.source").as("source"),
+        (col("j.doc_id").isNotNull && col("j.text").isNotNull).as("valid"))
 }

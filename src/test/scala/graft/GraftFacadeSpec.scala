@@ -9,6 +9,9 @@ class GraftFacadeSpec extends SparkSpec {
     assert(s.sql("SELECT fnv64('k') IS NOT NULL").head().getBoolean(0))
     assert(s.sql("SELECT size(winnowing_fp('hello world of graphs', 5, 8)) > 0")
       .head().getBoolean(0))
+    assert(s.sql("SELECT max_run_count(array('a','b','a','a'))").head().getInt(0) == 3)
+    assert(s.sql("SELECT max_bigram_run(array('x','y','x','y','x','y'))").head().getInt(0) == 3)
+    assert(s.sql("SELECT dup_gram_count(array('a','b','a','b'), 2)").head().getInt(0) == 2)
     assert(s.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
   }
 

@@ -123,4 +123,21 @@ class IngestSpec extends SparkSpec {
     assert(back.columns.toSet == Set("depth", "Salix-type", "Betula", "Pinus"))
     assert(back.count() == 2)
   }
+
+  test("JSONL parse: valid lines round-trip, malformed and incomplete lines quarantine") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "source": "web"}""",
+      """{"doc_id": 2, "text": "quote \" and tab \t inside", "source": "books"}""",
+      """{broken json""",                       // malformed → all-null struct
+      """{"doc_id": 3, "source": "no-text"}""", // missing text → invalid
+      """{"text": "no id", "source": "x"}"""    // missing id → invalid
+    ).toDF("line")
+    val out = Ingest.parseJsonl(lines, col("line")).collect()
+    assert(out.count(_.getBoolean(3)) == 2)
+    val byId = out.filter(_.getBoolean(3)).map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == "hello world")
+    assert(byId(2L) == "quote \" and tab \t inside") // escapes decoded
+    assert(out.length == 5)                          // nothing dropped silently
+  }
 }
