@@ -173,12 +173,20 @@ object Ingest {
     * [[jsonlDocSchema]] in FAILFAST-off mode — a malformed line yields a
     * null struct, surfaced as `valid = false` instead of killing the
     * job, which is how a 100 TB crawl ingest must behave (corrupt lines
-    * are counted and quarantined, never fatal). Map-side only; the JSON
-    * parse is one codegen'd `from_json` per line.
+    * are counted and quarantined, never fatal). Map-side only.
+    *
+    * The parse sits behind a single-element `explode(array(...))`:
+    * predicate pushdown cannot cross a generator, so a downstream
+    * `filter($"valid")` stays ABOVE the parse instead of being inlined
+    * as extra `from_json` calls in a scan-adjacent Filter (observed: the
+    * plain-projection form planned 3 parses per line — two in the pushed
+    * filter, one in the field extraction). One parse per line is the
+    * difference between reading a 100 TB crawl once and reading it three
+    * times; PlanAuditSpec pins the single-`from_json` plan.
     */
   def parseJsonl(lines: DataFrame, line: org.apache.spark.sql.Column): DataFrame =
     lines
-      .select(from_json(line, jsonlDocSchema).as("j"))
+      .select(explode(array(from_json(line, jsonlDocSchema))).as("j"))
       // from_json yields a struct of all-null fields (not a null struct)
       // for malformed input; a real document must carry id + text
       .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),

@@ -191,6 +191,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Filter ") && p.contains("quality_counts"), p)
   }
 
+  test("p49 JSONL parse is map-side: one from_json, pruned scan, no hash exchange") {
+    val p = plan("p49_jsonl_ingest")
+    assert(!p.contains("hashpartitioning"), p)   // only the orderBy's range exchange
+    assert(!p.contains("Join"), p)
+    assert("from_json".r.findAllIn(p).length == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
