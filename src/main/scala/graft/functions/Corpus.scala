@@ -250,4 +250,66 @@ object Corpus {
       .groupBy("gram").agg(count(lit(1)).cast("long").as("n"))
       .orderBy(col("n").desc, col("gram")).limit(topN)
   }
+
+  /** CCNet-style language-model quality scoring: train an add-one-
+    * smoothed word-bigram LM on the `isRef` slice of the corpus, then
+    * score EVERY document (reference rows included) by the average
+    * negative log-likelihood of its bigrams — low `avg_nll` means
+    * "reads like the reference corpus", the filtering signal CCNet
+    * (Wenzek et al. 2019) computes with a Wikipedia-trained KenLM.
+    *
+    * Scale shape: the trained model is vocabulary-bounded, NOT corpus-
+    * bounded (unigram types follow Heaps' law; bigram types are bounded
+    * by the reference slice's token count, and a curation reference is a
+    * deliberately small high-quality corpus). Shipping the model to
+    * every node — here a broadcast hash join on the bigram key — is
+    * exactly how the production design distributes KenLM. Scoring is
+    * then map-side; the only corpus-sized shuffle is the per-doc
+    * aggregate, partially aggregated map-side. For a reference slice too
+    * big to broadcast, pass `broadcastLm = false` to fall back to a
+    * (w1, w2)-keyed shuffle join.
+    *
+    * Cross-engine determinism: each distinct bigram's log-probability is
+    * rounded once onto a 1e-6 integer grid (`lp_micro` as long); a
+    * document's score is the exact integer sum of its bigrams' micros —
+    * accumulation-order independent, so any engine summing the same
+    * micros over any partitioning gets the identical hash. Docs with
+    * fewer than two tokens have no bigrams and are dropped.
+    */
+  def lmScore(df: DataFrame, id: Column, text: Column, isRef: Column,
+              broadcastLm: Boolean = true): DataFrame = {
+    val toks = df.select(id.as("doc_id"), isRef.as("is_ref"),
+      TextOps.tokens(lower(text)).as("ts"))
+    val bg = toks.filter(size(col("ts")) >= 2).select(
+        col("doc_id"), col("is_ref"),
+        explode(transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(col("ts")(i).as("w1"), col("ts")(i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("is_ref"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.filter(col("is_ref")).select(explode(col("ts")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    // vocabulary size: a broadcast-constant scalar (Heaps'-law bounded),
+    // same discipline as topVocabulary — never a corpus-sized collect
+    val v = uni.agg(count(lit(1))).head().getLong(0)
+    require(v > 0, "lmScore: the reference slice has no tokens")
+    val lm = bg.filter(col("is_ref")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+      .join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        round(log((col("c2") + 1).cast("double") / (col("c1") + v)) * 1e6)
+          .cast("long").as("lp_micro"))
+    val ctx = uni.select(col("w1"),
+      round(log(lit(1.0) / (col("c1") + v)) * 1e6).cast("long").as("unk_micro"))
+    val floorMicro = math.round(math.log(1.0 / v) * 1e6)
+    val (lmSide, ctxSide) =
+      if (broadcastLm) (broadcast(lm), broadcast(ctx)) else (lm, ctx)
+    bg.join(lmSide, Seq("w1", "w2"), "left")
+      .join(ctxSide, Seq("w1"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lp_micro"), col("unk_micro"), lit(floorMicro)).as("m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"), sum(col("m")).as("sm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("sm") / lit(1000000.0)) / col("n_bigrams"), 4).as("avg_nll"))
+  }
 }

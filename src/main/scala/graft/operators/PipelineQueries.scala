@@ -1476,6 +1476,41 @@ object PipelineQueries {
         FROM documents WHERE doc_id % 50 <> 0 ORDER BY doc_id"""),
       "ingest — JSONL documents (the training-data interchange format): " +
         "schema-on-read from_json, malformed lines quarantined as valid=false " +
-        "instead of failing the job; map-side, one codegen'd parse per line")
+        "instead of failing the job; map-side, one codegen'd parse per line"),
+
+    Q("p50_lm_quality",
+      (s, d) => Corpus.lmScore(table(s, d, "documents"),
+          col("doc_id"), col("text"),
+          isRef = col("source").isin("src0", "src1"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, source, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        uni AS (SELECT w1, count(*) AS c1
+                FROM (SELECT unnest(ts) AS w1 FROM toks WHERE source IN ('src0', 'src1'))
+                GROUP BY 1),
+        v AS (SELECT count(*) AS v FROM uni),
+        bg AS (SELECT doc_id, source,
+                 unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i])) AS w1,
+                 unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i+1])) AS w2
+               FROM toks WHERE len(ts) >= 2),
+        lm AS (SELECT w1, w2,
+                      CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) * 1e6) AS BIGINT) AS lp_micro
+               FROM (SELECT w1, w2, count(*) AS c2 FROM bg
+                     WHERE source IN ('src0', 'src1') GROUP BY 1, 2)
+               JOIN uni USING (w1) CROSS JOIN v),
+        ctx AS (SELECT w1, CAST(round(ln(1.0 / (c1 + v)) * 1e6) AS BIGINT) AS unk_micro
+                FROM uni CROSS JOIN v),
+        fl AS (SELECT CAST(round(ln(1.0 / v) * 1e6) AS BIGINT) AS floor_micro FROM v),
+        sc AS (SELECT doc_id, coalesce(lp_micro, unk_micro, floor_micro) AS m
+               FROM bg LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1) CROSS JOIN fl),
+        agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, sum(m) AS sm
+                FROM sc GROUP BY 1)
+        SELECT doc_id, n_bigrams, round(-(sm / 1000000.0) / n_bigrams, 4) AS avg_nll
+        FROM agg ORDER BY doc_id"""),
+      "quality — CCNet-style LM scoring: add-one word-bigram LM trained on the " +
+        "reference slice, every doc scored by avg negative log-likelihood; the " +
+        "model broadcasts (the ship-KenLM-to-every-node design), per-bigram " +
+        "log-probs live on a 1e-6 integer grid so doc sums are exact longs — " +
+        "accumulation-order independent across engines")
   )
 }

@@ -39,4 +39,29 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(uni == Seq(("big", 3L), ("data", 3L))) // tie broken by gram asc
   }
+
+  test("lmScore: hand-computed add-one bigram NLL, unseen-bigram and unseen-context backoff") {
+    val docs = Seq(
+      (1L, true, "a b a b"),   // reference: uni a→2 b→2, V=2; bg (a,b)→2 (b,a)→1
+      (2L, false, "a b c"),    // (a,b) seen; (b,c) unseen bigram, known ctx b
+      (3L, false, "z q"),      // (z,q): unknown context → vocabulary floor
+      (4L, false, "solo"),     // <2 tokens → no bigrams → dropped
+      (5L, false, "")
+    ).toDF("doc_id", "is_ref", "text")
+    val rows = Corpus.lmScore(docs, col("doc_id"), col("text"), col("is_ref"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // micros: lp(a,b)=round(ln(3/4)·1e6)=-287682, lp(b,a)=round(ln(2/4)·1e6)=-693147,
+    // unk(ctx known)=round(ln(1/4)·1e6)=-1386294, floor=round(ln(1/2)·1e6)=-693147
+    val expected = Seq(
+      (1L, 3, 0.4228),  // (2·-287682 + -693147)/1e6 / 3 negated
+      (2L, 2, 0.837),   // (-287682 + -1386294)/1e6 / 2 negated
+      (3L, 1, 0.6931))  // floor/1e6 negated
+    assert(rows.toSeq == expected, rows.toSeq)
+    // shuffle-join fallback computes the identical scores
+    val plain = Corpus.lmScore(docs, col("doc_id"), col("text"), col("is_ref"),
+        broadcastLm = false)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(plain.toSeq == expected)
+  }
 }

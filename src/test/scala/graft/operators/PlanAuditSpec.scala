@@ -199,6 +199,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
   }
 
+  test("p50 LM scoring broadcasts the model; doc agg partially aggregates; no cartesian") {
+    val p = plan("p50_lm_quality")
+    // the bigram-LM and context tables ship to every node (the KenLM
+    // distribution design) — the corpus side must never sort-merge
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum") && p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
