@@ -369,4 +369,48 @@ object Dedup {
       .withColumn("shared_frac",
         round(col("n_shared").cast("double") / greatest(col("n_fp"), lit(1)), 4))
   }
+
+  /** Bloom-prefiltered decontamination — the eval-set-too-big-to-
+    * broadcast form of the p25 overlap check. The exact-broadcast form
+    * ships the full eval fingerprint set to every node; when the held-out
+    * corpus is itself large (every benchmark ever published, or a whole
+    * eval SUITE of corpora), the exact set stops being broadcast-sized
+    * but a Bloom filter of it never does: its size is fixed by
+    * (expectedItems, fpp) alone — ~1.2 bytes/item at 1% — regardless of
+    * fingerprint width or corpus size.
+    *
+    * Three stages, each with the 100 TB shape:
+    *  1. build: `stat.bloomFilter` aggregates per-partition filters and
+    *     OR-merges them treewise — one pass over eval, constant driver
+    *     memory;
+    *  2. prefilter: the sketch broadcasts and `mightContainLong` runs
+    *     map-side over the train corpus — no join, no shuffle, and at
+    *     fpp = 1 % it drops ≥ 99 % of non-leaked fingerprints where they
+    *     sit;
+    *  3. confirm: only the survivors (true leaks + the fpp sliver) join
+    *     the exact eval set — a shuffle join whose input is a tiny
+    *     fraction of the corpus, which is the join we could not afford on
+    *     the full train side.
+    *
+    * The Bloom filter admits false positives but stage 3 removes them,
+    * so the output is EXACTLY the exact-join answer (p51 shares p25's
+    * oracle). The membership probe is a Scala UDF by necessity — sketch
+    * lookup has no Catalyst builtin — but it is a primitive long →
+    * boolean predicate over a broadcast value, evaluated inline in the
+    * scan stage.
+    */
+  def bloomDecontaminate(trainFps: DataFrame, evalFps: DataFrame,
+                         minShared: Long, expectedEvalFps: Long,
+                         fpp: Double = 0.01): DataFrame = {
+    val distinctEval = evalFps.select(col("fp")).distinct()
+    val bf = distinctEval.stat.bloomFilter("fp", expectedEvalFps, fpp)
+    val bc = trainFps.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
+    trainFps
+      .filter(mightContain(col("fp")))
+      .join(distinctEval, "fp")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -22,6 +22,33 @@ object PipelineQueries {
     */
   private val EmbDim = 64
 
+  /** Train/eval fingerprint-overlap oracle, shared by p25 (exact
+    * broadcast semi-join) and p51 (Bloom prefilter + exact confirm):
+    * both implementations must produce the IDENTICAL answer — the Bloom
+    * pass only reorders where the filtering work happens.
+    */
+  private val decontaminationOracle = """
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(text) - 4),
+               i -> (ascii(substring(text, i, 1)) * 923521
+                   + ascii(substring(text, i + 1, 1)) * 29791
+                   + ascii(substring(text, i + 2, 1)) * 961
+                   + ascii(substring(text, i + 3, 1)) * 31
+                   + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
+      FROM documents
+      WHERE length(text) >= 5),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+             list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+               j -> list_min(hs[j:j+7])))) AS fp
+      FROM h),
+    eval_fps AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+    train AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 97 <> 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM train JOIN eval_fps USING (fp)
+    GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id"""
+
   /** DuckDB double-list literal, e.g. `[0.1, -0.2]::DOUBLE[]`. */
   private def doubleList(xs: Seq[Double]): String =
     xs.mkString("[", ", ", "]") + "::DOUBLE[]"
@@ -506,27 +533,7 @@ object PipelineQueries {
           .filter(col("n_shared") >= 3)
           .orderBy("doc_id")
       },
-      Some("""
-        WITH h AS (
-          SELECT doc_id,
-                 list_transform(generate_series(1, length(text) - 4),
-                   i -> (ascii(substring(text, i, 1)) * 923521
-                       + ascii(substring(text, i + 1, 1)) * 29791
-                       + ascii(substring(text, i + 2, 1)) * 961
-                       + ascii(substring(text, i + 3, 1)) * 31
-                       + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
-          FROM documents
-          WHERE length(text) >= 5),
-        fps AS (
-          SELECT doc_id, unnest(list_distinct(
-                 list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
-                   j -> list_min(hs[j:j+7])))) AS fp
-          FROM h),
-        eval_fps AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
-        train AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 97 <> 0)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        FROM train JOIN eval_fps USING (fp)
-        GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id"""),
+      Some(decontaminationOracle),
       "text analysis — train/eval DECONTAMINATION: winnowing-fingerprint overlap with a " +
         "broadcast eval set (substring-level leak detection, map-side at any corpus size)"),
 
@@ -1511,6 +1518,28 @@ object PipelineQueries {
         "reference slice, every doc scored by avg negative log-likelihood; the " +
         "model broadcasts (the ship-KenLM-to-every-node design), per-bigram " +
         "log-probs live on a 1e-6 integer grid so doc sums are exact longs — " +
-        "accumulation-order independent across engines")
+        "accumulation-order independent across engines"),
+
+    Q("p51_bloom_decontamination",
+      (s, d) => {
+        // same leak check as p25, different scale regime: the eval set is
+        // represented by a constant-size Bloom sketch instead of its exact
+        // broadcast, so the train corpus is prefiltered map-side and only
+        // Bloom survivors reach the exact confirm join — identical output
+        // (same oracle), bounded memory however large the eval suite grows
+        val fps = table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
+        Dedup.bloomDecontaminate(
+            trainFps = fps.filter(col("doc_id") % 97 =!= 0),
+            evalFps = fps.filter(col("doc_id") % 97 === 0),
+            minShared = 3, expectedEvalFps = 100000L, fpp = 0.01)
+          .orderBy("doc_id")
+      },
+      Some(decontaminationOracle),
+      "text analysis — Bloom-prefiltered decontamination: constant-memory sketch of " +
+        "the eval fingerprints broadcasts, train fps prefilter map-side, exact " +
+        "confirm join runs only on survivors — p25's answer without broadcasting " +
+        "the exact eval set")
   )
 }

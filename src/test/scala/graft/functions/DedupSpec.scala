@@ -122,4 +122,29 @@ class DedupSpec extends SparkSpec {
     assert(out(3L)._2 == 0 && out(3L)._3 == 0.0)       // nothing shared
     assert(out.values.forall(v => v._2 <= v._1))
   }
+
+  test("bloomDecontaminate equals the exact join: leaks flagged, clean docs and FPs absent") {
+    import spark.implicits._
+    val evalText = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val docs = Seq(
+      (97L, evalText),                                 // eval (id % 97 == 0)
+      (1L, evalText),                                  // full leak
+      (2L, "completely different content with no shared substrings at all xyz"),
+      (3L, s"prefix padding $evalText suffix padding") // embedded leak
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      explode(TextOps.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
+    val train = fps.filter(col("doc_id") % 97 =!= 0)
+    val eval_ = fps.filter(col("doc_id") % 97 === 0)
+    val bloom = Dedup.bloomDecontaminate(train, eval_, minShared = 3,
+        expectedEvalFps = 1000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: plain exact join, no sketch
+    val exact = train.join(eval_.select("fp").distinct(), "fp")
+      .groupBy("doc_id").agg(countDistinct(col("fp")).as("n"))
+      .filter(col("n") >= 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    assert(bloom.contains(1L) && bloom.contains(3L) && !bloom.contains(2L))
+  }
 }

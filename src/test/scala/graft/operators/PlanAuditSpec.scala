@@ -208,6 +208,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p51 Bloom prefilter runs as a scan-stage Filter before the confirm join") {
+    val p = plan("p51_bloom_decontamination")
+    // the sketch probe must sit in a Filter BELOW the join (prefilter,
+    // not post-join cleanup) and nothing may plan a cartesian
+    assert(p.contains("Filter"), p)
+    val probeAt = p.indexOf("UDF")
+    val joinAt = math.max(p.indexOf("Join"), p.indexOf("join"))
+    assert(probeAt > 0 && joinAt > 0 && probeAt > joinAt, p) // deeper in the tree = later in text
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
