@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, TextOps}
+import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -1540,6 +1540,58 @@ object PipelineQueries {
       "text analysis — Bloom-prefiltered decontamination: constant-memory sketch of " +
         "the eval fingerprints broadcasts, train fps prefilter map-side, exact " +
         "confirm join runs only on survivors — p25's answer without broadcasting " +
-        "the exact eval set")
+        "the exact eval set"),
+
+    Q("p52_dsir_importance",
+      (s, d) => Importance.dsirWeights(table(s, d, "documents"),
+          col("doc_id"), col("text"),
+          isTarget = col("source").isin("src0", "src1"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, source, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        bg AS (SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+                      unnest(list_transform(generate_series(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1])) AS g
+               FROM toks WHERE len(ts) >= 2),
+        f AS (SELECT doc_id, is_t,
+                     ('0x' || substring(md5(g), 1, 7))::BIGINT % 64 AS b FROM bg),
+        rc AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+        tc AS (SELECT b, count(*) AS c FROM f WHERE is_t GROUP BY b),
+        tot AS (SELECT (SELECT count(*) FROM f) AS r,
+                       (SELECT count(*) FROM f WHERE is_t) AS t),
+        ks AS (SELECT unnest(generate_series(0, 63)) AS b),
+        lr AS (SELECT ks.b,
+                      CAST(round((ln((coalesce(tc.c, 0) + 1.0) / (t + 64))
+                                - ln((coalesce(rc.c, 0) + 1.0) / (r + 64))) * 1e6) AS BIGINT) AS lrm
+               FROM ks LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
+        sc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_feats, sum(lrm) AS sm
+               FROM f JOIN lr USING (b) GROUP BY doc_id)
+        SELECT doc_id, n_feats, round(sm / 1000000.0, 4) AS logw
+        FROM sc ORDER BY doc_id"""),
+      "selection — DSIR importance weighting (Xie et al. 2023): hashed-bigram " +
+        "likelihood ratio of target (reference domains) vs raw crawl; estimator " +
+        "reduces to two 64-long broadcast vectors, scoring is a map-side fold over " +
+        "a literal micro-log-ratio array — zero shuffle however large the corpus"),
+
+    Q("p53_stratified_sample",
+      (s, d) => Sampling.stratifiedHashSample(table(s, d, "documents"),
+          col("doc_id"), col("source"),
+          rates = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125))
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                   / 268435456.0 AS h
+          FROM documents)
+        WHERE (source = 'src0' AND h < 0.5)
+           OR (source = 'src1' AND h < 0.25)
+           OR (source = 'src2' AND h < 0.125)
+        ORDER BY doc_id"""),
+      "sampling — per-stratum deterministic downsampling (domain rebalancing: keep " +
+        "50%/25%/12.5% of three sources, drop the rest); rates broadcast as a " +
+        "literal when-chain, membership is a pure function of the id — map-side " +
+        "only, reproducible across engines, retries, and repartitioning")
   )
 }
