@@ -325,4 +325,28 @@ object Corpus {
       .select(col("doc_id"), col("n_bigrams"),
         round(-(col("sm") / lit(1000000.0)) / col("n_bigrams"), 4).as("avg_nll"))
   }
+
+  /** The BPE merge-candidate table (Sennrich et al. 2016): adjacent
+    * character-pair counts over the corpus, weighted by word frequency —
+    * the counting step a BPE tokenizer trainer runs before every merge,
+    * and the only part that touches the corpus.
+    *
+    * Scale shape: the corpus collapses to its word-frequency table first
+    * (vocabulary-sized — Heaps' law — with map-side partial counts), and
+    * pairs explode off DISTINCT words only; the pair aggregation
+    * therefore runs on vocab-sized data however large the corpus. The
+    * top-N is a TakeOrdered (per-partition partial top-N, no full sort).
+    * Counts are exact longs — no float anywhere.
+    */
+  def bpePairCounts(df: DataFrame, text: Column, topN: Int): DataFrame = {
+    require(topN >= 1, s"bpePairCounts needs topN >= 1: $topN")
+    val vocab = df.select(explode(TextOps.tokens(lower(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = explode(transform(sequence(lit(1), length(col("w")) - 1),
+      i => col("w").substr(i, lit(2))))
+    vocab.filter(length(col("w")) >= 2) // 1-char words have no pairs
+      .select(pairs.as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topN)
+  }
 }

@@ -1592,6 +1592,22 @@ object PipelineQueries {
       "sampling — per-stratum deterministic downsampling (domain rebalancing: keep " +
         "50%/25%/12.5% of three sources, drop the rest); rates broadcast as a " +
         "literal when-chain, membership is a pure function of the id — map-side " +
-        "only, reproducible across engines, retries, and repartitioning")
+        "only, reproducible across engines, retries, and repartitioning"),
+
+    Q("p54_bpe_pairs",
+      (s, d) => Corpus.bpePairCounts(table(s, d, "documents"),
+        col("text"), topN = 30),
+      Some(s"""
+        WITH w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+        v AS (SELECT w, count(*) AS freq FROM w GROUP BY 1),
+        p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                     i -> substring(w, i, 2))) AS pair, freq
+              FROM v WHERE len(w) >= 2)
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30"""),
+      "tokenization — BPE merge-candidate counting (Sennrich et al. 2016): " +
+        "character-pair frequencies weighted by word frequency; the corpus " +
+        "collapses to its vocab table before any pair explodes, so the pair agg " +
+        "is vocab-sized at any corpus scale; exact integer counts")
   )
 }

@@ -341,6 +341,71 @@ object RelationalQueries {
           GROUP BY l_suppkey HAVING count(*) > 80)
         ORDER BY s_name"""),
       "TPC-H Q20 shape: nested IN subqueries -> broadcast semi-joins with a grouped " +
-        "HAVING threshold in the inner query")
+        "HAVING threshold in the inner query"),
+
+    Q("q18_large_orders",
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        // grouped-HAVING first: the aggregate collapses lineitem to
+        // per-order totals BEFORE any join (partial map-side combine on
+        // l_orderkey), and the > 300 filter cuts that to a sliver — the
+        // joins then run on the sliver, never on raw lineitem
+        val big = li.groupBy("l_orderkey")
+          .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        table(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("string").as("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+               o_totalprice, total_qty
+        FROM (SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),2) > 300) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      "TPC-H Q18 shape: large-volume orders — aggregate-then-join (the HAVING " +
+        "sliver drives the joins, raw lineitem never reaches a join), total-order " +
+        "top-100"),
+
+    Q("q19_disjunctive_revenue",
+      (s, d) => {
+        // classic Q19 rewrite: the part-side half of each disjunct
+        // (brand + size) pre-filters the dimension so the join input is
+        // tiny and broadcast-able; the coupled (brand, quantity) predicate
+        // then applies on the joined rows. Filters push to both scans.
+        val p = table(s, d, "part")
+          .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+                  (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+                  (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)))
+          .select("p_partkey", "p_brand")
+        table(s, d, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter((col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+                  (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+                  (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)"""),
+      "TPC-H Q19 shape: OR-of-ANDs disjunctive predicate — part-side disjunct " +
+        "halves pre-filter the dimension into a broadcast, the coupled " +
+        "(brand, quantity) terms apply post-join; no disjunction ever blocks " +
+        "pushdown on the fact scan")
   )
 }

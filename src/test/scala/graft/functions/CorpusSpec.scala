@@ -64,4 +64,16 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     assert(plain.toSeq == expected)
   }
+
+  test("bpePairCounts: word-frequency-weighted char pairs; 1-char words drop") {
+    val docs = Seq(
+      (1L, "abab ab"),  // abab: ab,ba,ab; ab: ab
+      (2L, "ab a"),     // ab: ab; a: no pairs
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val pairs = Corpus.bpePairCounts(docs, col("text"), topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // word freqs: abab→1, ab→2, a→1 ⇒ "ab": 2·1(from abab) + 1·2(from ab) = 4
+    assert(pairs == Seq(("ab", 4L), ("ba", 1L)))
+  }
 }

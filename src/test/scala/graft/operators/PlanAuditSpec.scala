@@ -219,6 +219,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p52 DSIR scoring is map-side: no joins, no hash exchange in the scored plan") {
+    val p = plan("p52_dsir_importance")
+    // the log-ratio array is a literal — scoring must plan as a pure
+    // projection + filter over the scan (the estimator pass runs inside
+    // the query builder, not in this plan)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p) // only the orderBy's range exchange
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("p54 BPE pairs: pair agg runs above the vocab agg, top-N is TakeOrdered") {
+    val p = plan("p54_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)  // no global sort
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q18 aggregates lineitem before any join; raw lineitem never reaches a join") {
+    val p = plan("q18_large_orders")
+    // textual order: the deepest operator prints last — the lineitem
+    // scan must feed a HashAggregate below the first join
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum"), p)
+    val aggAt = p.lastIndexOf("HashAggregate")
+    val liScanAt = p.lastIndexOf("lineitem.parquet")
+    assert(aggAt > 0 && liScanAt > aggAt, p) // scan sits under an aggregate
+  }
+
+  test("q19 broadcasts the pre-filtered part side; brand/size filters push to its scan") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the brand/size disjunction pushes into the part scan…
+    assert(p.contains("And(EqualTo(p_brand,Brand#12)"), p)
+    // …and Catalyst derives the OR'd quantity ranges onto the fact scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
