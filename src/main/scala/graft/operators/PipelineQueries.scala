@@ -1608,6 +1608,66 @@ object PipelineQueries {
       "tokenization — BPE merge-candidate counting (Sennrich et al. 2016): " +
         "character-pair frequencies weighted by word frequency; the corpus " +
         "collapses to its vocab table before any pair explodes, so the pair agg " +
-        "is vocab-sized at any corpus scale; exact integer counts")
+        "is vocab-sized at any corpus scale; exact integer counts"),
+
+    Q("p55_fuzzy_pairs",
+      (s, d) => Dedup.fuzzyPairs(table(s, d, "part"),
+          col("p_partkey"), col("p_name"),
+          blockKey = split(col("p_name"), " ").getItem(0), maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""
+        WITH p AS (SELECT min(p_partkey) AS id, p_name AS s,
+                          split_part(p_name, ' ', 1) AS k
+                   FROM part GROUP BY p_name, split_part(p_name, ' ', 1))
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        FROM p a JOIN p b ON a.k = b.k AND a.id < b.id
+        WHERE levenshtein(a.s, b.s) <= 3
+        ORDER BY id_a, id_b"""),
+      "dedup — blocked fuzzy record linkage (the reference's bibliographic title " +
+        "matching, distributed): distinct-string collapse, first-token blocking, " +
+        "threshold-form levenshtein verify (early-abandon, exact integers); the " +
+        "quadratic term is bounded per block, never corpus-wide"),
+
+    Q("p56_source_overlap",
+      (s, d) => {
+        // cross-source duplication matrix: how much content each pair of
+        // crawl sources shares. Projecting to (source, fp) DISTINCT
+        // before the self-join bounds every posting list by #sources —
+        // the f² hazard of a doc-level fp join disappears by construction
+        val fps = table(s, d, "documents")
+          .select(col("source"),
+            explode(TextOps.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
+          .distinct()
+        val a = fps.select(col("fp"), col("source").as("src_a"))
+        val b = fps.select(col("fp"), col("source").as("src_b"))
+        a.join(b, "fp").filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).cast("long").as("n_shared"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""
+        WITH h AS (
+          SELECT source,
+                 list_transform(generate_series(1, length(text) - 4),
+                   i -> (ascii(substring(text, i, 1)) * 923521
+                       + ascii(substring(text, i + 1, 1)) * 29791
+                       + ascii(substring(text, i + 2, 1)) * 961
+                       + ascii(substring(text, i + 3, 1)) * 31
+                       + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
+          FROM documents
+          WHERE length(text) >= 5),
+        fps AS (
+          SELECT DISTINCT source, unnest(list_distinct(
+                 list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                   j -> list_min(hs[j:j+7])))) AS fp
+          FROM h)
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "dedup — cross-source duplication matrix (which sources mirror each other): " +
+        "winnowing fingerprints projected to DISTINCT (source, fp) before the " +
+        "self-join, so posting lists are bounded by #sources, not #docs — the " +
+        "curation report that decides which crawls to drop wholesale")
   )
 }

@@ -147,4 +147,22 @@ class DedupSpec extends SparkSpec {
     assert(bloom == exact, s"bloom=$bloom exact=$exact")
     assert(bloom.contains(1L) && bloom.contains(3L) && !bloom.contains(2L))
   }
+
+  test("fuzzyPairs: within-block threshold matches; cross-block pairs never compared") {
+    import spark.implicits._
+    val recs = Seq(
+      (10L, "linen chocolate navy"),   // dist 1 from 20
+      (20L, "linen chocolate wavy"),
+      (30L, "linen cornsilk powder"),  // dist 7 from 10 — over threshold
+      (40L, "azure chocolate navy"),   // dist 1 from 10 but different block
+      (50L, "linen chocolate navy"),   // exact dup of 10 → collapsed, min id kept
+      (60L, "linen chocolate naby")    // dist 1 from 10/50, 2 from 20
+    ).toDF("id", "name")
+    val pairs = Dedup.fuzzyPairs(recs, col("id"), col("name"),
+        split(col("name"), " ").getItem(0), maxDist = 2)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // 50 collapses into 10; 40's block ("azure") has no partner; 30 too far
+    assert(pairs == Seq((10L, 20L, 1), (10L, 60L, 1), (20L, 60L, 2)), pairs.toString)
+  }
 }
