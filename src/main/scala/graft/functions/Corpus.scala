@@ -201,6 +201,37 @@ object Corpus {
       .select("source", "n_docs", "n_tokens", "token_share", "uniform_weight")
   }
 
+  /** Temperature-scaled mixture resampling probabilities (the α-sampling
+    * of XLM-R / mT5, Conneau et al. 2020): `q_i ∝ share_i^α` over token
+    * shares per stratum — α = 1 keeps natural proportions, α → 0
+    * flattens toward uniform, 0.2–0.7 up-weights low-resource strata
+    * without drowning the head.
+    *
+    * One partially-aggregated shuffle (k = #strata post-aggregate rows);
+    * the normalizations are windows over those k rows, not the corpus.
+    *
+    * Cross-engine determinism: token totals are exact longs; each
+    * stratum's `share^α` lands on a 1e-6 integer grid (`t_micro`), so
+    * the normalizing sum is an exact-long sum — the only engine-local
+    * float ops are one division and one `pow` per stratum, applied to
+    * identical inputs. A zero-token stratum gets q = 0 (pow(0, α) = 0
+    * for α > 0), never null/Infinity.
+    */
+  def temperatureMixture(df: DataFrame, stratum: Column, text: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(stratum.as("source"))
+      .agg(sum(TextOps.tokenCount(text)).cast("long").as("n_tokens"))
+      .withColumn("t_micro",
+        round(pow(col("n_tokens").cast("double") / sum("n_tokens").over(w),
+          lit(alpha)) * lit(1e6)).cast("long"))
+      .withColumn("q",
+        round(col("t_micro").cast("double") / sum("t_micro").over(w), 6))
+      .select("source", "n_tokens", "q")
+  }
+
   /** Duplicate-n-gram coverage per document for each gram size in `ns`:
     * the total n-gram position count and the fraction of positions whose
     * n-gram occurs ≥ 2 times in the document — the "fraction of

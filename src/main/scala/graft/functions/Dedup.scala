@@ -418,9 +418,11 @@ object Dedup {
 
   /** Blocked fuzzy string matching (record linkage / entity resolution):
     * find pairs of records whose strings are within `maxDist` edits,
-    * without ever comparing across blocks — the mirror of the
-    * reference's bibliographic match scoring
-    * (`Sources.fs` CrossRef title matching), distributed.
+    * without ever comparing across blocks — the distributed analogue of
+    * the reference's bibliographic matching (`Sources.fs:249-333`
+    * resolves one reference at a time against CrossRef's fuzzy
+    * `query.bibliographic` search; here the corpus matches against
+    * itself in bulk).
     *
     * Scale shape: records first collapse to DISTINCT strings (min id as
     * the representative — natural-language record fields repeat heavily,

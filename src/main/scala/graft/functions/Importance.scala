@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * highest-weight documents.
   *
   * Scale shape: the estimator pass reduces the corpus to two
-  * `buckets`-sized count vectors (driver-side constants, a few hundred
-  * bytes regardless of corpus size — the same broadcast-constant pattern
-  * as k-means centroids). The scoring pass is entirely map-side: each
-  * document folds over its own bigrams against the literal log-ratio
-  * array — no explode, no shuffle, no join. At 100 TB that is one
-  * aggregation tree (partial map-side combine on ≤`buckets` keys) plus
-  * one linear scan.
+  * `buckets`-sized count vectors in ONE aggregate job (driver-side
+  * constants, a few hundred bytes regardless of corpus size — the same
+  * broadcast-constant pattern as k-means centroids). The scoring pass
+  * joins nothing: documents partial-aggregate `(count, Σ lr_micro)`
+  * map-side against the literal log-ratio array, so the only shuffle
+  * carries one thin row per document per partition — and everything
+  * stays inside whole-stage codegen (see [[dsirWeights]] for why the
+  * shuffle-free per-doc HOF fold is the wrong trade).
   *
   * Cross-engine determinism (repo convention): feature hashing is
   * md5-derived (28-bit prefix, reproducible in any engine), the add-one
@@ -33,26 +34,25 @@ object Importance {
   def featureBucket(gram: Column, buckets: Int): Column =
     (conv(substring(md5(gram), 1, 7), 16, 10).cast("long") % buckets).cast("int")
 
-  /** Word-bigram array of `text` (lowercased whitespace tokens joined by
-    * one space); empty for documents with fewer than 2 tokens.
+  /** Word-bigram array from an ALREADY-MATERIALIZED token array column;
+    * empty for documents with fewer than 2 tokens. The guard, the
+    * sequence bound, and the pair lambda reference `ts` three times —
+    * callers must stage the tokenization in its own projection (as
+    * [[dsirWeights]] does) or every reference re-splits the text
+    * (measured 3× the explode cost at sf0.1; same trap
+    * [[Corpus.topNgrams]] documents).
     */
-  def bigrams(text: Column): Column = {
-    val toks = TextOps.tokens(lower(text))
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
-  }
+  def bigramsFromTokens(ts: Column): Column =
+    when(size(ts) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ts) - 2),
+        i => concat(element_at(ts, i + 1), lit(" "), element_at(ts, i + 2))))
 
-  /** Dense per-bucket count vector over exploded features — the
-    * driver-side estimator state (`buckets` longs however large the
-    * corpus; the aggregation is partial map-side on ≤`buckets` keys).
+  /** Word-bigram array of `text` (lowercased whitespace tokens joined by
+    * one space) — convenience form for single-use expressions; hot paths
+    * should stage tokens and use [[bigramsFromTokens]].
     */
-  private def bucketCounts(feats: DataFrame, buckets: Int): Array[Long] = {
-    val arr = Array.fill(buckets)(0L)
-    feats.groupBy("b").agg(count(lit(1)).as("c")).collect()
-      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
-    arr
-  }
+  def bigrams(text: Column): Column =
+    bigramsFromTokens(TextOps.tokens(lower(text)))
 
   /** Importance weights for every document with at least one bigram:
     * `(doc_id, n_feats, logw)` where `logw = Σ_g [log p̂_target(bucket g)
@@ -60,16 +60,37 @@ object Importance {
     * smoothed, 4-dp rounded. `isTarget` marks the rows that define the
     * target distribution (they are also part of the raw distribution —
     * DSIR's raw side is the whole crawl).
+    *
+    * Two corpus passes over the same exploded-feature plan, both fully
+    * codegen'd: the estimator collapses the corpus to ONE `buckets`-row
+    * aggregate carrying the raw and target counts together (a single
+    * job, partial map-side combine on ≤`buckets` keys), and the scoring
+    * pass partial-aggregates `(count, Σ lr_micro)` per document before
+    * the doc-keyed shuffle — the shuffle carries one thin row per
+    * document per partition, never the grams. (A per-document
+    * higher-order `aggregate` fold would avoid that shuffle entirely,
+    * but HOF lambdas evaluate INTERPRETED — hashing every bigram
+    * outside codegen measured 38 s where this plan takes under a
+    * second at sf0.1.)
     */
   def dsirWeights(df: DataFrame, id: Column, text: Column, isTarget: Column,
                   buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val feats = df.select(id.as("doc_id"), isTarget.as("is_target"),
-        explode(bigrams(text)).as("g"))
+    // tokenize ONCE into a surviving child projection of the Generate
+    val staged = df.select(id.as("doc_id"), isTarget.as("is_target"),
+      TextOps.tokens(lower(text)).as("ts"))
+    val feats = staged.select(col("doc_id"), col("is_target"),
+        explode(bigramsFromTokens(col("ts"))).as("g"))
       .select(col("doc_id"), col("is_target"),
         featureBucket(col("g"), buckets).as("b"))
-    val raw = bucketCounts(feats, buckets)
-    val tgt = bucketCounts(feats.filter(col("is_target")), buckets)
+    // one estimator job: both count vectors from a single aggregate
+    val raw = Array.fill(buckets)(0L)
+    val tgt = Array.fill(buckets)(0L)
+    feats.groupBy("b")
+      .agg(count(lit(1)).as("c_raw"),
+           count(when(col("is_target"), 1)).as("c_tgt"))
+      .collect() // ≤`buckets` rows — broadcast-constant scale
+      .foreach { r => raw(r.getInt(0)) = r.getLong(1); tgt(r.getInt(0)) = r.getLong(2) }
     val (rTot, tTot) = (raw.sum, tgt.sum)
     // add-one smoothed per-bucket log-ratio on the 1e-6 integer grid
     val lrMicro: Array[Long] = Array.tabulate(buckets) { k =>
@@ -77,11 +98,9 @@ object Importance {
                   math.log((raw(k) + 1.0) / (rTot + buckets))) * 1e6)
     }
     val lrArr = array(lrMicro.map(lit): _*)
-    df.select(id.as("doc_id"), bigrams(text).as("gs"))
-      .filter(size(col("gs")) > 0)
-      .select(col("doc_id"), size(col("gs")).cast("int").as("n_feats"),
-        aggregate(col("gs"), lit(0L),
-          (acc, g) => acc + element_at(lrArr, featureBucket(g, buckets) + 1)).as("sm"))
+    feats.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_feats"),
+           sum(element_at(lrArr, col("b") + 1)).as("sm"))
       .select(col("doc_id"), col("n_feats"),
         round(col("sm").cast("double") / 1e6, 4).as("logw"))
   }

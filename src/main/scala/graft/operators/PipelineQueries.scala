@@ -1569,9 +1569,9 @@ object PipelineQueries {
         SELECT doc_id, n_feats, round(sm / 1000000.0, 4) AS logw
         FROM sc ORDER BY doc_id"""),
       "selection — DSIR importance weighting (Xie et al. 2023): hashed-bigram " +
-        "likelihood ratio of target (reference domains) vs raw crawl; estimator " +
-        "reduces to two 64-long broadcast vectors, scoring is a map-side fold over " +
-        "a literal micro-log-ratio array — zero shuffle however large the corpus"),
+        "likelihood ratio of target (reference domains) vs raw crawl; one " +
+        "64-row estimator aggregate, then codegen'd scoring whose doc-keyed " +
+        "shuffle carries one partial (count, sum) row per doc per partition"),
 
     Q("p53_stratified_sample",
       (s, d) => Sampling.stratifiedHashSample(table(s, d, "documents"),
@@ -1668,6 +1668,26 @@ object PipelineQueries {
       "dedup — cross-source duplication matrix (which sources mirror each other): " +
         "winnowing fingerprints projected to DISTINCT (source, fp) before the " +
         "self-join, so posting lists are bounded by #sources, not #docs — the " +
-        "curation report that decides which crawls to drop wholesale")
+        "curation report that decides which crawls to drop wholesale"),
+
+    Q("p57_temperature_mixture",
+      (s, d) => Corpus.temperatureMixture(table(s, d, "documents"),
+          col("source"), col("text"), alpha = 0.3)
+        .orderBy("source"),
+      Some(s"""
+        WITH st AS (SELECT source,
+                           CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_tokens) AS t FROM st),
+        m AS (SELECT source, n_tokens,
+                     CAST(round(pow(n_tokens / CAST(t AS DOUBLE), 0.3) * 1e6) AS BIGINT) AS tm
+              FROM st CROSS JOIN tot)
+        SELECT source, n_tokens,
+               round(tm / (SELECT CAST(sum(tm) AS DOUBLE) FROM m), 6) AS q
+        FROM m ORDER BY source"""),
+      "sampling — temperature-scaled mixture probabilities (XLM-R/mT5 α-sampling, " +
+        "Conneau et al. 2020, α = 0.3): up-weight low-resource strata; share^α on a " +
+        "1e-6 integer grid so the normalizer is an exact-long sum; one k-row " +
+        "post-aggregate window, never a corpus shuffle")
   )
 }

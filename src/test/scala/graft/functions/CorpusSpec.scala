@@ -65,6 +65,22 @@ class CorpusSpec extends SparkSpec {
     assert(plain.toSeq == expected)
   }
 
+  test("temperatureMixture: alpha=1 recovers shares; alpha<1 compresses the head") {
+    val docs = Seq(
+      (1L, "a", "w w w w w w w w w"),  // 9 tokens
+      (2L, "b", "w w w"),              // 3
+      (3L, "c", "")                    // 0 → q = 0
+    ).toDF("doc_id", "src", "text")
+    def q(alpha: Double) = Corpus.temperatureMixture(docs, col("src"), col("text"), alpha)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val q1 = q(1.0)
+    assert(q1("a") == 0.75 && q1("b") == 0.25 && q1("c") == 0.0, q1.toString)
+    val q3 = q(0.3)
+    // flattening: the head loses mass, the tail gains, zero stays zero
+    assert(q3("a") < 0.75 && q3("b") > 0.25 && q3("c") == 0.0, q3.toString)
+    assert(math.abs(q3.values.sum - 1.0) < 1e-5)
+  }
+
   test("bpePairCounts: word-frequency-weighted char pairs; 1-char words drop") {
     val docs = Seq(
       (1L, "abab ab"),  // abab: ab,ba,ab; ab: ab

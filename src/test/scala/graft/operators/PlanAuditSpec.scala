@@ -219,13 +219,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("p52 DSIR scoring is map-side: no joins, no hash exchange in the scored plan") {
+  test("p52 DSIR scoring joins nothing and partial-aggregates per doc inside codegen") {
     val p = plan("p52_dsir_importance")
-    // the log-ratio array is a literal — scoring must plan as a pure
-    // projection + filter over the scan (the estimator pass runs inside
-    // the query builder, not in this plan)
+    // the log-ratio array is a literal — scoring is explode + doc-keyed
+    // aggregate; no join anywhere, and the shuffle input is the partial
+    // (count, Σ lr_micro) rows, never the grams
     assert(!p.contains("Join"), p)
-    assert(!p.contains("hashpartitioning"), p) // only the orderBy's range exchange
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
