@@ -47,4 +47,31 @@ class AsOfSpec extends SparkSpec {
     val row = out.collect().head
     assert(row.getString(3) == "x" && row.getDouble(4) == 1.5)
   }
+
+  test("PROPERTY: matches the naive per-key latest-at-or-before scan on random inputs") {
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      // random keys, clustered timestamps (plenty of < = > collisions);
+      // right (k, ts) kept unique — the operator's documented contract
+      val leftRows = (0 until 120).map { i =>
+        (rng.nextInt(5).toLong, rng.nextInt(40).toLong, s"l$trial-$i")
+      }
+      val rightRows = rng.shuffle((0 until 60).map { i =>
+        (rng.nextInt(6).toLong, rng.nextInt(40).toLong, s"r$trial-$i")
+      }).distinctBy(r => (r._1, r._2))
+      val got = AsOf.asofJoin(
+          leftRows.toDF("k", "ts", "what").repartition(7),
+          rightRows.toDF("k", "ts", "tag").repartition(3), "k", "ts")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), Option(r.getString(3))))
+        .sortBy(t => (t._1, t._2, t._3))
+      val byKey = rightRows.groupBy(_._1)
+      val want = leftRows.map { case (k, ts, what) =>
+        val best = byKey.getOrElse(k, Seq.empty).filter(_._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3)
+        (k, ts, what, best)
+      }.sortBy(t => (t._1, t._2, t._3))
+      assert(got.toSeq == want, s"trial $trial diverged from the naive reference")
+    }
+  }
 }

@@ -162,4 +162,40 @@ class PayloadsSpec extends SparkSpec {
     assert(df.select("c").collect().map(_.getString(0)).toSeq ==
       Seq("NoDatingErrorSpecified", "DatingErrorPlusMinus", null))
   }
+
+  test("PROPERTY: any unicode free text survives decode -> encode, judged by Jackson") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // generator biased toward the hostile ranges: every C0 control char,
+    // JSON metacharacters, high-BMP text, and non-BMP (surrogate-paired)
+    // code points; unpaired surrogates excluded (not valid strings)
+    val charGen: Gen[String] = Gen.frequency(
+      4 -> Gen.asciiPrintableChar.map(_.toString),
+      3 -> Gen.choose(0x0000, 0x001f).map(_.toChar.toString),
+      2 -> Gen.oneOf("\"", "\\", "/", "\n", "\r", "\t", "\b", "\f"),
+      2 -> Gen.choose(0x00a0, 0xd7ff).map(_.toChar.toString),
+      1 -> Gen.oneOf("😀", "🦄", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢"))
+    val strGen = Gen.listOfN(24, charGen).map(_.mkString)
+    val seed0 = org.scalacheck.rng.Seed(20260813L)
+    val samples = Iterator.iterate(seed0)(_.next).take(200)
+      .flatMap(s => strGen.apply(Gen.Parameters.default, s)).toSeq :+
+      "" :+ " " :+ "plain"
+    // Jackson writes the reference-side document; the codec must read the
+    // exact value back out, and its own re-encoding must parse under
+    // Jackson to the identical tree (escaping-complete in BOTH directions)
+    val raws = samples.map { s =>
+      s -> s"""{"DepositionalZone":${mapper.writeValueAsString(s)}}"""
+    }
+    val out = raws.map(_._2).toDF("raw")
+      .withColumn("typed", Payloads.decodeDatingMethod(col("raw")))
+      .select(col("raw"), col("typed.name").as("name"),
+        Payloads.encodeDatingMethod(col("typed")).as("reenc"))
+      .collect()
+    out.zip(raws).foreach { case (r, (s, raw)) =>
+      assert(r.getString(1) == s,
+        s"decode lost the value: in=${mapper.writeValueAsString(s)} got=${r.getString(1)}")
+      assert(mapper.readTree(r.getString(2)) == mapper.readTree(raw),
+        s"re-encode not Jackson-equal: in=$raw out=${r.getString(2)}")
+    }
+  }
 }

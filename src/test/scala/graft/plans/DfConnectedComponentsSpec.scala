@@ -29,6 +29,27 @@ class DfConnectedComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("PROPERTY: matches a naive union-find on random sparse and dense graphs") {
+    val rng = new scala.util.Random(20260813L)
+    for ((n, m) <- Seq((40, 15), (40, 60), (12, 40))) { // sparse, ~critical, dense
+      val edgeList = (0 until m).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val got = DfConnectedComponents.run(edgeList.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive union-find with path compression, min-id representative
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      assert(got == want, s"n=$n m=$m: df-cc diverged from union-find")
+    }
+  }
+
   test("matches GraphX connectedComponents on the TPC-H subgraph, including isolated vertices") {
     val g = TpchGraph.graph(spark, sf)
     val rels = Seq("InNation", "InRegion")
