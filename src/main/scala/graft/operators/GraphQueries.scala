@@ -852,6 +852,46 @@ object GraphQueries {
           FROM orders GROUP BY 1)
         GROUP BY 1 ORDER BY 1"""),
       "graph analytics — in-degree distribution (two cascaded hash aggregates, " +
-        "both map-side combinable; the scale shape for degree/frequency histograms)")
+        "both map-side combinable; the scale shape for degree/frequency histograms)"),
+
+    Q("g35_stream_upsert",
+      (s, d) => {
+        import s.implicits._
+        // three overlapping arrival waves through the streaming upsert
+        // path (M2 idempotent insert per micro-batch): a key introduced
+        // by an earlier wave must keep its original prettyName — the
+        // store is append-only with a left-anti key guard, so re-arrivals
+        // are skipped, replays converge
+        val dir = java.nio.file.Files.createTempDirectory("graft_g35_store")
+        val c = graft.sources.TpchGraph.table(s, d, "customer")
+        def wave(k: Int, residues: Seq[Int]) = c
+          .filter((col("c_custkey") % 4).isin(residues.map(Int.box): _*))
+          .select(
+            concat(lit("customer_"), col("c_custkey")).as("key"),
+            lit("customer").as("nodeType"),
+            concat(lit(s"w$k:"), col("c_name")).as("prettyName"),
+            lit(null).cast("string").as("payload"))
+          .as[graft.model.NodeRow]
+        graft.streaming.GraphStream.upsertBatch(wave(0, Seq(0, 1)), dir.toString)
+        graft.streaming.GraphStream.upsertBatch(wave(1, Seq(1, 2)), dir.toString)
+        graft.streaming.GraphStream.upsertBatch(wave(2, Seq(2, 3)), dir.toString)
+        graft.streaming.GraphStream.loadStore(s, dir.toString)
+          .select(col("key"), col("prettyName")).orderBy("key")
+      },
+      Some("""
+        WITH waves AS (
+          SELECT 0 AS w, c_custkey AS k, c_name FROM customer WHERE c_custkey % 4 IN (0, 1)
+          UNION ALL
+          SELECT 1, c_custkey, c_name FROM customer WHERE c_custkey % 4 IN (1, 2)
+          UNION ALL
+          SELECT 2, c_custkey, c_name FROM customer WHERE c_custkey % 4 IN (2, 3)),
+        first AS (
+          SELECT k, c_name, min(w) AS w FROM waves GROUP BY k, c_name)
+        SELECT 'customer_' || CAST(k AS VARCHAR) AS key,
+               'w' || CAST(w AS VARCHAR) || ':' || c_name AS prettyName
+        FROM first ORDER BY key"""),
+      "§2.9/M2 — streaming graph upsert: three overlapping arrival waves through " +
+        "the foreachBatch left-anti key guard; keep-first semantics replayed in SQL " +
+        "as min(wave) per key — the idempotent-insert contract, oracled")
   )
 }

@@ -53,6 +53,64 @@ object PipelineQueries {
   private def doubleList(xs: Seq[Double]): String =
     xs.mkString("[", ", ", "]") + "::DOUBLE[]"
 
+  /** DuckDB replica of p58: the full MinHash recurrence with the
+    * [[Dedup.permutationParams]] constants inlined (deterministic, seed
+    * 42 — the same trick as the LSH plane literals), then the greedy
+    * batch-then-id acceptance replayed with three NOT-EXISTS steps.
+    *
+    * Two exactness points make this hash-stable: (a) `est ≥ 0.9` over 64
+    * hashes is the INTEGER rule `matches ≥ 58`; (b) est ≥ 0.9 implies
+    * ≥ 20 intact signature bands, so the LSH candidate step can never
+    * miss a pair the threshold accepts — banding needs no replica.
+    * Within a batch a doc drops against any smaller-id batch-mate
+    * (accepted or not); across batches only against the accepted store.
+    */
+  private def streamingDedupOracle: String = {
+    val perms = Dedup.permutationParams(64).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""
+        WITH perm AS (SELECT * FROM (VALUES $perms) AS t(i, a, b)),
+        toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(ts)-2, 1)),
+                          i -> array_to_string(ts[i:i+2], ' '))) AS gram
+            FROM toks)
+          WHERE len(gram) > 0),
+        gh AS (SELECT doc_id, ('0x' || substring(md5(gram), 1, 7))::BIGINT AS h
+               FROM grams),
+        sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+                FROM gh CROSS JOIN perm GROUP BY doc_id, i),
+        m AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM sig x JOIN sig y ON x.i = y.i AND x.v = y.v
+                                   AND x.doc_id < y.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 58),
+        me AS (SELECT id_a AS s, id_b AS t FROM m
+               UNION ALL SELECT id_b, id_a FROM m),
+        docs AS (SELECT DISTINCT doc_id FROM grams),
+        acc0 AS (SELECT doc_id FROM docs d WHERE doc_id % 3 = 0
+                 AND NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = d.doc_id
+                                 AND m.id_a % 3 = 0)),
+        acc1 AS (SELECT doc_id FROM docs d WHERE doc_id % 3 = 1
+                 AND NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = d.doc_id
+                                 AND m.id_a % 3 = 1)
+                 AND NOT EXISTS (SELECT 1 FROM me JOIN acc0 ON acc0.doc_id = me.s
+                                 WHERE me.t = d.doc_id)),
+        acc2 AS (SELECT doc_id FROM docs d WHERE doc_id % 3 = 2
+                 AND NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = d.doc_id
+                                 AND m.id_a % 3 = 2)
+                 AND NOT EXISTS (SELECT 1 FROM me JOIN acc0 ON acc0.doc_id = me.s
+                                 WHERE me.t = d.doc_id)
+                 AND NOT EXISTS (SELECT 1 FROM me JOIN acc1 ON acc1.doc_id = me.s
+                                 WHERE me.t = d.doc_id))
+        SELECT doc_id FROM acc0
+        UNION ALL SELECT doc_id FROM acc1
+        UNION ALL SELECT doc_id FROM acc2
+        ORDER BY doc_id"""
+  }
+
   /** Sign-LSH bucket over `vecExpr` for one hyperplane table, as DuckDB
     * SQL with the (deterministic, seeded) plane components inlined as
     * literals — the exact twin of the `when(round(dot(v, plane), 6) > 0,
@@ -1688,6 +1746,30 @@ object PipelineQueries {
       "sampling — temperature-scaled mixture probabilities (XLM-R/mT5 α-sampling, " +
         "Conneau et al. 2020, α = 0.3): up-weight low-resource strata; share^α on a " +
         "1e-6 integer grid so the normalizer is an exact-long sum; one k-row " +
-        "post-aggregate window, never a corpus shuffle")
+        "post-aggregate window, never a corpus shuffle"),
+
+    Q("p58_streaming_dedup",
+      (s, d) => {
+        // three arrival waves (doc_id mod 3) through the persistent
+        // MinHash+LSH store: each batch probes everything accepted so
+        // far, accepted docs join the store — the continuous-ingest form
+        // of corpus dedup. A fresh store per invocation keeps the run
+        // reproducible (bench runs the query twice).
+        val dir = java.nio.file.Files.createTempDirectory("graft_p58_store")
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val accepted = (0 to 2).map { k =>
+          graft.streaming.StreamingDedup.dedupeBatch(
+            docs.filter(col("doc_id") % 3 === k),
+            col("doc_id"), col("text"), dir.toString).fresh
+        }
+        accepted.reduce(_ unionByName _)
+          .select(col("id").as("doc_id")).orderBy("doc_id")
+      },
+      Some(streamingDedupOracle),
+      "streaming — incremental near-dup filtering over a persistent signature/" +
+        "bucket store (batch k probes only accepted docs, on compact band keys); " +
+        "oracle recomputes the full MinHash recurrence (inlined permutation " +
+        "constants, integer match-count >= 58/64) and replays the greedy " +
+        "batch-then-id acceptance order in SQL")
   )
 }
