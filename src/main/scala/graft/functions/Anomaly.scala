@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rolling-window anomaly detection over an ordered event stream — the
+  * data-quality monitoring shape a pipeline runs over ingest telemetry
+  * (per-source row counts, latencies, value drift): flag an event whose
+  * value deviates from its own trailing window by more than `k` standard
+  * deviations.
+  *
+  * Scale shape: one shuffle, keyed on the entity (the window partition);
+  * the trailing frame is ROWS-based so state per row is the fixed-size
+  * frame, never the history. That is the same execution shape as q07's
+  * running sum — Spark's WindowExec streams each partition once.
+  *
+  * Cross-engine determinism: floating-point window aggregates are NOT
+  * portable — engines disagree on summation order for sliding frames
+  * (incremental add/remove vs segment trees), and a last-ulp difference
+  * flips a threshold flag. So values are pre-rounded to a 1e-3 integer
+  * grid and BOTH rolling moments are exact-long sums; the k-sigma test
+  * is evaluated in pure integer arithmetic:
+  *   |v − S/n| > k·σ  ⟺  (n·v − S)² > k²·(n·SS − S²)
+  * (with σ² the population variance of the window). Any engine computes
+  * the identical flag — no rounding, no epsilon.
+  */
+object Anomaly {
+
+  /** Events whose milli-scaled value fails the k-sigma test against the
+    * trailing `window` events of the same `entity` (frame excludes the
+    * current row; rows without a FULL trailing window are never flagged
+    * — a short history has no stable baseline). Output: `(event_id,
+    * entity, v_milli, win_sum_milli)` for each flagged event — the
+    * window SUM is emitted rather than the mean because the sum is
+    * integer-exact for any window size (the mean generally is not).
+    *
+    * `k` must be an integer (the test squares it exactly).
+    */
+  def kSigmaFlags(df: DataFrame, id: Column, entity: Column, ts: Column,
+                  value: Column, window: Int = 10, k: Int = 2): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy("entity").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-window, -1)
+    val staged = df.select(id.as("event_id"), entity.as("entity"), ts.as("ts"),
+      round(value * lit(1000)).cast("long").as("v"))
+    val n = lit(window.toLong)
+    staged
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("ss", sum(col("v") * col("v")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === window)
+      .withColumn("dev", n * col("v") - col("s"))
+      .filter(col("dev") * col("dev") >
+        lit((k * k).toLong) * (n * col("ss") - col("s") * col("s")))
+      .select(col("event_id"), col("entity"), col("v").as("v_milli"),
+        col("s").as("win_sum_milli"))
+  }
+}

@@ -1770,6 +1770,37 @@ object PipelineQueries {
         "bucket store (batch k probes only accepted docs, on compact band keys); " +
         "oracle recomputes the full MinHash recurrence (inlined permutation " +
         "constants, integer match-count >= 58/64) and replays the greedy " +
-        "batch-then-id acceptance order in SQL")
+        "batch-then-id acceptance order in SQL"),
+
+    Q("p59_ksigma_anomalies",
+      (s, d) => {
+        val ev = graft.sources.TpchGraph.events(s, d)
+        graft.functions.Anomaly.kSigmaFlags(ev, col("event_id"),
+            col("user_id"), col("ts"), col("value"), window = 10, k = 2)
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_id, user_id AS entity, ts,
+                 CAST(round(value * 1000) AS BIGINT) AS v
+          FROM events),
+        m AS (
+          SELECT event_id, entity, v,
+                 sum(v)     OVER w AS s,
+                 sum(v * v) OVER w AS ss,
+                 count(*)   OVER w AS cnt
+          FROM v
+          WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, entity, v AS v_milli, s AS win_sum_milli
+        FROM m
+        WHERE cnt = 10
+          AND (10 * v - s) * (10 * v - s) > 4 * (10 * ss - s * s)
+        ORDER BY event_id"""),
+      "monitoring — trailing-window k-sigma anomaly flags over the event stream " +
+        "(pipeline telemetry drift detection): values on a 1e-3 integer grid so " +
+        "both rolling moments are exact-long sums and the 2-sigma test is pure " +
+        "integer arithmetic — sliding-frame float sums are NOT engine-portable " +
+        "(incremental vs segment-tree summation), exact integers are")
   )
 }
