@@ -1801,6 +1801,45 @@ object PipelineQueries {
         "(pipeline telemetry drift detection): values on a 1e-3 integer grid so " +
         "both rolling moments are exact-long sums and the 2-sigma test is pure " +
         "integer arithmetic — sliding-frame float sums are NOT engine-portable " +
-        "(incremental vs segment-tree summation), exact integers are")
+        "(incremental vs segment-tree summation), exact integers are"),
+
+    Q("p60_funnel",
+      (s, d) => graft.functions.Events.funnel(
+        graft.sources.TpchGraph.events(s, d),
+        col("user_id"), col("ts"), col("event_type"),
+        steps = Seq("view", "click", "purchase")),
+      Some("""
+        WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT * FROM (
+          SELECT 1 AS step, 'view' AS event_type,
+                 (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_users
+          UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+          UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+        ORDER BY step"""),
+      "analytics — first-touch funnel (view -> click -> purchase, strict " +
+        "ordering): each step is one user-keyed aggregate joined to the previous " +
+        "frontier, frontiers only shrink; exact timestamps and counts"),
+
+    Q("p61_retention",
+      (s, d) => graft.functions.Events.retention(
+        graft.sources.TpchGraph.events(s, d), col("user_id"), col("ts")),
+      Some("""
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohort AS (SELECT user_id, min(day) AS cohort_date FROM ev GROUP BY 1),
+        act AS (SELECT DISTINCT cohort_date, day - cohort_date AS day_offset, ev.user_id
+                FROM ev JOIN cohort ON ev.user_id = cohort.user_id)
+        SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+               CAST(day_offset AS INT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM act GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "analytics — retention cohorts by first-event date and distinct activity-day " +
+        "offset: two user-keyed aggregates and one join, DATE arithmetic exact")
   )
 }
