@@ -56,7 +56,10 @@ object Clustering {
     * (n·1e6), 4)` with the sum over exact longs: integer addition
     * commutes, so the centroid is bit-identical no matter how Spark (or
     * an oracle engine) orders the accumulation — a plain `avg(double)`
-    * is not, which made 4-dp rounding flip at boundaries.
+    * is not, which made 4-dp rounding flip at boundaries. A final
+    * `+ 0.0` normalizes IEEE negative zero (engines disagree on the
+    * sign bit `round` leaves on a tiny negative mean; `-0.0 + 0.0`
+    * is `+0.0`, every other value is unchanged).
     */
   def sphericalKMeans(df: DataFrame, id: Column, vec: Column,
                       init: Seq[(Int, Seq[Double])], iters: Int): DataFrame = {
@@ -66,8 +69,8 @@ object Clustering {
       val centRows = assignClusters(df, id, vec, cents)
         .select(col("cluster"), posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
-        .agg(round(sum(round(col("x") * lit(1e6)).cast("long")).cast("double")
-          / (count(lit(1)) * lit(1e6)), 4).as("c"))
+        .agg((round(sum(round(col("x") * lit(1e6)).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 4) + lit(0.0)).as("c"))
         .collect() // K×dim rows — broadcast-constant scale, not a corpus collect
       cents = centRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (k, rows) =>
         k -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq

@@ -453,7 +453,7 @@ object PipelineQueries {
                  FROM v CROSS JOIN c0 c) WHERE rn = 1),
         c1 AS (SELECT cluster, u.i - 1 AS pos,
                       round(CAST(sum(CAST(round(u.v * 1000000) AS BIGINT)) AS DOUBLE)
-                            / (count(*) * 1000000.0), 4) AS c
+                            / (count(*) * 1000000.0), 4) + 0.0 AS c
                FROM (SELECT cluster, unnest(list_transform(generate_series(1, len(e)),
                             i -> {'i': i, 'v': e[i]})) AS u FROM a1)
                GROUP BY cluster, u.i),
@@ -466,7 +466,7 @@ object PipelineQueries {
                  FROM v CROSS JOIN c1v c) WHERE rn = 1),
         c2 AS (SELECT cluster, u.i - 1 AS pos,
                       round(CAST(sum(CAST(round(u.v * 1000000) AS BIGINT)) AS DOUBLE)
-                            / (count(*) * 1000000.0), 4) AS c
+                            / (count(*) * 1000000.0), 4) + 0.0 AS c
                FROM (SELECT cluster, unnest(list_transform(generate_series(1, len(e)),
                             i -> {'i': i, 'v': e[i]})) AS u FROM a2)
                GROUP BY cluster, u.i)
@@ -1510,10 +1510,14 @@ object PipelineQueries {
         SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM train
-        UNION ALL SELECT 1, 'quality_gate', count(*), coalesce(sum(n_tokens), 0) FROM gated
-        UNION ALL SELECT 2, 'exact_dedup', count(*), coalesce(sum(n_tokens), 0) FROM dedup
-        UNION ALL SELECT 3, 'decontaminate', count(*), coalesce(sum(n_tokens), 0) FROM clean
-        UNION ALL SELECT 4, 'token_budget', count(*), coalesce(sum(n_tokens), 0) FROM sel
+        UNION ALL SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM gated
+        UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM dedup
+        UNION ALL SELECT 3, 'decontaminate', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM clean
+        UNION ALL SELECT 4, 'token_budget', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM sel
         ORDER BY stage_idx"""),
       "curation pipeline — gate → exact dedup → decontaminate → token budget " +
         "composed into ONE DataFrame DAG with a per-stage attrition funnel; " +
@@ -1792,7 +1796,7 @@ object PipelineQueries {
           FROM v
           WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id
                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
-        SELECT event_id, entity, v AS v_milli, s AS win_sum_milli
+        SELECT event_id, entity, v AS v_milli, CAST(s AS BIGINT) AS win_sum_milli
         FROM m
         WHERE cnt = 10
           AND (10 * v - s) * (10 * v - s) > 4 * (10 * ss - s * s)

@@ -37,6 +37,22 @@ class ClusteringSpec extends SparkSpec {
     }, "centroid components must be 4-dp rounded")
   }
 
+  test("sphericalKMeans normalizes IEEE negative zero in centroids") {
+    // a tiny negative mean rounds to zero at 4 dp; engines disagree on
+    // whether round() keeps the sign bit (DuckDB: -0.0, Spark: 0.0),
+    // which flipped p30's driver hash for three rounds. The centroid
+    // expression's trailing `+ 0.0` must yield POSITIVE zero.
+    val df = Seq((0L, Seq(-1e-9, 1.0)), (1L, Seq(-1e-9, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.sphericalKMeans(df, col("vec_id"), col("embedding"),
+        init = Seq(0 -> Seq(0.0, 1.0)), iters = 1)
+      .orderBy("cluster", "pos").collect()
+    val zeroComp = out.find(r => r.getInt(1) == 0).get.getDouble(2)
+    assert(zeroComp == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(zeroComp) == 0L,
+      s"centroid zero must be +0.0, got raw bits of $zeroComp")
+  }
+
   test("dimMinMax: empty input, null vectors, and ragged lengths") {
     import org.apache.spark.sql.functions.col
     val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
