@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses raw stdout for Bench's one JSON result
+// line; sbt's default LoggedOutput prefixes every forked-run line with
+// "[info] ", which makes that line unparseable. Pass output through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

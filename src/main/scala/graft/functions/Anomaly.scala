@@ -36,15 +36,34 @@ object Anomaly {
     * integer-exact for any window size (the mean generally is not).
     *
     * `k` must be an integer (the test squares it exactly).
+    *
+    * PRECONDITION (64-bit exactness): every product below is computed in
+    * signed 64-bit longs. The largest operand is `k² · (n·ss − s²)` ≤
+    * `k² · n² · max(v)²`, so the milli-scaled magnitude must satisfy
+    * `|v| ≤ 3.03e9 / (k · n)` — for the defaults (n=10, k=2) that is
+    * `|value| ≤ 1.5e5` in raw units. Beyond that, non-ANSI Spark wraps
+    * silently while HUGEINT-widening oracle engines do not, so the
+    * cross-engine exactness contract breaks; [[kSigmaFlags]] fails fast on
+    * such inputs rather than diverging silently. The guard is fused into
+    * the staging projection (one comparison per row inside whole-stage
+    * codegen, no extra pass or shuffle): an out-of-bound row raises with
+    * the offending value.
     */
   def kSigmaFlags(df: DataFrame, id: Column, entity: Column, ts: Column,
                   value: Column, window: Int = 10, k: Int = 2): DataFrame = {
     require(window >= 2, s"window must be >= 2: $window")
     require(k >= 1, s"k must be >= 1: $k")
+    val maxAbsV = 3030000000L / (k.toLong * window.toLong)
     val w = Window.partitionBy("entity").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-window, -1)
+    val vRaw = round(value * lit(1000)).cast("long")
+    val vChecked = when(abs(vRaw) > maxAbsV,
+      raise_error(concat(
+        lit(s"kSigmaFlags: |v_milli| exceeds the 64-bit-exact bound $maxAbsV " +
+          s"(window=$window, k=$k): "), vRaw.cast("string"))).cast("long"))
+      .otherwise(vRaw)
     val staged = df.select(id.as("event_id"), entity.as("entity"), ts.as("ts"),
-      round(value * lit(1000)).cast("long").as("v"))
+      vChecked.as("v"))
     val n = lit(window.toLong)
     staged
       .withColumn("s", sum(col("v")).over(w))

@@ -862,7 +862,7 @@ object GraphQueries {
         // by an earlier wave must keep its original prettyName — the
         // store is append-only with a left-anti key guard, so re-arrivals
         // are skipped, replays converge
-        val dir = java.nio.file.Files.createTempDirectory("graft_g35_store")
+        val dir = graft.core.TempStores.scratchDir("graft_g35_store")
         val c = graft.sources.TpchGraph.table(s, d, "customer")
         def wave(k: Int, residues: Seq[Int]) = c
           .filter((col("c_custkey") % 4).isin(residues.map(Int.box): _*))

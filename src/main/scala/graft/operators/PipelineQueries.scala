@@ -1759,7 +1759,7 @@ object PipelineQueries {
         // far, accepted docs join the store — the continuous-ingest form
         // of corpus dedup. A fresh store per invocation keeps the run
         // reproducible (bench runs the query twice).
-        val dir = java.nio.file.Files.createTempDirectory("graft_p58_store")
+        val dir = graft.core.TempStores.scratchDir("graft_p58_store")
         val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
         val accepted = (0 to 2).map { k =>
           graft.streaming.StreamingDedup.dedupeBatch(

@@ -31,6 +31,16 @@ object TpchGraph {
     * Spark 4 refuses by default — read nanos as long and convert to a
     * microsecond timestamp (floor), matching DuckDB's ns→hour truncation
     * for any sub-second-insensitive query.
+    *
+    * Ordering-sensitive consumers (p59's `ORDER BY ts, event_id` window,
+    * p60/p61's strict `ts >` funnel steps) additionally rely on the floor
+    * being collision-free PER USER: two same-user events inside one
+    * microsecond would order by nanos in DuckDB but fall back to the
+    * event_id tie-break in Spark. Verified against the generator's data at
+    * sf0.001/0.01/0.1: zero same-user same-microsecond pairs. A source
+    * without that guarantee should order by the raw nanos long instead —
+    * drop the `timestamp_micros` conversion and keep `ts` as the int64
+    * nanos column, which both engines then compare identically.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // intentionally session-global (Graft.session sets it too): nanos

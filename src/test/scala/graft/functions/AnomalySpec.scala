@@ -35,6 +35,20 @@ class AnomalySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rejects values beyond the 64-bit-exact bound instead of wrapping silently") {
+    // |v_milli| bound for (window=10, k=2) is 3.03e9/20 = 1.515e8 → raw 151500.
+    val huge = (0L until 11L).map(i => (i, 1L, i, 2.0e5)).toDF("event_id", "entity_id", "ts", "value")
+    val e = intercept[Exception] {
+      Anomaly.kSigmaFlags(huge, col("event_id"), col("entity_id"), col("ts"),
+        col("value"), window = 10, k = 2).collect()
+    }
+    assert(e.getMessage.contains("64-bit-exact bound"), e.getMessage)
+    // just inside the bound: runs clean (zero-variance baseline → no flags on flat data)
+    val ok = (0L until 11L).map(i => (i, 1L, i, 1.5e5)).toDF("event_id", "entity_id", "ts", "value")
+    Anomaly.kSigmaFlags(ok, col("event_id"), col("entity_id"), col("ts"),
+      col("value"), window = 10, k = 2).collect()
+  }
+
   test("PROPERTY: matches a naive per-entity scan on random walks") {
     val rng = new scala.util.Random(20260813L)
     val rows = (0 until 400).map { i =>
