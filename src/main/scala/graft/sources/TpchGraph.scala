@@ -23,9 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object TpchGraph {
 
+  /** Per-(dir, table) DataFrame cache. `spark.read.parquet` re-infers the
+    * schema from file footers on every call (~0.1 s per table locally);
+    * the graph derivation touches ~11 tables per invocation, so repeated
+    * query builds were paying ~2 s of pure re-inference. A DataFrame is
+    * an immutable plan — sharing one per table is safe, and each query
+    * still gets its own fresh execution.
+    */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.getOrElseUpdate((spark, dir, name),
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet"))
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark 4 refuses by default — read nanos as long and convert to a
@@ -94,16 +105,30 @@ object TpchGraph {
     * traversal cache, where materializing JSON for every row would defeat
     * column pruning (payload-consuming queries build uncached, so Catalyst
     * prunes payload construction to just the node type they touch).
+    *
+    * `encodeParallelism`: the JSON payload encode is CPU-heavy relative
+    * to the scan, and the local test files are single-row-group parquet —
+    * one scan partition no matter what `maxPartitionBytes`/
+    * `minPartitionNum` say (a parquet split only owns the row groups
+    * whose midpoint it covers). `Some(n)` inserts a round-robin exchange
+    * BELOW the encode so `to_json` runs on n cores instead of one; the
+    * shuffled bytes are the raw table columns, not the JSON. At cluster
+    * scale real tables have many row groups and the scan parallelizes
+    * naturally — leave it None there.
     */
   def nodes(spark: SparkSession, dir: String, withPayload: Boolean = true,
-            li0: Option[DataFrame] = None): Dataset[NodeRow] = {
+            li0: Option[DataFrame] = None,
+            encodeParallelism: Option[Int] = None): Dataset[NodeRow] = {
     import spark.implicits._
-    def mk(df: DataFrame, t: String, id: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column) =
+    def mk(df0: DataFrame, t: String, id: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column) = {
+      val df = encodeParallelism.filter(_ => withPayload)
+        .map(df0.repartition(_)).getOrElse(df0)
       df.select(
         k(t, id).as("key"),
         lit(t).as("nodeType"),
         name.cast("string").as("prettyName"),
         (if (withPayload) to_json(struct(df.columns.map(col): _*)) else lit("{}")).as("payload"))
+    }
     val region   = mk(table(spark, dir, "region"),   "region",   col("r_regionkey"), col("r_name"))
     val nation   = mk(table(spark, dir, "nation"),   "nation",   col("n_nationkey"), col("n_name"))
     val customer = mk(table(spark, dir, "customer"), "customer", col("c_custkey"),  col("c_name"))
@@ -151,8 +176,10 @@ object TpchGraph {
     ).reduce(_ unionByName _).as[EdgeRow]
   }
 
-  def graph(spark: SparkSession, dir: String): GraphState =
-    GraphState(nodes(spark, dir), edges(spark, dir))
+  def graph(spark: SparkSession, dir: String,
+            encodeParallelism: Option[Int] = None): GraphState =
+    GraphState(nodes(spark, dir, encodeParallelism = encodeParallelism),
+      edges(spark, dir))
 
   private val cache = scala.collection.concurrent.TrieMap[String, GraphState]()
 
