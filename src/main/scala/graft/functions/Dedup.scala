@@ -204,6 +204,48 @@ object Dedup {
     withJaccard(inter, sizes, minJaccard)
   }
 
+  /** [[minHashNearDups]] with a routing key — the cross-lingual form of
+    * corpus dedup: documents are first routed (e.g. by predicted
+    * language) and near-duplicate detection runs WITHIN each route. The
+    * route travels in the LSH blocking key `(route, band, bucket)`, so
+    * two docs are candidates only if they route identically — a
+    * same-text pair whose language predictions disagree is excluded by
+    * construction, and at scale each route's bucket store is an
+    * independently prunable partition (the multi-tenant layout
+    * [[graft.streaming.StreamingDedup]] uses for its persistent store,
+    * here keyed per language). Output: `(route, id_a, id_b, jaccard)`
+    * for verified pairs — candidates from banding, EXACT n-gram Jaccard
+    * on candidates only, never all-pairs.
+    */
+  def minHashNearDupsRouted(df: DataFrame, id: Column, text: Column, route: Column,
+                            n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                            minJaccard: Double = 0.9): DataFrame = {
+    val rows = numHashes / bands
+    val routed = df.select(id.as("id"), route.as("route"), text.as("t"))
+    val grams = wordNgrams(routed, col("id"), col("t"), n)
+    val sigs = signaturesFromGrams(grams, numHashes)
+    val routes = routed.select(col("id"), col("route"))
+    val banded = bandBuckets(sigs, bands, rows).join(routes, "id")
+    val l = banded.select(col("route"), col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("route"), col("band"), col("bucket"), col("id").as("id_b"))
+    val cands = l.join(r, Seq("route", "band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("route", "id_a", "id_b").distinct()
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val ga = grams.select(col("id").as("id_a"), col("gram"))
+    val gb = grams.select(col("id").as("id_b"), col("gram"))
+    val inter = cands.join(ga, "id_a").join(gb, Seq("id_b", "gram"))
+      .groupBy("route", "id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard_raw",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("route"), col("id_a"), col("id_b"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Embedding-cosine near-duplicate pairs: all `(id_a < id_b)` with

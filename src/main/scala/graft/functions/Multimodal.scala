@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
@@ -71,4 +71,47 @@ object Multimodal {
   def frameSamplePlan(media: DataFrame, nFrames: Int, stride: Int): DataFrame =
     media.select(col("media_id"),
       explode(sequence(lit(0), lit(nFrames - 1), lit(stride))).as("frame_idx"))
+
+  /** Perceptual hash (aHash family) of an opaque media `binary` column as
+    * `bands` packed band integers — see
+    * [[graft.functions.expressions.PHashBands]] for the per-row pipeline
+    * (stub decode → 64-sample resize → mean threshold → band packing).
+    */
+  def pHashBands(content: Column, bands: Int = 8, bitsPerBand: Int = 8): Column =
+    graft.functions.expressions.PHash.pHashBandsCol(content, bands, bitsPerBand)
+
+  /** Image near-duplicate pairs by perceptual hash, blocked with
+    * multi-index hashing (Norouzi et al.): a pair within hamming distance
+    * `maxDist` must share at least one of `bands` exact band values when
+    * `maxDist < bands`, so the band-equality self-join is an EXACT
+    * candidate generator — the hamming analogue of MinHash-LSH banding
+    * (p22), and the only join shape that survives a billion-image corpus
+    * (shuffle on compact `(band_idx, band_val)` keys; candidate volume is
+    * governed by band-value entropy, never forced to all-pairs).
+    * Output: `(id_a, id_b, dist)` with `dist` the exact 64-bit hamming
+    * distance, verified via per-band XOR popcount on the candidates only.
+    */
+  def pHashNearDups(media: DataFrame, id: Column, content: Column,
+                    maxDist: Int = 7, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    require(maxDist < bands,
+      s"exactness requires maxDist < bands (pigeonhole): $maxDist >= $bands")
+    val hashed = media.select(id.as("media_id"),
+      pHashBands(content, bands, bitsPerBand).as("bands"))
+    val e = hashed.select(col("media_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val l = e.select(col("band_idx"), col("band_val"),
+      col("media_id").as("id_a"), col("bands").as("bands_a"))
+    val r = e.select(col("band_idx"), col("band_val"),
+      col("media_id").as("id_b"), col("bands").as("bands_b"))
+    val dist = (0 until bands).map { i =>
+      bit_count(element_at(col("bands_a"), i + 1)
+        .bitwiseXOR(element_at(col("bands_b"), i + 1)))
+    }.reduce(_ + _)
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "bands_a", "bands_b").distinct()
+      .withColumn("dist", dist.cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -287,11 +287,11 @@ object PipelineQueries {
         FROM codes ORDER BY adc, id LIMIT 10"""
   }
 
-  /** DuckDB replica of [[TextOps.langId]]: per-language marker hits,
-    * greatest-score argmax with declaration-order tie-break.
+  /** Per-language marker-hit score columns (`s_<lang>`) for the langid
+    * oracles — shared by p03 and the p63 routing CTE.
     */
-  private def langIdOracle: String = {
-    val hits = TextOps.langMarkers.map { case (lang, markers) =>
+  private def langHitsSql: String =
+    TextOps.langMarkers.map { case (lang, markers) =>
       // word markers count token hits; single-char CJK markers count
       // substring occurrences (mirrors TextOps.markerHits)
       val (cjk, words) = markers.partition(m => m.length == 1 && m.head > 127)
@@ -303,17 +303,26 @@ object PipelineQueries {
         s" + (length(lower(text)) - length(replace(lower(text), '$m', '')))").mkString
       s"CAST($wordScore$cjkScore AS INT) AS s_$lang"
     }.mkString(",\n                 ")
+
+  /** Declaration-order argmax over the [[langHitsSql]] score columns. */
+  private def langArgmaxSql: String = {
     val langs = TextOps.langMarkers.map(_._1)
     val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"CASE $cases END"
+  }
+
+  /** DuckDB replica of [[TextOps.langId]]: per-language marker hits,
+    * greatest-score argmax with declaration-order tie-break.
+    */
+  private def langIdOracle: String =
     s"""
         WITH t AS (
           SELECT doc_id,
-                 $hits
+                 $langHitsSql
           FROM documents)
-        SELECT doc_id, CASE $cases END AS lang_pred
+        SELECT doc_id, $langArgmaxSql AS lang_pred
         FROM t ORDER BY doc_id"""
-  }
 
   /** DuckDB replica of [[Corpus.bm25]]: float constants are interpolated
     * from the SAME Scala doubles the Spark side uses (Java's shortest
@@ -1844,6 +1853,111 @@ object PipelineQueries {
                CAST(count(*) AS BIGINT) AS n_users
         FROM act GROUP BY 1, 2 ORDER BY 1, 2"""),
       "analytics — retention cohorts by first-event date and distinct activity-day " +
-        "offset: two user-keyed aggregates and one join, DATE arithmetic exact")
+        "offset: two user-keyed aggregates and one join, DATE arithmetic exact"),
+
+    Q("p62_phash_near_dups",
+      (s, d) => {
+        // the documents' bytes stand in for decoded image buffers — the
+        // decode is the stubbed step (see PHashBands), the resize/
+        // threshold/band/blocking machinery is real and oracle-checked
+        val media = table(s, d, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+        Multimodal.pHashNearDups(media, col("doc_id"), col("content"),
+            maxDist = 7, bands = 8, bitsPerBand = 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val dist = (1 to 8).map(i => s"bit_count(xor(a.bd[$i], b.bd[$i]))").mkString(" + ")
+        s"""
+        WITH codes AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(text)),
+                   i -> ascii(substring(text, i, 1))) AS cs,
+                 length(text) AS n
+          FROM documents),
+        px AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 63), i -> cs[(i*n)//64 + 1]) AS pixels
+          FROM codes WHERE n > 0),
+        st AS (SELECT doc_id, pixels, list_sum(pixels) AS total FROM px),
+        bands AS (
+          SELECT doc_id,
+            list_transform(generate_series(0, 7), b ->
+              list_sum(list_transform(generate_series(0, 7), j ->
+                CASE WHEN pixels[b*8 + j + 1] * 64 > total
+                     THEN (1 << (7 - j)) ELSE 0 END))) AS bd
+          FROM st)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($dist AS INT) AS dist
+        FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+        WHERE $dist <= 7
+        ORDER BY 1, 2"""
+      },
+      "multimodal — perceptual-hash (aHash) image near-dup with multi-index " +
+        "hamming blocking (Norouzi et al.): stub decode -> 64-sample resize -> " +
+        "integer mean threshold -> 8x8-bit bands; maxDist 7 < 8 bands makes the " +
+        "band-equality join an EXACT candidate generator (pigeonhole), so the " +
+        "oracle's brute-force all-pairs answer matches the blocked plan verbatim; " +
+        "shuffle is on compact (band_idx, band_val) keys, never all-pairs"),
+
+    Q("p63_crosslingual_dedup",
+      (s, d) => {
+        // langid-routed dedup: near-dup detection runs within each
+        // predicted language (planted same-text copies route together);
+        // the blocking key is (lang, band, bucket), so per-language
+        // signature spaces are independent and prunable
+        val base = table(s, d, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), col("text"))
+        val planted = base.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        val corpus = base.unionByName(planted)
+        val withLang = corpus
+          .select(col("doc_id"), col("text"), lower(col("text")).as("lt"))
+          .select(col("doc_id"), col("text"), col("lt"),
+            TextOps.markerTokens(col("lt")).as("mtok"))
+          .select(col("doc_id"), col("text"),
+            TextOps.langIdFromMarkerTokens(col("mtok"), col("lt")).as("lang_pred"))
+        Dedup.minHashNearDupsRouted(withLang, col("doc_id"), col("text"),
+            col("lang_pred"), n = 3, numHashes = 64, bands = 32, minJaccard = 0.9)
+          .withColumnRenamed("route", "lang")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 150
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 150),
+        sc AS (
+          SELECT doc_id,
+                 $langHitsSql
+          FROM corpus),
+        lang AS (SELECT doc_id, $langArgmaxSql AS lang_pred FROM sc),
+        toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM corpus),
+        grams AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(ts)-2, 1)),
+                          i -> array_to_string(ts[i:i+2], ' '))) AS gram
+            FROM toks)
+          WHERE len(gram) > 0),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT la.lang_pred AS lang, id_a, id_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        JOIN lang la ON la.doc_id = id_a
+        JOIN lang lb ON lb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.9
+          AND la.lang_pred = lb.lang_pred
+        ORDER BY id_a, id_b"""),
+      "dedup — cross-lingual routing: language-ID argmax routes each doc, then " +
+        "MinHash-LSH near-dup detection runs within each language — the blocking " +
+        "key is (lang, band, bucket), cross-language pairs are excluded by " +
+        "construction, and exact n-gram Jaccard verifies candidates only; the " +
+        "oracle recomputes routing + exact same-language pairs brute-force")
   )
 }

@@ -148,6 +148,32 @@ class DedupSpec extends SparkSpec {
     assert(bloom.contains(1L) && bloom.contains(3L) && !bloom.contains(2L))
   }
 
+  test("routed near-dups: pairs only within a route; same text across routes excluded") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, t1, "en"), (2L, t1, "en"),          // same route → pair
+      (3L, t1, "de"),                          // same text, other route → NO pair with 1/2
+      (4L, t2, "de"), (5L, t2, "de"),          // same route → pair
+      (6L, "unrelated words entirely distinct from everything else here", "en")
+    ).toDF("id", "text", "lang")
+    val got = Dedup.minHashNearDupsRouted(docs, col("id"), col("text"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(("en", 1L, 2L, 1.0), ("de", 4L, 5L, 1.0)), got.toString)
+  }
+
+  test("routed near-dups agree with unrouted on a single-route corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 80).select(col("doc_id"), col("text"))
+    val unrouted = Dedup.minHashNearDups(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val routed = Dedup.minHashNearDupsRouted(docs, col("doc_id"), col("text"), lit("x"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(routed == unrouted, s"routed=$routed unrouted=$unrouted")
+  }
+
   test("fuzzyPairs: within-block threshold matches; cross-block pairs never compared") {
     import spark.implicits._
     val recs = Seq(

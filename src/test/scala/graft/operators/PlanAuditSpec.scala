@@ -84,6 +84,37 @@ class PlanAuditSpec extends SparkSpec {
     assert("json_tuple".r.findAllIn(p).length == 1, p)
   }
 
+  test("g14 union prunes to the orders branch and the payload encode is parallel") {
+    val p = plan("g14_stats_fold")
+    // branch pruning: the payload-bearing 7-branch union must collapse to
+    // the single orders scan — the lineitem dedup (repartition + sort +
+    // agg over the biggest table) leaking into this plan was the round-5
+    // 2.2x regression shape
+    assert(!p.contains("Union"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("l_orderkey"), p)
+    // encode parallelism: the CPU-heavy to_json must sit above a
+    // round-robin exchange, not run on the scan's single input split
+    assert(p.contains("RoundRobinPartitioning"), p)
+  }
+
+  test("p62 phash near-dups block on band keys — no cartesian, hamming verify on candidates") {
+    val p = plan("p62_phash_near_dups")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the self-join must key on the exploded (band_idx, band_val) pair
+    assert(p.contains("band_idx"), p)
+    assert(p.contains("phash_bands"), p)
+  }
+
+  test("p63 routed dedup carries the route in the LSH blocking key") {
+    val p = plan("p63_crosslingual_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate self-join keys: (route, band, bucket) — route equality is
+    // part of the join, not a post-filter (cross-language pairs must never
+    // be generated, let alone verified)
+    assert("route#\\d+, band#\\d+, bucket#\\d+".r.findFirstIn(p).isDefined, p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
