@@ -134,14 +134,17 @@ object Dedup {
   def minHashSignature(df: DataFrame, id: Column, text: Column, n: Int, numHashes: Int): DataFrame =
     signaturesFromGrams(wordNgrams(df, id, text, n), numHashes)
 
+
   private def signaturesFromGrams(grams: DataFrame, numHashes: Int): DataFrame = {
     val hashed = grams
       .withColumn("h", gramHash(col("gram")))
       .groupBy("id").agg(collect_list(col("h")).as("hs"))
-    val sig = array(permutationParams(numHashes).map { case (a, b) =>
-      array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
-    hashed.select(col("id"), sig.as("signature"))
+    // fused one-pass signature (identical values to the historical
+    // array(array_min(transform(...)) × numHashes) form — see
+    // MinHashSig's scaladoc for why the fused expression is ~10× cheaper)
+    hashed.select(col("id"),
+      graft.functions.expressions.MinHashSigs
+        .minHashSigCol(col("hs"), numHashes).as("signature"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,

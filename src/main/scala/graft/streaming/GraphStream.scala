@@ -35,7 +35,9 @@ object GraphStream {
     val hasData = fs.exists(hPath) &&
       fs.globStatus(new org.apache.hadoop.fs.Path(path, "*/*.parquet")).nonEmpty
     val existingKeys =
-      if (hasData) spark.read.parquet(path).select("key")
+      // schema pinned from the batch (the store is written by this
+      // object): skips per-batch footer re-inference
+      if (hasData) spark.read.schema(batch.schema).parquet(path).select("key")
       else spark.range(0).select(col("id").cast("string").as("key"))
     val fresh = batch
       .dropDuplicates("key")

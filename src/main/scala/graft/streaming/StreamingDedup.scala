@@ -38,7 +38,10 @@ object StreamingDedup {
   private def readOr(spark: SparkSession, path: String, empty: => DataFrame): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hPath)) spark.read.parquet(path) else empty
+    // pin the schema from the (job-free) empty frame: the store is written
+    // by this object, so re-inferring it from file footers every batch is
+    // pure overhead
+    if (fs.exists(hPath)) spark.read.schema(empty.schema).parquet(path) else empty
   }
 
   /** Process one micro-batch of `(id, text)` documents:
@@ -53,7 +56,13 @@ object StreamingDedup {
                   minEstJaccard: Double = 0.9): BatchResult = {
     val spark = batch.sparkSession
     val rows = numHashes / bands
-    val newSigs = Dedup.minHashSignature(batch.dropDuplicates(), id, text, n, numHashes)
+    // explicit width before the gram explode: the batch is tiny in BYTES
+    // (AQE coalesces its dedup shuffle to one partition) but the per-gram
+    // md5 + per-doc minima pipeline is CPU-heavy — a fixed-width
+    // round-robin exchange is respected by AQE and keeps it parallel
+    val width = spark.sparkContext.defaultParallelism
+    val newSigs = Dedup.minHashSignature(
+      batch.dropDuplicates().repartition(width), id, text, n, numHashes)
       .localCheckpoint() // signatures feed probe + verify + store append
     val newBuckets = Dedup.bandBuckets(newSigs, bands, rows)
 
@@ -77,29 +86,41 @@ object StreamingDedup {
       .select(col("id").as("id_a"), col("dup_of").as("id_b"))
 
     val allSigs = newSigs.unionByName(storedSigs)
-    val dups = Dedup.estimatedJaccard(cands, allSigs, numHashes)
+    val dupPairs = Dedup.estimatedJaccard(cands, allSigs, numHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a").as("id"), col("id_b").as("dup_of"), col("est_jaccard"))
+
+    // ONE per-batch verdict checkpoint (formerly separate dups + fresh
+    // checkpoints = two extra jobs per micro-batch): each new doc carries
+    // its duplicate evidence (k rows when it matches k accepted docs,
+    // nulls when fresh) plus a replay marker; both outputs and both store
+    // appends below are narrow filters over this.
+    val verdict = newSigs
+      .join(dupPairs, Seq("id"), "left_outer")
+      .join(storedSigs.select(col("id"), lit(true).as("replayed")), // replay idempotence
+        Seq("id"), "left_outer")
       .localCheckpoint()
 
-    val freshSigs = newSigs
-      .join(dups.select("id"), Seq("id"), "left_anti")
-      .join(storedSigs.select("id"), Seq("id"), "left_anti") // replay idempotence
-      .localCheckpoint()
+    val dups = verdict.filter(col("dup_of").isNotNull)
+      .select(col("id"), col("dup_of"), col("est_jaccard"))
+    val freshSigs = verdict
+      .filter(col("dup_of").isNull && col("replayed").isNull)
+      .select(col("id"), col("signature"))
 
     // write order matters for crash-safety: buckets first, sigs last.
-    // The replay-idempotence anti-join keys off sigs, so a crash between
-    // the two writes leaves orphan bucket rows whose ids are NOT in sigs
-    // — replay re-processes those ids (duplicate bucket rows are
-    // harmless: candidate pairs are distinct()ed). The reverse order
-    // would leave ids in sigs with no probe-index entry, permanently
-    // invisible to future duplicate checks.
+    // The replay marker keys off sigs, so a crash between the two writes
+    // leaves orphan bucket rows whose ids are NOT in sigs — replay
+    // re-processes those ids (duplicate bucket rows are harmless:
+    // candidate pairs are distinct()ed). The reverse order would leave
+    // ids in sigs with no probe-index entry, permanently invisible to
+    // future duplicate checks.
     Dedup.bandBuckets(freshSigs, bands, rows)
       .write.mode(SaveMode.Append).parquet(s"$storeDir/buckets")
     freshSigs.write.mode(SaveMode.Append).parquet(s"$storeDir/sigs")
 
     // the intermediate signature checkpoint would otherwise live until
-    // session end (fresh/dups checkpoints are freed by BatchResult.release)
+    // session end (the shared verdict checkpoint behind fresh/duplicates
+    // is freed by BatchResult.release)
     org.apache.spark.sql.graft.CatalystBridge.unpersistCheckpoint(newSigs)
     BatchResult(freshSigs.select("id"), dups)
   }

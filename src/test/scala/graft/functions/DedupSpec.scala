@@ -148,6 +148,26 @@ class DedupSpec extends SparkSpec {
     assert(bloom.contains(1L) && bloom.contains(3L) && !bloom.contains(2L))
   }
 
+  test("fused minhash signature equals the array-expression recurrence, value for value") {
+    import graft.functions.expressions.MinHashSigs
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 40)
+    val grams = Dedup.wordNgrams(docs, col("doc_id"), col("text"), 3)
+    val hashed = grams.withColumn("h", Dedup.gramHash(col("gram")))
+      .groupBy("id").agg(collect_list(col("h")).as("hs"))
+    val p = (1L << 31) - 1
+    val legacy = array(Dedup.permutationParams(64).map { case (a, b) =>
+      array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(p))))
+    }: _*)
+    val both = hashed.select(col("id"), legacy.as("l"),
+      MinHashSigs.minHashSigCol(col("hs"), 64).as("f"))
+    assert(both.count() > 0)
+    assert(both.filter(not(col("l") === col("f"))).count() == 0)
+    // and the duplicated splitmix recurrence stays in lockstep
+    val ps = MinHashSigs.params(64, 42L).grouped(2).map(a => (a(0), a(1))).toSeq
+    assert(ps == Dedup.permutationParams(64))
+  }
+
+
   test("routed near-dups: pairs only within a route; same text across routes excluded") {
     import spark.implicits._
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
