@@ -98,6 +98,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("RoundRobinPartitioning"), p)
   }
 
+  test("global (unpartitioned) windows appear only in k-row post-aggregate plans") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // p42/p57 window over the per-source aggregate (k = #sources rows) —
+    // safe at any corpus scale. Any OTHER query growing a global window
+    // would single-partition corpus-sized data and must fail here.
+    val offenders = Registry.all.flatMap { q =>
+      val plan = Registry.queries(q.name)(spark, sf).queryExecution.sparkPlan
+      val g = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      if (g.nonEmpty) Some(q.name) else None
+    }
+    assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture"),
+      offenders.toString)
+  }
+
   test("p62 phash near-dups block on band keys — no cartesian, hamming verify on candidates") {
     val p = plan("p62_phash_near_dups")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
