@@ -207,6 +207,36 @@ object Dedup {
     withJaccard(inter, sizes, minJaccard)
   }
 
+  /** Chunk-level (passage) dedup signals — the sub-document form of
+    * corpus dedup (RefinedWeb-style): each document is split into
+    * NON-overlapping `chunkLen`-token windows, each window is md5-hashed,
+    * and a chunk is "shared" when its hash occurs in ≥ 2 distinct
+    * documents. Per-document output: `(doc_id, n_chunks, n_shared)` —
+    * the curation signal for trimming boilerplate passages that exact
+    * whole-doc dedup misses.
+    *
+    * Scale shape: chunking is a map-side explode (a handful of rows per
+    * doc); the frequency table is one hash-keyed aggregate; the join back
+    * is on the compact chunk hash. No all-pairs term anywhere.
+    */
+  def chunkDedupSignals(df: DataFrame, id: Column, text: Column,
+                        chunkLen: Int = 32): DataFrame = {
+    require(chunkLen >= 1, s"chunkLen must be positive: $chunkLen")
+    val staged = df.filter(text.rlike("\\S"))
+      .select(id.as("doc_id"), TextOps.tokens(lower(text)).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val chunks = staged.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), floor((size(col("ts")) - 1) / chunkLen).cast("int")),
+        i => md5(concat_ws(" ", slice(col("ts"), i * chunkLen + 1, lit(chunkLen))))
+      )).as("h"))
+    val freq = chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(freq, "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   /** [[minHashNearDups]] with a routing key — the cross-lingual form of
     * corpus dedup: documents are first routed (e.g. by predicted
     * language) and near-duplicate detection runs WITHIN each route. The

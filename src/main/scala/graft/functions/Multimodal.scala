@@ -80,6 +80,21 @@ object Multimodal {
   def pHashBands(content: Column, bands: Int = 8, bitsPerBand: Int = 8): Column =
     graft.functions.expressions.PHash.pHashBandsCol(content, bands, bitsPerBand)
 
+  /** Voice-activity trim stats over an opaque PCM `binary` column — see
+    * [[graft.functions.expressions.AudioTrimStats]]: per row, frame
+    * count, active-frame count, and first/last active frame (−1/−1 when
+    * all-silent). Map-side only at any scale.
+    */
+  def audioTrimStats(content: Column, frameLen: Int = 32, threshold: Long = 60000L): Column =
+    graft.functions.expressions.Media.audioTrimStatsCol(content, frameLen, threshold)
+
+  /** Scene-cut frame indices over an opaque video `binary` column — see
+    * [[graft.functions.expressions.SceneCuts]]: integer-exact mean-luma
+    * delta over consecutive complete frames. Map-side only at any scale.
+    */
+  def sceneCuts(content: Column, frameLen: Int = 32, meanDelta: Int = 6): Column =
+    graft.functions.expressions.Media.sceneCutsCol(content, frameLen, meanDelta)
+
   /** Image near-duplicate pairs by perceptual hash, blocked with
     * multi-index hashing (Norouzi et al.): a pair within hamming distance
     * `maxDist` must share at least one of `bands` exact band values when

@@ -1958,6 +1958,95 @@ object PipelineQueries {
         "MinHash-LSH near-dup detection runs within each language — the blocking " +
         "key is (lang, band, bucket), cross-language pairs are excluded by " +
         "construction, and exact n-gram Jaccard verifies candidates only; the " +
-        "oracle recomputes routing + exact same-language pairs brute-force")
+        "oracle recomputes routing + exact same-language pairs brute-force"),
+
+    Q("p64_chunk_dedup",
+      (s, d) => Dedup.chunkDedupSignals(table(s, d, "documents"),
+          col("doc_id"), col("text"), chunkLen = 32)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts
+                   FROM documents WHERE regexp_matches(text, '\\S')),
+        tt AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
+        ch AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(0, (len(ts)-1)//32),
+                        i -> md5(array_to_string(ts[i*32+1 : i*32+32], ' ')))) AS h
+               FROM tt),
+        freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM ch JOIN freq USING (h)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "dedup — chunk-level (passage) dedup signals (RefinedWeb-style): " +
+        "non-overlapping 32-token windows md5-hashed; a chunk in >= 2 distinct " +
+        "docs is shared. Map-side explode + one hash-keyed aggregate + a compact " +
+        "hash join — catches repeated boilerplate passages whole-doc dedup misses"),
+
+    Q("p65_audio_trim",
+      (s, d) => {
+        // bytes stand in for PCM samples (stub decode, see AudioTrimStats);
+        // windowed energy + threshold + trim range are the real machinery
+        val media = table(s, d, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+        media.select(col("doc_id"),
+            Multimodal.audioTrimStats(col("content"), frameLen = 32, threshold = 60000L).as("t"))
+          .select(col("doc_id"),
+            col("t.n_frames").as("n_frames"), col("t.n_active").as("n_active"),
+            col("t.first_active").as("first_active"), col("t.last_active").as("last_active"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(text)),
+                   i -> ascii(substring(text, i, 1))) AS cs,
+                 length(text) AS n
+          FROM documents WHERE length(text) > 0),
+        fr AS (SELECT doc_id, unnest(generate_series(0, (n + 31)//32 - 1)) AS f, cs, n FROM c),
+        e AS (SELECT doc_id, f,
+                list_sum(list_transform(cs[f*32+1 : least(f*32+32, n)],
+                  x -> (x-128)*(x-128))) AS e
+              FROM fr)
+        SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+               CAST(sum(CASE WHEN e > 60000 THEN 1 ELSE 0 END) AS INT) AS n_active,
+               CAST(coalesce(min(CASE WHEN e > 60000 THEN f END), -1) AS INT) AS first_active,
+               CAST(coalesce(max(CASE WHEN e > 60000 THEN f END), -1) AS INT) AS last_active
+        FROM e GROUP BY doc_id ORDER BY doc_id"""),
+      "multimodal — voice-activity trimming over PCM-byte frames (stub decode): " +
+        "per-frame energy sum((s-128)^2) in exact integers, threshold to active " +
+        "frames, first/last give the trim range; one O(n) codegen pass per row, " +
+        "map-side only — the pre-ASR silence trim of an audio pipeline"),
+
+    Q("p66_scene_cuts",
+      (s, d) => {
+        // bytes stand in for decoded frame lumas (stub decode, SceneCuts);
+        // the integer mean-delta cut test is the real machinery
+        val media = table(s, d, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+        media.select(col("doc_id"),
+            explode(Multimodal.sceneCuts(col("content"), frameLen = 32, meanDelta = 6)).as("frame_idx"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(text)),
+                   i -> ascii(substring(text, i, 1))) AS cs,
+                 length(text) AS n
+          FROM documents WHERE length(text) > 0),
+        s AS (SELECT doc_id, unnest(generate_series(0, n//32 - 1)) AS f, cs
+              FROM c WHERE n//32 >= 2),
+        e AS (SELECT doc_id, f, list_sum(cs[f*32+1 : f*32+32]) AS s FROM s),
+        d AS (SELECT doc_id, f,
+                s - lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS df
+              FROM e)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx
+        FROM d WHERE abs(df) > 6*32 ORDER BY 1, 2"""),
+      "multimodal — scene-cut detection over video frame bytes (stub decode): " +
+        "complete 32-byte frames, cut when |sum_i - sum_{i-1}| > delta*frameLen " +
+        "(integer cross-multiplied mean-luma jump); one O(n) codegen pass per " +
+        "row, map-side only — the shot-boundary step of a frame-sampling pipeline")
   )
 }

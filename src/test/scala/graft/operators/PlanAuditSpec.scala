@@ -129,6 +129,23 @@ class PlanAuditSpec extends SparkSpec {
     assert("route#\\d+, band#\\d+, bucket#\\d+".r.findFirstIn(p).isDefined, p)
   }
 
+  test("p64 chunk dedup: map-side chunking, aggregate + compact hash join only") {
+    val p = plan("p64_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("p65/p66 media passes are single narrow stages (no join, no shuffle before the stats)") {
+    // both are per-row codegen expressions over the scan: any Join in the
+    // plan means the stub-decode pipeline stopped being map-side
+    val p65 = plan("p65_audio_trim")
+    assert(!p65.contains("Join"), p65)
+    assert(p65.contains("audio_trim_stats"), p65)
+    val p66 = plan("p66_scene_cuts")
+    assert(!p66.contains("Join"), p66)
+    assert(p66.contains("scene_cuts"), p66)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
