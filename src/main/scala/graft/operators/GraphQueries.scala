@@ -896,6 +896,89 @@ object GraphQueries {
         FROM first ORDER BY key"""),
       "§2.9/M2 — streaming graph upsert: three overlapping arrival waves through " +
         "the foreachBatch left-anti key guard; keep-first semantics replayed in SQL " +
-        "as min(wave) per key — the idempotent-insert contract, oracled")
+        "as min(wave) per key — the idempotent-insert contract, oracled"),
+
+    Q("g36_triangle_counts",
+      (s, d) => {
+        // co-purchase graph: parts are adjacent when some order contains
+        // both. Edge generation is per-order quadratic but order size is
+        // bounded (≤7 lineitems in TPC-H), so it stays linear in rows —
+        // the same bounded-block shape as p55's per-block verify
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("u"), col("p2").as("v"))
+        graft.plans.Triangles.counts(copurchase)
+      },
+      Some(s"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        deg AS (SELECT x, count(*) AS d
+                FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT coalesce(sum((d*(d-1))//2), 0) FROM deg) AS BIGINT) AS n_wedges,
+               CAST((SELECT count(*)
+                     FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+                               JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles"""),
+      "graph analytics — exact triangle/wedge census of the part co-purchase " +
+        "graph via the degree-ordered node-iterator (oriented out-degree O(sqrt m) " +
+        "bounds the worst wedge key — no last-reducer hub blowup at 100 TB); the " +
+        "oracle counts the same triangles by natural part-key ordering"),
+
+    Q("g37_pagerank",
+      (s, d) => {
+        // order→customer→nation→region chain: 4 integer-exact iterations
+        // push rank mass up the dimension hierarchy
+        val e = g(s, d).edges.toDF()
+          .filter(col("relType").isin("PlacedBy", "InNation", "InRegion"))
+          .select(col("src"), col("dst"))
+        graft.plans.PageRank.ranksScaled(e, iters = 4)
+          .orderBy(desc("rank_scaled"), asc("key")).limit(10)
+      },
+      Some("""
+        WITH e AS (
+          SELECT 'order_' || CAST(o_orderkey AS VARCHAR) AS src,
+                 'customer_' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+          UNION ALL
+          SELECT 'customer_' || CAST(c_custkey AS VARCHAR),
+                 'nation_' || CAST(c_nationkey AS VARCHAR) FROM customer
+          UNION ALL
+          SELECT 'supplier_' || CAST(s_suppkey AS VARCHAR),
+                 'nation_' || CAST(s_nationkey AS VARCHAR) FROM supplier
+          UNION ALL
+          SELECT 'nation_' || CAST(n_nationkey AS VARCHAR),
+                 'region_' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        v AS (SELECT DISTINCT src AS key FROM e UNION SELECT DISTINCT dst FROM e),
+        od AS (SELECT src, count(*) AS d FROM (SELECT DISTINCT src, dst FROM e) GROUP BY 1),
+        ed AS (SELECT DISTINCT src, dst FROM e),
+        p0 AS (SELECT key, CAST(1000000 AS BIGINT) AS r FROM v),
+        p1 AS (SELECT v.key, CAST(150000 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM v LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r // od.d) AS inc
+                 FROM ed JOIN p0 p ON p.key = ed.src JOIN od ON od.src = ed.src
+                 GROUP BY ed.dst) s USING (key)),
+        p2 AS (SELECT v.key, CAST(150000 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM v LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r // od.d) AS inc
+                 FROM ed JOIN p1 p ON p.key = ed.src JOIN od ON od.src = ed.src
+                 GROUP BY ed.dst) s USING (key)),
+        p3 AS (SELECT v.key, CAST(150000 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM v LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r // od.d) AS inc
+                 FROM ed JOIN p2 p ON p.key = ed.src JOIN od ON od.src = ed.src
+                 GROUP BY ed.dst) s USING (key)),
+        p4 AS (SELECT v.key, CAST(150000 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM v LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r // od.d) AS inc
+                 FROM ed JOIN p3 p ON p.key = ed.src JOIN od ON od.src = ed.src
+                 GROUP BY ed.dst) s USING (key))
+        SELECT key, r AS rank_scaled FROM p4
+        ORDER BY rank_scaled DESC, key LIMIT 10"""),
+      "graph analytics — PageRank in exact scaled-integer arithmetic (floor " +
+        "division, associative long sums), 4 fixed iterations over the " +
+        "order→customer→nation→region chain; bit-identical across engines where " +
+        "float PageRank is shuffle-order-dependent — top-10 by rank")
   )
 }

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native PageRank in EXACT scaled-integer arithmetic, so a
+  * fixed iteration count yields bit-identical ranks on any engine (the
+  * cross-engine determinism requirement of this repo's oracle gate —
+  * float PageRank is sum-order-dependent and never hash-portable).
+  *
+  * Recurrence, all in 64-bit longs (floor division, positive operands):
+  *   r₀(v)    = SCALE
+  *   rᵢ₊₁(v) = (SCALE·(den−num))/den + (num · Σ_{u→v} rᵢ(u) ÷ outdeg(u)) ÷ den
+  * with damping num/den = 85/100. Integer sums are associative, so the
+  * shuffle's reduction order cannot change the result — the property
+  * float ranks lack. Dangling mass is dropped (documented; the standard
+  * teleport-redistribution variant needs a global scalar per round,
+  * which breaks pure per-edge form).
+  *
+  * Scale shape: each iteration is one hash join (ranks ⋈ out-edges,
+  * both partitioned by the join key) + one hash aggregate on dst +
+  * one left join back to the vertex set — all whole-stage codegen; the
+  * iteration count is fixed and small, and lineage is cut per round via
+  * localCheckpoint to keep the plan flat (same pattern as
+  * [[DfConnectedComponents]]).
+  */
+object PageRank {
+
+  /** Scaled-integer ranks after `iters` rounds over directed `edges`
+    * (columns `src`, `dst`; duplicate edges are collapsed). Returns
+    * `(key, rank_scaled)` for every vertex appearing as an endpoint.
+    */
+  def ranksScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 0 && scale % dampDen == 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"invalid pagerank params (iters=$iters scale=$scale damp=$dampNum/$dampDen)")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val vertices = e.select(col("src").as("key"))
+      .unionAll(e.select(col("dst").as("key")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(eager = false)
+
+    val base = lit(scale / dampDen * (dampDen - dampNum))
+    var ranks = vertices.withColumn("rank_scaled", lit(scale))
+    for (_ <- 1 to iters) {
+      // `div` = exact integral division (double `/` would round above 2^53)
+      val inbound = withDeg
+        .join(ranks, col("src") === col("key"))
+        .select(col("dst"), expr("rank_scaled div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("inc"))
+      ranks = vertices
+        .join(inbound, col("key") === col("dst"), "left")
+        .select(col("key"),
+          (base + expr(s"($dampNum * coalesce(inc, 0L)) div $dampDen"))
+            .as("rank_scaled"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native exact triangle / wedge counting over an undirected
+  * edge list, using the degree-ordered node-iterator (a.k.a.
+  * compact-forward; Suri & Vassilvitskii, "Counting Triangles and the
+  * Curse of the Last Reducer", WWW '11).
+  *
+  * Why degree ordering matters at scale: wedges are generated per apex
+  * vertex as pairs of its ORIENTED out-neighbors, and orienting every
+  * edge from the (degree, id)-smaller endpoint to the larger bounds the
+  * oriented out-degree of any vertex by O(√m). A hub with degree 10⁶ in
+  * a skewed graph would otherwise emit ~10¹² wedge rows from one key (the
+  * "last reducer"); oriented, it emits at most ~m. Every step is a hash
+  * aggregate or hash join in whole-stage codegen — no driver iteration.
+  *
+  * Counting is exact: each triangle has exactly one vertex with oriented
+  * out-edges to the other two (its (degree, id)-minimum), so joining the
+  * wedge (a→b, a→c) with the oriented closing edge (b→c) counts each
+  * triangle once.
+  */
+object Triangles {
+
+  /** Global counts for the undirected simple graph induced by `edges`
+    * (any orientation, duplicates and self-loops tolerated — the edge
+    * set is canonicalized first). Input columns: `u`, `v` (any orderable
+    * type). Output: one row `(n_edges, n_wedges, n_triangles)` — wedges
+    * are unordered neighbor pairs Σ d(d−1)/2, the denominator of the
+    * global clustering coefficient 3·triangles / wedges.
+    */
+  def counts(edges: DataFrame): DataFrame = {
+    // canonical simple undirected edges: least endpoint first, loops out
+    val und = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+
+    val deg = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+
+    // orient by the total order (degree, id): src = smaller endpoint
+    val withDegs = und
+      .join(deg.withColumnsRenamed(Map("x" -> "u", "d" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("x" -> "v", "d" -> "dv")), "v")
+    val oriented = withDegs.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("id"), col("du").as("d")))
+        .otherwise(struct(col("v").as("id"), col("dv").as("d"))).as("s"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("v").as("id"), col("dv").as("d")))
+        .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("t"))
+
+    // wedges at each apex: ordered pairs of out-neighbors, b before c in
+    // the SAME (degree, id) order the closing edge is oriented by —
+    // comparing the raw structs would order by (id, degree) and miss
+    // every triangle where the two orders disagree
+    val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
+    val e2 = oriented.select(col("s").as("a2"), col("t").as("c"))
+    val wedges = e1.join(e2, col("a") === col("a2") &&
+        struct(col("b.d"), col("b.id")) < struct(col("c.d"), col("c.id")))
+      .select(col("b.id").as("wb"), col("c.id").as("wc"))
+
+    // close the wedge with the oriented edge b→c (b <ord c by construction)
+    val closing = oriented.select(col("s.id").as("cb"), col("t.id").as("cc"))
+    val nTriangles = wedges.join(closing,
+        col("wb") === col("cb") && col("wc") === col("cc"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+    // edges = Σd/2 and wedges = Σ d(d−1)/2 fall out of ONE pass over the
+    // degree table; shiftright keeps the arithmetic in exact longs (float
+    // division would round above 2^53 on hub-heavy degree sequences).
+    // The final combine is a 1-row × 1-row scalar crossJoin — the only
+    // nested-loop join the plan may contain (pinned in PlanAuditSpec).
+    val edgeWedge = deg.agg(
+      coalesce(shiftright(sum(col("d")), 1), lit(0L)).as("n_edges"),
+      coalesce(sum(shiftright(col("d") * (col("d") - 1), 1)), lit(0L))
+        .as("n_wedges"))
+    edgeWedge.crossJoin(nTriangles)
+  }
+}

@@ -146,6 +146,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p66.contains("scene_cuts"), p66)
   }
 
+  test("g36 triangles: wedge/closing joins are equi-joins; the only nested loop is the 1x1 scalar combine") {
+    val p = plan("g36_triangle_counts")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("g37 pagerank: per-iteration joins are equi-joins and the top-10 is TakeOrdered") {
+    val p = plan("g37_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
