@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, TextOps}
+import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, Sketch, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -2047,6 +2047,32 @@ object PipelineQueries {
       "multimodal — scene-cut detection over video frame bytes (stub decode): " +
         "complete 32-byte frames, cut when |sum_i - sum_{i-1}| > delta*frameLen " +
         "(integer cross-multiplied mean-luma jump); one O(n) codegen pass per " +
-        "row, map-side only — the shot-boundary step of a frame-sampling pipeline")
+        "row, map-side only — the shot-boundary step of a frame-sampling pipeline"),
+
+    Q("p67_kmv_distinct",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("t"))
+        Sketch.kmvDistinct(toks, col("source"), col("t"), k = 64)
+          .withColumnRenamed("grp", "source")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH toks AS (SELECT source, unnest(${sqlTokens("lower(text)")}) AS t FROM documents),
+        h AS (SELECT DISTINCT source, ('0x' || substring(md5(t), 1, 7))::BIGINT AS h FROM toks),
+        r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        s AS (SELECT source, count(*) AS n_seen,
+                     max(CASE WHEN rn <= 64 THEN h END) AS hk
+              FROM r GROUP BY 1)
+        SELECT source, CAST(n_seen AS BIGINT) AS n_exact,
+               CAST(CASE WHEN n_seen < 64 THEN n_seen
+                         ELSE (63 * 268435456) // greatest(hk, 1) END AS BIGINT) AS kmv_est
+        FROM s ORDER BY source"""),
+      "sketch — KMV (bottom-k) distinct-token estimate per source: k smallest " +
+        "28-bit md5 hashes, est = (k-1)*M div h_k, exact below k (Beyer et al. " +
+        "SIGMOD'07). Mergeable by construction — TopKPerGroup executes it as " +
+        "per-partition heaps with k rows per group crossing the shuffle; exact " +
+        "integer arithmetic, so the estimate is engine-portable where HLL " +
+        "registers are not")
   )
 }

@@ -159,6 +159,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("p67 KMV sketch: bottom-k runs through the custom TopKPerGroup operator and the kth-min side broadcasts") {
+    val p = plan("p67_kmv_distinct")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
