@@ -112,29 +112,43 @@ object Similarity {
     df.select(id.as("id"), vec.as("v"), best.getField("bucket").as("bucket"))
   }
 
-  def ivfTopK(df: DataFrame, id: Column, vec: Column,
-              centroids: Seq[Seq[Double]], query: Seq[Double],
-              k: Int, nprobe: Int): DataFrame = {
+  /** The `nprobe` nearest coarse centroids to `query`, ranked on the
+    * ROUNDED cosine with an explicit index tie-break (HALF_UP matches
+    * SQL round) so an oracle re-deriving the probe set agrees even when
+    * two centroids score identically at 6 decimals.
+    */
+  def ivfProbes(centroids: Seq[Seq[Double]], query: Seq[Double],
+                nprobe: Int): Seq[Int] = {
     def cosScalar(a: Seq[Double], b: Seq[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
       d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
-    // rank probes on the ROUNDED cosine with an explicit index tie-break
-    // (HALF_UP matches SQL round) so an oracle re-deriving the probe set
-    // agrees even when two centroids score identically at 6 decimals
     def r6(x: Double): BigDecimal =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
-    val probe = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, i) => (-r6(cosScalar(c, query)), i) }
       .take(nprobe).map(_._2)
-    val assigned = ivfAssign(df, id, vec, centroids)
-      .filter(col("bucket").isin(probe: _*))
+  }
+
+  /** Exact re-rank of candidate `(id, v)` rows against `query`: rounded
+    * cosine, id tie-break, top `k`.
+    */
+  def rerankTopK(candidates: DataFrame, query: Seq[Double], k: Int): DataFrame = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val q = array(query.map(lit): _*)
-    assigned
+    candidates
       .select(col("id"), round(dot(col("v"), q) / (norm(col("v")) * lit(qNorm)), 6).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
+  }
+
+  def ivfTopK(df: DataFrame, id: Column, vec: Column,
+              centroids: Seq[Seq[Double]], query: Seq[Double],
+              k: Int, nprobe: Int): DataFrame = {
+    val probe = ivfProbes(centroids, query, nprobe)
+    val assigned = ivfAssign(df, id, vec, centroids)
+      .filter(col("bucket").isin(probe: _*))
+    rerankTopK(assigned, query, k)
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component

@@ -2073,6 +2073,37 @@ object PipelineQueries {
         "SIGMOD'07). Mergeable by construction — TopKPerGroup executes it as " +
         "per-partition heaps with k rows per group crossing the shuffle; exact " +
         "integer arithmetic, so the estimate is engine-portable where HLL " +
-        "registers are not")
+        "registers are not"),
+
+    Q("p68_ivf_store_probe",
+      (s, d) => {
+        // the index IS the storage layout: vectors land in a parquet store
+        // partitioned by coarse-centroid bucket (three incremental append
+        // waves = index maintenance), and a query reads ONLY its nprobe
+        // bucket directories — partition pruning does the candidate
+        // selection before a single row is scanned (pinned in PlanAuditSpec)
+        val emb = table(s, d, "embeddings")
+        val cents = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+          .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        val query = emb.filter(col("vec_id") === 3)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val dir = graft.core.TempStores.scratchDir("graft_p68_ivf").toString
+        val assigned = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), cents)
+        Seq(0, 1, 2).foreach { w =>
+          assigned.filter(col("id") % 3 === w)
+            .write.mode("append").partitionBy("bucket").parquet(dir)
+        }
+        val probes = Similarity.ivfProbes(cents, query, nprobe = 4)
+        val store = s.read.parquet(dir)
+          .filter(col("bucket").isin(probes.map(Int.box): _*))
+        Similarity.rerankTopK(store, query, k = 10)
+      },
+      Some(ivfAnnOracle), // identical contract to p16 — the store changes the layout, not the answer
+      "similarity — IVF index AS partitioned storage: bucket-partitioned parquet " +
+        "store built by three incremental append waves; the probe reads nprobe " +
+        "bucket directories via partition pruning (at 100 TB the query planner " +
+        "skips ~(1-nprobe/K) of the files before any IO), then exact re-rank — " +
+        "same answer as p16, different (scale-defining) physical layout")
   )
 }

@@ -166,6 +166,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p68 IVF store probe: candidate selection happens as partition pruning, before any IO") {
+    val p = plan("p68_ivf_store_probe")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
