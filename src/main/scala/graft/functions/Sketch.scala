@@ -28,6 +28,60 @@ object Sketch {
   /** Hash-space size of [[Dedup.gramHash]]: 7 hex chars = 28 bits. */
   val GramHashSpace: Long = 1L << 28
 
+  /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms '05):
+    * `depth` pairwise-independent hash rows × `width` counters; every
+    * occurrence increments one counter per row; a point estimate is the
+    * MIN over its row counters — always ≥ the true count, within
+    * εN = (e/width)·N with probability 1 − e^−depth.
+    *
+    * Counters are plain integer sums, so the sketch is deterministic,
+    * mergeable (sum of counter matrices), and engine-portable — unlike
+    * order-dependent SpaceSaving/Misra-Gries summaries. The hash rows
+    * reuse [[Dedup.permutationParams]] (splitmix constants over the
+    * 28-bit gram hash mod 2³¹−1), so a SQL oracle can recompute the
+    * matrix from 2·depth literal constants.
+    *
+    * Scale shape: ONE shuffle of (row, bucket) keys map-side-combined
+    * down to depth×width rows — fixed-size state no matter the corpus,
+    * the property that makes CMS the heavy-hitter structure for streams.
+    */
+  def countMin(df: DataFrame, value: Column, depth: Int = 4,
+               width: Int = 2048, seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && width >= 2, s"invalid CMS shape ($depth x $width)")
+    val params = Dedup.permutationParams(depth, seed)
+    val rows = params.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"),
+        expr(s"((${a}L * __h + ${b}L) % 2147483647L) % ${width}L").as("bucket"))
+    }
+    df.select(Dedup.gramHash(value).as("__h"))
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (any columns + `value`) against a
+    * [[countMin]] counter matrix built with the same shape and seed:
+    * min over rows of the addressed counters (0 for never-touched
+    * buckets). The counter matrix is broadcast — it is depth×width rows
+    * by construction, regardless of corpus size.
+    */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, value: Column,
+                  depth: Int = 4, width: Int = 2048, seed: Long = 42L): DataFrame = {
+    val params = Dedup.permutationParams(depth, seed)
+    val rows = params.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"),
+        expr(s"((${a}L * __h + ${b}L) % 2147483647L) % ${width}L").as("bucket"))
+    }
+    val addressed = probes.withColumn("__h", Dedup.gramHash(value))
+      .select(col("*"), explode(array(rows: _*)).as("rb"))
+      .select(col("*"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .drop("rb", "__h")
+    val probeCols = probes.columns.map(col)
+    addressed.join(broadcast(counters), Seq("row", "bucket"), "left")
+      .groupBy(probeCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** Per-group distinct-value estimate: `(group, n_exact, kmv_est)`.
     * `n_exact` is the exact distinct-HASH count (the ground truth the
     * estimate approximates; 28-bit collisions conflate both the same

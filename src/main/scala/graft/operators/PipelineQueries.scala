@@ -16,6 +16,30 @@ object PipelineQueries {
   private def sqlTokens(expr: String) =
     s"list_filter(regexp_split_to_array($expr, '\\s+'), x -> len(x) > 0)"
 
+  /** p69 oracle: rebuild the 4×2048 Count-Min matrix from the SAME
+    * splitmix constants the Spark side uses ([[Dedup.permutationParams]]
+    * interpolated as literals), then min-estimate the exact top-20.
+    */
+  private def cmsOracle: String = {
+    val ps = graft.functions.Dedup.permutationParams(4, 42L)
+    def branches(sel: String, from: String) = ps.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT $sel $i AS row, (($a * h + $b) % 2147483647) % 2048 AS bucket FROM $from"
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH toks AS (SELECT unnest(${sqlTokens("lower(text)")}) AS t FROM documents),
+      occ AS (SELECT ('0x' || substring(md5(t), 1, 7))::BIGINT AS h FROM toks),
+      counters AS (SELECT row, bucket, count(*) AS cnt
+                   FROM (${branches("", "occ")}) GROUP BY 1, 2),
+      top AS (SELECT t, count(*) AS n_exact FROM toks
+              GROUP BY 1 ORDER BY n_exact DESC, t LIMIT 20),
+      th AS (SELECT t, n_exact, ('0x' || substring(md5(t), 1, 7))::BIGINT AS h FROM top),
+      pb AS (${branches("t, n_exact,", "th")})
+      SELECT pb.t AS token, CAST(pb.n_exact AS BIGINT) AS n_exact,
+             CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+      FROM pb LEFT JOIN counters c USING (row, bucket)
+      GROUP BY 1, 2 ORDER BY n_exact DESC, token"""
+  }
+
   /** Embedding dimensionality of the `embeddings` table (fixed across
     * scale factors; asserted implicitly — a mismatch makes the Spark and
     * oracle bucket expressions disagree and the gate fails loudly).
@@ -2104,6 +2128,24 @@ object PipelineQueries {
         "store built by three incremental append waves; the probe reads nprobe " +
         "bucket directories via partition pruning (at 100 TB the query planner " +
         "skips ~(1-nprobe/K) of the files before any IO), then exact re-rank — " +
-        "same answer as p16, different (scale-defining) physical layout")
+        "same answer as p16, different (scale-defining) physical layout"),
+
+    Q("p69_countmin_heavy_hitters",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+        val counters = Sketch.countMin(toks, col("t"), depth = 4, width = 2048)
+        val top = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+          .orderBy(desc("n_exact"), asc("t")).limit(20)
+        Sketch.cmsEstimate(counters, top, col("t"), depth = 4, width = 2048)
+          .select(col("t").as("token"), col("n_exact"), col("cms_est"))
+          .orderBy(desc("n_exact"), asc("token"))
+      },
+      Some(cmsOracle),
+      "sketch — Count-Min heavy hitters: 4x2048 integer counter matrix (one " +
+        "shuffle, map-side combined to fixed-size state regardless of corpus), " +
+        "point estimate = min over rows, always >= exact (Cormode-Muthukrishnan). " +
+        "Deterministic + mergeable where SpaceSaving summaries are order-" +
+        "dependent; oracle rebuilds the matrix from the same 8 splitmix constants")
   )
 }

@@ -21,6 +21,42 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact < 0.38, s"est=$est exact=$exact")
   }
 
+  /** Driver-side reference CMS using the same constants. */
+  private def refCms(values: Seq[String], depth: Int, width: Int,
+                     probes: Seq[String]): Map[String, Long] = {
+    val p = (1L << 31) - 1
+    val params = Dedup.permutationParams(depth, 42L)
+    def h28(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(7), 16)
+    }
+    val counters = scala.collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    for (v <- values; ((a, b), i) <- params.zipWithIndex)
+      counters((i, ((a * h28(v) + b) % p) % width)) += 1
+    probes.map(q => q -> params.zipWithIndex.map { case ((a, b), i) =>
+      counters((i, ((a * h28(q) + b) % p) % width))
+    }.min).toMap
+  }
+
+  test("count-min estimates match the reference and are always >= exact (tiny width forces collisions)") {
+    val rng = new scala.util.Random(69L)
+    val values = Seq.fill(4000)(s"w${rng.nextInt(80)}")
+    val df = values.toDF("v")
+    for (width <- Seq(16, 2048)) {
+      val counters = Sketch.countMin(df, col("v"), depth = 4, width = width)
+      val probeVals = (0 until 80 by 7).map(i => s"w$i")
+      val probes = probeVals.toDF("v")
+      val got = Sketch.cmsEstimate(counters, probes, col("v"), depth = 4, width = width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == refCms(values, 4, width, probeVals), s"width=$width")
+      val exact = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      probeVals.foreach { q =>
+        assert(got(q) >= exact.getOrElse(q, 0L), s"CMS must never underestimate: $q")
+      }
+    }
+  }
+
   test("estimate is partition-invariant (the sketch merges, it doesn't sample)") {
     val rows = (1 to 3000).map(i => ("g", s"v$i"))
     def run(parts: Int) =

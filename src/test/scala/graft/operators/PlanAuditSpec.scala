@@ -172,6 +172,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("p69 count-min: fixed-size counter matrix broadcasts; counting aggregate is partial+final") {
+    val p = plan("p69_countmin_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
