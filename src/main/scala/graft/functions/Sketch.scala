@@ -82,6 +82,41 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Mergeable-histogram quantiles: equi-width integer bins (`floor` of
+    * the value), cumulative counts, and the estimate for quantile q is
+    * the first bin whose cumulative count reaches ⌈q·N⌉. The histogram
+    * is a plain (group, bin) counting aggregate — map-side combinable,
+    * mergeable by addition, bounded by the bin count — and every step is
+    * integer-exact, so estimates are engine-portable. This is the
+    * portable counterpart of `approx_percentile` (whose GK summary is
+    * merge-order-dependent) at the cost of fixed absolute resolution
+    * (one bin) instead of fixed rank error.
+    *
+    * Returns `(grp, q_permille, bin)` for each requested quantile, with
+    * `bin` the floor of the estimated value.
+    */
+  def histogramQuantiles(df: DataFrame, group: Column, value: Column,
+                         quantilesPermille: Seq[Int]): DataFrame = {
+    require(quantilesPermille.nonEmpty &&
+      quantilesPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be permille in [1,1000]: $quantilesPermille")
+    val hist = df.select(group.as("grp"), floor(value).cast("long").as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+    // first bin whose cumulative count reaches ceil(q/1000 * total),
+    // computed as (q*total + 999) div 1000 in exact longs
+    cum.select(col("grp"), col("bin"), col("cum"), col("total"),
+        explode(array(quantilesPermille.map(q => lit(q)): _*)).as("q_permille"))
+      .filter(col("cum") * 1000 >= col("q_permille") * col("total"))
+      .groupBy("grp", "q_permille").agg(min(col("bin")).as("bin"))
+  }
+
   /** Per-group distinct-value estimate: `(group, n_exact, kmv_est)`.
     * `n_exact` is the exact distinct-HASH count (the ground truth the
     * estimate approximates; 28-bit collisions conflate both the same

@@ -979,6 +979,34 @@ object GraphQueries {
       "graph analytics — PageRank in exact scaled-integer arithmetic (floor " +
         "division, associative long sums), 4 fixed iterations over the " +
         "order→customer→nation→region chain; bit-identical across engines where " +
-        "float PageRank is shuffle-order-dependent — top-10 by rank")
+        "float PageRank is shuffle-order-dependent — top-10 by rank"),
+
+    Q("g38_incremental_counts",
+      (s, d) => {
+        // materialized-view maintenance: per-nation customer counts kept
+        // current across three arrival waves. Each refresh aggregates ONLY
+        // the delta and merges it with the (tiny) stored view — wave-0
+        // rows are never rescanned. At 100 TB this is the difference
+        // between an O(delta) refresh and an O(corpus) recompute.
+        val dir = graft.core.TempStores.scratchDir("graft_g38_mv").toString
+        val c = TpchGraph.table(s, d, "customer")
+        def waveCounts(w: Int) = c.filter(col("c_custkey") % 3 === w)
+          .groupBy(col("c_nationkey").as("nation")).agg(count(lit(1)).as("n"))
+        waveCounts(0).write.mode("overwrite").parquet(s"$dir/v0")
+        Seq(1, 2).foreach { w =>
+          s.read.parquet(s"$dir/v${w - 1}")
+            .unionByName(waveCounts(w))
+            .groupBy("nation").agg(sum(col("n")).as("n"))
+            .write.mode("overwrite").parquet(s"$dir/v$w")
+        }
+        s.read.parquet(s"$dir/v2").orderBy("nation")
+      },
+      Some("""
+        SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1 ORDER BY 1"""),
+      "A2 incremental — materialized-aggregate maintenance: three delta waves " +
+        "merged into a stored count view (union + re-aggregate of delta against " +
+        "the view only); the final view equals the full recompute the oracle " +
+        "performs — the O(delta)-refresh contract of incremental view maintenance")
   )
 }

@@ -2146,6 +2146,28 @@ object PipelineQueries {
         "shuffle, map-side combined to fixed-size state regardless of corpus), " +
         "point estimate = min over rows, always >= exact (Cormode-Muthukrishnan). " +
         "Deterministic + mergeable where SpaceSaving summaries are order-" +
-        "dependent; oracle rebuilds the matrix from the same 8 splitmix constants")
+        "dependent; oracle rebuilds the matrix from the same 8 splitmix constants"),
+
+    Q("p70_histogram_quantiles",
+      (s, d) => Sketch.histogramQuantiles(table(s, d, "events"),
+          col("event_type"), col("value"), Seq(500, 950, 990))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type", "q_permille"),
+      Some("""
+        WITH h AS (SELECT event_type AS grp, CAST(floor(value) AS BIGINT) AS bin,
+                          count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        c AS (SELECT grp, bin,
+                     sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY grp) AS total FROM h),
+        q AS (SELECT unnest([500, 950, 990]) AS q_permille)
+        SELECT grp AS event_type, q_permille, CAST(min(bin) AS BIGINT) AS bin
+        FROM c, q WHERE cum * 1000 >= q_permille * total
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "sketch — mergeable-histogram quantiles (p50/p95/p99 per event type): " +
+        "equi-width integer bins, first bin whose cumulative count reaches " +
+        "ceil(q*N) — the engine-portable counterpart of approx_percentile, whose " +
+        "GK summary is merge-order-dependent; the histogram is one map-side-" +
+        "combined aggregate bounded by bin count, mergeable by addition")
   )
 }

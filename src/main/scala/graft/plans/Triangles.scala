@@ -31,40 +31,48 @@ object Triangles {
     * global clustering coefficient 3·triangles / wedges.
     */
   def counts(edges: DataFrame): DataFrame = {
-    // canonical simple undirected edges: least endpoint first, loops out
+    // canonical simple undirected edges: least endpoint first, loops out.
+    // localCheckpoint: the canonical edge set feeds the degree aggregate,
+    // both orientation joins, and (via `oriented`) three downstream scans —
+    // without the lineage cut the caller's edge derivation (for g36, a
+    // lineitem self-join + distinct) re-executes per consumer.
     val und = edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
+      .localCheckpoint(eager = false)
 
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
 
-    // orient by the total order (degree, id): src = smaller endpoint
+    // orient by the total order (degree, id): src = smaller endpoint.
+    // Kept as FLAT columns — the apex id alone is the wedge join key (an
+    // id determines its degree), and long-keyed hash joins beat
+    // struct-keyed ones; the head's degree rides along only for ordering.
     val withDegs = und
       .join(deg.withColumnsRenamed(Map("x" -> "u", "d" -> "du")), "u")
       .join(deg.withColumnsRenamed(Map("x" -> "v", "d" -> "dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val oriented = withDegs.select(
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-        struct(col("u").as("id"), col("du").as("d")))
-        .otherwise(struct(col("v").as("id"), col("dv").as("d"))).as("s"),
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-        struct(col("v").as("id"), col("dv").as("d")))
-        .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("t"))
+      when(uFirst, col("u")).otherwise(col("v")).as("sid"),
+      when(uFirst, col("v")).otherwise(col("u")).as("tid"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("td"))
+      .localCheckpoint(eager = false)
 
     // wedges at each apex: ordered pairs of out-neighbors, b before c in
-    // the SAME (degree, id) order the closing edge is oriented by —
-    // comparing the raw structs would order by (id, degree) and miss
-    // every triangle where the two orders disagree
-    val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
-    val e2 = oriented.select(col("s").as("a2"), col("t").as("c"))
+    // the SAME (degree, id) order the closing edge is oriented by — a
+    // mismatched pair order would miss every triangle where the two
+    // orders disagree
+    val e1 = oriented.select(col("sid").as("a"), col("tid").as("b"), col("td").as("bd"))
+    val e2 = oriented.select(col("sid").as("a2"), col("tid").as("c"), col("td").as("cd"))
     val wedges = e1.join(e2, col("a") === col("a2") &&
-        struct(col("b.d"), col("b.id")) < struct(col("c.d"), col("c.id")))
-      .select(col("b.id").as("wb"), col("c.id").as("wc"))
+        (col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c"))))
+      .select(col("b").as("wb"), col("c").as("wc"))
 
     // close the wedge with the oriented edge b→c (b <ord c by construction)
-    val closing = oriented.select(col("s.id").as("cb"), col("t.id").as("cc"))
+    val closing = oriented.select(col("sid").as("cb"), col("tid").as("cc"))
     val nTriangles = wedges.join(closing,
         col("wb") === col("cb") && col("wc") === col("cc"))
       .agg(count(lit(1)).as("n_triangles"))

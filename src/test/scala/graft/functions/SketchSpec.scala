@@ -57,6 +57,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles: estimated bin is the floor of the exact kth-smallest value") {
+    val rng = new scala.util.Random(70L)
+    val rows = (for (g <- Seq("a", "b"); _ <- 1 to 500)
+      yield (g, rng.nextDouble() * (if (g == "a") 100 else 13))).toSeq
+    val qs = Seq(250, 500, 950, 990, 1000)
+    val got = Sketch.histogramQuantiles(rows.toDF("g", "v"), col("g"), col("v"), qs)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (g <- Seq("a", "b"); q <- qs) {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      val target = (q.toLong * vs.size + 999) / 1000  // ceil(q/1000 * N)
+      val expected = math.floor(vs(target.toInt - 1)).toLong
+      assert(got((g, q)) == expected, s"g=$g q=$q")
+    }
+  }
+
   test("estimate is partition-invariant (the sketch merges, it doesn't sample)") {
     val rows = (1 to 3000).map(i => ("g", s"v$i"))
     def run(parts: Int) =

@@ -179,6 +179,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p70 histogram quantiles: one counting aggregate (partial+final) feeding windows, no cartesian") {
+    val p = plan("p70_histogram_quantiles")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g38 incremental counts: the refresh result is served from the stored view, not the base table") {
+    val p = plan("g38_incremental_counts")
+    assert(p.contains("nation"), p)
+    assert(!p.contains("c_custkey"), p)  // base rows never rescanned at read time
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
