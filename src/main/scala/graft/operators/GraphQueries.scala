@@ -930,8 +930,12 @@ object GraphQueries {
     Q("g37_pagerank",
       (s, d) => {
         // order→customer→nation→region chain: 4 integer-exact iterations
-        // push rank mass up the dimension hierarchy
-        val e = g(s, d).edges.toDF()
+        // push rank mass up the dimension hierarchy. Built from the
+        // UNCACHED payload-free edge union (relType filter prunes it to
+        // the three dimension scans, PlanAuditSpec) — depending on the
+        // payload-bearing cached graph made the first run re-encode every
+        // payload whenever memory pressure evicted the cache
+        val e = TpchGraph.edges(s, d, withPayload = false).toDF()
           .filter(col("relType").isin("PlacedBy", "InNation", "InRegion"))
           .select(col("src"), col("dst"))
         graft.plans.PageRank.ranksScaled(e, iters = 4)

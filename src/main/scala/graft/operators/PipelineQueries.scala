@@ -2168,6 +2168,40 @@ object PipelineQueries {
         "equi-width integer bins, first bin whose cumulative count reaches " +
         "ceil(q*N) — the engine-portable counterpart of approx_percentile, whose " +
         "GK summary is merge-order-dependent; the histogram is one map-side-" +
-        "combined aggregate bounded by bin count, mergeable by addition")
+        "combined aggregate bounded by bin count, mergeable by addition"),
+
+    Q("p71_streaming_countmin",
+      (s, d) => {
+        // incremental sketch maintenance: three arrival waves each build a
+        // per-batch Count-Min matrix and MERGE it into the stored one
+        // (union + sum — counter addition IS sketch union). Because counter
+        // sums are associative, the maintained matrix is bit-identical to
+        // the batch matrix over the full corpus: same oracle as p69. Each
+        // refresh touches only the delta and the <=8k-row store.
+        val dir = graft.core.TempStores.scratchDir("graft_p71_cms").toString
+        val docs = table(s, d, "documents")
+        def waveToks(w: Int) = docs.filter(col("doc_id") % 3 === w)
+          .select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+        Seq(0, 1, 2).foreach { w =>
+          val delta = Sketch.countMin(waveToks(w), col("t"), depth = 4, width = 2048)
+          val merged = if (w == 0) delta
+            else s.read.parquet(s"$dir/v${w - 1}").unionByName(delta)
+              .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+          merged.write.mode("overwrite").parquet(s"$dir/v$w")
+        }
+        val counters = s.read.parquet(s"$dir/v2")
+        val allToks = docs.select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+        val top = allToks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+          .orderBy(desc("n_exact"), asc("t")).limit(20)
+        Sketch.cmsEstimate(counters, top, col("t"), depth = 4, width = 2048)
+          .select(col("t").as("token"), col("n_exact"), col("cms_est"))
+          .orderBy(desc("n_exact"), asc("token"))
+      },
+      Some(cmsOracle), // merged-across-waves matrix == whole-corpus matrix, so p69's oracle holds verbatim
+      "streaming — Count-Min maintenance under incremental ingest: per-wave " +
+        "matrices merged into a persistent store by counter addition (sketch " +
+        "union); associativity makes the maintained matrix bit-identical to the " +
+        "full-corpus one, proven by passing the p69 oracle unchanged — O(delta) " +
+        "per refresh, fixed-size state")
   )
 }

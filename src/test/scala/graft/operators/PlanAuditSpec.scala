@@ -192,6 +192,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("c_custkey"), p)  // base rows never rescanned at read time
   }
 
+  test("p71 streaming count-min: estimates serve from the merged store via broadcast join") {
+    val p = plan("p71_streaming_countmin")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
