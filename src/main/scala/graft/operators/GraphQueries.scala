@@ -1011,6 +1011,44 @@ object GraphQueries {
       "A2 incremental — materialized-aggregate maintenance: three delta waves " +
         "merged into a stored count view (union + re-aggregate of delta against " +
         "the view only); the final view equals the full recompute the oracle " +
-        "performs — the O(delta)-refresh contract of incremental view maintenance")
+        "performs — the O(delta)-refresh contract of incremental view maintenance"),
+
+    Q("g39_label_propagation",
+      (s, d) => {
+        val e = TpchGraph.edges(s, d, withPayload = false).toDF()
+          .filter(col("relType").isin("InNation", "InRegion"))
+          .select(col("src").as("u"), col("dst").as("v"))
+        graft.plans.LabelPropagation.run(e, iters = 3)
+          .groupBy("label").agg(count(lit(1)).as("n"))
+          .orderBy("label")
+      },
+      Some {
+        def round(i: Int) =
+          s"""l$i AS (
+            SELECT key, label FROM (
+              SELECT und.u AS key, l.label, count(*) AS n,
+                     row_number() OVER (PARTITION BY und.u
+                                        ORDER BY count(*) DESC, l.label) AS rn
+              FROM und JOIN l${i - 1} l ON l.key = und.v
+              GROUP BY und.u, l.label) WHERE rn = 1)"""
+        s"""
+        WITH e0 AS (
+          SELECT 'customer_' || c_custkey AS u, 'nation_' || c_nationkey AS v FROM customer
+          UNION ALL
+          SELECT 'supplier_' || s_suppkey, 'nation_' || s_nationkey FROM supplier
+          UNION ALL
+          SELECT 'nation_' || n_nationkey, 'region_' || n_regionkey FROM nation),
+        und AS (SELECT DISTINCT u, v
+                FROM (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)),
+        l0 AS (SELECT DISTINCT u AS key, u AS label FROM und),
+        ${round(1)}, ${round(2)}, ${round(3)}
+        SELECT label, CAST(count(*) AS BIGINT) AS n FROM l3
+        GROUP BY 1 ORDER BY 1"""
+      },
+      "graph analytics — community detection by DETERMINISTIC synchronous label " +
+        "propagation (most-frequent neighbor label, min-label ties, simultaneous " +
+        "updates): a fixed round count is bit-identical on any engine, unlike " +
+        "GraphX LPA's partition-order ties; 3 rounds over the dimension subgraph, " +
+        "community sizes by label")
   )
 }

@@ -198,6 +198,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("g39 label propagation: per-round joins are equi-joins, top-1 label via window, no cartesian") {
+    // the final registry plan starts at the last lineage cut, so pin the
+    // ROUND body (one iteration, uncheckpointed input) plus the final plan
+    import spark.implicits._
+    val body = graft.plans.LabelPropagation.run(
+        Seq(("a", "b"), ("b", "c")).toDF("u", "v"), iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(body.contains("Window"), body)
+    assert(!body.contains("CartesianProduct") && !body.contains("BroadcastNestedLoopJoin"), body)
+    val p = plan("g39_label_propagation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
