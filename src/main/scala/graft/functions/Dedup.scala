@@ -84,6 +84,49 @@ object Dedup {
     withJaccard(inter, sizes, minJaccard)
   }
 
+  /** Asymmetric CONTAINMENT detection: |A∩B| / min(|A|,|B|) ≥
+    * `minContainment`, reported as `(contained, container, containment)`
+    * with `contained` the smaller gram set (ties → smaller id). This is
+    * the near-dup class symmetric Jaccard structurally misses: a 50-token
+    * document fully quoted inside a 5000-token page has Jaccard ≈ 0.01
+    * but containment 1.0 — the quote/wrapper/boilerplate-page case of
+    * corpus dedup (Broder's "containment", SEQUENCES '97).
+    *
+    * Same inverted-index shape as [[jaccardPairs]] (never doc×doc; the
+    * gram join is the only pair generator), same `maxGramDocFreq` cap
+    * semantics for the 100 TB path.
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                       minContainment: Double,
+                       maxGramDocFreq: Option[Int] = None): DataFrame = {
+    val grams = wordNgrams(df, id, text, n)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val indexed = maxGramDocFreq match {
+      case Some(cap) =>
+        val hot = grams.groupBy("gram")
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap).select("gram")
+        grams.join(broadcast(hot), Seq("gram"), "left_anti")
+      case None => grams
+    }
+    val a = indexed.select(col("id").as("id_a"), col("gram"))
+    val b = indexed.select(col("id").as("id_b"), col("gram"))
+    val inter = a.join(b, "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val aIsContained = col("na") < col("nb") ||
+      (col("na") === col("nb") && col("id_a") < col("id_b"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("containment_raw",
+        col("n_common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment_raw") >= minContainment)
+      .select(
+        when(aIsContained, col("id_a")).otherwise(col("id_b")).as("contained"),
+        when(aIsContained, col("id_b")).otherwise(col("id_a")).as("container"),
+        round(col("containment_raw"), 6).as("containment"))
+  }
+
   /** Attach exact Jaccard to `(id_a, id_b, n_common)` pair rows given
     * per-doc gram counts; filter on the RAW value (rounding only for
     * output) so thresholding is engine-portable.

@@ -2202,6 +2202,60 @@ object PipelineQueries {
         "matrices merged into a persistent store by counter addition (sketch " +
         "union); associativity makes the maintained matrix bit-identical to the " +
         "full-corpus one, proven by passing the p69 oracle unchanged — O(delta) " +
-        "per refresh, fixed-size state")
+        "per refresh, fixed-size state"),
+
+    Q("p72_containment_pairs",
+      (s, d) => {
+        // excerpt corpus: the first 40 tokens of every >=60-token doc
+        // re-enter as their own documents (id + 1e6) — the quote/wrapper
+        // case containment must catch and symmetric Jaccard cannot
+        // (36 shared 5-grams vs ~full-doc union => Jaccard ~0.2, containment 1.0)
+        val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val ts = TextOps.tokens(lower(col("text")))
+        val excerpts = docs
+          .filter(size(ts) >= 60)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(ts, 1, 40)).as("text"))
+        Dedup.containmentPairs(docs.unionByName(excerpts),
+            col("doc_id"), col("text"), n = 5, minContainment = 0.9)
+          .orderBy("contained", "container")
+      },
+      Some(s"""
+        WITH toks0 AS (
+          SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        corpus AS (
+          SELECT doc_id, ts FROM toks0
+          UNION ALL
+          SELECT doc_id + 1000000, ts[1:40] FROM toks0 WHERE len(ts) >= 60),
+        grams AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(ts)-4, 1)),
+                          i -> array_to_string(ts[i:i+4], ' '))) AS gram
+            FROM corpus)
+          WHERE len(gram) > 0),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT CASE WHEN sa.n_grams < sb.n_grams
+                      OR (sa.n_grams = sb.n_grams AND id_a < id_b)
+                    THEN id_a ELSE id_b END AS contained,
+               CASE WHEN sa.n_grams < sb.n_grams
+                      OR (sa.n_grams = sb.n_grams AND id_a < id_b)
+                    THEN id_b ELSE id_a END AS container,
+               round(CAST(n_common AS DOUBLE) / least(sa.n_grams, sb.n_grams), 6)
+                 AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / least(sa.n_grams, sb.n_grams) >= 0.9
+        ORDER BY 1, 2"""),
+      "dedup — asymmetric containment |A∩B|/min(|A|,|B|) (Broder): catches a " +
+        "short doc fully quoted inside a long one, where symmetric Jaccard is " +
+        "~|A|/|B| and every threshold misses it; same inverted-index shape as " +
+        "p06 (the gram join is the only pair generator), hot-gram cap available " +
+        "for the 100 TB path")
   )
 }

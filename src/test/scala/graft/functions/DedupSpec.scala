@@ -211,4 +211,33 @@ class DedupSpec extends SparkSpec {
     // 50 collapses into 10; 40's block ("azure") has no partner; 30 too far
     assert(pairs == Seq((10L, 20L, 1), (10L, 60L, 1), (20L, 60L, 2)), pairs.toString)
   }
+
+  test("containment catches a full quote that Jaccard misses at any sane threshold") {
+    val page = (1 to 80).map(i => s"body$i").mkString(" ")
+    val quote = (10 to 21).map(i => s"body$i").mkString(" ")  // 12 tokens inside page
+    val corpus = Seq(
+      (1L, page),
+      (2L, quote),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "))  // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, col("doc_id"), col("text"),
+        n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // quote: 10 distinct 3-grams, all inside page → containment 1.0
+    assert(got == Seq((2L, 1L, 1.0)), got.toString)
+    // the same pair is invisible to symmetric Jaccard: 10 shared / 78+10-10
+    val jac = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5).count()
+    assert(jac == 0)
+  }
+
+  test("containment tie on equal sizes reports the smaller id as contained") {
+    val corpus = Seq(
+      (7L, "alpha beta gamma delta epsilon"),
+      (4L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, col("doc_id"), col("text"),
+        n = 2, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((4L, 7L)), got.toString)
+  }
 }
