@@ -95,6 +95,38 @@ object Multimodal {
   def sceneCuts(content: Column, frameLen: Int = 32, meanDelta: Int = 6): Column =
     graft.functions.expressions.Media.sceneCutsCol(content, frameLen, meanDelta)
 
+  /** Shot-boundary frame sampling over an opaque video `binary` column:
+    * [[sceneCuts]] boundaries split the complete-frame range into shots
+    * `[start, end)`, and each shot contributes its middle frame as the
+    * representative — `(doc_id, shot_idx, start_frame, end_frame,
+    * rep_frame, byte_off, byte_len)`, with `byte_off/byte_len` the slice
+    * a downstream decoder would fetch. One codegen pass for the cuts plus
+    * one per-doc window — no shuffle beyond the per-doc partition; the
+    * frame-sampling step of a video curation pipeline (select k frames
+    * per shot, not per fixed stride, so long static shots don't flood
+    * the sample).
+    */
+  def frameSamples(df: DataFrame, id: Column, content: Column,
+                   frameLen: Int = 32, meanDelta: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = df.select(id.as("doc_id"),
+        sceneCuts(content, frameLen, meanDelta).as("cuts"),
+        (length(content) / frameLen).cast("int").as("nf"))
+      .filter(col("nf") >= 1)
+    val bounds = staged.select(col("doc_id"), col("nf"),
+      explode(concat(array(lit(0)), col("cuts"), array(col("nf")))).as("b"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("b")
+    bounds
+      .withColumn("e", lead(col("b"), 1).over(byDoc))
+      .filter(col("e").isNotNull)
+      .withColumn("shot_idx", row_number().over(byDoc) - 1)
+      .select(col("doc_id"), col("shot_idx"),
+        col("b").as("start_frame"), col("e").as("end_frame"),
+        ((col("b") + col("e") - 1) / 2).cast("int").as("rep_frame"),
+        (((col("b") + col("e") - 1) / 2).cast("int") * frameLen).as("byte_off"),
+        lit(frameLen).as("byte_len"))
+  }
+
   /** Image near-duplicate pairs by perceptual hash, blocked with
     * multi-index hashing (Norouzi et al.): a pair within hamming distance
     * `maxDist` must share at least one of `bands` exact band values when

@@ -2256,6 +2256,52 @@ object PipelineQueries {
         "short doc fully quoted inside a long one, where symmetric Jaccard is " +
         "~|A|/|B| and every threshold misses it; same inverted-index shape as " +
         "p06 (the gram join is the only pair generator), hot-gram cap available " +
-        "for the 100 TB path")
+        "for the 100 TB path"),
+
+    Q("p73_frame_samples",
+      (s, d) => {
+        val media = table(s, d, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+        Multimodal.frameSamples(media, col("doc_id"), col("content"),
+            frameLen = 32, meanDelta = 6)
+          .orderBy("doc_id", "shot_idx")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(text)),
+                   i -> ascii(substring(text, i, 1))) AS cs,
+                 length(text) AS n
+          FROM documents WHERE length(text) > 0),
+        fr AS (SELECT doc_id, unnest(generate_series(0, n//32 - 1)) AS f, cs
+               FROM c WHERE n//32 >= 2),
+        e AS (SELECT doc_id, f, list_sum(cs[f*32+1 : f*32+32]) AS s FROM fr),
+        dd AS (SELECT doc_id, f,
+                 s - lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS df
+               FROM e),
+        cuts AS (SELECT doc_id, f FROM dd WHERE abs(df) > 192),
+        nf AS (SELECT doc_id, n//32 AS nf FROM c WHERE n//32 >= 1),
+        bounds AS (
+          SELECT doc_id, 0 AS b FROM nf
+          UNION ALL SELECT doc_id, f FROM cuts
+          UNION ALL SELECT doc_id, nf FROM nf),
+        shots AS (
+          SELECT doc_id, b, lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS e
+          FROM bounds),
+        kept AS (SELECT doc_id, b, e FROM shots WHERE e IS NOT NULL)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS INT)
+                 AS shot_idx,
+               CAST(b AS INT) AS start_frame, CAST(e AS INT) AS end_frame,
+               CAST((b + e - 1) // 2 AS INT) AS rep_frame,
+               CAST(((b + e - 1) // 2) * 32 AS INT) AS byte_off,
+               32 AS byte_len
+        FROM kept ORDER BY doc_id, shot_idx"""),
+      "multimodal — shot-boundary frame sampling: scene cuts split the " +
+        "complete-frame range into shots, each contributing its middle frame as " +
+        "(rep_frame, byte_off, byte_len) for a downstream decoder; per-shot " +
+        "(not per-stride) sampling keeps long static shots from flooding the " +
+        "sample. Codegen cut pass + one per-doc window, no extra shuffle")
   )
 }

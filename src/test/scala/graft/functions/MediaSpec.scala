@@ -62,6 +62,24 @@ class MediaSpec extends SparkSpec {
     assert(got(0) == Seq(2) && got(1) == Seq(2))
   }
 
+  test("frame samples: shots between cuts, middle frame as representative, byte slice aligned") {
+    val quiet = Array.fill(64)(100.toByte)
+    val loud = Array.fill(64)(200.toByte)
+    val cases = Seq(
+      (1L, quiet ++ loud),                      // nf=4, cut at 2 → shots [0,2),[2,4)
+      (2L, Array.fill(40)(9.toByte)),           // nf=1, no cuts → one shot [0,1)
+      (3L, Array.fill(20)(9.toByte)))           // nf=0 → dropped
+    val got = graft.functions.Multimodal.frameSamples(
+        cases.toDF("doc_id", "content"), col("doc_id"), col("content"), 32, 6)
+      .orderBy("doc_id", "shot_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6))).toSeq
+    assert(got == Seq(
+      (1L, 0, 0, 2, 0, 0, 32),
+      (1L, 1, 2, 4, 2, 64, 32),
+      (2L, 0, 0, 1, 0, 0, 32)), got.toString)
+  }
+
   test("chunk dedup signals: planted shared passage is counted, unique chunks are not") {
     val shared = (1 to 32).map(i => s"tok$i").mkString(" ")   // exactly one chunk
     val docs = Seq(

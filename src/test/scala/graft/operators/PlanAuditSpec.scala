@@ -217,6 +217,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("p73 frame samples: codegen cut pass + per-doc window, no join anywhere") {
+    val p = plan("p73_frame_samples")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("scene_cuts") && p.contains("Window"), p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
