@@ -1049,6 +1049,33 @@ object GraphQueries {
         "propagation (most-frequent neighbor label, min-label ties, simultaneous " +
         "updates): a fixed round count is bit-identical on any engine, unlike " +
         "GraphX LPA's partition-order ties; 3 rounds over the dimension subgraph, " +
-        "community sizes by label")
+        "community sizes by label"),
+
+    Q("g40_bucketed_traverse",
+      (s, d) => {
+        // the bucketed warehouse layout as an oracle-checked operator: save
+        // nodes (bucketBy key) + edges (bucketBy src) once, then the
+        // traversal join is bucket-co-located — ZERO exchange on either
+        // side (the no-exchange plan is pinned by BucketedIOSpec; here the
+        // RESULT is verified). At 100 TB this layout turns every key-equi
+        // traversal into a local merge of pre-sorted buckets.
+        val gr = GraphState(s,
+          TpchGraph.nodes(s, d, withPayload = false).toDF(),
+          TpchGraph.edges(s, d, withPayload = false).toDF())
+        graft.core.GraphIO.saveBucketed(gr, buckets = 8, prefix = "graft_g40")
+        val nodes = s.table("graft_g40_nodes").filter(col("nodeType") === "customer")
+        val edges = s.table("graft_g40_edges").filter(col("relType") === "InNation")
+        edges.join(nodes, edges("src") === nodes("key"))
+          .groupBy(col("dst")).agg(count(lit(1)).as("n_customers"))
+          .orderBy("dst")
+      },
+      Some("""
+        SELECT 'nation_' || c_nationkey AS dst, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY 1 ORDER BY 1"""),
+      "S5/J1 at scale — bucketed co-located traversal: nodes bucketBy(key), " +
+        "edges bucketBy(src), 8 buckets each; the per-nation customer rollup " +
+        "joins without a single Exchange (plan pinned in BucketedIOSpec) and " +
+        "its result is oracle-verified here — the warehouse layout that makes " +
+        "key-equi traversals shuffle-free")
   )
 }

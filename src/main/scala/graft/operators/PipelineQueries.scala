@@ -2302,6 +2302,21 @@ object PipelineQueries {
         "complete-frame range into shots, each contributing its middle frame as " +
         "(rep_frame, byte_off, byte_len) for a downstream decoder; per-shot " +
         "(not per-stride) sampling keeps long static shots from flooding the " +
-        "sample. Codegen cut pass + one per-doc window, no extra shuffle")
+        "sample. Codegen cut pass + one per-doc window, no extra shuffle"),
+
+    Q("p74_salted_agg",
+      (s, d) => Skew.saltedSum(
+          table(s, d, "events")
+            .select(col("event_type"), round(col("value") * 1000).cast("long").as("v")),
+          "event_type", col("v"), saltFactor = 8)
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "skew — two-phase salted aggregation (partial on (key, salt), final on " +
+        "key): bounds any hot key's share of a task to 1/saltFactor while the " +
+        "algebraic result equals the direct groupBy — the oracle computes the " +
+        "direct form; salts are content-hashed, so stage retries re-derive " +
+        "identical assignments (no nondeterministic-shuffle rollback)")
   )
 }

@@ -223,6 +223,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("scene_cuts") && p.contains("Window"), p)
   }
 
+  test("p74 salted agg: two HashAggregate phases over (key, salt) then key, no join") {
+    val p = plan("p74_salted_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final per phase
+    assert(!p.contains("Join"), p)
+  }
+
+  test("g40 bucketed traverse: both scans bucketed, the only shuffle is the final aggregate") {
+    val p = plan("g40_bucketed_traverse")
+    // the join itself must not reshuffle either side — at toy scale the
+    // planner may pick broadcast over the bucketed SMJ, but a shuffle of
+    // key/src would defeat the layout in both shapes
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p) // groupBy(dst) only
+    assert(!p.contains("Exchange hashpartitioning(key") &&
+      !p.contains("Exchange hashpartitioning(src"), p)
+  }
+
   test("p28 repetition tokenizes once (filter must not re-derive the split)") {
     val p = plan("p28_repetition")
     // the no-token filter is a cheap rlike on the raw text; a size(toks)>0
