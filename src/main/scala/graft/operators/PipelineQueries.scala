@@ -2317,6 +2317,37 @@ object PipelineQueries {
         "key): bounds any hot key's share of a task to 1/saltFactor while the " +
         "algebraic result equals the direct groupBy — the oracle computes the " +
         "direct form; salts are content-hashed, so stage retries re-derive " +
-        "identical assignments (no nondeterministic-shuffle rollback)")
+        "identical assignments (no nondeterministic-shuffle rollback)"),
+
+    Q("p75_store_compaction",
+      (s, d) => {
+        // fragment a partitioned store with three append waves (one file
+        // per wave per touched partition — the small-files problem every
+        // micro-batch sink accumulates), compact to one file per
+        // partition, and serve the per-source rollup from the COMPACTED
+        // store: the oracle proves content survived the rewrite; the
+        // file-count collapse itself is asserted in CompactSpec
+        val base = graft.core.TempStores.scratchDir("graft_p75_store").toString
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Seq(0, 1, 2).foreach { w =>
+          docs.filter(col("doc_id") % 3 === w)
+            .write.mode("append").partitionBy("source").parquet(s"$base/raw")
+        }
+        graft.core.Compact.compact(s, s"$base/raw", s"$base/compact", "source")
+        s.read.parquet(s"$base/compact")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      "maintenance — small-file compaction of an append-only partitioned store: " +
+        "repartition BY the partition column routes each partition to one task, " +
+        "the partitionBy writer emits one file per directory, and content is " +
+        "bit-preserved (oracle = direct rollup of the source table). The ops " +
+        "counterpart every micro-batch sink needs at 100 TB")
   )
 }
