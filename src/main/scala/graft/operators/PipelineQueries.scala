@@ -2348,6 +2348,18 @@ object PipelineQueries {
         "repartition BY the partition column routes each partition to one task, " +
         "the partitionBy writer emits one file per directory, and content is " +
         "bit-preserved (oracle = direct rollup of the source table). The ops " +
-        "counterpart every micro-batch sink needs at 100 TB")
+        "counterpart every micro-batch sink needs at 100 TB"),
+
+    Q("p76_stream_distinct",
+      (s, d) => EventStream.runDistinctStream(s, d),
+      Some("""
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "streaming — Spark's built-in stateful dedup (dropDuplicates over the " +
+        "state store) keeps the first event per (user, type); the per-type " +
+        "rollup of kept rows equals COUNT(DISTINCT user_id) — the invariant the " +
+        "operator guarantees regardless of which duplicate wins a microbatch. " +
+        "Standard-operator counterpart of the custom MinHash streaming dedup " +
+        "(p58); production bounds state with dropDuplicatesWithinWatermark")
   )
 }

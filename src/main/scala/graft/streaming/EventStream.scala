@@ -61,6 +61,40 @@ object EventStream {
     spark.table(name).orderBy("hour_start", "event_type")
   }
 
+  /** Spark's BUILT-IN stateful stream dedup (`dropDuplicates` over the
+    * state store) as the standard-operator counterpart of the custom
+    * MinHash [[StreamingDedup]]: keep the first-arriving event per
+    * (user_id, event_type), then roll the kept rows up per type. The
+    * rollup counts are deterministic even though which duplicate "wins"
+    * inside a microbatch is not — the oracle checks the count contract
+    * (= COUNT(DISTINCT user_id) per type), which is the invariant the
+    * operator guarantees. Bounded input keeps state finite here; a
+    * production stream bounds it with `dropDuplicatesWithinWatermark`.
+    */
+  def runDistinctStream(spark: SparkSession, sfDir: String,
+                        statePartitions: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val name = "graft_stream_distinct"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try stream.dropDuplicates("user_id", "event_type").writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------- sessionization
 
   final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
