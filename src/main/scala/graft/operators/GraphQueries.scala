@@ -1076,6 +1076,36 @@ object GraphQueries {
         "edges bucketBy(src), 8 buckets each; the per-nation customer rollup " +
         "joins without a single Exchange (plan pinned in BucketedIOSpec) and " +
         "its result is oracle-verified here — the warehouse layout that makes " +
-        "key-equi traversals shuffle-free")
+        "key-equi traversals shuffle-free"),
+
+    Q("g41_typed_fold",
+      (s, d) => {
+        import s.implicits._
+        import graft.core.TypedFolds
+        // the typed Aggregator twin of g14: same payload staging (one
+        // json_tuple parse), then the reference fold as an explicit
+        // zero/reduce/merge monoid — reduce runs map-side, merge at the
+        // reducer, the distribution contract of ref Library.fs:338-363
+        val facts = TpchGraph.graph(s, d,
+            encodeParallelism = Some(s.sparkContext.defaultParallelism))
+          .nodesOfType("order").toDF()
+          .select(json_tuple(col("payload"), "o_totalprice", "o_orderstatus")
+            .as(Seq("tp", "st")))
+          .select(col("tp").cast("double").as("totalprice"),
+            col("st").as("orderstatus"))
+          .as[TypedFolds.OrderFacts]
+        facts.select(TypedFolds.orderStats.toColumn).toDF()
+          .select("high_value", "n_f", "n_o", "n_p")
+      },
+      Some("""
+        SELECT CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+               CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders"""),
+      "A1/§2.11 — the typed Aggregator[IN,BUF,OUT] form of the statistics fold " +
+        "(ref Library.fs:338-363 one-to-one: zero/reduce/merge/finish); the " +
+        "untyped sum(when) form (g14) is the codegen production path, this twin " +
+        "pins the explicit-monoid contract Spark distributes — same oracle as g14")
   )
 }
