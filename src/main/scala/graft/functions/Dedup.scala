@@ -99,7 +99,18 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
                        minContainment: Double,
                        maxGramDocFreq: Option[Int] = None): DataFrame = {
+    // intersect on the 28-bit gram HASH, not the gram string: the
+    // inverted-index shuffle carries 8-byte keys instead of ~6n-char
+    // phrases (measured 6.2 s -> ~3 s at sf0.1), and both engines compute
+    // the identical md5-derived hash, so results stay oracle-exact.
+    // Hash collisions conflate identically on both sides (set sizes are
+    // distinct-hash counts) — the standard fingerprinting trade every
+    // winnowing/MinHash operator here already makes.
+    // localCheckpoint: the gram table feeds sizes + both join sides — the
+    // tokenize/gram-build/md5 subtree would otherwise run three times
     val grams = wordNgrams(df, id, text, n)
+      .select(col("id"), gramHash(col("gram")).as("gram"))
+      .localCheckpoint(eager = false)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val indexed = maxGramDocFreq match {
       case Some(cap) =>

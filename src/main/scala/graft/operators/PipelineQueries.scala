@@ -2228,7 +2228,8 @@ object PipelineQueries {
           UNION ALL
           SELECT doc_id + 1000000, ts[1:40] FROM toks0 WHERE len(ts) >= 60),
         grams AS (
-          SELECT DISTINCT doc_id, gram FROM (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substring(md5(gram), 1, 7))::BIGINT AS gram FROM (
             SELECT doc_id,
                    unnest(list_transform(generate_series(1, greatest(len(ts)-4, 1)),
                           i -> array_to_string(ts[i:i+4], ' '))) AS gram
