@@ -1106,6 +1106,53 @@ object GraphQueries {
       "A1/§2.11 — the typed Aggregator[IN,BUF,OUT] form of the statistics fold " +
         "(ref Library.fs:338-363 one-to-one: zero/reduce/merge/finish); the " +
         "untyped sum(when) form (g14) is the codegen production path, this twin " +
-        "pins the explicit-monoid contract Spark distributes — same oracle as g14")
+        "pins the explicit-monoid contract Spark distributes — same oracle as g14"),
+
+    Q("g42_schema_profile",
+      (s, d) => {
+        // the property graph's SCHEMA GRAPH: edge counts by
+        // (srcType, relType, dstType) — what a catalog/optimizer consumes
+        // for cardinality estimates and what integrity monitoring diffs
+        // over time. Types join from the payload-free node set; both
+        // dimension joins broadcast at any graph size where the TYPE
+        // count (not node count) is what's bounded
+        val nodes = TpchGraph.nodes(s, d, withPayload = false).toDF()
+          .select(col("key"), col("nodeType"))
+        val edges = TpchGraph.edges(s, d, withPayload = false).toDF()
+          .select(col("src"), col("dst"), col("relType"))
+        edges
+          .join(nodes.withColumnsRenamed(Map("key" -> "src", "nodeType" -> "srcType")), "src")
+          .join(nodes.withColumnsRenamed(Map("key" -> "dst", "nodeType" -> "dstType")), "dst")
+          .groupBy("srcType", "relType", "dstType")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("srcType", "relType", "dstType")
+      },
+      Some(s"""
+        SELECT * FROM (
+          SELECT 'customer' AS srcType, 'InNation' AS relType, 'nation' AS dstType,
+                 CAST((SELECT count(*) FROM customer) AS BIGINT) AS n
+          UNION ALL
+          SELECT 'supplier', 'InNation', 'nation',
+                 CAST((SELECT count(*) FROM supplier) AS BIGINT)
+          UNION ALL
+          SELECT 'nation', 'InRegion', 'region',
+                 CAST((SELECT count(*) FROM nation) AS BIGINT)
+          UNION ALL
+          SELECT 'order', 'PlacedBy', 'customer',
+                 CAST((SELECT count(*) FROM orders) AS BIGINT)
+          UNION ALL
+          SELECT 'lineitem', 'PartOf', 'order',
+                 CAST((SELECT count(*) FROM $liSql) AS BIGINT)
+          UNION ALL
+          SELECT 'lineitem', 'OfPart', 'part',
+                 CAST((SELECT count(*) FROM $liSql) AS BIGINT)
+          UNION ALL
+          SELECT 'lineitem', 'SuppliedBy', 'supplier',
+                 CAST((SELECT count(*) FROM $liSql) AS BIGINT))
+        ORDER BY srcType, relType, dstType"""),
+      "graph profiling — the schema graph: edge counts by (srcType, relType, " +
+        "dstType), the triple summary catalogs/optimizers consume for " +
+        "cardinality estimates; endpoint types join from the payload-free node " +
+        "set, counts verified against the per-table construction identities")
   )
 }
