@@ -62,6 +62,21 @@ object GraphQueries {
     } yield g3).fold(e => throw new IllegalStateException(s"composite txn failed: $e"), identity)
   }
 
+  /** Shared by g36 (DataFrame census) and g43 (GraphX twin): the exact
+    * triangle/wedge/edge counts of the part co-purchase graph.
+    */
+  private val copurchaseCensusOracle = s"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        deg AS (SELECT x, count(*) AS d
+                FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT coalesce(sum((d*(d-1))//2), 0) FROM deg) AS BIGINT) AS n_wedges,
+               CAST((SELECT count(*)
+                     FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+                               JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles"""
+
   /** All-table node count used by the cascade-delete oracle. */
   private val allNodeCountSql =
     "(SELECT count(*) FROM region)+(SELECT count(*) FROM nation)+(SELECT count(*) FROM customer)" +
@@ -911,17 +926,7 @@ object GraphQueries {
           .select(col("p").as("u"), col("p2").as("v"))
         graft.plans.Triangles.counts(copurchase)
       },
-      Some(s"""
-        WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
-        e AS (SELECT DISTINCT a.p AS u, b.p AS v
-              FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
-        deg AS (SELECT x, count(*) AS d
-                FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
-        SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
-               CAST((SELECT coalesce(sum((d*(d-1))//2), 0) FROM deg) AS BIGINT) AS n_wedges,
-               CAST((SELECT count(*)
-                     FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
-                               JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles"""),
+      Some(copurchaseCensusOracle),
       "graph analytics — exact triangle/wedge census of the part co-purchase " +
         "graph via the degree-ordered node-iterator (oriented out-degree O(sqrt m) " +
         "bounds the worst wedge key — no last-reducer hub blowup at 100 TB); the " +
@@ -1153,6 +1158,21 @@ object GraphQueries {
       "graph profiling — the schema graph: edge counts by (srcType, relType, " +
         "dstType), the triple summary catalogs/optimizers consume for " +
         "cardinality estimates; endpoint types join from the payload-free node " +
-        "set, counts verified against the per-table construction identities")
+        "set, counts verified against the per-table construction identities"),
+
+    Q("g43_graphx_triangles",
+      (s, d) => {
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("u"), col("p2").as("v"))
+        graft.plans.GraphAnalytics.triangleCounts(copurchase)
+      },
+      Some(copurchaseCensusOracle),
+      "graph analytics — GraphX twin of g36 (TriangleCount neighbor-set " +
+        "intersection), same census contract and oracle: the g18/g23 GraphX-vs-" +
+        "DataFrame cross-validation pattern applied to triangles; the DataFrame " +
+        "form remains the whole-graph scale path")
   )
 }

@@ -123,4 +123,34 @@ object GraphAnalytics {
       .filter(_._2.nonEmpty)
       .toDF("key", "rootKey")
   }
+
+  /** GraphX twin of [[Triangles.counts]] (same output contract, same
+    * oracle — the g18/g23 GraphX-vs-DataFrame pattern applied to the
+    * triangle census). GraphX's `TriangleCount` intersects adjacent
+    * vertices' neighbor sets; the DataFrame form wins at whole-graph
+    * scale (Tungsten, no RDD materialization), this form cross-validates
+    * it and serves filtered-subgraph callers already in GraphX land.
+    * Only three scalar longs reach the driver.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.PartitionStrategy
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = false)
+    val edgeRdd: RDD[Edge[Int]] = und.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val graph = Graph.fromEdges(edgeRdd, 0)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val nTriangles = graph.triangleCount().vertices
+      .map(_._2.toLong).fold(0L)(_ + _) / 3
+    val nWedges = graph.degrees
+      .map { case (_, d) => d.toLong * (d - 1) / 2 }.fold(0L)(_ + _)
+    val nEdges = und.count()
+    Seq((nEdges, nWedges, nTriangles))
+      .toDF("n_edges", "n_wedges", "n_triangles")
+  }
 }

@@ -51,4 +51,17 @@ class TrianglesSpec extends SparkSpec {
     assert(counts(Seq.empty) == ((0L, 0L, 0L)))
     assert(counts(Seq((7L, 7L))) == ((0L, 0L, 0L)))
   }
+
+  test("DataFrame census and the GraphX twin agree on random graphs") {
+    val rng = new scala.util.Random(72L)
+    for (trial <- 1 to 3) {
+      val n = 10 + rng.nextInt(10)
+      val edges = Seq.fill(4 * n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val df = edges.toDF("u", "v")
+      val a = Triangles.counts(df).collect()(0)
+      val b = GraphAnalytics.triangleCounts(df).collect()(0)
+      assert((a.getLong(0), a.getLong(1), a.getLong(2)) ==
+        ((b.getLong(0), b.getLong(1), b.getLong(2))), s"trial $trial")
+    }
+  }
 }
