@@ -2361,6 +2361,54 @@ object PipelineQueries {
         "rollup of kept rows equals COUNT(DISTINCT user_id) — the invariant the " +
         "operator guarantees regardless of which duplicate wins a microbatch. " +
         "Standard-operator counterpart of the custom MinHash streaming dedup " +
-        "(p58); production bounds state with dropDuplicatesWithinWatermark")
+        "(p58); production bounds state with dropDuplicatesWithinWatermark"),
+
+    Q("p77_wave_novelty",
+      (s, d) => {
+        // data-freshness metric for incremental ingest: how much of each
+        // arrival wave's substring content (winnowing fingerprints,
+        // p19's k=5/w=8 recurrence) was never seen in ANY earlier wave.
+        // A collapsing novelty rate is the curation signal to stop
+        // ingesting a source
+        val wf = table(s, d, "documents")
+          .filter(length(col("text")) >= 5)
+          .select((col("doc_id") % 3).cast("int").as("wave"),
+            explode(array_distinct(
+              TextOps.winnowingFingerprints(col("text"), 5, 8))).as("fp"))
+          .distinct()
+        val firstWave = wf.groupBy("fp").agg(min(col("wave")).as("first_wave"))
+        wf.join(firstWave, "fp")
+          .groupBy("wave").agg(
+            count(lit(1)).as("n_fps"),
+            sum(when(col("wave") === col("first_wave"), 1L).otherwise(0L)).as("n_new"))
+          .orderBy("wave")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(text) - 4),
+                   i -> (ascii(substring(text, i, 1)) * 923521
+                       + ascii(substring(text, i + 1, 1)) * 29791
+                       + ascii(substring(text, i + 2, 1)) * 961
+                       + ascii(substring(text, i + 3, 1)) * 31
+                       + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
+          FROM documents
+          WHERE length(text) >= 5),
+        f AS (
+          SELECT doc_id, unnest(list_distinct(
+                 list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                   j -> list_min(hs[j:j+7])))) AS fp
+          FROM h),
+        wf AS (SELECT DISTINCT CAST(doc_id % 3 AS INT) AS wave, fp FROM f),
+        fw AS (SELECT fp, min(wave) AS first_wave FROM wf GROUP BY 1)
+        SELECT wave, CAST(count(*) AS BIGINT) AS n_fps,
+               CAST(sum(CASE WHEN wave = first_wave THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        FROM wf JOIN fw USING (fp)
+        GROUP BY 1 ORDER BY 1"""),
+      "curation — per-wave novelty: distinct winnowing fingerprints per arrival " +
+        "wave split into seen-before vs first-seen (min-wave per fp); the " +
+        "diminishing-returns signal that tells a pipeline when a source is " +
+        "mined out. Map-side fp explode, one (wave,fp) distinct, one fp-keyed " +
+        "aggregate — no doc-pair term anywhere")
   )
 }
