@@ -2409,6 +2409,35 @@ object PipelineQueries {
         "wave split into seen-before vs first-seen (min-wave per fp); the " +
         "diminishing-returns signal that tells a pipeline when a source is " +
         "mined out. Map-side fp explode, one (wave,fp) distinct, one fp-keyed " +
-        "aggregate — no doc-pair term anywhere")
+        "aggregate — no doc-pair term anywhere"),
+
+    Q("p78_modal_align",
+      (s, d) => {
+        // the modality-alignment join every multimodal pipeline runs
+        // (caption<->image-embedding, transcript<->audio-embedding):
+        // text-side signals keyed by doc, vector-side cluster labels keyed
+        // by vec, joined on the shared id; per-cluster text profile out
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(lower(col("text")))).as("n_tokens"))
+        val emb = table(s, d, "embeddings").select(col("vec_id"), col("label"))
+        docs.join(emb, col("doc_id") === col("vec_id"))
+          .groupBy("label").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("sum_tokens"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("label")
+      },
+      Some(s"""
+        SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(${sqlTokens("lower(text)")})) AS BIGINT) AS sum_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY 1 ORDER BY 1"""),
+      "multimodal — modality-alignment join: text-side signals (token counts, " +
+        "languages) joined to vector-side cluster labels on the shared id, " +
+        "profiled per cluster — the caption/embedding alignment step of a " +
+        "multimodal curation pipeline; equi-join + one aggregate, AQE picks " +
+        "broadcast when the vector side's projection is small")
   )
 }
