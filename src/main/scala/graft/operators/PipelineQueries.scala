@@ -2438,6 +2438,53 @@ object PipelineQueries {
         "languages) joined to vector-side cluster labels on the shared id, " +
         "profiled per cluster — the caption/embedding alignment step of a " +
         "multimodal curation pipeline; equi-join + one aggregate, AQE picks " +
-        "broadcast when the vector side's projection is small")
+        "broadcast when the vector side's projection is small"),
+
+    Q("p79_policy_filter",
+      (s, d) => {
+        // license/ToS-style policy engine: ordered rules, highest
+        // priority first, first match wins. The ruleset compiles to a
+        // literal when-chain (the p53 pattern) — codegen predicates over
+        // the scan, no join, no UDF; a changed policy is a recompiled
+        // plan, which is exactly how a fixed governance ruleset should
+        // deploy (a DATA-driven ruleset would broadcast-join instead)
+        val rules = Seq( // (rule_id, contains-token, action), priority desc
+          (1, "slow", "drop"),
+          (2, "merge", "keep"),
+          (3, "scan", "drop"))
+        val matched = rules.foldRight(
+            struct(lit(0).as("rule_id"), lit("keep").as("action"))) {
+          case ((id, tok, act), fallback) =>
+            when(array_contains(col("ts"), tok),
+              struct(lit(id).as("rule_id"), lit(act).as("action")))
+              .otherwise(fallback)
+        }
+        table(s, d, "documents")
+          // stage the token array once — the when-chain would otherwise
+          // re-tokenize per rule (the p28 lesson)
+          .select(TextOps.tokens(lower(col("text"))).as("ts"))
+          .select(matched.getField("rule_id").as("rule_id"),
+            matched.getField("action").as("action"))
+          .groupBy("rule_id", "action").agg(count(lit(1)).as("n_docs"))
+          .orderBy("rule_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT ${sqlTokens("lower(text)")} AS ts FROM documents),
+        m AS (SELECT CASE WHEN list_contains(ts, 'slow') THEN 1
+                          WHEN list_contains(ts, 'merge') THEN 2
+                          WHEN list_contains(ts, 'scan') THEN 3
+                          ELSE 0 END AS rule_id,
+                     CASE WHEN list_contains(ts, 'slow') THEN 'drop'
+                          WHEN list_contains(ts, 'merge') THEN 'keep'
+                          WHEN list_contains(ts, 'scan') THEN 'drop'
+                          ELSE 'keep' END AS action
+              FROM t)
+        SELECT rule_id, action, CAST(count(*) AS BIGINT) AS n_docs
+        FROM m GROUP BY 1, 2 ORDER BY 1"""),
+      "curation — policy filter engine (license/ToS rules): ordered rules, " +
+        "first match wins, compiled to a literal when-chain = codegen " +
+        "predicates over the scan (no join, no UDF); per-rule hit counts are " +
+        "the governance audit trail. The fixed-ruleset deployment shape — a " +
+        "data-driven ruleset would broadcast-join a policy table instead")
   )
 }
