@@ -2485,6 +2485,64 @@ object PipelineQueries {
         "first match wins, compiled to a literal when-chain = codegen " +
         "predicates over the scan (no join, no UDF); per-rule hit counts are " +
         "the governance audit trail. The fixed-ruleset deployment shape — a " +
-        "data-driven ruleset would broadcast-join a policy table instead")
+        "data-driven ruleset would broadcast-join a policy table instead"),
+
+    Q("p80_distribution_drift",
+      (s, d) => {
+        // distribution-shift monitor between consecutive arrival waves:
+        // scaled L1 distance sum_t |c_a(t)*N_b - c_b(t)*N_a| over token
+        // counts — the cross-multiplied (denominator-free) form of
+        // sum |c_a/N_a - c_b/N_b|, exact in longs (precondition: c*N <
+        // 2^63; switch the products to DECIMAL beyond that). Alarming
+        // drift between waves is the retrain/re-curate trigger. Wave
+        // totals are 3 scalars — collected and inlined like centroids
+        val counts = table(s, d, "documents")
+          .select((col("doc_id") % 3).cast("int").as("wave"),
+            explode(TextOps.tokens(lower(col("text")))).as("t"))
+          .groupBy("wave", "t").agg(count(lit(1)).as("c"))
+          .localCheckpoint(eager = false)
+        val totals = counts.groupBy("wave").agg(sum(col("c")).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        def drift(wa: Int, wb: Int) = {
+          val a = counts.filter(col("wave") === wa).select(col("t"), col("c").as("ca"))
+          val b = counts.filter(col("wave") === wb).select(col("t"), col("c").as("cb"))
+          a.join(b, Seq("t"), "full")
+            .agg(
+              sum(abs(coalesce(col("ca"), lit(0L)) * totals(wb)
+                - coalesce(col("cb"), lit(0L)) * totals(wa))).as("l1_scaled"),
+              count(lit(1)).as("n_tokens_union"))
+            .select(lit(wa).as("wave_a"), lit(wb).as("wave_b"),
+              col("l1_scaled"), col("n_tokens_union"))
+        }
+        drift(0, 1).unionByName(drift(1, 2)).orderBy("wave_a")
+      },
+      Some(s"""
+        WITH tok AS (SELECT CAST(doc_id % 3 AS INT) AS wave,
+                            unnest(${sqlTokens("lower(text)")}) AS t FROM documents),
+        c AS (SELECT wave, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        n AS (SELECT wave, sum(c) AS n FROM c GROUP BY 1),
+        j01 AS (SELECT coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+                FROM (SELECT t, c FROM c WHERE wave = 0) a
+                FULL JOIN (SELECT t, c FROM c WHERE wave = 1) b USING (t)),
+        j12 AS (SELECT coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+                FROM (SELECT t, c FROM c WHERE wave = 1) a
+                FULL JOIN (SELECT t, c FROM c WHERE wave = 2) b USING (t))
+        SELECT 0 AS wave_a, 1 AS wave_b,
+               CAST(sum(abs(ca * (SELECT n FROM n WHERE wave = 1)
+                          - cb * (SELECT n FROM n WHERE wave = 0))) AS BIGINT) AS l1_scaled,
+               CAST(count(*) AS BIGINT) AS n_tokens_union
+        FROM j01
+        UNION ALL
+        SELECT 1, 2,
+               CAST(sum(abs(ca * (SELECT n FROM n WHERE wave = 2)
+                          - cb * (SELECT n FROM n WHERE wave = 1))) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM j12
+        ORDER BY wave_a"""),
+      "curation — token-distribution drift between consecutive arrival waves: " +
+        "exact scaled-L1 sum_t |c_a*N_b - c_b*N_a| (cross-multiplied, " +
+        "denominator-free, engine-portable longs) over a full-outer token " +
+        "join; the distribution-shift alarm that triggers re-curation. One " +
+        "count aggregate + one token-keyed join per wave pair")
   )
 }
