@@ -139,4 +139,74 @@ object Sketch {
           .otherwise(expr(s"${(k - 1).toLong * GramHashSpace}L div greatest(hk, 1L)"))
           .as("kmv_est"))
   }
+
+  // --------------------------------------------- Misra-Gries heavy hitters
+
+  /** One Misra-Gries step over a weighted item stream: `k` counters;
+    * a tracked item adds its weight, an untracked one takes a free slot
+    * or — when all `k` slots are full — every counter drops by the
+    * smallest amount that frees a slot. Invariant (Misra & Gries '82):
+    * any item with total weight > W/(k+1) over stream weight W is
+    * tracked at the end, regardless of arrival order.
+    */
+  private def mgFold(k: Int, items: Iterator[(String, Long)])
+      : collection.mutable.HashMap[String, Long] = {
+    val m = collection.mutable.HashMap[String, Long]()
+    items.foreach { case (t, w) =>
+      if (m.contains(t)) m(t) += w
+      else if (m.size < k) m(t) = w
+      else {
+        // decrement-all by the min counter (batched form of the unit
+        // decrement: strictly fewer passes, same invariant)
+        val d = math.min(m.valuesIterator.min, w)
+        m.filterInPlace((_, c) => c > d)
+        m.mapValuesInPlace((_, c) => c - d)
+        if (w > d) m(t) = w - d
+      }
+    }
+    m
+  }
+
+  /** Misra-Gries candidate set for items with frequency > N/(k+1):
+    * per-partition k-counter summaries (one pass, O(k) memory), merged
+    * on the driver by counter addition + the same decrement rule
+    * (Agarwal et al., "Mergeable Summaries", PODS '12). The summary
+    * CONTENTS depend on partition order, but the superset guarantee —
+    * every item with frequency > N/(k+1) survives — holds for any
+    * order and any merge tree, which is what [[heavyHitters]] builds on.
+    *
+    * Scale shape: ≤ k rows leave each partition (no shuffle at all —
+    * the summaries are collected like centroids: parts × k tuples).
+    */
+  def misraGriesCandidates(df: DataFrame, value: Column, k: Int): Seq[String] = {
+    require(k >= 1, s"Misra-Gries needs k >= 1: $k")
+    import df.sparkSession.implicits._
+    val partials = df.select(value.cast("string").as("t")).as[String]
+      .mapPartitions(it => mgFold(k, it.map(_ -> 1L)).iterator)
+      .collect()
+    mgFold(k, partials.iterator).keys.toSeq.sorted
+  }
+
+  /** EXACT heavy hitters — items with frequency STRICTLY > N/k — found
+    * without a full-vocabulary aggregate: a Misra-Gries candidate pass
+    * (map-side only, ≤ parts·k tuples to the driver) produces a
+    * guaranteed superset, then one filtered count confirms exactly.
+    * Output `(token, n)` is a pure function of the input MULTISET
+    * (candidate-set order-dependence cannot reach it: candidates ⊇ the
+    * true answer for any order, and the exact filter discards the rest),
+    * so the result is engine-portable and hash-stable.
+    *
+    * At 100 TB: the confirm aggregate shuffles only rows matching ≤ k
+    * tokens (an in-filter pushed to the scan) — the full `GROUP BY t
+    * HAVING` form shuffles the whole vocabulary instead.
+    */
+  def heavyHitters(df: DataFrame, value: Column, k: Int): DataFrame = {
+    val items = df.select(value.cast("string").as("t"))
+    val cands = misraGriesCandidates(items, col("t"), k)
+    val total = items.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    items.filter(col("t").isin(cands: _*))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .filter(col("n") * k > total)
+      .select(col("t").as("token"), col("n"))
+  }
 }

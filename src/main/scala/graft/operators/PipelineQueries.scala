@@ -2543,6 +2543,28 @@ object PipelineQueries {
         "exact scaled-L1 sum_t |c_a*N_b - c_b*N_a| (cross-multiplied, " +
         "denominator-free, engine-portable longs) over a full-outer token " +
         "join; the distribution-shift alarm that triggers re-curation. One " +
-        "count aggregate + one token-keyed join per wave pair")
+        "count aggregate + one token-keyed join per wave pair"),
+
+    Q("p81_heavy_hitters_mg",
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+        Sketch.heavyHitters(toks, col("t"), k = 64)
+          .orderBy(col("n").desc, col("token"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT unnest(${sqlTokens("lower(text)")}) AS t FROM documents)
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1
+        HAVING count(*) * 64 > (SELECT count(*) FROM toks)
+        ORDER BY n DESC, token"""),
+      "sketch — Misra-Gries heavy hitters with exact confirm: per-partition " +
+        "k-counter summaries (one pass, O(k) memory, NO shuffle) merged on " +
+        "the driver give a guaranteed superset of every token with freq > " +
+        "N/k for ANY arrival order; one candidate-filtered count confirms " +
+        "exactly, so the output is a pure function of the input multiset " +
+        "(engine-portable despite the summary's order-dependence). The " +
+        "confirm aggregate shuffles only candidate-token rows — the oracle's " +
+        "GROUP BY/HAVING form shuffles the whole vocabulary")
   )
 }

@@ -79,4 +79,35 @@ class SketchSpec extends SparkSpec {
         .collect()(0).getLong(2)
     assert(run(1) == run(7) && run(7) == run(32))
   }
+
+  test("Misra-Gries candidates contain every item above the N/(k+1) guarantee, any partitioning") {
+    val rng = new scala.util.Random(71L)
+    // 1000 'hot', 600 'warm', 2400 spread over 120 cold items; N=4000
+    val items = rng.shuffle(
+      Seq.fill(1000)("hot") ++ Seq.fill(600)("warm") ++
+        (1 to 2400).map(i => s"cold${i % 120}"))
+    for (parts <- Seq(1, 3, 17)) {
+      val cands = Sketch.misraGriesCandidates(
+        items.toDF("t").repartition(parts), col("t"), k = 4)
+      // guarantee: freq > N/(k+1) = 800 → 'hot' must survive any order
+      assert(cands.contains("hot"), s"parts=$parts cands=$cands")
+      assert(cands.size <= 4, s"summary exceeded k: $cands")
+    }
+  }
+
+  test("heavy hitters output is exact and partition-invariant despite the order-dependent summary") {
+    val rng = new scala.util.Random(72L)
+    val items = rng.shuffle(
+      Seq.fill(900)("a") ++ Seq.fill(500)("b") ++ Seq.fill(140)("c") ++
+        (1 to 1000).map(i => s"z${i % 200}"))
+    val k = 8
+    val n = items.size // 2540; threshold n/k = 317.5 → {a, b}
+    val expected = items.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 * k > n).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val got = Sketch.heavyHitters(items.toDF("t").repartition(parts), col("t"), k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
