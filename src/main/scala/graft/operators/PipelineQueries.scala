@@ -2565,6 +2565,29 @@ object PipelineQueries {
         "exactly, so the output is a pure function of the input multiset " +
         "(engine-portable despite the summary's order-dependence). The " +
         "confirm aggregate shuffles only candidate-token rows — the oracle's " +
-        "GROUP BY/HAVING form shuffles the whole vocabulary")
+        "GROUP BY/HAVING form shuffles the whole vocabulary"),
+
+    Q("p82_stream_interval_join",
+      (s, d) => EventStream.runIntervalJoinStream(s, d),
+      Some("""
+        WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT p.user_id, p.ts AS purchase_ts, p.value
+              FROM v JOIN p ON v.user_id = p.user_id
+                           AND p.ts >= v.ts
+                           AND p.ts <= v.ts + INTERVAL 10 MINUTE)
+        SELECT strftime(purchase_ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_milli
+        FROM j GROUP BY 1 ORDER BY 1"""),
+      "streaming — stream-stream INTERVAL join (view→purchase attribution " +
+        "within 10 min): two watermarked streams joined on key + event-time " +
+        "range; the time bound is what makes join state prunable (a buffered " +
+        "view drops once the other side's watermark passes ts+10min). " +
+        "Drained append-mode result rolls up identical to the batch interval " +
+        "join — the oracle — because inner matches emit independent of the " +
+        "watermark")
   )
 }

@@ -95,6 +95,60 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Stream-stream INTERVAL join — the attribution join every event
+    * pipeline runs (view→purchase within 10 minutes, impression→click,
+    * prompt→completion): two streams off the same source, each
+    * watermarked, joined on the key plus an event-time range. The time
+    * bound + watermarks are what make the state PRUNABLE: a buffered
+    * view can be dropped once the purchase-side watermark passes
+    * `view.ts + 10 min` — without them the join would buffer both
+    * streams forever. Inner-join matches emit as soon as both sides
+    * arrive (append mode); the watermark only governs state eviction,
+    * so the drained result equals the batch interval join exactly.
+    *
+    * Returns the per-day rollup of matched pairs (count, distinct
+    * users, milli-exact value sum) — identical to the DuckDB interval
+    * join over the same parquet.
+    */
+  def runIntervalJoinStream(spark: SparkSession, sfDir: String,
+                            statePartitions: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def side(eventType: String) = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === eventType)
+      .withWatermark("ts", "1 hour")
+    val views = side("view").select(
+      col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val purchases = side("purchase").select(
+      col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    val name = "graft_stream_interval_join"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("interval 10 minutes"))
+        .select(col("p_user").as("user_id"), col("purchase_ts"), col("value"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(date_format(col("purchase_ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------- sessionization
 
   final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)

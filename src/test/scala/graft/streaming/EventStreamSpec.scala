@@ -31,4 +31,27 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventStream.runIntervalJoinStream(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val ev = TpchGraph.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    val batch = v.join(p,
+        col("v_user") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("interval 10 minutes"))
+      .groupBy(date_format(col("purchase_ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_user")).as("n_users"),
+        sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))
+      .orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
