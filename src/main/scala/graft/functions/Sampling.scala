@@ -97,4 +97,44 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Deterministic shard assignment + per-shard manifest — the last mile
+    * of a training-data pipeline: every row goes to shard
+    * `md5('shard:'+id) mod shards` (a pure function of the id, so
+    * re-runs, stage retries, and other engines produce the same
+    * placement), and the manifest row per shard carries what a consumer
+    * needs to VERIFY the shard it later reads: row count, token sum, an
+    * order-independent content fingerprint (sum of 28-bit id hashes —
+    * commutative, so it map-side-combines; precondition n_docs/shard <
+    * 2^35 before the exact long sum can overflow), and the first/last
+    * doc in the shard's deterministic read order (`md5('ord:'+id)` — the
+    * [[shuffleOrder]] key, so shard order IS training order).
+    *
+    * Everything is one map-side-combined aggregate to `shards` rows — no
+    * per-shard lists, no driver state — which is why the same manifest
+    * runs unchanged at 100 TB. (A byte-exact chained checksum would need
+    * the sorted shard stream; writers compute that while writing — the
+    * manifest's job is placement + membership, which the commutative
+    * fingerprint already pins.)
+    */
+  def shardManifest(df: DataFrame, id: Column, nTokens: Column,
+                    shards: Int, salt: String = ""): DataFrame = {
+    require(shards >= 1, s"shard count must be positive: $shards")
+    val idS = id.cast("string")
+    df.select(
+        id.cast("long").as("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        (Dedup.gramHash(concat(lit(s"${salt}shard:"), idS)) % shards)
+          .cast("int").as("shard"),
+        Dedup.gramHash(idS).as("idh"),
+        md5(concat(lit(s"${salt}ord:"), idS)).as("ord"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("idh")).as("id_hash_sum"),
+        min_by(col("doc_id"), col("ord")).as("first_id"),
+        max_by(col("doc_id"), col("ord")).as("last_id"))
+      .orderBy("shard")
+  }
 }

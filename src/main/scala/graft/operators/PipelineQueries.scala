@@ -2588,6 +2588,32 @@ object PipelineQueries {
         "view drops once the other side's watermark passes ts+10min). " +
         "Drained append-mode result rolls up identical to the batch interval " +
         "join — the oracle — because inner matches emit independent of the " +
-        "watermark")
+        "watermark"),
+
+    Q("p83_shard_manifest",
+      (s, d) => Sampling.shardManifest(
+        table(s, d, "documents"),
+        col("doc_id"), size(TextOps.tokens(lower(col("text")))), shards = 8),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8 AS INT) AS shard,
+                 md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS idh,
+                 len(${sqlTokens("lower(text)")}) AS n_tokens
+          FROM documents)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(idh) AS BIGINT) AS id_hash_sum,
+               CAST(arg_min(doc_id, ord) AS BIGINT) AS first_id,
+               CAST(arg_max(doc_id, ord) AS BIGINT) AS last_id
+        FROM d GROUP BY 1 ORDER BY 1"""),
+      "curation — deterministic shard manifest (the writer's last mile): " +
+        "md5-keyed shard placement (pure function of the id — retries and " +
+        "other engines agree), per-shard row/token counts, an " +
+        "order-independent commutative content fingerprint (sum of 28-bit " +
+        "id hashes — map-side-combinable, no per-shard lists), and the " +
+        "first/last docs in the shard's deterministic read order. One " +
+        "aggregate to `shards` rows at any corpus size")
   )
 }

@@ -79,4 +79,28 @@ class SamplingSpec extends SparkSpec {
     assert(a != c, "different salts must give different epoch orders")
     assert(c.sorted == (0L until 500L))
   }
+
+  test("shardManifest partitions the corpus and its fingerprint detects membership drift") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, 3L + (i % 5))).toDF("id", "nt")
+    val manifest = Sampling.shardManifest(docs, col("id"), col("nt"), shards = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(manifest.keySet == Set(0, 1, 2, 3))
+    assert(manifest.values.map(_._1).sum == 400L, "every doc lands in exactly one shard")
+    assert(manifest.values.map(_._2).sum ==
+      (0L until 400L).map(i => 3L + (i % 5)).sum)
+    // partition-invariance: the manifest is a pure function of the multiset
+    val again = Sampling.shardManifest(docs.repartition(17), col("id"), col("nt"), 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(again == manifest)
+    // drop one doc: its shard's count AND fingerprint must both move
+    val dropped = Sampling.shardManifest(
+      docs.filter(col("id") =!= 123L), col("id"), col("nt"), 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val moved = manifest.map { case (s, v) => s -> (v._1, v._3) }
+      .toSet.diff(dropped.toSet)
+    assert(moved.size == 1, "exactly one shard's (count, fingerprint) changes")
+  }
 }
