@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, Sketch, TextOps}
+import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Layout, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, Sketch, TextOps}
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -2614,6 +2614,49 @@ object PipelineQueries {
         "order-independent commutative content fingerprint (sum of 28-bit " +
         "id hashes — map-side-combinable, no per-shard lists), and the " +
         "first/last docs in the shard's deterministic read order. One " +
-        "aggregate to `shards` rows at any corpus size")
+        "aggregate to `shards` rows at any corpus size"),
+
+    Q("p84_zorder_layout",
+      (s, d) => {
+        // dims: user locality (id mod 256) x time-of-day locality
+        // (10-minute slot, 0..143) — the box-query pair an event store
+        // actually filters on ("this user cohort, this time band")
+        val ev = graft.sources.TpchGraph.events(s, d)
+          .select(pmod(col("user_id"), lit(256)).cast("long").as("u"),
+            ((hour(col("ts")) * 60 + minute(col("ts"))) / lit(10))
+              .cast("long").as("v"))
+        ev.select(col("u"), col("v"),
+            Layout.zorderValue(col("u"), col("v"), bits = 8).as("z"))
+          .groupBy((col("z") / 1024).cast("int").as("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .orderBy("z_bucket")
+      },
+      Some {
+        val interleave = (0 until 8).map { i =>
+          s"((u // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+            s" + ((v // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        s"""
+        WITH dims AS (
+          SELECT CAST(user_id % 256 AS BIGINT) AS u,
+                 CAST((hour(ts) * 60 + minute(ts)) // 10 AS BIGINT) AS v
+          FROM events),
+        z AS (SELECT u, v, $interleave AS z FROM dims)
+        SELECT CAST(z // 1024 AS INT) AS z_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(u) AS BIGINT) AS min_u, CAST(max(u) AS BIGINT) AS max_u,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM z GROUP BY 1 ORDER BY 1"""
+      },
+      "layout — Z-order (Morton) clustering key: bit-interleave of two " +
+        "bucketed dimensions as pure shift/mask/add arithmetic (codegen, " +
+        "engine-portable, no UDF). Per-Z-bucket bounding boxes are " +
+        "quadrant-shaped — the property that lets a Z-sorted layout prune " +
+        "files by parquet min/max stats for box predicates on ANY " +
+        "interleaved dimension; at 100 TB the layout is the index. " +
+        "writeZordered range-partitions on the key so each file covers a " +
+        "contiguous Z-range (pruning pinned in LayoutSpec)")
   )
 }
