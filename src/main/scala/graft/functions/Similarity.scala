@@ -59,6 +59,33 @@ object Similarity {
       .select(col("id_a"), col("id_b").as("nn"), col("cos"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor vector, the k most-similar vectors with a DIFFERENT label
+    * (near-misses make the strongest negatives; random negatives are
+    * trivially separable). Ranking runs through [[graft.plans.TopKPerGroup]]
+    * — bounded per-partition heaps, ≤ k rows per anchor cross the
+    * shuffle — not a full window sort. Anchors broadcast (a mining batch
+    * is small by construction); at full-corpus scale run this inside
+    * LSH/IVF blocks exactly like [[nearestNeighbor]].
+    *
+    * Ties at the rounded-cosine resolution break by smaller `id_b`, so
+    * the result is a pure function of the input (engine-portable).
+    */
+  def hardNegatives(df: DataFrame, id: Column, vec: Column, label: Column,
+                    anchorPred: Column, k: Int, roundTo: Int = 6): DataFrame = {
+    val anchors = df.filter(anchorPred)
+      .select(id.as("id_a"), vec.as("va"), label.as("lbl_a"))
+    val cands = df.select(id.as("id_b"), vec.as("vb"), label.as("lbl_b"))
+    val pairs = broadcast(anchors)
+      .join(cands, col("id_a") =!= col("id_b") && col("lbl_a") =!= col("lbl_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va").cast("array<double>"),
+          col("vb").cast("array<double>")), roundTo).as("cos"))
+    graft.plans.TopKPerGroup.topK(pairs, Seq(col("id_a")),
+        struct(col("cos"), -col("id_b")), k)
+      .orderBy(col("id_a"), col("cos").desc, col("id_b"))
+  }
+
   /** Per-label mean embedding ("class centroids") as a long-format
     * DataFrame `(label, pos, c)` — one `posexplode` + hash aggregate,
     * map-side combinable; the natural coarse quantizer for [[ivfTopK]].

@@ -2657,6 +2657,35 @@ object PipelineQueries {
         "files by parquet min/max stats for box predicates on ANY " +
         "interleaved dimension; at 100 TB the layout is the index. " +
         "writeZordered range-partitions on the key so each file covers a " +
-        "contiguous Z-range (pruning pinned in LayoutSpec)")
+        "contiguous Z-range (pruning pinned in LayoutSpec)"),
+
+    Q("p85_hard_negatives",
+      (s, d) => Similarity.hardNegatives(
+        table(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"),
+        anchorPred = col("vec_id") < 20, k = 5),
+      Some("""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        a AS (SELECT * FROM v WHERE vec_id < 20),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.e, b.e), 6) AS cos
+          FROM a JOIN v b ON a.vec_id <> b.vec_id AND a.label <> b.label),
+        ranked AS (
+          SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cos DESC, id_b) AS rn
+          FROM pairs)
+        SELECT id_a, id_b, cos FROM ranked WHERE rn <= 5
+        ORDER BY id_a, cos DESC, id_b"""),
+      "similarity — hard-negative mining for contrastive training: per " +
+        "anchor, the k most-similar vectors with a DIFFERENT label " +
+        "(near-misses, the negatives that actually teach). Broadcast anchor " +
+        "batch; ranking via the TopKPerGroup operator (bounded heaps, ≤ k " +
+        "rows per anchor cross the shuffle — no full window sort); ties at " +
+        "the rounded resolution break by id so the output is " +
+        "engine-portable. Full-corpus mining runs the same op inside " +
+        "LSH/IVF blocks")
   )
 }

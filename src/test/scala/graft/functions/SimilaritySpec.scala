@@ -66,4 +66,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(4, 8, 7L) == Similarity.hyperplanes(4, 8, 7L))
     assert(Similarity.hyperplanes(4, 8, 7L) != Similarity.hyperplanes(4, 8, 8L))
   }
+
+  test("hardNegatives: never same-label, never self, equals the brute-force ranking") {
+    import spark.implicits._
+    val rng = new scala.util.Random(85L)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rng.nextGaussian().toFloat), (i % 3).toInt))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, col("vec_id"), col("embedding"),
+        col("label"), col("vec_id") < 5, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val labels = vecs.map(v => v._1 -> v._3).toMap
+    got.foreach { case (a, b, _) =>
+      assert(a != b && labels(a) != labels(b), s"($a,$b)")
+    }
+    // brute force in driver code
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val nx = math.sqrt(x.map(p => p.toDouble * p.toDouble).sum)
+      val ny = math.sqrt(y.map(p => p.toDouble * p.toDouble).sum)
+      BigDecimal(d / (nx * ny)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (0L until 5L).flatMap { a =>
+      vecs.filter(v => v._1 != a && v._3 != labels(a))
+        .map(v => (a, v._1, cos(vecs(a.toInt)._2, v._2)))
+        .sortBy { case (_, b, c) => (-c, b) }
+        .take(4)
+    }
+    assert(got.toSeq == expected)
+    assert(got.count(_._1 == 0L) == 4)
+  }
 }
