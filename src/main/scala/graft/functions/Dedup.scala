@@ -362,6 +362,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Soft dedup: inverse-cluster-size training weights. Hard dedup
+    * (keep one canonical doc per near-dup cluster) throws information
+    * away when duplicates carry small variations; the standard
+    * alternative down-WEIGHTS instead — every member of an n-doc cluster
+    * trains at weight 1/n, so each piece of content contributes one
+    * unit of gradient signal no matter how often it was crawled.
+    *
+    * `pairs` are near-dup edges (any generator: MinHash-LSH, embedding
+    * cosine, containment); they collapse through the large-star/
+    * small-star CC (no driver iteration), every id absent from the pair
+    * set is its own singleton cluster (weight 1), and weights are exact
+    * integer micros (`scale div n`) so they are engine-portable.
+    * Returns `(vec_id, cluster, weight_micro)`. Scale shape: CC is
+    * O(log n) rounds over the PAIR set only; the universe joins in once,
+    * left, on the id.
+    */
+  def clusterWeights(universe: DataFrame, id: Column, pairs: DataFrame,
+                     scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"weight scale must be positive: $scale")
+    val comp = graft.plans.DfConnectedComponents.run(
+      pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst")))
+    val ids = universe.select(id.cast("long").as("vec_id"))
+    val cl = ids.join(comp, ids("vec_id") === comp("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).cast("long").as("cluster"))
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, "cluster")
+      .select(col("vec_id"), col("cluster"),
+        expr(s"${scale}L div n_members").as("weight_micro"))
+  }
+
   /** Corpus-scale variant of [[embeddingNearDups]]: sign-LSH blocking
     * first — vectors are candidates only if they share a bucket in at
     * least one of `tables` independent hyperplane tables — then exact

@@ -2686,6 +2686,44 @@ object PipelineQueries {
         "rows per anchor cross the shuffle — no full window sort); ties at " +
         "the rounded resolution break by id so the output is " +
         "engine-portable. Full-corpus mining runs the same op inside " +
-        "LSH/IVF blocks")
+        "LSH/IVF blocks"),
+
+    Q("p86_dedup_weights",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val pairs = Dedup.embeddingNearDups(
+          emb, col("vec_id"), col("embedding"), minCos = 0.4)
+        Dedup.clusterWeights(emb, col("vec_id"), pairs)
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        cl AS (SELECT a.vec_id, coalesce(c.component, a.vec_id) AS cluster
+               FROM embeddings a LEFT JOIN comp c ON c.id = a.vec_id),
+        sz AS (SELECT cluster, count(*) AS n FROM cl GROUP BY 1)
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(1000000 // n AS BIGINT) AS weight_micro
+        FROM cl JOIN sz USING (cluster) ORDER BY vec_id"""),
+      "dedup — soft dedup via inverse-cluster-size training weights: hard " +
+        "dedup discards variation; down-weighting every member of an n-doc " +
+        "near-dup cluster to 1/n keeps it while each piece of content still " +
+        "contributes one unit of gradient signal. Pairs collapse through " +
+        "large-star/small-star CC (O(log n) rounds, pair set only); " +
+        "absent ids are singletons at weight 1; weights are exact integer " +
+        "micros (scale div n) — engine-portable")
   )
 }

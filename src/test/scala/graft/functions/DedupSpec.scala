@@ -240,4 +240,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((4L, 7L)), got.toString)
   }
+
+  test("clusterWeights: transitive cluster members weigh 1/n, singletons weigh 1") {
+    import spark.implicits._
+    // chain 1~2~3 (one 3-cluster even though 1!~3), pair 10~11, singleton 20
+    val universe = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterWeights(universe, col("id"), pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 333333L)) && got(2L) == ((1L, 333333L))
+      && got(3L) == ((1L, 333333L)))
+    assert(got(10L) == ((10L, 500000L)) && got(11L) == ((10L, 500000L)))
+    assert(got(20L) == ((20L, 1000000L)))
+    // conservation-ish: weights are exactly scale div n (integer floor)
+    assert(got.values.map(_._2).sum == 3 * 333333L + 2 * 500000L + 1000000L)
+  }
 }
