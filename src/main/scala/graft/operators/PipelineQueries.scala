@@ -2724,6 +2724,24 @@ object PipelineQueries {
         "contributes one unit of gradient signal. Pairs collapse through " +
         "large-star/small-star CC (O(log n) rounds, pair set only); " +
         "absent ids are singletons at weight 1; weights are exact integer " +
-        "micros (scale div n) — engine-portable")
+        "micros (scale div n) — engine-portable"),
+
+    Q("p87_stream_static_join",
+      (s, d) => EventStream.runStreamStaticJoin(s, d),
+      Some("""
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_milli
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1"""),
+      "streaming — stream-static enrichment join (purchase stream × " +
+        "customer→nation dim): STATELESS per microbatch — the static side " +
+        "broadcasts, nothing buffers, no watermark; the complete-mode " +
+        "rollup keeps one row per nation. The broadcast-the-dim, " +
+        "never-shuffle-the-stream shape a 100 TB/day feed needs; drained " +
+        "result equals the batch join — the oracle")
   )
 }

@@ -149,6 +149,48 @@ object EventStream {
       .orderBy("day")
   }
 
+  /** Stream-STATIC enrichment join — the other half of the streaming
+    * join story next to [[runIntervalJoinStream]]: a purchase stream
+    * enriched against a static dimension (customer → nation) and rolled
+    * up per nation. Stream-static inner joins are STATELESS — each
+    * microbatch probes the static side like a batch join, nothing
+    * buffers, no watermark is involved — and the dimension broadcasts,
+    * so enrichment costs zero shuffle on the stream side. The
+    * complete-mode aggregate then holds one row per nation (tiny keyed
+    * state). This is how a 100 TB/day event feed picks up dimensions:
+    * broadcast the dim, never shuffle the stream.
+    */
+  def runStreamStaticJoin(spark: SparkSession, sfDir: String,
+                          statePartitions: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .filter(col("event_type") === "purchase")
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val name = "graft_stream_static_join"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("n_name")
+  }
+
   // ------------------------------------------------------- sessionization
 
   final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)

@@ -54,4 +54,21 @@ class EventStreamSpec extends SparkSpec {
       .toSeq
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("stream-static enrichment join equals the batch join and stays stateless") {
+    val streamed = EventStream.runStreamStaticJoin(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val batch = TpchGraph.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
