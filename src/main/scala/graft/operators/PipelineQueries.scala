@@ -77,6 +77,37 @@ object PipelineQueries {
   private def doubleList(xs: Seq[Double]): String =
     xs.mkString("[", ", ", "]") + "::DOUBLE[]"
 
+  /** Full-recompute cluster-collapse oracle over the embedding near-dup
+    * graph (cosine ≥ 0.4), shared by p24 (one-shot CC) and p88
+    * (incremental CC maintenance): both must produce the IDENTICAL
+    * answer — the incremental path only changes where the work happens,
+    * exactly like the p25/p51 shared-oracle pattern.
+    */
+  private val nearDupClusterOracle = """
+        WITH RECURSIVE v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          -- only labels smaller than the receiving id can ever be a
+          -- component min (the min label is below every other member),
+          -- so pruning r.lbl >= e.s bounds the recursion without
+          -- changing min(lbl)
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT CAST(component AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        FROM comp GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB replica of p58: the full MinHash recurrence with the
     * [[Dedup.permutationParams]] constants inlined (deterministic, seed
     * 42 — the same trick as the LSH plane literals), then the greedy
@@ -1030,30 +1061,7 @@ object PipelineQueries {
             (count(lit(1)) - 1).cast("long").as("n_dropped"))
           .orderBy("canonical_id")
       },
-      Some("""
-        WITH RECURSIVE v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM v a JOIN v b ON a.vec_id < b.vec_id
-          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
-        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-        nodes AS (SELECT DISTINCT s AS id FROM edges),
-        reach(id, lbl) AS (
-          SELECT id, id AS lbl FROM nodes
-          UNION
-          -- only labels smaller than the receiving id can ever be a
-          -- component min (the min label is below every other member),
-          -- so pruning r.lbl >= e.s bounds the recursion without
-          -- changing min(lbl)
-          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
-          WHERE r.lbl < e.s),
-        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
-        SELECT CAST(component AS BIGINT) AS canonical_id,
-               CAST(count(*) AS BIGINT) AS n_members,
-               CAST(count(*) - 1 AS BIGINT) AS n_dropped
-        FROM comp GROUP BY 1 ORDER BY 1"""),
+      Some(nearDupClusterOracle),
       "dedup — near-dup CLUSTER collapse: transitive closure of near-dup pairs via " +
         "DataFrame CC, one canonical keeper per cluster (min id), rest dropped"),
 
@@ -2742,6 +2750,36 @@ object PipelineQueries {
         "broadcasts, nothing buffers, no watermark; the complete-mode " +
         "rollup keeps one row per nation. The broadcast-the-dim, " +
         "never-shuffle-the-stream shape a 100 TB/day feed needs; drained " +
-        "result equals the batch join — the oracle")
+        "result equals the batch join — the oracle"),
+
+    Q("p88_incremental_cc",
+      (s, d) => {
+        // dedup clusters maintained INCREMENTALLY: two thirds of the
+        // near-dup graph is the standing state, the last wave of edges
+        // merges in via contracted-graph CC — O(delta + touched
+        // components), never O(all edges). Answer must equal p24's
+        // one-shot collapse (shared oracle).
+        val pairs = Dedup.embeddingNearDups(
+          table(s, d, "embeddings"), col("vec_id"), col("embedding"), minCos = 0.4)
+          .select(col("id_a").cast("long").as("src"),
+            col("id_b").cast("long").as("dst"))
+        val initial = pairs.filter(col("src") % 3 < 2 && col("dst") % 3 < 2)
+        val delta = pairs.filter(col("src") % 3 === 2 || col("dst") % 3 === 2)
+        val comp0 = graft.plans.DfConnectedComponents.run(initial)
+        graft.plans.DfConnectedComponents.merge(comp0, delta)
+          .groupBy(col("component").cast("long").as("canonical_id"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            (count(lit(1)) - 1).cast("long").as("n_dropped"))
+          .orderBy("canonical_id")
+      },
+      Some(nearDupClusterOracle),
+      "dedup — INCREMENTAL connected-components maintenance (the graph " +
+        "counterpart of g38's incremental view): the standing labeling is " +
+        "reused as a star contraction, delta edges relabel to super-nodes " +
+        "and CC runs over that contracted delta graph only — O(delta + " +
+        "touched components) per refresh, never O(all edges); labels stay " +
+        "the component-min id so the result is bit-identical to the full " +
+        "recompute (p24's oracle, shared verbatim). How a 100 TB dedup " +
+        "graph absorbs a daily crawl wave")
   )
 }

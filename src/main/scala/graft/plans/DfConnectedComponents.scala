@@ -103,6 +103,54 @@ object DfConnectedComponents {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** INCREMENTAL CC maintenance: merge a delta wave of edges into an
+    * existing `(id, component)` labeling without touching the full edge
+    * set — the graph counterpart of the g38 incremental-view pattern.
+    *
+    * The old labeling is a valid star contraction, so it can be reused
+    * as-is: relabel each delta endpoint by its current component
+    * (absent ids stand for themselves), run CC over that CONTRACTED
+    * delta graph — whose vertices are super-nodes, one per touched
+    * component — and compose the two mappings. Work is
+    * O(delta + touched components) per refresh, never O(all edges);
+    * labels stay the component-min id (the min over a merged group of
+    * min-labeled stars is the global min), so the result is
+    * bit-identical to a full recompute over old ∪ delta edges.
+    *
+    * Returns `(id, component)` for every id in the old labeling or the
+    * delta edges.
+    */
+  def merge(comp: DataFrame, deltaEdges: DataFrame,
+            maxRounds: Int = 50): DataFrame = {
+    val c = comp.select(col("id"), col("component"))
+    // raw self-loops carry no connectivity and their endpoints must not
+    // enter the output universe (run() has the same non-loop contract)
+    val delta = deltaEdges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val contracted = delta
+      .join(c.select(col("id").as("src"), col("component").as("cs")),
+        Seq("src"), "left")
+      .join(c.select(col("id").as("dst"), col("component").as("cd")),
+        Seq("dst"), "left")
+      .select(coalesce(col("cs"), col("src")).as("src"),
+        coalesce(col("cd"), col("dst")).as("dst"))
+    val cc2 = run(contracted, maxRounds)
+      .select(col("id").as("super"), col("component").as("c2"))
+    // old ids ride their super-node's new label; untouched components keep theirs
+    val updatedOld = c
+      .join(cc2, c("component") === cc2("super"), "left")
+      .select(col("id"), coalesce(col("c2"), col("component")).as("component"))
+    // delta endpoints unseen before: their super-node IS themselves
+    val newIds = delta.select(col("src").as("id"))
+      .unionByName(delta.select(col("dst").as("id")))
+      .distinct()
+      .join(c, Seq("id"), "left_anti")
+    val mappedNew = newIds
+      .join(cc2, newIds("id") === cc2("super"), "left")
+      .select(col("id"), coalesce(col("c2"), col("id")).as("component"))
+    updatedOld.unionByName(mappedNew)
+  }
+
   /** Typed-subgraph CC returning `(key, component)` like
     * [[GraphAnalytics.connectedComponents]]; isolated vertices of the
     * selected node types map to their own id.

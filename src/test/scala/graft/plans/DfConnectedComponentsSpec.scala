@@ -50,6 +50,25 @@ class DfConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge is bit-identical to a full recompute, any edge split") {
+    val rng = new scala.util.Random(88L)
+    // includes the hard cases: delta edges BRIDGING two standing
+    // components, delta-only vertices, and untouched components
+    val edgeList = (0 until 80).map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong)) ++
+      Seq((100L, 101L), (200L, 201L)) // standing comps, one stays untouched
+    val bridges = Seq((100L, 200L), (300L, 301L), (301L, 100L)) // merge + fresh ids
+    for (cut <- Seq(0, 40, edgeList.size)) { // delta = everything / half / bridges only
+      val initial = edgeList.take(cut)
+      val delta = edgeList.drop(cut) ++ bridges
+      val comp0 = DfConnectedComponents.run(initial.toDF("src", "dst"))
+      val got = DfConnectedComponents.merge(comp0, delta.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = DfConnectedComponents.run((edgeList ++ bridges).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == full, s"cut=$cut")
+    }
+  }
+
   test("matches GraphX connectedComponents on the TPC-H subgraph, including isolated vertices") {
     val g = TpchGraph.graph(spark, sf)
     val rels = Seq("InNation", "InRegion")
