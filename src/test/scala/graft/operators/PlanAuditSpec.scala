@@ -459,4 +459,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p)
     assert(p.contains("array_dot"), p)
   }
+
+  test("p81 heavy-hitter confirm filters candidates below the aggregate; no window, no join") {
+    val p = plan("p81_heavy_hitters_mg")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Join"), p)
+    // the candidate in-filter runs before the confirm aggregate
+    assert(p.contains(" IN ") || p.contains("INSET"), p)
+  }
+
+  test("p83 shard manifest is one map-side-combined aggregate (no lists, no window)") {
+    val p = plan("p83_shard_manifest")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("collect_list") && !p.contains("WindowExec"), p)
+  }
+
+  test("p84 zorder bucketing is pure arithmetic feeding one aggregate (codegen, no UDF)") {
+    val p = plan("p84_zorder_layout")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("p85 hard negatives broadcast the anchors and rank via TopKPerGroup (no window sort)") {
+    val p = plan("p85_hard_negatives")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("p87 stream-static dim lookup broadcasts in the batch twin") {
+    // pin the batch-equivalent join shape (the streaming plan itself is
+    // per-microbatch): dim side must broadcast, stream side must not sort
+    import org.apache.spark.sql.functions._
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val p = TpchGraph.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("n_name").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
