@@ -98,6 +98,21 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Leakage-free split column: the train/test decision is keyed on the
+    * duplicate-CLUSTER key, not the document id, so every member of a
+    * dup cluster lands on the same side — a doc-keyed split leaks test
+    * content into train through its duplicates (the quiet eval
+    * contamination every dedup paper warns about). Pass any cluster
+    * key: a normalized-text fingerprint, a near-dup CC component id, a
+    * URL host. Pure map-side expression; same determinism contract as
+    * [[splitColumn]].
+    */
+  def clusterSplitColumn(clusterKey: Column, trainRate: Double,
+                         salt: String = "split:"): Column = {
+    require(trainRate > 0 && trainRate < 1, s"train rate in (0,1): $trainRate")
+    when(hash01(clusterKey, salt) < trainRate, lit("train")).otherwise(lit("test"))
+  }
+
   /** Deterministic shard assignment + per-shard manifest — the last mile
     * of a training-data pipeline: every row goes to shard
     * `md5('shard:'+id) mod shards` (a pure function of the id, so

@@ -2780,6 +2780,40 @@ object PipelineQueries {
         "touched components) per refresh, never O(all edges); labels stay " +
         "the component-min id so the result is bit-identical to the full " +
         "recompute (p24's oracle, shared verbatim). How a 100 TB dedup " +
-        "graph absorbs a daily crawl wave")
+        "graph absorbs a daily crawl wave"),
+
+    Q("p89_leakage_free_split",
+      (s, d) => {
+        // the split decision is keyed on the DUP-CLUSTER fingerprint,
+        // not the doc id: duplicates of a test doc cannot land in train
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        docs.select(col("fp"),
+            Sampling.clusterSplitColumn(col("fp"), trainRate = 0.8).as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_clusters"))
+          .orderBy("split")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        s AS (
+          SELECT fp,
+                 CASE WHEN ('0x' || substring(md5('split:' || fp), 1, 7))::BIGINT
+                        / 268435456.0 < 0.8
+                      THEN 'train' ELSE 'test' END AS split
+          FROM c)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters
+        FROM s GROUP BY 1 ORDER BY 1"""),
+      "sampling — leakage-free train/test split: the split decision hashes " +
+        "the duplicate-CLUSTER key (normalized-text fingerprint; any " +
+        "cluster id works), never the doc id, so every duplicate of a test " +
+        "doc lands in test — a doc-keyed split silently leaks test content " +
+        "into train through its duplicates. Pure map-side expression, " +
+        "reproducible under retries and across engines")
   )
 }

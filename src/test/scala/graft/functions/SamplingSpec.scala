@@ -103,4 +103,27 @@ class SamplingSpec extends SparkSpec {
       .toSet.diff(dropped.toSet)
     assert(moved.size == 1, "exactly one shard's (count, fingerprint) changes")
   }
+
+  test("clusterSplitColumn never splits a dup cluster; a doc-keyed split does") {
+    import spark.implicits._
+    // 200 clusters of 5 duplicates each, ids interleaved across clusters
+    val docs = (0L until 1000L).map(i => (i, s"cluster_${i % 200}"))
+      .toDF("doc_id", "fp")
+    val byCluster = docs.select(col("fp"),
+        Sampling.clusterSplitColumn(col("fp"), 0.8).as("split"))
+      .groupBy("fp").agg(countDistinct(col("split")).as("sides"))
+      .collect().map(_.getLong(1))
+    assert(byCluster.forall(_ == 1L), "no cluster may straddle the split")
+    // contrast: keying on the doc id straddles many clusters (the leak)
+    val byDoc = docs.select(col("fp"),
+        Sampling.clusterSplitColumn(col("doc_id"), 0.8).as("split"))
+      .groupBy("fp").agg(countDistinct(col("split")).as("sides"))
+      .collect().map(_.getLong(1))
+    assert(byDoc.count(_ == 2L) > 50, "doc-keyed split must demonstrate the leak")
+    // and the rate is roughly honored at cluster granularity
+    val trainClusters = docs.select(col("fp"),
+        Sampling.clusterSplitColumn(col("fp"), 0.8).as("split"))
+      .filter(col("split") === "train").select("fp").distinct().count()
+    assert(trainClusters > 130 && trainClusters < 190, s"got $trainClusters/200")
+  }
 }
