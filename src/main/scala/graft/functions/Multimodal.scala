@@ -55,6 +55,36 @@ object Multimodal {
     }
   }
 
+  final case class MediaThumb(media_id: Long, kind: String, thumb_len: Int, thumb_sum: Long)
+
+  /** STUB resize — the byte-producing counterpart of [[resizePlan]]:
+    * downsample each payload to `samples` evenly-strided bytes (a real
+    * implementation swaps the sampling loop for an image scaler; the
+    * per-partition batch contract — init once, tight loop, no per-row
+    * closure — is the part that carries to a real codec). The thumb
+    * summary (`thumb_len`, exact integer `thumb_sum`) is deterministic
+    * from the id-derived payload, so the oracle replays it in SQL.
+    */
+  def resizeThumbnails(media: Dataset[MediaRow], samples: Int = 16): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // a real decoder/scaler would init its native context here, once
+      rows.map { r =>
+        val len = r.content.length
+        val stride = math.max(len / samples, 1)
+        var j = 0
+        var sum = 0L
+        var cnt = 0
+        while (j < samples && j * stride < len) {
+          sum += (r.content(j * stride) & 0xff)
+          cnt += 1
+          j += 1
+        }
+        MediaThumb(r.media_id, r.kind, cnt, sum)
+      }
+    }
+  }
+
   /** "Resize" plumbing: recompute metadata and re-partition by target
     * bucket so downstream GPU-ish batch stages get even partitions.
     */

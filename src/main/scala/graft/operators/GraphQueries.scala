@@ -16,6 +16,10 @@ object GraphQueries {
 
   private def g(s: SparkSession, dir: String): GraphState = TpchGraph.cachedGraph(s, dir)
 
+  /** (session, dir) pairs whose g40 bucketed layout is already saved. */
+  private val g40Built =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Boolean]()
+
   /** Deduped lineitem (graph hyperedge source) — see [[TpchGraph.lineitemDedupSql]]. */
   private val liSql = TpchGraph.lineitemDedupSql
 
@@ -1064,10 +1068,17 @@ object GraphQueries {
         // side (the no-exchange plan is pinned by BucketedIOSpec; here the
         // RESULT is verified). At 100 TB this layout turns every key-equi
         // traversal into a local merge of pre-sorted buckets.
-        val gr = GraphState(s,
-          TpchGraph.nodes(s, d, withPayload = false).toDF(),
-          TpchGraph.edges(s, d, withPayload = false).toDF())
-        graft.core.GraphIO.saveBucketed(gr, buckets = 8, prefix = "graft_g40")
+        // the layout is SAVE-ONCE by contract: build it the first time
+        // this (session, dir) asks, reuse it afterwards — keyed on the
+        // data dir so a different SF in the same JVM rebuilds, and a
+        // fresh JVM always rebuilds (the map dies with the session)
+        if (!g40Built.contains((s, d))) {
+          val gr = GraphState(s,
+            TpchGraph.nodes(s, d, withPayload = false).toDF(),
+            TpchGraph.edges(s, d, withPayload = false).toDF())
+          graft.core.GraphIO.saveBucketed(gr, buckets = 8, prefix = "graft_g40")
+          g40Built.put((s, d), true)
+        }
         val nodes = s.table("graft_g40_nodes").filter(col("nodeType") === "customer")
         val edges = s.table("graft_g40_edges").filter(col("relType") === "InNation")
         edges.join(nodes, edges("src") === nodes("key"))

@@ -2814,6 +2814,26 @@ object PipelineQueries {
         "cluster id works), never the doc id, so every duplicate of a test " +
         "doc lands in test — a doc-keyed split silently leaks test content " +
         "into train through its duplicates. Pure map-side expression, " +
-        "reproducible under retries and across engines")
+        "reproducible under retries and across engines"),
+
+    Q("p90_thumbnail_resize",
+      (s, d) => Multimodal.resizeThumbnails(Multimodal.syntheticMedia(s, 200))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("thumb_len"), col("thumb_sum"))
+        .orderBy("media_id"),
+      Some("""
+        SELECT i AS media_id,
+               CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CAST(16 AS INT) AS thumb_len,
+               CAST(list_sum(list_transform(generate_series(0, 15),
+                    j -> (i*31 + j*((64 + (i % 64)) // 16)*7) % 256)) AS BIGINT)
+                 AS thumb_sum
+        FROM generate_series(0, 199) s(i) ORDER BY media_id"""),
+      "multimodal — stub RESIZE pass (the byte-producing half of the " +
+        "decode/feature/resize/frame-sample quartet): each payload " +
+        "downsamples to 16 evenly-strided bytes inside the mapPartitions " +
+        "batch loop (decoder init once per partition, tight per-row loop — " +
+        "the contract a real image scaler drops into); thumb summaries are " +
+        "exact integers so the id-derived payload replays in SQL")
   )
 }

@@ -94,4 +94,16 @@ class MediaSpec extends SparkSpec {
     // docs 1/2: 2 chunks each, the shared one counted once per doc; doc 3: 2 unique chunks
     assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)), got.toString)
   }
+
+  test("thumbnail resize matches the per-byte reference on the synthetic corpus") {
+    val got = Multimodal.resizeThumbnails(Multimodal.syntheticMedia(spark, 50))
+      .collect().map(t => t.media_id -> (t.thumb_len, t.thumb_sum)).toMap
+    (0L until 50L).foreach { i =>
+      val len = 64 + (i % 64).toInt
+      val bytes = Array.tabulate(len)(j => ((i * 31 + j * 7) % 256).toInt)
+      val stride = math.max(len / 16, 1)
+      val sampled = (0 until 16).takeWhile(_ * stride < len).map(j => bytes(j * stride))
+      assert(got(i) == ((sampled.size, sampled.map(_.toLong).sum)), s"media $i")
+    }
+  }
 }
