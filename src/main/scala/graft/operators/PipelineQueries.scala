@@ -250,6 +250,30 @@ object PipelineQueries {
                CAST(count(*) - 1 AS BIGINT) AS n_dropped
         FROM comp GROUP BY 1 ORDER BY 1"""
 
+  /** DuckDB replica of p86: the p32 LSH pair set + CC, then
+    * inverse-cluster-size integer-micro weights over the full embedding
+    * universe (absent ids are singletons).
+    */
+  private def lshWeightsOracle: String =
+    s"""
+        WITH RECURSIVE $lshPairCtes,
+        pairs AS (SELECT id_a, id_b FROM pr WHERE cos >= 0.4),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        cl AS (SELECT a.vec_id, coalesce(c.component, a.vec_id) AS cluster
+               FROM embeddings a LEFT JOIN comp c ON c.id = a.vec_id),
+        sz AS (SELECT cluster, count(*) AS n FROM cl GROUP BY 1)
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(1000000 // n AS BIGINT) AS weight_micro
+        FROM cl JOIN sz USING (cluster) ORDER BY vec_id"""
+
   /** DuckDB replica of [[Similarity.ivfTopK]] (p16): centroids re-derived
     * in SQL exactly as p15 does (4-dp rounded per-label means), probe set
     * = 4 nearest centroids to the query by 6-dp rounded cosine (index
@@ -2698,41 +2722,24 @@ object PipelineQueries {
 
     Q("p86_dedup_weights",
       (s, d) => {
+        // pairs come from the LSH-blocked generator (the 100 TB path, as
+        // in p32); the exact-recompute oracle verifies recall end to end
         val emb = table(s, d, "embeddings")
-        val pairs = Dedup.embeddingNearDups(
-          emb, col("vec_id"), col("embedding"), minCos = 0.4)
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val pairs = Dedup.embeddingNearDupsLsh(
+          emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
         Dedup.clusterWeights(emb, col("vec_id"), pairs)
           .orderBy("vec_id")
       },
-      Some("""
-        WITH RECURSIVE v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM v a JOIN v b ON a.vec_id < b.vec_id
-          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4),
-        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-        nodes AS (SELECT DISTINCT s AS id FROM edges),
-        reach(id, lbl) AS (
-          SELECT id, id AS lbl FROM nodes
-          UNION
-          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
-          WHERE r.lbl < e.s),
-        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
-        cl AS (SELECT a.vec_id, coalesce(c.component, a.vec_id) AS cluster
-               FROM embeddings a LEFT JOIN comp c ON c.id = a.vec_id),
-        sz AS (SELECT cluster, count(*) AS n FROM cl GROUP BY 1)
-        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
-               CAST(1000000 // n AS BIGINT) AS weight_micro
-        FROM cl JOIN sz USING (cluster) ORDER BY vec_id"""),
+      Some(lshWeightsOracle),
       "dedup — soft dedup via inverse-cluster-size training weights: hard " +
         "dedup discards variation; down-weighting every member of an n-doc " +
         "near-dup cluster to 1/n keeps it while each piece of content still " +
-        "contributes one unit of gradient signal. Pairs collapse through " +
-        "large-star/small-star CC (O(log n) rounds, pair set only); " +
-        "absent ids are singletons at weight 1; weights are exact integer " +
-        "micros (scale div n) — engine-portable"),
+        "contributes one unit of gradient signal. Pairs come from the " +
+        "LSH-blocked generator (the 100 TB path, oracle-replicated like " +
+        "p32) and collapse through large-star/small-star CC (O(log n) " +
+        "rounds, pair set only); absent ids are singletons at weight 1; " +
+        "weights are exact integer micros (scale div n) — engine-portable"),
 
     Q("p87_stream_static_join",
       (s, d) => EventStream.runStreamStaticJoin(s, d),
@@ -2759,8 +2766,12 @@ object PipelineQueries {
         // merges in via contracted-graph CC — O(delta + touched
         // components), never O(all edges). Answer must equal p24's
         // one-shot collapse (shared oracle).
-        val pairs = Dedup.embeddingNearDups(
-          table(s, d, "embeddings"), col("vec_id"), col("embedding"), minCos = 0.4)
+        // pairs come from the LSH-blocked generator (the 100 TB path, as
+        // in p32); the exact-recompute oracle verifies recall end to end
+        val emb = table(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val pairs = Dedup.embeddingNearDupsLsh(
+          emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
           .select(col("id_a").cast("long").as("src"),
             col("id_b").cast("long").as("dst"))
         val initial = pairs.filter(col("src") % 3 < 2 && col("dst") % 3 < 2)
@@ -2772,15 +2783,16 @@ object PipelineQueries {
             (count(lit(1)) - 1).cast("long").as("n_dropped"))
           .orderBy("canonical_id")
       },
-      Some(nearDupClusterOracle),
+      Some(lshCollapseOracle), // shared verbatim with p32: merge == one-shot
       "dedup — INCREMENTAL connected-components maintenance (the graph " +
         "counterpart of g38's incremental view): the standing labeling is " +
         "reused as a star contraction, delta edges relabel to super-nodes " +
         "and CC runs over that contracted delta graph only — O(delta + " +
         "touched components) per refresh, never O(all edges); labels stay " +
-        "the component-min id so the result is bit-identical to the full " +
-        "recompute (p24's oracle, shared verbatim). How a 100 TB dedup " +
-        "graph absorbs a daily crawl wave"),
+        "the component-min id so the result is bit-identical to the " +
+        "one-shot collapse over the same LSH-blocked pair set (p32's " +
+        "oracle, shared verbatim). How a 100 TB dedup graph absorbs a " +
+        "daily crawl wave"),
 
     Q("p89_leakage_free_split",
       (s, d) => {
@@ -2834,6 +2846,48 @@ object PipelineQueries {
         "downsamples to 16 evenly-strided bytes inside the mapPartitions " +
         "batch loop (decoder init once per partition, tight per-row loop — " +
         "the contract a real image scaler drops into); thumb summaries are " +
-        "exact integers so the id-derived payload replays in SQL")
+        "exact integers so the id-derived payload replays in SQL"),
+
+    Q("p91_ann_recall_audit",
+      (s, d) => {
+        // measure, don't guess: the engine computes its own ANN quality —
+        // recall@10 of the IVF probe path against exact brute force, as
+        // a query. Both paths are deterministic (rounded cosines, id
+        // tie-breaks), so the recall itself is an exact integer — an
+        // oracle-checkable number, not a flaky float
+        val emb = table(s, d, "embeddings")
+        val cents = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+          .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        val query = emb.filter(col("vec_id") === 3)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val exact = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"),
+          query, k = 10).select(col("id"))
+        val approx = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+          cents, query, k = 10, nprobe = 4).select(col("id"))
+        exact.join(approx, "id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(10).as("k"), lit(4).as("nprobe"), col("n_hits"),
+            (col("n_hits") * 100000L).as("recall_micro"))
+      },
+      Some(s"""
+        SELECT CAST(10 AS INT) AS k, CAST(4 AS INT) AS nprobe,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(*) * 100000 AS BIGINT) AS recall_micro
+        FROM ($ivfAnnOracle) a
+        JOIN (
+          SELECT vec_id AS id FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 3)), 6) AS cos
+            FROM embeddings)
+          ORDER BY cos DESC, id LIMIT 10) e USING (id)"""),
+      "similarity — ANN recall audit, in-engine: recall@10 of the IVF " +
+        "probe path (nprobe=4) against exact brute force, computed as a " +
+        "query over the engine's own two paths. Both are deterministic " +
+        "(rounded cosines, id tie-breaks) so recall is an exact integer — " +
+        "the measure-don't-guess loop a production ANN deployment runs " +
+        "continuously to tune nprobe against drifting data")
   )
 }
