@@ -1184,6 +1184,39 @@ object GraphQueries {
       "graph analytics — GraphX twin of g36 (TriangleCount neighbor-set " +
         "intersection), same census contract and oracle: the g18/g23 GraphX-vs-" +
         "DataFrame cross-validation pattern applied to triangles; the DataFrame " +
-        "form remains the whole-graph scale path")
+        "form remains the whole-graph scale path"),
+
+    Q("g44_optional_motif",
+      (s, d) => {
+        // Cypher OPTIONAL MATCH through the motif compiler: customers
+        // with their nation, orders attached if any — absence keeps the
+        // customer row with a null order. One left join in the same
+        // distributed plan; the per-nation rollup counts idle customers
+        // (a row-dropping inner motif could not express this)
+        val m = Motif.find(g(s, d),
+          "(c)-[:InNation]->(n); ?(o)-[:PlacedBy]->(c)")
+        m.filter(col("c.nodeType") === "customer")
+          .groupBy(col("n.prettyName").as("n_name"))
+          .agg(countDistinct(col("c.key")).as("n_customers"),
+            count(col("o.key")).as("n_orders"),
+            countDistinct(when(col("o.key").isNull, col("c.key")))
+              .as("n_idle_customers"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL
+                          THEN c_custkey END) AS BIGINT) AS n_idle_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1"""),
+      "J6 extension — OPTIONAL motif terms (Cypher OPTIONAL MATCH): " +
+        "`?(o)-[:PlacedBy]->(c)` left-joins order matches onto the " +
+        "positive pattern, nulls where absent, so one declarative pattern " +
+        "answers has/has-not questions (idle customers per nation) that " +
+        "inner motifs drop and negated motifs can only answer one side of")
   )
 }

@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *   - `!` negates a term: no such edge may exist. A variable appearing
   *     only in a negated term is existential ("no edge to ANY x");
   *     at least one endpoint must be bound by a positive term.
+  *   - `?` makes a term OPTIONAL (Cypher's OPTIONAL MATCH): matches
+  *     extend the row, absence leaves the term's vertices/edge null —
+  *     a left outer join on the shared vertices. An optional term must
+  *     share at least one vertex with the positive pattern; multiple
+  *     optional matches multiply rows exactly like positive ones.
   *
   * Output: one struct column per named vertex `(key, nodeType,
   * prettyName)` and per named edge `(src, dst, weight, relType,
@@ -34,19 +39,21 @@ import org.apache.spark.sql.functions._
 object Motif {
 
   private[operators] final case class Term(src: String, edgeName: Option[String],
-                                           relType: Option[String], dst: String, negated: Boolean)
+                                           relType: Option[String], dst: String,
+                                           negated: Boolean, optional: Boolean = false)
 
   private val TermRe =
-    """^(!)?\s*\((\w*)\)\s*-\s*\[(\w*)(?::(\w+))?\]\s*->\s*\((\w*)\)$""".r
+    """^(!|\?)?\s*\((\w*)\)\s*-\s*\[(\w*)(?::(\w+))?\]\s*->\s*\((\w*)\)$""".r
 
   /** Parse a motif pattern; visible for tests. */
   private[operators] def parse(pattern: String): Seq[Term] = {
     var anon = 0
     pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
-      case TermRe(neg, src, e, rel, dst) =>
+      case TermRe(mark, src, e, rel, dst) =>
         def v(name: String): String =
           if (name.nonEmpty) name else { anon += 1; s"__anon$anon" }
-        val t = Term(v(src), Option(e).filter(_.nonEmpty), Option(rel), v(dst), neg != null)
+        val t = Term(v(src), Option(e).filter(_.nonEmpty), Option(rel), v(dst),
+          negated = mark == "!", optional = mark == "?")
         require(!(t.negated && t.edgeName.nonEmpty),
           s"negated term may not bind an edge name: $pattern")
         t
@@ -59,9 +66,11 @@ object Motif {
   /** Find all matches of `pattern` in the graph. */
   def find(g: GraphState, pattern: String): DataFrame = {
     val terms = parse(pattern)
-    val (neg, pos) = terms.partition(_.negated)
+    val neg = terms.filter(_.negated)
+    val opt = terms.filter(_.optional)
+    val pos = terms.filterNot(t => t.negated || t.optional)
     require(pos.nonEmpty, "motif needs at least one positive term")
-    val edgeNames = pos.flatMap(_.edgeName)
+    val edgeNames = (pos ++ opt).flatMap(_.edgeName)
     require(edgeNames.distinct.size == edgeNames.size,
       s"duplicate edge name in pattern '$pattern'")
 
@@ -92,6 +101,17 @@ object Motif {
         else joined.crossJoin(df)
     }
 
+    // optional terms → left outer joins on the shared vertices (Cypher
+    // OPTIONAL MATCH): run after the positive fold so absence can only
+    // null-extend, never drop, a positive match
+    for (t <- opt) {
+      val df = termDf(t)
+      val common = df.columns.toSet.intersect(joined.columns.toSet).toSeq.sorted
+      require(common.nonEmpty,
+        s"optional term (${t.src})->(${t.dst}) shares no vertex with the positive pattern")
+      joined = joined.join(df, common, "left_outer")
+    }
+
     // negated terms → anti-joins on the endpoints bound by positive terms
     for (t <- neg) {
       val bound = joined.columns.toSet
@@ -116,18 +136,22 @@ object Motif {
     }
 
     // attach node attributes for named (non-anonymous) vertices, then
-    // project to GraphFrames-shaped struct columns
-    val namedVs = pos.flatMap(t => Seq(t.src, t.dst)).distinct.filterNot(_.startsWith("__anon"))
+    // project to GraphFrames-shaped struct columns. Vertices bound only
+    // by optional terms may be null → their attribute join is left outer
+    val posVs = pos.flatMap(t => Seq(t.src, t.dst)).distinct.filterNot(_.startsWith("__anon"))
+    val optVs = opt.flatMap(t => Seq(t.src, t.dst)).distinct
+      .filterNot(_.startsWith("__anon")).filterNot(posVs.contains)
     val nodes = g.nodes.toDF()
-    for (v <- namedVs) {
+    for (v <- posVs ++ optVs) {
       val attrs = nodes.select(col("key").as(kcol(v)),
         col("nodeType").as(s"__${v}_nodeType"), col("prettyName").as(s"__${v}_prettyName"))
-      joined = joined.join(attrs, Seq(kcol(v)))
+      joined = joined.join(attrs, Seq(kcol(v)),
+        if (optVs.contains(v)) "left_outer" else "inner")
     }
-    val vStructs: Seq[Column] = namedVs.map(v => struct(
+    val vStructs: Seq[Column] = (posVs ++ optVs).map(v => struct(
       col(kcol(v)).as("key"), col(s"__${v}_nodeType").as("nodeType"),
       col(s"__${v}_prettyName").as("prettyName")).as(v))
-    val eStructs: Seq[Column] = pos.flatMap(_.edgeName).map(e => struct(
+    val eStructs: Seq[Column] = (pos ++ opt).flatMap(_.edgeName).map(e => struct(
       col(s"__${e}_src").as("src"), col(s"__${e}_dst").as("dst"),
       col(s"__${e}_weight").as("weight"), col(s"__${e}_relType").as("relType"),
       col(s"__${e}_relPayload").as("relPayload")).as(e))

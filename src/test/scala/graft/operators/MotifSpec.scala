@@ -74,6 +74,24 @@ class MotifSpec extends SparkSpec {
     intercept[IllegalArgumentException](Motif.find(fixture, "(a)->(b)"))
     intercept[IllegalArgumentException](Motif.find(fixture, "!(a)-[:X]->(b)"))
     intercept[IllegalArgumentException](Motif.find(fixture, "(a)-[e:X]->(b); (a)-[e:Y]->(b)"))
+    // optional term sharing no vertex with the positive pattern
+    intercept[IllegalArgumentException](
+      Motif.find(fixture, "(a)-[:Next]->(b); ?(x)-[:Next]->(y)"))
+  }
+
+  test("optional term extends matches and null-extends absences (OPTIONAL MATCH)") {
+    val m = Motif.find(fixture, "(a)-[:Next]->(b); ?(b)-[:Next]->(c)")
+      .select(col("a.prettyName"), col("b.prettyName"), col("c.prettyName"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) "-" else r.getString(2))).toSet
+    // a→b extends to c; b→c has no continuation and must SURVIVE with null
+    assert(m == Set(("A", "B", "C"), ("B", "C", "-")), m.toString)
+    // optional edge binding: the edge struct is null-fielded where absent
+    val e = Motif.find(fixture, "(a)-[:Next]->(b); ?(b)-[x:Next]->(c)")
+      .select(col("b.prettyName"), col("x.relType"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) "-" else r.getString(1))).toSet
+    assert(e == Set(("B", "Next"), ("C", "-")), e.toString)
   }
 
   test("triangle motif on the TPC-H graph shape (hyperedge fan-out)") {
