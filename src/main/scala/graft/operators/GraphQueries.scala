@@ -1217,6 +1217,35 @@ object GraphQueries {
         "`?(o)-[:PlacedBy]->(c)` left-joins order matches onto the " +
         "positive pattern, nulls where absent, so one declarative pattern " +
         "answers has/has-not questions (idle customers per nation) that " +
-        "inner motifs drop and negated motifs can only answer one side of")
+        "inner motifs drop and negated motifs can only answer one side of"),
+
+    Q("g45_varlength_motif",
+      (s, d) => {
+        // Cypher variable-length path through the motif compiler, over
+        // the seeded time index's Next chain (the reference's §2.5
+        // sequence relation): every year reachable in 1..3 forward
+        // steps from a 10-year probe window. Distinct endpoint pairs —
+        // reachability, not path enumeration — compiled to a union of
+        // k-hop equi-join chains; the probe filter pushes into the
+        // first hop's scan like any other predicate
+        val gr = graft.core.Seed.seedGraph(s, withNextEdges = true)
+        val probe = (100 to 109).map(y => s"calyearnode_${y}ybp")
+        Motif.find(gr, "(a)-[:Next*1..3]->(b)")
+          .filter(col("a.key").isin(probe: _*))
+          .select(col("a.key").as("a_key"), col("b.key").as("b_key"))
+          .orderBy("a_key", "b_key")
+      },
+      Some("""
+        SELECT 'calyearnode_' || y || 'ybp' AS a_key,
+               'calyearnode_' || (y - k) || 'ybp' AS b_key
+        FROM generate_series(100, 109) s(y)
+        CROSS JOIN generate_series(1, 3) t(k)
+        ORDER BY a_key, b_key"""),
+      "J6 extension — VARIABLE-LENGTH motif paths (Cypher `*lo..hi`): " +
+        "`(a)-[:Next*1..3]->(b)` matches distinct endpoint pairs joined " +
+        "by a 1..3-hop Next chain over the seeded year index — " +
+        "reachability semantics (endpoint pairs stay bounded where path " +
+        "enumeration explodes), compiled to a union of k-hop equi-join " +
+        "chains that Catalyst plans like any other joins")
   )
 }

@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   *     a left outer join on the shared vertices. An optional term must
   *     share at least one vertex with the positive pattern; multiple
   *     optional matches multiply rows exactly like positive ones.
+  *   - `[:RelType*lo..hi]` is a VARIABLE-LENGTH path (Cypher's `*`):
+  *     the term matches (src, dst) pairs connected by a `lo`..`hi`-hop
+  *     chain of `RelType` edges. Semantics are DISTINCT endpoint pairs
+  *     (reachability, not path enumeration — at graph scale paths
+  *     explode, endpoint pairs don't); compiled as a union of k-hop
+  *     self-join chains, each a plain equi-join Catalyst plans like any
+  *     other. Ranged terms are positive-only and cannot bind an edge
+  *     name (a multi-edge path has no single edge row).
   *
   * Output: one struct column per named vertex `(key, nodeType,
   * prettyName)` and per named edge `(src, dst, weight, relType,
@@ -40,22 +48,31 @@ object Motif {
 
   private[operators] final case class Term(src: String, edgeName: Option[String],
                                            relType: Option[String], dst: String,
-                                           negated: Boolean, optional: Boolean = false)
+                                           negated: Boolean, optional: Boolean = false,
+                                           range: Option[(Int, Int)] = None)
 
   private val TermRe =
-    """^(!|\?)?\s*\((\w*)\)\s*-\s*\[(\w*)(?::(\w+))?\]\s*->\s*\((\w*)\)$""".r
+    """^(!|\?)?\s*\((\w*)\)\s*-\s*\[(\w*)(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]\s*->\s*\((\w*)\)$""".r
 
   /** Parse a motif pattern; visible for tests. */
   private[operators] def parse(pattern: String): Seq[Term] = {
     var anon = 0
     pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
-      case TermRe(mark, src, e, rel, dst) =>
+      case TermRe(mark, src, e, rel, lo, hi, dst) =>
         def v(name: String): String =
           if (name.nonEmpty) name else { anon += 1; s"__anon$anon" }
+        val range = Option(lo).map { l =>
+          val (a, b) = (l.toInt, hi.toInt)
+          require(a >= 1 && b >= a && b <= 10,
+            s"variable-length range must satisfy 1 <= lo <= hi <= 10: *$a..$b")
+          (a, b)
+        }
         val t = Term(v(src), Option(e).filter(_.nonEmpty), Option(rel), v(dst),
-          negated = mark == "!", optional = mark == "?")
+          negated = mark == "!", optional = mark == "?", range = range)
         require(!(t.negated && t.edgeName.nonEmpty),
           s"negated term may not bind an edge name: $pattern")
+        require(t.range.isEmpty || (!t.negated && !t.optional && t.edgeName.isEmpty),
+          s"variable-length term must be positive and unnamed: $pattern")
         t
       case other => throw new IllegalArgumentException(s"cannot parse motif term '$other'")
     }
@@ -76,9 +93,34 @@ object Motif {
 
     val edges = g.edges.toDF()
 
-    def termDf(t: Term): DataFrame = {
+    /** Distinct (src, dst) pairs connected by a lo..hi-hop chain: union
+      * of k-hop self-join chains over the deduped base edge set.
+      */
+    def rangedPairs(t: Term): DataFrame = {
+      val (lo, hi) = t.range.get
       val base = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
+        .select(col("src").as("u"), col("dst").as("v")).distinct()
+      val step = base.select(col("u").as("v"), col("v").as("w"))
+      var hop = base
+      val parts = collection.mutable.ArrayBuffer.empty[DataFrame]
+      if (lo <= 1) parts += hop
+      for (k <- 2 to hi) {
+        hop = hop.join(step, "v").select(col("u"), col("w").as("v"))
+        if (k >= lo) parts += hop
+      }
+      parts.reduce(_ unionByName _).distinct()
+    }
+
+    def termDf(t: Term): DataFrame = {
       val selfLoop = t.src == t.dst
+      if (t.range.nonEmpty) {
+        val pairs = rangedPairs(t)
+        return if (selfLoop)
+          pairs.filter(col("u") === col("v")).select(col("u").as(kcol(t.src)))
+        else
+          pairs.select(col("u").as(kcol(t.src)), col("v").as(kcol(t.dst)))
+      }
+      val base = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
       val filtered = if (selfLoop) base.filter(col("src") === col("dst")) else base
       val keyCols =
         if (selfLoop) Seq(col("src").as(kcol(t.src)))

@@ -79,6 +79,29 @@ class MotifSpec extends SparkSpec {
       Motif.find(fixture, "(a)-[:Next]->(b); ?(x)-[:Next]->(y)"))
   }
 
+  test("variable-length term matches distinct endpoint pairs across the hop range") {
+    // chain a→b→c plus shortcut a→c (typed Shortcut, excluded by :Next)
+    val m = Motif.find(fixture, "(x)-[:Next*1..2]->(y)")
+      .select(col("x.prettyName"), col("y.prettyName"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // 1-hop: A→B, B→C; 2-hop: A→C — distinct pairs, no duplicates
+    assert(m == Set(("A", "B"), ("B", "C"), ("A", "C")), m.toString)
+    // lo=2 excludes the single hops
+    val two = Motif.find(fixture, "(x)-[:Next*2..2]->(y)")
+      .select(col("x.prettyName"), col("y.prettyName"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(two == Set(("A", "C")), two.toString)
+    // ranged terms compose with plain terms on shared vertices
+    val composed = Motif.find(fixture, "(x)-[:Next*1..2]->(y); (x)-[:Shortcut]->(y)")
+      .select(col("x.prettyName"), col("y.prettyName"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(composed == Set(("A", "C")), composed.toString)
+    // invalid ranges / modifiers are rejected
+    intercept[IllegalArgumentException](Motif.find(fixture, "(x)-[:Next*0..2]->(y)"))
+    intercept[IllegalArgumentException](Motif.find(fixture, "(x)-[e:Next*1..2]->(y)"))
+    intercept[IllegalArgumentException](Motif.find(fixture, "?(x)-[:Next*1..2]->(y)"))
+  }
+
   test("optional term extends matches and null-extends absences (OPTIONAL MATCH)") {
     val m = Motif.find(fixture, "(a)-[:Next]->(b); ?(b)-[:Next]->(c)")
       .select(col("a.prettyName"), col("b.prettyName"), col("c.prettyName"))
