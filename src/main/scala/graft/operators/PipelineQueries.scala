@@ -2888,6 +2888,74 @@ object PipelineQueries {
         "query over the engine's own two paths. Both are deterministic " +
         "(rounded cosines, id tie-breaks) so recall is an exact integer — " +
         "the measure-don't-guess loop a production ANN deployment runs " +
-        "continuously to tune nprobe against drifting data")
+        "continuously to tune nprobe against drifting data"),
+
+    Q("p92_props_extract",
+      (s, d) => graft.sources.TpchGraph.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(k) AS BIGINT) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY 1 ORDER BY 1"""),
+      "events — semi-structured props extraction (schema-on-read): " +
+        "get_json_object pulls one path out of the JSON props column " +
+        "inside the scan projection (codegen, no UDF, malformed/missing " +
+        "paths become nulls the aggregate counts separately), then one " +
+        "map-side-combined rollup per event type. The mirror of p49's " +
+        "JSONL ingest for the attribute-bag column every event feed " +
+        "carries — extract the paths you need, never materialize the bag"),
+
+    Q("p93_source_dup_mass",
+      (s, d) => {
+        // governance/ROI report: how much of each source's token mass is
+        // duplicated passage content — the number that decides which
+        // source gets deduped harder or retired (pairs with p77 novelty)
+        val docs = table(s, d, "documents")
+        val sig = Dedup.chunkDedupSignals(docs, col("doc_id"), col("text"),
+          chunkLen = 32)
+        sig.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source")
+          .agg(sum(col("n_chunks")).as("n_chunks"),
+            sum(col("n_shared")).as("n_shared"))
+          .select(col("source"), col("n_chunks"), col("n_shared"),
+            expr("n_shared * 1000 div n_chunks").as("dup_permille"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts
+                   FROM documents WHERE regexp_matches(text, '\\S')),
+        tt AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
+        ch AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(0, (len(ts)-1)//32),
+                        i -> md5(array_to_string(ts[i*32+1 : i*32+32], ' ')))) AS h
+               FROM tt),
+        freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1),
+        doc AS (SELECT doc_id, count(*) AS n_chunks,
+                       sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared
+                FROM ch JOIN freq USING (h) GROUP BY doc_id)
+        SELECT source, CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+               CAST(sum(n_shared) AS BIGINT) AS n_shared,
+               CAST(sum(n_shared) * 1000 // sum(n_chunks) AS BIGINT)
+                 AS dup_permille
+        FROM doc JOIN documents USING (doc_id)
+        GROUP BY 1 ORDER BY 1"""),
+      "curation — per-source duplicate-mass report: the fraction of each " +
+        "source's passage mass that is shared content (chunk-dedup signals " +
+        "rolled up per source, exact integer permille) — the governance " +
+        "number that decides which source gets deduped harder or retired; " +
+        "pairs with p77's novelty rate for the mine-out trend")
   )
 }
