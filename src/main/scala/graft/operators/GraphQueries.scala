@@ -1193,10 +1193,11 @@ object GraphQueries {
         // customer row with a null order. One left join in the same
         // distributed plan; the per-nation rollup counts idle customers
         // (a row-dropping inner motif could not express this)
+        // the (c:customer) type ascription excludes suppliers' InNation
+        // edges inside the term's own plan (semi-join on typed keys)
         val m = Motif.find(g(s, d),
-          "(c)-[:InNation]->(n); ?(o)-[:PlacedBy]->(c)")
-        m.filter(col("c.nodeType") === "customer")
-          .groupBy(col("n.prettyName").as("n_name"))
+          "(c:customer)-[:InNation]->(n); ?(o)-[:PlacedBy]->(c)")
+        m.groupBy(col("n.prettyName").as("n_name"))
           .agg(countDistinct(col("c.key")).as("n_customers"),
             count(col("o.key")).as("n_orders"),
             countDistinct(when(col("o.key").isNull, col("c.key")))

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *     a left outer join on the shared vertices. An optional term must
   *     share at least one vertex with the positive pattern; multiple
   *     optional matches multiply rows exactly like positive ones.
+  *   - a vertex may carry a TYPE ascription `(c:customer)` (Cypher's
+  *     label predicate): the match is restricted to nodes of that
+  *     `nodeType`. Ascriptions on a named vertex may appear on any of
+  *     its occurrences but must agree; anonymous vertices may be typed
+  *     too (`(:nation)`), enforced with a semi-join since they carry no
+  *     output column.
   *   - `[:RelType*lo..hi]` is a VARIABLE-LENGTH path (Cypher's `*`):
   *     the term matches (src, dst) pairs connected by a `lo`..`hi`-hop
   *     chain of `RelType` edges. Semantics are DISTINCT endpoint pairs
@@ -49,16 +55,18 @@ object Motif {
   private[operators] final case class Term(src: String, edgeName: Option[String],
                                            relType: Option[String], dst: String,
                                            negated: Boolean, optional: Boolean = false,
-                                           range: Option[(Int, Int)] = None)
+                                           range: Option[(Int, Int)] = None,
+                                           srcType: Option[String] = None,
+                                           dstType: Option[String] = None)
 
   private val TermRe =
-    """^(!|\?)?\s*\((\w*)\)\s*-\s*\[(\w*)(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]\s*->\s*\((\w*)\)$""".r
+    """^(!|\?)?\s*\((\w*)(?::(\w+))?\)\s*-\s*\[(\w*)(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]\s*->\s*\((\w*)(?::(\w+))?\)$""".r
 
   /** Parse a motif pattern; visible for tests. */
   private[operators] def parse(pattern: String): Seq[Term] = {
     var anon = 0
     pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
-      case TermRe(mark, src, e, rel, lo, hi, dst) =>
+      case TermRe(mark, src, srcTy, e, rel, lo, hi, dst, dstTy) =>
         def v(name: String): String =
           if (name.nonEmpty) name else { anon += 1; s"__anon$anon" }
         val range = Option(lo).map { l =>
@@ -68,7 +76,8 @@ object Motif {
           (a, b)
         }
         val t = Term(v(src), Option(e).filter(_.nonEmpty), Option(rel), v(dst),
-          negated = mark == "!", optional = mark == "?", range = range)
+          negated = mark == "!", optional = mark == "?", range = range,
+          srcType = Option(srcTy), dstType = Option(dstTy))
         require(!(t.negated && t.edgeName.nonEmpty),
           s"negated term may not bind an edge name: $pattern")
         require(t.range.isEmpty || (!t.negated && !t.optional && t.edgeName.isEmpty),
@@ -92,9 +101,40 @@ object Motif {
       s"duplicate edge name in pattern '$pattern'")
 
     val edges = g.edges.toDF()
+    val nodes = g.nodes.toDF()
+
+    // vertex-type ascriptions, agreement-checked across occurrences
+    val vType: Map[String, String] = terms
+      .flatMap(t => Seq(t.src -> t.srcType, t.dst -> t.dstType))
+      .collect { case (v, Some(ty)) => v -> ty }
+      .groupBy(_._1).map { case (v, ps) =>
+        val tys = ps.map(_._2).distinct
+        require(tys.size == 1,
+          s"conflicting type ascriptions for ($v): ${tys.mkString(", ")}")
+        v -> tys.head
+      }
+
+    /** Semi-join an edge set down to endpoints whose vertex variable
+      * carries a type ascription. Runs inside each term's plan, so the
+      * restriction applies to anonymous vertices too.
+      */
+    def restrict(base: DataFrame, srcV: String, dstV: String): DataFrame = {
+      var b = base
+      vType.get(srcV).foreach { ty =>
+        b = b.join(nodes.filter(col("nodeType") === ty)
+          .select(col("key").as("src")), Seq("src"), "left_semi")
+      }
+      vType.get(dstV).foreach { ty =>
+        b = b.join(nodes.filter(col("nodeType") === ty)
+          .select(col("key").as("dst")), Seq("dst"), "left_semi")
+      }
+      b
+    }
 
     /** Distinct (src, dst) pairs connected by a lo..hi-hop chain: union
-      * of k-hop self-join chains over the deduped base edge set.
+      * of k-hop self-join chains over the deduped base edge set. Type
+      * ascriptions restrict the ENDPOINTS only (intermediate hops match
+      * any vertex, like Cypher).
       */
     def rangedPairs(t: Term): DataFrame = {
       val (lo, hi) = t.range.get
@@ -108,7 +148,8 @@ object Motif {
         hop = hop.join(step, "v").select(col("u"), col("w").as("v"))
         if (k >= lo) parts += hop
       }
-      parts.reduce(_ unionByName _).distinct()
+      restrict(parts.reduce(_ unionByName _).distinct()
+        .withColumnsRenamed(Map("u" -> "src", "v" -> "dst")), t.src, t.dst)
     }
 
     def termDf(t: Term): DataFrame = {
@@ -116,11 +157,13 @@ object Motif {
       if (t.range.nonEmpty) {
         val pairs = rangedPairs(t)
         return if (selfLoop)
-          pairs.filter(col("u") === col("v")).select(col("u").as(kcol(t.src)))
+          pairs.filter(col("src") === col("dst")).select(col("src").as(kcol(t.src)))
         else
-          pairs.select(col("u").as(kcol(t.src)), col("v").as(kcol(t.dst)))
+          pairs.select(col("src").as(kcol(t.src)), col("dst").as(kcol(t.dst)))
       }
-      val base = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
+      val base = restrict(
+        t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges),
+        t.src, t.dst)
       val filtered = if (selfLoop) base.filter(col("src") === col("dst")) else base
       val keyCols =
         if (selfLoop) Seq(col("src").as(kcol(t.src)))
@@ -161,7 +204,9 @@ object Motif {
       val dstBound = bound.contains(kcol(t.dst))
       require(srcBound || dstBound,
         s"negated term (${t.src})->(${t.dst}) binds no positive-term vertex")
-      val base = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
+      val base = restrict(
+        t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges),
+        t.src, t.dst)
       // negated self-loop: one key column, and the probe must only carry
       // genuine self-edges
       val (probe, keys) =
@@ -183,7 +228,6 @@ object Motif {
     val posVs = pos.flatMap(t => Seq(t.src, t.dst)).distinct.filterNot(_.startsWith("__anon"))
     val optVs = opt.flatMap(t => Seq(t.src, t.dst)).distinct
       .filterNot(_.startsWith("__anon")).filterNot(posVs.contains)
-    val nodes = g.nodes.toDF()
     for (v <- posVs ++ optVs) {
       val attrs = nodes.select(col("key").as(kcol(v)),
         col("nodeType").as(s"__${v}_nodeType"), col("prettyName").as(s"__${v}_prettyName"))

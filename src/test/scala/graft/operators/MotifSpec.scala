@@ -79,6 +79,28 @@ class MotifSpec extends SparkSpec {
       Motif.find(fixture, "(a)-[:Next]->(b); ?(x)-[:Next]->(y)"))
   }
 
+  test("type ascriptions restrict matches, cover anonymous vertices, and must agree") {
+    val nodes = Seq(
+      NodeRow("c_1", "customer", "C1", "{}"), NodeRow("s_1", "supplier", "S1", "{}"),
+      NodeRow("n_1", "nation", "N1", "{}")).toDS()
+    val edges = Seq(
+      EdgeRow("c_1", "n_1", 1, "InNation", "{}"),
+      EdgeRow("s_1", "n_1", 1, "InNation", "{}")).toDS()
+    val gr = GraphState(nodes, edges)
+    val typed = Motif.find(gr, "(x:customer)-[:InNation]->(n)")
+      .select(col("x.key")).collect().map(_.getString(0)).toSeq
+    assert(typed == Seq("c_1"), typed.toString)
+    // anonymous typed vertex: customers' nations only, via semi-join
+    val anon = Motif.find(gr, "(:customer)-[:InNation]->(n)")
+      .select(col("n.key")).collect().map(_.getString(0)).toSeq
+    assert(anon == Seq("n_1"))
+    // untyped matches both
+    assert(Motif.find(gr, "(x)-[:InNation]->(n)").count() == 2)
+    // conflicting ascriptions on the same variable are rejected
+    intercept[IllegalArgumentException](
+      Motif.find(gr, "(x:customer)-[:InNation]->(n); (x:supplier)-[:InNation]->(n)"))
+  }
+
   test("variable-length term matches distinct endpoint pairs across the hop range") {
     // chain a→b→c plus shortcut a→c (typed Shortcut, excluded by :Next)
     val m = Motif.find(fixture, "(x)-[:Next*1..2]->(y)")

@@ -487,6 +487,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("g44 optional motif plans the optional term as an outer join, no cartesian") {
+    val p = plan("g44_optional_motif")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("g45 var-length motif: k-hop chains are equi-joins (relType filter constant-folds away)") {
+    val p = plan("g45_varlength_motif")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the seeded edge source generates ONLY Next edges, so the relType
+    // filter is folded out entirely — the hop joins must be hash joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("p92 props extraction stays in the scan projection (no UDF, partial agg)") {
+    val p = plan("p92_props_extract")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("p93 source dup-mass: chunk hash agg partial-combines; doc join is hash, not nested-loop") {
+    val p = plan("p93_source_dup_mass")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p87 stream-static dim lookup broadcasts in the batch twin") {
     // pin the batch-equivalent join shape (the streaming plan itself is
     // per-microbatch): dim side must broadcast, stream side must not sort
