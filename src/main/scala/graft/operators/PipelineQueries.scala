@@ -2956,6 +2956,89 @@ object PipelineQueries {
         "source's passage mass that is shared content (chunk-dedup signals " +
         "rolled up per source, exact integer permille) — the governance " +
         "number that decides which source gets deduped harder or retired; " +
-        "pairs with p77's novelty rate for the mine-out trend")
+        "pairs with p77's novelty rate for the mine-out trend"),
+
+    Q("p94_lsh_recall_audit",
+      (s, d) => {
+        // the p91 measure-don't-guess loop applied to dedup blocking:
+        // how many exact near-dup pairs does the LSH-blocked path
+        // recover? Precision is 1 by construction (every candidate is
+        // cosine-verified), so the single number that needs watching is
+        // recall — and it is an exact integer, not a sampled estimate
+        val emb = table(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val exact = Dedup.embeddingNearDups(
+          emb, col("vec_id"), col("embedding"), minCos = 0.4)
+          .select("id_a", "id_b")
+        val lsh = Dedup.embeddingNearDupsLsh(
+          emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
+          .select("id_a", "id_b")
+        val nExact = exact.count()
+        val nFound = exact.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+        import s.implicits._
+        Seq((nExact, nFound, if (nExact == 0) 1000000L else nFound * 1000000L / nExact))
+          .toDF("n_exact_pairs", "n_found_pairs", "recall_micro")
+      },
+      Some(s"""
+        WITH $lshPairCtes,
+        lsh AS (SELECT id_a, id_b FROM pr WHERE cos >= 0.4),
+        v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        exact AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v2 a JOIN v2 b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4)
+        SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+               CAST((SELECT count(*) FROM exact SEMI JOIN lsh USING (id_a, id_b))
+                 AS BIGINT) AS n_found_pairs,
+               CAST(CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1000000
+                    ELSE (SELECT count(*) FROM exact SEMI JOIN lsh USING (id_a, id_b))
+                         * 1000000 // (SELECT count(*) FROM exact) END AS BIGINT)
+                 AS recall_micro"""),
+      "dedup — LSH blocking recall audit, in-engine (p91's " +
+        "measure-don't-guess loop applied to near-dup blocking): exact " +
+        "pair count vs pairs the LSH-blocked path recovers, as exact " +
+        "integers (precision is 1 by construction — every candidate is " +
+        "cosine-verified). The number that tunes tables/planesPerTable " +
+        "against drifting embeddings"),
+
+    Q("p95_curriculum_interleave",
+      (s, d) => {
+        // balanced cross-source curriculum: rank within each source by
+        // quality (desc), consume in (rank, source) order — round-robin
+        // across sources so early training sees every domain at its
+        // best, instead of draining one source first. One stratum-keyed
+        // window (partitioned — never a global window); the interleave
+        // is the SORT ORDER (rank, source), no global position column
+        // needed, so nothing in the plan is single-partition
+        val doc = table(s, d, "documents")
+        val scored = doc.select(col("doc_id"), col("source"),
+          TextOps.qualitySignals(col("text"), TextOps.defaultStopwords)
+            .getField("stopword_ratio").as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("source"), col("rank"))
+          .orderBy("rank", "source", "doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens,
+                 CAST(len(list_filter(${sqlTokens("lower(text)")},
+                      x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS INT) AS n_stop
+          FROM documents),
+        r AS (SELECT doc_id, source,
+                     round(CAST(n_stop AS DOUBLE)/greatest(n_tokens,1),4) AS quality
+              FROM t)
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+        FROM r ORDER BY rank, source, doc_id"""),
+      "curation — curriculum interleave: rank docs within each source by " +
+        "quality, consume in (rank, source) order — a deterministic " +
+        "round-robin so early training sees every domain at its best " +
+        "rather than draining one source first. One PARTITIONED window " +
+        "(stratum-keyed, never global); the interleave is the sort order, " +
+        "so no single-partition stage exists at any corpus size")
   )
 }
