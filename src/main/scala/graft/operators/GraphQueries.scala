@@ -1247,6 +1247,33 @@ object GraphQueries {
         "by a 1..3-hop Next chain over the seeded year index — " +
         "reachability semantics (endpoint pairs stay bounded where path " +
         "enumeration explodes), compiled to a union of k-hop equi-join " +
-        "chains that Catalyst plans like any other joins")
+        "chains that Catalyst plans like any other joins"),
+
+    Q("g46_undirected_motif",
+      (s, d) => {
+        // direction-agnostic neighborhood: every InNation neighbor of a
+        // nation regardless of stored orientation (InNation edges point
+        // INTO nations, so only the reversed copy matches — the pattern
+        // does not need to know that)
+        val m = Motif.find(g(s, d), "(n:nation)-[:InNation]-(m)")
+        m.groupBy(col("n.prettyName").as("n_name"))
+          .agg(count(lit(1)).as("n_neighbors"),
+            countDistinct(col("m.nodeType")).as("n_types"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_neighbors,
+               CAST(count(DISTINCT t) AS BIGINT) AS n_types
+        FROM (SELECT n_name, 'customer' AS t
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT n_name, 'supplier'
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        GROUP BY 1 ORDER BY 1"""),
+      "J6 extension — UNDIRECTED motif terms (Cypher's direction-agnostic " +
+        "relationship): `(n:nation)-[:InNation]-(m)` matches either stored " +
+        "orientation via a pre-join union of both directions, so a " +
+        "neighborhood query needs no knowledge of edge polarity; counts " +
+        "per nation cover customers and suppliers in one pattern")
   )
 }

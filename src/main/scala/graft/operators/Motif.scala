@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *     a left outer join on the shared vertices. An optional term must
   *     share at least one vertex with the positive pattern; multiple
   *     optional matches multiply rows exactly like positive ones.
+  *   - an edge written `-[...]-`(no arrowhead) is UNDIRECTED (Cypher's
+  *     direction-agnostic relationship): the term matches the edge in
+  *     either orientation — compiled as the union of both directions
+  *     before the join, so the rest of the pattern is unaffected. A
+  *     named undirected edge reports the edge row in its STORED
+  *     orientation. Undirected composes with `!`/`?` but not `*`.
   *   - a vertex may carry a TYPE ascription `(c:customer)` (Cypher's
   *     label predicate): the match is restricted to nodes of that
   *     `nodeType`. Ascriptions on a named vertex may appear on any of
@@ -57,16 +63,17 @@ object Motif {
                                            negated: Boolean, optional: Boolean = false,
                                            range: Option[(Int, Int)] = None,
                                            srcType: Option[String] = None,
-                                           dstType: Option[String] = None)
+                                           dstType: Option[String] = None,
+                                           directed: Boolean = true)
 
   private val TermRe =
-    """^(!|\?)?\s*\((\w*)(?::(\w+))?\)\s*-\s*\[(\w*)(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]\s*->\s*\((\w*)(?::(\w+))?\)$""".r
+    """^(!|\?)?\s*\((\w*)(?::(\w+))?\)\s*-\s*\[(\w*)(?::(\w+))?(?:\*(\d+)\.\.(\d+))?\]\s*(->|-)\s*\((\w*)(?::(\w+))?\)$""".r
 
   /** Parse a motif pattern; visible for tests. */
   private[operators] def parse(pattern: String): Seq[Term] = {
     var anon = 0
     pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
-      case TermRe(mark, src, srcTy, e, rel, lo, hi, dst, dstTy) =>
+      case TermRe(mark, src, srcTy, e, rel, lo, hi, arrow, dst, dstTy) =>
         def v(name: String): String =
           if (name.nonEmpty) name else { anon += 1; s"__anon$anon" }
         val range = Option(lo).map { l =>
@@ -77,11 +84,14 @@ object Motif {
         }
         val t = Term(v(src), Option(e).filter(_.nonEmpty), Option(rel), v(dst),
           negated = mark == "!", optional = mark == "?", range = range,
-          srcType = Option(srcTy), dstType = Option(dstTy))
+          srcType = Option(srcTy), dstType = Option(dstTy),
+          directed = arrow == "->")
         require(!(t.negated && t.edgeName.nonEmpty),
           s"negated term may not bind an edge name: $pattern")
         require(t.range.isEmpty || (!t.negated && !t.optional && t.edgeName.isEmpty),
           s"variable-length term must be positive and unnamed: $pattern")
+        require(t.directed || t.range.isEmpty,
+          s"variable-length term must be directed: $pattern")
         t
       case other => throw new IllegalArgumentException(s"cannot parse motif term '$other'")
     }
@@ -118,18 +128,13 @@ object Motif {
       * carries a type ascription. Runs inside each term's plan, so the
       * restriction applies to anonymous vertices too.
       */
-    def restrict(base: DataFrame, srcV: String, dstV: String): DataFrame = {
-      var b = base
-      vType.get(srcV).foreach { ty =>
-        b = b.join(nodes.filter(col("nodeType") === ty)
-          .select(col("key").as("src")), Seq("src"), "left_semi")
+    def restrictKeys(df: DataFrame, binds: Seq[(String, String)]): DataFrame =
+      binds.foldLeft(df) { case (acc, (c, v)) =>
+        vType.get(v).fold(acc) { ty =>
+          acc.join(nodes.filter(col("nodeType") === ty)
+            .select(col("key").as(c)), Seq(c), "left_semi")
+        }
       }
-      vType.get(dstV).foreach { ty =>
-        b = b.join(nodes.filter(col("nodeType") === ty)
-          .select(col("key").as("dst")), Seq("dst"), "left_semi")
-      }
-      b
-    }
 
     /** Distinct (src, dst) pairs connected by a lo..hi-hop chain: union
       * of k-hop self-join chains over the deduped base edge set. Type
@@ -148,8 +153,9 @@ object Motif {
         hop = hop.join(step, "v").select(col("u"), col("w").as("v"))
         if (k >= lo) parts += hop
       }
-      restrict(parts.reduce(_ unionByName _).distinct()
-        .withColumnsRenamed(Map("u" -> "src", "v" -> "dst")), t.src, t.dst)
+      restrictKeys(parts.reduce(_ unionByName _).distinct()
+        .withColumnsRenamed(Map("u" -> "src", "v" -> "dst")),
+        Seq("src" -> t.src, "dst" -> t.dst))
     }
 
     def termDf(t: Term): DataFrame = {
@@ -161,18 +167,29 @@ object Motif {
         else
           pairs.select(col("src").as(kcol(t.src)), col("dst").as(kcol(t.dst)))
       }
-      val base = restrict(
-        t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges),
-        t.src, t.dst)
+      val base = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
       val filtered = if (selfLoop) base.filter(col("src") === col("dst")) else base
-      val keyCols =
-        if (selfLoop) Seq(col("src").as(kcol(t.src)))
-        else Seq(col("src").as(kcol(t.src)), col("dst").as(kcol(t.dst)))
+      // edge attributes always report the STORED orientation
       val eCols = t.edgeName.toSeq.flatMap(e => Seq(
         col("src").as(s"__${e}_src"), col("dst").as(s"__${e}_dst"),
         col("weight").as(s"__${e}_weight"), col("relType").as(s"__${e}_relType"),
         col("relPayload").as(s"__${e}_relPayload")))
-      filtered.select(keyCols ++ eCols: _*)
+      def oriented(flip: Boolean): DataFrame = {
+        val (sCol, dCol) = if (flip) (col("dst"), col("src")) else (col("src"), col("dst"))
+        val keyCols =
+          if (selfLoop) Seq(sCol.as(kcol(t.src)))
+          else Seq(sCol.as(kcol(t.src)), dCol.as(kcol(t.dst)))
+        // the reversed copy skips self-edges (already matched forward)
+        val f = if (flip) filtered.filter(col("src") =!= col("dst")) else filtered
+        f.select(keyCols ++ eCols: _*)
+      }
+      val out =
+        if (t.directed || selfLoop) oriented(flip = false)
+        else oriented(flip = false).unionByName(oriented(flip = true))
+      // type restriction on the BOUND key columns (orientation-correct)
+      restrictKeys(out,
+        if (selfLoop) Seq(kcol(t.src) -> t.src)
+        else Seq(kcol(t.src) -> t.src, kcol(t.dst) -> t.dst))
     }
 
     // fold positive terms: join each on the vertex variables it shares
@@ -204,12 +221,16 @@ object Motif {
       val dstBound = bound.contains(kcol(t.dst))
       require(srcBound || dstBound,
         s"negated term (${t.src})->(${t.dst}) binds no positive-term vertex")
-      val base = restrict(
-        t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges),
-        t.src, t.dst)
+      val base0 = t.relType.map(r => edges.filter(col("relType") === r)).getOrElse(edges)
+        .select(col("src"), col("dst"))
+      // undirected negation forbids the edge in EITHER orientation
+      val base =
+        if (t.directed) base0
+        else base0.unionByName(base0.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst")))
       // negated self-loop: one key column, and the probe must only carry
       // genuine self-edges
-      val (probe, keys) =
+      val (probe0, keys) =
         if (t.src == t.dst)
           (base.filter(col("src") === col("dst")).select(col("src").as(kcol(t.src))),
             Seq(kcol(t.src)))
@@ -219,6 +240,9 @@ object Motif {
               (if (dstBound) Seq(col("dst").as(kcol(t.dst))) else Nil): _*),
             (if (srcBound) Seq(kcol(t.src)) else Nil) ++
               (if (dstBound) Seq(kcol(t.dst)) else Nil))
+      val probe = restrictKeys(probe0,
+        (if (srcBound) Seq(kcol(t.src) -> t.src) else Nil) ++
+          (if (dstBound && t.src != t.dst) Seq(kcol(t.dst) -> t.dst) else Nil))
       joined = joined.join(probe, keys, "left_anti")
     }
 

@@ -79,6 +79,31 @@ class MotifSpec extends SparkSpec {
       Motif.find(fixture, "(a)-[:Next]->(b); ?(x)-[:Next]->(y)"))
   }
 
+  test("undirected term matches both orientations; named edge keeps stored orientation") {
+    // fixture edges: a→b, b→c (Next), a→c (Shortcut), self-loop e→e
+    val m = Motif.find(fixture, "(x)-[:Next]-(y)")
+      .select(col("x.prettyName"), col("y.prettyName"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m == Set(("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")), m.toString)
+    // named undirected edge reports STORED orientation for both matches
+    val e = Motif.find(fixture, "(x)-[ed:Shortcut]-(y)")
+      .select(col("x.prettyName"), col("ed.src"), col("ed.dst"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(e == Set(("A", "t_a", "t_c"), ("C", "t_a", "t_c")), e.toString)
+    // undirected negation forbids either orientation: b→c exists, so the
+    // undirected anti-term kills both (B,C) and (C,B)... via a bound pair
+    val n = Motif.find(fixture, "(x)-[:Next]-(y); !(x)-[:Shortcut]-(y)")
+      .select(col("x.prettyName"), col("y.prettyName"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(n == Set(("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")), n.toString)
+    val n2 = Motif.find(fixture, "(x)-[:Shortcut]-(y); !(x)-[:Next]-(y)")
+      .select(col("x.prettyName"), col("y.prettyName"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(n2 == Set(("A", "C"), ("C", "A")), n2.toString)
+    // undirected var-length is rejected
+    intercept[IllegalArgumentException](Motif.find(fixture, "(x)-[:Next*1..2]-(y)"))
+  }
+
   test("type ascriptions restrict matches, cover anonymous vertices, and must agree") {
     val nodes = Seq(
       NodeRow("c_1", "customer", "C1", "{}"), NodeRow("s_1", "supplier", "S1", "{}"),
