@@ -95,6 +95,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: empty input yields empty output; k=1 finds only a strict majority") {
+    import spark.implicits._
+    assert(Sketch.heavyHitters(Seq.empty[String].toDF("t"), col("t"), 8).count() == 0)
+    // k=1: only an item with freq > N survives — impossible, so empty...
+    val noMajority = Seq("a", "a", "b").toDF("t")
+    assert(Sketch.heavyHitters(noMajority, col("t"), 1).count() == 0)
+    // ...but k=2 finds the strict majority item
+    val got = Sketch.heavyHitters(noMajority, col("t"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L))
+  }
+
   test("heavy hitters output is exact and partition-invariant despite the order-dependent summary") {
     val rng = new scala.util.Random(72L)
     val items = rng.shuffle(

@@ -69,6 +69,20 @@ class DfConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("merge with an empty or all-loop delta returns the standing labeling unchanged") {
+    val comp0 = DfConnectedComponents.run(Seq((1L, 2L), (5L, 6L)).toDF("src", "dst"))
+    val want = comp0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val empty = DfConnectedComponents.merge(comp0,
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(empty == want)
+    // self-loops carry no connectivity and introduce no vertices
+    val loops = DfConnectedComponents.merge(comp0,
+        Seq((2L, 2L), (99L, 99L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loops == want)
+  }
+
   test("matches GraphX connectedComponents on the TPC-H subgraph, including isolated vertices") {
     val g = TpchGraph.graph(spark, sf)
     val rels = Seq("InNation", "InRegion")
