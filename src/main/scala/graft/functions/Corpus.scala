@@ -70,6 +70,17 @@ object Corpus {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val base = df.select(id.as("doc_id"), TextOps.tokens(lower(text)).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("len"))
+    scoreBm25(base, Seq("doc_id"), terms, k1, b, topK)
+  }
+
+  /** Shared BM25 scoring core over a pre-tokenized `(idCols..., toks,
+    * len)` frame: one scalar-agg pass for the corpus constants (N,
+    * avgdl, per-term df), broadcast, map-side scoring, TakeOrdered
+    * top-k. The scoring UNIT is whatever one row is — documents
+    * ([[bm25]]) or chunks ([[bm25Chunks]]).
+    */
+  private def scoreBm25(base: DataFrame, idCols: Seq[String], terms: Seq[String],
+                        k1: Double, b: Double, topK: Int): DataFrame = {
     val statAggs =
       count(lit(1)).cast("double").as("n") +:
         (sum(col("len")).cast("double") / count(lit(1))).as("avglen") +:
@@ -86,10 +97,42 @@ object Corpus {
         ((lit(1.0) - lit(b)) + lit(b) * (col("len").cast("double") / col("avglen")))
       when(tf > 0, idf * ((tf * lit(k1 + 1)) / denom)).otherwise(lit(0.0))
     }
-    scored.select(col("doc_id"), round(termScores.reduceLeft(_ + _), 6).as("bm25"))
+    scored.select(idCols.map(col) :+
+        round(termScores.reduceLeft(_ + _), 6).as("bm25"): _*)
       .filter(col("bm25") > 0)
-      .orderBy(col("bm25").desc, col("doc_id"))
+      .orderBy(col("bm25").desc +: idCols.map(col): _*)
       .limit(topK)
+  }
+
+  /** BM25 ranking at CHUNK granularity — the RAG retrieval shape: the
+    * corpus splits into fixed-length token windows ([[Packing.chunkWindows]]'
+    * geometry, materialized here as token slices), each chunk scores as
+    * its own BM25 "document" (N, avgdl, df all chunk-level), and the
+    * top-k chunks come back as `(doc_id, chunk_id, bm25)`. Whole-doc
+    * ranking buries a relevant passage inside a long document's length
+    * normalization; chunk ranking is what a retrieval index actually
+    * serves. Tokens are staged once before the chunk generator (the
+    * round-5 lesson); everything downstream is the shared scoring core.
+    */
+  def bm25Chunks(df: DataFrame, id: Column, text: Column, terms: Seq[String],
+                 chunkLen: Int = 32, stride: Int = 32,
+                 k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"bm25Chunks needs 0 < stride <= chunkLen, got $stride/$chunkLen")
+    val staged = df.filter(text.rlike("\\S"))
+      .select(id.as("doc_id"), TextOps.tokens(lower(text)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .withColumn("n_chunks",
+        when(size(col("ts")) <= chunkLen, lit(1))
+          .otherwise(ceil((size(col("ts")) - chunkLen).cast("double") / stride)
+            .cast("int") + 1))
+    val base = staged
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        slice(col("ts"), col("chunk_id") * stride + 1, lit(chunkLen)).as("toks"))
+      .withColumn("len", size(col("toks")))
+    scoreBm25(base, Seq("doc_id", "chunk_id"), terms, k1, b, topK)
   }
 
   // Max-occurrence counting (top token / top bigram) runs in the native

@@ -444,6 +444,47 @@ object PipelineQueries {
         ORDER BY bm25 DESC, doc_id LIMIT $topK"""
   }
 
+  /** DuckDB replica of [[Corpus.bm25Chunks]] (p96): same chunk geometry
+    * (scalar generate_series + struct list_transform — DuckDB 1.0 has no
+    * lateral generator), same chunk-level corpus constants, same
+    * left-to-right term sum as [[bm25Oracle]].
+    */
+  private def bm25ChunksOracle(terms: Seq[String], chunkLen: Int, stride: Int,
+                               k1: Double, b: Double, topK: Int): String = {
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(",\n                 ")
+    val termScores = terms.map { t =>
+      val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+      s"""(CASE WHEN $tf > 0
+             THEN ln(1.0 + ((n - df_$t) + 0.5) / (df_$t + 0.5))
+                  * (($tf * ${k1 + 1}) / ($tf + $k1 * ((1.0 - $b) + $b * (CAST(len AS DOUBLE) / avglen))))
+             ELSE 0.0 END)"""
+    }.mkString("\n             + ")
+    s"""
+        WITH t0 AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents
+                    WHERE regexp_matches(text, '\\S')),
+        t AS (SELECT doc_id, ts FROM t0 WHERE len(ts) > 0),
+        st AS (SELECT doc_id, ts,
+                      CASE WHEN len(ts) <= $chunkLen THEN 1
+                           ELSE CAST(ceil(CAST(len(ts) - $chunkLen AS DOUBLE) / $stride) AS INT) + 1
+                      END AS n_chunks FROM t),
+        ch AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(0, n_chunks - 1),
+                             i -> {'cid': i, 'toks': ts[i*$stride+1 : i*$stride+$chunkLen]})) AS u
+               FROM st),
+        base AS (SELECT doc_id, CAST(u.cid AS INT) AS chunk_id, u.toks AS toks,
+                        len(u.toks) AS len FROM ch),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(len) AS DOUBLE) / count(*) AS avglen,
+                         $dfCols
+                  FROM base)
+        SELECT doc_id, chunk_id, round($termScores, 6) AS bm25
+        FROM base CROSS JOIN stats
+        WHERE round($termScores, 6) > 0
+        ORDER BY bm25 DESC, doc_id, chunk_id LIMIT $topK"""
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("p26_tfidf_terms",
@@ -3051,6 +3092,22 @@ object PipelineQueries {
         "round-robin so early training sees every domain at its best " +
         "rather than draining one source first. One PARTITIONED window " +
         "(stratum-keyed, never global); the interleave is the sort order, " +
-        "so no single-partition stage exists at any corpus size")
+        "so no single-partition stage exists at any corpus size"),
+
+    Q("p96_bm25_chunk_retrieval",
+      (s, d) => Corpus.bm25Chunks(table(s, d, "documents"),
+        col("doc_id"), col("text"),
+        terms = Seq("spark", "vector", "stream"),
+        chunkLen = 32, stride = 32, topK = 20),
+      Some(bm25ChunksOracle(Seq("spark", "vector", "stream"),
+        chunkLen = 32, stride = 32, k1 = 1.2, b = 0.75, topK = 20)),
+      "retrieval — BM25 at CHUNK granularity (the RAG index shape): the " +
+        "corpus splits into 32-token windows, each chunk scores as its own " +
+        "BM25 document (chunk-level N, avgdl, df), top-k chunks return as " +
+        "(doc_id, chunk_id, score). Whole-doc ranking buries a relevant " +
+        "passage under length normalization; chunk ranking is what a " +
+        "retrieval index serves. Tokens staged once before the chunk " +
+        "generator; one scalar-agg pass for constants, map-side scoring, " +
+        "TakeOrdered — the corpus never shuffles")
   )
 }

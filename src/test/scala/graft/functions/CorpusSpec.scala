@@ -92,4 +92,26 @@ class CorpusSpec extends SparkSpec {
     // word freqs: abab→1, ab→2, a→1 ⇒ "ab": 2·1(from abab) + 1·2(from ab) = 4
     assert(pairs == Seq(("ab", 4L), ("ba", 1L)))
   }
+
+  test("bm25Chunks surfaces the relevant passage a whole-doc ranking buries") {
+    import spark.implicits._
+    // doc 1: long noise with ONE query-dense chunk near the end; doc 2:
+    // short and mildly relevant. Whole-doc BM25 length-normalizes doc 1
+    // down; chunk BM25 must rank doc 1's hot chunk first.
+    val noise = Seq.fill(3)((1 to 32).map(i => s"w$i").mkString(" ")).mkString(" ")
+    val hot = "needle " * 10 + ("x " * 22).trim
+    val docs = Seq(
+      (1L, s"$noise $hot"),
+      (2L, "needle plus other words " + ("y " * 10).trim)).toDF("doc_id", "text")
+    val chunks = Corpus.bm25Chunks(docs, col("doc_id"), col("text"),
+      terms = Seq("needle"), chunkLen = 32, stride = 32, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // doc 1 = 96 noise tokens (chunks 0-2) + the 32-token hot chunk (id 3):
+    // retrieval must pinpoint WHICH window is relevant, not just the doc
+    assert(chunks.head._1 == 1L && chunks.head._2 == 3,
+      s"hot chunk of doc 1 must rank first: ${chunks.toSeq}")
+    // noise chunks score 0 and are dropped; doc 2's single chunk follows
+    assert(chunks.map(c => (c._1, c._2)).toSet == Set((1L, 3), (2L, 0)), chunks.toSeq)
+    assert(chunks.head._3 > chunks.last._3)
+  }
 }
