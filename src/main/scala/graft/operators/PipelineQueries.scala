@@ -3020,9 +3020,11 @@ object PipelineQueries {
         // recall — and it is an exact integer, not a sampled estimate
         val emb = table(s, d, "embeddings")
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        // the exact pair set feeds BOTH counts — materialize it once
+        // (without the lineage cut the all-pairs join runs twice)
         val exact = Dedup.embeddingNearDups(
           emb, col("vec_id"), col("embedding"), minCos = 0.4)
-          .select("id_a", "id_b")
+          .select("id_a", "id_b").localCheckpoint()
         val lsh = Dedup.embeddingNearDupsLsh(
           emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
           .select("id_a", "id_b")
