@@ -113,6 +113,31 @@ object Sampling {
     when(hash01(clusterKey, salt) < trainRate, lit("train")).otherwise(lit("test"))
   }
 
+  /** Weighted sampling WITHOUT replacement, distributed: the
+    * Efraimidis–Spirakis exponential-key trick (Inf. Process. Lett.
+    * 2006) — give each row the key `ln(u)/w` with `u = hash01(id)` and
+    * keep the k LARGEST keys; the result is distributed exactly as
+    * sequential weighted sampling without replacement. Because `u` is
+    * the deterministic content hash (not `rand()`), the sample is a pure
+    * function of the data — reproducible across retries, partitionings,
+    * and engines — and the selection is one TakeOrdered, no shuffle of
+    * the corpus. Keys are rounded (ties break by id) so the boundary is
+    * engine-portable; weights must be positive.
+    *
+    * This is how "sample 10M docs ∝ quality score" runs at 100 TB:
+    * map-side key computation, k rows per partition retained, one
+    * k-sized merge on the driver side of the TakeOrdered.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+                     salt: String = "ws:", roundTo: Int = 9): DataFrame = {
+    require(k >= 1, s"sample size must be positive: $k")
+    df.select(id.as("doc_id"), weight.cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("es_key", round(log(hash01(col("doc_id"), salt)) / col("w"), roundTo))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic shard assignment + per-shard manifest — the last mile
     * of a training-data pipeline: every row goes to shard
     * `md5('shard:'+id) mod shards` (a pure function of the id, so

@@ -3110,6 +3110,27 @@ object PipelineQueries {
         "passage under length normalization; chunk ranking is what a " +
         "retrieval index serves. Tokens staged once before the chunk " +
         "generator; one scalar-agg pass for constants, map-side scoring, " +
-        "TakeOrdered — the corpus never shuffles")
+        "TakeOrdered — the corpus never shuffles"),
+
+    Q("p97_weighted_sample",
+      (s, d) => Sampling.weightedSample(table(s, d, "documents"),
+        col("doc_id"), size(TextOps.tokens(lower(col("text")))), k = 25),
+      Some(s"""
+        SELECT doc_id, w, es_key FROM (
+          SELECT doc_id,
+                 CAST(len(${sqlTokens("lower(text)")}) AS DOUBLE) AS w,
+                 round(ln((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                           / 268435456.0))
+                       / CAST(len(${sqlTokens("lower(text)")}) AS DOUBLE), 9) AS es_key
+          FROM documents
+          WHERE len(${sqlTokens("lower(text)")}) > 0)
+        ORDER BY es_key DESC, doc_id LIMIT 25"""),
+      "sampling — weighted sampling WITHOUT replacement (Efraimidis–" +
+        "Spirakis exponential keys): key = ln(u)/w with u the " +
+        "deterministic content hash, keep the k largest — distributed " +
+        "exactly as sequential weighted sampling, reproducible across " +
+        "retries/engines (no rand()), and the selection is one TakeOrdered " +
+        "(map-side keys, k rows per partition, no corpus shuffle). How " +
+        "'sample N docs proportional to quality' runs at 100 TB")
   )
 }

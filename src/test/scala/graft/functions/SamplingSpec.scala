@@ -104,6 +104,27 @@ class SamplingSpec extends SparkSpec {
     assert(moved.size == 1, "exactly one shard's (count, fingerprint) changes")
   }
 
+  test("weightedSample: deterministic, partition-invariant, weight-monotone across salts") {
+    import spark.implicits._
+    // 20 heavy items (w=50) among 180 light (w=1): 85% of total weight
+    val docs = (1L to 200L).map(i => (i, if (i <= 20) 50.0 else 1.0)).toDF("id", "w")
+    def run(parts: Int, salt: String) =
+      Sampling.weightedSample(docs.repartition(parts), col("id"), col("w"), 30, salt)
+        .collect().map(_.getLong(0)).toSeq
+    assert(run(1, "s0:") == run(13, "s0:"), "partitioning must not change the sample")
+    assert(run(4, "s0:") != run(4, "s1:"), "salts must draw independent samples")
+    // across 20 independent salts the heavy items must dominate: uniform
+    // sampling would pick ~3 of them per draw (60 total); ES ∝ weight
+    // picks nearly all 20 every time
+    val heavyPicks = (0 until 20).map(s => run(4, s"es$s:").count(_ <= 20L)).sum
+    assert(heavyPicks > 200, s"heavy items under-sampled: $heavyPicks/600")
+    // zero/negative weights are excluded, k caps the output
+    val out = Sampling.weightedSample(
+      Seq((1L, 0.0), (2L, -1.0), (3L, 2.0)).toDF("id", "w"), col("id"), col("w"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(3L))
+  }
+
   test("clusterSplitColumn never splits a dup cluster; a doc-keyed split does") {
     import spark.implicits._
     // 200 clusters of 5 duplicates each, ids interleaved across clusters
