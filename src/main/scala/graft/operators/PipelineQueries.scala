@@ -3131,6 +3131,58 @@ object PipelineQueries {
         "exactly as sequential weighted sampling, reproducible across " +
         "retries/engines (no rand()), and the selection is one TakeOrdered " +
         "(map-side keys, k rows per partition, no corpus shuffle). How " +
-        "'sample N docs proportional to quality' runs at 100 TB")
+        "'sample N docs proportional to quality' runs at 100 TB"),
+
+    Q("p98_snapshot_diff",
+      (s, d) => {
+        // dataset-version diff — the reproducibility audit between two
+        // corpus snapshots: which docs were added, removed, or CHANGED
+        // (same id, different content fingerprint). Snapshots are the
+        // deterministic wave split (old = waves 0-1, new = waves 1-2, so
+        // all three classes exist); the diff is ONE full-outer join on
+        // the id comparing content fingerprints — no text ever shuffles,
+        // only (id, md5) pairs
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+            (col("doc_id") % 3).cast("int").as("wave"))
+        val old = docs.filter(col("wave") < 2)
+          .select(col("doc_id"), col("fp").as("fp_old"))
+        // the new snapshot re-crawled every 5th doc and its content
+        // drifted (fingerprint changes) — all four classes materialize
+        val nw = docs.filter(col("wave") > 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, md5(concat(col("fp"), lit(":v2"))))
+              .otherwise(col("fp")).as("fp_new"))
+        old.join(nw, Seq("doc_id"), "full")
+          .select(
+            when(col("fp_old").isNull, "added")
+              .when(col("fp_new").isNull, "removed")
+              .when(col("fp_old") =!= col("fp_new"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n_docs"))
+          .orderBy("status")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                          CAST(doc_id % 3 AS INT) AS wave
+                   FROM documents),
+        old AS (SELECT doc_id, fp AS fp_old FROM d WHERE wave < 2),
+        nw  AS (SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN md5(fp || ':v2')
+                            ELSE fp END AS fp_new
+                FROM d WHERE wave > 0),
+        j AS (SELECT CASE WHEN fp_old IS NULL THEN 'added'
+                          WHEN fp_new IS NULL THEN 'removed'
+                          WHEN fp_old <> fp_new THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM old FULL JOIN nw USING (doc_id))
+        SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY 1 ORDER BY 1"""),
+      "governance — dataset snapshot diff: added/removed/changed/unchanged " +
+        "between two corpus versions by content fingerprint — the " +
+        "reproducibility audit a dataset card cites. One full-outer join " +
+        "on (id, md5) pairs; document text never shuffles. At 100 TB this " +
+        "is the cheap answer to 'what changed between v3 and v4'")
   )
 }
