@@ -3183,6 +3183,71 @@ object PipelineQueries {
         "between two corpus versions by content fingerprint — the " +
         "reproducibility audit a dataset card cites. One full-outer join " +
         "on (id, md5) pairs; document text never shuffles. At 100 TB this " +
-        "is the cheap answer to 'what changed between v3 and v4'")
+        "is the cheap answer to 'what changed between v3 and v4'"),
+
+    Q("p99_multisuite_decontamination",
+      (s, d) => {
+        // p25 generalized to EVERY benchmark at once: real pipelines
+        // decontaminate against a dozen suites; fingerprinting the train
+        // corpus once and joining a (suite, fp) union is one pass
+        // however many suites there are — per-suite reruns re-fingerprint
+        // the corpus N times. Suites are deterministic slices; train =
+        // docs in no suite. Eval side stays broadcast-sized (benchmarks
+        // always are); the train side never shuffles its text.
+        val suites = Seq(("s83", 83), ("s89", 89), ("s97", 97))
+        val fps = table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
+        val evalFps = suites.map { case (n, m) =>
+          fps.filter(col("doc_id") % m === 0)
+            .select(lit(n).as("suite"), col("fp")).distinct()
+        }.reduce(_ unionByName _)
+        val train = fps.filter(
+          suites.map { case (_, m) => col("doc_id") % m =!= 0 }.reduce(_ && _))
+        train.join(broadcast(evalFps), "fp")
+          .groupBy("suite", "doc_id")
+          .agg(countDistinct(col("fp")).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .groupBy("suite")
+          .agg(count(lit(1)).as("n_docs_flagged"),
+            sum(col("n_shared")).as("n_shared_total"))
+          .orderBy("suite")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, length(text) - 4),
+                   i -> (ascii(substring(text, i, 1)) * 923521
+                       + ascii(substring(text, i + 1, 1)) * 29791
+                       + ascii(substring(text, i + 2, 1)) * 961
+                       + ascii(substring(text, i + 3, 1)) * 31
+                       + ascii(substring(text, i + 4, 1))) % 2147483647) AS hs
+          FROM documents
+          WHERE length(text) >= 5),
+        fps AS (
+          SELECT doc_id, unnest(list_distinct(
+                 list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                   j -> list_min(hs[j:j+7])))) AS fp
+          FROM h),
+        ev AS (
+          SELECT 's83' AS suite, fp FROM (SELECT DISTINCT fp FROM fps WHERE doc_id % 83 = 0)
+          UNION ALL
+          SELECT 's89', fp FROM (SELECT DISTINCT fp FROM fps WHERE doc_id % 89 = 0)
+          UNION ALL
+          SELECT 's97', fp FROM (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)),
+        train AS (SELECT DISTINCT doc_id, fp FROM fps
+                  WHERE doc_id % 83 <> 0 AND doc_id % 89 <> 0 AND doc_id % 97 <> 0),
+        fl AS (SELECT suite, doc_id, count(*) AS n_shared
+               FROM train JOIN ev USING (fp)
+               GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT suite, CAST(count(*) AS BIGINT) AS n_docs_flagged,
+               CAST(sum(n_shared) AS BIGINT) AS n_shared_total
+        FROM fl GROUP BY 1 ORDER BY 1"""),
+      "curation — decontamination against EVERY benchmark suite in one " +
+        "pass: fingerprint the train corpus once, join a broadcast " +
+        "(suite, fp) union, flag per (suite, doc) — however many suites, " +
+        "the corpus is fingerprinted exactly once (per-suite reruns " +
+        "re-scan it N times). Train = docs in no suite; winnowing " +
+        "fingerprints give substring-level leak detection as in p25")
   )
 }
