@@ -3248,6 +3248,74 @@ object PipelineQueries {
         "(suite, fp) union, flag per (suite, doc) — however many suites, " +
         "the corpus is fingerprinted exactly once (per-suite reruns " +
         "re-scan it N times). Train = docs in no suite; winnowing " +
-        "fingerprints give substring-level leak detection as in p25")
+        "fingerprints give substring-level leak detection as in p25"),
+
+    Q("p100_dataset_card",
+      (s, d) => {
+        // the dataset card, as ONE query: the governance artifact every
+        // released corpus ships. Signals are staged from a single
+        // projection (tokens/fingerprint computed once), each summary is
+        // a bounded aggregate (counts, exact-dup mass, histogram-floor
+        // length quantiles — never a global sort or window), and the
+        // one-row pieces cross-join into the card. Everything is
+        // integer-exact, so the card reproduces bit-for-bit anywhere.
+        val t = table(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(TextOps.tokens(lower(col("text")))).cast("long").as("n_toks"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        val basics = t.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
+        val dups = t.groupBy("fp").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_dup_docs"))
+        val qs = Sketch.histogramQuantiles(t, lit("all"), col("n_chars"),
+          quantilesPermille = Seq(500, 900))
+        val p50 = qs.filter(col("q_permille") === 500)
+          .select(col("bin").as("len_p50"))
+        val p90 = qs.filter(col("q_permille") === 900)
+          .select(col("bin").as("len_p90"))
+        basics.crossJoin(dups).crossJoin(p50).crossJoin(p90)
+          .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+            col("n_sources"), col("n_dup_docs"),
+            expr("n_dup_docs * 1000 div n_docs").as("dup_permille"),
+            col("len_p50"), col("len_p90"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, source, n_chars,
+                 CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> len(x) > 0)) AS BIGINT) AS n_toks,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents),
+        basics AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          FROM t),
+        dups AS (
+          SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dup_docs
+          FROM (SELECT fp, count(*) AS c FROM t GROUP BY 1 HAVING count(*) >= 2)),
+        hb AS (SELECT CAST(floor(n_chars) AS BIGINT) AS bin, count(*) AS cnt
+               FROM t GROUP BY 1),
+        hc AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+                      (SELECT count(*) FROM t) AS total
+               FROM hb)
+        SELECT n_docs, n_tokens, n_langs, n_sources, n_dup_docs,
+               CAST(n_dup_docs * 1000 // n_docs AS BIGINT) AS dup_permille,
+               (SELECT CAST(min(bin) AS BIGINT) FROM hc
+                WHERE cum * 1000 >= 500 * total) AS len_p50,
+               (SELECT CAST(min(bin) AS BIGINT) FROM hc
+                WHERE cum * 1000 >= 900 * total) AS len_p90
+        FROM basics CROSS JOIN dups"""),
+      "governance — the dataset card as ONE query: doc/token/language/" +
+        "source counts, exact-dup mass (droppable docs + permille), and " +
+        "histogram-floor length quantiles, every signal staged from a " +
+        "single projection and summarized by bounded aggregates (no " +
+        "global sort, no global window). Integer-exact throughout, so the " +
+        "card a release ships reproduces bit-for-bit on any engine")
   )
 }
