@@ -100,16 +100,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("global (unpartitioned) windows appear only in k-row post-aggregate plans") {
     import org.apache.spark.sql.execution.window.WindowExec
-    // p42/p57 window over the per-source aggregate (k = #sources rows) —
-    // safe at any corpus scale. Any OTHER query growing a global window
-    // would single-partition corpus-sized data and must fail here.
+    // p42/p57 window over the per-source aggregate (k = #sources rows);
+    // p100's quantile window runs over the binned histogram aggregate
+    // (k = #distinct length bins — the constant-literal partition key
+    // folds away, but the input is already bounded). Safe at any corpus
+    // scale. Any OTHER query growing a global window would
+    // single-partition corpus-sized data and must fail here.
     val offenders = Registry.all.flatMap { q =>
       val plan = Registry.queries(q.name)(spark, sf).queryExecution.sparkPlan
       val g = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       if (g.nonEmpty) Some(q.name) else None
     }
-    assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture"),
-      offenders.toString)
+    assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture",
+      "p100_dataset_card"), offenders.toString)
   }
 
   test("p62 phash near-dups block on band keys — no cartesian, hamming verify on candidates") {
