@@ -406,6 +406,60 @@ object RelationalQueries {
       "TPC-H Q19 shape: OR-of-ANDs disjunctive predicate — part-side disjunct " +
         "halves pre-filter the dimension into a broadcast, the coupled " +
         "(brand, quantity) terms apply post-join; no disjunction ever blocks " +
-        "pushdown on the fact scan")
+        "pushdown on the fact scan"),
+
+    Q("q20_waiting_suppliers",
+      (s, d) => {
+        // TPC-H Q21 shape (sole late shipper): suppliers whose lineitem
+        // shipped late (> 60 days after the order date) on orders where
+        // ANOTHER supplier also shipped (EXISTS) but NO other supplier
+        // was late (NOT EXISTS). The double-correlated subquery pair
+        // compiles to one semi + one anti join over deduped (order,
+        // supplier) pairs — both on the order key with a supplier
+        // inequality, so the fact table shuffles once into compact pairs
+        // and the quantifiers never rescan it.
+        val li = graft.sources.TpchGraph.lineitemDeduped(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+        val o = table(s, d, "orders").select("o_orderkey", "o_orderdate")
+        val l = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+            (col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
+              .as("late"))
+        val pairs = l.select("ok", "sk").distinct()
+        val latePairs = l.filter(col("late")).select("ok", "sk").distinct()
+        val withOther = latePairs.as("w").join(pairs.as("p"),
+          col("w.ok") === col("p.ok") && col("w.sk") =!= col("p.sk"), "left_semi")
+          .select(col("ok"), col("sk")).as("w2")
+        val sole = withOther.join(latePairs.as("q"),
+          col("w2.ok") === col("q.ok") && col("w2.sk") =!= col("q.sk"), "left_anti")
+        sole.join(broadcast(table(s, d, "supplier")
+            .select("s_suppkey", "s_name")), col("sk") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH l AS (
+          SELECT l_orderkey AS ok, l_suppkey AS sk,
+                 l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM ${graft.sources.TpchGraph.lineitemDedupSql} li
+          JOIN orders ON l_orderkey = o_orderkey),
+        pairs AS (SELECT DISTINCT ok, sk FROM l),
+        latep AS (SELECT DISTINCT ok, sk FROM l WHERE late),
+        sole AS (
+          SELECT * FROM latep w
+          WHERE EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.ok = w.ok AND p.sk <> w.sk)
+            AND NOT EXISTS (SELECT 1 FROM latep q
+                            WHERE q.ok = w.ok AND q.sk <> w.sk))
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM sole JOIN supplier ON sk = s_suppkey
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10"""),
+      "TPC-H Q21 shape: the sole-late-shipper double-quantifier (EXISTS " +
+        "another supplier, NOT EXISTS another LATE supplier) compiled to " +
+        "one semi + one anti join over deduped (order, supplier) pairs — " +
+        "the fact table shuffles once into compact pairs and the " +
+        "quantifiers never rescan it; supplier dim broadcasts, top-10 is " +
+        "TakeOrdered")
   )
 }
