@@ -516,6 +516,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q20 compiles both quantifiers to semi/anti joins; supplier dim broadcasts") {
+    val p = plan("q20_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("p87 stream-static dim lookup broadcasts in the batch twin") {
     // pin the batch-equivalent join shape (the streaming plan itself is
     // per-microbatch): dim side must broadcast, stream side must not sort
