@@ -16,6 +16,23 @@ object PipelineQueries {
   private def sqlTokens(expr: String) =
     s"list_filter(regexp_split_to_array($expr, '\\s+'), x -> len(x) > 0)"
 
+  /** p67/p101 shared oracle: per-source KMV over the whole corpus. p67
+    * computes it one-shot; p101 maintains the bottom-k store across
+    * three arrival waves — bottom-k(union of bottom-k's) = bottom-k of
+    * the union, so the maintained estimate must match verbatim.
+    */
+  private def kmvOracle: String = s"""
+        WITH toks AS (SELECT source, unnest(${sqlTokens("lower(text)")}) AS t FROM documents),
+        h AS (SELECT DISTINCT source, ('0x' || substring(md5(t), 1, 7))::BIGINT AS h FROM toks),
+        r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        s AS (SELECT source, count(*) AS n_seen,
+                     max(CASE WHEN rn <= 64 THEN h END) AS hk
+              FROM r GROUP BY 1)
+        SELECT source, CAST(n_seen AS BIGINT) AS n_exact,
+               CAST(CASE WHEN n_seen < 64 THEN n_seen
+                         ELSE (63 * 268435456) // greatest(hk, 1) END AS BIGINT) AS kmv_est
+        FROM s ORDER BY source"""
+
   /** p69 oracle: rebuild the 4×2048 Count-Min matrix from the SAME
     * splitmix constants the Spark side uses ([[Dedup.permutationParams]]
     * interpolated as literals), then min-estimate the exact top-20.
@@ -2161,17 +2178,7 @@ object PipelineQueries {
           .withColumnRenamed("grp", "source")
           .orderBy("source")
       },
-      Some(s"""
-        WITH toks AS (SELECT source, unnest(${sqlTokens("lower(text)")}) AS t FROM documents),
-        h AS (SELECT DISTINCT source, ('0x' || substring(md5(t), 1, 7))::BIGINT AS h FROM toks),
-        r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
-        s AS (SELECT source, count(*) AS n_seen,
-                     max(CASE WHEN rn <= 64 THEN h END) AS hk
-              FROM r GROUP BY 1)
-        SELECT source, CAST(n_seen AS BIGINT) AS n_exact,
-               CAST(CASE WHEN n_seen < 64 THEN n_seen
-                         ELSE (63 * 268435456) // greatest(hk, 1) END AS BIGINT) AS kmv_est
-        FROM s ORDER BY source"""),
+      Some(kmvOracle),
       "sketch — KMV (bottom-k) distinct-token estimate per source: k smallest " +
         "28-bit md5 hashes, est = (k-1)*M div h_k, exact below k (Beyer et al. " +
         "SIGMOD'07). Mergeable by construction — TopKPerGroup executes it as " +
@@ -3316,6 +3323,54 @@ object PipelineQueries {
         "histogram-floor length quantiles, every signal staged from a " +
         "single projection and summarized by bounded aggregates (no " +
         "global sort, no global window). Integer-exact throughout, so the " +
-        "card a release ships reproduces bit-for-bit on any engine")
+        "card a release ships reproduces bit-for-bit on any engine"),
+
+    Q("p101_streaming_kmv",
+      (s, d) => {
+        // incremental KMV maintenance — the p71 pattern for cardinality:
+        // each arrival wave contributes its per-source bottom-64 distinct
+        // hashes, the store merges by distinct-union + re-bottom-64
+        // (bottom-k of a union of bottom-k's IS the union's bottom-k),
+        // so the maintained estimate matches the one-shot p67 verbatim.
+        // Each refresh touches the delta plus a ≤64-rows-per-source store.
+        val dir = graft.core.TempStores.scratchDir("graft_p101_kmv")
+        val docs = table(s, d, "documents")
+        def waveHashes(w: Int) = docs.filter(col("doc_id") % 3 === w)
+          .select(col("source").as("grp"),
+            explode(TextOps.tokens(lower(col("text")))).as("t"))
+          .select(col("grp"), Dedup.gramHash(col("t")).as("h")).distinct()
+        Seq(0, 1, 2).foreach { w =>
+          val delta = graft.plans.TopKPerGroup.topK(
+            waveHashes(w), Seq(col("grp")), -col("h"), 64)
+          val merged =
+            if (w == 0) delta
+            else graft.plans.TopKPerGroup.topK(
+              s.read.parquet(s"$dir/v${w - 1}").unionByName(delta).distinct(),
+              Seq(col("grp")), -col("h"), 64)
+          merged.write.mode("overwrite").parquet(s"$dir/v$w")
+        }
+        val kth = s.read.parquet(s"$dir/v2")
+          .groupBy("grp").agg(max(col("h")).as("hk"))
+        // exact ground-truth column (full corpus), as p71 does for counts
+        val exact = docs
+          .select(col("source").as("grp"),
+            explode(TextOps.tokens(lower(col("text")))).as("t"))
+          .select(col("grp"), Dedup.gramHash(col("t")).as("h")).distinct()
+          .groupBy("grp").agg(count(lit(1)).as("n_exact"))
+        exact.join(broadcast(kth), "grp")
+          .select(col("grp").as("source"), col("n_exact"),
+            when(col("n_exact") < 64, col("n_exact"))
+              .otherwise(expr(s"${63L * Sketch.GramHashSpace}L div greatest(hk, 1L)"))
+              .as("kmv_est"))
+          .orderBy("source")
+      },
+      Some(kmvOracle), // maintained bottom-k == one-shot bottom-k: p67's oracle verbatim
+      "streaming — KMV maintenance under incremental ingest: per-wave " +
+        "bottom-64 distinct hashes per source merged into the store by " +
+        "distinct-union + re-bottom-k (bottom-k of a union of bottom-k's " +
+        "IS the union's bottom-k), so the maintained cardinality estimate " +
+        "passes the one-shot p67 oracle verbatim — O(delta) per refresh, " +
+        "≤ k rows per source of state; the cardinality counterpart of " +
+        "p71's Count-Min maintenance")
   )
 }
