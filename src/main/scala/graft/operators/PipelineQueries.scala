@@ -3371,6 +3371,47 @@ object PipelineQueries {
         "IS the union's bottom-k), so the maintained cardinality estimate " +
         "passes the one-shot p67 oracle verbatim — O(delta) per refresh, " +
         "≤ k rows per source of state; the cardinality counterpart of " +
-        "p71's Count-Min maintenance")
+        "p71's Count-Min maintenance"),
+
+    Q("p102_lsh_skew_profile",
+      (s, d) => {
+        // operational introspection of the p22/p32/p58 dedup index: the
+        // per-table bucket-occupancy profile. LSH cost is driven by the
+        // LARGEST bucket (candidates are per-bucket quadratic), so this
+        // is the skew monitor that decides when to add planes per table
+        // or salt a hot bucket — same hyperplanes (seed 7+t) as every
+        // LSH consumer, so the profile describes the real index
+        val emb = table(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val tables = (0 until 6).map { t =>
+          val planes = Similarity.hyperplanes(4, dim, seed = 7L + t)
+          val bucket = planes.zipWithIndex
+            .map { case (p, i) => Similarity.signBit(col("embedding"), p, i) }
+            .reduce((a, b) => a.bitwiseOR(b))
+          emb.select(lit(t).as("tbl"), bucket.as("bucket"))
+        }.reduce(_ unionByName _)
+        tables.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
+          .groupBy("tbl")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("c")).as("n_vectors"),
+            max(col("c")).as("max_bucket"),
+            sum(col("c") * col("c")).as("sum_sq"))
+          .orderBy("tbl")
+      },
+      Some(s"""
+        WITH $lshPairCtes,
+        bc AS (SELECT tbl, bucket, count(*) AS c FROM bk GROUP BY 1, 2)
+        SELECT tbl, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(c) AS BIGINT) AS n_vectors,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(sum(c * c) AS BIGINT) AS sum_sq
+        FROM bc GROUP BY 1 ORDER BY 1"""),
+      "ops — LSH index skew profile: per-table bucket occupancy (bucket " +
+        "count, max bucket, Σc² — the exact candidate-pair mass each " +
+        "table generates, since per-bucket cost is quadratic). The monitor " +
+        "that decides when a table needs more planes or a hot bucket needs " +
+        "salting; same hyperplane constants as every LSH consumer, so the " +
+        "profile describes the real index, and Σc² is the integer-exact " +
+        "cost model the planner can threshold on")
   )
 }
