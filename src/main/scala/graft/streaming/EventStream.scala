@@ -191,6 +191,48 @@ object EventStream {
     spark.table(name).orderBy("n_name")
   }
 
+  /** Sessionization with Spark's NATIVE `session_window` — the built-in
+    * merging-window aggregate, next to the two hand-rolled forms (batch
+    * `lag`+running-sum in [[sessionizeBatch]], custom state in
+    * [[sessionizeStateful]]). Timestamps are second-truncated before
+    * windowing and the gap is 1801 s, which makes the native semantics
+    * ("merge while next < last + gap") coincide exactly with the batch
+    * form's "new session when integer-second diff > 1800": on whole
+    * seconds, `diff <= 1800` ⟺ `diff < 1801`. Complete-mode memory sink
+    * (session windows don't support update mode; append would hold the
+    * final sessions back until a later watermark advance that never
+    * comes on a bounded source), so the drained table is the full
+    * session set and must equal the batch answer row for row.
+    */
+  def runSessionWindowStream(spark: SparkSession, sfDir: String,
+                             statePartitions: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+    val name = "graft_stream_sessions"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try stream
+        .groupBy(col("user_id"), session_window(col("ts"), "1801 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   // ------------------------------------------------------- sessionization
 
   final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
