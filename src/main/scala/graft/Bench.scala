@@ -75,7 +75,7 @@ object Bench {
     // total — a run with failures may never look faster than a clean one
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","failed":${results.count(_._2 < 0)},"queries":$fullQs,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
@@ -90,9 +90,14 @@ object Bench {
     // the budget. The complete per-query record is always in BENCH_FULL.json.
     val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
     val lineBudget = 1800 // < 2000-byte window, headroom for driver framing
+    // "failed" is an always-present aggregate: failed queries (best = -1)
+    // sort last in the slowest-first entry order, so truncation drops them
+    // from the per-query map first — without this field a run with failures
+    // could parse as a clean-looking fast run ("total" excludes failures too)
+    val nFailed = results.count(_._2 < 0)
     def line(entries: Seq[String]) = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","n_queries":${results.size},"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","n_queries":${results.size},"failed":$nFailed,"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfShort"}"""
     }
     val entriesBySlowest = results.sortBy(-_._2).map { case (name, best, _, _) =>
       "\"" + name.takeWhile(_ != '_') + "\":" + f3(best)

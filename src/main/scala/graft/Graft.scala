@@ -17,8 +17,9 @@ object Graft {
 
   /** An engine-tuned session: custom expressions callable from SQL, the
     * top-k strategy + rewrite rule installed, AQE on (runtime re-plan,
-    * skew-join splitting), and the parquet nanos flag the driver's event
-    * data needs. `shufflePartitions` should track cluster cores — the
+    * skew-join splitting), and the parquet nanos flag legacy
+    * TIMESTAMP(NANOS) event files need (current files are native
+    * `timestamp[us]`; the flag is then a no-op). `shufflePartitions` should track cluster cores — the
     * local default mirrors the test environment.
     */
   def session(appName: String = "graft",

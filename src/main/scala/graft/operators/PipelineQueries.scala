@@ -1282,10 +1282,10 @@ object PipelineQueries {
         // same user. The right side is pre-deduplicated to unique
         // (user, ts) — max event_id wins — which is the determinism
         // contract native ASOF engines (DuckDB, kdb) assume too.
-        // Timestamp contract: both engines see the TIMESTAMP_NS parquet
-        // truncated to MICROseconds — TpchGraph.events does ts div 1000
-        // here, DuckDB truncates on parquet read — so dedup grouping and
-        // the >= comparison agree even for sub-microsecond source data.
+        // Timestamp contract: both engines see microsecond timestamps —
+        // TpchGraph.events normalizes whatever the file carries (legacy
+        // int64 nanos or native timestamp[us]) to micros, DuckDB reads
+        // either natively — so dedup grouping and the >= comparison agree.
         val ev = graft.sources.TpchGraph.events(s, d)
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), col("event_id"))

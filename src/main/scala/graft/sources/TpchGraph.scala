@@ -38,30 +38,39 @@ object TpchGraph {
       if (name == "events") events(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 refuses by default — read nanos as long and convert to a
-    * microsecond timestamp (floor), matching DuckDB's ns→hour truncation
-    * for any sub-second-insensitive query.
-    *
-    * Ordering-sensitive consumers (p59's `ORDER BY ts, event_id` window,
-    * p60/p61's strict `ts >` funnel steps) additionally rely on the floor
-    * being collision-free PER USER: two same-user events inside one
-    * microsecond would order by nanos in DuckDB but fall back to the
-    * event_id tie-break in Spark. Verified against the generator's data at
-    * sf0.001/0.01/0.1: zero same-user same-microsecond pairs. A source
-    * without that guarantee should order by the raw nanos long instead —
-    * drop the `timestamp_micros` conversion and keep `ts` as the int64
-    * nanos column, which both engines then compare identically.
+  /** Schema-adaptive events reader: the generator has shipped `ts` both as
+    * parquet TIMESTAMP(NANOS) (int64, which Spark 4 refuses unless read as
+    * a raw long) and as a native `timestamp[us]` logical type (which Spark
+    * reads as TIMESTAMP_NTZ). Branch on the inferred footer type and
+    * normalize both to a microsecond session-TZ `TimestampType` so every
+    * downstream consumer (windows, watermarks, `date_format`,
+    * `unix_timestamp`) sees one contract. DuckDB reads either encoding as
+    * a naive TIMESTAMP natively, so the oracle SQL needs no conversion;
+    * with micros on both engines, `ORDER BY ts` ties resolve identically
+    * by construction (the old nanos path relied on a verified
+    * no-same-user-same-microsecond property instead).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // intentionally session-global (Graft.session sets it too): nanos
-    // event data is part of the engine's surface, and the flag must hold
-    // from schema inference through every later scan of the plan
+    // must be set BEFORE schema inference: a TIMESTAMP(NANOS) footer
+    // fails inference outright without it; harmless for micros files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer division: epoch-nanos exceed double's 2^53 mantissa, so
-    // `/ 1000` (double) can land on the wrong microsecond
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an events DataFrame's `ts` to microsecond `TimestampType`.
+    * Legacy int64-nanos uses integer division (epoch-nanos exceed double's
+    * 2^53 mantissa, so `/ 1000` in double could land on the wrong
+    * microsecond); TIMESTAMP_NTZ casts to session-TZ timestamp — value-
+    * preserving when the session TZ is UTC, which the oracle comparison
+    * assumes either way (naive DuckDB rendering == session-TZ rendering).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType        => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _               => df
+    }
   }
 
   private def k(t: String, c: org.apache.spark.sql.Column) =

@@ -16,6 +16,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Shared streaming events source: file-stream over `events.parquet`
+    * with `ts` normalized to microsecond `TimestampType` via
+    * [[graft.sources.TpchGraph.normalizeTs]] — schema-adaptive across the
+    * generator's two physical encodings (legacy int64 nanos vs native
+    * `timestamp[us]`), so the streaming path and the batch
+    * `TpchGraph.events` reader apply one contract. The file-stream source
+    * requires a directory path, so glob-filter within `sfDir`.
+    */
+  private def eventSource(spark: SparkSession, sfDir: String): DataFrame = {
+    // before schema inference: a TIMESTAMP(NANOS) footer fails otherwise
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.sources.TpchGraph.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
+
   /** Hourly tumbling-window counts + value sums per event type. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
@@ -31,17 +49,9 @@ object EventStream {
     * result table (identical to the batch answer — verified by the
     * DuckDB oracle).
     */
-  /** `sfDir` is the directory holding `events.parquet` — the file-stream
-    * source requires a directory path, so glob-filter within it.
-    */
   def runHourlyStream(spark: SparkSession, sfDir: String,
                       statePartitions: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventSource(spark, sfDir)
     val name = "graft_stream_hourly"
     // streaming state partition count is fixed at query start and should
     // track KEY cardinality (event_type × open windows — tens of keys),
@@ -73,11 +83,7 @@ object EventStream {
     */
   def runDistinctStream(spark: SparkSession, sfDir: String,
                         statePartitions: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventSource(spark, sfDir)
     val name = "graft_stream_distinct"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -112,12 +118,7 @@ object EventStream {
     */
   def runIntervalJoinStream(spark: SparkSession, sfDir: String,
                             statePartitions: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def side(eventType: String) = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(eventType: String) = eventSource(spark, sfDir)
       .filter(col("event_type") === eventType)
       .withWatermark("ts", "1 hour")
     val views = side("view").select(
@@ -162,11 +163,7 @@ object EventStream {
     */
   def runStreamStaticJoin(spark: SparkSession, sfDir: String,
                           statePartitions: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventSource(spark, sfDir)
       .filter(col("event_type") === "purchase")
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .join(spark.read.parquet(s"$sfDir/nation.parquet"),
@@ -206,12 +203,8 @@ object EventStream {
     */
   def runSessionWindowStream(spark: SparkSession, sfDir: String,
                              statePartitions: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+    val stream = eventSource(spark, sfDir)
+      .withColumn("ts", date_trunc("second", col("ts")))
     val name = "graft_stream_sessions"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
