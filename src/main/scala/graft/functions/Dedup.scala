@@ -431,6 +431,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** [[embeddingNearDupsLsh]] with AUTOMATIC hot-bucket salting — the
+    * acting half of the p102 skew monitor. LSH candidate cost is
+    * per-bucket quadratic, so one hot bucket (a dense embedding region, a
+    * boilerplate cluster) serializes the whole self-join onto one reducer
+    * at 100 TB. This variant first computes the same bucket-occupancy
+    * profile p102 reports, then splits every bucket with more than
+    * `hotThreshold` members into `k = ceil(c / shardTarget)` hash shards
+    * and generates candidates per ORDERED SHARD PAIR `(i ≤ j)`: a member
+    * in shard `s` enters the left side under `(i=s, j ∈ [s,k))` and the
+    * right side under `(i ∈ [0,s], j=s)`, so every cross-shard pair meets
+    * under exactly one `(i,j)` key (shard order picks the sides, so pairs
+    * are normalized to `(min id, max id)` afterwards rather than filtered
+    * on id order). Total candidate work is unchanged (that is
+    * inherent to LSH); what changes is its DISTRIBUTION — a c²-cost
+    * bucket becomes k(k+1)/2 independent join keys of (c/k)² cost each,
+    * at a replication cost of k+1 rows per hot-bucket member. Cold
+    * buckets take the plain single-key path. Output is bit-identical to
+    * [[embeddingNearDupsLsh]] (asserted in DedupSpec and by p103 sharing
+    * p22's oracle).
+    */
+  def embeddingNearDupsLshSalted(df: DataFrame, id: Column, vec: Column,
+                                 minCos: Double, dim: Int,
+                                 planesPerTable: Int = 4, tables: Int = 6,
+                                 hotThreshold: Int = 100000,
+                                 shardTarget: Int = 50000): DataFrame = {
+    require(hotThreshold >= 1 && shardTarget >= 1,
+      s"thresholds must be positive: hot=$hotThreshold shard=$shardTarget")
+    val data = df.select(id.as("id"), vec.as("v"))
+    val bucketed = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        Similarity.signBit(col("v"), p, i)
+      }.reduce((a, b) => a.bitwiseOR(b))
+      data.select(col("id"), lit(t).as("tbl"), bucket.as("bucket"))
+    }.reduce(_ unionByName _)
+    // the monitor: per-bucket occupancy (exactly p102's first aggregate).
+    // Only buckets OVER the threshold survive to the broadcast — at most
+    // n_vectors·tables / hotThreshold rows, tiny by construction.
+    val hot = bucketed.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
+      .filter(col("c") > hotThreshold)
+      .select(col("tbl"), col("bucket"),
+        ceil(col("c").cast("double") / shardTarget).cast("int").as("k"))
+    val withK = bucketed.join(broadcast(hot), Seq("tbl", "bucket"), "left")
+    val cold = withK.filter(col("k").isNull).select("tbl", "bucket", "id")
+    val coldPairs = cold.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(cold.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+    val hotRows = withK.filter(col("k").isNotNull)
+      .withColumn("s", pmod(xxhash64(col("id")), col("k").cast("long")).cast("int"))
+    val left = hotRows
+      .withColumn("j", explode(sequence(col("s"), col("k") - 1)))
+      .select(col("tbl"), col("bucket"), col("s").as("i"), col("j"), col("id").as("id_a"))
+    val right = hotRows
+      .withColumn("i", explode(sequence(lit(0), col("s"))))
+      .select(col("tbl"), col("bucket"), col("i"), col("s").as("j"), col("id").as("id_b"))
+    val hotPairs = left.join(right, Seq("tbl", "bucket", "i", "j"))
+    // normalize to (min, max) rather than filtering id_a < id_b: a
+    // cross-shard pair meets under exactly ONE (i,j) key, with the
+    // shard order — not the id order — deciding which side is which
+    val cands = coldPairs.select("id_a", "id_b")
+      .unionByName(hotPairs.select("id_a", "id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    cands
+      .join(data.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(data.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** Number of signature bits in [[simHash]]. */

@@ -3412,6 +3412,27 @@ object PipelineQueries {
         "that decides when a table needs more planes or a hot bucket needs " +
         "salting; same hyperplane constants as every LSH consumer, so the " +
         "profile describes the real index, and Σc² is the integer-exact " +
-        "cost model the planner can threshold on")
+        "cost model the planner can threshold on"),
+
+    Q("p103_lsh_salted_pairs",
+      (s, d) => {
+        // the ACTING half of the p102 monitor: same LSH near-dup set as
+        // p22, but hot buckets are auto-split into hash shards and pairs
+        // generated per ordered shard pair — one c²-cost join key becomes
+        // k(k+1)/2 independent keys. Thresholds here are tiny so the
+        // salted path really executes on the test corpus (at 100 TB they
+        // come from the p102 Σc² profile); the OUTPUT is bit-identical to
+        // the unsalted operator, which is why p22's oracle applies as-is.
+        val emb = table(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        Dedup.embeddingNearDupsLshSalted(emb, col("vec_id"), col("embedding"),
+            minCos = 0.4, dim = dim, hotThreshold = 8, shardTarget = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(lshNearDupOracle),
+      "skew — auto-salted LSH candidate generation: the p102 occupancy " +
+        "profile drives hot-bucket hash-sharding (ordered shard-pair join " +
+        "keys), distributing a quadratic bucket across k(k+1)/2 reducers " +
+        "with identical output to p22's plain path")
   )
 }

@@ -90,6 +90,32 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("embeddingNearDupsLshSalted: bit-identical to the plain path while salting executes") {
+    import spark.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(11)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextFloat() * 2 - 1)))
+    val dups = (0 until 20).map(i =>
+      (1000L + i, base(i)._2.map(x => x + rng.nextFloat() * 0.01f)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = rows(Dedup.embeddingNearDupsLsh(
+      df, col("vec_id"), col("embedding"), minCos = 0.95, dim = dim))
+    // thresholds far below the 220-vector corpus so hot buckets genuinely
+    // shard (16 buckets × 220 rows ⇒ average occupancy ≫ 8)
+    val salted = rows(Dedup.embeddingNearDupsLshSalted(
+      df, col("vec_id"), col("embedding"), minCos = 0.95, dim = dim,
+      hotThreshold = 8, shardTarget = 4))
+    assert(salted == plain)
+    // degenerate shard sizes must not change the answer either
+    val salted1 = rows(Dedup.embeddingNearDupsLshSalted(
+      df, col("vec_id"), col("embedding"), minCos = 0.95, dim = dim,
+      hotThreshold = 1, shardTarget = 1))
+    assert(salted1 == plain)
+  }
+
   test("minhash signature: identical texts get identical signatures; est≈1") {
     val sigs = Dedup.minHashSignature(docs, col("doc_id"), col("text"), 3, 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
