@@ -541,4 +541,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("p103 salted LSH: hot-bucket list broadcasts, shard fan-out is a Generate, no nested loops") {
+    val p = plan("p103_lsh_salted_pairs")
+    // the occupancy-derived hot list must reach the bucketed rows as a
+    // broadcast (it is bounded by n·tables/hotThreshold rows); the join
+    // keyed on (tbl, bucket, i, j) and the candidate-verify joins must
+    // all be hash equi-joins — any nested-loop here is the all-pairs
+    // explosion the operator exists to avoid
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p) // sequence() shard replication
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
