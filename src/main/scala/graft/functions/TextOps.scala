@@ -21,6 +21,21 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonicalize text for exact dedup / fingerprinting: Unicode NFC
+    * (composed/decomposed encodings of the same glyphs collapse), then
+    * lowercase, then whitespace runs → one space, then trim. This is the
+    * standard pre-hash step — without it byte-level exact dedup misses
+    * visually-identical documents. NFC (not NFKC) by default so
+    * compatibility characters (①, ﬁ) are PRESERVED: aggressive folding is
+    * a separate policy decision the caller opts into via `form = "NFKC"`.
+    * Everything stays in whole-stage codegen ([[expressions.UnicodeNorm]]
+    * is a native expression; the rest are built-ins).
+    */
+  def canonicalize(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(
+      lower(graft.functions.expressions.UnicodeNorm.normCol(text, form)),
+      "\\s+", " "))
+
   /** A BPE-ish subword proxy: count of alphanumeric runs plus count of
     * punctuation marks — a cheap deterministic stand-in for a real
     * tokenizer's token count (useful for budget estimates over 100 TB of

@@ -3433,6 +3433,33 @@ object PipelineQueries {
       "skew — auto-salted LSH candidate generation: the p102 occupancy " +
         "profile drives hot-bucket hash-sharding (ordered shard-pair join " +
         "keys), distributing a quadratic bucket across k(k+1)/2 reducers " +
-        "with identical output to p22's plain path")
+        "with identical output to p22's plain path"),
+
+    Q("p104_text_canonicalize",
+      (s, d) => {
+        // canonicalization before exact dedup: NFC + casefold + whitespace
+        // collapse, then the canonical fingerprint. On this ASCII corpus
+        // NFC is an identity fast path (the UnicodeNorm expression skips
+        // re-encoding via isNormalized); the unicode semantics are pinned
+        // by UnicodeNormSpec goldens, the cross-engine fingerprint
+        // equality by this oracle
+        val canon = TextOps.canonicalize(table(s, d, "documents").col("text"))
+        table(s, d, "documents").select(col("doc_id"),
+            md5(canon).as("canon_fp"),
+            (canon =!= col("text")).as("changed"),
+            length(canon).as("canon_len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH c AS (SELECT doc_id, text,
+                     trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS canon
+                   FROM documents)
+        SELECT doc_id, md5(canon) AS canon_fp, canon <> text AS changed,
+               CAST(length(canon) AS INT) AS canon_len
+        FROM c ORDER BY doc_id"""),
+      "text — canonicalization before dedup (unicode NFC via a native " +
+        "codegen expression + casefold + whitespace collapse) and the " +
+        "canonical fingerprint; composed/decomposed encodings of the same " +
+        "text collapse to one dedup key")
   )
 }

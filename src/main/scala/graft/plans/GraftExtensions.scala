@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{ArrayDot, DupGramCount, Fnv64, MaxRunCount, WinnowingFp}
+import graft.functions.expressions.{ArrayDot, DupGramCount, Fnv64, MaxRunCount, UnicodeNorm, WinnowingFp}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -55,6 +55,16 @@ object GraftExtensions {
   private val dupGramBuilder: Seq[Expression] => Expression =
     exprs => DupGramCount(exprs.head, literalInt(exprs(1), "dup_gram_count", "n"))
 
+  // unicode_norm(text, 'NFC'): the form is a literal string (one-arg form
+  // defaults to NFC)
+  private val unicodeNormBuilder: Seq[Expression] => Expression = { exprs =>
+    val form = if (exprs.length < 2) "NFC" else {
+      require(exprs(1).foldable, "unicode_norm: form must be a literal string")
+      String.valueOf(exprs(1).eval()).toUpperCase(java.util.Locale.ROOT)
+    }
+    UnicodeNorm(exprs.head, form)
+  }
+
   private def fn(name: String, clazz: Class[_], b: Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), b)
 
@@ -66,7 +76,8 @@ object GraftExtensions {
       exprs => MaxRunCount(exprs.head, pairs = false)),
     fn("max_bigram_run", classOf[MaxRunCount],
       exprs => MaxRunCount(exprs.head, pairs = true)),
-    fn("dup_gram_count", classOf[DupGramCount], dupGramBuilder))
+    fn("dup_gram_count", classOf[DupGramCount], dupGramBuilder),
+    fn("unicode_norm", classOf[UnicodeNorm], unicodeNormBuilder))
 
   /** Register all engine functions on an existing session. */
   def registerAll(spark: SparkSession): Unit =
