@@ -59,7 +59,12 @@ object Bench {
         -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=p24,g23 — comma-separated short-id prefixes for
+    // targeted iteration; unset (the driver's case) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val r1 = once(name, fn)
       val r2 = if (r1 < 0) -1.0 else once(name, fn)
       val best = if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2)
@@ -77,7 +82,9 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","failed":${results.count(_._2 < 0)},"queries":$fullQs,"sf":"$sfDir"}"""
     try {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      // filtered runs must not clobber the committed full-suite record
+      val p = java.nio.file.Paths.get(
+        if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full record -> ${p.toAbsolutePath}")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object DfConnectedComponents {
 
-  /** large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u}). */
+  /** large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u}).
+    * The symmetric closure is NOT deduplicated before grouping: `min` is
+    * duplicate-tolerant, the join fans out ≤2× on the rare edges present
+    * in both orientations, and the output `distinct()` dedups anyway —
+    * skipping it saves one full-width exchange per round.
+    */
   private def largeStar(e: DataFrame): DataFrame = {
-    val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val mins = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
     nbrs.join(mins, "u")
       .filter(col("v") > col("u"))
