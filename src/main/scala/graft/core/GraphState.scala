@@ -181,6 +181,63 @@ final case class GraphState(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow]) {
   def addRelationsUnchecked(newEdges: Dataset[EdgeRow]): GraphState =
     copy(edges = edges.unionByName(newEdges).dropDuplicates())
 
+  /** Relation endpoint-type constraint check — the reference DECLARES a
+    * per-relation (source, sink) node-type table via its `NodeRelation`
+    * lookup but never enforces it (`Graph.fs:648-656`: the compare call
+    * is commented out, "TODO re-enable constraints"). Here the table is
+    * explicit data — `relType -> (srcNodeType, dstNodeType)` — and
+    * enforcement is a distributed plan: broadcast the (tiny) table, join
+    * each endpoint's actual `nodeType`, keep edges whose types disagree
+    * with the declaration. Relations absent from the table are
+    * unconstrained — the reference's effective open-world behavior. An
+    * endpoint missing from the node set reports a null actual type
+    * (dangling FKs are [[addRelations]]' concern, but they can't hide
+    * from this check either).
+    *
+    * Returns one row per violating edge:
+    * `(src, dst, relType, src_type, dst_type, req_src_type, req_dst_type)`.
+    */
+  def constraintViolations(constraints: Map[String, (String, String)],
+                           edgeSet: Option[DataFrame] = None): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val cons = constraints.toSeq.map { case (r, (st, dt)) => (r, st, dt) }
+      .toDF("relType", "req_src_type", "req_dst_type")
+    val nt = nodes.select(col("key"), col("nodeType"))
+    edgeSet.getOrElse(edges.toDF())
+      .join(broadcast(cons), Seq("relType")) // inner: unconstrained rels pass
+      .join(nt.select(col("key").as("src"), col("nodeType").as("src_type")),
+        Seq("src"), "left")
+      .join(nt.select(col("key").as("dst"), col("nodeType").as("dst_type")),
+        Seq("dst"), "left")
+      .filter(!(col("src_type") <=> col("req_src_type")) ||
+        !(col("dst_type") <=> col("req_dst_type")))
+      .select(col("src"), col("dst"), col("relType"),
+        col("src_type"), col("dst_type"),
+        col("req_src_type"), col("req_dst_type"))
+  }
+
+  /** M6 with the constraint table ENABLED: FK validation as in
+    * [[addRelations]], then endpoint-type enforcement via
+    * [[constraintViolations]]. Reports up to 20 messages, mirroring the
+    * FK path's bounded error sample.
+    */
+  def addRelationsConstrained(newEdges: Dataset[EdgeRow],
+      constraints: Map[String, (String, String)]): Either[Seq[String], GraphState] =
+    addRelations(newEdges) match {
+      case Left(dangling) => Left(dangling.map(k => s"dangling endpoint: $k"))
+      case Right(updated) =>
+        val bad = constraintViolations(constraints, Some(newEdges.toDF()))
+          .select(concat_ws(" ", col("relType"), lit("requires"),
+            concat(col("req_src_type"), lit("->"), col("req_dst_type")),
+            lit("but"), col("src"),
+            concat(lit("("), coalesce(col("src_type"), lit("?")), lit(")")),
+            lit("->"), col("dst"),
+            concat(lit("("), coalesce(col("dst_type"), lit("?")), lit(")"))))
+          .limit(20).collect().map(_.getString(0)).toSeq
+        if (bad.nonEmpty) Left(bad) else Right(updated)
+    }
+
   /** Register the graph as temp views (`<prefix>_nodes` / `<prefix>_edges`)
     * so the full SQL-text surface works against it — traversals as joins,
     * the custom functions after [[graft.plans.GraftExtensions.registerAll]].

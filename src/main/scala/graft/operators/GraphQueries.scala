@@ -1274,6 +1274,31 @@ object GraphQueries {
         "relationship): `(n:nation)-[:InNation]-(m)` matches either stored " +
         "orientation via a pre-join union of both directions, so a " +
         "neighborhood query needs no knowledge of edge polarity; counts " +
-        "per nation cover customers and suppliers in one pattern")
+        "per nation cover customers and suppliers in one pattern"),
+
+    Q("g47_endpoint_constraints",
+      (s, d) => {
+        // the reference's DISABLED relation endpoint-type constraint table
+        // (Graph.fs:648-656, "TODO re-enable constraints"), enabled: declare
+        // InNation as customer->nation only — every supplier InNation edge
+        // is then a violation; InRegion/PlacedBy declarations are satisfied
+        // and contribute nothing
+        g(s, d).constraintViolations(Map(
+            "InNation" -> ("customer", "nation"),
+            "InRegion" -> ("nation", "region"),
+            "PlacedBy" -> ("order", "customer")))
+          .groupBy("relType", "src_type")
+          .agg(count(lit(1)).as("n_violations"))
+          .orderBy("relType", "src_type")
+      },
+      Some("""
+        SELECT 'InNation' AS relType, 'supplier' AS src_type,
+               CAST(count(*) AS BIGINT) AS n_violations
+        FROM supplier"""),
+      "J10 extension — the reference's declared-but-disabled relation " +
+        "endpoint-type constraint table, enforced distributively: the " +
+        "broadcast table joins each endpoint's actual nodeType and " +
+        "surfaces disagreeing edges; absent relTypes stay unconstrained " +
+        "(the reference's effective open-world behavior)")
   )
 }

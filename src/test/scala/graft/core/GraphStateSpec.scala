@@ -76,6 +76,26 @@ class GraphStateSpec extends SparkSpec {
     assert(g.addRelations(danglingSrc).isLeft)
   }
 
+  test("M6+ constraint table: declared endpoint types enforced, absent relTypes open (ref Graph.fs:648-656 TODO)") {
+    val g = fixture
+    val cons = Map("IsA" -> ("taxonnode", "taxonnode"))
+    // conforming edge accepted (reversed IsA between two taxonnodes)
+    val ok = Seq(EdgeRow("taxonnode_family_salicaceae", "taxonnode_genus_salix", 1, "IsA", "{}")).toDS()
+    assert(g.addRelationsConstrained(ok, cons).isRight)
+    // contextnode source violates the IsA declaration
+    val bad = Seq(EdgeRow("contextnode_a", "taxonnode_genus_salix", 1, "IsA", "{}")).toDS()
+    g.addRelationsConstrained(bad, cons) match {
+      case Left(errs) => assert(errs.exists(_.contains("IsA requires taxonnode->taxonnode")), errs)
+      case Right(_)   => fail("type-violating edge accepted")
+    }
+    // the SAME edge under an undeclared relType is unconstrained
+    val open = Seq(EdgeRow("contextnode_a", "taxonnode_genus_salix", 1, "LocatedAt", "{}")).toDS()
+    assert(g.addRelationsConstrained(open, cons).isRight)
+    // dangling endpoints still rejected before type checks
+    val dangling = Seq(EdgeRow("missing", "taxonnode_genus_salix", 1, "IsA", "{}")).toDS()
+    assert(g.addRelationsConstrained(dangling, cons).isLeft)
+  }
+
   test("J1 nodeIdsByRelation returns sinks of matching typed edges (ref Graph.fs:744-764)") {
     val ids = fixture.nodeIdsByRelation("taxonnode_genus_salix", "IsA")
       .collect().map(_.getString(0))
