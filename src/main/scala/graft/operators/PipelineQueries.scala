@@ -3460,6 +3460,39 @@ object PipelineQueries {
       "text — canonicalization before dedup (unicode NFC via a native " +
         "codegen expression + casefold + whitespace collapse) and the " +
         "canonical fingerprint; composed/decomposed encodings of the same " +
-        "text collapse to one dedup key")
+        "text collapse to one dedup key"),
+
+    Q("p105_source_calibrated_gate",
+      (s, d) => {
+        // per-source quality CALIBRATION before a global gate: raw scores
+        // are not comparable across heterogeneous sources (a mid-quality
+        // academic page outscores a good forum post), so normalize to the
+        // within-source percentile rank and gate on that. One shuffle
+        // (by source) + an in-partition sort; deterministic tie-break by
+        // doc_id. At extreme per-source cardinality the same decision
+        // comes from a quantile-threshold join (p18-style percentiles
+        // broadcast back) — this exact-rank form is the oracle twin.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+        // gate on the RAW rank (as the oracle does — (rank-1)/(n-1) is
+        // the same exact-int division on both engines), display rounded
+        table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("pr_raw", percent_rank().over(w))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(col("pr_raw"), 6).as("pr"), (col("pr_raw") >= 0.2).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, n_chars,
+               round(percent_rank() OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id), 6) AS pr,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) >= 0.2 AS kept
+        FROM documents ORDER BY doc_id"""),
+      "curation — per-source quality calibration: within-source " +
+        "percent_rank normalizes incomparable raw scores, then one global " +
+        "calibrated threshold gates every source fairly (drops each " +
+        "source's bottom quintile instead of whole low-scoring sources)")
   )
 }
