@@ -68,4 +68,54 @@ object Packing {
         (col("chunk_id") * stride).cast("int").as("tok_start"),
         least(col("chunk_id") * stride + chunkLen, col("n_tokens")).cast("int").as("tok_end"))
   }
+
+  /** Content-defined chunking (the rsync/LBFS boundary trick): cut after
+    * character position `p` whenever the hash of the k-gram ENDING at `p`
+    * is ≡ 0 (mod `divisor`), so boundaries are a function of local
+    * CONTENT, not offsets. An insertion early in a document shifts every
+    * fixed-window chunk ([[chunkWindows]]) but leaves all CDC boundaries
+    * past the edit's k-gram neighborhood untouched — which is what makes
+    * chunk-level dedup robust to near-duplicate documents with
+    * insertions. Expected chunk length ≈ `divisor` characters; chunks
+    * tile the document exactly (concatenating them reproduces the text).
+    *
+    * The gram hash is the engine's portable md5-prefix idiom, so any
+    * engine reproduces the boundaries bit-for-bit. Production CDC adds
+    * min/max chunk-size guards; that is a sequential per-document
+    * min-gap scan over the same boundary set, deliberately left out here
+    * to keep the operator stateless-per-position and oracle-exact.
+    *
+    * Entirely map-side (per-row array expressions + one explode) — no
+    * shuffle at any corpus size.
+    *
+    * Returns `(doc_id, chunk_id, c_start, c_len, fp)` with 1-based
+    * `c_start` and `fp = md5(chunk text)`.
+    */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+                k: Int = 8, divisor: Int = 64): DataFrame = {
+    require(k >= 1 && divisor >= 1,
+      s"cdcChunks needs positive k and divisor, got $k/$divisor")
+    val t = df.filter(length(text) >= 1)
+      .select(id.as("doc_id"), text.as("txt"), length(text).cast("int").as("n"))
+    // candidate cut points: gram END positions k..n-1 (no cut before the
+    // first full gram, none after the last character). Spark's sequence()
+    // DESCENDS when start > stop, so guard the short-document case.
+    val ends = when(col("n") - 1 >= k, sequence(lit(k), col("n") - 1))
+      .otherwise(array().cast("array<int>"))
+    val bounds = filter(ends, p =>
+      conv(substring(md5(col("txt").substr(p - (k - 1), lit(k))), 1, 7), 16, 10)
+        .cast("long") % divisor === 0)
+    val cuts = concat(array(lit(1)), transform(bounds, b => b + 1),
+      array(col("n") + 1))
+    t.withColumn("cuts", cuts)
+      .select(col("doc_id"), col("txt"),
+        posexplode(zip_with(
+          slice(col("cuts"), lit(1), size(col("cuts")) - 1),
+          slice(col("cuts"), lit(2), size(col("cuts")) - 1),
+          (s, e) => struct(s.as("s"), e.as("e")))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col.s").as("c_start"),
+        (col("col.e") - col("col.s")).as("c_len"),
+        md5(col("txt").substr(col("col.s"), col("col.e") - col("col.s"))).as("fp"))
+  }
 }

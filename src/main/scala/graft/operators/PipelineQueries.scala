@@ -3493,6 +3493,34 @@ object PipelineQueries {
       "curation — per-source quality calibration: within-source " +
         "percent_rank normalizes incomparable raw scores, then one global " +
         "calibrated threshold gates every source fairly (drops each " +
-        "source's bottom quintile instead of whole low-scoring sources)")
+        "source's bottom quintile instead of whole low-scoring sources)"),
+
+    Q("p106_cdc_chunks",
+      (s, d) => Packing.cdcChunks(table(s, d, "documents"),
+          col("doc_id"), col("text"), k = 8, divisor = 64)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""
+        WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS n
+                   FROM documents WHERE length(text) >= 1),
+        b AS (SELECT doc_id, n, text,
+                     list_filter(generate_series(8, n - 1), p ->
+                       ('0x' || substring(md5(substr(text, p - 7, 8)), 1, 7))::BIGINT % 64 = 0) AS bs
+              FROM d),
+        c AS (SELECT doc_id, n, text,
+                     list_concat(list_concat([1], list_transform(bs, x -> x + 1)), [n + 1]) AS cuts
+              FROM b),
+        x AS (SELECT doc_id, text, cuts,
+                     unnest(generate_series(1, len(cuts) - 1)) AS i
+              FROM c)
+        SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+               CAST(cuts[i] AS INT) AS c_start,
+               CAST(cuts[i + 1] - cuts[i] AS INT) AS c_len,
+               md5(substr(text, cuts[i], cuts[i + 1] - cuts[i])) AS fp
+        FROM x ORDER BY doc_id, chunk_id"""),
+      "chunking — content-defined chunk boundaries (rsync/LBFS trick: cut " +
+        "where the k-gram hash ≡ 0 mod divisor): boundaries follow " +
+        "content, not offsets, so chunk-level dedup survives insertions " +
+        "that shift every fixed window; map-side only, portable md5 gram " +
+        "hash, chunks tile each document exactly")
   )
 }

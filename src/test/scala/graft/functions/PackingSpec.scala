@@ -60,4 +60,39 @@ class PackingSpec extends SparkSpec {
       .filter(col("end") =!= col("total"))
     assert(ok.isEmpty, "per-shard token stream must have no gaps or overlaps")
   }
+
+  test("cdcChunks: chunks tile the document exactly") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(5)
+    val texts = (0L until 20L).map(i =>
+      (i, (0 until 300 + rng.nextInt(200)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString))
+    val df = texts.toDF("doc_id", "text")
+    val chunks = Packing.cdcChunks(df, col("doc_id"), col("text"), k = 8, divisor = 32)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    texts.foreach { case (id, text) =>
+      val cs = byDoc(id).sortBy(_.getInt(1))
+      // contiguous 1-based tiling: starts chain and lengths sum to |text|
+      assert(cs.head.getInt(2) == 1)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b.getInt(2) == a.getInt(2) + a.getInt(3))
+        case _ => ()
+      }
+      assert(cs.map(_.getInt(3)).sum == text.length)
+    }
+  }
+
+  test("cdcChunks: boundaries survive a front insertion (fixed windows do not)") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(7)
+    val base = (0 until 2000).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val edited = "INSERTED PREFIX >> " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val fps = Packing.cdcChunks(df, col("doc_id"), col("text"), k = 8, divisor = 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(4)).toSet }
+    val shared = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).size
+    assert(shared >= 0.8,
+      s"CDC should preserve most chunks across a front insertion, shared=$shared")
+  }
 }
