@@ -96,18 +96,13 @@ object Packing {
     require(k >= 1 && divisor >= 1,
       s"cdcChunks needs positive k and divisor, got $k/$divisor")
     val t = df.filter(length(text) >= 1)
-      .select(id.as("doc_id"), text.as("txt"), length(text).cast("int").as("n"))
-    // candidate cut points: gram END positions k..n-1 (no cut before the
-    // first full gram, none after the last character). Spark's sequence()
-    // DESCENDS when start > stop, so guard the short-document case.
-    val ends = when(col("n") - 1 >= k, sequence(lit(k), col("n") - 1))
-      .otherwise(array().cast("array<int>"))
-    val bounds = filter(ends, p =>
-      conv(substring(md5(col("txt").substr(p - (k - 1), lit(k))), 1, 7), 16, 10)
-        .cast("long") % divisor === 0)
-    val cuts = concat(array(lit(1)), transform(bounds, b => b + 1),
-      array(col("n") + 1))
-    t.withColumn("cuts", cuts)
+      .select(id.as("doc_id"), text.as("txt"))
+    // cut points via the codegen'd CdcCuts expression — one JVM loop per
+    // row; the array-expression formulation (filter over sequence() with
+    // an md5 per position) evaluated an interpreted lambda per character
+    // and was ~20x slower at sf0.1 while producing identical cuts
+    t.withColumn("cuts",
+        graft.functions.expressions.CdcCuts.cutsCol(col("txt"), k, divisor))
       .select(col("doc_id"), col("txt"),
         posexplode(zip_with(
           slice(col("cuts"), lit(1), size(col("cuts")) - 1),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{ArrayDot, DupGramCount, Fnv64, MaxRunCount, UnicodeNorm, WinnowingFp}
+import graft.functions.expressions.{ArrayDot, CdcCuts, DupGramCount, Fnv64, MaxRunCount, UnicodeNorm, WinnowingFp}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -77,7 +77,11 @@ object GraftExtensions {
     fn("max_bigram_run", classOf[MaxRunCount],
       exprs => MaxRunCount(exprs.head, pairs = true)),
     fn("dup_gram_count", classOf[DupGramCount], dupGramBuilder),
-    fn("unicode_norm", classOf[UnicodeNorm], unicodeNormBuilder))
+    fn("unicode_norm", classOf[UnicodeNorm], unicodeNormBuilder),
+    // cdc_cuts(text, k, divisor): k and divisor are literal ints
+    fn("cdc_cuts", classOf[CdcCuts], exprs => CdcCuts(exprs.head,
+      literalInt(exprs(1), "cdc_cuts", "k"),
+      literalInt(exprs(2), "cdc_cuts", "divisor"))))
 
   /** Register all engine functions on an existing session. */
   def registerAll(spark: SparkSession): Unit =

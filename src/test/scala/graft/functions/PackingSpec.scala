@@ -82,6 +82,33 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("CdcCuts equals the md5 array-expression formulation, incl. non-BMP text") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(13)
+    val texts = Seq(
+      (1L, (0 until 500).map(_ => ('a' + rng.nextInt(26)).toChar).mkString),
+      (2L, "héllo wörld " * 40),          // non-ASCII BMP
+      (3L, "ab😀cd " * 60),      // supplementary codepoint (emoji)
+      (4L, "tiny"))                        // shorter than k
+    val df = texts.toDF("doc_id", "text")
+    val k = 8; val divisor = 16
+    val fast = graft.functions.expressions.CdcCuts.cutsCol(col("text"), k, divisor)
+    // the reference formulation the DuckDB oracle mirrors
+    val ends = when(length(col("text")) - 1 >= k,
+      sequence(lit(k), length(col("text")).cast("int") - 1)).otherwise(array().cast("array<int>"))
+    val bounds = filter(ends, p =>
+      conv(substring(md5(col("text").substr(p - (k - 1), lit(k))), 1, 7), 16, 10)
+        .cast("long") % divisor === 0)
+    val slow = concat(array(lit(1)), transform(bounds, b => b + 1),
+      array(length(col("text")).cast("int") + 1))
+    val rows = df.select(col("doc_id"), fast.as("f"), slow.as("s")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"doc ${r.getLong(0)}")
+    }
+    // and at least one non-trivial boundary actually fired
+    assert(rows.exists(_.getSeq[Int](1).size > 2))
+  }
+
   test("cdcChunks: boundaries survive a front insertion (fixed windows do not)") {
     import org.apache.spark.sql.functions.col
     val rng = new scala.util.Random(7)
