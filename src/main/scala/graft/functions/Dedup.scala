@@ -36,13 +36,30 @@ object Dedup {
   /** Distinct word `n`-grams per document, exploded to
     * `(id, gram)` rows — the inverted-index input.
     */
+  /** Round-robin the input across the session's cores when its current
+    * partitioning is pathologically narrow. The heavy per-document map
+    * stages here (tokenize → gram transform → explode → hash) inherit
+    * the scan's partitioning, and a single-row-group parquet file scans
+    * as ONE partition no matter the split settings — serializing the
+    * whole text-processing stage onto one core. On a real multi-row-group
+    * corpus the scan parallelizes naturally and this is a no-op (the
+    * guard keeps an already-wide input untouched — repartitioning a
+    * 1000-partition cluster scan down would be a pessimization). The
+    * exchange moves the raw doc rows once, trivial next to the per-gram
+    * work it parallelizes.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < (target + 1) / 2) df.repartition(target) else df
+  }
+
   def wordNgrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val toks = TextOps.tokens(lower(text))
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))
     )
-    df.select(id.as("id"), explode(array_distinct(grams)).as("gram"))
+    spread(df).select(id.as("id"), explode(array_distinct(grams)).as("gram"))
       .filter(length(col("gram")) > 0)
   }
 
@@ -524,7 +541,7 @@ object Dedup {
     * Bit arithmetic via array expressions — map-side only.
     */
   def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("id"), explode(TextOps.tokens(lower(text))).as("tok"))
+    val toks = spread(df).select(id.as("id"), explode(TextOps.tokens(lower(text))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val votes = toks.groupBy("id").agg(
       array((0 until SimHashBits).map { bit =>
