@@ -21,6 +21,17 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Intra-document repeated-line removal: keep the FIRST occurrence of
+    * each distinct line, preserving order — the cleaning primitive for
+    * within-page repetition (navigation blocks, headers repeated by a
+    * scraper), complementary to [[Boilerplate]]'s corpus-frequent-line
+    * removal (which needs a shuffle; this is map-side only).
+    * `array_distinct` preserves first-occurrence order by contract, so
+    * the whole op is three array expressions per row.
+    */
+  def dropRepeatedLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
   /** Canonicalize text for exact dedup / fingerprinting: Unicode NFC
     * (composed/decomposed encodings of the same glyphs collapse), then
     * lowercase, then whitespace runs → one space, then trim. This is the

@@ -3521,6 +3521,37 @@ object PipelineQueries {
         "where the k-gram hash ≡ 0 mod divisor): boundaries follow " +
         "content, not offsets, so chunk-level dedup survives insertions " +
         "that shift every fixed window; map-side only, portable md5 gram " +
-        "hash, chunks tile each document exactly")
+        "hash, chunks tile each document exactly"),
+
+    Q("p107_intradoc_line_dedup",
+      (s, d) => {
+        // within-page repetition cleanup (scraper-duplicated nav blocks /
+        // headers): keep each distinct line's FIRST occurrence, in order.
+        // Complementary to p40 (corpus-frequent boilerplate, needs a
+        // shuffle) — this is three array expressions per row, map-side at
+        // any scale
+        val cleaned = TextOps.dropRepeatedLines(col("text"))
+        table(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), "\n")).as("n_lines"),
+            size(array_distinct(split(col("text"), "\n"))).as("n_kept"),
+            md5(cleaned).as("cleaned_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        c AS (SELECT doc_id, ls,
+                     list_filter(
+                       list_transform(generate_series(1, len(ls)), i ->
+                         CASE WHEN list_position(ls, ls[i]) = i THEN ls[i] END),
+                       x -> x IS NOT NULL) AS kept
+              FROM l)
+        SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept,
+               md5(list_aggregate(kept, 'string_agg', chr(10))) AS cleaned_fp
+        FROM c ORDER BY doc_id"""),
+      "text — intra-document repeated-line removal (first occurrence " +
+        "wins, order preserved): the within-page counterpart of p40's " +
+        "corpus-level boilerplate pass; array_distinct's first-occurrence " +
+        "contract makes it three map-side array expressions per row")
   )
 }

@@ -75,4 +75,13 @@ class TextOpsSpec extends SparkSpec {
       TextOps.fingerprint(col("y")).as("fy")).head()
     assert(r.getString(0) == r.getString(1))
   }
+
+  test("dropRepeatedLines keeps first occurrences in order; unique docs unchanged") {
+    val df = Seq(
+      "nav\nbody one\nnav\nbody two\nnav",
+      "a\nb\nc",
+      "same\nsame\nsame").toDF("t")
+    val got = df.select(TextOps.dropRepeatedLines(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("nav\nbody one\nbody two", "a\nb\nc", "same"))
+  }
 }
