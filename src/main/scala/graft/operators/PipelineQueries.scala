@@ -3552,6 +3552,17 @@ object PipelineQueries {
       "text — intra-document repeated-line removal (first occurrence " +
         "wins, order preserved): the within-page counterpart of p40's " +
         "corpus-level boilerplate pass; array_distinct's first-occurrence " +
-        "contract makes it three map-side array expressions per row")
+        "contract makes it three map-side array expressions per row"),
+
+    Q("p108_stream_dedup_watermark",
+      (s, d) => EventStream.runDistinctWithinWatermarkStream(s, d),
+      Some("""
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "streaming — dropDuplicatesWithinWatermark: p76's dedup with state " +
+        "BOUNDED by event time (a key's state drops once the watermark " +
+        "passes its last-seen ts + delay) — the form that survives " +
+        "100 TB/day; on the bounded file no state expires, so kept rows " +
+        "equal exact distinct")
   )
 }
