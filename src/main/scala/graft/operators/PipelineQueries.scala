@@ -3563,6 +3563,35 @@ object PipelineQueries {
         "BOUNDED by event time (a key's state drops once the watermark " +
         "passes its last-seen ts + delay) — the form that survives " +
         "100 TB/day; on the bounded file no state expires, so kept rows " +
-        "equal exact distinct")
+        "equal exact distinct"),
+
+    Q("p109_bpe_encode",
+      (s, d) => {
+        // two-phase BPE: LEARN the merge table from the corpus (p54's
+        // pair counting — vocab-sized agg, 30-row driver collect, the
+        // same bounded-constant posture as the IVF centroids), then
+        // ENCODE every document with the BpeEncode expression. Greedy
+        // iterative merging is not SQL-expressible, so this query has NO
+        // DuckDB oracle by design — the driver's rows-only check applies
+        // and BpeEncodeSpec's hand-computed goldens carry correctness.
+        val docs = table(s, d, "documents")
+        val merges = Corpus.bpePairCounts(docs, col("text"), topN = 30)
+          .collect().map(_.getString(0)).toSeq
+          .map(p => (p.substring(0, 1), p.substring(1)))
+        val pieces = graft.functions.expressions.BpeEncode
+          .encodeCol(lower(col("text")), merges)
+        docs.select(col("doc_id"),
+            graft.functions.TextOps.tokenCount(col("text")).as("n_words"),
+            size(pieces).as("n_pieces"),
+            round(length(col("text")).cast("double") / size(pieces), 4)
+              .as("chars_per_piece"))
+          .orderBy("doc_id")
+      },
+      None,
+      "tokenization — BPE ENCODE (the apply step to p54's learn step): " +
+        "corpus-learned merge ranks applied per word by a codegen " +
+        "expression (greedy lowest-rank merging; merge table is a " +
+        "broadcast-sized codegen constant). Non-SQL-expressible → " +
+        "rows-only driver check; BpeEncodeSpec goldens pin semantics")
   )
 }
