@@ -101,7 +101,13 @@ object Importance {
     feats.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_feats"),
            sum(element_at(lrArr, col("b") + 1)).as("sm"))
+      // exact integer micros (the p86 weight_micro pattern): the earlier
+      // round(sm/1e6, 4) double output hit a decimal half-way knife edge
+      // at sf0.1 (sm = ...150 micros → 0.xxxx5, which Spark's BigDecimal
+      // HALF_UP and an oracle's double-arithmetic round resolve
+      // differently). Integer micros carry full precision and render
+      // identically on every engine.
       .select(col("doc_id"), col("n_feats"),
-        round(col("sm").cast("double") / 1e6, 4).as("logw"))
+        col("sm").cast("long").as("logw_micro"))
   }
 }

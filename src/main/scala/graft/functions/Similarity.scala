@@ -93,7 +93,12 @@ object Similarity {
   def labelCentroids(df: DataFrame, label: Column, vec: Column, roundTo: Int = 4): DataFrame =
     df.select(label.as("label"), posexplode(vec).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(round(avg(col("v").cast("double")), roundTo).as("c"))
+      // + 0.0 normalizes IEEE negative zero: a tiny negative mean rounds
+      // to -0.0 on engines that round in double arithmetic and to +0.0
+      // on Spark's BigDecimal path — numerically equal, rendered
+      // differently (the driver's hash sees the rendering). (-0.0)+0.0
+      // is +0.0 by IEEE 754, so both engines land on one representation.
+      .agg((round(avg(col("v").cast("double")), roundTo) + 0.0).as("c"))
       .orderBy("label", "pos")
 
   /** Nearest-centroid classification: label every vector with the argmax

@@ -1002,7 +1002,7 @@ object PipelineQueries {
       (s, d) => Similarity.labelCentroids(table(s, d, "embeddings"),
         col("label"), col("embedding")),
       Some("""
-        SELECT label, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+        SELECT label, u.i - 1 AS pos, round(avg(u.v), 4) + 0 AS c
         FROM (SELECT label,
                      unnest(list_transform(generate_series(1, len(embedding)),
                             i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
@@ -1758,7 +1758,7 @@ object PipelineQueries {
                FROM ks LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
         sc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_feats, sum(lrm) AS sm
                FROM f JOIN lr USING (b) GROUP BY doc_id)
-        SELECT doc_id, n_feats, round(sm / 1000000.0, 4) AS logw
+        SELECT doc_id, n_feats, CAST(sm AS BIGINT) AS logw_micro
         FROM sc ORDER BY doc_id"""),
       "selection — DSIR importance weighting (Xie et al. 2023): hashed-bigram " +
         "likelihood ratio of target (reference domains) vs raw crawl; one " +

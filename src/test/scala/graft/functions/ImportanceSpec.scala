@@ -39,7 +39,7 @@ class ImportanceSpec extends SparkSpec {
   test("dsirWeights ranks target-like documents above raw-only ones") {
     val w = Importance.dsirWeights(docs, col("doc_id"), col("text"),
         col("is_t"), buckets = 64)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(!w.contains(5L)) // no bigrams → no weight
     // target-heavy docs score above the raw-only spam docs
     assert(w(0L) > w(2L), w.toString)
@@ -50,9 +50,9 @@ class ImportanceSpec extends SparkSpec {
 
   test("dsirWeights is invariant under repartitioning (order-independent sums)") {
     val a = Importance.dsirWeights(docs, col("doc_id"), col("text"), col("is_t"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val b = Importance.dsirWeights(docs.repartition(7), col("doc_id"), col("text"), col("is_t"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a == b)
   }
 }
