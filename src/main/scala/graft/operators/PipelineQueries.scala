@@ -3592,6 +3592,31 @@ object PipelineQueries {
         "corpus-learned merge ranks applied per word by a codegen " +
         "expression (greedy lowest-rank merging; merge table is a " +
         "broadcast-sized codegen constant). Non-SQL-expressible → " +
-        "rows-only driver check; BpeEncodeSpec goldens pin semantics")
+        "rows-only driver check; BpeEncodeSpec goldens pin semantics"),
+
+    Q("p110_compression_quality",
+      (s, d) => {
+        // the classic information-density quality rule (repetitive
+        // template text deflates tiny; high-entropy noise doesn't deflate
+        // at all — both tails get cut): exact integer byte counts plus a
+        // micro-grid ratio, flagging both tails. DEFLATE output is not a
+        // cross-engine quantity → rows-only driver check; DeflateLenSpec
+        // pins the monotonicity and determinism the rule relies on
+        val raw = octet_length(col("text"))
+        val defl = graft.functions.expressions.DeflateLen.deflateLenCol(col("text"))
+        table(s, d, "documents").select(col("doc_id"),
+            raw.as("n_bytes"), defl.as("n_deflate"))
+          .withColumn("ratio_micro",
+            expr("CAST(n_deflate AS BIGINT) * 1000000 div n_bytes"))
+          .withColumn("flagged",
+            col("ratio_micro") < 200000L || col("ratio_micro") > 900000L)
+          .orderBy("doc_id")
+      },
+      None,
+      "quality — DEFLATE compression-ratio signal (the Gopher-style " +
+        "information-density rule): per-doc exact compressed/raw byte " +
+        "counts via a codegen deflater expression, micro-grid ratio, " +
+        "two-tailed flag. Not cross-engine portable → rows-only check; " +
+        "DeflateLenSpec goldens pin the behavior")
   )
 }
