@@ -542,6 +542,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("cdcChunks is shuffle-free: scan -> codegen cuts -> explode, no Exchange") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.functions.Packing.cdcChunks(
+        spark.read.parquet(s"$sf/documents.parquet"), col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)   // map-side at any corpus size
+    assert(p.contains("Generate"), p)    // the per-chunk explode
+    assert(p.contains("cdc_cuts"), p)    // the codegen expression, not a HOF
+  }
+
+  test("canonicalize fingerprint is one scan, no shuffle before the caller aggregates") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val p = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), md5(graft.functions.TextOps.canonicalize(col("text"))).as("fp"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("unicode_norm"), p)
+  }
+
   test("p103 salted LSH: hot-bucket list broadcasts, shard fan-out is a Generate, no nested loops") {
     val p = plan("p103_lsh_salted_pairs")
     // the occupancy-derived hot list must reach the bucketed rows as a
