@@ -3617,6 +3617,34 @@ object PipelineQueries {
         "information-density rule): per-doc exact compressed/raw byte " +
         "counts via a codegen deflater expression, micro-grid ratio, " +
         "two-tailed flag. Not cross-engine portable → rows-only check; " +
-        "DeflateLenSpec goldens pin the behavior")
+        "DeflateLenSpec goldens pin the behavior"),
+
+    Q("p111_session_timeout_stream",
+      (s, d) => EventStream.runSessionTimeoutStream(s, d, gapMinutes = 30),
+      Some("""
+        WITH t AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_id, value,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR epoch(date_trunc('second', ts))
+                             - epoch(date_trunc('second', prev_ts)) > 1800
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+          FROM t)
+        SELECT user_id,
+               strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value),2) AS sum_value
+        FROM s GROUP BY user_id, session_no
+        ORDER BY user_id, session_start"""),
+      "streaming — PRODUCTION sessionization: flatMapGroupsWithState with " +
+        "EVENT-TIME TIMEOUT; sessions flush incrementally as the watermark " +
+        "passes last-event + gap, so state holds only open sessions. A " +
+        "staged far-future sentinel file drives the final watermark " +
+        "advance on the bounded source, so the drained result equals " +
+        "p14's batch oracle exactly")
   )
 }

@@ -260,6 +260,135 @@ object EventStream {
 
   final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
   final case class Session(user_id: Long, session_start: String, n_events: Long, sum_value: Double)
+  final case class SessState(startMicros: Long, lastMicros: Long, n: Long, sum: Double)
+  /** [[SessionEvent]] plus the raw event-time column — the watermark
+    * annotation must survive to the stateful operator's input, so the
+    * timeout variant keeps `ts` in the typed row.
+    */
+  final case class SessionEventWm(user_id: Long, tsMicros: Long, value: Double,
+                                  ts: java.sql.Timestamp)
+
+  /** PRODUCTION-form stateful sessionization: `flatMapGroupsWithState`
+    * with EVENT-TIME TIMEOUT — sessions flush incrementally as the
+    * watermark passes `last event + gap`, so state holds only OPEN
+    * sessions (the form [[sessionizeStateful]]'s NoTimeout smoke path
+    * defers to). Bounded-source mechanics: the stream reads a staged
+    * two-file directory — the real events, then a far-future SENTINEL
+    * event (`maxFilesPerTrigger=1` forces two microbatches) — so the
+    * final watermark advance fires every remaining timeout and the
+    * drained result equals the batch answer exactly (sentinel user
+    * filtered from the output; p111's oracle is p14's session SQL
+    * verbatim). Timeout timestamps clamp to `watermark + 1 ms` when a
+    * session's gap deadline is already past — Spark rejects timestamps
+    * at or before the current watermark.
+    */
+  def runSessionTimeoutStream(spark: SparkSession, sfDir: String,
+                              gapMinutes: Int = 30,
+                              statePartitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    val gapSeconds = gapMinutes * 60L
+    val zoneId = spark.conf.get("spark.sql.session.timeZone")
+
+    // ---- stage <events, sentinel> with strictly increasing mtimes.
+    // Rebuilt whenever the source file is newer than the staged copy
+    // (the driver regenerates /root/testdata between rounds).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val staged = new java.io.File(
+      s"/tmp/graft_session_stream_${Integer.toHexString(sfDir.hashCode)}")
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val dst = new java.io.File(staged, "00_events.parquet")
+    if (!dst.exists() || dst.lastModified() < src.lastModified()) {
+      staged.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val maxTs = graft.sources.TpchGraph.events(spark, sfDir)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // the sentinel must carry the SOURCE file's physical ts type — the
+      // stream reads both files with one schema
+      val sentinelMicros = maxTs + 86400L * 1000000L
+      val tsOut = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(sentinelMicros * 1000L) // legacy nanos
+        case t => timestamp_micros(lit(sentinelMicros)).cast(t)
+      }
+      val tmpOut = new java.io.File(staged, "_sentinel_build").getAbsolutePath
+      spark.read.parquet(s"$sfDir/events.parquet").limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", tsOut)
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val sentinel = new java.io.File(staged, "01_sentinel.parquet")
+      java.nio.file.Files.copy(part.toPath, sentinel.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the file source orders same-trigger candidates by mtime
+      sentinel.setLastModified(dst.lastModified() + 60000L)
+    }
+    val stream = graft.sources.TpchGraph.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.getAbsolutePath))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("value"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEventWm]
+
+    def mkSession(user: Long, s: SessState): Session = {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneId.of(zoneId))
+      Session(user, fmt.format(java.time.Instant.ofEpochSecond(s.startMicros / 1000000L)),
+        s.n, BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEventWm], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val done = mkSession(user, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = it.toArray.sortBy(_.tsMicros)
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(s)
+                  if e.tsMicros / 1000000L - s.lastMicros / 1000000L <= gapSeconds =>
+                  cur = Some(s.copy(lastMicros = e.tsMicros, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += mkSession(user, s)
+                  cur = Some(SessState(e.tsMicros, e.tsMicros, 1, e.value))
+                case None =>
+                  cur = Some(SessState(e.tsMicros, e.tsMicros, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              val fireAtMs = s.lastMicros / 1000L + gapSeconds * 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(fireAtMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+
+    val name = "graft_stream_session_timeout"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try sessions.filter(col("user_id") =!= -1L).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
 
   /** Batch sessionization: split each user's event stream into sessions
     * at gaps > `gapMinutes`. One shuffle (by user), then window

@@ -24,6 +24,15 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("event-time-timeout sessionization equals the batch answer") {
+    val batch = EventStream.sessionizeBatch(TpchGraph.events(spark, sf), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = EventStream.runSessionTimeoutStream(spark, sf, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("hourly agg batch == streaming (complete-mode memory sink)") {
     val streamed = EventStream.runHourlyStream(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
