@@ -35,6 +35,11 @@ object Verify {
         }
       }
     }
+    // p110's oracle needs its Verify-time golden table (deflate lengths
+    // computed by a direct Deflater call on the same input) spliced in
+    // before the dump — see graft.operators.DeflateGolden.
+    if (only("p110_compression_quality"))
+      graft.operators.DeflateGolden.prepare(spark, sfDir)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       Verify.oracleJson(only))
     spark.stop()
@@ -55,7 +60,9 @@ object Verify {
 
   private[graft] def oracleJson(only: String => Boolean): String =
     SparkEntry.oracleSql.filter(kv => only(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(graft.operators.DeflateGolden.substitute(v))}"
+      }.mkString("{", ",", "}")
 }
 
 /** Dump ALL oracle SQL to a json file without starting Spark — feeds

@@ -3570,14 +3570,15 @@ object PipelineQueries {
         // two-phase BPE: LEARN the merge table from the corpus (p54's
         // pair counting — vocab-sized agg, 30-row driver collect, the
         // same bounded-constant posture as the IVF centroids), then
-        // ENCODE every document with the BpeEncode expression. Greedy
-        // iterative merging is not SQL-expressible, so this query has NO
-        // DuckDB oracle by design — the driver's rows-only check applies
-        // and BpeEncodeSpec's hand-computed goldens carry correctness.
+        // ENCODE every document with the BpeEncode expression. The pair
+        // splits at the first CODEPOINT boundary (not char index 1):
+        // bpePairCounts built the pair with Spark substr, which counts
+        // codepoints, so a supplementary first codepoint must keep its
+        // low surrogate.
         val docs = table(s, d, "documents")
         val merges = Corpus.bpePairCounts(docs, col("text"), topN = 30)
           .collect().map(_.getString(0)).toSeq
-          .map(p => (p.substring(0, 1), p.substring(1)))
+          .map(p => p.splitAt(p.offsetByCodePoints(0, 1)))
         val pieces = graft.functions.expressions.BpeEncode
           .encodeCol(lower(col("text")), merges)
         docs.select(col("doc_id"),
@@ -3587,12 +3588,48 @@ object PipelineQueries {
               .as("chars_per_piece"))
           .orderBy("doc_id")
       },
-      None,
+      Some(s"""
+        WITH w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+        v AS (SELECT w, count(*) AS freq FROM w GROUP BY 1),
+        p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                     i -> substring(w, i, 2))) AS pair, freq
+              FROM v WHERE len(w) >= 2),
+        m AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+              FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30),
+        ml AS (SELECT list('[' || substring(pair, 1, 1) || '][' || substring(pair, 2) || ']'
+                           || chr(1) || '[' || pair || ']' ORDER BY n DESC, pair) AS ms
+               FROM m),
+        t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
+        e AS (SELECT doc_id,
+                     list_reduce(list_concat(
+                         ['[' || array_to_string(list_transform(
+                             generate_series(1, len(word)), i -> substring(word, i, 1)),
+                           '][') || ']'],
+                         (SELECT ms FROM ml)),
+                       (acc, x) -> replace(acc, split_part(x, chr(1), 1),
+                                                split_part(x, chr(1), 2))) AS enc
+              FROM t),
+        c AS (SELECT doc_id,
+                     CAST(sum(len(enc) - len(replace(enc, '[', ''))) AS INT) AS n_pieces
+              FROM e GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(${sqlTokens("d.text")}) AS INT) AS n_words,
+               c.n_pieces,
+               round(CAST(len(d.text) AS DOUBLE) / c.n_pieces, 4) AS chars_per_piece
+        FROM documents d JOIN c USING (doc_id)
+        ORDER BY doc_id"""),
       "tokenization — BPE ENCODE (the apply step to p54's learn step): " +
         "corpus-learned merge ranks applied per word by a codegen " +
         "expression (greedy lowest-rank merging; merge table is a " +
-        "broadcast-sized codegen constant). Non-SQL-expressible → " +
-        "rows-only driver check; BpeEncodeSpec goldens pin semantics"),
+        "broadcast-sized codegen constant). The oracle replays the greedy " +
+        "merge EXACTLY in SQL: each word is rendered with every token " +
+        "bracketed ('[c][a][t]') so adjacent replace patterns share no " +
+        "characters, and the 30 learned merges are folded over the word " +
+        "as chained replace() in rank order — equivalent to the loop " +
+        "because a merge can never enable a LOWER-ranked pair (new pairs " +
+        "always contain the just-created token, which lower ranks cannot " +
+        "reference). BpeEncodeSpec goldens additionally pin word-level " +
+        "semantics incl. unicode edge cases the corpus lacks"),
 
     Q("p110_compression_quality",
       (s, d) => {
@@ -3612,12 +3649,27 @@ object PipelineQueries {
             col("ratio_micro") < 200000L || col("ratio_micro") > 900000L)
           .orderBy("doc_id")
       },
-      None,
+      Some(s"""
+        WITH g(doc_id, n_deflate) AS (
+          VALUES (CAST(NULL AS BIGINT), CAST(NULL AS INT)) ${DeflateGolden.Marker})
+        SELECT d.doc_id,
+               CAST(strlen(d.text) AS INT) AS n_bytes,
+               g.n_deflate,
+               CAST(g.n_deflate AS BIGINT) * 1000000 // strlen(d.text) AS ratio_micro,
+               (CAST(g.n_deflate AS BIGINT) * 1000000 // strlen(d.text)) < 200000
+                 OR (CAST(g.n_deflate AS BIGINT) * 1000000 // strlen(d.text)) > 900000
+                 AS flagged
+        FROM documents d JOIN g USING (doc_id)
+        ORDER BY d.doc_id"""),
       "quality — DEFLATE compression-ratio signal (the Gopher-style " +
         "information-density rule): per-doc exact compressed/raw byte " +
         "counts via a codegen deflater expression, micro-grid ratio, " +
-        "two-tailed flag. Not cross-engine portable → rows-only check; " +
-        "DeflateLenSpec goldens pin the behavior"),
+        "two-tailed flag. DEFLATE is not a cross-engine quantity, so the " +
+        "oracle joins a Verify-time golden table (DeflateGolden: direct " +
+        "java.util.zip.Deflater over String bytes — independent of the " +
+        "expression's UTF8String eval/codegen paths) and recomputes " +
+        "ratio+flag in SQL: all five columns hash-checked, compression " +
+        "itself pinned by the JDK + DeflateLenSpec goldens"),
 
     Q("p111_session_timeout_stream",
       (s, d) => EventStream.runSessionTimeoutStream(s, d, gapMinutes = 30),
