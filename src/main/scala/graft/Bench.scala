@@ -97,21 +97,27 @@ object Bench {
     // the budget. The complete per-query record is always in BENCH_FULL.json.
     val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
     val lineBudget = 1800 // < 2000-byte window, headroom for driver framing
-    // "failed" is an always-present aggregate: failed queries (best = -1)
-    // sort last in the slowest-first entry order, so truncation drops them
-    // from the per-query map first — without this field a run with failures
-    // could parse as a clean-looking fast run ("total" excludes failures too)
+    // "failed"/"failed_ids" are always-present aggregates, and failed
+    // queries (best = -1) sort FIRST in the entry order: truncation must
+    // never be able to hide a failure — without this a run with failures
+    // could parse as a clean-looking fast run ("total" excludes failures
+    // too, so nothing else in the line would betray one)
     val nFailed = results.count(_._2 < 0)
+    val failedIds = results.filter(_._2 < 0)
+      .map { case (name, _, _, _) => "\"" + name.takeWhile(_ != '_') + "\"" }
+      .mkString("[", ",", "]")
     def line(entries: Seq[String]) = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","n_queries":${results.size},"failed":$nFailed,"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","n_queries":${results.size},"failed":$nFailed,"failed_ids":$failedIds,"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfShort"}"""
     }
-    val entriesBySlowest = results.sortBy(-_._2).map { case (name, best, _, _) =>
-      "\"" + name.takeWhile(_ != '_') + "\":" + f3(best)
-    }
-    // longest prefix of slowest-first entries that fits the budget; emit in
-    // that order so truncation (if the driver's window ever shrinks further)
-    // drops the fastest queries first
+    val entriesBySlowest = results
+      .sortBy { case (_, best, _, _) => if (best < 0) Double.NegativeInfinity else -best }
+      .map { case (name, best, _, _) =>
+        "\"" + name.takeWhile(_ != '_') + "\":" + f3(best)
+      }
+    // longest prefix of (failures, then slowest-first) entries that fits the
+    // budget; emit in that order so truncation (if the driver's window ever
+    // shrinks further) drops the fastest queries first
     val kept = entriesBySlowest.inits.find(e => line(e).length <= lineBudget).getOrElse(Seq.empty)
     if (kept.size < results.size)
       System.err.println(s"[bench] stdout line truncated to slowest ${kept.size}/${results.size} queries (budget $lineBudget B); full record in BENCH_FULL.json")

@@ -55,9 +55,13 @@ object Importance {
     bigramsFromTokens(TextOps.tokens(lower(text)))
 
   /** Importance weights for every document with at least one bigram:
-    * `(doc_id, n_feats, logw)` where `logw = Σ_g [log p̂_target(bucket g)
-    * − log p̂_raw(bucket g)]` over the document's bigrams, add-one
-    * smoothed, 4-dp rounded. `isTarget` marks the rows that define the
+    * `(doc_id, n_feats, logw_micro)` where `logw_micro` is the EXACT
+    * integer sum of per-bucket micro-scaled log-ratios — `Σ_g
+    * round((log p̂_target(bucket g) − log p̂_raw(bucket g)) · 10⁶)` over
+    * the document's bigrams, add-one smoothed. Integer micros end to
+    * end: each bucket's log-ratio is rounded once, so the per-document
+    * sum is exact and partition-order-invariant (no float accumulation
+    * drift). `isTarget` marks the rows that define the
     * target distribution (they are also part of the raw distribution —
     * DSIR's raw side is the whole crawl).
     *

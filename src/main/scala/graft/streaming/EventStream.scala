@@ -291,17 +291,32 @@ object EventStream {
 
     // ---- stage <events, sentinel> with strictly increasing mtimes.
     // Rebuilt whenever the source file is newer than the staged copy
-    // (the driver regenerates /root/testdata between rounds).
+    // (the driver regenerates /root/testdata between rounds) OR the
+    // sentinel is missing (a prior run crashed mid-stage). The rebuild is
+    // ATOMIC: both files are built in a fresh temp dir and renamed into
+    // place in one move, so a crash can never leave a half-staged
+    // directory that the freshness guard would then trust forever, and
+    // concurrent sessions racing on the same sfDir see either the old
+    // complete stage or the new one.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val staged = new java.io.File(
       s"/tmp/graft_session_stream_${Integer.toHexString(sfDir.hashCode)}")
     val src = new java.io.File(s"$sfDir/events.parquet")
-    val dst = new java.io.File(staged, "00_events.parquet")
-    if (!dst.exists() || dst.lastModified() < src.lastModified()) {
-      staged.mkdirs()
+    def isFresh(dir: java.io.File): Boolean = {
+      val ev = new java.io.File(dir, "00_events.parquet")
+      val se = new java.io.File(dir, "01_sentinel.parquet")
+      ev.exists() && se.exists() && ev.lastModified() >= src.lastModified()
+    }
+    if (!isFresh(staged)) {
+      val build = java.nio.file.Files.createTempDirectory(
+        staged.getParentFile.toPath, staged.getName + ".build-").toFile
+      val dst = new java.io.File(build, "00_events.parquet")
       java.nio.file.Files.copy(src.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the staged copy must not look stale against a same-millisecond
+      // source regeneration
+      dst.setLastModified(math.max(dst.lastModified(), src.lastModified()))
       val maxTs = graft.sources.TpchGraph.events(spark, sfDir)
         .agg(max(unix_micros(col("ts")))).head().getLong(0)
       // the sentinel must carry the SOURCE file's physical ts type — the
@@ -311,7 +326,7 @@ object EventStream {
         case org.apache.spark.sql.types.LongType => lit(sentinelMicros * 1000L) // legacy nanos
         case t => timestamp_micros(lit(sentinelMicros)).cast(t)
       }
-      val tmpOut = new java.io.File(staged, "_sentinel_build").getAbsolutePath
+      val tmpOut = new java.io.File(build, "_sentinel_build").getAbsolutePath
       spark.read.parquet(s"$sfDir/events.parquet").limit(1)
         .withColumn("event_id", lit(-1L))
         .withColumn("user_id", lit(-1L))
@@ -319,11 +334,25 @@ object EventStream {
         .coalesce(1).write.mode("overwrite").parquet(tmpOut)
       val part = new java.io.File(tmpOut).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      val sentinel = new java.io.File(staged, "01_sentinel.parquet")
+      val sentinel = new java.io.File(build, "01_sentinel.parquet")
       java.nio.file.Files.copy(part.toPath, sentinel.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // the file source orders same-trigger candidates by mtime
       sentinel.setLastModified(dst.lastModified() + 60000L)
+      // the Spark job dir (and its _SUCCESS etc.) must not ride along
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpOut))
+      // swap: remove any stale stage, then one atomic rename. If another
+      // session won the race between the delete and the move, keep its
+      // stage when complete (same source ⇒ same bytes) and discard ours.
+      try {
+        if (staged.exists()) org.apache.commons.io.FileUtils.deleteDirectory(staged)
+        java.nio.file.Files.move(build.toPath, staged.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(build)
+          if (!isFresh(staged)) throw e
+      }
     }
     val stream = graft.sources.TpchGraph.normalizeTs(
       spark.readStream.schema(schema)
