@@ -1299,6 +1299,100 @@ object GraphQueries {
         "endpoint-type constraint table, enforced distributively: the " +
         "broadcast table joins each endpoint's actual nodeType and " +
         "surfaces disagreeing edges; absent relTypes stay unconstrained " +
-        "(the reference's effective open-world behavior)")
+        "(the reference's effective open-world behavior)"),
+
+    Q("g48_form_payloads",
+      (s, d) => {
+        // the reference's dynamic-form surface (Create.createFromViewModel,
+        // Forms.fs:78-188) run DISTRIBUTED: every supplier row becomes a
+        // ContextNode view model (field map + nested DU cases), flows
+        // through the schema-driven Forms constructor (Fields TryCreate
+        // validators inside), and either renders the persisted
+        // compact-union payload or reports the reference's error string
+        // (the latitude grid plants out-of-range rows). Map-side only —
+        // narrow scan, per-row ADT interpretation, zero shuffles before
+        // the output sort — so the form pipeline scales like any other
+        // row transform.
+        import s.implicits._
+        import graft.model.Forms
+        import graft.model.Forms._
+        import graft.model.Forms.SimpleValue._
+        s.read.parquet(s"$d/supplier.parquet")
+          .select(col("s_suppkey").cast("long").as("k"),
+            col("s_name").as("name"), col("s_nationkey").cast("long").as("nk"))
+          .as[(Long, String, Long)]
+          .map { case (k, name, nk) =>
+            val lat = (k % 200) - 99.5
+            val lon = (k * 7 % 360) - 179.5
+            val loc = ((k % 3).toInt: @unchecked) match {
+              case 0 => Du("Site", FieldMap(Map(
+                "latitude" -> Value(Num(lat)),
+                "longitude" -> Value(Num(lon)))))
+              case 1 => Du("Country", FieldMap(Map(
+                "country" -> Value(Txt(s"Nation#$nk")))))
+              case 2 => Du("Arctic", NotEnteredYet)
+            }
+            val origin = ((k % 4).toInt: @unchecked) match {
+              case 0 => Du("LakeSediment", Du("DepthRange", FieldMap(Map(
+                "lower" -> Value(Num((k % 10) + 0.5)),
+                "upper" -> Value(Num((k % 10) + 10.5))))))
+              case 1 => Du("LakeSediment", Du("DepthRangeNotStated", NotEnteredYet))
+              case 2 => Du("Subfossil", NotEnteredYet)
+              case 3 => Du("OtherOrigin", FieldMap(Map(
+                "origin" -> Value(Txt("shell midden")),
+                "depths" -> Du("None", NotEnteredYet))))
+            }
+            val desc =
+              if (k % 2 == 0) Du("Some", Value(Txt(s"Plot near nation $nk")))
+              else Du("None", NotEnteredYet)
+            val vm = FieldMap(Map(
+              "Name" -> Value(Txt(name)),
+              "SamplingLocation" -> loc,
+              "SampleOrigin" -> origin,
+              "SampleLocationDescription" -> desc))
+            Forms.createFromViewModel(Forms.contextNode, vm) match {
+              case Right(j) => (k, true, j.render)
+              case Left(e)  => (k, false, e)
+            }
+          }.toDF("supp_key", "ok", "result")
+          .orderBy("supp_key")
+      },
+      Some("""
+        WITH s AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
+                 CAST(s_nationkey AS BIGINT) AS nk
+          FROM supplier),
+        c AS (SELECT k, name, nk,
+                 (k % 200) - 99.5 AS lat,
+                 (k * 7 % 360) - 179.5 AS lon,
+                 (k % 10) + 0.5 AS dlo, (k % 10) + 10.5 AS dhi
+              FROM s)
+        SELECT k AS supp_key,
+          NOT (k % 3 = 0 AND (lat < -89.9 OR lat > 89.9)) AS ok,
+          CASE WHEN k % 3 = 0 AND (lat < -89.9 OR lat > 89.9)
+               THEN 'Latitude must be between -90 and 90 degrees'
+               ELSE '{"Name":"' || name || '","SamplingLocation":' ||
+                 CASE WHEN k % 3 = 0 THEN '{"Site":[' || CAST(lat AS VARCHAR)
+                        || ',' || CAST(lon AS VARCHAR) || ']}'
+                      WHEN k % 3 = 1 THEN '{"Country":"Nation#' || CAST(nk AS VARCHAR) || '"}'
+                      ELSE '"Arctic"' END ||
+                 ',"SampleOrigin":' ||
+                 CASE WHEN k % 4 = 0 THEN '{"LakeSediment":{"DepthRange":['
+                        || CAST(dlo AS VARCHAR) || ',' || CAST(dhi AS VARCHAR) || ']}}'
+                      WHEN k % 4 = 1 THEN '{"LakeSediment":"DepthRangeNotStated"}'
+                      WHEN k % 4 = 2 THEN '"Subfossil"'
+                      ELSE '{"OtherOrigin":["shell midden",null]}' END ||
+                 CASE WHEN k % 2 = 0
+                      THEN ',"SampleLocationDescription":"Plot near nation '
+                        || CAST(nk AS VARCHAR) || '"'
+                      ELSE '' END ||
+                 '}'
+          END AS result
+        FROM c ORDER BY supp_key"""),
+      "§2.11 closure — Create.createFromViewModel (Forms.fs:78-188) as a " +
+        "first-class distributed operator: schema-driven DU/record/option/" +
+        "list construction with TryCreate validation (Fields) emitting the " +
+        "compact-union payload JSON (Payloads conventions); the oracle " +
+        "rebuilds every payload and error string in pure SQL")
   )
 }
