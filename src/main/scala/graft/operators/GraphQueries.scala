@@ -1393,6 +1393,68 @@ object GraphQueries {
         "first-class distributed operator: schema-driven DU/record/option/" +
         "list construction with TryCreate validation (Fields) emitting the " +
         "compact-union payload JSON (Payloads conventions); the oracle " +
-        "rebuilds every payload and error string in pure SQL")
+        "rebuilds every payload and error string in pure SQL"),
+
+    Q("g49_atom_roundtrip",
+      (s, d) => {
+        import graft.sources.AtomFiles
+        // S5 as an END-TO-END oracled query: the region+nation+supplier
+        // dimension subgraph (integer/text/double payloads — formats the
+        // file layout stores losslessly) renders to the reference's
+        // file-per-atom layout via the DISTRIBUTED writer, reloads
+        // through the atom parser, and emits every node with its payload
+        // and a canonical out-edge digest. The oracle rebuilds the exact
+        // to_json payload bytes and adjacency from the parquet tables —
+        // any drift in render, parse, key codec, or edge grouping breaks
+        // the hash.
+        val nodes = TpchGraph.nodes(s, d)
+          .filter(col("nodeType").isin("region", "nation", "supplier"))
+        val edges = TpchGraph.edges(s, d)
+          .filter(col("relType") === "InRegion" ||
+            (col("relType") === "InNation" && col("src").startsWith("supplier_")))
+        val dir = new java.io.File(
+          s"/tmp/graft_atoms_${Integer.toHexString((d + "#g49").hashCode)}")
+        // a stale directory from an earlier testdata generation must not
+        // leak extra atoms into the reload
+        if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        AtomFiles.saveDistributed(GraphState(nodes, edges), dir.getAbsolutePath)
+        val re = AtomFiles.load(s, dir.getAbsolutePath)
+        val outs = re.edges.groupBy(col("src"))
+          .agg(count(lit(1)).cast("bigint").as("n_out"),
+            array_join(sort_array(collect_list(
+              concat_ws("|", col("dst"), col("relType"), col("weight")))), ";")
+              .as("out_edges"))
+        re.nodes.select(col("key"), col("nodeType"), col("payload"))
+          .join(outs, col("key") === col("src"), "left")
+          .select(col("key"), col("nodeType"), col("payload"),
+            coalesce(col("n_out"), lit(0L)).as("n_out"),
+            coalesce(col("out_edges"), lit("")).as("out_edges"))
+          .orderBy("key")
+      },
+      Some("""
+        WITH a AS (
+          SELECT 'nation_'||n_nationkey AS key, 'nation' AS nodeType,
+            '{"n_nationkey":'||n_nationkey||',"n_name":"'||n_name
+              ||'","n_regionkey":'||n_regionkey||'}' AS payload,
+            CAST(1 AS BIGINT) AS n_out,
+            'region_'||n_regionkey||'|InRegion|1' AS out_edges
+          FROM nation
+          UNION ALL
+          SELECT 'region_'||r_regionkey, 'region',
+            '{"r_regionkey":'||r_regionkey||',"r_name":"'||r_name||'"}',
+            CAST(0 AS BIGINT), ''
+          FROM region
+          UNION ALL
+          SELECT 'supplier_'||s_suppkey, 'supplier',
+            '{"s_suppkey":'||s_suppkey||',"s_name":"'||s_name
+              ||'","s_nationkey":'||s_nationkey
+              ||',"s_acctbal":'||CAST(s_acctbal AS VARCHAR)||'}',
+            CAST(1 AS BIGINT),
+            'nation_'||s_nationkey||'|InNation|1'
+          FROM supplier)
+        SELECT * FROM a ORDER BY key"""),
+      "S5 round-trip closure — atom-file save (distributed cogroup " +
+        "writer, new) -> load -> canonical digest, hash-compared against " +
+        "the parquet-derived truth incl. exact payload JSON bytes")
   )
 }

@@ -133,6 +133,34 @@ object AtomFiles {
   private def fileSafe(key: String): String =
     key.replaceAll("[/\\\\]", "_").replace("..", "_")
 
+  /** S5 at scale — the same file-per-atom layout written from the
+    * EXECUTORS: nodes cogroup with their out-edges on the key (one
+    * co-partitioned shuffle), each partition renders and writes its own
+    * atoms, and the driver never materializes the graph. Tasks write
+    * disjoint key-named files, so a retry overwrites only its own
+    * output (idempotent on a posix dir; on an object store the same
+    * layout maps to one PUT per atom). [[save]] keeps the driver-side
+    * form for the reference's interactive-scale usage.
+    */
+  def saveDistributed(g: GraphState, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    g.nodes.groupByKey(_.key)
+      .cogroup(g.edges.groupByKey(_.src)) { (_, ns, es) =>
+        // deterministic adjacency order so the written bytes are stable
+        // across runs and partitionings
+        val adj = es.toSeq.sortBy(e => (e.dst, e.relType, e.weight))
+        ns.map(n => (n.key, renderAtom(n, adj)))
+      }
+      .foreachPartition { (it: Iterator[(String, String)]) =>
+        it.foreach { case (key, json) =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, s"atom-${fileSafe(key)}.json"), json)
+        }
+      }
+  }
+
   /** S5 — write one JSON file per atom (reference layout; local-fs test
     * path — NOT the scale path).
     */

@@ -55,4 +55,28 @@ class AtomFilesSpec extends SparkSpec {
     assert(e.src == "taxonnode_genus_salix" && e.dst == "taxonnode_family_salicaceae")
     assert(e.relType == "IsA")
   }
+
+  test("saveDistributed writes byte-identical files to the driver-side save") {
+    val g = GraphState(
+      Seq(
+        NodeRow("taxonnode_genus_salix", "taxonnode", "", """{"PopulationNode":{"TaxonomyNode":{"Genus":"Salix"}}}"""),
+        NodeRow("taxonnode_family_salicaceae", "taxonnode", "", """{"PopulationNode":{"TaxonomyNode":{"Family":"Salicaceae"}}}""")
+      ).toDS(),
+      Seq(
+        EdgeRow("taxonnode_genus_salix", "taxonnode_family_salicaceae", 1, "IsA", "{}"),
+        EdgeRow("taxonnode_genus_salix", "taxonnode_genus_salix", 1, "IsSynonymOf", "{}")
+      ).toDS())
+    val d1 = java.nio.file.Files.createTempDirectory("graft-atoms-drv").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-atoms-dist").toString
+    AtomFiles.save(g, d1)
+    AtomFiles.saveDistributed(g, d2)
+    val f1 = new java.io.File(d1).listFiles().filter(_.getName.startsWith("atom-"))
+      .map(f => f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+    val f2 = new java.io.File(d2).listFiles().filter(_.getName.startsWith("atom-"))
+      .map(f => f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+    assert(f1.keySet == f2.keySet)
+    // save() groups adjacency in collect order; with the deterministic
+    // two-edge atom sorted identically the bytes must match exactly
+    f1.foreach { case (name, body) => assert(f2(name) == body, s"file $name differs") }
+  }
 }
