@@ -475,6 +475,57 @@ object Dedup {
     * [[embeddingNearDupsLsh]] (asserted in DedupSpec and by p103 sharing
     * p22's oracle).
     */
+  /** The p102 LSH occupancy monitor as a reusable profile: per table,
+    * bucket count, vector count, largest bucket, and Σc² — the EXACT
+    * candidate-pair mass the table generates (per-bucket cost is
+    * quadratic). Single source of truth for the p102 query and for
+    * [[deriveSaltingThresholds]], so the salting decision is driven by
+    * the same numbers the monitor reports.
+    */
+  def lshOccupancyProfile(df: DataFrame, vec: Column, dim: Int,
+                          planesPerTable: Int = 4, tables: Int = 6): DataFrame = {
+    val bucketed = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        Similarity.signBit(vec, p, i)
+      }.reduce((a, b) => a.bitwiseOR(b))
+      df.select(lit(t).as("tbl"), bucket.as("bucket"))
+    }.reduce(_ unionByName _)
+    bucketed.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_vectors"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * col("c")).as("sum_sq"))
+  }
+
+  /** Derive `(hotThreshold, shardTarget)` for
+    * [[embeddingNearDupsLshSalted]] from a measured [[lshOccupancyProfile]]
+    * — the cost model, not a hand-set constant. With total pair mass
+    * `M = Σ_tables Σc²` and `partitions` reducers, the balanced share per
+    * reducer is `m = M / partitions`:
+    *
+    *   - a bucket is HOT when its own pair mass exceeds `skewFactor · m`
+    *     — i.e. `c > sqrt(skewFactor · m)` — because that single join
+    *     key alone would carry a multiple of a fair reducer's work;
+    *   - hot buckets shard to pieces of `shardTarget = sqrt(m)` vectors,
+    *     so each ordered shard-pair key carries ≈ one fair share.
+    *
+    * Pass the TARGET cluster's reducer count: the decision scales with
+    * deployment (on the 32-thread test rig almost nothing is hot; at
+    * 2048 reducers the same profile salts its heavy buckets).
+    */
+  def deriveSaltingThresholds(profile: DataFrame, partitions: Int,
+                              skewFactor: Double = 4.0): (Int, Int) = {
+    require(partitions >= 1, s"partitions must be positive: $partitions")
+    require(skewFactor > 0, s"skewFactor must be positive: $skewFactor")
+    val total = profile.agg(sum(col("sum_sq")).cast("long")).head().getLong(0)
+    val m = math.max(1.0, total.toDouble / partitions)
+    val hot = math.max(2, math.ceil(math.sqrt(skewFactor * m)).toInt)
+    val shard = math.max(1, math.ceil(math.sqrt(m)).toInt)
+    (hot, shard)
+  }
+
   def embeddingNearDupsLshSalted(df: DataFrame, id: Column, vec: Column,
                                  minCos: Double, dim: Int,
                                  planesPerTable: Int = 4, tables: Int = 6,

@@ -3380,23 +3380,12 @@ object PipelineQueries {
         // LARGEST bucket (candidates are per-bucket quadratic), so this
         // is the skew monitor that decides when to add planes per table
         // or salt a hot bucket — same hyperplanes (seed 7+t) as every
-        // LSH consumer, so the profile describes the real index
+        // LSH consumer, so the profile describes the real index. Shared
+        // helper with p103's threshold derivation: the monitor and the
+        // salting decision read the same numbers.
         val emb = table(s, d, "embeddings")
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        val tables = (0 until 6).map { t =>
-          val planes = Similarity.hyperplanes(4, dim, seed = 7L + t)
-          val bucket = planes.zipWithIndex
-            .map { case (p, i) => Similarity.signBit(col("embedding"), p, i) }
-            .reduce((a, b) => a.bitwiseOR(b))
-          emb.select(lit(t).as("tbl"), bucket.as("bucket"))
-        }.reduce(_ unionByName _)
-        tables.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
-          .groupBy("tbl")
-          .agg(count(lit(1)).as("n_buckets"),
-            sum(col("c")).as("n_vectors"),
-            max(col("c")).as("max_bucket"),
-            sum(col("c") * col("c")).as("sum_sq"))
-          .orderBy("tbl")
+        Dedup.lshOccupancyProfile(emb, col("embedding"), dim).orderBy("tbl")
       },
       Some(s"""
         WITH $lshPairCtes,
@@ -3419,14 +3408,19 @@ object PipelineQueries {
         // the ACTING half of the p102 monitor: same LSH near-dup set as
         // p22, but hot buckets are auto-split into hash shards and pairs
         // generated per ordered shard pair — one c²-cost join key becomes
-        // k(k+1)/2 independent keys. Thresholds here are tiny so the
-        // salted path really executes on the test corpus (at 100 TB they
-        // come from the p102 Σc² profile); the OUTPUT is bit-identical to
-        // the unsalted operator, which is why p22's oracle applies as-is.
+        // k(k+1)/2 independent keys. The thresholds are DERIVED from the
+        // measured p102 Σc² profile (deriveSaltingThresholds: fair pair
+        // mass per reducer → hot cutoff and shard size), evaluated for a
+        // 2048-reducer deployment so the salted path really executes on
+        // the test corpus; the OUTPUT is bit-identical to the unsalted
+        // operator for ANY thresholds, which is why p22's oracle applies
+        // as-is.
         val emb = table(s, d, "embeddings")
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val profile = Dedup.lshOccupancyProfile(emb, col("embedding"), dim)
+        val (hot, shard) = Dedup.deriveSaltingThresholds(profile, partitions = 2048)
         Dedup.embeddingNearDupsLshSalted(emb, col("vec_id"), col("embedding"),
-            minCos = 0.4, dim = dim, hotThreshold = 8, shardTarget = 4)
+            minCos = 0.4, dim = dim, hotThreshold = hot, shardTarget = shard)
           .orderBy("id_a", "id_b")
       },
       Some(lshNearDupOracle),
