@@ -46,12 +46,19 @@ object GraphAnalytics {
       .join(vertIds.withColumnRenamed("id", "did"), Seq("did"), "left_semi")
       // using-joins move the key column first — restore (src, dst) order
       .select(col("sid"), col("did"), col("relType"))
+    // CACHE the coalesced inputs: GraphX's constructor and each Pregel
+    // round re-traverse their lineage, and without a cut that re-runs
+    // the DataFrame scan + two semi-joins per round — the main source of
+    // the RDD paths' run-to-run variance under CPU contention (a cheap
+    // plan re-executed N times dilates N times).
     val verts: RDD[(VertexId, String)] = vertDf.rdd
       .map(r => (r.getLong(0), r.getString(1)))
       .coalesce(numPartitions)
+      .cache()
     val edges: RDD[Edge[String]] = edgeDf.rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
       .coalesce(numPartitions)
+      .cache()
     Graph(verts, edges)
   }
 
@@ -63,7 +70,10 @@ object GraphAnalytics {
     import spark.implicits._
     val graph = build(g, relTypes, nodeTypes)
     val cc = graph.connectedComponents()
-    graph.vertices.join(cc.vertices)
+    // explicit partition count: the bare join would shuffle at
+    // spark.default.parallelism (= total cores), 4× more tasks than the
+    // 8-partition graph needs
+    graph.vertices.join(cc.vertices, graph.vertices.getNumPartitions)
       .map { case (_, (key, comp)) => (key, comp) }
       .toDF("key", "component")
   }
