@@ -60,10 +60,16 @@ object Bench {
       }
     }
     // SPARK_GRAFT_ONLY=p24,g23 — comma-separated short-id prefixes for
-    // targeted iteration; unset (the driver's case) runs everything
+    // targeted iteration; unset (the driver's case) runs everything.
+    // SPARK_GRAFT_SKIP=p10,p17 — exclusion twin, for scale rehearsals
+    // that must leave out the deliberately-quadratic ground-truth
+    // queries (their cost at 10× data is 100× BY DESIGN — they exist to
+    // oracle the blocked paths at test scale, not to run at scale).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).filter(_.nonEmpty))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => !skip.exists(_.exists(name.startsWith)) }
     val results = selected.map { case (name, fn) =>
       val r1 = once(name, fn)
       val r2 = if (r1 < 0) -1.0 else once(name, fn)

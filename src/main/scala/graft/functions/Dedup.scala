@@ -50,7 +50,27 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < (target + 1) / 2) df.repartition(target) else df
+    // The narrowness probe must not cost anything: `df.rdd` would run
+    // full physical planning AND build the RDD DAG on the driver on
+    // every call (and read the pre-AQE partitioning anyway). Instead,
+    // estimate the SCAN width from the analyzed plan's file relations —
+    // per file-format splitting, a relation yields at least one split
+    // per file and ~one per `maxPartitionBytes` of data, so
+    // max(files, bytes/maxSplit) is a floor on scan parallelism.
+    // Callers apply spread() directly over the corpus scan, so a file
+    // leaf is the expected shape; for non-file inputs (test
+    // LocalRelations, already-shuffled intermediates — both already
+    // parallel) the input passes through untouched.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxSplit = math.max(1L, df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val scanWidths = df.queryExecution.analyzed.collect {
+      case LogicalRelation(f: HadoopFsRelation, _, _, _, _) =>
+        val bytes = f.location.sizeInBytes
+        math.max(f.location.inputFiles.length.toLong,
+          (bytes + maxSplit - 1) / maxSplit).toInt
+    }
+    if (scanWidths.nonEmpty && scanWidths.sum < (target + 1) / 2) df.repartition(target)
+    else df
   }
 
   def wordNgrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
@@ -431,28 +451,45 @@ object Dedup {
     */
   def embeddingNearDupsLsh(df: DataFrame, id: Column, vec: Column, minCos: Double,
                            dim: Int, planesPerTable: Int = 4, tables: Int = 6): DataFrame = {
+    // Vectors and their norms ride THROUGH the bucket self-join and the
+    // cosine verifies INLINE on the join output, so only SURVIVING pairs
+    // (near-dups) ever reach a shuffle. The earlier shape — candidate ids
+    // → distinct → two vector-fetch joins → verify — shuffled the full
+    // candidate set three times, and candidate mass is per-bucket
+    // quadratic (fixed 2^planes buckets ⇒ occupancy ∝ n ⇒ candidates ∝
+    // n²/2^planes): at the sf1.0 rehearsal (20k vectors, ~75M candidates)
+    // that was 139 s while the BRUTE-FORCE broadcast loop took 14 s. The
+    // cost of inline verify is re-verifying a pair once per table it
+    // collides in (bounded by `tables`, and only near-dups collide in
+    // many tables) — pure codegen arithmetic, noise next to three
+    // candidate-set shuffles. Payload replication is `tables` copies of
+    // each vector through one exchange, linear in n. Norms are
+    // precomputed once per row (same float ops as inline norm(), so the
+    // rounded quotient — and the oracle-checked output — is
+    // bit-identical; same argument as embeddingNearDups).
     val data = df.select(id.as("id"), vec.as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
     val bucketed = (0 until tables).map { t =>
       val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
       val bucket = planes.zipWithIndex.map { case (p, i) =>
         Similarity.signBit(col("v"), p, i)
       }.reduce((a, b) => a.bitwiseOR(b))
-      data.select(col("id"), lit(t).as("tbl"), bucket.as("bucket"))
+      data.select(col("id"), col("v"), col("nv"), lit(t).as("tbl"), bucket.as("bucket"))
     }.reduce(_ unionByName _)
-    val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-    val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"))
-    val cands = l.join(r, Seq("tbl", "bucket"))
+    val l = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+    val r = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
+    l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(data.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(data.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       // threshold on the ROUNDED cosine, matching embeddingNearDups: raw
       // last-ulps aren't portable across engines, and the exact/LSH twins
       // must agree on boundary pairs
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
   }
 
   /** [[embeddingNearDupsLsh]] with AUTOMATIC hot-bucket salting — the
@@ -533,13 +570,21 @@ object Dedup {
                                  shardTarget: Int = 50000): DataFrame = {
     require(hotThreshold >= 1 && shardTarget >= 1,
       s"thresholds must be positive: hot=$hotThreshold shard=$shardTarget")
+    // Same inline-verify shape as [[embeddingNearDupsLsh]]: vectors and
+    // precomputed norms ride through the pair-generating joins and the
+    // rounded cosine gates BEFORE anything shuffles, so only survivors
+    // reach the final distinct. Salting changes only the join KEYS the
+    // candidate mass is spread over; the verify placement is the same
+    // scale decision in both variants (the candidate-ids→distinct→fetch
+    // shape re-shuffled the quadratic candidate set three times).
     val data = df.select(id.as("id"), vec.as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
     val bucketed = (0 until tables).map { t =>
       val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
       val bucket = planes.zipWithIndex.map { case (p, i) =>
         Similarity.signBit(col("v"), p, i)
       }.reduce((a, b) => a.bitwiseOR(b))
-      data.select(col("id"), lit(t).as("tbl"), bucket.as("bucket"))
+      data.select(col("id"), col("v"), col("nv"), lit(t).as("tbl"), bucket.as("bucket"))
     }.reduce(_ unionByName _)
     // the monitor: per-bucket occupancy (exactly p102's first aggregate).
     // Only buckets OVER the threshold survive to the broadcast — at most
@@ -549,34 +594,42 @@ object Dedup {
       .select(col("tbl"), col("bucket"),
         ceil(col("c").cast("double") / shardTarget).cast("int").as("k"))
     val withK = bucketed.join(broadcast(hot), Seq("tbl", "bucket"), "left")
-    val cold = withK.filter(col("k").isNull).select("tbl", "bucket", "id")
-    val coldPairs = cold.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(cold.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+    val cold = withK.filter(col("k").isNull)
+    // cold buckets: both orders of a pair meet under the same (tbl,
+    // bucket) key, so the id-order filter alone halves the verify work
+    val coldPairs = cold.select(col("tbl"), col("bucket"),
+        col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+      .join(cold.select(col("tbl"), col("bucket"),
+        col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")),
         Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
     val hotRows = withK.filter(col("k").isNotNull)
       .withColumn("s", pmod(xxhash64(col("id")), col("k").cast("long")).cast("int"))
     val left = hotRows
       .withColumn("j", explode(sequence(col("s"), col("k") - 1)))
-      .select(col("tbl"), col("bucket"), col("s").as("i"), col("j"), col("id").as("id_a"))
+      .select(col("tbl"), col("bucket"), col("s").as("i"), col("j"),
+        col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
     val right = hotRows
       .withColumn("i", explode(sequence(lit(0), col("s"))))
-      .select(col("tbl"), col("bucket"), col("i"), col("s").as("j"), col("id").as("id_b"))
+      .select(col("tbl"), col("bucket"), col("i"), col("s").as("j"),
+        col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
     val hotPairs = left.join(right, Seq("tbl", "bucket", "i", "j"))
-    // normalize to (min, max) rather than filtering id_a < id_b: a
-    // cross-shard pair meets under exactly ONE (i,j) key, with the
-    // shard order — not the id order — deciding which side is which
-    val cands = coldPairs.select("id_a", "id_b")
-      .unionByName(hotPairs.select("id_a", "id_b"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .distinct()
-    cands
-      .join(data.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(data.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+    def verify(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cos",
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    // hot pairs normalize to (min, max) AFTER the verify rather than
+    // filtering id_a < id_b: a cross-shard pair meets under exactly ONE
+    // (i,j) key, with the shard order — not the id order — deciding
+    // which side is which. The cosine is swap-invariant (elementwise dot
+    // accumulates in index order on both sides; na·nb commutes), so
+    // verifying pre-normalization is bit-identical.
+    verify(coldPairs).select(col("id_a"), col("id_b"), col("cos"))
+      .unionByName(verify(hotPairs)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("cos")))
+      .distinct()
   }
 
   // ------------------------------------------------------------ SimHash

@@ -240,4 +240,59 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
+
+  /** Probability that ONE random hyperplane puts a pair with cosine
+    * `cos` on the same side: `1 − θ/π` (Goemans–Williamson / Charikar's
+    * sign-LSH collision bound). The building block every sign-LSH
+    * cost/recall estimate derives from.
+    */
+  def planeCollisionProb(cos: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+
+  /** Derive a sign-LSH configuration `(planesPerTable, tables)` from the
+    * corpus size — the parameter that must NOT be a constant at scale.
+    *
+    * The sf1.0 rehearsal (BENCH_NOTES.md) measured why: with a fixed
+    * plane count the table has a fixed `2^planes` buckets, so expected
+    * occupancy is `n / 2^planes` and per-table candidate mass is
+    * `n² / 2^planes` — QUADRATIC in corpus size. At 20k vectors the fixed
+    * (4, 6) default generated ~75M candidates and the "scalable" LSH path
+    * ran 10× slower than the brute-force broadcast loop it exists to
+    * replace. Holding occupancy at `targetOccupancy` instead
+    * (`planes = log2(n / targetOccupancy)`) keeps candidate work per
+    * vector ~constant: `tables · targetOccupancy` comparisons each, total
+    * mass LINEAR in n.
+    *
+    * Recall: a pair at cosine `c` collides in one table with
+    * `p_planes = planeCollisionProb(c)^planes` and survives `tables`
+    * independent tables with `1 − (1 − p_planes)^tables`; `tables` is the
+    * smallest count reaching `targetRecall`, capped at `maxTables`. When
+    * the cap binds, planes are reduced (occupancy grows past the target)
+    * until recall is reachable — the honest trade-off, surfaced rather
+    * than silently dropping recall: sign-LSH at LOW thresholds
+    * (`minCos ≲ 0.5`, per-plane collision ≈ 0.6) needs exponentially many
+    * tables, and the right engine answer there is the IVF path
+    * ([[ivfTopK]]) or a higher admission threshold, not more salt.
+    *
+    * Uniform-occupancy assumption: real corpora skew (dense regions make
+    * hot buckets); the measured [[graft.functions.Dedup.lshOccupancyProfile]]
+    * Σc² is the ground truth, and [[graft.functions.Dedup.deriveSaltingThresholds]]
+    * redistributes whatever mass this estimate got wrong.
+    */
+  def lshConfigFor(n: Long, minCos: Double, targetRecall: Double = 0.9,
+                   targetOccupancy: Int = 256, maxTables: Int = 64): (Int, Int) = {
+    require(n >= 1, s"corpus size must be positive: $n")
+    require(targetRecall > 0 && targetRecall < 1, s"recall in (0,1): $targetRecall")
+    require(targetOccupancy >= 1 && maxTables >= 1, "positive occupancy/table bounds")
+    val p = planeCollisionProb(minCos)
+    def tablesFor(planes: Int): Int = {
+      val pT = math.pow(p, planes.toDouble)
+      if (pT >= 1.0) 1
+      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pT)).toInt
+    }
+    var planes = math.max(1,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+    while (planes > 1 && tablesFor(planes) > maxTables) planes -= 1
+    (planes, math.min(maxTables, tablesFor(planes)))
+  }
 }

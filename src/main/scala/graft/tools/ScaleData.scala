@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: tile the driver's sf0.1 testdata into a larger scale factor
+  * for scale REHEARSALS (never for correctness — the DuckDB oracle gate
+  * only runs on the driver's own sf dirs, which stay read-only and
+  * untouched). `runMain graft.tools.ScaleData [srcDir] [dstDir] [tiles]`,
+  * default 10 tiles of sf0.1 → `/tmp/graft-sf1.0` (~6 M lineitem rows,
+  * i.e. TPC-H sf1-equivalent).
+  *
+  * Tiling rules (all map-side; the only shuffle is the write-fanout
+  * repartition):
+  *   - Every key column gets a per-tile offset (`+ tile·10^8` for int64
+  *     keys, `+ tile·1000` for the small int32 dimension keys), applied
+  *     consistently across fact/dimension tables so FK joins, the derived
+  *     property graph, and the event→customer linkage all stay intact
+  *     WITHIN a tile and never collide ACROSS tiles — the scaled graph is
+  *     10 disconnected copies, which is exactly the shape that measures
+  *     whether iterative-algorithm round counts stay flat (component
+  *     diameter unchanged) while per-round work grows 10×.
+  *   - Name-like columns get a `#<tile>` suffix for tiles > 0 so
+  *     name-keyed groupings stay per-tile and tile 0 remains the
+  *     original data verbatim.
+  *   - `documents.text` gets a trailing ` ⁋<tile>` marker for tiles > 0:
+  *     exact-hash dedup no longer collapses cross-tile copies, while
+  *     shingle-level near-dup structure DOES link them (every tile copy
+  *     is a genuine near-duplicate) — the duplicate-heavy-crawl shape a
+  *     production dedup run actually sees.
+  *   - `embeddings.embedding` is multiplied by a per-(tile, dim) ±1 sign
+  *     pattern (tile 0 = identity). One sign pattern per tile means every
+  *     WITHIN-tile dot product and norm is bit-identical to sf0.1 (float
+  *     negation is exact), so each tile carries the original near-dup
+  *     cluster structure; ACROSS tiles the patterns differ, scrambling
+  *     cosines to near zero, so the scaled corpus is ~10 independent
+  *     copies of the sf0.1 similarity graph rather than 10× duplicate
+  *     mega-clusters.
+  */
+object ScaleData {
+
+  private val Off64 = 100000000L
+  private val Off32 = 1000
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/tmp/graft-sf1.0"
+    val tiles = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one row per tile, broadcast: each table scans ONCE and fans out
+    // map-side through the broadcast nested-loop product
+    val tileDf = broadcast(spark.range(tiles).select(col("id").cast("int").as("tile")))
+
+    val k64: Column => Column = c => c + col("tile").cast("long") * Off64
+    val k32: Column => Column = c => c + col("tile") * Off32
+    val nm: Column => Column = c =>
+      when(col("tile") === 0, c).otherwise(concat(c, lit("#"), col("tile")))
+
+    def tileTable(name: String, parts: Int, xf: Map[String, Column => Column]): Unit = {
+      val df = spark.read.parquet(s"$src/$name.parquet")
+      val cols = df.columns.toSeq.map(c => xf.getOrElse(c, identity[Column] _)(col(c)).as(c))
+      df.crossJoin(tileDf).select(cols: _*)
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scale] $name -> $dst/$name.parquet (${tiles}x)")
+    }
+
+    tileTable("region", 1, Map("r_regionkey" -> k32, "r_name" -> nm))
+    tileTable("nation", 1, Map("n_nationkey" -> k32, "n_name" -> nm, "n_regionkey" -> k32))
+    tileTable("customer", 4, Map("c_custkey" -> k64, "c_name" -> nm, "c_nationkey" -> k32))
+    tileTable("supplier", 1, Map("s_suppkey" -> k64, "s_name" -> nm, "s_nationkey" -> k32))
+    tileTable("part", 2, Map("p_partkey" -> k64, "p_name" -> nm))
+    tileTable("orders", 16, Map("o_orderkey" -> k64, "o_custkey" -> k64))
+    tileTable("lineitem", 32, Map("l_orderkey" -> k64, "l_partkey" -> k64, "l_suppkey" -> k64))
+    tileTable("events", 8, Map("event_id" -> k64, "user_id" -> k64))
+    tileTable("documents", 4, Map(
+      "doc_id" -> k64,
+      "text" -> (c => when(col("tile") === 0, c).otherwise(concat(c, lit(" ⁋"), col("tile"))))))
+
+    // deterministic per-tile sign pattern; tile 0 is the identity so the
+    // original data embeds verbatim
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val signs: Seq[Seq[Float]] = (0 until tiles).map { t =>
+      (0 until dim).map { j =>
+        if (t == 0 || (t * 1000003 + j * 7919) % 2 == 0) 1.0f else -1.0f
+      }
+    }
+    emb.crossJoin(tileDf)
+      .select(
+        (col("vec_id") + col("tile").cast("long") * Off64).as("vec_id"),
+        zip_with(col("embedding"),
+          element_at(typedlit(signs), col("tile") + 1),
+          (x, s) => x * s).as("embedding"),
+        col("label"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"[scale] embeddings -> $dst/embeddings.parquet (${tiles}x, sign-rotated)")
+    spark.stop()
+  }
+}

@@ -96,4 +96,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == expected)
     assert(got.count(_._1 == 0L) == 4)
   }
+
+  test("lshConfigFor: occupancy stays bounded as n grows, recall target is met") {
+    // per-plane collision at cos 0.9 (the production near-dup threshold)
+    val p = Similarity.planeCollisionProb(0.9)
+    assert(math.abs(p - (1.0 - math.acos(0.9) / math.Pi)) < 1e-12)
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val (planes, tables) = Similarity.lshConfigFor(n, minCos = 0.9)
+      // the scale invariant the sf1.0 rehearsal was about: expected
+      // bucket occupancy — candidate comparisons per vector per table —
+      // must not grow with corpus size
+      assert(n.toDouble / math.pow(2.0, planes.toDouble) <= 256.0 + 1e-9,
+        s"n=$n planes=$planes")
+      // the recall the (planes, tables) pair promises
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, planes.toDouble), tables.toDouble)
+      assert(recall >= 0.9, s"n=$n planes=$planes tables=$tables recall=$recall")
+      assert(tables <= 64)
+    }
+    // planes grow logarithmically: 1000× the corpus adds ~10 planes
+    val (p1, _) = Similarity.lshConfigFor(100000L, 0.9)
+    val (p2, _) = Similarity.lshConfigFor(100000000L, 0.9)
+    assert(p2 - p1 == 10, s"$p1 -> $p2")
+    // when the table cap binds (1e9 vectors needs ~70 tables for 0.9
+    // recall at the occupancy target), planes back off — occupancy
+    // grows past the target but recall is still met; raising the cap
+    // restores the occupancy bound
+    val (pc, tc) = Similarity.lshConfigFor(1000000000L, 0.9)
+    val pHi = Similarity.planeCollisionProb(0.9)
+    assert(tc <= 64 && 1.0e9 / math.pow(2.0, pc.toDouble) > 256.0,
+      s"planes=$pc tables=$tc")
+    assert(1.0 - math.pow(1.0 - math.pow(pHi, pc.toDouble), tc.toDouble) >= 0.9)
+    val (pw, tw) = Similarity.lshConfigFor(1000000000L, 0.9, maxTables = 128)
+    assert(1.0e9 / math.pow(2.0, pw.toDouble) <= 256.0 + 1e-9 && tw <= 128,
+      s"planes=$pw tables=$tw")
+    // low-threshold regime: the table cap binds and planes back off —
+    // the config degrades toward fewer/larger buckets instead of
+    // silently missing recall (callers should route to IVF here)
+    val (pl, tl) = Similarity.lshConfigFor(10000000L, minCos = 0.4)
+    assert(tl <= 64)
+    val pLow = Similarity.planeCollisionProb(0.4)
+    val recallLow =
+      1.0 - math.pow(1.0 - math.pow(pLow, pl.toDouble), tl.toDouble)
+    assert(recallLow >= 0.9, s"planes=$pl tables=$tl recall=$recallLow")
+  }
 }
