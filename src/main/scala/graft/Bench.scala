@@ -88,9 +88,12 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","failed":${results.count(_._2 < 0)},"queries":$fullQs,"sf":"$sfDir"}"""
     try {
-      // filtered runs must not clobber the committed full-suite record
+      // filtered runs — and scale-rehearsal runs against non-driver data
+      // dirs (ScaleData tiles under /tmp) — must not clobber the
+      // committed sf0.1 full-suite record
+      val canonical = only.isEmpty && skip.isEmpty && sfDir.startsWith("/root/testdata")
       val p = java.nio.file.Paths.get(
-        if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json")
+        if (canonical) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full record -> ${p.toAbsolutePath}")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

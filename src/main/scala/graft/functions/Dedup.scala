@@ -48,7 +48,7 @@ object Dedup {
     * exchange moves the raw doc rows once, trivial next to the per-gram
     * work it parallelizes.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[functions] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // The narrowness probe must not cost anything: `df.rdd` would run
     // full physical planning AND build the RDD DAG on the driver on

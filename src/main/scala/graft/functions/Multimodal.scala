@@ -172,7 +172,12 @@ object Multimodal {
                     maxDist: Int = 7, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     require(maxDist < bands,
       s"exactness requires maxDist < bands (pigeonhole): $maxDist >= $bands")
-    val hashed = media.select(id.as("media_id"),
+    // per-payload hashing is the heavy narrow stage here — same
+    // narrow-scan hazard as Dedup's tokenize/gram stages (a small-file
+    // media manifest scans as a handful of partitions and serializes the
+    // hash work); the shared guard round-robins only when the scan is
+    // actually narrow
+    val hashed = Dedup.spread(media.toDF()).select(id.as("media_id"),
       pHashBands(content, bands, bitsPerBand).as("bands"))
     val e = hashed.select(col("media_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
@@ -184,11 +189,19 @@ object Multimodal {
       bit_count(element_at(col("bands_a"), i + 1)
         .bitwiseXOR(element_at(col("bands_b"), i + 1)))
     }.reduce(_ + _)
+    // Hamming distance verifies INLINE on the band-join output, so only
+    // surviving near-dup pairs reach the distinct's shuffle (the same
+    // verify-before-shuffle decision as Dedup.embeddingNearDupsLsh,
+    // sf1.0-measured in BENCH_NOTES round 9: the earlier
+    // distinct-then-verify shape shuffled every candidate pair WITH both
+    // 8-element band arrays). A pair colliding in k bands re-verifies k
+    // times — bounded by `bands`, pure codegen bit arithmetic; dist is
+    // deterministic per pair so the post-filter distinct dedups exactly
+    // the same pair set.
     l.join(r, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "bands_a", "bands_b").distinct()
       .withColumn("dist", dist.cast("int"))
       .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+      .select("id_a", "id_b", "dist").distinct()
   }
 }

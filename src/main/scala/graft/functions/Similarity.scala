@@ -285,13 +285,19 @@ object Similarity {
     require(targetRecall > 0 && targetRecall < 1, s"recall in (0,1): $targetRecall")
     require(targetOccupancy >= 1 && maxTables >= 1, "positive occupancy/table bounds")
     val p = planeCollisionProb(minCos)
+    // ceil() sits on transcendental intermediates (log/acos/pow differ in
+    // the last ulp across libm implementations); rounding to 1e-6 first
+    // makes the derivation reproducible across engines — p112's DuckDB
+    // oracle replays these exact formulas
+    def ceil6(x: Double): Int =
+      math.ceil(BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt
     def tablesFor(planes: Int): Int = {
       val pT = math.pow(p, planes.toDouble)
       if (pT >= 1.0) 1
-      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pT)).toInt
+      else ceil6(math.log1p(-targetRecall) / math.log1p(-pT))
     }
     var planes = math.max(1,
-      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+      ceil6(math.log(n.toDouble / targetOccupancy) / math.log(2.0)))
     while (planes > 1 && tablesFor(planes) > maxTables) planes -= 1
     (planes, math.min(maxTables, tablesFor(planes)))
   }

@@ -3691,6 +3691,83 @@ object PipelineQueries {
         "passes last-event + gap, so state holds only open sessions. A " +
         "staged far-future sentinel file drives the final watermark " +
         "advance on the bounded source, so the drained result equals " +
-        "p14's batch oracle exactly")
+        "p14's batch oracle exactly"),
+
+    Q("p112_lsh_autoconfig",
+      (s, d) => {
+        // the sf1.0 rehearsal's structural lesson as an OPERATOR: sign-LSH
+        // parameters must derive from corpus size, or candidate mass is
+        // quadratic-deferred (BENCH_NOTES round 9). For each admission
+        // threshold, derive (planes, tables) for THIS corpus, plus the
+        // cost/recall ledger a capacity planner needs: expected bucket
+        // occupancy (candidate comparisons per vector per table), total
+        // estimated candidate mass under the uniform assumption (the
+        // measured p102 profile is the skew-aware truth), and the recall
+        // the config promises. Derivation is O(thresholds) driver math
+        // over one count — nothing shuffles; n²/2^planes and n/2^planes
+        // are binary-exact in doubles so the mass columns are
+        // engine-portable integers.
+        val n = table(s, d, "embeddings").count()
+        val rows = Seq(0.4, 0.7, 0.9, 0.95).map { minCos =>
+          val (planes, tables) = Similarity.lshConfigFor(n, minCos)
+          val p = Similarity.planeCollisionProb(minCos)
+          val pT = math.pow(p, planes.toDouble)
+          val recall = 1.0 - math.pow(1.0 - pT, tables.toDouble)
+          val occupancy = n.toDouble / math.pow(2.0, planes.toDouble)
+          val mass = math.rint(
+            tables.toDouble * n.toDouble * n.toDouble / math.pow(2.0, planes.toDouble)).toLong
+          (minCos, n, planes, tables,
+            BigDecimal(occupancy).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(recall).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            mass)
+        }
+        import s.implicits._
+        rows.toDF("min_cos", "n_vectors", "planes", "tables",
+            "occupancy", "recall", "est_candidate_mass")
+          .orderBy("min_cos")
+      },
+      Some("""
+        WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        thr AS (SELECT unnest([0.4, 0.7, 0.9, 0.95]) AS min_cos),
+        base AS (
+          SELECT t.min_cos, n.n,
+                 1.0 - acos(t.min_cos) / pi() AS p,
+                 greatest(1, CAST(ceil(round(ln(n.n / 256.0) / ln(2.0), 6)) AS INT))
+                   AS planes0
+          FROM thr t, n),
+        -- the cap backoff as a search: tables(pl) for every pl <= planes0,
+        -- keep the largest pl whose table count fits under the 64 cap
+        cand AS (
+          SELECT min_cos, n, p, planes0,
+                 unnest(generate_series(1, planes0)) AS pl
+          FROM base),
+        tf AS (
+          SELECT *, CASE WHEN power(p, pl) >= 1.0 THEN 1
+                         ELSE CAST(ceil(round(ln(1.0 - 0.9) / ln(1.0 - power(p, pl)), 6)) AS INT)
+                    END AS tbls
+          FROM cand),
+        pick AS (
+          SELECT min_cos, any_value(n) AS n, any_value(p) AS p,
+                 coalesce(max(pl) FILTER (WHERE tbls <= 64), 1) AS planes
+          FROM tf GROUP BY 1),
+        cfg AS (
+          SELECT pick.min_cos, pick.n, pick.p, pick.planes,
+                 least(64, tf.tbls) AS tables
+          FROM pick JOIN tf ON tf.min_cos = pick.min_cos AND tf.pl = pick.planes)
+        SELECT min_cos, n AS n_vectors, planes, tables,
+               round(n / power(2.0, planes), 6) AS occupancy,
+               round(1.0 - power(1.0 - power(p, planes), tables), 6) AS recall,
+               CAST(round(tables * n * n / power(2.0, planes), 0) AS BIGINT)
+                 AS est_candidate_mass
+        FROM cfg ORDER BY min_cos"""),
+      "similarity/dedup — corpus-size-derived sign-LSH configuration " +
+        "(Similarity.lshConfigFor as a first-class operator): occupancy-" +
+        "bounded planes, recall-bounded tables, with the cost/recall " +
+        "ledger per admission threshold. The sf1.0 rehearsal measured why " +
+        "a FIXED plane count is a deferred quadratic (BENCH_SF1.json); " +
+        "this derivation pins candidate work per vector to " +
+        "tables·occupancy, linear in corpus size. Transcendental " +
+        "intermediates round to 1e-6 before every ceil so the Spark and " +
+        "DuckDB derivations agree exactly")
   )
 }
