@@ -1455,6 +1455,74 @@ object GraphQueries {
         SELECT * FROM a ORDER BY key"""),
       "S5 round-trip closure — atom-file save (distributed cogroup " +
         "writer, new) -> load -> canonical digest, hash-compared against " +
-        "the parquet-derived truth incl. exact payload JSON bytes")
+        "the parquet-derived truth incl. exact payload JSON bytes"),
+
+    Q("g50_personalized_pagerank",
+      (s, d) => {
+        // PERSONALIZED PageRank: the dimension chain REVERSED
+        // (region→nation→customer/supplier→order) with the teleport
+        // pinned to the region nodes, so rank measures proximity to the
+        // seed set — the seeded-relevance primitive (recommendations
+        // from a root set, taxonomy-rooted importance) rather than g37's
+        // global centrality. Same exact scaled-integer recurrence and
+        // per-round plan shape as g37; the seed restart is a map-side
+        // CASE on the key, no extra join in the iteration. Unreached
+        // vertices carry exactly 0 and are dropped.
+        val e = TpchGraph.edges(s, d, withPayload = false).toDF()
+          .filter(col("relType").isin("PlacedBy", "InNation", "InRegion"))
+          .select(col("dst").as("src"), col("src").as("dst"))
+        graft.plans.PageRank.personalizedScaled(
+            e, col("key").startsWith("region_"), iters = 4)
+          .filter(col("rank_scaled") > 0)
+          .orderBy(desc("rank_scaled"), asc("key")).limit(15)
+      },
+      Some("""
+        WITH e AS (
+          SELECT 'customer_' || CAST(o_custkey AS VARCHAR) AS src,
+                 'order_' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+          UNION ALL
+          SELECT 'nation_' || CAST(c_nationkey AS VARCHAR),
+                 'customer_' || CAST(c_custkey AS VARCHAR) FROM customer
+          UNION ALL
+          SELECT 'nation_' || CAST(s_nationkey AS VARCHAR),
+                 'supplier_' || CAST(s_suppkey AS VARCHAR) FROM supplier
+          UNION ALL
+          SELECT 'region_' || CAST(n_regionkey AS VARCHAR),
+                 'nation_' || CAST(n_nationkey AS VARCHAR) FROM nation),
+        v AS (SELECT DISTINCT src AS key FROM e UNION SELECT DISTINCT dst FROM e),
+        od AS (SELECT src, count(*) AS d FROM (SELECT DISTINCT src, dst FROM e) GROUP BY 1),
+        ed AS (SELECT DISTINCT src, dst FROM e),
+        p0 AS (SELECT key, CAST(CASE WHEN key LIKE 'region_%' THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM v),
+        p1 AS (SELECT v.key, CAST(CASE WHEN v.key LIKE 'region_%' THEN 150000 ELSE 0 END
+                 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM v LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r // od.d) AS inc
+                 FROM ed JOIN p0 p ON p.key = ed.src JOIN od ON od.src = ed.src
+                 GROUP BY ed.dst) s USING (key)),
+        p2 AS (SELECT v.key, CAST(CASE WHEN v.key LIKE 'region_%' THEN 150000 ELSE 0 END
+                 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM v LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r // od.d) AS inc
+                 FROM ed JOIN p1 p ON p.key = ed.src JOIN od ON od.src = ed.src
+                 GROUP BY ed.dst) s USING (key)),
+        p3 AS (SELECT v.key, CAST(CASE WHEN v.key LIKE 'region_%' THEN 150000 ELSE 0 END
+                 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM v LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r // od.d) AS inc
+                 FROM ed JOIN p2 p ON p.key = ed.src JOIN od ON od.src = ed.src
+                 GROUP BY ed.dst) s USING (key)),
+        p4 AS (SELECT v.key, CAST(CASE WHEN v.key LIKE 'region_%' THEN 150000 ELSE 0 END
+                 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM v LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r // od.d) AS inc
+                 FROM ed JOIN p3 p ON p.key = ed.src JOIN od ON od.src = ed.src
+                 GROUP BY ed.dst) s USING (key))
+        SELECT key, r AS rank_scaled FROM p4 WHERE r > 0
+        ORDER BY rank_scaled DESC, key LIMIT 15"""),
+      "graph analytics — PERSONALIZED PageRank (teleport restricted to a " +
+        "seed set, here the region nodes over the reversed dimension " +
+        "chain): proximity-to-seeds relevance in the same exact " +
+        "scaled-integer arithmetic as g37, bit-identical across engines; " +
+        "the seeded-recommendation / taxonomy-rooted-importance primitive")
   )
 }

@@ -63,4 +63,57 @@ object PageRank {
     }
     ranks
   }
+
+  /** PERSONALIZED PageRank in the same exact scaled-integer arithmetic:
+    * the teleport (both the initial mass and the per-round restart term)
+    * lands only on vertices satisfying `seedPred` (a boolean expression
+    * over the vertex `key` column — predicate form rather than a seed
+    * table so the per-round restart is a map-side expression, no extra
+    * join in the iteration). Non-seed vertices carry only propagated
+    * mass, so ranks measure proximity to the seed set rather than global
+    * centrality — the "related items from here" primitive (seeded
+    * recommendations, topic-conditioned importance, taxonomy-rooted
+    * relevance). Identical per-round plan shape to [[ranksScaled]]: one
+    * ranks⋈edges hash join + one dst aggregate + one left join back,
+    * lineage cut per round; the recurrence is
+    *   r₀(v)    = SCALE·[v ∈ S]
+    *   rᵢ₊₁(v) = [v ∈ S]·(SCALE·(den−num))/den
+    *              + (num · Σ_{u→v} rᵢ(u) ÷ outdeg(u)) ÷ den
+    * — associative integer sums throughout, bit-identical on any engine.
+    */
+  def personalizedScaled(edges: DataFrame, seedPred: org.apache.spark.sql.Column,
+                         iters: Int, scale: Long = 1000000L,
+                         dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 0 && scale % dampDen == 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"invalid pagerank params (iters=$iters scale=$scale damp=$dampNum/$dampDen)")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val vertices = e.select(col("src").as("key"))
+      .unionAll(e.select(col("dst").as("key")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(eager = false)
+
+    val seedBase = when(seedPred, lit(scale / dampDen * (dampDen - dampNum)))
+      .otherwise(lit(0L))
+    var ranks = vertices.withColumn("rank_scaled",
+      when(seedPred, lit(scale)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val inbound = withDeg
+        .join(ranks, col("src") === col("key"))
+        .select(col("dst"), expr("rank_scaled div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("inc"))
+      ranks = vertices
+        .join(inbound, col("key") === col("dst"), "left")
+        .select(col("key"),
+          (seedBase + expr(s"($dampNum * coalesce(inc, 0L)) div $dampDen"))
+            .as("rank_scaled"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
 }

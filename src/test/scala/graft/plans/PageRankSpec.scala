@@ -51,4 +51,56 @@ class PageRankSpec extends SparkSpec {
     assert(r("a") == 150000L && r("b") == 150000L && r("c") == 150000L)
     assert(r == ref(star, 2))
   }
+
+  /** Driver-side reference of the PERSONALIZED integer recurrence:
+    * teleport (initial mass + per-round restart) only on seeds.
+    */
+  private def refP(edges: Seq[(String, String)], seeds: Set[String], iters: Int,
+                   scale: Long = 1000000L): Map[String, Long] = {
+    val e = edges.distinct
+    val vs = e.flatMap(x => Seq(x._1, x._2)).distinct
+    val od = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var r = vs.map(v => v -> (if (seeds(v)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inc = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => r(x._1) / od(x._1)).sum
+      }
+      r = vs.map(v => v ->
+        ((if (seeds(v)) scale / 100 * 15 else 0L) + 85 * inc.getOrElse(v, 0L) / 100)).toMap
+    }
+    r
+  }
+
+  private def gotP(edges: Seq[(String, String)], seedPrefix: String,
+                   iters: Int): Map[String, Long] =
+    PageRank.personalizedScaled(edges.toDF("src", "dst"),
+        col("key").startsWith(seedPrefix), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("personalized: matches the seeded recurrence; non-seeds start at zero") {
+    val chain = Seq("s1" -> "a", "a" -> "b", "b" -> "c", "s2" -> "b")
+    val seeds = Set("s1", "s2")
+    assert(gotP(chain, "s", 0) ==
+      Map("s1" -> 1000000L, "s2" -> 1000000L, "a" -> 0L, "b" -> 0L, "c" -> 0L))
+    for (it <- Seq(1, 3, 5)) assert(gotP(chain, "s", it) == refP(chain, seeds, it))
+    // mass decays with distance from the seed along a PURE chain (the
+    // two-seed graph above compounds mass into b/c, so decay is only
+    // monotone when each vertex has a single feed)
+    val pure = Seq("s1" -> "a", "a" -> "b", "b" -> "c")
+    val r = gotP(pure, "s", 4)
+    assert(r("s1") > r("a") && r("a") > r("b") && r("b") > r("c") && r("c") > 0L)
+    assert(r == refP(pure, Set("s1"), 4))
+    // an unreached component (no path from any seed) carries exactly 0
+    val twoComp = chain ++ Seq("x" -> "y", "y" -> "x")
+    val r2 = gotP(twoComp, "s", 4)
+    assert(r2("x") == 0L && r2("y") == 0L)
+    assert(r2 == refP(twoComp, Set("s1", "s2"), 4))
+  }
+
+  test("personalized with all vertices seeded equals global pagerank") {
+    val rng = new scala.util.Random(77L)
+    val rand = Seq.fill(30)((s"v${rng.nextInt(10)}", s"v${rng.nextInt(10)}"))
+      .filter(e => e._1 != e._2)
+    assert(gotP(rand, "v", 3) == ref(rand, 3))
+  }
 }
