@@ -561,6 +561,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("unicode_norm"), p)
   }
 
+  test("p22 LSH pairs: cosine verifies INLINE below the distinct — no join above the final aggregate") {
+    // the sf1.0-measured shape (BENCH_NOTES round 9): vectors ride
+    // through the bucket self-join and the rounded-cosine filter gates
+    // BEFORE the distinct, so only survivors shuffle. The regressed
+    // shape — candidate ids → distinct → vector-fetch joins → verify —
+    // puts joins ABOVE the distinct aggregate and re-shuffles the
+    // per-bucket-quadratic candidate set. Plan strings print top-down,
+    // so the pin is an ordering assertion: the topmost aggregate (the
+    // final distinct) must appear before any join.
+    val p = plan("p22_lsh_near_dups")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstJoin = p.indexOf("Join")
+    assert(firstAgg >= 0 && firstJoin >= 0, p)
+    assert(firstAgg < firstJoin,
+      s"a join sits above the distinct: candidate set is being re-shuffled\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p103 salted LSH: hot-bucket list broadcasts, shard fan-out is a Generate, no nested loops") {
     val p = plan("p103_lsh_salted_pairs")
     // the occupancy-derived hot list must reach the bucketed rows as a
