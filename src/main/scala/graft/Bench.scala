@@ -88,10 +88,13 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","failed":${results.count(_._2 < 0)},"queries":$fullQs,"sf":"$sfDir"}"""
     try {
-      // filtered runs — and scale-rehearsal runs against non-driver data
-      // dirs (ScaleData tiles under /tmp) — must not clobber the
-      // committed sf0.1 full-suite record
-      val canonical = only.isEmpty && skip.isEmpty && sfDir.startsWith("/root/testdata")
+      // filtered runs — and scale-rehearsal runs against ScaleData tiles
+      // (written under /tmp) — must not clobber the committed sf0.1
+      // full-suite record; any unfiltered run from a PERSISTENT data
+      // root still refreshes it (excluding only /tmp rather than
+      // allowlisting /root/testdata keeps the record fresh if the
+      // driver ever relocates the data)
+      val canonical = only.isEmpty && skip.isEmpty && !sfDir.startsWith("/tmp")
       val p = java.nio.file.Paths.get(
         if (canonical) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))

@@ -469,13 +469,7 @@ object Dedup {
     // bit-identical; same argument as embeddingNearDups).
     val data = df.select(id.as("id"), vec.as("v"))
       .withColumn("nv", Similarity.norm(col("v")))
-    val bucketed = (0 until tables).map { t =>
-      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        Similarity.signBit(col("v"), p, i)
-      }.reduce((a, b) => a.bitwiseOR(b))
-      data.select(col("id"), col("v"), col("nv"), lit(t).as("tbl"), bucket.as("bucket"))
-    }.reduce(_ unionByName _)
+    val bucketed = lshBucketed(data, col("v"), dim, planesPerTable, tables)
     val l = bucketed.select(col("tbl"), col("bucket"),
       col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
     val r = bucketed.select(col("tbl"), col("bucket"),
@@ -512,6 +506,24 @@ object Dedup {
     * [[embeddingNearDupsLsh]] (asserted in DedupSpec and by p103 sharing
     * p22's oracle).
     */
+  /** Per-table sign-LSH bucketing: unions one `(…data cols…, tbl,
+    * bucket)` projection per table, with the shared `seed = 7 + t`
+    * hyperplane constants. The SINGLE source of the bucket definition —
+    * the pair generators (p22/p32/p86/p88), the occupancy monitor
+    * (p102), and the salted variant (p103) must all agree on it for
+    * "the profile prices the real index" and "salted ≡ unsalted" to
+    * hold, so the derivation lives exactly once.
+    */
+  private def lshBucketed(data: DataFrame, vec: Column, dim: Int,
+                          planesPerTable: Int, tables: Int): DataFrame =
+    (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        Similarity.signBit(vec, p, i)
+      }.reduce((a, b) => a.bitwiseOR(b))
+      data.select(col("*"), lit(t).as("tbl"), bucket.as("bucket"))
+    }.reduce(_ unionByName _)
+
   /** The p102 LSH occupancy monitor as a reusable profile: per table,
     * bucket count, vector count, largest bucket, and Σc² — the EXACT
     * candidate-pair mass the table generates (per-bucket cost is
@@ -521,13 +533,8 @@ object Dedup {
     */
   def lshOccupancyProfile(df: DataFrame, vec: Column, dim: Int,
                           planesPerTable: Int = 4, tables: Int = 6): DataFrame = {
-    val bucketed = (0 until tables).map { t =>
-      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        Similarity.signBit(vec, p, i)
-      }.reduce((a, b) => a.bitwiseOR(b))
-      df.select(lit(t).as("tbl"), bucket.as("bucket"))
-    }.reduce(_ unionByName _)
+    val bucketed = lshBucketed(df.select(vec.as("v")), col("v"),
+      dim, planesPerTable, tables)
     bucketed.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
       .groupBy("tbl")
       .agg(count(lit(1)).as("n_buckets"),
@@ -556,7 +563,11 @@ object Dedup {
                               skewFactor: Double = 4.0): (Int, Int) = {
     require(partitions >= 1, s"partitions must be positive: $partitions")
     require(skewFactor > 0, s"skewFactor must be positive: $skewFactor")
-    val total = profile.agg(sum(col("sum_sq")).cast("long")).head().getLong(0)
+    // coalesce: sum over an EMPTY profile is null, and Row.getLong cannot
+    // unbox it — an empty corpus must degrade to the no-salting default,
+    // not throw
+    val total = profile.agg(coalesce(sum(col("sum_sq")), lit(0L)).cast("long"))
+      .head().getLong(0)
     val m = math.max(1.0, total.toDouble / partitions)
     val hot = math.max(2, math.ceil(math.sqrt(skewFactor * m)).toInt)
     val shard = math.max(1, math.ceil(math.sqrt(m)).toInt)
@@ -579,13 +590,7 @@ object Dedup {
     // shape re-shuffled the quadratic candidate set three times).
     val data = df.select(id.as("id"), vec.as("v"))
       .withColumn("nv", Similarity.norm(col("v")))
-    val bucketed = (0 until tables).map { t =>
-      val planes = Similarity.hyperplanes(planesPerTable, dim, seed = 7L + t)
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        Similarity.signBit(col("v"), p, i)
-      }.reduce((a, b) => a.bitwiseOR(b))
-      data.select(col("id"), col("v"), col("nv"), lit(t).as("tbl"), bucket.as("bucket"))
-    }.reduce(_ unionByName _)
+    val bucketed = lshBucketed(data, col("v"), dim, planesPerTable, tables)
     // the monitor: per-bucket occupancy (exactly p102's first aggregate).
     // Only buckets OVER the threshold survive to the broadcast — at most
     // n_vectors·tables / hotThreshold rows, tiny by construction.

@@ -16,6 +16,18 @@ object PipelineQueries {
   private def sqlTokens(expr: String) =
     s"list_filter(regexp_split_to_array($expr, '\\s+'), x -> len(x) > 0)"
 
+  /** p109 exclusion class, shared verbatim by the Spark filter (Java
+    * regex) and the DuckDB oracle (RE2 — both accept `\x{hhhh}`):
+    * literal brackets (they corrupt the oracle's bracket rendering and
+    * its '['-count piece tally) and the characters where
+    * `Character.isWhitespace` (BpeEncode's word boundary) disagrees
+    * with the `\\s` tokenizer — Unicode spaces U+1680/U+2000–U+200A/
+    * U+2028/U+2029/U+205F/U+3000 and the file/group/record/unit
+    * separators U+001C–U+001F.
+    */
+  private val bpeOracleExcl =
+    """[\[\]\x{001C}-\x{001F}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]"""
+
   /** p67/p101 shared oracle: per-source KMV over the whole corpus. p67
     * computes it one-shot; p101 maintains the bottom-k store across
     * three arrival waves — bottom-k(union of bottom-k's) = bottom-k of
@@ -3569,7 +3581,19 @@ object PipelineQueries {
         // bpePairCounts built the pair with Spark substr, which counts
         // codepoints, so a supplementary first codepoint must keep its
         // low surrogate.
+        // Docs containing characters the ORACLE's replay cannot render
+        // faithfully are excluded on BOTH sides (bpeOracleExcl): a
+        // literal '[' or ']' corrupts the bracket rendering the chained
+        // replaces operate on (and the '['-count piece tally), and
+        // non-ASCII whitespace splits words in BpeEncode
+        // (Character.isWhitespace) but not in the oracle's \s
+        // tokenizer. The generated corpus contains neither, so today
+        // the filter keeps 100% of rows — the point is that on a corpus
+        // that DOES contain them the gate stays exact instead of
+        // mysteriously hash-failing; word-level unicode semantics are
+        // pinned by BpeEncodeSpec goldens.
         val docs = table(s, d, "documents")
+          .filter(!col("text").rlike(bpeOracleExcl))
         val merges = Corpus.bpePairCounts(docs, col("text"), topN = 30)
           .collect().map(_.getString(0)).toSeq
           .map(p => p.splitAt(p.offsetByCodePoints(0, 1)))
@@ -3583,7 +3607,8 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+        WITH w AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents
+                   WHERE NOT regexp_matches(text, '$bpeOracleExcl')),
         v AS (SELECT w, count(*) AS freq FROM w GROUP BY 1),
         p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
                      i -> substring(w, i, 2))) AS pair, freq
@@ -3593,7 +3618,8 @@ object PipelineQueries {
         ml AS (SELECT list('[' || substring(pair, 1, 1) || '][' || substring(pair, 2) || ']'
                            || chr(1) || '[' || pair || ']' ORDER BY n DESC, pair) AS ms
                FROM m),
-        t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
+        t AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS word FROM documents
+              WHERE NOT regexp_matches(text, '$bpeOracleExcl')),
         e AS (SELECT doc_id,
                      list_reduce(list_concat(
                          ['[' || array_to_string(list_transform(
@@ -3633,10 +3659,17 @@ object PipelineQueries {
         // micro-grid ratio, flagging both tails. DEFLATE output is not a
         // cross-engine quantity → rows-only driver check; DeflateLenSpec
         // pins the monotonicity and determinism the rule relies on
+        // null/empty text is excluded EXPLICITLY on both sides: the
+        // golden table skips null rows (no reference length exists) and
+        // a zero-byte doc has no defined ratio (the oracle's integer
+        // division would error where Spark yields null) — aligning the
+        // filters keeps the contract identical on any corpus instead of
+        // relying on the generated data containing neither
         val raw = octet_length(col("text"))
         val defl = graft.functions.expressions.DeflateLen.deflateLenCol(col("text"))
-        table(s, d, "documents").select(col("doc_id"),
-            raw.as("n_bytes"), defl.as("n_deflate"))
+        table(s, d, "documents")
+          .filter(col("text").isNotNull && octet_length(col("text")) > 0)
+          .select(col("doc_id"), raw.as("n_bytes"), defl.as("n_deflate"))
           .withColumn("ratio_micro",
             expr("CAST(n_deflate AS BIGINT) * 1000000 div n_bytes"))
           .withColumn("flagged",
@@ -3654,6 +3687,7 @@ object PipelineQueries {
                  OR (CAST(g.n_deflate AS BIGINT) * 1000000 // strlen(d.text)) > 900000
                  AS flagged
         FROM documents d JOIN g USING (doc_id)
+        WHERE d.text IS NOT NULL AND strlen(d.text) > 0
         ORDER BY d.doc_id"""),
       "quality — DEFLATE compression-ratio signal (the Gopher-style " +
         "information-density rule): per-doc exact compressed/raw byte " +

@@ -26,8 +26,39 @@ object GraphAnalytics {
     * the DataFrame scan (not a per-row Scala closure), so the id
     * assignment stays in whole-stage codegen before the RDD boundary.
     */
+  /** Memo of built (and input-cached) graphs. Each `build` pins two
+    * cached RDDs for the session's lifetime; without the memo every
+    * invocation (the bench runs each GraphX query twice, a session may
+    * run dozens) pinned a FRESH pair, accumulating stale blocks that
+    * only driver GC reclaimed — under memory pressure exactly the
+    * variance source the input cache exists to kill. Keyed on the
+    * GraphState instance (TpchGraph.cachedGraph is per-dir stable) plus
+    * the filter config; bounded — on overflow the memo unpersists and
+    * drops all entries (correctness is unaffected, the next build
+    * re-caches).
+    */
+  private val graphMemo = scala.collection.concurrent.TrieMap[
+    (GraphState, Seq[String], Seq[String], Int),
+    (Graph[String, String], RDD[(VertexId, String)], RDD[Edge[String]])]()
+
   def build(g: GraphState, relTypes: Seq[String], nodeTypes: Seq[String],
             numPartitions: Int = 8): Graph[String, String] = {
+    if (graphMemo.size > 32) {
+      // unpersist the INPUT RDDs explicitly — Graph.unpersist releases
+      // only the VertexRDD/EdgeRDD the constructor derived, not the
+      // cached sources they were built from
+      graphMemo.values.foreach { case (gr, v, e) =>
+        gr.unpersist(blocking = false)
+        v.unpersist(blocking = false); e.unpersist(blocking = false)
+      }
+      graphMemo.clear()
+    }
+    graphMemo.getOrElseUpdate((g, relTypes, nodeTypes, numPartitions),
+      buildUncached(g, relTypes, nodeTypes, numPartitions))._1
+  }
+
+  private def buildUncached(g: GraphState, relTypes: Seq[String], nodeTypes: Seq[String],
+      numPartitions: Int): (Graph[String, String], RDD[(VertexId, String)], RDD[Edge[String]]) = {
     import graft.functions.expressions.Fnv64.fnv64Col
     // Pregel-style algorithms shuffle per iteration; for the filtered
     // subgraphs this bridge targets, fewer/larger partitions beat the
@@ -59,7 +90,7 @@ object GraphAnalytics {
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
       .coalesce(numPartitions)
       .cache()
-    Graph(verts, edges)
+    (Graph(verts, edges), verts, edges)
   }
 
   /** Connected components over a typed subgraph; returns

@@ -31,38 +31,12 @@ object PageRank {
     * `(key, rank_scaled)` for every vertex appearing as an endpoint.
     */
   def ranksScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    require(iters >= 0 && scale % dampDen == 0 && dampNum >= 0 && dampNum <= dampDen,
-      s"invalid pagerank params (iters=$iters scale=$scale damp=$dampNum/$dampDen)")
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    val vertices = e.select(col("src").as("key"))
-      .unionAll(e.select(col("dst").as("key")))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint(eager = false)
-
-    val base = lit(scale / dampDen * (dampDen - dampNum))
-    var ranks = vertices.withColumn("rank_scaled", lit(scale))
-    for (_ <- 1 to iters) {
-      // `div` = exact integral division (double `/` would round above 2^53)
-      val inbound = withDeg
-        .join(ranks, col("src") === col("key"))
-        .select(col("dst"), expr("rank_scaled div outdeg").as("contrib"))
-        .groupBy("dst").agg(sum(col("contrib")).as("inc"))
-      ranks = vertices
-        .join(inbound, col("key") === col("dst"), "left")
-        .select(col("key"),
-          (base + expr(s"($dampNum * coalesce(inc, 0L)) div $dampDen"))
-            .as("rank_scaled"))
-        .localCheckpoint(eager = false)
-    }
-    ranks
-  }
+                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    // global PageRank IS the personalized form with every vertex seeded
+    // (the all-seeds identity PageRankSpec pins); the constant-true
+    // predicate folds away in Catalyst, so the plan is unchanged — one
+    // recurrence implementation to maintain instead of two copies
+    personalizedScaled(edges, lit(true), iters, scale, dampNum, dampDen)
 
   /** PERSONALIZED PageRank in the same exact scaled-integer arithmetic:
     * the teleport (both the initial mass and the per-round restart term)

@@ -290,24 +290,28 @@ object EventStream {
     val zoneId = spark.conf.get("spark.sql.session.timeZone")
 
     // ---- stage <events, sentinel> with strictly increasing mtimes.
-    // Rebuilt whenever the source file is newer than the staged copy
-    // (the driver regenerates /root/testdata between rounds) OR the
-    // sentinel is missing (a prior run crashed mid-stage). The rebuild is
-    // ATOMIC: both files are built in a fresh temp dir and renamed into
-    // place in one move, so a crash can never leave a half-staged
-    // directory that the freshness guard would then trust forever, and
-    // concurrent sessions racing on the same sfDir see either the old
-    // complete stage or the new one.
+    // The stage directory is VERSIONED by the source file's identity
+    // (mtime + size in the name), so staleness never has to be probed
+    // and — more important — an old stage is never deleted while a
+    // concurrent session's stream may still be reading it (the earlier
+    // delete-then-move swap had a window where a running stream lost its
+    // files mid-microbatch and a prober saw no stage at all). A source
+    // regeneration simply resolves to a NEW directory; prior versions
+    // linger in /tmp (one per regeneration, bounded) until the OS
+    // reaps them. The build is still crash-safe: both files are
+    // assembled in a temp dir and ATOMIC_MOVEd in, so a versioned dir
+    // either exists complete or not at all; a lost race keeps the
+    // winner's identical bytes.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val staged = new java.io.File(
-      s"/tmp/graft_session_stream_${Integer.toHexString(sfDir.hashCode)}")
     val src = new java.io.File(s"$sfDir/events.parquet")
-    def isFresh(dir: java.io.File): Boolean = {
-      val ev = new java.io.File(dir, "00_events.parquet")
-      val se = new java.io.File(dir, "01_sentinel.parquet")
-      ev.exists() && se.exists() && ev.lastModified() >= src.lastModified()
-    }
+    val staged = new java.io.File(
+      s"/tmp/graft_session_stream_${Integer.toHexString(sfDir.hashCode)}_" +
+        java.lang.Long.toHexString(src.lastModified()) + "-" +
+        java.lang.Long.toHexString(src.length()))
+    def isFresh(dir: java.io.File): Boolean =
+      new java.io.File(dir, "00_events.parquet").exists() &&
+        new java.io.File(dir, "01_sentinel.parquet").exists()
     if (!isFresh(staged)) {
       val build = java.nio.file.Files.createTempDirectory(
         staged.getParentFile.toPath, staged.getName + ".build-").toFile
@@ -341,14 +345,12 @@ object EventStream {
       sentinel.setLastModified(dst.lastModified() + 60000L)
       // the Spark job dir (and its _SUCCESS etc.) must not ride along
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpOut))
-      // swap: remove any stale stage, then one atomic rename. If another
-      // session won the race between the delete and the move, keep its
-      // stage when complete (same source ⇒ same bytes) and discard ours.
-      try {
-        if (staged.exists()) org.apache.commons.io.FileUtils.deleteDirectory(staged)
-        java.nio.file.Files.move(build.toPath, staged.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
+      // one atomic rename into the versioned name — no prior delete. If
+      // another session won the race, its stage is complete and
+      // byte-identical (same source version); discard ours.
+      try java.nio.file.Files.move(build.toPath, staged.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
         case e: java.nio.file.FileSystemException =>
           org.apache.commons.io.FileUtils.deleteDirectory(build)
           if (!isFresh(staged)) throw e

@@ -26,14 +26,42 @@ object LshConfigBench {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val n = emb.count()
 
-    def measure(label: String, planes: Int, tables: Int): Unit = {
+    /** The PRE-round-9 pair-generation shape (candidate ids → distinct →
+      * two vector-fetch joins → verify), kept runnable so the
+      * verify-inline win stays measurable on any corpus — same pair set
+      * as the inline form by construction.
+      */
+    def legacyPairs(planes: Int, tables: Int): Long = {
+      val data = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val bucketed = (0 until tables).map { t =>
+        val pl = graft.functions.Similarity.hyperplanes(planes, dim, seed = 7L + t)
+        val bucket = pl.zipWithIndex.map { case (p, i) =>
+          graft.functions.Similarity.signBit(col("v"), p, i)
+        }.reduce((a, b) => a.bitwiseOR(b))
+        data.select(col("id"), lit(t).as("tbl"), bucket.as("bucket"))
+      }.reduce(_ unionByName _)
+      val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+      val cands = l.join(r, Seq("tbl", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cands
+        .join(data.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(data.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        .withColumn("cos",
+          round(graft.functions.Similarity.cosine(col("va"), col("vb")), 6))
+        .filter(col("cos") >= minCos)
+        .count()
+    }
+
+    def measure(label: String, planes: Int, tables: Int,
+                pairsOf: (Int, Int) => Long): Unit = {
       val mass = graft.functions.Dedup
         .lshOccupancyProfile(emb, col("embedding"), dim, planes, tables)
         .agg(sum(col("sum_sq"))).head().getLong(0)
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val pairs = graft.functions.Dedup.embeddingNearDupsLsh(
-          emb, col("vec_id"), col("embedding"), minCos, dim, planes, tables).count()
+        val pairs = pairsOf(planes, tables)
         ((System.nanoTime() - t0) / 1e9, pairs)
       }
       val (t1, c1) = once(); val (t2, c2) = once()
@@ -42,10 +70,15 @@ object LshConfigBench {
         f"candidate_mass=$mass%,d pairs=$c1%,d time=${math.min(t1, t2)}%.2f s")
     }
 
+    def inlinePairs(planes: Int, tables: Int): Long =
+      graft.functions.Dedup.embeddingNearDupsLsh(
+        emb, col("vec_id"), col("embedding"), minCos, dim, planes, tables).count()
+
     println(s"[lshcfg] n=$n dim=$dim minCos=$minCos sfDir=$sfDir")
     val (dp, dt) = graft.functions.Similarity.lshConfigFor(n, minCos)
-    measure("fixed  ", 4, 6)
-    measure("derived", dp, dt)
+    measure("legacy ", 4, 6, legacyPairs)
+    measure("fixed  ", 4, 6, inlinePairs)
+    measure("derived", dp, dt, inlinePairs)
     spark.stop()
   }
 }

@@ -85,11 +85,25 @@ object ScaleData {
     // original data embeds verbatim
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val signs: Seq[Seq[Float]] = (0 until tiles).map { t =>
-      (0 until dim).map { j =>
-        if (t == 0 || (t * 1000003 + j * 7919) % 2 == 0) 1.0f else -1.0f
-      }
+    // splitmix64 finalizer over (t, j): a LINEAR expression mod 2 (the
+    // first version used `(t*1000003 + j*7919) % 2`) collapses to the
+    // parity of t+j, which hands every same-parity tile the IDENTICAL
+    // sign vector — cross-tile exact-duplicate embeddings instead of
+    // scrambled cosines, silently violating the independent-tiles
+    // premise the rehearsal numbers rest on. The mixed form gives each
+    // tile an independent pattern (2^-64 collision odds per tile pair),
+    // and the assertion makes any future derivation bug loud.
+    def sign(t: Int, j: Int): Float = {
+      if (t == 0) return 1.0f
+      var z = t.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1.0f else -1.0f
     }
+    val signs: Seq[Seq[Float]] = (0 until tiles).map(t => (0 until dim).map(j => sign(t, j)))
+    require(signs.distinct.size == tiles,
+      "per-tile sign patterns must be pairwise distinct")
     emb.crossJoin(tileDf)
       .select(
         (col("vec_id") + col("tile").cast("long") * Off64).as("vec_id"),
