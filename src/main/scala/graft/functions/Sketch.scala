@@ -209,4 +209,51 @@ object Sketch {
       .filter(col("n") * k > total)
       .select(col("t").as("token"), col("n"))
   }
+
+  /** HyperLogLog registers (m = 64) per group: `(grp, bucket, m_j)`
+    * where `bucket = h mod 64` over the [[Dedup.gramHash]] 28-bit hash
+    * and `m_j` is the max rank (leading-zero count + 1 of the remaining
+    * 22 bits) seen in the bucket. Rank uses `length(bin(x))` — the
+    * exact-integer bit length both Spark and DuckDB compute identically
+    * — never a float log2, whose last-ulp at powers of two would flip a
+    * register cross-engine. Registers are max-merged: associative,
+    * idempotent, commutative — the property that makes the sketch
+    * mergeable across partitions, shards, AND arrival waves (the p114
+    * streaming store) with the one-shot result guaranteed identical.
+    * State is ≤ 64 rows per group no matter the corpus.
+    */
+  def hllRegisters(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val hashes = df.select(group.as("grp"), Dedup.gramHash(value).as("h")).distinct()
+    hashes.select(col("grp"), (col("h") % 64).as("bucket"),
+        expr("h div 64").as("r"))
+      .withColumn("m_j",
+        when(col("r") === 0, lit(23)).otherwise(lit(23) - length(bin(col("r")))))
+      .groupBy("grp", "bucket").agg(max(col("m_j")).as("m_j"))
+  }
+
+  /** HLL estimate from [[hllRegisters]] (Flajolet et al., AofA '07,
+    * m = 64, α₆₄ = 0.709): `raw = α·m²/Σ2^−M_j` with the small-range
+    * linear-counting correction `m·ln(m/V)` when raw ≤ 2.5m and V > 0
+    * zero registers remain. Output `(grp, n_buckets, reg_checksum,
+    * hll_est_micro)` — the register checksum pins the sketch state
+    * itself, and the estimate is integer micros. Float hygiene: every
+    * 2^−M_j is an exact dyadic double and partial sums stay below 2^29
+    * ulp-free, so the harmonic sum is EXACT regardless of aggregation
+    * order; only ln/division carry last-ulp noise, absorbed by the
+    * micro rounding.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    regs.groupBy("grp").agg(
+        count(lit(1)).cast("int").as("n_buckets"),
+        sum(expr("m_j * (bucket + 1)")).cast("long").as("reg_checksum"),
+        sum(pow(lit(2.0), -col("m_j"))).as("s_obs"))
+      .withColumn("v", lit(64) - col("n_buckets"))
+      .withColumn("raw",
+        lit(0.709 * 4096.0) / (col("v").cast("double") + col("s_obs")))
+      .withColumn("hll_est_micro",
+        round(when(col("v") > 0 && col("raw") <= 160.0,
+            lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+          .otherwise(col("raw")) * 1000000.0).cast("long"))
+      .select(col("grp"), col("n_buckets"), col("reg_checksum"), col("hll_est_micro"))
+  }
 }

@@ -28,6 +28,37 @@ object PipelineQueries {
   private val bpeOracleExcl =
     """[\[\]\x{001C}-\x{001F}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]"""
 
+  /** p113/p114 shared oracle: per-source HyperLogLog (m = 64, α₆₄ =
+    * 0.709) over distinct token hashes, with ranks from exact integer
+    * bit lengths (`length(bin(x))` — identical semantics on both
+    * engines) and the small-range linear-counting branch. p114's
+    * max-merged streaming store must reproduce this verbatim (max is
+    * associative + idempotent).
+    */
+  private val hllOracle: String = s"""
+        WITH toks AS (SELECT source AS grp, unnest(${sqlTokens("lower(text)")}) AS t
+                      FROM documents),
+        h AS (SELECT DISTINCT grp, ('0x' || substring(md5(t), 1, 7))::BIGINT AS h FROM toks),
+        reg AS (SELECT grp, h % 64 AS bucket,
+                       CASE WHEN h // 64 = 0 THEN 23
+                            ELSE 23 - length(bin(h // 64)) END AS rank
+                FROM h),
+        regs AS (SELECT grp, bucket, max(rank) AS m_j FROM reg GROUP BY 1, 2),
+        agg AS (SELECT grp, count(*) AS n_buckets,
+                       sum(m_j * (bucket + 1)) AS reg_checksum,
+                       sum(power(2.0, -m_j)) AS s_obs
+                FROM regs GROUP BY 1),
+        ex AS (SELECT grp, count(*) AS n_exact FROM h GROUP BY 1)
+        SELECT ex.grp AS source, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_buckets AS INT) AS n_buckets,
+               CAST(reg_checksum AS BIGINT) AS reg_checksum,
+               CAST(round(CASE WHEN 64 - n_buckets > 0
+                               AND (0.709 * 4096.0) / ((64 - n_buckets) + s_obs) <= 160.0
+                          THEN 64.0 * ln(64.0 / (64 - n_buckets))
+                          ELSE (0.709 * 4096.0) / ((64 - n_buckets) + s_obs) END
+                          * 1000000.0) AS BIGINT) AS hll_est_micro
+        FROM ex JOIN agg USING (grp) ORDER BY source"""
+
   /** p67/p101 shared oracle: per-source KMV over the whole corpus. p67
     * computes it one-shot; p101 maintains the bottom-k store across
     * three arrival waves — bottom-k(union of bottom-k's) = bottom-k of
@@ -3802,6 +3833,79 @@ object PipelineQueries {
         "this derivation pins candidate work per vector to " +
         "tables·occupancy, linear in corpus size. Transcendental " +
         "intermediates round to 1e-6 before every ceil so the Spark and " +
-        "DuckDB derivations agree exactly")
+        "DuckDB derivations agree exactly"),
+
+    Q("p113_hll_distinct",
+      (s, d) => {
+        // per-source distinct-token HLL alongside the exact ground truth
+        // (the KMV p67 pattern for the other standard cardinality
+        // sketch). 64 max-merged registers per source — fixed-size,
+        // order-independent state; the register checksum hash-pins the
+        // sketch itself, not just the estimate.
+        val docs = table(s, d, "documents")
+        val toks = docs.select(col("source").as("g"),
+          explode(graft.functions.TextOps.tokens(lower(col("text")))).as("t"))
+        val regs = Sketch.hllRegisters(toks, col("g"), col("t"))
+        val exact = toks
+          .select(col("g").as("grp"), graft.functions.Dedup.gramHash(col("t")).as("h"))
+          .distinct()
+          .groupBy("grp").agg(count(lit(1)).as("n_exact"))
+        exact.join(broadcast(Sketch.hllEstimate(regs)), "grp")
+          .select(col("grp").as("source"), col("n_exact"), col("n_buckets"),
+            col("reg_checksum"), col("hll_est_micro"))
+          .orderBy("source")
+      },
+      Some(hllOracle),
+      "sketches — HyperLogLog distinct estimate (m=64, α₆₄ bias " +
+        "constant, linear-counting small-range correction) per source, " +
+        "vs the exact distinct-hash truth. Ranks from exact integer bit " +
+        "lengths (length(bin(x)) on both engines, never float log2); " +
+        "harmonic sums are dyadic-exact so aggregation order cannot " +
+        "change the estimate; registers are max-merged 64-row state — " +
+        "the mergeable fixed-size shape that survives 100 TB and " +
+        "arbitrary re-partitioning"),
+
+    Q("p114_streaming_hll",
+      (s, d) => {
+        // incremental HLL maintenance — p101's wave/store pattern for
+        // the register sketch: each arrival wave contributes its
+        // per-source registers, the store max-merges per (source,
+        // bucket). Max is associative AND idempotent, so the maintained
+        // registers — and therefore the estimate — equal the one-shot
+        // p113 verbatim (shared oracle); each refresh touches the delta
+        // plus a ≤64-rows-per-source store.
+        val dir = graft.core.TempStores.scratchDir("graft_p114_hll")
+        val docs = table(s, d, "documents")
+        def waveToks(w: Int) = docs.filter(col("doc_id") % 3 === w)
+          .select(col("source").as("g"),
+            explode(graft.functions.TextOps.tokens(lower(col("text")))).as("t"))
+        Seq(0, 1, 2).foreach { w =>
+          val delta = Sketch.hllRegisters(waveToks(w), col("g"), col("t"))
+          val merged =
+            if (w == 0) delta
+            else s.read.parquet(s"$dir/v${w - 1}").unionByName(delta)
+              .groupBy("grp", "bucket").agg(max(col("m_j")).as("m_j"))
+          merged.write.mode("overwrite").parquet(s"$dir/v$w")
+        }
+        val regs = s.read.parquet(s"$dir/v2")
+        val toks = docs.select(col("source").as("g"),
+          explode(graft.functions.TextOps.tokens(lower(col("text")))).as("t"))
+        val exact = toks
+          .select(col("g").as("grp"), graft.functions.Dedup.gramHash(col("t")).as("h"))
+          .distinct()
+          .groupBy("grp").agg(count(lit(1)).as("n_exact"))
+        exact.join(broadcast(Sketch.hllEstimate(regs)), "grp")
+          .select(col("grp").as("source"), col("n_exact"), col("n_buckets"),
+            col("reg_checksum"), col("hll_est_micro"))
+          .orderBy("source")
+      },
+      Some(hllOracle), // shared verbatim: maintained registers == one-shot
+      "sketches — STREAMING HyperLogLog maintenance: per-wave registers " +
+        "max-merged into a standing ≤64-rows-per-source store (the p101 " +
+        "incremental pattern for the register sketch). Max-merge is " +
+        "associative and idempotent, so the maintained estimate passes " +
+        "the one-shot p113 oracle verbatim — replayed waves or " +
+        "speculative-retry duplicates cannot perturb it; refresh cost is " +
+        "O(delta + store)")
   )
 }

@@ -122,4 +122,61 @@ class SketchSpec extends SparkSpec {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  /** Driver-side HLL reference over gramHash semantics (first 7 md5 hex
+    * chars → 28-bit long), m = 64.
+    */
+  private def refHll(values: Seq[String]): (Int, Long, Long) = {
+    def h28(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    val regs = values.distinct.map(h28).distinct
+      .groupBy(_ % 64)
+      .map { case (b, hs) =>
+        b -> hs.map { h =>
+          val r = h / 64
+          if (r == 0) 23 else 23 - java.lang.Long.toBinaryString(r).length
+        }.max
+      }
+    val nBuckets = regs.size
+    val checksum = regs.map { case (b, m) => m.toLong * (b + 1) }.sum
+    val sObs = regs.values.map(m => math.pow(2.0, -m.toDouble)).sum
+    val v = 64 - nBuckets
+    val raw = 0.709 * 4096.0 / (v + sObs)
+    val est = if (v > 0 && raw <= 160.0) 64.0 * math.log(64.0 / v) else raw
+    (nBuckets, checksum, math.rint(est * 1000000.0).toLong)
+  }
+
+  test("HLL: registers and estimate match the reference; accuracy within the m=64 error bound") {
+    val rng = new scala.util.Random(91L)
+    val big = Seq.fill(4000)(s"tok${rng.nextInt(1500)}")   // raw branch
+    val small = (1 to 20).map(i => s"s$i")                 // linear-counting branch
+    for ((vals, label) <- Seq((big, "big"), (small, "small"))) {
+      val df = vals.map(("g", _)).toDF("g", "t")
+      val got = Sketch.hllEstimate(Sketch.hllRegisters(df, col("g"), col("t")))
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).head
+      assert(got == refHll(vals), label)
+      // estimate within ~3 standard errors (1.04/√64 = 13 %) of truth
+      val truth = vals.distinct.size.toDouble
+      val est = got._3 / 1e6
+      assert(math.abs(est - truth) / truth < 0.39, s"$label est=$est truth=$truth")
+    }
+  }
+
+  test("HLL: max-merged wave registers equal the one-shot sketch (idempotent, order-free)") {
+    val rng = new scala.util.Random(92L)
+    val vals = Seq.fill(3000)(s"w${rng.nextInt(900)}")
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", v, i % 3) }.toDF("g", "t", "w")
+    val oneShot = Sketch.hllRegisters(df, col("g"), col("t"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    // waves 0/1/2 max-merged — wave 1 replayed twice to prove idempotence
+    val waves = Seq(0, 1, 1, 2).map(w =>
+      Sketch.hllRegisters(df.filter(col("w") === w), col("g"), col("t")))
+    val merged = waves.reduce(_ unionByName _)
+      .groupBy("grp", "bucket").agg(max(col("m_j")).as("m_j"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(merged == oneShot)
+  }
 }
