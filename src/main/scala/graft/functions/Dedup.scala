@@ -328,6 +328,76 @@ object Dedup {
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
   }
 
+  /** Cross-corpus exact-substring duplicate spans — the token-k-gram
+    * form of ExactSubstr dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022): a token position is
+    * duplicated when its k-token gram occurs ≥ 2 times ANYWHERE in the
+    * corpus (another document or the same one — any second occurrence
+    * counts, matching the suffix-array semantics for matches of length
+    * ≥ k), and overlapping-or-adjacent duplicated positions merge into
+    * maximal spans. The [[chunkDedupSignals]] complement: chunks are
+    * non-overlapping and alignment-sensitive (a shared passage shifted
+    * by one token produces disjoint chunk hashes); the sliding gram
+    * catches shared passages at ANY offset and reports their exact
+    * extent.
+    *
+    * Per-document output: `(doc_id, n_tokens, n_dup_spans, dup_tokens,
+    * dup_bp)` — `dup_tokens` is the merged-span token mass and `dup_bp`
+    * its fraction of the document in basis points,
+    * `floor(dup_tokens·10⁴ / n_tokens)`. The quotient is computed in
+    * doubles but is EXACT across engines: both operands are integers
+    * ≪ 2⁵³ so IEEE division is correctly rounded, and the true quotient
+    * is ≥ 1/n_tokens ≥ 2⁻³¹ away from any integer it isn't equal to,
+    * while the rounding error is ≤ 10⁴·2⁻⁵³ — floor cannot cross.
+    *
+    * Scale shape: one linear position explode carrying only `(doc_id,
+    * pos, gram-hash)` — never the gram STRING (64-bit xxhash64 identity;
+    * a cross-gram collision falsely marks one gram duplicated, odds
+    * ~n²/2⁶⁵ corpus-wide — at 10¹² positions ~30 spurious grams, noise
+    * for a marking/stats signal; a deletion pipeline would widen to the
+    * 128-bit md5 pair) — then one hash-keyed frequency aggregate (map-
+    * side partial combine collapses each partition's repeats first), one
+    * hash equi-join back (AQE broadcasts the duplicated-gram set when
+    * small), and one per-doc window whose partition is bounded by
+    * document length. No doc×doc or gram×gram term at any point.
+    */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column,
+                     k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val base = spread(df)
+      .select(id.as("doc_id"), TextOps.tokens(lower(text)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"), col("ts"))
+    val occ = base.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_tokens") - k),
+          i => xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(k))))))
+          .as(Seq("pos", "h")))
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // spans merge while the next duplicated position starts within (or
+    // adjacent to) the previous gram's extent: break iff pos > prev + k
+    val marked = occ.join(dup, "h")
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(w) + k), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(w))
+    val perDoc = marked.groupBy("doc_id", "span_id")
+      .agg((max(col("pos")) - min(col("pos")) + k).as("span_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_dup_spans"),
+        sum(col("span_len")).cast("int").as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0)).as("dup_tokens"),
+        floor(coalesce(col("dup_tokens"), lit(0)) * lit(10000.0)
+          / greatest(col("n_tokens"), lit(1))).cast("int").as("dup_bp"))
+  }
+
   /** [[minHashNearDups]] with a routing key — the cross-lingual form of
     * corpus dedup: documents are first routed (e.g. by predicted
     * language) and near-duplicate detection runs WITHIN each route. The

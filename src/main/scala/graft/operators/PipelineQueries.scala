@@ -3906,6 +3906,47 @@ object PipelineQueries {
         "associative and idempotent, so the maintained estimate passes " +
         "the one-shot p113 oracle verbatim — replayed waves or " +
         "speculative-retry duplicates cannot perturb it; refresh cost is " +
-        "O(delta + store)")
+        "O(delta + store)"),
+
+    Q("p115_dup_substring_spans",
+      (s, d) => Dedup.duplicateSpans(table(s, d, "documents"),
+          col("doc_id"), col("text"), k = 8)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        b AS (SELECT doc_id, len(ts) AS n, ts FROM t),
+        occ AS (SELECT doc_id, u.pos AS pos, u.g AS g
+                FROM (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, n - 7),
+                          i -> {'pos': i - 1, 'g': array_to_string(ts[i:i+7], ' ')})) AS u
+                      FROM b WHERE n >= 8)),
+        dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+        m AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (g)),
+        sp AS (SELECT doc_id, pos,
+                      CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                            OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                           THEN 1 ELSE 0 END AS brk
+               FROM m),
+        sid AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                FROM sp),
+        spans AS (SELECT doc_id, span_id, max(pos) - min(pos) + 8 AS span_len
+                  FROM sid GROUP BY doc_id, span_id),
+        pd AS (SELECT doc_id, count(*) AS n_dup_spans, sum(span_len) AS dup_tokens
+               FROM spans GROUP BY doc_id)
+        SELECT b.doc_id, CAST(n AS INT) AS n_tokens,
+               CAST(coalesce(n_dup_spans, 0) AS INT) AS n_dup_spans,
+               CAST(coalesce(dup_tokens, 0) AS INT) AS dup_tokens,
+               CAST(floor(coalesce(dup_tokens, 0) * 10000.0 / greatest(n, 1)) AS INT) AS dup_bp
+        FROM b LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""),
+      "dedup — cross-corpus exact-substring duplicate spans (the token-" +
+        "k-gram form of ExactSubstr, Lee et al. 2022): positions whose " +
+        "8-token gram recurs anywhere in the corpus, merged into maximal " +
+        "per-doc spans with token mass and basis-point fraction. " +
+        "Complements chunk dedup (p64/p93): the sliding gram catches " +
+        "shared passages at ANY alignment and reports exact extents. " +
+        "Linear explode of (doc, pos, 64-bit gram hash) — gram strings " +
+        "never shuffle — one frequency aggregate, one hash join back, " +
+        "one doc-bounded window; no pairwise term at any scale")
   )
 }

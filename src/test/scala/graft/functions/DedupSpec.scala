@@ -281,4 +281,40 @@ class DedupSpec extends SparkSpec {
     // conservation-ish: weights are exactly scale div n (integer floor)
     assert(got.values.map(_._2).sum == 3 * 333333L + 2 * 500000L + 1000000L)
   }
+
+  test("duplicateSpans marks shared passages at any alignment and merges overlaps") {
+    import spark.implicits._
+    // docs 1/2 share one 10-token passage at DIFFERENT offsets; doc 3
+    // repeats a 4-gram internally (invisible at k=4 only if unique);
+    // doc 4 is clean; doc 5 is too short for any gram
+    val shared = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (1L, s"prefix alpha $shared suffix omega"),
+      (2L, s"$shared tail piece here"),
+      (3L, "aa bb cc dd xx yy aa bb cc dd"),
+      (4L, "totally unrelated words that appear exactly once each new time"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(corpus, col("doc_id"), col("text"), k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    // doc 1: positions 2..8 carry the shared 4-grams -> one span [2, 11] = 10 tokens of 14
+    assert(got(1L) == ((14, 1, 10, 7142)), got(1L).toString)
+    // doc 2: same passage at offset 0 -> span [0, 9] = 10 tokens of 13
+    assert(got(2L) == ((13, 1, 10, 7692)), got(2L).toString)
+    // doc 3: intra-doc repeat "aa bb cc dd" at 0 and 6 -> two spans (gap 1..5 unmarked... positions 0 and 6, break since 6 > 0+4)
+    assert(got(3L)._2 == 2 && got(3L)._3 == 8, got(3L).toString)
+    assert(got(4L) == ((10, 0, 0, 0)))
+    assert(got(5L) == ((2, 0, 0, 0)))
+  }
+
+  test("duplicateSpans merges adjacent gram positions from one long shared passage") {
+    import spark.implicits._
+    // the whole 12-token doc is duplicated -> every position marked, ONE span
+    val text = "p q r s t u v w x y z zz"
+    val corpus = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(corpus, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSet == Set((1L, 12, 1, 12, 10000), (2L, 12, 1, 12, 10000)))
+  }
 }
