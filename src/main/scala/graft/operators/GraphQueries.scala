@@ -81,6 +81,52 @@ object GraphQueries {
                      FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
                                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles"""
 
+  /** Oracle unroll depth for g51 — must be ≥ the peel convergence depth
+    * at every gate scale factor (measured: 4 rounds at sf0.001, 6 at
+    * sf0.01/sf0.1 for k=80); rounds past convergence are exact no-ops,
+    * so a generous fixed depth stays bit-identical to the converged
+    * Spark answer. The Spark side caps at the SAME depth, so the two
+    * agree even on a hypothetical input that hasn't converged by then.
+    */
+  private val KcoreRounds = 10
+
+  /** g51 oracle: `rounds`-deep unrolled k-core peel over the co-purchase
+    * graph — k_i keeps vertices with degree ≥ k in e_{i-1}, e_i
+    * restricts edges to kept endpoints; a vertex's peel round is the
+    * FIRST k_i it misses (a vertex removed earlier has no e_{i-1} edges,
+    * so it stays missing from every later k_j). Generated, not
+    * hand-written — the CTE chain is mechanical.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    // round references the previous edge set three times — inlined, the
+    // unroll expands 3^rounds scans of lineitem (observed as an fd-
+    // exhaustion error at depth 10); materialized it is linear in rounds
+    val cteChain = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT x FROM (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+                  GROUP BY x HAVING count(*) >= $k),
+        e$i AS MATERIALIZED (SELECT p.u, p.v FROM e${i - 1} p
+                JOIN k$i a ON a.x = p.u JOIN k$i b ON b.x = p.v)"""
+    }.mkString(",\n        ")
+    val peelCase = (1 to rounds).map(i => s"WHEN k$i.x IS NULL THEN $i").mkString(" ")
+    val leftJoins = (1 to rounds).map(i => s"LEFT JOIN k$i ON k$i.x = v.x").mkString("\n        ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        v AS (SELECT DISTINCT x FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)),
+        $cteChain,
+        fd AS (SELECT x, count(*) AS d
+               FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY 1)
+        SELECT v.x AS part,
+               CAST(CASE $peelCase ELSE 0 END AS INT) AS peel_round,
+               CAST(coalesce(fd.d, 0) AS INT) AS core_deg
+        FROM v
+        $leftJoins
+        LEFT JOIN fd ON fd.x = v.x
+        ORDER BY part"""
+  }
+
   /** All-table node count used by the cascade-delete oracle. */
   private val allNodeCountSql =
     "(SELECT count(*) FROM region)+(SELECT count(*) FROM nation)+(SELECT count(*) FROM customer)" +
@@ -1523,6 +1569,36 @@ object GraphQueries {
         "seed set, here the region nodes over the reversed dimension " +
         "chain): proximity-to-seeds relevance in the same exact " +
         "scaled-integer arithmetic as g37, bit-identical across engines; " +
-        "the seeded-recommendation / taxonomy-rooted-importance primitive")
+        "the seeded-recommendation / taxonomy-rooted-importance primitive"),
+
+    Q("g51_kcore",
+      (s, d) => {
+        // k-core decomposition of the g36 co-purchase graph by iterative
+        // peeling (KCore.peel): drop every part whose co-purchase degree
+        // is below k=80 and repeat — peripheral parts cascade out layer
+        // by layer (their removal drags neighbors below the bar), the
+        // dense core survives. Integer-exact, so the converged Spark
+        // answer equals the oracle's fixed 10-round unroll verbatim
+        // (post-convergence rounds are no-ops). k=80 sits in the peel
+        // band of this graph: at sf0.001 the whole graph cascades to
+        // empty in 4 rounds; at sf0.01/sf0.1 a large core survives 6
+        // rounds of peeling — both behaviors oracle-checked.
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("u"), col("p2").as("v"))
+        graft.plans.KCore.peel(copurchase, k = 80, maxRounds = KcoreRounds)
+          .select(col("key").as("part"), col("peel_round"), col("core_deg"))
+          .orderBy("part")
+      },
+      Some(kcoreOracle(k = 80, rounds = KcoreRounds)),
+      "graph analytics — k-core decomposition (iterative peeling) of the " +
+        "part co-purchase graph: per-part peel round (coreness layer; 0 = " +
+        "in-core) and within-core degree. Each round is one degree " +
+        "aggregate + two endpoint semi-joins over a shrinking edge set, " +
+        "lineage cut per round — the graph-cleanup / community-seed " +
+        "primitive, exact-integer so the converged answer matches the " +
+        "oracle's fixed-depth unroll bit for bit")
   )
 }
