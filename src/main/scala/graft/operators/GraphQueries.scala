@@ -127,6 +127,49 @@ object GraphQueries {
         ORDER BY part"""
   }
 
+  /** g52 oracle: `iters` unrolled HITS rounds in the same exact
+    * scaled-integer arithmetic as the Spark side — per round an
+    * authority half-step (sum of hub scores over in-edges, max-
+    * normalized by floor division) then a hub half-step (sum of the
+    * fresh authority scores over out-edges, max-normalized). CTEs are
+    * MATERIALIZED for the same 3^depth inlining reason as [[kcoreOracle]];
+    * sums cast to BIGINT so DuckDB's HUGEINT widening never reaches the
+    * output.
+    */
+  private def hitsOracle(iters: Int, scale: Long = 1000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a${i}r AS MATERIALIZED (SELECT e.dst AS key, CAST(sum(h.h) AS BIGINT) AS raw
+               FROM e JOIN h${i - 1} h ON h.key = e.src GROUP BY e.dst),
+        a$i AS MATERIALIZED (SELECT v.key,
+               CAST((coalesce(r.raw, 0) * $scale) // greatest((SELECT max(raw) FROM a${i}r), 1) AS BIGINT) AS a
+               FROM v LEFT JOIN a${i}r r USING (key)),
+        h${i}r AS MATERIALIZED (SELECT e.src AS key, CAST(sum(a.a) AS BIGINT) AS raw
+               FROM e JOIN a$i a ON a.key = e.dst GROUP BY e.src),
+        h$i AS MATERIALIZED (SELECT v.key,
+               CAST((coalesce(r.raw, 0) * $scale) // greatest((SELECT max(raw) FROM h${i}r), 1) AS BIGINT) AS h
+               FROM v LEFT JOIN h${i}r r USING (key))"""
+    }.mkString(",\n        ")
+    s"""
+        WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          SELECT 'order_' || CAST(o_orderkey AS VARCHAR) AS src,
+                 'customer_' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+          UNION ALL
+          SELECT 'customer_' || CAST(c_custkey AS VARCHAR),
+                 'nation_' || CAST(c_nationkey AS VARCHAR) FROM customer
+          UNION ALL
+          SELECT 'supplier_' || CAST(s_suppkey AS VARCHAR),
+                 'nation_' || CAST(s_nationkey AS VARCHAR) FROM supplier
+          UNION ALL
+          SELECT 'nation_' || CAST(n_nationkey AS VARCHAR),
+                 'region_' || CAST(n_regionkey AS VARCHAR) FROM nation)),
+        v AS MATERIALIZED (SELECT DISTINCT src AS key FROM e UNION SELECT DISTINCT dst FROM e),
+        h0 AS MATERIALIZED (SELECT key, CAST($scale AS BIGINT) AS h FROM v),
+        $rounds
+        SELECT v.key, h$iters.h AS hub_scaled, a$iters.a AS auth_scaled
+        FROM v JOIN h$iters ON h$iters.key = v.key JOIN a$iters ON a$iters.key = v.key
+        ORDER BY auth_scaled DESC, hub_scaled DESC, v.key LIMIT 15"""
+  }
+
   /** All-table node count used by the cascade-delete oracle. */
   private val allNodeCountSql =
     "(SELECT count(*) FROM region)+(SELECT count(*) FROM nation)+(SELECT count(*) FROM customer)" +
@@ -1599,6 +1642,29 @@ object GraphQueries {
         "aggregate + two endpoint semi-joins over a shrinking edge set, " +
         "lineage cut per round — the graph-cleanup / community-seed " +
         "primitive, exact-integer so the converged answer matches the " +
-        "oracle's fixed-depth unroll bit for bit")
+        "oracle's fixed-depth unroll bit for bit"),
+
+    Q("g52_hits",
+      (s, d) => {
+        // HITS over the same dimension chain as g37: orders are pure
+        // hubs, regions pure authorities, nations both — the mutual-
+        // reinforcement ranking where PageRank measures flow centrality.
+        // Max-normalized integer form (L∞ power iteration): exact on any
+        // engine where the L2 norm's square root is not. 4 fixed rounds,
+        // top-15 authorities with their hub scores alongside.
+        val e = TpchGraph.edges(s, d, withPayload = false).toDF()
+          .filter(col("relType").isin("PlacedBy", "InNation", "InRegion"))
+          .select(col("src"), col("dst"))
+        graft.plans.Hits.scaled(e, iters = 4)
+          .orderBy(desc("auth_scaled"), desc("hub_scaled"), asc("key"))
+          .limit(15)
+      },
+      Some(hitsOracle(iters = 4)),
+      "graph analytics — HITS hubs & authorities (Kleinberg) in exact " +
+        "scaled-integer arithmetic with per-half-round max " +
+        "normalization: the scalar-per-round iterative shape (single-row " +
+        "max broadcast back via crossJoin) that PageRank's pure per-edge " +
+        "recurrence avoids; 4 fixed rounds over the dimension chain, " +
+        "bit-identical across engines, top-15 by authority")
   )
 }
