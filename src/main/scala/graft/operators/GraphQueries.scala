@@ -90,6 +90,11 @@ object GraphQueries {
     */
   private val KcoreRounds = 10
 
+  /** g53 peel-depth cap, identical on both sides (max observed depth 8
+    * at sf0.1 + headroom; the theorem bounds rounds at O(log n / ε)).
+    */
+  private val DensestRounds = 12
+
   /** g51 oracle: `rounds`-deep unrolled k-core peel over the co-purchase
     * graph — k_i keeps vertices with degree ≥ k in e_{i-1}, e_i
     * restricts edges to kept endpoints; a vertex's peel round is the
@@ -168,6 +173,45 @@ object GraphQueries {
         SELECT v.key, h$iters.h AS hub_scaled, a$iters.a AS auth_scaled
         FROM v JOIN h$iters ON h$iters.key = v.key JOIN a$iters ON a$iters.key = v.key
         ORDER BY auth_scaled DESC, hub_scaled DESC, v.key LIMIT 15"""
+  }
+
+  /** g53 oracle: the Bahmani et al. batched densest-subgraph peel,
+    * unrolled to `rounds` levels (emitting summary rows for rounds
+    * 0..rounds−1, matching the Spark side's identical `maxRounds` cap)
+    * — same MATERIALIZED discipline as [[kcoreOracle]]. The removal
+    * test is the exact cross-multiplied integer form; each round's
+    * vertex set is pinned by its key-sum checksum.
+    */
+  private def densestOracle(rounds: Int, epsNum: Long = 1L,
+                            epsDen: Long = 10L): String = {
+    val thr = 2L * (epsDen + epsNum)
+    val chain = (1 until rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT x FROM (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+                GROUP BY x
+                HAVING count(*) * (SELECT count(*) FROM v${i - 1}) * $epsDen > $thr * (SELECT count(*) FROM e${i - 1})),
+        e$i AS MATERIALIZED (SELECT p.u, p.v FROM e${i - 1} p
+                JOIN k$i a ON a.x = p.u JOIN k$i b ON b.x = p.v),
+        v$i AS MATERIALIZED (SELECT DISTINCT u AS x FROM e$i UNION SELECT DISTINCT v FROM e$i)"""
+    }.mkString(",\n        ")
+    val summaries = (0 until rounds).map { i =>
+      s"""SELECT $i AS round, (SELECT count(*) FROM v$i) AS n,
+              (SELECT count(*) FROM e$i) AS m,
+              (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM v$i) AS cks"""
+    }.mkString("\n        UNION ALL ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        v0 AS MATERIALIZED (SELECT DISTINCT u AS x FROM e0 UNION SELECT DISTINCT v FROM e0),
+        $chain,
+        s AS (SELECT * FROM ($summaries) WHERE n > 0)
+        SELECT CAST(round AS INT) AS round, CAST(n AS BIGINT) AS n_vertices,
+               CAST(m AS BIGINT) AS n_edges,
+               CAST(m * 1000000 // n AS BIGINT) AS density_micro,
+               cks AS vtx_checksum,
+               CAST(CASE WHEN row_number() OVER (ORDER BY m * 1000000 // n DESC, round ASC) = 1
+                    THEN 1 ELSE 0 END AS INT) AS is_best
+        FROM s ORDER BY round"""
   }
 
   /** All-table node count used by the cascade-delete oracle. */
@@ -1665,6 +1709,35 @@ object GraphQueries {
         "normalization: the scalar-per-round iterative shape (single-row " +
         "max broadcast back via crossJoin) that PageRank's pure per-edge " +
         "recurrence avoids; 4 fixed rounds over the dimension chain, " +
-        "bit-identical across engines, top-15 by authority")
+        "bit-identical across engines, top-15 by authority"),
+
+    Q("g53_densest_subgraph",
+      (s, d) => {
+        // Bahmani et al. batched densest-subgraph peel over the co-
+        // purchase graph (ε = 1/10): every round strips all vertices at
+        // or below 2(1+ε)·density — a constant FRACTION of survivors, so
+        // O(log n) rounds where Charikar's one-vertex-per-step peel is
+        // inherently serial. Output is the full peel trajectory (3–8
+        // non-empty rounds on the gate corpora), each round pinned by
+        // exact n/m/floor-density and a key-sum membership checksum;
+        // is_best marks the density-maximizing round the approximation
+        // guarantee speaks about.
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("u"), col("p2").as("v"))
+        graft.plans.DensestSubgraph.peelSummary(copurchase,
+            epsNum = 1L, epsDen = 10L, maxRounds = DensestRounds)
+          .orderBy("round")
+      },
+      Some(densestOracle(rounds = DensestRounds)),
+      "graph analytics — densest-subgraph 2(1+ε)-approximation by " +
+        "BATCHED peeling (Bahmani–Kumar–Vassilvitskii, the canonical " +
+        "MapReduce graph algorithm): O(log n) rounds of one degree " +
+        "aggregate + two endpoint semi-joins on a shrinking edge set, " +
+        "with the threshold scalar (the only driver-side state) entering " +
+        "each round as a literal; exact cross-multiplied integer test, " +
+        "trajectory checksummed per round")
   )
 }
