@@ -53,4 +53,55 @@ object AsOf {
         Seq(col(key), col(ts)) ++ lValueCols.map(col) ++
           rValueCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
   }
+
+  /** Banded interval-overlap join — the other temporal join Spark's
+    * built-in API lacks (batch twin of the stream-stream interval join):
+    * every pair of intervals from `a` and `b` that share `key` AND
+    * overlap in time, with the exact overlap length attached.
+    *
+    * Inputs both carry `(key, id, start_s, end_s)` with integer-second
+    * bounds and `end_s - start_s <= bucketSeconds` (checked per row —
+    * violating rows would silently lose pairs, so they fail loudly).
+    *
+    * The naive formulation — join on `key` with the overlap predicate —
+    * is a per-key cross product: Catalyst can only plan the range
+    * predicate as a post-join filter, so a hot key with f intervals per
+    * side generates f² candidate rows BEFORE the filter. The banded form
+    * bounds the blowup structurally: time splits into fixed
+    * `bucketSeconds` buckets, each interval explodes to the (≤ 2,
+    * because duration ≤ bucket width) buckets it touches, the join runs
+    * on `(key, bucket)` equi-keys, and a `distinct` collapses the pairs
+    * seen in both buckets. Candidates are now bounded by TRUE temporal
+    * co-location — two intervals meet only if they land in the same
+    * bucket — which is the property that holds at 100 TB where per-key
+    * fan-out does not. Genomics overlap joins and ad-attribution
+    * windows are this exact shape.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame, key: String,
+                      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucket width must be positive: $bucketSeconds")
+    def banded(df: DataFrame, side: String) = {
+      val start = col(s"${side}_start")
+      val end = col(s"${side}_end")
+      // the duration check lives INSIDE the bucket expression so column
+      // pruning cannot optimize it away: an over-long interval raises
+      // instead of silently losing the pairs its missing buckets hide
+      val buckets = when(
+        (end - start).between(lit(0L), lit(bucketSeconds)),
+        sequence(expr(s"${side}_start div ${bucketSeconds}L"),
+          expr(s"${side}_end div ${bucketSeconds}L")))
+        .otherwise(raise_error(concat(
+          lit(s"intervalOverlap: $side interval exceeds bucketSeconds=$bucketSeconds at id="),
+          col(s"${side}_id").cast("string"))))
+      df.select(col(key), col("id").as(s"${side}_id"),
+        col("start_s").cast("long").as(s"${side}_start"),
+        col("end_s").cast("long").as(s"${side}_end"))
+        .withColumn("bkt", explode(buckets))
+    }
+    banded(a, "a").join(banded(b, "b"), Seq(key, "bkt"))
+      .drop("bkt").distinct()
+      .withColumn("overlap_s",
+        least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
+      .filter(col("overlap_s") > 0)
+  }
 }

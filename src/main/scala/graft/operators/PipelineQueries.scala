@@ -28,6 +28,23 @@ object PipelineQueries {
   private val bpeOracleExcl =
     """[\[\]\x{001C}-\x{001F}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]"""
 
+  /** p97/p117 shared oracle: Efraimidis–Spirakis weighted sample without
+    * replacement, k = 25, weights = token counts, u = the deterministic
+    * 28-bit content hash. p117's wave-merged store must reproduce this
+    * verbatim (top-k of a union of per-wave top-k's is the union's
+    * top-k).
+    */
+  private lazy val weightedSampleOracle: String = s"""
+        SELECT doc_id, w, es_key FROM (
+          SELECT doc_id,
+                 CAST(len(${sqlTokens("lower(text)")}) AS DOUBLE) AS w,
+                 round(ln((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                           / 268435456.0))
+                       / CAST(len(${sqlTokens("lower(text)")}) AS DOUBLE), 9) AS es_key
+          FROM documents
+          WHERE len(${sqlTokens("lower(text)")}) > 0)
+        ORDER BY es_key DESC, doc_id LIMIT 25"""
+
   /** p113/p114 shared oracle: per-source HyperLogLog (m = 64, α₆₄ =
     * 0.709) over distinct token hashes, with ranks from exact integer
     * bit lengths (`length(bin(x))` — identical semantics on both
@@ -3165,16 +3182,7 @@ object PipelineQueries {
     Q("p97_weighted_sample",
       (s, d) => Sampling.weightedSample(table(s, d, "documents"),
         col("doc_id"), size(TextOps.tokens(lower(col("text")))), k = 25),
-      Some(s"""
-        SELECT doc_id, w, es_key FROM (
-          SELECT doc_id,
-                 CAST(len(${sqlTokens("lower(text)")}) AS DOUBLE) AS w,
-                 round(ln((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
-                           / 268435456.0))
-                       / CAST(len(${sqlTokens("lower(text)")}) AS DOUBLE), 9) AS es_key
-          FROM documents
-          WHERE len(${sqlTokens("lower(text)")}) > 0)
-        ORDER BY es_key DESC, doc_id LIMIT 25"""),
+      Some(weightedSampleOracle),
       "sampling — weighted sampling WITHOUT replacement (Efraimidis–" +
         "Spirakis exponential keys): key = ln(u)/w with u the " +
         "deterministic content hash, keep the k largest — distributed " +
@@ -3947,6 +3955,95 @@ object PipelineQueries {
         "shared passages at ANY alignment and reports exact extents. " +
         "Linear explode of (doc, pos, 64-bit gram hash) — gram strings " +
         "never shuffle — one frequency aggregate, one hash join back, " +
-        "one doc-bounded window; no pairwise term at any scale")
+        "one doc-bounded window; no pairwise term at any scale"),
+
+    Q("p116_interval_overlap_join",
+      (s, d) => {
+        // batch interval-overlap join (the attribution-window shape):
+        // each view/purchase event spans [t, t + 60 + event_id%240 s];
+        // report, per user, every (view, purchase) pair whose spans
+        // overlap, with exact integer overlap mass. The banded operator
+        // bounds candidates by temporal co-location (≤2 buckets per
+        // interval at width 300 ≥ max duration 299) where the naive
+        // per-user join is quadratic in per-user event count
+        val ev = table(s, d, "events").select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("t"),
+          (lit(60L) + col("event_id") % 240).as("dur"))
+        def side(tpe: String) = ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as("id"),
+            col("t").as("start_s"), (col("t") + col("dur")).as("end_s"))
+        AsOf.intervalOverlap(side("view"), side("purchase"),
+            "user_id", bucketSeconds = 300L)
+          .groupBy("user_id").agg(
+            count(lit(1)).as("n_pairs"),
+            sum("overlap_s").as("overlap_sum_s"),
+            max("overlap_s").as("max_overlap_s"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, user_id, event_type,
+                           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+                           60 + event_id % 240 AS dur
+                    FROM events),
+        a AS (SELECT user_id, event_id AS a_id, t AS a_start, t + dur AS a_end
+              FROM ev WHERE event_type = 'view'),
+        b AS (SELECT user_id, event_id AS b_id, t AS b_start, t + dur AS b_end
+              FROM ev WHERE event_type = 'purchase'),
+        p AS (SELECT user_id,
+                     least(a_end, b_end) - greatest(a_start, b_start) AS overlap_s
+              FROM a JOIN b USING (user_id)
+              WHERE least(a_end, b_end) - greatest(a_start, b_start) > 0)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(overlap_s) AS BIGINT) AS overlap_sum_s,
+               CAST(max(overlap_s) AS BIGINT) AS max_overlap_s
+        FROM p GROUP BY user_id ORDER BY user_id"""),
+      "temporal join — banded interval-overlap join (batch twin of the " +
+        "p82 stream-stream interval join; the ad-attribution / genomics-" +
+        "overlap shape): per user, every (view, purchase) pair of " +
+        "overlapping time spans with exact integer overlap seconds. " +
+        "Catalyst plans a range predicate as filter-after-cross-product " +
+        "(f² rows per hot key BEFORE the filter); the banded form " +
+        "explodes each interval to the ≤2 fixed-width time buckets it " +
+        "touches and equi-joins on (key, bucket), so candidates are " +
+        "bounded by true temporal co-location — the property that still " +
+        "holds at 100 TB. Oracle is the naive join, fine at oracle scale"),
+
+    Q("p117_streaming_weighted_sample",
+      (s, d) => {
+        // incremental maintenance of p97's weighted sample — the
+        // p101/p114 pattern applied to sampling: each arrival wave
+        // contributes its own Efraimidis–Spirakis top-25, the store
+        // merges by union + re-top-25 under the total order (es_key
+        // DESC, doc_id). Top-k of a union of per-wave top-k's IS the
+        // union's top-k, so the maintained sample passes p97's one-shot
+        // oracle verbatim; each refresh touches the delta plus a ≤25-row
+        // store — how 'keep N docs sampled by quality' stays current
+        // under continuous ingest without ever rescanning the corpus
+        val dir = graft.core.TempStores.scratchDir("graft_p117_ws")
+        val docs = table(s, d, "documents")
+        def waveTop(w: Int) = Sampling.weightedSample(
+          docs.filter(col("doc_id") % 3 === w),
+          col("doc_id"), size(TextOps.tokens(lower(col("text")))), k = 25)
+        Seq(0, 1, 2).foreach { w =>
+          val delta = waveTop(w)
+          val merged =
+            if (w == 0) delta
+            else s.read.parquet(s"$dir/v${w - 1}").unionByName(delta)
+              .orderBy(col("es_key").desc, col("doc_id")).limit(25)
+          merged.write.mode("overwrite").parquet(s"$dir/v$w")
+        }
+        s.read.parquet(s"$dir/v2")
+          .orderBy(col("es_key").desc, col("doc_id"))
+      },
+      Some(weightedSampleOracle), // maintained top-k == one-shot: p97's oracle verbatim
+      "streaming — weighted-sample maintenance under incremental ingest: " +
+        "per-wave Efraimidis–Spirakis top-25 merged into the store by " +
+        "union + re-top-k under the (es_key DESC, doc_id) total order — " +
+        "top-k of a union of per-wave top-k's IS the union's top-k, so " +
+        "the maintained sample passes the one-shot p97 oracle verbatim. " +
+        "O(delta + k) per refresh, k rows of state; completes the " +
+        "incremental family (p71 counts, p101 cardinality, p114 HLL, " +
+        "p88 clusters) with the sampling member")
   )
 }

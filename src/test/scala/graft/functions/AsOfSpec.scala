@@ -74,4 +74,66 @@ class AsOfSpec extends SparkSpec {
       assert(got.toSeq == want, s"trial $trial diverged from the naive reference")
     }
   }
+
+  // --- intervalOverlap ---
+
+  private def iv(rows: Seq[(Long, Long, Long, Long)]) =
+    rows.toDF("k", "id", "start_s", "end_s")
+
+  test("intervalOverlap finds exactly the strictly-overlapping same-key pairs") {
+    // a1 [0,100] overlaps b1 [50,150] by 50; touches b2 [100,200] at a
+    // point (overlap 0 → excluded); disjoint from b3; key 2 never meets
+    // key 1 even at identical times
+    val a = iv(Seq((1L, 1L, 0L, 100L), (2L, 9L, 0L, 100L)))
+    val b = iv(Seq((1L, 1L, 50L, 150L), (1L, 2L, 100L, 200L), (1L, 3L, 300L, 350L)))
+    val got = AsOf.intervalOverlap(a, b, "k", bucketSeconds = 200L)
+      .select("k", "a_id", "b_id", "overlap_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 1L, 1L, 50L)))
+  }
+
+  test("pairs spanning a bucket boundary are found once, not twice") {
+    // both intervals straddle the t=200 boundary (buckets 0 and 1): the
+    // banded join meets them in BOTH buckets; distinct must collapse it
+    val a = iv(Seq((1L, 1L, 150L, 250L)))
+    val b = iv(Seq((1L, 7L, 180L, 260L)))
+    val got = AsOf.intervalOverlap(a, b, "k", bucketSeconds = 200L).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("overlap_s") == 250L - 180L)
+  }
+
+  test("an interval longer than the bucket width fails loudly") {
+    val a = iv(Seq((1L, 1L, 0L, 500L)))
+    val b = iv(Seq((1L, 2L, 10L, 20L)))
+    val e = intercept[Exception] {
+      AsOf.intervalOverlap(a, b, "k", bucketSeconds = 200L).collect()
+    }
+    assert(e.getMessage.contains("exceeds bucketSeconds") ||
+      Option(e.getCause).exists(_.getMessage.contains("exceeds bucketSeconds")))
+  }
+
+  test("PROPERTY: banded join == naive overlap scan on random intervals") {
+    val rng = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val w = 50L
+      def mk(n: Int) = (0 until n).map { i =>
+        val s = rng.nextInt(400).toLong
+        (rng.nextInt(4).toLong, i.toLong, s, s + rng.nextInt(w.toInt + 1))
+      }
+      val as = mk(60); val bs = mk(60)
+      val got = AsOf.intervalOverlap(
+          iv(as).repartition(7), iv(bs).repartition(3), "k", bucketSeconds = w)
+        .select("k", "a_id", "b_id", "overlap_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = (for {
+        (ka, ia, sa, ea) <- as
+        (kb, ib, sb, eb) <- bs
+        if ka == kb
+        ov = math.min(ea, eb) - math.max(sa, sb)
+        if ov > 0
+      } yield (ka, ia, ib, ov)).toSet
+      assert(got == want, s"trial $trial diverged from the naive cross check")
+    }
+  }
 }

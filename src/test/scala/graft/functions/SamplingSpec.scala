@@ -147,4 +147,21 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split") === "train").select("fp").distinct().count()
     assert(trainClusters > 130 && trainClusters < 190, s"got $trainClusters/200")
   }
+
+  test("weightedSample wave-merge == one-shot (the p117 maintenance invariant)") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"doc $i " + ("w " * (1 + (i % 37)).toInt)))
+      .toDF("doc_id", "text")
+    val weight = size(split(trim(col("text")), "\\s+"))
+    val oneShot = Sampling.weightedSample(docs, col("doc_id"), weight, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // three arrival waves; store = top-20 of (store ∪ wave top-20)
+    val waves = (0 to 2).map(w =>
+      Sampling.weightedSample(docs.filter(col("doc_id") % 3 === w),
+        col("doc_id"), weight, k = 20))
+    val maintained = waves.reduce(_ unionByName _)
+      .orderBy(col("es_key").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(maintained == oneShot)
+  }
 }
