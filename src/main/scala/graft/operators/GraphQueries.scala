@@ -95,6 +95,36 @@ object GraphQueries {
     */
   private val DensestRounds = 12
 
+  /** g54 oracle: `steps`-deep unrolled deterministic random walk over
+    * the undirected co-purchase graph — each step joins the frontier to
+    * the ranked adjacency at rank `1 + md5-hash(start, walk, step, cur)
+    * mod degree`, exactly the Spark recurrence. Generated, not
+    * hand-written.
+    */
+  private def randomWalksOracle(steps: Int): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""w$i AS MATERIALIZED (
+          SELECT p.start, p.w, adj.v AS cur,
+                 p.path || '->' || CAST(adj.v AS VARCHAR) AS path
+          FROM w${i - 1} p JOIN adj
+            ON adj.u = p.cur
+           AND adj.rk = 1 + (('0x' || substring(md5('rw:' || CAST(p.start AS VARCHAR) || ':' || CAST(p.w AS VARCHAR) || ':$i:' || CAST(p.cur AS VARCHAR)), 1, 7))::BIGINT % adj.deg))"""
+    }.mkString(",\n        ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+        adj AS MATERIALIZED (SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY v) AS rk,
+               count(*) OVER (PARTITION BY u) AS deg FROM e),
+        s AS (SELECT DISTINCT u AS start FROM adj WHERE u % 20 = 0),
+        w0 AS (SELECT start, t.w, start AS cur, CAST(start AS VARCHAR) AS path
+               FROM s CROSS JOIN (SELECT unnest([0, 1]) AS w) t),
+        $stepCtes
+        SELECT start, CAST(w AS INT) AS walk, cur AS end_node, path
+        FROM w$steps ORDER BY start, walk"""
+  }
+
   /** g51 oracle: `rounds`-deep unrolled k-core peel over the co-purchase
     * graph — k_i keeps vertices with degree ≥ k in e_{i-1}, e_i
     * restricts edges to kept endpoints; a vertex's peel round is the
@@ -1738,6 +1768,35 @@ object GraphQueries {
         "aggregate + two endpoint semi-joins on a shrinking edge set, " +
         "with the threshold scalar (the only driver-side state) entering " +
         "each round as a literal; exact cross-multiplied integer test, " +
-        "trajectory checksummed per round")
+        "trajectory checksummed per round"),
+
+    Q("g54_random_walks",
+      (s, d) => {
+        // graph → training-corpus export: 2 deterministic 4-step walks
+        // from every 20th part over the undirected co-purchase graph —
+        // the DeepWalk corpus a node-embedding model trains on. The
+        // next hop hashes (start, walk, step, cur) mod degree instead
+        // of rand(): reproducible under stage retry and bit-equal to
+        // the oracle's unrolled recurrence
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val e = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") =!= col("p2"))
+          .select(col("p").as("u"), col("p2").as("v"))
+        val starts = e.select(col("u").as("start"))
+          .filter(col("start") % 20 === 0).distinct()
+        graft.plans.RandomWalks.walks(e, starts, walksPerStart = 2, steps = 4)
+          .orderBy("start", "walk")
+      },
+      Some(randomWalksOracle(steps = 4)),
+      "graph analytics — deterministic random walks (the DeepWalk / " +
+        "node2vec corpus generator, Perozzi et al. 2014): graph " +
+        "structure exported as node sequences for embedding training. " +
+        "Next hop = hash(start, walk, step, cur) mod out-degree over " +
+        "rank-sorted neighbors — a pure function, so walks survive " +
+        "stage retries and hash-verify cross-engine where rand() walks " +
+        "cannot; ranked adjacency builds once (one u-partitioned " +
+        "shuffle, localCheckpoint-ed), each step is one frontier " +
+        "equi-join with a degree-bounded rank test, never quadratic")
   )
 }

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic random walks over a graph — the DeepWalk / node2vec
+  * corpus generator: turn graph structure into node SEQUENCES that a
+  * skip-gram (or any sequence) model trains on. The reference's graph
+  * serves traversal queries; a training-data pipeline additionally
+  * needs the graph → corpus export, and this is its standard form
+  * (Perozzi et al. 2014).
+  *
+  * Determinism is the load-bearing design choice: the next hop is NOT
+  * `rand()` but a pure hash of `(salt, start, walk, step, current)` mod
+  * the out-degree, picking the that-ranked neighbor in sorted order. A
+  * hash-driven walk is reproducible across engines, stage retries, and
+  * speculative re-execution — `rand()` in a shuffle stage is not (a
+  * retried task would walk different edges and corrupt the corpus), and
+  * it hash-verifies against a SQL oracle, which no sampled walk can.
+  * Statistically it is a uniform next-hop choice for the same reason
+  * salted hash splits are uniform.
+  *
+  * Scale shape: the ranked adjacency builds ONCE (two window functions
+  * over one `u`-partitioned shuffle) and is localCheckpoint-ed so the
+  * step loop re-reads materialized blocks instead of re-shuffling;
+  * each step is then one equi-join of the frontier on the current node
+  * — cost O(|frontier| + matched adjacency rows) per step with the
+  * rank test applied to the degree-bounded match group. Frontier size
+  * is constant (starts × walksPerStart), steps are a fixed small
+  * constant, nothing is ever quadratic, and no driver-side state
+  * exists beyond the loop counter. Hub skew: a hot node's adjacency
+  * group is `deg` rows wide at the join, the standard salt-the-hot-key
+  * mitigation applies unchanged if a social-scale hub appears.
+  */
+object RandomWalks {
+
+  /** `edges` carries directed `(u, v)` pairs — pass both orientations
+    * for undirected walks. `starts` carries a `start` column; starts
+    * with no outgoing edge drop out at step 1 (inner join), and any
+    * reached node always has out-degree ≥ 1 in an undirected graph, so
+    * walks never die mid-path there. Returns one row per (start, walk):
+    * `(start, walk, end_node, path)` with the full `->`-joined path.
+    */
+  def walks(edges: DataFrame, starts: DataFrame, walksPerStart: Int,
+            steps: Int, salt: String = "rw:"): DataFrame = {
+    require(walksPerStart >= 1, s"walksPerStart must be positive: $walksPerStart")
+    require(steps >= 1, s"steps must be positive: $steps")
+    val adj = edges.select(col("u"), col("v")).distinct()
+      .select(col("u"), col("v"),
+        row_number().over(Window.partitionBy("u").orderBy("v")).as("rk"),
+        count(lit(1)).over(Window.partitionBy("u")).as("deg"))
+      .localCheckpoint()
+    var f = starts.select(col("start"))
+      .withColumn("walk", explode(array((0 until walksPerStart).map(lit): _*)))
+      .withColumn("cur", col("start"))
+      .withColumn("path", col("start").cast("string"))
+    for (step <- 1 to steps) {
+      val a = adj.select(col("u").as("__u"), col("v").as("__v"),
+        col("rk").as("__rk"), col("deg").as("__deg"))
+      val h = conv(substring(md5(concat(
+        lit(salt), col("start").cast("string"), lit(":"),
+        col("walk").cast("string"), lit(s":$step:"),
+        col("cur").cast("string"))), 1, 7), 16, 10).cast("long")
+      f = f.join(a, col("__u") === col("cur") &&
+          col("__rk") === h % col("__deg") + 1)
+        .select(col("start"), col("walk"), col("__v").as("cur"),
+          concat(col("path"), lit("->"), col("__v").cast("string")).as("path"))
+    }
+    f.select(col("start"), col("walk").cast("int").as("walk"),
+      col("cur").as("end_node"), col("path"))
+  }
+}
