@@ -423,4 +423,38 @@ object Corpus {
       .groupBy("pair").agg(sum(col("freq")).cast("long").as("n"))
       .orderBy(col("n").desc, col("pair")).limit(topN)
   }
+
+  /** Skip-gram (center, context) co-occurrence counts — the word2vec /
+    * GloVe training-pair exporter: every ordered token pair within
+    * `window` positions of each other, counted corpus-wide. The count
+    * table IS the GloVe input and the sampling distribution a skip-gram
+    * trainer draws from.
+    *
+    * Scale shape: the naive formulation self-joins token positions on
+    * `abs(pos_a - pos_b) <= window` — a per-document quadratic range
+    * join. Here each occurrence instead emits its 2·window CONTEXT
+    * POSITIONS map-side (a fixed-fanout explode) and the pair forms by
+    * one `(doc, pos)` equi-join — linear in corpus size with a
+    * constant factor of 2·window, the p116 banding idea applied to
+    * token positions. Out-of-range context positions simply find no
+    * match (inner join). The pair aggregate map-side-combines, so hot
+    * (stopword, stopword) pairs arrive at the reducer pre-collapsed;
+    * counts are exact longs, the top-k is one TakeOrdered.
+    */
+  def skipGramPairs(df: DataFrame, id: Column, text: Column,
+                    window: Int, topK: Int): DataFrame = {
+    require(window >= 1, s"skipGramPairs needs window >= 1: $window")
+    require(topK >= 1, s"skipGramPairs needs topK >= 1: $topK")
+    val occ = df.select(id.as("doc_id"),
+        posexplode(TextOps.tokens(lower(text))).as(Seq("pos", "tok")))
+    val offsets = ((-window to -1) ++ (1 to window)).map(o => lit(o))
+    val ctxSide = occ.select(col("doc_id"), col("tok").as("center"),
+        col("pos").as("cpos"), explode(array(offsets: _*)).as("off"))
+      .select(col("doc_id"), col("center"), (col("cpos") + col("off")).as("pos"))
+    ctxSide.join(occ, Seq("doc_id", "pos"))
+      .groupBy(col("center"), col("tok").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("center"), col("context"))
+      .limit(topK)
+  }
 }

@@ -4044,6 +4044,33 @@ object PipelineQueries {
         "the maintained sample passes the one-shot p97 oracle verbatim. " +
         "O(delta + k) per refresh, k rows of state; completes the " +
         "incremental family (p71 counts, p101 cardinality, p114 HLL, " +
-        "p88 clusters) with the sampling member")
+        "p88 clusters) with the sampling member"),
+
+    Q("p118_skipgram_pairs",
+      (s, d) => Corpus.skipGramPairs(table(s, d, "documents"),
+        col("doc_id"), col("text"), window = 2, topK = 40),
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        occ AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+                FROM (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(ts)),
+                          i -> {'pos': i, 'tok': ts[i]})) AS u
+                      FROM t WHERE len(ts) >= 1)),
+        off AS (SELECT unnest([-2, -1, 1, 2]) AS o),
+        p AS (SELECT a.tok AS center, b.tok AS context
+              FROM occ a CROSS JOIN off
+              JOIN occ b ON b.doc_id = a.doc_id AND b.pos = a.pos + off.o)
+        SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1, 2
+        ORDER BY n_pairs DESC, center, context LIMIT 40"""),
+      "corpus stats — skip-gram (center, context) co-occurrence counts " +
+        "(window ±2): the word2vec / GloVe training-pair exporter — the " +
+        "count table is the GloVe input matrix and the skip-gram " +
+        "sampling distribution. Each occurrence emits its 4 context " +
+        "POSITIONS map-side and the pair forms by one (doc, pos) " +
+        "equi-join — the p116 banding idea applied to token positions, " +
+        "linear where the naive abs(Δpos)≤w self-join is per-doc " +
+        "quadratic; map-side combine pre-collapses hot stopword pairs, " +
+        "exact long counts, one TakeOrdered top-40")
   )
 }

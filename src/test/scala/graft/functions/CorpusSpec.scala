@@ -114,4 +114,26 @@ class CorpusSpec extends SparkSpec {
     assert(chunks.map(c => (c._1, c._2)).toSet == Set((1L, 3), (2L, 0)), chunks.toSeq)
     assert(chunks.head._3 > chunks.last._3)
   }
+
+  test("skipGramPairs matches the naive windowed cross-count and respects doc bounds") {
+    val docs = Seq((1L, "a b c a"), (2L, "c d")).toDF("doc_id", "text")
+    val got = Corpus.skipGramPairs(docs, col("doc_id"), col("text"),
+        window = 2, topK = 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // naive reference over both docs
+    val want = Seq("a b c a".split(' ').toSeq, "c d".split(' ').toSeq)
+      .flatMap { ts =>
+        for {
+          i <- ts.indices; j <- ts.indices
+          if i != j && math.abs(i - j) <= 2
+        } yield (ts(i), ts(j))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+    // pairs never cross a document boundary: doc 1 ends "c a", doc 2
+    // starts "c d" — (a, d) must not exist
+    assert(!got.contains(("a", "d")))
+    // symmetric window → symmetric counts
+    assert(got(("a", "b")) == got(("b", "a")))
+  }
 }
