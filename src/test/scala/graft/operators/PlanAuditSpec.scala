@@ -590,4 +590,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p) // sequence() shard replication
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("p116 interval overlap: the banded join is an equi hash join, never a nested loop") {
+    // the operator exists to replace filter-after-cross-product with an
+    // equi-join on (key, bucket); a nested loop anywhere means Catalyst
+    // fell back to the per-key cross product the banding avoids
+    val p = plan("p116_interval_overlap_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate explode"), p) // bucket fan-out is a Generate
+  }
+
+  test("p118 skip-gram pairs: position join is an equi-join, pair agg partial-combines") {
+    val p = plan("p118_skipgram_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // hot stopword pairs must pre-collapse map-side
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    // top-40 is TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("g54 random walks: per-step frontier joins are hash equi-joins on the current node") {
+    val p = plan("g54_random_walks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ranked adjacency is materialized once: the step joins read
+    // checkpointed blocks (Scan ExistingRDD), not a re-derived window
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
 }
