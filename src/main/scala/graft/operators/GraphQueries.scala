@@ -1780,12 +1780,17 @@ object GraphQueries {
         // the oracle's unrolled recurrence
         val li = TpchGraph.lineitemDeduped(s, d)
           .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val e = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") =!= col("p2"))
-          .select(col("p").as("u"), col("p2").as("v"))
+        // dedup the oriented half (p < p2: half the rows through the
+        // distinct shuffle), then mirror — the union output is distinct
+        // by construction, so walks() skips its own full-edge dedup
+        val half = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("u"), col("p2").as("v")).distinct()
+        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
         val starts = e.select(col("u").as("start"))
           .filter(col("start") % 20 === 0).distinct()
-        graft.plans.RandomWalks.walks(e, starts, walksPerStart = 2, steps = 4)
+        graft.plans.RandomWalks.walks(e, starts, walksPerStart = 2, steps = 4,
+            edgesAreDistinct = true)
           .orderBy("start", "walk")
       },
       Some(randomWalksOracle(steps = 4)),
