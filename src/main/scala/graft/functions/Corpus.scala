@@ -441,6 +441,43 @@ object Corpus {
     * (stopword, stopword) pairs arrive at the reducer pre-collapsed;
     * counts are exact longs, the top-k is one TakeOrdered.
     */
+  /** Unigram negative-sampling table — the OTHER artifact a word2vec /
+    * contrastive trainer needs beside the pair table ([[skipGramPairs]]):
+    * the smoothed sampling distribution negatives are drawn from,
+    * count^0.75 (Mikolov et al. 2013's noise distribution, which
+    * down-weights stopwords relative to raw frequency).
+    *
+    * Exactness trick: `pow(x, 0.75)` is NOT bit-portable (libm pow
+    * differs in the last ulp across engines), but `x^0.75 =
+    * sqrt(sqrt(x³))` IS — IEEE-754 sqrt is correctly rounded on every
+    * conforming implementation and x³ stays exact in a double for
+    * counts < 2^17.7 (≈208k; the guard raises past it). The smoothed
+    * weight then floors to integer millis, so the normalizing sum is a
+    * sum of LONGS — exact and aggregation-order-independent where a
+    * float sum would drift with partition order — and the sampling
+    * probability is exact integer ppm.
+    *
+    * Scale shape: one map-side-combined token count (vocab-sized by
+    * Heaps' law), one scalar aggregate for the denominator broadcast
+    * back via crossJoin (the Hits single-row pattern), one TakeOrdered.
+    */
+  def negativeSamplingTable(df: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"negativeSamplingTable needs topK >= 1: $topK")
+    val counts = df.select(explode(TextOps.tokens(lower(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // exact-in-double guard: n^3 must stay below 2^53
+    val wMilli = when(col("n") <= 208063L,
+        floor(sqrt(sqrt((col("n") * col("n") * col("n")).cast("double"))) * 1000d).cast("long"))
+      .otherwise(raise_error(concat(lit("negativeSamplingTable: count exceeds exact-double range: "),
+        col("n").cast("string"))))
+    val weighted = counts.withColumn("w_milli", wMilli)
+    val denom = weighted.agg(sum(col("w_milli")).as("w_total"))
+    weighted.crossJoin(denom)
+      .select(col("token"), col("n"), col("w_milli"),
+        expr("w_milli * 1000000L div w_total").as("prob_ppm"))
+      .orderBy(col("n").desc, col("token")).limit(topK)
+  }
+
   def skipGramPairs(df: DataFrame, id: Column, text: Column,
                     window: Int, topK: Int): DataFrame = {
     require(window >= 1, s"skipGramPairs needs window >= 1: $window")

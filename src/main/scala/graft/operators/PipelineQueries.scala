@@ -4071,6 +4071,31 @@ object PipelineQueries {
         "equi-join — the p116 banding idea applied to token positions, " +
         "linear where the naive abs(Δpos)≤w self-join is per-doc " +
         "quadratic; map-side combine pre-collapses hot stopword pairs, " +
-        "exact long counts, one TakeOrdered top-40")
+        "exact long counts, one TakeOrdered top-40"),
+
+    Q("p119_negative_sampling_table",
+      (s, d) => Corpus.negativeSamplingTable(table(s, d, "documents"),
+        col("text"), topK = 30),
+      Some(s"""
+        WITH c AS (SELECT t AS token, count(*) AS n
+                   FROM (SELECT unnest(${sqlTokens("lower(text)")}) AS t FROM documents)
+                   GROUP BY 1),
+        w AS (SELECT token, n,
+                     CAST(floor(sqrt(sqrt(CAST(n*n*n AS DOUBLE))) * 1000) AS BIGINT) AS w_milli
+              FROM c),
+        d AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_total FROM w)
+        SELECT token, n, w_milli,
+               CAST(w_milli * 1000000 // w_total AS BIGINT) AS prob_ppm
+        FROM w, d ORDER BY n DESC, token LIMIT 30"""),
+      "corpus stats — unigram negative-sampling table (count^0.75, the " +
+        "word2vec noise distribution): the second artifact of the " +
+        "training-pair pack beside p118. pow() is not bit-portable " +
+        "across engines, but x^0.75 = sqrt(sqrt(x³)) is (IEEE sqrt is " +
+        "correctly rounded everywhere; x³ exact in a double below 2^53, " +
+        "guarded), weights floor to integer millis so the normalizer is " +
+        "an exact LONG sum — aggregation-order-independent — and " +
+        "probabilities are exact integer ppm. One vocab-sized map-side-" +
+        "combined count, one scalar-agg crossJoin broadcast, one " +
+        "TakeOrdered")
   )
 }

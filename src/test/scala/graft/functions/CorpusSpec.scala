@@ -136,4 +136,25 @@ class CorpusSpec extends SparkSpec {
     // symmetric window → symmetric counts
     assert(got(("a", "b")) == got(("b", "a")))
   }
+
+  test("negativeSamplingTable: count^0.75 smoothing, exact integer ppm, guarded range") {
+    val docs = Seq((1L, ("the " * 81).trim + " rare " + ("word " * 16).trim))
+      .toDF("doc_id", "text")
+    val out = Corpus.negativeSamplingTable(docs, col("text"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byTok = out.map(t => t._1 -> t).toMap
+    // weights are floor(n^0.75 * 1000) computed via the sqrt(sqrt(n^3))
+    // identity — check against Math.pow (equal here; the identity's
+    // point is cross-ENGINE bit-stability, not a different value)
+    assert(byTok("the")._3 == math.floor(math.pow(81, 0.75) * 1000).toLong)   // 27000
+    assert(byTok("word")._3 == math.floor(math.pow(16, 0.75) * 1000).toLong)  // 8000
+    assert(byTok("rare")._3 == 1000L)
+    // smoothing: 'the' is 81x more frequent than 'rare' but only 27x
+    // the sampling mass — the stopword down-weighting that motivates ^0.75
+    assert(byTok("the")._2 / byTok("rare")._2 == 81L)
+    assert(byTok("the")._3 / byTok("rare")._3 == 27L)
+    // ppm is exact integer division against the exact long total
+    val total = out.map(_._3).sum
+    out.foreach { case (_, _, w, ppm) => assert(ppm == w * 1000000L / total) }
+  }
 }
