@@ -4096,6 +4096,33 @@ object PipelineQueries {
         "an exact LONG sum — aggregation-order-independent — and " +
         "probabilities are exact integer ppm. One vocab-sized map-side-" +
         "combined count, one scalar-agg crossJoin broadcast, one " +
-        "TakeOrdered")
+        "TakeOrdered"),
+
+    Q("p120_stream_interval_left_join",
+      (s, d) => EventStream.runIntervalLeftJoinStream(s, d),
+      Some("""
+        WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+              WHERE event_type = 'purchase'),
+        j AS (SELECT v.user_id, v.view_ts, p.purchase_ts, p.value
+              FROM v LEFT JOIN p ON p.user_id = v.user_id
+                                AND p.purchase_ts >= v.view_ts
+                                AND p.purchase_ts <= v.view_ts + INTERVAL 10 MINUTE)
+        SELECT strftime(view_ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(purchase_ts) AS BIGINT) AS n_matched,
+               CAST(count(*) - count(purchase_ts) AS BIGINT) AS n_unmatched,
+               CAST(coalesce(sum(CAST(round(value * 1000) AS BIGINT)), 0) AS BIGINT)
+                 AS sum_value_milli
+        FROM j GROUP BY 1 ORDER BY 1"""),
+      "streaming — stream-stream LEFT OUTER interval join (p82's other " +
+        "half): unmatched views emit NULL-extended rows, and those rows " +
+        "are the watermark-DEPENDENT part — a view is only declared " +
+        "unmatched once the purchase watermark passes view_ts+10min, so " +
+        "this is the operator that genuinely exercises watermark-driven " +
+        "state eviction (the far-future sentinel file drains the tail on " +
+        "a bounded source; shared staging with p111). Per-day rollup of " +
+        "views / matched / unmatched (the conversion gap) / matched " +
+        "value equals the batch LEFT JOIN verbatim")
   )
 }

@@ -180,6 +180,64 @@ object EventStream {
       .orderBy("day")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution query's
+    * other half: every view either matches a purchase within 10 minutes
+    * or emits a NULL-extended row, and the null rows are the
+    * watermark-DEPENDENT part (Spark can only declare a view unmatched
+    * once the purchase-side watermark passes `view_ts + 10 min`; inner
+    * matches emit immediately). That makes the outer join the operator
+    * that genuinely exercises watermark-driven state eviction: on a
+    * bounded source the last views' verdicts would sit in state forever
+    * without the far-future sentinel file advancing the final watermark
+    * ([[stagedEventsWithSentinel]], shared with the timeout
+    * sessionizer). Both sides derive from ONE watermarked scan —
+    * `withWatermark` sits BELOW the event-type filters, so the sentinel
+    * advances the watermark regardless of which type filter it would
+    * pass. Drained result rolls up per day: views, matched, unmatched
+    * (the conversion-gap number an attribution pipeline reports), and
+    * matched value — equal to the batch LEFT JOIN, which is the oracle.
+    */
+  def runIntervalLeftJoinStream(spark: SparkSession, sfDir: String,
+                                statePartitions: Int = 4): DataFrame = {
+    val (staged, schema) = stagedEventsWithSentinel(spark, sfDir)
+    val base = graft.sources.TpchGraph.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.getAbsolutePath))
+      .withWatermark("ts", "0 seconds")
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    val name = "graft_stream_interval_left_join"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("interval 10 minutes"),
+          "left_outer")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .filter(col("v_user") >= 0) // drop the sentinel's own row
+      .groupBy(date_format(col("view_ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("purchase_ts"))).as("n_unmatched"),
+        coalesce(sum(round(col("value") * 1000).cast("long")), lit(0L))
+          .as("sum_value_milli"))
+      .orderBy("day")
+  }
+
   /** Stream-STATIC enrichment join — the other half of the streaming
     * join story next to [[runIntervalJoinStream]]: a purchase stream
     * enriched against a static dimension (customer → nation) and rolled
@@ -282,13 +340,15 @@ object EventStream {
     * session's gap deadline is already past — Spark rejects timestamps
     * at or before the current watermark.
     */
-  def runSessionTimeoutStream(spark: SparkSession, sfDir: String,
-                              gapMinutes: Int = 30,
-                              statePartitions: Int = 4): DataFrame = {
-    import spark.implicits._
-    val gapSeconds = gapMinutes * 60L
-    val zoneId = spark.conf.get("spark.sql.session.timeZone")
-
+  /** Stage `<events, sentinel>` for watermark-draining bounded-source
+    * streams (used by the event-time-timeout sessionization AND the
+    * outer interval join — any append-mode stateful query whose final
+    * rows only emit when the watermark passes them needs the far-future
+    * sentinel to fire). Returns the staged directory + source schema.
+    */
+  private def stagedEventsWithSentinel(
+      spark: SparkSession, sfDir: String
+  ): (java.io.File, org.apache.spark.sql.types.StructType) = {
     // ---- stage <events, sentinel> with strictly increasing mtimes.
     // The stage directory is VERSIONED by the source file's identity
     // (mtime + size in the name), so staleness never has to be probed
@@ -306,7 +366,9 @@ object EventStream {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val src = new java.io.File(s"$sfDir/events.parquet")
     val staged = new java.io.File(
-      s"/tmp/graft_session_stream_${Integer.toHexString(sfDir.hashCode)}_" +
+      // v2: per-type sentinel rows (a v1 stage with the single-type
+      // sentinel must not be reused — hence the version tag)
+      s"/tmp/graft_session_stream_v2_${Integer.toHexString(sfDir.hashCode)}_" +
         java.lang.Long.toHexString(src.lastModified()) + "-" +
         java.lang.Long.toHexString(src.length()))
     def isFresh(dir: java.io.File): Boolean =
@@ -331,7 +393,15 @@ object EventStream {
         case t => timestamp_micros(lit(sentinelMicros)).cast(t)
       }
       val tmpOut = new java.io.File(build, "_sentinel_build").getAbsolutePath
-      spark.read.parquet(s"$sfDir/events.parquet").limit(1)
+      // ONE sentinel row PER event type: consumers filter by type BEFORE
+      // their stateful operator, and Catalyst pushes those filters below
+      // the EventTimeWatermark node — so each filtered leg owns its own
+      // watermark stats and a single-type sentinel would advance only
+      // one leg (the global watermark is the MIN across legs; p120's
+      // outer join held its last view back exactly this way). A
+      // per-type sentinel advances every leg whatever it filters on.
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .dropDuplicates("event_type")
         .withColumn("event_id", lit(-1L))
         .withColumn("user_id", lit(-1L))
         .withColumn("ts", tsOut)
@@ -356,6 +426,16 @@ object EventStream {
           if (!isFresh(staged)) throw e
       }
     }
+    (staged, schema)
+  }
+
+  def runSessionTimeoutStream(spark: SparkSession, sfDir: String,
+                              gapMinutes: Int = 30,
+                              statePartitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    val gapSeconds = gapMinutes * 60L
+    val zoneId = spark.conf.get("spark.sql.session.timeZone")
+    val (staged, schema) = stagedEventsWithSentinel(spark, sfDir)
     val stream = graft.sources.TpchGraph.normalizeTs(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

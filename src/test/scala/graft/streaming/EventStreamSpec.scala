@@ -64,6 +64,41 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join equals the batch left join, including the last view") {
+    val streamed = EventStream.runIntervalLeftJoinStream(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val ev = TpchGraph.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    val batch = v.join(p,
+        col("v_user") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("interval 10 minutes"),
+        "left_outer")
+      .groupBy(date_format(col("view_ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("purchase_ts"))).as("n_unmatched"),
+        coalesce(sum(round(col("value") * 1000).cast("long")), lit(0L))
+          .as("sum_value_milli"))
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // unmatched rows exist — the watermark-dependent half is exercised
+    assert(batch.map(_._4).sum > 0)
+    // the LAST day's views are fully accounted for: this is the case the
+    // per-type sentinel fixes (a single-type sentinel advances only one
+    // filtered leg's watermark, and the min-policy global watermark then
+    // strands the final view in join state forever)
+    assert(streamed.map(t => t._2).sum == v.count())
+  }
+
   test("stream-static enrichment join equals the batch join and stays stateless") {
     val streamed = EventStream.runStreamStaticJoin(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
