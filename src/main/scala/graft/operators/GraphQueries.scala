@@ -1802,6 +1802,45 @@ object GraphQueries {
         "stage retries and hash-verify cross-engine where rand() walks " +
         "cannot; ranked adjacency builds once (one u-partitioned " +
         "shuffle, localCheckpoint-ed), each step is one frontier " +
-        "equi-join with a degree-bounded rank test, never quadratic")
+        "equi-join with a degree-bounded rank test, never quadratic"),
+
+    Q("g55_node_features",
+      (s, d) => {
+        // per-node structural features over the co-purchase graph — the
+        // GNN / node-classification feature block: degree, triangle
+        // participation, local clustering coefficient (exact integer
+        // permille). The node-level companion of g36's global census
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("u"), col("p2").as("v"))
+        graft.plans.Triangles.perNodeCounts(copurchase)
+          .withColumnRenamed("x", "part")
+          .orderBy("part")
+      },
+      Some(s"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        deg AS (SELECT x, count(*) AS d
+                FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        tr AS (SELECT unnest([e1.u, e1.v, e2.v]) AS x
+               FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+                         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        tc AS (SELECT x, count(*) AS tri FROM tr GROUP BY x)
+        SELECT deg.x AS part, CAST(d AS BIGINT) AS degree,
+               CAST(coalesce(tri, 0) AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN d >= 2 THEN 2000 * coalesce(tri, 0) // (d * (d - 1))
+                         ELSE 0 END AS BIGINT) AS cc_permille
+        FROM deg LEFT JOIN tc USING (x) ORDER BY part"""),
+      "graph analytics — per-node structural features (the GNN training " +
+        "feature block): degree, triangle participation, local " +
+        "clustering coefficient as exact integer permille. Triangles " +
+        "attribute to all three corners via a fixed 3-row explode off " +
+        "the degree-ordered apex join, so the skew bound stays the " +
+        "census's O(sqrt m) oriented out-degree — the node-level export " +
+        "that pairs with g54's walk corpus for graph representation " +
+        "learning")
   )
 }

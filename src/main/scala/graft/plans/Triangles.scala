@@ -30,7 +30,11 @@ object Triangles {
     * are unordered neighbor pairs Σ d(d−1)/2, the denominator of the
     * global clustering coefficient 3·triangles / wedges.
     */
-  def counts(edges: DataFrame): DataFrame = {
+  /** Canonicalize + degree + degree-ordered orientation — shared by the
+    * global census ([[counts]]) and the per-node form
+    * ([[perNodeCounts]]).
+    */
+  private def prep(edges: DataFrame): (DataFrame, DataFrame) = {
     // canonical simple undirected edges: least endpoint first, loops out.
     // localCheckpoint: the canonical edge set feeds the degree aggregate,
     // both orientation joins, and (via `oriented`) three downstream scans —
@@ -46,6 +50,11 @@ object Triangles {
       .unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
       .localCheckpoint(eager = false)
+    (und, deg)
+  }
+
+  def counts(edges: DataFrame): DataFrame = {
+    val (und, deg) = prep(edges)
 
     // orient by the total order (degree, id): src = smaller endpoint.
     // Kept as FLAT columns — the apex id alone is the wedge join key (an
@@ -87,5 +96,44 @@ object Triangles {
       coalesce(sum(shiftright(col("d") * (col("d") - 1), 1)), lit(0L))
         .as("n_wedges"))
     edgeWedge.crossJoin(nTriangles)
+  }
+
+  /** PER-NODE structural features — the node-level twin of [[counts]]
+    * and the standard GNN/node-classification feature block: degree,
+    * triangle participation count, and the local clustering coefficient
+    * as exact integer permille (`2000·tri div d(d−1)`; 0 for degree-1
+    * nodes). Each triangle found once by the oriented apex join then
+    * attributes to ALL THREE corners via a fixed 3-row explode — the
+    * aggregate stays exact and the skew bound is the same O(√m)
+    * oriented out-degree as the census. Output: one row per vertex
+    * `(x, degree, n_triangles, cc_permille)`.
+    */
+  def perNodeCounts(edges: DataFrame): DataFrame = {
+    val (und, deg) = prep(edges)
+    val withDegs = und
+      .join(deg.withColumnsRenamed(Map("x" -> "u", "d" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("x" -> "v", "d" -> "dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDegs.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("sid"),
+      when(uFirst, col("v")).otherwise(col("u")).as("tid"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("td"))
+      .localCheckpoint(eager = false)
+    val e1 = oriented.select(col("sid").as("a"), col("tid").as("b"), col("td").as("bd"))
+    val e2 = oriented.select(col("sid").as("a2"), col("tid").as("c"), col("td").as("cd"))
+    val wedges = e1.join(e2, col("a") === col("a2") &&
+        (col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c"))))
+      .select(col("a"), col("b").as("wb"), col("c").as("wc"))
+    val closing = oriented.select(col("sid").as("cb"), col("tid").as("cc"))
+    val tri = wedges.join(closing,
+        col("wb") === col("cb") && col("wc") === col("cc"))
+      .select(explode(array(col("a"), col("wb"), col("wc"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("x"), "left")
+      .select(col("x"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          expr("2000L * coalesce(tri, 0L) div (d * (d - 1L))"))
+          .otherwise(lit(0L)).as("cc_permille"))
   }
 }

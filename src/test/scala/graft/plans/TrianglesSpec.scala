@@ -64,4 +64,32 @@ class TrianglesSpec extends SparkSpec {
         ((b.getLong(0), b.getLong(1), b.getLong(2))), s"trial $trial")
     }
   }
+
+  test("perNodeCounts: K4 plus a pendant — exact per-vertex features") {
+    // K4 on 1-4 (every vertex in 3 triangles, cc = 1) + pendant 5 on 4
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = Triangles.perNodeCounts(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 1000L),
+      (2L, 3L, 3L, 1000L),
+      (3L, 3L, 3L, 1000L),
+      (4L, 4L, 3L, 500L), // 3 triangles over C(4,2)=6 wedges
+      (5L, 1L, 0L, 0L))) // degree-1: cc defined as 0
+  }
+
+  test("perNodeCounts sums to 3x the census triangle count on random graphs") {
+    val rng = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val n = 12 + rng.nextInt(8)
+      val edges = Seq.fill(4 * n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val df = edges.toDF("u", "v")
+      val perNode = Triangles.perNodeCounts(df).collect()
+      val census = Triangles.counts(df).collect()(0)
+      assert(perNode.map(_.getLong(2)).sum == 3L * census.getLong(2), s"trial $trial")
+      assert(perNode.map(_.getLong(1)).sum == 2L * census.getLong(0), s"trial $trial")
+    }
+  }
 }
