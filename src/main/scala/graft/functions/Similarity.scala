@@ -86,6 +86,43 @@ object Similarity {
       .orderBy(col("id_a"), col("cos").desc, col("id_b"))
   }
 
+  /** Contrastive-training TRIPLET export — the (anchor, positive,
+    * negative) table a contrastive / metric-learning trainer consumes,
+    * composed from the two halves already in the engine: positives are
+    * near-dup pairs (pass the LSH-blocked pair set at scale — never
+    * all-pairs), negatives are the hardest different-label candidate
+    * per anchor (the [[hardNegatives]] shape, restricted to the anchors
+    * that HAVE a positive — a set bounded by the corpus's near-dup
+    * mass, hence broadcastable). Top-1 selections run through the
+    * TopKPerGroup physical operator (bounded heaps, one row per anchor
+    * crosses the shuffle). Anchors whose candidates all share their
+    * label drop out (inner join) — a corpus with one label has no
+    * trainable triplet. Ties break by id at the rounded resolution, so
+    * the export is engine-portable and retry-stable.
+    */
+  def contrastiveTriplets(df: DataFrame, id: Column, vec: Column, label: Column,
+                          pairs: DataFrame, roundTo: Int = 6): DataFrame = {
+    val sym = pairs.select(col("id_a").as("anchor"), col("id_b").as("pos_id"), col("cos"))
+      .unionByName(pairs.select(col("id_b").as("anchor"), col("id_a").as("pos_id"), col("cos")))
+    val pos = graft.plans.TopKPerGroup.topK(sym, Seq(col("anchor")),
+        struct(col("cos"), -col("pos_id")), 1)
+      .select(col("anchor"), col("pos_id"), col("cos").as("pos_cos"))
+    val anchors = broadcast(pos.select(col("anchor")).distinct()
+      .join(df.select(id.as("anchor"), vec.as("va"), label.as("lbl_a")), "anchor"))
+    val cands = df.select(id.as("id_b"), vec.as("vb"), label.as("lbl_b"))
+    val negPairs = anchors.join(cands,
+        col("anchor") =!= col("id_b") && col("lbl_a") =!= col("lbl_b"))
+      .select(col("anchor"), col("id_b"),
+        round(cosine(col("va").cast("array<double>"),
+          col("vb").cast("array<double>")), roundTo).as("neg_cos"))
+    val neg = graft.plans.TopKPerGroup.topK(negPairs, Seq(col("anchor")),
+        struct(col("neg_cos"), -col("id_b")), 1)
+      .select(col("anchor"), col("id_b").as("neg_id"), col("neg_cos"))
+    pos.join(neg, "anchor")
+      .select(col("anchor"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"))
+  }
+
   /** Per-label mean embedding ("class centroids") as a long-format
     * DataFrame `(label, pos, c)` — one `posexplode` + hash aggregate,
     * map-side combinable; the natural coarse quantizer for [[ivfTopK]].

@@ -310,6 +310,35 @@ object PipelineQueries {
         WITH $lshPairCtes
         SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4 ORDER BY id_a, id_b"""
 
+  /** DuckDB replica of p121: the p22 LSH pair set symmetrized → top-1
+    * positive per anchor; hardest different-label candidate per anchor
+    * (p85's shape restricted to anchors with a positive) → top-1
+    * negative; inner join drops anchors with no trainable negative.
+    */
+  private def contrastiveTripletsOracle: String = s"""
+        WITH $lshPairCtes,
+        pos0 AS (SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4),
+        sym AS (SELECT id_a AS anchor, id_b AS pos_id, cos FROM pos0
+                UNION ALL SELECT id_b, id_a, cos FROM pos0),
+        posr AS (SELECT anchor, pos_id, cos AS pos_cos,
+                        row_number() OVER (PARTITION BY anchor
+                                           ORDER BY cos DESC, pos_id) AS rn
+                 FROM sym),
+        pos AS (SELECT anchor, pos_id, pos_cos FROM posr WHERE rn = 1),
+        lv AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        negp AS (SELECT p.anchor, c.vec_id AS neg_id,
+                        round(list_cosine_similarity(av.e, c.e), 6) AS neg_cos
+                 FROM (SELECT DISTINCT anchor FROM pos) p
+                 JOIN lv av ON av.vec_id = p.anchor
+                 JOIN lv c ON c.vec_id <> p.anchor AND c.label <> av.label),
+        negr AS (SELECT anchor, neg_id, neg_cos,
+                        row_number() OVER (PARTITION BY anchor
+                                           ORDER BY neg_cos DESC, neg_id) AS rn
+                 FROM negp),
+        neg AS (SELECT anchor, neg_id, neg_cos FROM negr WHERE rn = 1)
+        SELECT pos.anchor, pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos
+        FROM pos JOIN neg USING (anchor) ORDER BY anchor"""
+
   /** DuckDB replica of p32: connected components (semi-naive recursive
     * CTE, labels pruned to `lbl < id` — only a below-everyone label can
     * be a component min) over the LSH pair set, then one keeper per
@@ -4123,6 +4152,28 @@ object PipelineQueries {
         "state eviction (the far-future sentinel file drains the tail on " +
         "a bounded source; shared staging with p111). Per-day rollup of " +
         "views / matched / unmatched (the conversion gap) / matched " +
-        "value equals the batch LEFT JOIN verbatim")
+        "value equals the batch LEFT JOIN verbatim"),
+
+    Q("p121_contrastive_triplets",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val pairs = Dedup.embeddingNearDupsLsh(emb, col("vec_id"),
+          col("embedding"), minCos = 0.4, dim = dim)
+        Similarity.contrastiveTriplets(emb, col("vec_id"), col("embedding"),
+            col("label"), pairs)
+          .orderBy("anchor")
+      },
+      Some(contrastiveTripletsOracle),
+      "similarity — contrastive TRIPLET export (anchor, positive, " +
+        "negative): the metric-learning training table, composed from " +
+        "the engine's two halves — positives from the LSH-blocked " +
+        "near-dup pair set (the 100 TB generator, never all-pairs; p22's " +
+        "oracle-replayed planes), negatives the hardest different-label " +
+        "candidate per anchor (p85's shape restricted to the " +
+        "near-dup-bounded anchor set, which therefore broadcasts). " +
+        "Top-1 picks run through the TopKPerGroup operator — one row " +
+        "per anchor crosses each shuffle; rounded-cos + id tie-breaks " +
+        "keep the export engine-portable and retry-stable")
   )
 }

@@ -139,4 +139,29 @@ class SimilaritySpec extends SparkSpec {
       1.0 - math.pow(1.0 - math.pow(pLow, pl.toDouble), tl.toDouble)
     assert(recallLow >= 0.9, s"planes=$pl tables=$tl recall=$recallLow")
   }
+
+  test("contrastiveTriplets: hand-built corpus — exact positive and hardest negative") {
+    import spark.implicits._
+    // labels: A = {1, 2, 3}, B = {4}. Vectors on a plane so cosines are
+    // hand-computable: 1≈2 (near-dup pair), 3 orthogonal-ish, 4 (label
+    // B) close to 1 — the hard negative for anchors 1 and 2.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(0.99f, 0.14f), "A"),
+      (3L, Seq(0.0f, 1.0f), "A"),
+      (4L, Seq(0.95f, 0.31f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Seq((1L, 2L, 0.99)).toDF("id_a", "id_b", "cos")
+    val got = Similarity.contrastiveTriplets(emb, col("vec_id"),
+        col("embedding"), col("label"), pairs)
+      .orderBy("anchor").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // anchors are exactly the pair's two sides; both pick each other as
+    // positive and vector 4 (the only different-label one) as negative
+    assert(got == Seq((1L, 2L, 4L), (2L, 1L, 4L)))
+    // a corpus with one label yields no trainable triplet
+    val oneLabel = emb.withColumn("label", lit("A"))
+    assert(Similarity.contrastiveTriplets(oneLabel, col("vec_id"),
+      col("embedding"), col("label"), pairs).count() == 0)
+  }
 }
