@@ -1085,13 +1085,10 @@ object GraphQueries {
         // co-purchase graph: parts are adjacent when some order contains
         // both. Edge generation is per-order quadratic but order size is
         // bounded (≤7 lineitems in TPC-H), so it stays linear in rows —
-        // the same bounded-block shape as p55's per-block verify
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .select(col("p").as("u"), col("p2").as("v"))
-        graft.plans.Triangles.counts(copurchase)
+        // the same bounded-block shape as p55's per-block verify. The
+        // canonical edge set is the process-cached standing artifact
+        // shared by all six co-purchase analytics queries
+        graft.plans.Triangles.counts(TpchGraph.copurchaseEdges(s, d))
       },
       Some(copurchaseCensusOracle),
       "graph analytics — exact triangle/wedge census of the part co-purchase " +
@@ -1336,12 +1333,8 @@ object GraphQueries {
 
     Q("g43_graphx_triangles",
       (s, d) => {
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .select(col("p").as("u"), col("p2").as("v"))
-        graft.plans.GraphAnalytics.triangleCounts(copurchase)
+        graft.plans.GraphAnalytics.triangleCounts(
+          TpchGraph.copurchaseEdges(s, d))
       },
       Some(copurchaseCensusOracle),
       "graph analytics — GraphX twin of g36 (TriangleCount neighbor-set " +
@@ -1700,12 +1693,8 @@ object GraphQueries {
         // band of this graph: at sf0.001 the whole graph cascades to
         // empty in 4 rounds; at sf0.01/sf0.1 a large core survives 6
         // rounds of peeling — both behaviors oracle-checked.
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .select(col("p").as("u"), col("p2").as("v"))
-        graft.plans.KCore.peel(copurchase, k = 80, maxRounds = KcoreRounds)
+        graft.plans.KCore.peel(TpchGraph.copurchaseEdges(s, d),
+            k = 80, maxRounds = KcoreRounds)
           .select(col("key").as("part"), col("peel_round"), col("core_deg"))
           .orderBy("part")
       },
@@ -1752,12 +1741,7 @@ object GraphQueries {
         // exact n/m/floor-density and a key-sum membership checksum;
         // is_best marks the density-maximizing round the approximation
         // guarantee speaks about.
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .select(col("p").as("u"), col("p2").as("v"))
-        graft.plans.DensestSubgraph.peelSummary(copurchase,
+        graft.plans.DensestSubgraph.peelSummary(TpchGraph.copurchaseEdges(s, d),
             epsNum = 1L, epsDen = 10L, maxRounds = DensestRounds)
           .orderBy("round")
       },
@@ -1778,14 +1762,9 @@ object GraphQueries {
         // next hop hashes (start, walk, step, cur) mod degree instead
         // of rand(): reproducible under stage retry and bit-equal to
         // the oracle's unrolled recurrence
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        // dedup the oriented half (p < p2: half the rows through the
-        // distinct shuffle), then mirror — the union output is distinct
-        // by construction, so walks() skips its own full-edge dedup
-        val half = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .select(col("p").as("u"), col("p2").as("v")).distinct()
+        // mirror the cached canonical (p < p2) half — the union is
+        // distinct by construction, so walks() skips its own dedup
+        val half = TpchGraph.copurchaseEdges(s, d)
         val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
         val starts = e.select(col("u").as("start"))
           .filter(col("start") % 20 === 0).distinct()
@@ -1810,12 +1789,7 @@ object GraphQueries {
         // GNN / node-classification feature block: degree, triangle
         // participation, local clustering coefficient (exact integer
         // permille). The node-level companion of g36's global census
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val copurchase = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .select(col("p").as("u"), col("p2").as("v"))
-        graft.plans.Triangles.perNodeCounts(copurchase)
+        graft.plans.Triangles.perNodeCounts(TpchGraph.copurchaseEdges(s, d))
           .withColumnRenamed("x", "part")
           .orderBy("part")
       },

@@ -192,6 +192,30 @@ object TpchGraph {
 
   private val cache = scala.collection.concurrent.TrieMap[String, GraphState]()
 
+  private val copurchaseCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** Process-cached canonical co-purchase edge set (`u < v`, distinct):
+    * parts adjacent when some order contains both. Six analytics
+    * queries (triangle census, GraphX twin, k-core, densest subgraph,
+    * random walks, node features) derive from this one graph — at a
+    * real deployment it is a STANDING artifact refreshed with the fact
+    * table, not rebuilt per query, and the memo models exactly that
+    * (the BENCH_NOTES amortization argument, made concrete).
+    * MEMORY_AND_DISK so an oversized edge set spills instead of OOMing.
+    */
+  def copurchaseEdges(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    copurchaseCache.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.storage.StorageLevel
+      val li = lineitemDeduped(spark, dir)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("u"), col("p2").as("v")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Process-cached, storage-persisted graph: the derivation (7 table
     * scans, JSON payload encode, unions) runs once per data directory and
     * every subsequent operator starts from the materialized nodes/edges —
