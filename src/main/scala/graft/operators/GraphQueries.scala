@@ -95,6 +95,38 @@ object GraphQueries {
     */
   private val DensestRounds = 12
 
+  /** g56 oracle: `depth`-deep unrolled multi-source BFS over the
+    * undirected co-purchase graph — r_i = visited set after round i,
+    * f_i = the new frontier (neighbors of f_{i-1} not yet visited).
+    * Rounds past convergence add nothing (empty frontier), so the fixed
+    * unroll equals the short-circuiting Spark loop bit for bit.
+    */
+  private def closenessOracle(depth: Int): String = {
+    val rounds = (1 to depth).map { i =>
+      s"""f$i AS MATERIALIZED (
+          SELECT DISTINCT p.start, e.v AS node
+          FROM f${i - 1} p JOIN e ON e.u = p.node
+          WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} x
+                            WHERE x.start = p.start AND x.node = e.v)),
+        r$i AS MATERIALIZED (
+          SELECT * FROM r${i - 1}
+          UNION ALL SELECT start, node, $i AS dist FROM f$i)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        s AS (SELECT DISTINCT u AS start FROM e WHERE u % 100 = 0),
+        r0 AS MATERIALIZED (SELECT start, start AS node, 0 AS dist FROM s),
+        f0 AS MATERIALIZED (SELECT start, node FROM r0),
+        $rounds
+        SELECT start, CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(dist) AS BIGINT) AS sum_dist,
+               CAST(max(dist) AS INT) AS eccentricity
+        FROM r$depth GROUP BY start ORDER BY start"""
+  }
+
   /** g54 oracle: `steps`-deep unrolled deterministic random walk over
     * the undirected co-purchase graph — each step joins the frontier to
     * the ranked adjacency at rank `1 + md5-hash(start, walk, step, cur)
@@ -1815,6 +1847,31 @@ object GraphQueries {
         "the degree-ordered apex join, so the skew bound stays the " +
         "census's O(sqrt m) oriented out-degree — the node-level export " +
         "that pairs with g54's walk corpus for graph representation " +
-        "learning")
+        "learning"),
+
+    Q("g56_closeness",
+      (s, d) => {
+        // truncated closeness from every 100th part over the undirected
+        // co-purchase graph: one multi-source BFS, all seeds in a single
+        // (seed, node)-keyed frontier. Radius 3 — past it this dense
+        // graph is fully explored and rounds are no-ops
+        val half = TpchGraph.copurchaseEdges(s, d)
+        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val starts = e.select(col("u").as("start"))
+          .filter(col("start") % 100 === 0).distinct()
+        graft.plans.MultiSourceBfs.truncatedCloseness(e, starts, maxDepth = 3)
+          .orderBy("start")
+      },
+      Some(closenessOracle(depth = 3)),
+      "graph analytics — truncated closeness centrality (exact " +
+        "integer sum of shortest-path distances within radius 3, plus " +
+        "reach count and eccentricity) by MULTI-SOURCE BFS: all seeds " +
+        "advance in one (seed, node)-keyed frontier, so S seeds cost " +
+        "one BFS bounded by S*V rows, not S passes; each round is a " +
+        "frontier equi-join + distinct + left-anti against the visited " +
+        "set, lineage cut per round, and a drained frontier " +
+        "short-circuits the loop. Integer-exact where harmonic " +
+        "centrality's fractions are not — oracle is the fixed-depth " +
+        "unrolled visited-set recurrence")
   )
 }

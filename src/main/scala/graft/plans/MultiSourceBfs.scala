@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS with exact distance accounting — truncated
+  * closeness centrality (sum of shortest-path distances within a fixed
+  * radius), the remaining classic centrality next to PageRank (g37),
+  * HITS (g52), k-core (g51) and the triangle census (g36/g55). Full
+  * closeness needs all-pairs distances; the standard large-graph form
+  * truncates at radius D (Eppstein–Wang style neighborhood sampling
+  * keeps the seed set bounded instead), which keeps every quantity an
+  * exact INTEGER — no harmonic fractions, so the answer is bit-portable
+  * and oracle-checkable against a fixed-depth SQL unroll.
+  *
+  * Shape: all seeds advance in ONE frontier keyed `(seed, node)` — S
+  * seeds cost one BFS whose rows are bounded by S·V, not S passes.
+  * Each round is (1) a frontier⋈edges equi-join on the current node,
+  * (2) a distinct on the (seed, node) candidates, (3) one left-anti
+  * join against the visited set — all hash operators in whole-stage
+  * codegen; the visited set and frontier localCheckpoint per round to
+  * cut lineage exactly like the other iterative plans. A converged
+  * frontier (empty) short-circuits the remaining rounds via a cheap
+  * isEmpty probe on the bounded frontier, not a full-graph action.
+  */
+object MultiSourceBfs {
+
+  /** `edges` must carry directed `(u, v)` — pass both orientations for
+    * undirected graphs. `starts` carries a `start` column. Output: one
+    * row per seed `(start, n_reached, sum_dist, eccentricity)` where
+    * `n_reached` counts vertices within `maxDepth` (the seed itself
+    * included at distance 0), `sum_dist` is the exact truncated
+    * closeness denominator, and `eccentricity` is the largest distance
+    * seen within the radius.
+    */
+  def truncatedCloseness(edges: DataFrame, starts: DataFrame,
+                         maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be positive: $maxDepth")
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(eager = false)
+    var visited = starts.select(col("start"), col("start").as("node"),
+      lit(0).as("dist")).localCheckpoint(eager = false)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, col("node") === col("u"))
+        .select(col("start"), col("v").as("node")).distinct()
+        .join(visited.select(col("start"), col("node")), Seq("start", "node"),
+          "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(next).localCheckpoint(eager = false)
+      frontier = next
+    }
+    visited.groupBy("start")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).cast("long").as("sum_dist"),
+        max(col("dist")).cast("int").as("eccentricity"))
+  }
+}
