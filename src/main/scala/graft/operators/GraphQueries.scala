@@ -117,7 +117,7 @@ object GraphQueries {
         e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
                FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
         e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-        s AS (SELECT DISTINCT u AS start FROM e WHERE u % 100 = 0),
+        s AS (SELECT DISTINCT u AS start FROM e WHERE u % 100 = 0 AND u <= 2000),
         r0 AS MATERIALIZED (SELECT start, start AS node, 0 AS dist FROM s),
         f0 AS MATERIALIZED (SELECT start, node FROM r0),
         $rounds
@@ -1857,8 +1857,13 @@ object GraphQueries {
         // graph is fully explored and rounds are no-ops
         val half = TpchGraph.copurchaseEdges(s, d)
         val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        // FIXED seed sample (Eppstein–Wang posture: seed count is a
+        // function of desired accuracy, NOT graph size) — the key-range
+        // cap keeps S constant across scale factors, so cost is O(S·V),
+        // linear in the graph (an SF-proportional seed set would make
+        // the S·V frontier product grow quadratically with scale)
         val starts = e.select(col("u").as("start"))
-          .filter(col("start") % 100 === 0).distinct()
+          .filter(col("start") % 100 === 0 && col("start") <= 2000).distinct()
         graft.plans.MultiSourceBfs.truncatedCloseness(e, starts, maxDepth = 3)
           .orderBy("start")
       },
