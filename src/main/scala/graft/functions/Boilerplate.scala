@@ -35,6 +35,38 @@ object Boilerplate {
     * empty `clean_text` (dropping them silently would corrupt
     * downstream joins on the id).
     */
+  /** Source-level template-PREFIX detection — the scaffolding signal
+    * line-frequency misses: scraped corpora carry per-site boilerplate
+    * at the document HEAD ("Welcome to X — menu — ...") that is not a
+    * repeated line but a repeated opening token run. Per source, find
+    * the most frequent `k`-token document prefix and its share of the
+    * source's documents (exact integer permille) — a share near 1000
+    * means the source is template-dominated and its prefix belongs in
+    * the strip list. One map-side prefix projection (`slice` of the
+    * token array — no self-join, no explode), one (source, prefix)
+    * count, one top-1-per-source via the bounded-heap operator. Docs
+    * shorter than `k` tokens don't form a prefix and are excluded from
+    * both numerator and denominator (counted separately).
+    */
+  def prefixShare(df: DataFrame, id: Column, text: Column, source: Column,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"prefixShare needs k >= 1: $k")
+    val toks = TextOps.tokens(lower(text))
+    val base = df.select(source.as("source"), id.as("doc_id"),
+        when(size(toks) >= k, concat_ws(" ", slice(toks, 1, k))).as("prefix"))
+    val perSource = base.groupBy("source")
+      .agg(count(col("prefix")).as("n_docs"),
+        (count(lit(1)) - count(col("prefix"))).as("n_short"))
+    val counts = base.filter(col("prefix").isNotNull)
+      .groupBy("source", "prefix").agg(count(lit(1)).as("n_prefix"))
+    val top = graft.plans.TopKPerGroup.topK(counts, Seq(col("source")),
+      struct(col("n_prefix"), col("prefix")), 1)
+    top.join(perSource, "source")
+      .select(col("source"), col("prefix").as("top_prefix"),
+        col("n_prefix"), col("n_docs"), col("n_short"),
+        expr("n_prefix * 1000L div n_docs").as("share_permille"))
+  }
+
   def removeFrequentLines(df: DataFrame, id: Column, text: Column, minDf: Int): DataFrame = {
     val lexicon = broadcast(
       frequentLines(df, text, minDf).select(col("line"), lit(true).as("is_bp")))

@@ -16,6 +16,59 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Water-filling token-budget allocation — the mixture PLANNING step
+    * that precedes the samplers: given per-stratum token masses and a
+    * global budget B, find the unique cap C with
+    * `Σ min(n_i, C) ≤ B < Σ min(n_i, C+1)` and allocate
+    * `min(n_i, C)` to each stratum. Small strata keep everything, large
+    * strata flatten to the cap — the standard way a 100 TB corpus's
+    * over-represented sources are equalized into a training mixture
+    * without starving the tail (the cap IS the water level).
+    *
+    * Exact integer derivation, no iteration: sort strata by mass
+    * ascending; for segment k (strata k..S capped, 1..k−1 whole), the
+    * capping segment is the FIRST k where `prefix_{k−1} + n_k·r_k > B`
+    * (r_k = S−k+1 strata remaining); then `C = (B − prefix_{k−1}) div
+    * r_k`. No such k ⇒ budget covers everything ⇒ no cap. Every
+    * quantity is a long, so the plan reproduces bit-for-bit on any
+    * engine — a float water level would drift at the boundary.
+    *
+    * Scale shape: one map-side-combined mass aggregate (stratum-sized),
+    * then windows over the STRATUM table only — the global sort touches
+    * one row per stratum, never the corpus (pinned global-window rule:
+    * k-row post-aggregate plans only). `budget = total·num div den`
+    * derives from the same pass.
+    */
+  def waterfillAllocation(df: DataFrame, stratum: Column, tokens: Column,
+                          budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"waterfillAllocation needs a valid budget fraction: $budgetNum/$budgetDen")
+    import org.apache.spark.sql.expressions.Window
+    val masses = df.groupBy(stratum.as("stratum"))
+      .agg(sum(tokens).cast("long").as("n"))
+    val ord = Window.orderBy(col("n"), col("stratum"))
+    val all = Window.partitionBy()
+    val staged = masses.select(col("stratum"), col("n"),
+        coalesce(sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("prefix"),
+        row_number().over(ord).as("k"),
+        count(lit(1)).over(all).as("s_total"),
+        sum(col("n")).over(all).as("total"))
+      .withColumn("budget", expr(s"total * ${budgetNum}L div ${budgetDen}L"))
+      .withColumn("r", col("s_total") - col("k") + 1)
+    val capRow = staged
+      .filter(col("prefix") + col("n") * col("r") > col("budget"))
+      .agg(min(struct(col("k"), col("prefix"), col("r"), col("budget"))).as("seg"))
+      .select(when(col("seg").isNotNull,
+        expr("(seg.budget - seg.prefix) div seg.r")).as("cap"))
+    staged.crossJoin(capRow)
+      .select(col("stratum"), col("n").as("n_tokens"),
+        when(col("cap").isNull, col("n")).otherwise(least(col("n"), col("cap")))
+          .as("allocated"),
+        (col("cap").isNotNull && col("n") > col("cap")).as("capped"),
+        col("cap").as("water_level"), col("budget"))
+  }
+
   /** Uniform [0,1) value derived from the first 28 bits of md5(salt+id).
     *
     * `salt` separates DECISIONS: two samples/splits keyed off the same id

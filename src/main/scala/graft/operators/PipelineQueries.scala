@@ -4174,6 +4174,75 @@ object PipelineQueries {
         "near-dup-bounded anchor set, which therefore broadcasts). " +
         "Top-1 picks run through the TopKPerGroup operator — one row " +
         "per anchor crosses each shuffle; rounded-cos + id tie-breaks " +
-        "keep the export engine-portable and retry-stable")
+        "keep the export engine-portable and retry-stable"),
+
+    Q("p122_source_prefix_share",
+      (s, d) => Boilerplate.prefixShare(table(s, d, "documents"),
+          col("doc_id"), col("text"), col("source"), k = 8)
+        .orderBy("source"),
+      Some(s"""
+        WITH t AS (SELECT source, doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+        b AS (SELECT source, doc_id,
+                     CASE WHEN len(ts) >= 8 THEN array_to_string(ts[1:8], ' ') END AS prefix
+              FROM t),
+        ps AS (SELECT source, count(prefix) AS n_docs,
+                      count(*) - count(prefix) AS n_short
+               FROM b GROUP BY 1),
+        c AS (SELECT source, prefix, count(*) AS n_prefix
+              FROM b WHERE prefix IS NOT NULL GROUP BY 1, 2),
+        r AS (SELECT source, prefix, n_prefix,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_prefix DESC, prefix DESC) AS rn
+              FROM c)
+        SELECT r.source, prefix AS top_prefix,
+               CAST(n_prefix AS BIGINT) AS n_prefix,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_short AS BIGINT) AS n_short,
+               CAST(n_prefix * 1000 // n_docs AS BIGINT) AS share_permille
+        FROM r JOIN ps USING (source) WHERE rn = 1 ORDER BY source"""),
+      "text analysis — source-level template-PREFIX detection (the C4-" +
+        "style scaffolding signal line-frequency misses): per source, " +
+        "the most frequent 8-token document prefix and its exact " +
+        "permille share — near-1000 means the source is template-" +
+        "dominated and the prefix belongs in the strip list. One " +
+        "map-side slice projection (no explode, no self-join), one " +
+        "(source, prefix) count, top-1 via the bounded-heap operator"),
+
+    Q("p123_waterfill_budget",
+      (s, d) => Sampling.waterfillAllocation(table(s, d, "documents"),
+          concat(col("source"), lit("/"), col("lang")),
+          size(TextOps.tokens(lower(col("text")))),
+          budgetNum = 3L, budgetDen = 5L)
+        .orderBy("stratum"),
+      Some(s"""
+        WITH d AS (SELECT source || '/' || lang AS stratum,
+                          CAST(len(${sqlTokens("lower(text)")}) AS BIGINT) AS tok
+                   FROM documents),
+        m AS (SELECT stratum, CAST(sum(tok) AS BIGINT) AS n FROM d GROUP BY 1),
+        st AS (SELECT stratum, n,
+                      CAST(coalesce(sum(n) OVER (ORDER BY n, stratum
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+                      row_number() OVER (ORDER BY n, stratum) AS k,
+                      count(*) OVER () AS s_total,
+                      CAST(sum(n) OVER () AS BIGINT) AS total
+               FROM m),
+        st2 AS (SELECT *, CAST(total * 3 // 5 AS BIGINT) AS budget,
+                       s_total - k + 1 AS r FROM st),
+        cp AS (SELECT CAST((budget - prefix) // r AS BIGINT) AS cap
+               FROM st2 WHERE prefix + n * r > budget ORDER BY k LIMIT 1)
+        SELECT stratum, n AS n_tokens,
+               CAST(CASE WHEN (SELECT cap FROM cp) IS NULL THEN n
+                         ELSE least(n, (SELECT cap FROM cp)) END AS BIGINT) AS allocated,
+               coalesce(n > (SELECT cap FROM cp), FALSE) AS capped,
+               (SELECT cap FROM cp) AS water_level, budget
+        FROM st2 ORDER BY stratum"""),
+      "sampling — water-filling token-budget allocation (the mixture " +
+        "PLANNING step before the samplers): per (source, lang) stratum, " +
+        "allocate min(n, C) where the water level C is the unique " +
+        "integer cap fitting the 60% global budget — small strata keep " +
+        "everything, over-represented ones flatten, nothing starves. " +
+        "Closed-form exact-integer derivation (sorted prefix sums, no " +
+        "iteration, no floats to drift at the boundary); windows touch " +
+        "one row per STRATUM, never the corpus")
   )
 }

@@ -43,4 +43,28 @@ class BoilerplateSpec extends SparkSpec {
       .agg(sum("n_dropped")).collect()(0).getLong(0)
     assert(out == 0L)
   }
+
+  test("prefixShare finds the dominant template prefix per source; short docs sit aside") {
+    import spark.implicits._
+    val tpl = "welcome to acme corp the best site ever" // 8 tokens
+    val rows =
+      (1 to 7).map(i => (i.toLong, s"$tpl unique tail $i", "acme")) ++
+        Seq((8L, "organic document with eight distinct tokens right here", "acme"),
+          (9L, "too short", "acme"), // < 8 tokens: no prefix
+          (10L, "a b c d e f g h", "clean"),
+          (11L, "z y x w v u t s", "clean"))
+    val got = Boilerplate.prefixShare(rows.toDF("doc_id", "text", "source"),
+        col("doc_id"), col("text"), col("source"), k = 8)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // acme: 8 docs form a prefix (7 template + 1 organic), 1 short;
+    // template share = 7/8 = 875 permille
+    assert(got.head == (("acme", tpl, 7L, 8L, 1L, 875L)))
+    // clean: two distinct prefixes tie at 1 — the lexicographically
+    // larger wins (the documented deterministic tie-break), share 500
+    val clean = got(1)
+    assert(clean._1 == "clean" && clean._2 == "z y x w v u t s" &&
+      clean._3 == 1L && clean._6 == 500L)
+  }
 }

@@ -148,6 +148,31 @@ class SamplingSpec extends SparkSpec {
     assert(trainClusters > 130 && trainClusters < 190, s"got $trainClusters/200")
   }
 
+  test("waterfillAllocation: exact water level, boundary behavior, no-cap regime") {
+    import spark.implicits._
+    // strata masses 10, 20, 100, 200 (total 330); budget 3/5 → 198.
+    // Segments: k=3 is the first with prefix + n·r > B (30 + 100·2 = 230
+    // > 198), so C = (198 − 30) div 2 = 84; allocation 10+20+84+84 = 198
+    val docs = (
+      (1 to 10).map(i => (s"a$i", "A")) ++ (1 to 20).map(i => (s"b$i", "B")) ++
+        (1 to 100).map(i => (s"c$i", "C")) ++ (1 to 200).map(i => (s"d$i", "D"))
+      ).zipWithIndex.map { case ((w, s0), i) => (i.toLong, w, s0) }
+      .toDF("doc_id", "text", "src")
+    val got = Sampling.waterfillAllocation(docs, col("src"), lit(1L),
+        budgetNum = 3L, budgetDen = 5L)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(("A", 10L, 10L, false), ("B", 20L, 20L, false),
+      ("C", 100L, 84L, true), ("D", 200L, 84L, true)))
+    assert(got.map(_._3).sum == 330L * 3 / 5)
+    // budget ≥ total → no cap, everything allocated, capped all false
+    val free = Sampling.waterfillAllocation(docs, col("src"), lit(1L),
+        budgetNum = 1L, budgetDen = 1L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3), r.isNullAt(4)))
+    assert(free.forall { case (_, capped, waterNull) => !capped && waterNull })
+    assert(free.map(_._1).sum == 330L)
+  }
+
   test("weightedSample wave-merge == one-shot (the p117 maintenance invariant)") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, s"doc $i " + ("w " * (1 + (i % 37)).toInt)))
