@@ -4243,6 +4243,73 @@ object PipelineQueries {
         "everything, over-represented ones flatten, nothing starves. " +
         "Closed-form exact-integer derivation (sorted prefix sums, no " +
         "iteration, no floats to drift at the boundary); windows touch " +
-        "one row per STRATUM, never the corpus")
+        "one row per STRATUM, never the corpus"),
+
+    Q("p124_mixture_build",
+      (s, d) => graft.pipeline.Curation.mixtureBuild(
+          table(s, d, "documents"), col("doc_id"), col("text"),
+          concat(col("source"), lit("/"), col("lang")),
+          minTokens = 20, budgetNum = 1L, budgetDen = 2L)
+        .orderBy("stratum"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, source || '/' || lang AS stratum,
+                          CAST(len(${sqlTokens("lower(text)")}) AS BIGINT) AS n_tok,
+                          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+                   FROM documents),
+        g AS (SELECT * FROM d WHERE n_tok >= 20),
+        dd AS (SELECT doc_id, stratum, n_tok FROM (
+                 SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM g)
+               WHERE rn = 1),
+        m AS (SELECT stratum, CAST(sum(n_tok) AS BIGINT) AS n FROM dd GROUP BY 1),
+        st AS (SELECT stratum, n,
+                      CAST(coalesce(sum(n) OVER (ORDER BY n, stratum
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+                      row_number() OVER (ORDER BY n, stratum) AS k,
+                      count(*) OVER () AS s_total,
+                      CAST(sum(n) OVER () AS BIGINT) AS total
+               FROM m),
+        st2 AS (SELECT *, CAST(total * 1 // 2 AS BIGINT) AS budget,
+                       s_total - k + 1 AS r FROM st),
+        cp AS (SELECT CAST((budget - prefix) // r AS BIGINT) AS cap
+               FROM st2 WHERE prefix + n * r > budget ORDER BY k LIMIT 1),
+        alloc AS (SELECT stratum,
+                         CAST(CASE WHEN (SELECT cap FROM cp) IS NULL THEN n
+                              ELSE least(n, (SELECT cap FROM cp)) END AS BIGINT) AS allocated
+                  FROM st2),
+        sel AS (SELECT dd.*, CAST(sum(n_tok) OVER (PARTITION BY stratum
+                      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM dd),
+        chosen AS (SELECT sel.* FROM sel JOIN alloc USING (stratum)
+                   WHERE cum <= allocated),
+        s_in AS (SELECT stratum, count(*) AS n_docs_in FROM d GROUP BY 1),
+        s_g AS (SELECT stratum, count(*) AS n_after_gate FROM g GROUP BY 1),
+        s_dd AS (SELECT stratum, count(*) AS n_after_dedup,
+                        CAST(sum(n_tok) AS BIGINT) AS tok_after_dedup
+                 FROM dd GROUP BY 1),
+        s_sel AS (SELECT stratum, count(*) AS n_selected,
+                         CAST(sum(n_tok) AS BIGINT) AS tok_selected,
+                         CAST(sum(('0x' || substring(md5('fp:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT) AS BIGINT) AS sel_fingerprint
+                  FROM chosen GROUP BY 1)
+        SELECT s_in.stratum, CAST(n_docs_in AS BIGINT) AS n_docs_in,
+               CAST(coalesce(n_after_gate, 0) AS BIGINT) AS n_after_gate,
+               CAST(coalesce(n_after_dedup, 0) AS BIGINT) AS n_after_dedup,
+               CAST(coalesce(tok_after_dedup, 0) AS BIGINT) AS tok_after_dedup,
+               CAST(coalesce(allocated, 0) AS BIGINT) AS allocated,
+               CAST(coalesce(n_selected, 0) AS BIGINT) AS n_selected,
+               CAST(coalesce(tok_selected, 0) AS BIGINT) AS tok_selected,
+               CAST(coalesce(sel_fingerprint, 0) AS BIGINT) AS sel_fingerprint
+        FROM s_in LEFT JOIN s_g USING (stratum) LEFT JOIN s_dd USING (stratum)
+        LEFT JOIN alloc USING (stratum) LEFT JOIN s_sel USING (stratum)
+        ORDER BY stratum"""),
+      "pipeline — the MIXTURE BUILD (query #200): quality gate → exact " +
+        "dedup → water-filling allocation across (source, lang) strata → " +
+        "deterministic hash-ordered selection under each stratum's token " +
+        "allocation, emitted as the per-stratum release manifest with an " +
+        "order-independent selection fingerprint a consumer verifies the " +
+        "shipped mixture against. Every stage corpus-linear or map-side-" +
+        "combined; the only windows are partitioned (fp-dedup rank, " +
+        "per-stratum running sum); the allocation table is strata-sized " +
+        "and broadcasts — the capstone composition of p43/p05/p123/p41")
   )
 }

@@ -83,4 +83,67 @@ object Curation {
       .unionByName(stageRow(4, "token_budget", selected, col("n_tokens")))
     CurationResult(selected, funnel)
   }
+
+  /** The MIXTURE BUILD — the allocation-aware counterpart of [[curate]]
+    * (whose per-source budget is a flat constant): quality gate → exact
+    * dedup → water-filling allocation across strata
+    * ([[Sampling.waterfillAllocation]]: over-represented strata flatten
+    * to the integer water level, small strata keep everything) →
+    * deterministic hash-ordered selection under each stratum's token
+    * allocation. Output is the per-stratum release manifest: counts at
+    * every stage, the allocation, what was actually selected, and an
+    * order-independent selection fingerprint (sum of 28-bit id hashes —
+    * commutative, so it map-side-combines and reproduces on any
+    * engine), which is what a consumer verifies a shipped mixture
+    * against.
+    *
+    * Scale shape: every stage is a corpus-linear projection or
+    * map-side-combined aggregate; the only windows are the per-
+    * fingerprint dedup rank and the per-stratum running selection sum
+    * (both partitioned — no global window touches the corpus); the
+    * allocation table is strata-sized and broadcasts back.
+    */
+  def mixtureBuild(docs: DataFrame, id: Column, text: Column, stratum: Column,
+                   minTokens: Int, budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(minTokens >= 0, s"minTokens must be non-negative: $minTokens")
+    val base = docs.select(id.as("doc_id"), stratum.as("stratum"),
+      size(TextOps.tokens(lower(text))).cast("long").as("n_tok"),
+      TextOps.fingerprint(text).as("fp"))
+    val gated = base.filter(col("n_tok") >= minTokens)
+    val byFp = Window.partitionBy("fp").orderBy("doc_id")
+    val deduped = gated.withColumn("rn", row_number().over(byFp))
+      .filter(col("rn") === 1).drop("rn")
+    val alloc = Sampling.waterfillAllocation(deduped, col("stratum"),
+        col("n_tok"), budgetNum, budgetDen)
+      .select(col("stratum"), col("allocated"))
+    val selOrd = Window.partitionBy("stratum")
+      .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val selected = deduped
+      .withColumn("cum", sum(col("n_tok")).over(selOrd).cast("long"))
+      .join(broadcast(alloc), "stratum")
+      .filter(col("cum") <= col("allocated"))
+    val idHash = conv(substring(md5(concat(lit("fp:"),
+      col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+    base.groupBy("stratum").agg(count(lit(1)).as("n_docs_in"))
+      .join(gated.groupBy("stratum")
+        .agg(count(lit(1)).as("n_after_gate")), Seq("stratum"), "left")
+      .join(deduped.groupBy("stratum")
+        .agg(count(lit(1)).as("n_after_dedup"),
+          sum("n_tok").cast("long").as("tok_after_dedup")), Seq("stratum"), "left")
+      .join(broadcast(alloc), Seq("stratum"), "left")
+      .join(selected.groupBy("stratum")
+        .agg(count(lit(1)).as("n_selected"),
+          sum("n_tok").cast("long").as("tok_selected"),
+          sum(idHash).as("sel_fingerprint")), Seq("stratum"), "left")
+      .select(col("stratum"),
+        col("n_docs_in"),
+        coalesce(col("n_after_gate"), lit(0L)).as("n_after_gate"),
+        coalesce(col("n_after_dedup"), lit(0L)).as("n_after_dedup"),
+        coalesce(col("tok_after_dedup"), lit(0L)).as("tok_after_dedup"),
+        coalesce(col("allocated"), lit(0L)).as("allocated"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("tok_selected"), lit(0L)).as("tok_selected"),
+        coalesce(col("sel_fingerprint"), lit(0L)).as("sel_fingerprint"))
+  }
 }

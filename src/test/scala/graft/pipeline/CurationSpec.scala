@@ -50,4 +50,34 @@ class CurationSpec extends SparkSpec {
     assert(sel.length == 1)
     assert(sel.head.getAs[Long]("cum_tokens") <= 50L)
   }
+
+  test("mixtureBuild: stage accounting, budget ceiling, cross-stratum dedup") {
+    import spark.implicits._
+    // stratum A: 30 docs of 10 tokens (one is a dup pair), one 3-token
+    // short doc; stratum B: 5 docs of 10 tokens, incl. a cross-stratum
+    // dup of A's doc 0 (removed: A's id is smaller)
+    val mk = (i: Long, n: Int, s0: String) =>
+      (i, (0 until n).map(j => s"w${i}_$j").mkString(" "), s0)
+    val rows = (0L until 30L).map(i => mk(i, 10, "A")) ++
+      Seq((30L, (0 until 10).map(j => s"w0_$j").mkString(" "), "A"),   // dup of doc 0
+        (31L, "a b c", "A")) ++                                         // gated out
+      (40L until 44L).map(i => mk(i, 10, "B")) ++
+      Seq((44L, (0 until 10).map(j => s"w0_$j").mkString(" "), "B"))   // cross-stratum dup
+    val out = graft.pipeline.Curation.mixtureBuild(
+        rows.toDF("doc_id", "text", "src"),
+        col("doc_id"), col("text"), col("src"),
+        minTokens = 5, budgetNum = 1L, budgetDen = 2L)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(7))).toSeq
+    // A: 32 in, 31 gated (short doc out), 30 after dedup (intra dup out)
+    // B: 5 in, 5 gated, 4 after dedup (cross-stratum dup collapses to A)
+    val a = out.head; val b = out(1)
+    assert(a == (("A", 32L, 31L, 30L, 300L, a._6, a._7)))
+    assert(b == (("B", 5L, 5L, 4L, 40L, b._6, b._7)))
+    // waterfill: total 340, budget 170; B (40) uncapped, A capped at 130
+    assert(a._6 == 130L && b._6 == 40L)
+    // selection never exceeds the allocation; B takes everything
+    assert(a._7 <= 130L && b._7 == 40L)
+  }
 }
