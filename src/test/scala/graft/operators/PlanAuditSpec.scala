@@ -111,8 +111,12 @@ class PlanAuditSpec extends SparkSpec {
       val g = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       if (g.nonEmpty) Some(q.name) else None
     }
+    // p123/p124: the water-filling sorted-prefix derivation windows over
+    // the per-STRATUM mass aggregate (k = #strata rows) — same bounded
+    // post-aggregate class
     assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture",
-      "p100_dataset_card"), offenders.toString)
+      "p100_dataset_card", "p123_waterfill_budget", "p124_mixture_build"),
+      offenders.toString)
   }
 
   test("p62 phash near-dups block on band keys — no cartesian, hamming verify on candidates") {
