@@ -101,9 +101,18 @@ object Similarity {
     * the export is engine-portable and retry-stable.
     */
   def contrastiveTriplets(df: DataFrame, id: Column, vec: Column, label: Column,
-                          pairs: DataFrame, roundTo: Int = 6): DataFrame = {
+                          pairs: DataFrame, roundTo: Int = 6,
+                          anchorPred: Column = lit(true)): DataFrame = {
+    // anchorPred bounds the EXPORT, not the mining quality: on a corpus
+    // where most vectors have a positive, "anchors with a positive" is
+    // the whole corpus and exact negative mining degenerates to
+    // all-pairs (measured: 194 s at sf1.0 unbounded vs ~2 s with a
+    // fixed anchor sample). A triplet export is batch-sized by the
+    // trainer anyway — repeated exports over disjoint key ranges cover
+    // the corpus, each one linear (the g56 fixed-sample posture).
     val sym = pairs.select(col("id_a").as("anchor"), col("id_b").as("pos_id"), col("cos"))
       .unionByName(pairs.select(col("id_b").as("anchor"), col("id_a").as("pos_id"), col("cos")))
+      .filter(anchorPred)
     val pos = graft.plans.TopKPerGroup.topK(sym, Seq(col("anchor")),
         struct(col("cos"), -col("pos_id")), 1)
       .select(col("anchor"), col("pos_id"), col("cos").as("pos_cos"))

@@ -318,8 +318,10 @@ object PipelineQueries {
   private def contrastiveTripletsOracle: String = s"""
         WITH $lshPairCtes,
         pos0 AS (SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4),
-        sym AS (SELECT id_a AS anchor, id_b AS pos_id, cos FROM pos0
-                UNION ALL SELECT id_b, id_a, cos FROM pos0),
+        sym AS (SELECT * FROM (
+                  SELECT id_a AS anchor, id_b AS pos_id, cos FROM pos0
+                  UNION ALL SELECT id_b, id_a, cos FROM pos0)
+                WHERE anchor < 1000),
         posr AS (SELECT anchor, pos_id, cos AS pos_cos,
                         row_number() OVER (PARTITION BY anchor
                                            ORDER BY cos DESC, pos_id) AS rn
@@ -4160,8 +4162,11 @@ object PipelineQueries {
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
         val pairs = Dedup.embeddingNearDupsLsh(emb, col("vec_id"),
           col("embedding"), minCos = 0.4, dim = dim)
+        // fixed anchor sample (key range): the export stays linear at
+        // any SF where "every anchor with a positive" would be the
+        // whole corpus and degenerate to all-pairs negative mining
         Similarity.contrastiveTriplets(emb, col("vec_id"), col("embedding"),
-            col("label"), pairs)
+            col("label"), pairs, anchorPred = col("anchor") < 1000)
           .orderBy("anchor")
       },
       Some(contrastiveTripletsOracle),
