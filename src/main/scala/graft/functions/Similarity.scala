@@ -132,6 +132,46 @@ object Similarity {
         col("neg_id"), col("neg_cos"))
   }
 
+  /** In-engine kNN evaluation — the "does this embedding space separate
+    * my labels" loop a training pipeline runs after every embedding
+    * refresh, next to the centroid classifier ([[nearestCentroid]], p20)
+    * and the recall audits (p91/p94): classify each EVAL vector by the
+    * majority label of its k nearest TRAIN vectors and report the
+    * confusion matrix. Majority ties break toward the smaller label,
+    * cosine ties toward the smaller train id — the whole eval is a pure
+    * function of the corpus, so accuracy numbers reproduce bit-for-bit
+    * across engines and retries (an eval that drifts with partitioning
+    * cannot gate a release).
+    *
+    * Scale shape: the eval set is BOUNDED BY DESIGN (an eval set is a
+    * fixed artifact, not a corpus-proportional one — the p121/g56
+    * fixed-sample posture), so the broadcast eval × train cosine pass
+    * is linear in train size; per-eval top-k runs through the
+    * bounded-heap operator (k rows per eval id cross the shuffle). At
+    * 100 TB the train side streams through one codegen stage — and the
+    * same op drops into IVF blocks when even that is too wide.
+    */
+  def knnEval(df: DataFrame, id: Column, vec: Column, label: Column,
+              evalPred: Column, k: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"knnEval needs k >= 1: $k")
+    val evals = df.filter(evalPred)
+      .select(id.as("eval_id"), vec.as("ve"), label.as("true_label"))
+    val train = df.filter(!evalPred)
+      .select(id.as("train_id"), vec.as("vt"), label.as("train_label"))
+    val scored = broadcast(evals).join(train, expr("true"))
+      .select(col("eval_id"), col("true_label"), col("train_id"), col("train_label"),
+        round(cosine(col("ve").cast("array<double>"),
+          col("vt").cast("array<double>")), roundTo).as("cos"))
+    val topk = graft.plans.TopKPerGroup.topK(scored, Seq(col("eval_id")),
+      struct(col("cos"), -col("train_id")), k)
+    val votes = topk.groupBy("eval_id", "true_label", "train_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = graft.plans.TopKPerGroup.topK(votes, Seq(col("eval_id")),
+        struct(col("n_votes"), negate(col("train_label").cast("int"))), 1)
+      .select(col("eval_id"), col("true_label"), col("train_label").as("pred_label"))
+    pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+  }
+
   /** Per-label mean embedding ("class centroids") as a long-format
     * DataFrame `(label, pos, c)` — one `posexplode` + hash aggregate,
     * map-side combinable; the natural coarse quantizer for [[ivfTopK]].

@@ -4315,6 +4315,41 @@ object PipelineQueries {
         "shipped mixture against. Every stage corpus-linear or map-side-" +
         "combined; the only windows are partitioned (fp-dedup rank, " +
         "per-stratum running sum); the allocation table is strata-sized " +
-        "and broadcasts — the capstone composition of p43/p05/p123/p41")
+        "and broadcasts — the capstone composition of p43/p05/p123/p41"),
+
+    Q("p125_knn_eval",
+      (s, d) => Similarity.knnEval(table(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), col("label"),
+          evalPred = col("vec_id") % 5 === 0 && col("vec_id") < 2000, k = 5)
+        .orderBy("true_label", "pred_label"),
+      Some("""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        ev AS (SELECT vec_id AS eval_id, label AS true_label, e FROM v
+               WHERE vec_id % 5 = 0 AND vec_id < 2000),
+        tr AS (SELECT vec_id AS train_id, label AS train_label, e FROM v
+               WHERE NOT (vec_id % 5 = 0 AND vec_id < 2000)),
+        sc AS (SELECT eval_id, true_label, train_id, train_label,
+                      round(list_cosine_similarity(ev.e, tr.e), 6) AS cos
+               FROM ev CROSS JOIN tr),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY eval_id
+                         ORDER BY cos DESC, train_id) AS rn FROM sc),
+        vt AS (SELECT eval_id, true_label, train_label, count(*) AS n_votes
+               FROM rk WHERE rn <= 5 GROUP BY 1, 2, 3),
+        pd AS (SELECT eval_id, true_label, train_label AS pred_label,
+                      row_number() OVER (PARTITION BY eval_id
+                        ORDER BY n_votes DESC, train_label) AS rn
+               FROM vt)
+        SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+        FROM pd WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "similarity — in-engine kNN evaluation (the 'does this embedding " +
+        "space separate my labels' release gate, next to p20's centroid " +
+        "classifier and the p91/p94 recall audits): majority label of " +
+        "the 5 nearest train vectors per eval vector, reported as the " +
+        "confusion matrix. Majority ties break to the smaller label, " +
+        "cosine ties to the smaller id — a pure function of the corpus, " +
+        "so the accuracy number reproduces anywhere. Eval set bounded " +
+        "by design (fixed key range — an eval set is an artifact, not " +
+        "corpus-proportional), broadcast over one codegen train pass; " +
+        "top-k and majority vote through the bounded-heap operator")
   )
 }

@@ -164,4 +164,22 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.contrastiveTriplets(oneLabel, col("vec_id"),
       col("embedding"), col("label"), pairs).count() == 0)
   }
+
+  test("knnEval: separable clusters classify cleanly; a planted confusable misclassifies") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; eval ids 100 (cluster 0)
+    // and 101 (cluster 1), plus eval 102 whose vector sits in cluster
+    // 1's direction but carries true label 0 — must be confused
+    val train = (0 until 6).map(i => (i.toLong, Seq(1.0f, 0.01f * i), 0)) ++
+      (6 until 12).map(i => (i.toLong, Seq(0.01f * i, 1.0f), 1))
+    val evals = Seq(
+      (100L, Seq(1.0f, 0.02f), 0), (101L, Seq(0.03f, 1.0f), 1),
+      (102L, Seq(0.05f, 1.0f), 0))
+    val df = (train ++ evals).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnEval(df, col("vec_id"), col("embedding"),
+        col("label"), evalPred = col("vec_id") >= 100, k = 3)
+      .orderBy("true_label", "pred_label").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, 0, 1L), (0, 1, 1L), (1, 1, 1L)))
+  }
 }
