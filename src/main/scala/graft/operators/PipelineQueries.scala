@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Layout, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, Sketch, TextOps}
+import graft.sources.TpchGraph
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -757,8 +758,7 @@ object PipelineQueries {
         // this is the composition a production pipeline runs.
         val emb = table(s, d, "embeddings")
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        val pairs = Dedup.embeddingNearDupsLsh(emb, col("vec_id"), col("embedding"),
-            minCos = 0.4, dim = dim)
+        val pairs = TpchGraph.lshPairs(s, d)
           .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
         graft.plans.DfConnectedComponents.run(pairs)
           .groupBy(col("component").cast("long").as("canonical_id"))
@@ -1072,8 +1072,7 @@ object PipelineQueries {
         // ≈ 0.6), so block at the similar-pair threshold p17 uses; LSH
         // recall at cos 0.4 is partial by design — the returned subset is
         // still deterministic (seeded hyperplanes)
-        Dedup.embeddingNearDupsLsh(emb, col("vec_id"), col("embedding"),
-            minCos = 0.4, dim = dim)
+        TpchGraph.lshPairs(s, d)
           .orderBy("id_a", "id_b")
       },
       Some(lshNearDupOracle), // seeded planes inlined as literals — exact SQL twin
@@ -2872,8 +2871,7 @@ object PipelineQueries {
         // in p32); the exact-recompute oracle verifies recall end to end
         val emb = table(s, d, "embeddings")
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        val pairs = Dedup.embeddingNearDupsLsh(
-          emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
+        val pairs = TpchGraph.lshPairs(s, d)
         Dedup.clusterWeights(emb, col("vec_id"), pairs)
           .orderBy("vec_id")
       },
@@ -2919,8 +2917,7 @@ object PipelineQueries {
         // (the 100 TB path, as in p32).
         val emb = table(s, d, "embeddings")
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        val pairs = Dedup.embeddingNearDupsLsh(
-          emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
+        val pairs = TpchGraph.lshPairs(s, d)
           .select(col("id_a").cast("long").as("src"),
             col("id_b").cast("long").as("dst"))
         val delta = pairs.filter(col("src") % 3 === 2 || col("dst") % 3 === 2)
@@ -3123,8 +3120,7 @@ object PipelineQueries {
         val exact = Dedup.embeddingNearDups(
           emb, col("vec_id"), col("embedding"), minCos = 0.4)
           .select("id_a", "id_b").localCheckpoint()
-        val lsh = Dedup.embeddingNearDupsLsh(
-          emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
+        val lsh = TpchGraph.lshPairs(s, d)
           .select("id_a", "id_b")
         val nExact = exact.count()
         val nFound = exact.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
@@ -4160,8 +4156,7 @@ object PipelineQueries {
       (s, d) => {
         val emb = table(s, d, "embeddings")
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        val pairs = Dedup.embeddingNearDupsLsh(emb, col("vec_id"),
-          col("embedding"), minCos = 0.4, dim = dim)
+        val pairs = TpchGraph.lshPairs(s, d)
         // fixed anchor sample (key range): the export stays linear at
         // any SF where "every anchor with a positive" would be the
         // whole corpus and degenerate to all-pairs negative mining
