@@ -127,6 +127,39 @@ object GraphQueries {
         FROM r$depth GROUP BY start ORDER BY start"""
   }
 
+  /** g57 oracle: `rounds`-deep unrolled Bellman-Ford relaxation over
+    * the weighted co-purchase graph (w = max(1, 6 − shared-order
+    * count): frequently co-purchased links are cheap). Full-relax
+    * unroll — after round i both it and the Spark delta form hold
+    * exactly min-cost-over-≤i-edge-paths, so they agree bit for bit.
+    */
+  private def ssspOracle(rounds: Int): String = {
+    val rnds = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+          SELECT start, node, min(dist) AS dist FROM (
+            SELECT * FROM r${i - 1}
+            UNION ALL
+            SELECT r.start, e.v AS node, r.dist + e.w AS dist
+            FROM r${i - 1} r JOIN e ON e.u = r.node) GROUP BY 1, 2)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        hp AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS cnt
+              FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        e AS MATERIALIZED (
+          SELECT u, v, CAST(greatest(1, 6 - cnt) AS BIGINT) AS w FROM hp
+          UNION ALL
+          SELECT v AS u, u AS v, CAST(greatest(1, 6 - cnt) AS BIGINT) AS w FROM hp),
+        s AS (SELECT DISTINCT u AS start FROM e WHERE u % 500 = 0 AND u <= 2000),
+        r0 AS MATERIALIZED (SELECT start, start AS node, CAST(0 AS BIGINT) AS dist FROM s),
+        $rnds
+        SELECT start, CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(dist) AS BIGINT) AS sum_dist,
+               CAST(max(dist) AS BIGINT) AS max_dist,
+               CAST(sum(node * dist) AS BIGINT) AS dist_checksum
+        FROM r$rounds GROUP BY start ORDER BY start"""
+  }
+
   /** g54 oracle: `steps`-deep unrolled deterministic random walk over
     * the undirected co-purchase graph — each step joins the frontier to
     * the ranked adjacency at rank `1 + md5-hash(start, walk, step, cur)
@@ -1877,6 +1910,43 @@ object GraphQueries {
         "set, lineage cut per round, and a drained frontier " +
         "short-circuits the loop. Integer-exact where harmonic " +
         "centrality's fractions are not — oracle is the fixed-depth " +
-        "unrolled visited-set recurrence")
+        "unrolled visited-set recurrence"),
+
+    Q("g57_weighted_sssp",
+      (s, d) => {
+        // weighted shortest paths over the co-purchase graph where
+        // frequently co-purchased links are CHEAP (w = max(1, 6 −
+        // shared-order count)) — 'how related are these parts through
+        // strong links'. Fixed seed sample (the g56 rule), 4 rounds
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val half = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .groupBy(col("p").as("u"), col("p2").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("u"), col("v"),
+            greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+        val e = half.unionByName(
+          half.select(col("v").as("u"), col("u").as("v"), col("w")))
+        val starts = e.select(col("u").as("start"))
+          .filter(col("start") % 500 === 0 && col("start") <= 2000).distinct()
+        graft.plans.Sssp.bounded(e, starts, rounds = 4)
+          .groupBy("start")
+          .agg(count(lit(1)).as("n_reached"),
+            sum("dist").cast("long").as("sum_dist"),
+            max("dist").cast("long").as("max_dist"),
+            sum(col("node") * col("dist")).cast("long").as("dist_checksum"))
+          .orderBy("start")
+      },
+      Some(ssspOracle(rounds = 4)),
+      "graph analytics — bounded-round weighted SSSP (multi-source " +
+        "Bellman-Ford in DELTA form: only improved labels relax, so " +
+        "converged regions stop costing — full-relax re-scans every " +
+        "label every round): min-cost paths where strong co-purchase " +
+        "links are cheap, within 4 hops. Per round one frontier hash " +
+        "join + one map-side-combined min aggregate; exact integer " +
+        "weights/distances; summary pins the full label table via an " +
+        "integer checksum; oracle is the full-relax unroll, which " +
+        "provably agrees with the delta form round for round")
   )
 }

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round weighted single-source shortest paths (multi-source,
+  * like [[MultiSourceBfs]]) — the classic iterative MapReduce SSSP:
+  * each round relaxes edges out of the nodes whose label improved last
+  * round and folds the candidates into the label table with one
+  * `min` aggregate. Fixed round budget `rounds` bounds the result to
+  * paths of ≤ `rounds` hops (the unrolled-oracle contract shared by
+  * every iterative query here); a drained frontier short-circuits
+  * earlier.
+  *
+  * Scale shape: the DELTA form — only improved labels join edges, so a
+  * converged region stops costing anything (full-relax Bellman-Ford
+  * re-scans every label every round); per round one frontier⋈edges
+  * hash join, one (seed, node) min-aggregate (map-side combined), one
+  * improvement anti-check, lineage cut per round. All distances exact
+  * integers.
+  */
+object Sssp {
+
+  /** `edges` carries `(u, v, w)` with positive integer weights (pass
+    * both orientations for undirected); `starts` carries `start`.
+    * Returns the label table `(start, node, dist)` for every node
+    * reached within `rounds` hops.
+    */
+  def bounded(edges: DataFrame, starts: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    val e = edges.select(col("u"), col("v"), col("w").cast("long").as("w"))
+      .localCheckpoint(eager = false)
+    var dist = starts.select(col("start"), col("start").as("node"),
+      lit(0L).as("dist")).localCheckpoint(eager = false)
+    var frontier = dist
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      r += 1
+      val cand = frontier.join(e, col("node") === col("u"))
+        .select(col("start"), col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(cand)
+        .groupBy("start", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(eager = false)
+      frontier = next.join(
+          dist.withColumnRenamed("dist", "old"), Seq("start", "node"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select("start", "node", "dist")
+        .localCheckpoint(eager = false)
+      dist = next
+    }
+    dist
+  }
+}
