@@ -256,4 +256,67 @@ object Sketch {
           .otherwise(col("raw")) * 1000000.0).cast("long"))
       .select(col("grp"), col("n_buckets"), col("reg_checksum"), col("hll_est_micro"))
   }
+
+  /** Pairwise GROUP-level Jaccard similarity matrix — the corpus-
+    * governance view ("which sources duplicate each other wholesale")
+    * one level above the per-document dedup family: for every pair of
+    * groups, the single-hash MinHash estimate
+    * `|bottom-k(A∪B) ∩ A ∩ B| / k` (Broder; one k-row sketch per group
+    * is ALL that crosses the network at 100 TB) next to the exact
+    * Jaccard over the full distinct-hash sets as the in-engine audit
+    * (the p91/p94 measure-don't-guess pattern — at scale the exact twin
+    * runs on a sample or not at all).
+    *
+    * Correctness of the membership trick: `h ∈ bottom-k(A∪B) ∧ h ∈ A ⇒
+    * h ∈ bottom-k(A)` (h is ≤ the union's kth smallest ≤ A's kth
+    * smallest), so the estimator needs only the per-group bottom-k
+    * sets, and bottom-k(A∪B) is the bottom-k of their union. Exact
+    * integers throughout; permille by integer division.
+    *
+    * Scale shape: one distinct-hash pass (map-side combined), bottom-k
+    * via the bounded-heap operator (k rows per group cross the
+    * shuffle), then ALL pair work happens on S² · k rows (S = #groups,
+    * tiny); the exact twin's pair fan-out is S per hash — vocab-sized,
+    * not corpus-sized, and dropped at true scale.
+    */
+  def minhashSimilarityMatrix(df: DataFrame, group: Column, value: Column,
+                              k: Int = 64): DataFrame = {
+    require(k >= 2, s"minhashSimilarityMatrix needs k >= 2: $k")
+    val hashes = df.select(group.as("grp"), Dedup.gramHash(value).as("h"))
+      .distinct().localCheckpoint(eager = false)
+    val bottom = TopKPerGroup.topK(hashes, Seq(col("grp")), -col("h"), k)
+    val groups = hashes.select("grp").distinct()
+    val pairs = groups.select(col("grp").as("ga"))
+      .crossJoin(groups.select(col("grp").as("gb")))
+      .filter(col("ga") < col("gb"))
+    def sideTag(memb: DataFrame) = {
+      val aSide = pairs.join(memb.withColumnRenamed("grp", "ga"), "ga")
+        .select(col("ga"), col("gb"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      val bSide = pairs.join(memb.withColumnRenamed("grp", "gb"), "gb")
+        .select(col("ga"), col("gb"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+      aSide.unionByName(bSide)
+        .groupBy("ga", "gb", "h")
+        .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    }
+    // sketch estimate over the ≤2k-row per-pair union of bottom-k sets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ga", "gb").orderBy("h")
+    val est = sideTag(bottom)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_shared"))
+    // exact audit over the full distinct-hash sets
+    val exact = sideTag(hashes)
+      .groupBy("ga", "gb")
+      .agg(sum(col("in_a") * col("in_b")).cast("long").as("n_inter"),
+        count(lit(1)).as("n_union"))
+    est.join(exact, Seq("ga", "gb"))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("k_used"), col("n_shared"),
+        expr("n_shared * 1000L div k_used").as("jacc_est_permille"),
+        col("n_inter"), col("n_union"),
+        expr("n_inter * 1000L div n_union").as("jacc_permille"))
+  }
 }

@@ -4345,6 +4345,56 @@ object PipelineQueries {
         "so the accuracy number reproduces anywhere. Eval set bounded " +
         "by design (fixed key range — an eval set is an artifact, not " +
         "corpus-proportional), broadcast over one codegen train pass; " +
-        "top-k and majority vote through the bounded-heap operator")
+        "top-k and majority vote through the bounded-heap operator"),
+
+    Q("p126_source_similarity_matrix",
+      (s, d) => Sketch.minhashSimilarityMatrix(
+          table(s, d, "documents")
+            .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("t")),
+          col("source"), col("t"), k = 64)
+        .orderBy("source_a", "source_b"),
+      Some(s"""
+        WITH hs AS (SELECT DISTINCT source AS grp,
+                           ('0x' || substring(md5(t), 1, 7))::BIGINT AS h
+                    FROM (SELECT source, unnest(${sqlTokens("lower(text)")}) AS t
+                          FROM documents)),
+        bk AS (SELECT grp, h FROM (
+                 SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                 FROM hs) WHERE rn <= 64),
+        gs AS (SELECT DISTINCT grp FROM hs),
+        prs AS (SELECT a.grp AS ga, b.grp AS gb FROM gs a JOIN gs b ON a.grp < b.grp),
+        ub AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                 SELECT prs.ga, prs.gb, bk.h, 1 AS in_a, 0 AS in_b
+                 FROM prs JOIN bk ON bk.grp = prs.ga
+                 UNION ALL
+                 SELECT prs.ga, prs.gb, bk.h, 0, 1
+                 FROM prs JOIN bk ON bk.grp = prs.gb) GROUP BY 1, 2, 3),
+        ur AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM ub),
+        est AS (SELECT ga, gb, count(*) AS k_used, sum(in_a * in_b) AS n_shared
+                FROM ur WHERE rn <= 64 GROUP BY 1, 2),
+        uf AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                 SELECT prs.ga, prs.gb, hs.h, 1 AS in_a, 0 AS in_b
+                 FROM prs JOIN hs ON hs.grp = prs.ga
+                 UNION ALL
+                 SELECT prs.ga, prs.gb, hs.h, 0, 1
+                 FROM prs JOIN hs ON hs.grp = prs.gb) GROUP BY 1, 2, 3),
+        ex AS (SELECT ga, gb, sum(in_a * in_b) AS n_inter, count(*) AS n_union
+               FROM uf GROUP BY 1, 2)
+        SELECT est.ga AS source_a, est.gb AS source_b,
+               CAST(k_used AS BIGINT) AS k_used,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_shared * 1000 // k_used AS BIGINT) AS jacc_est_permille,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_union AS BIGINT) AS n_union,
+               CAST(n_inter * 1000 // n_union AS BIGINT) AS jacc_permille
+        FROM est JOIN ex USING (ga, gb) ORDER BY source_a, source_b"""),
+      "sketch — pairwise SOURCE-level Jaccard similarity matrix " +
+        "(Broder single-hash MinHash: |bottom-k(A∪B) ∩ A ∩ B| / k) " +
+        "beside the exact full-set Jaccard as the in-engine audit — the " +
+        "corpus-governance view one level above per-document dedup: " +
+        "which sources duplicate each other wholesale. At 100 TB only " +
+        "the k-row per-source sketches cross the network (membership " +
+        "trick: a union-bottom-k hash present in A is necessarily in " +
+        "A's own bottom-k); the exact twin is the gate-scale audit")
   )
 }

@@ -179,4 +179,28 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
     assert(merged == oneShot)
   }
+
+  test("minhashSimilarityMatrix: identical sources read 1000 permille, disjoint read 0; estimate tracks exact") {
+    import spark.implicits._
+    val vocabA = (0 until 300).map(i => s"tok$i")
+    val vocabC = (300 until 600).map(i => s"tok$i")
+    val rows = vocabA.map(("A", _)) ++ vocabA.map(("B", _)) ++ vocabC.map(("C", _))
+    val out = Sketch.minhashSimilarityMatrix(rows.toDF("src", "t"),
+        col("src"), col("t"), k = 64)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(4), r.getLong(7)))).toMap
+    // A == B exactly: both estimate and exact are 1000 permille
+    assert(out(("A", "B")) == ((1000L, 1000L)))
+    // A and C are disjoint: both are 0
+    assert(out(("A", "C")) == ((0L, 0L)))
+    assert(out(("B", "C")) == ((0L, 0L)))
+    // half-overlap: estimate within sketch error of the exact 1/3
+    val vocabD = (0 until 150).map(i => s"tok$i") ++ (600 until 750).map(i => s"tok$i")
+    val rows2 = vocabA.map(("A", _)) ++ vocabD.map(("D", _))
+    val half = Sketch.minhashSimilarityMatrix(rows2.toDF("src", "t"),
+        col("src"), col("t"), k = 64)
+      .collect().map(r => (r.getLong(4), r.getLong(7))).head
+    assert(half._2 == 1000L / 3) // exact: 150 / 450
+    assert(math.abs(half._1 - half._2) < 200, s"estimate ${half._1} vs exact ${half._2}")
+  }
 }
