@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Composite document-quality gating: the rule-based corpus filter every
@@ -57,4 +57,58 @@ object Quality {
   def gate(text: Column, stopwords: Seq[String] = TextOps.defaultStopwords,
            rules: GateRules = GateRules()): Column =
     gateFlags(TextOps.qualitySignals(text, stopwords), rules)
+
+  /** Cross-source QUANTILE NORMALIZATION of an integer score — the
+    * distribution-matching calibration one step past p105's per-source
+    * thresholds: a score of X from a verbose source and a score of X
+    * from a terse one mean different things, so each document's score
+    * maps to the GLOBAL score at its within-source percentile. After
+    * normalization every source has (up to granularity) the global
+    * distribution, and one corpus-wide threshold means the same thing
+    * everywhere — the standard preprocessing trick (quantile
+    * normalization, genomics/batch-effect removal) applied to corpus
+    * quality scores.
+    *
+    * Exact-integer construction: within-source permille `p = 1000·r
+    * div n` (rank by (score, id) — deterministic under ties); the
+    * global quantile at `p` is the FIRST score value whose cumulative
+    * count reaches `p·N` permille — the p70 histogram method, so the
+    * global side is one map-side-combined value-histogram + a bounded
+    * cumulative window, never a corpus-wide sort. The (permille →
+    * global score) lookup is ≤1000 rows and broadcasts. Output: one
+    * row per source with exact integer summary stats of the
+    * normalized distribution.
+    */
+  def quantileNormalize(df: DataFrame, id: Column, source: Column,
+                        score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("doc_id"), source.as("source"),
+      score.cast("long").as("score"))
+    val n = Window.partitionBy("source")
+    val rk = Window.partitionBy("source").orderBy("score", "doc_id")
+    val ranked = base
+      .select(col("doc_id"), col("source"), col("score"),
+        row_number().over(rk).as("r"), count(lit(1)).over(n).as("n_src"))
+      .withColumn("p", expr("r * 1000L div n_src"))
+    // global value histogram (value-keyed bins — score is integral) with
+    // cumulative counts; bounded by #distinct scores
+    val hist = base.groupBy("score").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.select(col("score"), sum("cnt").over(cumW).as("cum"),
+      sum("cnt").over(Window.partitionBy()).as("n_total"))
+    val ps = ranked.select("p").distinct()
+    val lookup = broadcast(
+      ps.crossJoin(cum)
+        .filter(col("cum") * 1000 >= col("p") * col("n_total"))
+        .groupBy("p").agg(min("score").as("norm")))
+    ranked.join(lookup, "p")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("norm").cast("long").as("norm_sum"),
+        min("norm").as("norm_min"),
+        max(when(col("r") === expr("(n_src + 1L) div 2L"), col("norm")))
+          .as("norm_med"),
+        max("norm").as("norm_max"))
+  }
 }

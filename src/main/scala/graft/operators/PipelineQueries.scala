@@ -4395,6 +4395,42 @@ object PipelineQueries {
         "which sources duplicate each other wholesale. At 100 TB only " +
         "the k-row per-source sketches cross the network (membership " +
         "trick: a union-bottom-k hash present in A is necessarily in " +
-        "A's own bottom-k); the exact twin is the gate-scale audit")
+        "A's own bottom-k); the exact twin is the gate-scale audit"),
+
+    Q("p127_quantile_normalization",
+      (s, d) => Quality.quantileNormalize(table(s, d, "documents"),
+          col("doc_id"), col("source"),
+          size(TextOps.tokens(lower(col("text")))))
+        .orderBy("source"),
+      Some(s"""
+        WITH b AS (SELECT doc_id, source,
+                          CAST(len(${sqlTokens("lower(text)")}) AS BIGINT) AS score
+                   FROM documents),
+        rk AS (SELECT doc_id, source, score,
+                      row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r,
+                      count(*) OVER (PARTITION BY source) AS n_src
+               FROM b),
+        rp AS (SELECT *, r * 1000 // n_src AS p FROM rk),
+        h AS (SELECT score, count(*) AS cnt FROM b GROUP BY 1),
+        c AS (SELECT score, sum(cnt) OVER (ORDER BY score) AS cum,
+                     sum(cnt) OVER () AS n_total FROM h),
+        ps AS (SELECT DISTINCT p FROM rp),
+        lk AS (SELECT p, min(score) AS norm FROM ps, c
+               WHERE cum * 1000 >= p * n_total GROUP BY p)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(norm) AS BIGINT) AS norm_sum,
+               CAST(min(norm) AS BIGINT) AS norm_min,
+               CAST(max(CASE WHEN r = (n_src + 1) // 2 THEN norm END) AS BIGINT) AS norm_med,
+               CAST(max(norm) AS BIGINT) AS norm_max
+        FROM rp JOIN lk USING (p) GROUP BY source ORDER BY source"""),
+      "text analysis — cross-source QUANTILE NORMALIZATION of the " +
+        "token-count score (distribution matching, one step past p105's " +
+        "per-source thresholds): each doc's score maps to the global " +
+        "score at its within-source permille, so one corpus-wide " +
+        "threshold means the same thing for a verbose source and a " +
+        "terse one. Global side is the p70 histogram method (value " +
+        "histogram + bounded cumulative window — no corpus-wide sort); " +
+        "the ≤1000-row permille lookup broadcasts; exact integers " +
+        "throughout")
   )
 }

@@ -48,4 +48,25 @@ class QualitySpec extends SparkSpec {
         .getField("punct_ratio")).head().getDouble(0)
     assert(r == (ratio <= 0.1)) // flag agrees with the rounded ratio it gates on
   }
+
+  test("quantileNormalize maps shifted sources onto one global distribution") {
+    import spark.implicits._
+    // A scores 1..10, B scores 101..110: after normalization both
+    // sources hit the same within-source permilles, hence the SAME
+    // global quantile values — batch effect removed
+    val rows = (1 to 10).map(i => (i.toLong, "A", i.toLong)) ++
+      (1 to 10).map(i => (100L + i, "B", 100L + i))
+    val out = Quality.quantileNormalize(rows.toDF("doc_id", "src", "sc"),
+        col("doc_id"), col("src"), col("sc"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val a = out.head; val b = out(1)
+    assert(a._1 == "A" && b._1 == "B" && a._2 == 10L && b._2 == 10L)
+    assert((a._3, a._4, a._5, a._6) == ((b._3, b._4, b._5, b._6)),
+      s"normalized summaries must match: $a vs $b")
+    // the normalized values straddle BOTH source ranges (global mapping,
+    // not a per-source rescale): min from A's range, max from B's
+    assert(a._4 <= 10L && a._6 >= 101L)
+  }
 }

@@ -112,10 +112,12 @@ class PlanAuditSpec extends SparkSpec {
       if (g.nonEmpty) Some(q.name) else None
     }
     // p123/p124: the water-filling sorted-prefix derivation windows over
-    // the per-STRATUM mass aggregate (k = #strata rows) — same bounded
-    // post-aggregate class
+    // the per-STRATUM mass aggregate (k = #strata rows); p127: the
+    // cumulative window over the VALUE histogram (k = #distinct scores)
+    // — same bounded post-aggregate class
     assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture",
-      "p100_dataset_card", "p123_waterfill_budget", "p124_mixture_build"),
+      "p100_dataset_card", "p123_waterfill_budget", "p124_mixture_build",
+      "p127_quantile_normalization"),
       offenders.toString)
   }
 
