@@ -1947,6 +1947,52 @@ object GraphQueries {
         "join + one map-side-combined min aggregate; exact integer " +
         "weights/distances; summary pins the full label table via an " +
         "integer checksum; oracle is the full-relax unroll, which " +
-        "provably agrees with the delta form round for round")
+        "provably agrees with the delta form round for round"),
+
+    Q("g58_purchase_transitions",
+      (s, d) => {
+        // next-purchase transition counts — the SEQUENTIAL pattern
+        // export (what do customers buy next): per customer, each
+        // consecutive order pair contributes its (part-then-part)
+        // cross; the count table is what a sequential recommender /
+        // next-item model trains on. Per-customer window + two
+        // order-bounded joins (≤7 parts per order) — linear in orders
+        val ord = TpchGraph.table(s, d, "orders").select(
+          col("o_custkey").as("c"), col("o_orderkey").as("k"),
+          col("o_orderdate").as("dt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c").orderBy("dt", "k")
+        val nxt = ord.withColumn("k2", lead(col("k"), 1).over(w))
+          .filter(col("k2").isNotNull)
+          .select(col("k"), col("k2"))
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        nxt.join(li, "k")
+          .join(li.withColumnsRenamed(Map("k" -> "k2", "p" -> "p2")), "k2")
+          .groupBy(col("p").as("from_part"), col("p2").as("to_part"))
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy(col("n_transitions").desc, col("from_part"), col("to_part"))
+          .limit(30)
+      },
+      Some(s"""
+        WITH o AS (SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS dt
+                   FROM orders),
+        nx AS (SELECT k, lead(k) OVER (PARTITION BY c ORDER BY dt, k) AS k2 FROM o),
+        li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        t AS (SELECT a.p AS from_part, b.p AS to_part
+              FROM nx JOIN li a ON a.k = nx.k
+                      JOIN li b ON b.k = nx.k2
+              WHERE nx.k2 IS NOT NULL)
+        SELECT from_part, to_part, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM t GROUP BY 1, 2
+        ORDER BY n_transitions DESC, from_part, to_part LIMIT 30"""),
+      "graph analytics — next-purchase TRANSITION counts (the " +
+        "sequential-pattern export a next-item recommender trains on; " +
+        "the temporal, directed counterpart of the co-purchase graph): " +
+        "per customer, consecutive order pairs contribute their " +
+        "part-then-part cross. One per-customer window (lead), two " +
+        "order-bounded joins (≤7 parts per TPC-H order keeps the cross " +
+        "linear in order count), map-side-combined counts, TakeOrdered " +
+        "top-30")
   )
 }
