@@ -40,12 +40,21 @@ object Sampling {
     * derives from the same pass.
     */
   def waterfillAllocation(df: DataFrame, stratum: Column, tokens: Column,
+                          budgetNum: Long, budgetDen: Long): DataFrame =
+    waterfillFromMasses(
+      df.groupBy(stratum.as("stratum")).agg(sum(tokens).cast("long").as("n")),
+      budgetNum, budgetDen)
+
+  /** [[waterfillAllocation]] from a pre-aggregated `(stratum, n)` mass
+    * table — the form incremental maintenance uses (per-wave masses
+    * merge by an associative sum into a strata-sized store; the
+    * allocation then recomputes from the store in O(strata)).
+    */
+  def waterfillFromMasses(masses: DataFrame,
                           budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum >= 0 && budgetDen > 0,
       s"waterfillAllocation needs a valid budget fraction: $budgetNum/$budgetDen")
     import org.apache.spark.sql.expressions.Window
-    val masses = df.groupBy(stratum.as("stratum"))
-      .agg(sum(tokens).cast("long").as("n"))
     val ord = Window.orderBy(col("n"), col("stratum"))
     val all = Window.partitionBy()
     val staged = masses.select(col("stratum"), col("n"),

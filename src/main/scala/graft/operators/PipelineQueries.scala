@@ -311,6 +311,33 @@ object PipelineQueries {
         WITH $lshPairCtes
         SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4 ORDER BY id_a, id_b"""
 
+  /** p123/p128 shared oracle: the water-filling allocation over
+    * (source, lang) token masses at budget 3/5. p128's wave-merged mass
+    * store must reproduce it verbatim (sum is associative).
+    */
+  private lazy val waterfillOracle: String = s"""
+        WITH d AS (SELECT source || '/' || lang AS stratum,
+                          CAST(len(${sqlTokens("lower(text)")}) AS BIGINT) AS tok
+                   FROM documents),
+        m AS (SELECT stratum, CAST(sum(tok) AS BIGINT) AS n FROM d GROUP BY 1),
+        st AS (SELECT stratum, n,
+                      CAST(coalesce(sum(n) OVER (ORDER BY n, stratum
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+                      row_number() OVER (ORDER BY n, stratum) AS k,
+                      count(*) OVER () AS s_total,
+                      CAST(sum(n) OVER () AS BIGINT) AS total
+               FROM m),
+        st2 AS (SELECT *, CAST(total * 3 // 5 AS BIGINT) AS budget,
+                       s_total - k + 1 AS r FROM st),
+        cp AS (SELECT CAST((budget - prefix) // r AS BIGINT) AS cap
+               FROM st2 WHERE prefix + n * r > budget ORDER BY k LIMIT 1)
+        SELECT stratum, n AS n_tokens,
+               CAST(CASE WHEN (SELECT cap FROM cp) IS NULL THEN n
+                         ELSE least(n, (SELECT cap FROM cp)) END AS BIGINT) AS allocated,
+               coalesce(n > (SELECT cap FROM cp), FALSE) AS capped,
+               (SELECT cap FROM cp) AS water_level, budget
+        FROM st2 ORDER BY stratum"""
+
   /** DuckDB replica of p121: the p22 LSH pair set symmetrized → top-1
     * positive per anchor; hardest different-label candidate per anchor
     * (p85's shape restricted to anchors with a positive) → top-1
@@ -4214,28 +4241,7 @@ object PipelineQueries {
           size(TextOps.tokens(lower(col("text")))),
           budgetNum = 3L, budgetDen = 5L)
         .orderBy("stratum"),
-      Some(s"""
-        WITH d AS (SELECT source || '/' || lang AS stratum,
-                          CAST(len(${sqlTokens("lower(text)")}) AS BIGINT) AS tok
-                   FROM documents),
-        m AS (SELECT stratum, CAST(sum(tok) AS BIGINT) AS n FROM d GROUP BY 1),
-        st AS (SELECT stratum, n,
-                      CAST(coalesce(sum(n) OVER (ORDER BY n, stratum
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
-                      row_number() OVER (ORDER BY n, stratum) AS k,
-                      count(*) OVER () AS s_total,
-                      CAST(sum(n) OVER () AS BIGINT) AS total
-               FROM m),
-        st2 AS (SELECT *, CAST(total * 3 // 5 AS BIGINT) AS budget,
-                       s_total - k + 1 AS r FROM st),
-        cp AS (SELECT CAST((budget - prefix) // r AS BIGINT) AS cap
-               FROM st2 WHERE prefix + n * r > budget ORDER BY k LIMIT 1)
-        SELECT stratum, n AS n_tokens,
-               CAST(CASE WHEN (SELECT cap FROM cp) IS NULL THEN n
-                         ELSE least(n, (SELECT cap FROM cp)) END AS BIGINT) AS allocated,
-               coalesce(n > (SELECT cap FROM cp), FALSE) AS capped,
-               (SELECT cap FROM cp) AS water_level, budget
-        FROM st2 ORDER BY stratum"""),
+      Some(waterfillOracle),
       "sampling — water-filling token-budget allocation (the mixture " +
         "PLANNING step before the samplers): per (source, lang) stratum, " +
         "allocate min(n, C) where the water level C is the unique " +
@@ -4431,6 +4437,115 @@ object PipelineQueries {
         "terse one. Global side is the p70 histogram method (value " +
         "histogram + bounded cumulative window — no corpus-wide sort); " +
         "the ≤1000-row permille lookup broadcasts; exact integers " +
-        "throughout")
+        "throughout"),
+
+    Q("p128_streaming_waterfill",
+      (s, d) => {
+        // incremental maintenance of p123's allocation — the mixture
+        // plan stays current under ingest: per-wave token MASSES merge
+        // into a strata-sized store by an associative sum, the water
+        // level recomputes from the store in O(strata), and the
+        // maintained allocation passes p123's oracle verbatim
+        val dir = graft.core.TempStores.scratchDir("graft_p128_wf")
+        val docs = table(s, d, "documents")
+        def waveMasses(w: Int) = docs.filter(col("doc_id") % 3 === w)
+          .groupBy(concat(col("source"), lit("/"), col("lang")).as("stratum"))
+          .agg(sum(size(TextOps.tokens(lower(col("text"))))).cast("long").as("n"))
+        Seq(0, 1, 2).foreach { w =>
+          val delta = waveMasses(w)
+          val merged =
+            if (w == 0) delta
+            else s.read.parquet(s"$dir/v${w - 1}").unionByName(delta)
+              .groupBy("stratum").agg(sum("n").cast("long").as("n"))
+          merged.write.mode("overwrite").parquet(s"$dir/v$w")
+        }
+        Sampling.waterfillFromMasses(s.read.parquet(s"$dir/v2"),
+            budgetNum = 3L, budgetDen = 5L)
+          .orderBy("stratum")
+      },
+      Some(waterfillOracle), // maintained masses == one-shot: p123's oracle verbatim
+      "streaming — water-filling allocation maintenance under " +
+        "incremental ingest: per-wave token masses merge into the " +
+        "strata-sized store by an associative long sum, the water level " +
+        "recomputes from the store in O(strata) — the mixture PLAN " +
+        "stays current per wave without rescanning the corpus, and the " +
+        "maintained allocation passes p123's one-shot oracle verbatim. " +
+        "The planning member of the incremental family (p71 counts, " +
+        "p101 cardinality, p114 HLL, p117 sample, p88 clusters)"),
+
+    Q("p129_vocab_coverage",
+      (s, d) => {
+        import s.implicits._
+        // tokenizer-planning curve: how many vocabulary TYPES cover X
+        // permille of corpus tokens. The frequency-of-frequencies trick
+        // keeps everything bounded: vocab collapses to (freq, n_types)
+        // classes, the cumulative walk orders CLASSES by freq desc, and
+        // within a class the token curve is linear (each type adds
+        // exactly freq tokens) so the boundary resolves in closed form
+        val toks = table(s, d, "documents")
+          .select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+        val ff = toks.groupBy("t").agg(count(lit(1)).as("freq"))
+          .groupBy("freq").agg(count(lit(1)).as("n_types"))
+        val W = org.apache.spark.sql.expressions.Window
+        val prev = W.orderBy(col("freq").desc)
+          .rowsBetween(W.unboundedPreceding, -1)
+        val cum = ff.select(col("freq"), col("n_types"),
+          coalesce(sum(col("n_types")).over(prev), lit(0L)).as("types_before"),
+          coalesce(sum(col("freq") * col("n_types")).over(prev), lit(0L))
+            .as("tokens_before"),
+          sum(col("freq") * col("n_types")).over(W.partitionBy()).as("n_total"))
+        val targets = Seq(500, 900, 950, 990).toDF("coverage_permille")
+        targets.crossJoin(cum)
+          .withColumn("target_tokens",
+            expr("(coverage_permille * n_total + 999L) div 1000L"))
+          .filter(col("tokens_before") + col("freq") * col("n_types")
+            >= col("target_tokens"))
+          .groupBy("coverage_permille", "target_tokens")
+          .agg(min(struct(col("types_before"), col("freq"),
+            col("tokens_before"))).as("b"))
+          .select(col("coverage_permille"),
+            col("target_tokens"),
+            expr("b.types_before + (target_tokens - b.tokens_before + b.freq - 1L) div b.freq")
+              .as("vocab_types_needed"),
+            expr("b.tokens_before + ((target_tokens - b.tokens_before + b.freq - 1L) div b.freq) * b.freq")
+              .as("tokens_covered"),
+            col("b.freq").as("boundary_freq"))
+          .orderBy("coverage_permille")
+      },
+      Some(s"""
+        WITH toks AS (SELECT unnest(${sqlTokens("lower(text)")}) AS t FROM documents),
+        v AS (SELECT t, count(*) AS freq FROM toks GROUP BY 1),
+        ff AS (SELECT freq, count(*) AS n_types FROM v GROUP BY 1),
+        c AS (SELECT freq, n_types,
+                     CAST(coalesce(sum(n_types) OVER (ORDER BY freq DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS types_before,
+                     CAST(coalesce(sum(freq * n_types) OVER (ORDER BY freq DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+                     CAST(sum(freq * n_types) OVER () AS BIGINT) AS n_total
+              FROM ff),
+        tg AS (SELECT CAST(unnest([500, 900, 950, 990]) AS INT) AS coverage_permille),
+        j AS (SELECT tg.coverage_permille,
+                     (tg.coverage_permille * c.n_total + 999) // 1000 AS target_tokens,
+                     c.types_before, c.freq, c.tokens_before,
+                     row_number() OVER (PARTITION BY tg.coverage_permille
+                                        ORDER BY c.types_before) AS rn
+              FROM tg CROSS JOIN c
+              WHERE c.tokens_before + c.freq * c.n_types
+                    >= (tg.coverage_permille * c.n_total + 999) // 1000)
+        SELECT coverage_permille,
+               CAST(target_tokens AS BIGINT) AS target_tokens,
+               CAST(types_before + (target_tokens - tokens_before + freq - 1) // freq AS BIGINT) AS vocab_types_needed,
+               CAST(tokens_before + ((target_tokens - tokens_before + freq - 1) // freq) * freq AS BIGINT) AS tokens_covered,
+               CAST(freq AS BIGINT) AS boundary_freq
+        FROM j WHERE rn = 1 ORDER BY coverage_permille"""),
+      "corpus stats — vocabulary COVERAGE curve (how many types cover " +
+        "500/900/950/990 permille of corpus tokens — the number that " +
+        "sizes a tokenizer's vocab before training one): the frequency-" +
+        "of-frequencies trick collapses the vocab to (freq, n_types) " +
+        "classes, the cumulative walk runs over CLASSES (bounded by " +
+        "distinct frequency values — hundreds, not vocab- or corpus-" +
+        "sized), and the within-class token curve is linear so the " +
+        "boundary resolves in closed integer form. Zipf in one query, " +
+        "exact")
   )
 }

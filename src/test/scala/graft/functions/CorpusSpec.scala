@@ -137,6 +137,37 @@ class CorpusSpec extends SparkSpec {
     assert(got(("a", "b")) == got(("b", "a")))
   }
 
+  test("vocab coverage boundary math: hand-built Zipf resolves exactly") {
+    // corpus: a×10 b×5 c×3 d×1 e×1 (20 tokens, 5 types).
+    // 500‰→10 tokens: 1 type. 900‰→18: 3 types. 950‰→19: 4 types
+    // (boundary inside the freq-1 class). 990‰→20: all 5 types.
+    val text = ("a " * 10) + ("b " * 5) + ("c " * 3) + "d e"
+    val docs = Seq((1L, text.trim)).toDF("doc_id", "text")
+    // replicate the registered query's frequency-of-frequency walk
+    val toks = docs.select(explode(TextOps.tokens(lower(col("text")))).as("t"))
+    val ff = toks.groupBy("t").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_types"))
+    import org.apache.spark.sql.expressions.Window
+    val prev = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ff.select(col("freq"), col("n_types"),
+      coalesce(sum(col("n_types")).over(prev), lit(0L)).as("types_before"),
+      coalesce(sum(col("freq") * col("n_types")).over(prev), lit(0L)).as("tokens_before"),
+      sum(col("freq") * col("n_types")).over(Window.partitionBy()).as("n_total"))
+    val got = Seq(500, 900, 950, 990).toDF("coverage_permille")
+      .crossJoin(cum)
+      .withColumn("target_tokens", expr("(coverage_permille * n_total + 999L) div 1000L"))
+      .filter(col("tokens_before") + col("freq") * col("n_types") >= col("target_tokens"))
+      .groupBy("coverage_permille", "target_tokens")
+      .agg(min(struct(col("types_before"), col("freq"), col("tokens_before"))).as("b"))
+      .select(col("coverage_permille"),
+        expr("b.types_before + (target_tokens - b.tokens_before + b.freq - 1L) div b.freq")
+          .as("types"))
+      .orderBy("coverage_permille").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((500, 1L), (900, 3L), (950, 4L), (990, 5L)))
+  }
+
   test("negativeSamplingTable: count^0.75 smoothing, exact integer ppm, guarded range") {
     val docs = Seq((1L, ("the " * 81).trim + " rare " + ("word " * 16).trim))
       .toDF("doc_id", "text")

@@ -115,9 +115,13 @@ class PlanAuditSpec extends SparkSpec {
     // the per-STRATUM mass aggregate (k = #strata rows); p127: the
     // cumulative window over the VALUE histogram (k = #distinct scores)
     // — same bounded post-aggregate class
+    // p128: same strata-sized waterfill windows as p123; p129: the
+    // cumulative walk over FREQUENCY-OF-FREQUENCY classes (bounded by
+    // distinct frequency values)
     assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture",
       "p100_dataset_card", "p123_waterfill_budget", "p124_mixture_build",
-      "p127_quantile_normalization"),
+      "p127_quantile_normalization", "p128_streaming_waterfill",
+      "p129_vocab_coverage"),
       offenders.toString)
   }
 
