@@ -127,6 +127,41 @@ object GraphQueries {
         FROM r$depth GROUP BY start ORDER BY start"""
   }
 
+  /** g59 oracle: `rounds`-deep unrolled k-truss peel — s_i = per-edge
+    * triangle support over e_{i-1} (natural-order triangle join, each
+    * triangle attributed to its 3 canonical edges), e_i = edges with
+    * support ≥ k−2. Rounds past convergence are exact no-ops, matching
+    * the Spark loop's repeated fixpoint rows.
+    */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val minSup = k - 2
+    val rnds = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+          SELECT t.e.u AS u, t.e.v AS v, count(*) AS sup FROM (
+            SELECT unnest([
+              {'u': a.u, 'v': a.v}, {'u': a.u, 'v': b.v}, {'u': a.v, 'v': b.v}
+            ]) AS e
+            FROM e${i - 1} a JOIN e${i - 1} b ON b.u = a.u AND a.v < b.v
+                             JOIN e${i - 1} c ON c.u = a.v AND c.v = b.v) t
+          GROUP BY 1, 2),
+        e$i AS MATERIALIZED (
+          SELECT e.u, e.v FROM e${i - 1} e JOIN s$i USING (u, v)
+          WHERE sup >= $minSup),
+        t$i AS (SELECT $i AS round, count(*) AS n_edges,
+                       coalesce(sum(sup), 0) AS sum_support
+                FROM e$i JOIN s$i USING (u, v))"""
+    }.mkString(",\n        ")
+    val unioned = (1 to rounds).map(i => s"SELECT * FROM t$i").mkString("\n        UNION ALL ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        $rnds
+        SELECT CAST(round AS INT) AS round, CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(sum_support AS BIGINT) AS sum_support
+        FROM ($unioned) ORDER BY round"""
+  }
+
   /** g57 oracle: `rounds`-deep unrolled Bellman-Ford relaxation over
     * the weighted co-purchase graph (w = max(1, 6 − shared-order
     * count): frequently co-purchased links are cheap). Full-relax
@@ -1993,6 +2028,21 @@ object GraphQueries {
         "part-then-part cross. One per-customer window (lead), two " +
         "order-bounded joins (≤7 parts per TPC-H order keeps the cross " +
         "linear in order count), map-side-combined counts, TakeOrdered " +
-        "top-30")
+        "top-30"),
+
+    Q("g59_ktruss",
+      (s, d) => graft.plans.KTruss.peelSummary(
+          TpchGraph.copurchaseEdges(s, d), k = 4, maxRounds = 3)
+        .orderBy("round"),
+      Some(ktrussOracle(k = 4, rounds = 3)),
+      "graph analytics — k-truss peel (k = 4) of the co-purchase graph: " +
+        "the EDGE-cohesion refinement of g51's k-core — keep only edges " +
+        "in ≥ 2 triangles among survivors, to a fixpoint. Per round the " +
+        "support recomputes with the census's degree-ordered apex join " +
+        "(O(sqrt m) oriented out-degree bounds every wedge reducer) and " +
+        "each triangle attributes to its 3 canonical edges via a fixed " +
+        "explode; trajectory rows (round, n_edges, sum_support) are " +
+        "exact integers, converged rounds repeat the fixpoint so the " +
+        "fixed-depth oracle unroll matches the early-exiting loop")
   )
 }

@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-truss peel — the EDGE-cohesion refinement of k-core (g51): keep
+  * only edges supported by ≥ k−2 triangles among surviving edges,
+  * iterating to a fixpoint. A k-truss is a stricter community core
+  * than a k-core (every edge sits in k−2 triangles, not just every
+  * vertex at degree k), the standard cohesive-subgraph primitive one
+  * level up (Cohen 2008).
+  *
+  * Triangles enumerate ONCE with the census's degree-ordered apex
+  * machinery ([[Triangles]]: the O(√m) oriented out-degree bounds every
+  * wedge reducer) — the standard truss-decomposition optimization:
+  * peeling only ever REMOVES edges, so a triangle list filtered to
+  * surviving edges (three hash semi-joins per round, against a
+  * monotonically shrinking list) replaces per-round wedge
+  * re-enumeration (measured 201 s → see BENCH_SF1 — re-enumerating
+  * paid ~3× the census every round). Support then falls out of a fixed
+  * 3-row explode + map-side-combined count. Lineage cuts per round; a
+  * round that removes nothing has converged and the remaining
+  * trajectory rows repeat the fixpoint (so a fixed-depth unrolled
+  * oracle matches the early-exiting loop bit for bit).
+  *
+  * Output: the peel trajectory `(round, n_edges, sum_support)` — edge
+  * count and exact total support of the surviving set after each
+  * round, `maxRounds` rows.
+  */
+object KTruss {
+
+  /** `edges` in any orientation (canonicalized + deduped internally);
+    * `k ≥ 3`.
+    */
+  def peelSummary(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3: $k")
+    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val minSup = (k - 2).toLong
+
+    var e = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(eager = false)
+
+    // one-time triangle enumeration (degree-ordered apex join)
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val withDegs = e
+      .join(deg.withColumnsRenamed(Map("x" -> "u", "d" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("x" -> "v", "d" -> "dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDegs.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("sid"),
+      when(uFirst, col("v")).otherwise(col("u")).as("tid"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("td"))
+      .localCheckpoint(eager = false)
+    val e1 = oriented.select(col("sid").as("a"), col("tid").as("b"), col("td").as("bd"))
+    val e2 = oriented.select(col("sid").as("a2"), col("tid").as("c"), col("td").as("cd"))
+    val wedges = e1.join(e2, col("a") === col("a2") &&
+        (col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c"))))
+      .select(col("a"), col("b").as("wb"), col("c").as("wc"))
+    val closing = oriented.select(col("sid").as("cb"), col("tid").as("cc"))
+    // triangle list as its three canonical edges, flat long columns
+    var tri = wedges.join(closing, col("wb") === col("cb") && col("wc") === col("cc"))
+      .select(
+        least(col("a"), col("wb")).as("u1"), greatest(col("a"), col("wb")).as("v1"),
+        least(col("a"), col("wc")).as("u2"), greatest(col("a"), col("wc")).as("v2"),
+        least(col("wb"), col("wc")).as("u3"), greatest(col("wb"), col("wc")).as("v3"))
+      .localCheckpoint(eager = false)
+
+    def supports(t: DataFrame): DataFrame =
+      t.select(explode(array(
+          struct(col("u1").as("u"), col("v1").as("v")),
+          struct(col("u2").as("u"), col("v2").as("v")),
+          struct(col("u3").as("u"), col("v3").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+
+    // Peel over the materialized triangle list: each round counts
+    // support by one explode+aggregate over the list, drops weak edges,
+    // and filters the list to surviving edges (three hash joins).
+    // A support-DECREMENT variant (only dead triangles touched) was
+    // measured SLOWER here (13.6 vs 11.1 s at sf0.1, 90 vs ~76 s at
+    // sf1.0): detecting dead triangles itself scans the full list
+    // three times per round, so the "proportional to removals" claim
+    // never materializes until the removal fraction is tiny — on this
+    // graph the peel removes a meaningful fraction every round.
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var converged = false
+    var round = 0
+    while (round < maxRounds) {
+      round += 1
+      if (converged) {
+        // fixpoint: remaining rounds repeat the converged row, exactly
+        // as the oracle's no-op unroll does
+        rows += ((round, rows.last._2, rows.last._3))
+      } else {
+        val before = e.count()
+        val kept = e.join(supports(tri), Seq("u", "v"))
+          .filter(col("sup") >= minSup)
+          .localCheckpoint(eager = false)
+        val summary = kept.agg(
+          count(lit(1)).as("n"), coalesce(sum("sup"), lit(0L)).as("s")).head()
+        rows += ((round, summary.getLong(0), summary.getLong(1)))
+        converged = summary.getLong(0) == before
+        e = kept.select("u", "v").localCheckpoint(eager = false)
+        if (!converged) {
+          // triangles only die: filter the list to surviving edges
+          tri = tri
+            .join(e.select(col("u").as("u1"), col("v").as("v1")), Seq("u1", "v1"))
+            .join(e.select(col("u").as("u2"), col("v").as("v2")), Seq("u2", "v2"))
+            .join(e.select(col("u").as("u3"), col("v").as("v3")), Seq("u3", "v3"))
+            .localCheckpoint(eager = false)
+        }
+      }
+    }
+    rows.toSeq.toDF("round", "n_edges", "sum_support")
+  }
+}
