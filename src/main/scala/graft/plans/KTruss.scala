@@ -91,6 +91,11 @@ object KTruss {
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
     var converged = false
     var round = 0
+    // the convergence test compares kept-edge count to the round's
+    // input size; from round 2 on that input size IS the previous
+    // round's kept count (already aggregated), so only round 1 pays a
+    // count() scan
+    var before = e.count()
     while (round < maxRounds) {
       round += 1
       if (converged) {
@@ -98,7 +103,6 @@ object KTruss {
         // as the oracle's no-op unroll does
         rows += ((round, rows.last._2, rows.last._3))
       } else {
-        val before = e.count()
         val kept = e.join(supports(tri), Seq("u", "v"))
           .filter(col("sup") >= minSup)
           .localCheckpoint(eager = false)
@@ -106,6 +110,7 @@ object KTruss {
           count(lit(1)).as("n"), coalesce(sum("sup"), lit(0L)).as("s")).head()
         rows += ((round, summary.getLong(0), summary.getLong(1)))
         converged = summary.getLong(0) == before
+        before = summary.getLong(0)
         e = kept.select("u", "v").localCheckpoint(eager = false)
         if (!converged) {
           // triangles only die: filter the list to surviving edges

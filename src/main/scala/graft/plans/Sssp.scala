@@ -28,7 +28,17 @@ object Sssp {
     */
   def bounded(edges: DataFrame, starts: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be positive: $rounds")
-    val e = edges.select(col("u"), col("v"), col("w").cast("long").as("w"))
+    // row-level contract enforcement: a null or non-positive weight
+    // would not crash — it would silently produce wrong (or engine-
+    // dependent) distances, the worst failure mode. The guard lives
+    // inside the weight expression itself so pruning cannot drop it.
+    val w = when(col("w").isNotNull && col("w") > 0, col("w").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("Sssp.bounded: weights must be positive integers, got w="),
+        coalesce(col("w").cast("string"), lit("null")),
+        lit(" on edge u="), col("u").cast("string"),
+        lit(" v="), col("v").cast("string"))))
+    val e = edges.select(col("u"), col("v"), w.as("w"))
       .localCheckpoint(eager = false)
     var dist = starts.select(col("start"), col("start").as("node"),
       lit(0L).as("dist")).localCheckpoint(eager = false)

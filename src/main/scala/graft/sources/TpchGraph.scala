@@ -198,6 +198,26 @@ object TpchGraph {
   private val lshPairsCache =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** Session-validated DataFrame memo: the process-global caches hold
+    * persisted plans BOUND to the session that built them, so after a
+    * stop/restart in the same JVM a plain dir-keyed lookup would hand
+    * back a plan tied to a dead session. A cached entry is reused only
+    * when its owning session IS the caller's; otherwise it is
+    * unpersisted (best-effort — the dead session's block manager may
+    * already be gone) and rebuilt under the live session.
+    */
+  private def sessionCached(store: scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame],
+                            spark: SparkSession, dir: String)
+                           (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    store.get(dir) match {
+      case Some(df) if df.sparkSession eq spark => df
+      case stale =>
+        stale.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+        val built = build
+        store.put(dir, built)
+        built
+    }
+
   /** Process-cached LSH-verified near-dup pair set over `embeddings`
     * (sign-LSH blocking + inline cosine verify at cos ≥ 0.4 — the p22
     * generator). SIX queries consume this identical pair set (p22 the
@@ -208,7 +228,7 @@ object TpchGraph {
     * memo models the deployment, not a bench trick.
     */
   def lshPairs(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    lshPairsCache.getOrElseUpdate(dir, {
+    sessionCached(lshPairsCache, spark, dir) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.storage.StorageLevel
       val emb = table(spark, dir, "embeddings")
@@ -216,7 +236,7 @@ object TpchGraph {
       graft.functions.Dedup.embeddingNearDupsLsh(
           emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Process-cached canonical co-purchase edge set (`u < v`, distinct):
     * parts adjacent when some order contains both. Six analytics
@@ -228,7 +248,7 @@ object TpchGraph {
     * MEMORY_AND_DISK so an oversized edge set spills instead of OOMing.
     */
   def copurchaseEdges(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    copurchaseCache.getOrElseUpdate(dir, {
+    sessionCached(copurchaseCache, spark, dir) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.storage.StorageLevel
       val li = lineitemDeduped(spark, dir)
@@ -237,7 +257,7 @@ object TpchGraph {
         .filter(col("p") < col("p2"))
         .select(col("p").as("u"), col("p2").as("v")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Process-cached, storage-persisted graph: the derivation (7 table
     * scans, JSON payload encode, unions) runs once per data directory and
@@ -245,7 +265,17 @@ object TpchGraph {
     * the local analogue of a long-running engine keeping its base tables
     * hot. MEMORY_AND_DISK so an over-sized graph spills instead of OOMing.
     */
-  def cachedGraph(spark: SparkSession, dir: String): GraphState =
+  def cachedGraph(spark: SparkSession, dir: String): GraphState = {
+    // same session-validation contract as sessionCached: a GraphState
+    // built by a stopped session must not be handed to a new one
+    cache.get(dir) match {
+      case Some(g) if g.nodes.sparkSession eq spark => return g
+      case Some(g) =>
+        try { g.nodes.unpersist(); g.edges.unpersist() }
+        catch { case _: Throwable => () }
+        cache.remove(dir)
+      case None => ()
+    }
     cache.getOrElseUpdate(dir, {
       import org.apache.spark.storage.StorageLevel
       // dedup lineitem once and share it across the node branch and the
@@ -270,4 +300,5 @@ object TpchGraph {
       prefetch.start()
       persisted
     })
+  }
 }

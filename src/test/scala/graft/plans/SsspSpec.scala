@@ -28,6 +28,20 @@ class SsspSpec extends SparkSpec {
     assert(twoRounds(3L) == 2L)
   }
 
+  test("non-positive and null weights fail loudly, not silently") {
+    val bad = Seq((1L, 2L, 0L), (2L, 3L, 5L)).toDF("u", "v", "w")
+    val ex = intercept[Exception] {
+      Sssp.bounded(bad, Seq(1L).toDF("start"), rounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("weights must be positive"))
+    val nullW = Seq((1L, 2L, Some(3L)), (2L, 3L, None))
+      .toDF("u", "v", "w")
+    val ex2 = intercept[Exception] {
+      Sssp.bounded(nullW, Seq(1L).toDF("start"), rounds = 2).collect()
+    }
+    assert(ex2.getMessage.contains("weights must be positive"))
+  }
+
   test("PROPERTY: delta form matches sequential Bellman-Ford; partition-invariant") {
     val rng = new scala.util.Random(20260814L)
     for (trial <- 1 to 3) {
