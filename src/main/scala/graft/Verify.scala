@@ -40,6 +40,11 @@ object Verify {
     // before the dump — see graft.operators.DeflateGolden.
     if (only("p110_compression_quality"))
       graft.operators.DeflateGolden.prepare(spark, sfDir)
+    // p130's oracle needs its Verify-time splice (derived sign-LSH
+    // bucket tables whose SHAPE depends on the corpus count) — see
+    // graft.operators.DerivedLshGolden.
+    if (only("p130_derived_lsh_endgame"))
+      graft.operators.DerivedLshGolden.prepare(spark, sfDir)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       Verify.oracleJson(only))
     spark.stop()
@@ -61,7 +66,8 @@ object Verify {
   private[graft] def oracleJson(only: String => Boolean): String =
     SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) =>
-        s"${q(k)}: ${q(graft.operators.DeflateGolden.substitute(v))}"
+        s"${q(k)}: ${q(graft.operators.DerivedLshGolden.substitute(
+          graft.operators.DeflateGolden.substitute(v)))}"
       }.mkString("{", ",", "}")
 }
 

@@ -519,8 +519,28 @@ object Dedup {
     * (cos ≥ 0.9) a handful of 4-plane tables recovers almost everything
     * (asserted in DedupSpec).
     */
+  /** Resolve the sign-LSH table shape for a near-dup run. `0` (the
+    * DEFAULT) means "derive from this corpus": one `count()` scan feeds
+    * [[Similarity.lshConfigFor]], which holds expected bucket occupancy
+    * constant so candidate mass stays LINEAR in corpus size. A fixed
+    * plane count is a deferred quadratic (occupancy `n / 2^planes`
+    * grows with n; per-table candidate mass `n² / 2^planes` — measured
+    * ×4 per corpus doubling at the old (4, 6) default in the sf2.0
+    * rehearsal, vs ×2.5 and 7× faster derived). Explicit positive
+    * values pin the shape for reproducing a historical pair set; the
+    * linear count scan is noise next to the pair-join it configures.
+    */
+  private def resolveLshShape(df: DataFrame, minCos: Double,
+                              planesPerTable: Int, tables: Int): (Int, Int) = {
+    require((planesPerTable == 0) == (tables == 0),
+      s"pass both planesPerTable and tables or neither: ($planesPerTable, $tables)")
+    if (planesPerTable > 0) (planesPerTable, tables)
+    else Similarity.lshConfigFor(math.max(1L, df.count()), minCos)
+  }
+
   def embeddingNearDupsLsh(df: DataFrame, id: Column, vec: Column, minCos: Double,
-                           dim: Int, planesPerTable: Int = 4, tables: Int = 6): DataFrame = {
+                           dim: Int, planesPerTable: Int = 0, tables: Int = 0): DataFrame = {
+    val (pl, tb) = resolveLshShape(df, minCos, planesPerTable, tables)
     // Vectors and their norms ride THROUGH the bucket self-join and the
     // cosine verifies INLINE on the join output, so only SURVIVING pairs
     // (near-dups) ever reach a shuffle. The earlier shape — candidate ids
@@ -539,7 +559,7 @@ object Dedup {
     // bit-identical; same argument as embeddingNearDups).
     val data = df.select(id.as("id"), vec.as("v"))
       .withColumn("nv", Similarity.norm(col("v")))
-    val bucketed = lshBucketed(data, col("v"), dim, planesPerTable, tables)
+    val bucketed = lshBucketed(data, col("v"), dim, pl, tb)
     val l = bucketed.select(col("tbl"), col("bucket"),
       col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
     val r = bucketed.select(col("tbl"), col("bucket"),
@@ -646,11 +666,12 @@ object Dedup {
 
   def embeddingNearDupsLshSalted(df: DataFrame, id: Column, vec: Column,
                                  minCos: Double, dim: Int,
-                                 planesPerTable: Int = 4, tables: Int = 6,
+                                 planesPerTable: Int = 0, tables: Int = 0,
                                  hotThreshold: Int = 100000,
                                  shardTarget: Int = 50000): DataFrame = {
     require(hotThreshold >= 1 && shardTarget >= 1,
       s"thresholds must be positive: hot=$hotThreshold shard=$shardTarget")
+    val (pl, tb) = resolveLshShape(df, minCos, planesPerTable, tables)
     // Same inline-verify shape as [[embeddingNearDupsLsh]]: vectors and
     // precomputed norms ride through the pair-generating joins and the
     // rounded cosine gates BEFORE anything shuffles, so only survivors
@@ -660,7 +681,7 @@ object Dedup {
     // shape re-shuffled the quadratic candidate set three times).
     val data = df.select(id.as("id"), vec.as("v"))
       .withColumn("nv", Similarity.norm(col("v")))
-    val bucketed = lshBucketed(data, col("v"), dim, planesPerTable, tables)
+    val bucketed = lshBucketed(data, col("v"), dim, pl, tb)
     // the monitor: per-bucket occupancy (exactly p102's first aggregate).
     // Only buckets OVER the threshold survive to the broadcast — at most
     // n_vectors·tables / hotThreshold rows, tiny by construction.

@@ -162,6 +162,71 @@ object PipelineQueries {
   private def doubleList(xs: Seq[Double]): String =
     xs.mkString("[", ", ", "]") + "::DOUBLE[]"
 
+  /** DuckDB replica of p130 — the dedup endgame at the CORPUS-DERIVED
+    * sign-LSH config (the operator default): blocking → inline cosine
+    * verify → recursive-CTE CC collapse, plus the derived
+    * `(planes, tables)` as output columns. The config DERIVATION runs
+    * in SQL from `count(*)` (p112's formulas at the single threshold
+    * 0.4), so a Spark/SQL derivation drift hash-fails the planes/tables
+    * columns; the seeded plane CONSTANTS — whose count depends on that
+    * derivation — are spliced at Verify time by
+    * [[DerivedLshGolden]] (unprepared, `bk` stays a typed zero-row seed
+    * and the gate fails loudly on 0 rows).
+    */
+  private def derivedLshEndgameOracle: String =
+    s"""
+        WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        base AS (
+          SELECT nn.n, 1.0 - acos(0.4) / pi() AS p,
+                 greatest(1, CAST(ceil(round(ln(nn.n / 256.0) / ln(2.0), 6)) AS INT))
+                   AS planes0
+          FROM nn),
+        candc AS (
+          SELECT n, p, planes0, unnest(generate_series(1, planes0)) AS pl
+          FROM base),
+        tf AS (
+          SELECT *, CASE WHEN power(p, pl) >= 1.0 THEN 1
+                         ELSE CAST(ceil(round(ln(1.0 - 0.9) / ln(1.0 - power(p, pl)), 6)) AS INT)
+                    END AS tbls
+          FROM candc),
+        pick AS (
+          SELECT any_value(p) AS p,
+                 coalesce(max(pl) FILTER (WHERE tbls <= 64), 1) AS planes
+          FROM tf),
+        cfg AS (
+          SELECT pick.planes, least(64, tf.tbls) AS tables
+          FROM pick JOIN tf ON tf.pl = pick.planes),
+        bk AS (
+          SELECT CAST(NULL AS INT) AS tbl, CAST(NULL AS BIGINT) AS vec_id,
+                 CAST(NULL AS BIGINT) AS bucket WHERE FALSE
+          ${DerivedLshGolden.Marker}),
+        candp AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                             AND a.vec_id < b.vec_id),
+        pr AS (
+          SELECT id_a, id_b, round(list_cosine_similarity(va.e, vb.e), 6) AS cos
+          FROM candp
+          JOIN v va ON va.vec_id = candp.id_a
+          JOIN v vb ON vb.vec_id = candp.id_b),
+        pairs AS (SELECT id_a, id_b FROM pr WHERE cos >= ${DerivedLshGolden.MinCos}),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT CAST(component AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+               (SELECT planes FROM cfg) AS planes,
+               (SELECT tables FROM cfg) AS tables
+        FROM comp GROUP BY 1 ORDER BY 1"""
+
   /** Full-recompute cluster-collapse oracle over the embedding near-dup
     * graph (cosine ≥ 0.4), shared by p24 (one-shot CC) and p88
     * (incremental CC maintenance): both must produce the IDENTICAL
@@ -3524,8 +3589,10 @@ object PipelineQueries {
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
         val profile = Dedup.lshOccupancyProfile(emb, col("embedding"), dim)
         val (hot, shard) = Dedup.deriveSaltingThresholds(profile, partitions = 2048)
+        // explicit legacy (4, 6): shares p22's fixed-config oracle
         Dedup.embeddingNearDupsLshSalted(emb, col("vec_id"), col("embedding"),
-            minCos = 0.4, dim = dim, hotThreshold = hot, shardTarget = shard)
+            minCos = 0.4, dim = dim, planesPerTable = 4, tables = 6,
+            hotThreshold = hot, shardTarget = shard)
           .orderBy("id_a", "id_b")
       },
       Some(lshNearDupOracle),
@@ -4546,6 +4613,47 @@ object PipelineQueries {
         "distinct frequency values — hundreds, not vocab- or corpus-" +
         "sized), and the within-class token curve is linear so the " +
         "boundary resolves in closed integer form. Zipf in one query, " +
-        "exact")
+        "exact"),
+
+    Q("p130_derived_lsh_endgame",
+      (s, d) => {
+        // the dedup endgame at the operator DEFAULT config — blocking →
+        // inline cosine verify → CC collapse, with (planes, tables)
+        // DERIVED from this corpus's size inside embeddingNearDupsLsh
+        // (no explicit shape args). The p22 family pins the legacy
+        // (4, 6) pair set as oracle history; THIS query gates the path
+        // every new caller gets, the one whose candidate mass stays
+        // linear in corpus size (lshConfigFor holds expected bucket
+        // occupancy constant — the sf2.0 rehearsal measured the fixed
+        // config at ×4 candidate mass per corpus doubling, the derived
+        // one at ×2.5 and 7× faster with identical output at the
+        // production threshold). The derived config rides along as
+        // output columns so the oracle's SQL re-derivation (p112's
+        // formulas) cross-checks the Scala derivation by hash.
+        val emb = table(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val pairs = Dedup.embeddingNearDupsLsh(emb, col("vec_id"), col("embedding"),
+          minCos = DerivedLshGolden.MinCos, dim = dim)
+        val comp = graft.plans.DfConnectedComponents.run(
+          pairs.select(col("id_a").cast("long").as("src"),
+            col("id_b").cast("long").as("dst")))
+        val (planes, tables) =
+          Similarity.lshConfigFor(emb.count(), DerivedLshGolden.MinCos)
+        comp.groupBy(col("component").cast("long").as("canonical_id"))
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            (count(lit(1)) - 1).cast("long").as("n_dropped"))
+          .withColumn("planes", lit(planes))
+          .withColumn("tables", lit(tables))
+          .orderBy("canonical_id")
+      },
+      Some(derivedLshEndgameOracle),
+      "dedup — the near-dup endgame at the CORPUS-DERIVED sign-LSH " +
+        "config (the operator default since the fixed (4, 6) shape was " +
+        "measured quadratic-deferred): blocking at lshConfigFor's " +
+        "occupancy-bounded shape, inline exact-cosine verify, CC " +
+        "collapse to one keeper per cluster. The oracle re-derives the " +
+        "config from count(*) in SQL and replays the seeded plane " +
+        "constants spliced at Verify time (DerivedLshGolden), so both " +
+        "the derivation and the pair set are hash-gated")
   )
 }

@@ -233,8 +233,14 @@ object TpchGraph {
       import org.apache.spark.storage.StorageLevel
       val emb = table(spark, dir, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      // EXPLICIT legacy (4, 6) table shape: this pair set is the oracle
+      // contract shared by six queries (plane literals are inlined in
+      // their SQL), so its config is pinned history, not a default. New
+      // code should take the operator's corpus-derived default — the
+      // p130 endgame gates that path.
       graft.functions.Dedup.embeddingNearDupsLsh(
-          emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim)
+          emb, col("vec_id"), col("embedding"), minCos = 0.4, dim = dim,
+          planesPerTable = 4, tables = 6)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 

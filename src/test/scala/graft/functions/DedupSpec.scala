@@ -90,6 +90,32 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("default (unspecified) LSH shape derives from corpus size and equals the explicit derived config") {
+    import spark.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(17)
+    val base = (0 until 300).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextFloat() * 2 - 1)))
+    val dups = (0 until 30).map(i =>
+      (1000L + i, base(i)._2.map(x => x + rng.nextFloat() * 0.01f)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (planes, tables) = Similarity.lshConfigFor(330L, 0.95)
+    val derived = rows(Dedup.embeddingNearDupsLsh(
+      df, col("vec_id"), col("embedding"), minCos = 0.95, dim = dim))
+    val explicit = rows(Dedup.embeddingNearDupsLsh(
+      df, col("vec_id"), col("embedding"), minCos = 0.95, dim = dim,
+      planesPerTable = planes, tables = tables))
+    assert(derived == explicit)
+    assert(derived.nonEmpty)
+    // a half-specified shape is a caller bug, not a silent default
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsLsh(df, col("vec_id"), col("embedding"),
+        minCos = 0.95, dim = dim, planesPerTable = 4)
+    }
+  }
+
   test("embeddingNearDupsLshSalted: bit-identical to the plain path while salting executes") {
     import spark.implicits._
     val dim = 16
