@@ -2043,6 +2043,33 @@ object GraphQueries {
         "each triangle attributes to its 3 canonical edges via a fixed " +
         "explode; trajectory rows (round, n_edges, sum_support) are " +
         "exact integers, converged rounds repeat the fixpoint so the " +
-        "fixed-depth oracle unroll matches the early-exiting loop")
+        "fixed-depth oracle unroll matches the early-exiting loop"),
+
+    Q("g60_approx_triangles",
+      (s, d) => graft.plans.Triangles.approxCounts(
+        TpchGraph.copurchaseEdges(s, d), p = 0.5),
+      Some(s"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        e AS (SELECT u, v FROM e0
+              WHERE ('0x' || substring(md5('doulion:' || CAST(u AS VARCHAR)
+                       || '_' || CAST(v AS VARCHAR)), 1, 7))::BIGINT
+                    / 268435456.0 < 0.5),
+        tri AS (SELECT count(*) AS t
+                FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+                          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges_sampled,
+               CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles_sampled,
+               CAST(round((SELECT t FROM tri) / 0.125, 0) AS BIGINT) AS est_triangles"""),
+      "graph analytics — DOULION approximate triangle census of the " +
+        "co-purchase graph (edge-sample at p = 1/2 with a DETERMINISTIC " +
+        "md5-threshold coin, exact degree-ordered census on the " +
+        "sparsified graph, scale by 1/p³). The scale answer to g36's " +
+        "super-linear growth (measured 2.6× per data doubling at " +
+        "sf2.0): wedge mass drops by p², the estimate is unbiased with " +
+        "error O(1/√(p³·T)), and the dyadic p makes the 8× scale-up " +
+        "float-exact — so the DuckDB oracle replays sample and estimate " +
+        "bit for bit")
   )
 }

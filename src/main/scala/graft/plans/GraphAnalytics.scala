@@ -172,17 +172,39 @@ object GraphAnalytics {
     * scale (Tungsten, no RDD materialization), this form cross-validates
     * it and serves filtered-subgraph callers already in GraphX land.
     * Only three scalar longs reach the driver.
+    *
+    * EXPLICIT INPUT BOUND `maxEdges`: `TriangleCount` materializes
+    * per-vertex neighbor sets on the RDD heap, and the sf1.0 rehearsal
+    * measured that OOMing the default driver heap at ~9M edges (the
+    * DataFrame census handles the same graph in-heap — it spills).
+    * Above the bound this cross-validation runs on the subgraph INDUCED
+    * by a deterministic md5-threshold vertex sample, fraction
+    * `√(maxEdges/n)` so expected surviving edges ≈ `maxEdges` —
+    * reproducible across engines and retries, and a census of an
+    * induced subgraph is still an exact answer to a well-defined
+    * question. The whole-graph path at scale is [[Triangles.counts]]
+    * (exact) or [[Triangles.approxCounts]] (estimate).
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame, maxEdges: Long = 2000000L): DataFrame = {
     import org.apache.spark.graphx.PartitionStrategy
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = edges
+    val undAll = edges
       .select(least(col("u"), col("v")).cast("long").as("u"),
         greatest(col("u"), col("v")).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .localCheckpoint(eager = false)
+    val nAll = undAll.count()
+    val und =
+      if (nAll <= maxEdges) undAll
+      else {
+        val f = math.sqrt(maxEdges.toDouble / nAll)
+        def keep(c: org.apache.spark.sql.Column) =
+          graft.functions.Sampling.hash01(c, "graphx-tri:") < f
+        undAll.filter(keep(col("u")) && keep(col("v")))
+          .localCheckpoint(eager = false)
+      }
     val edgeRdd: RDD[Edge[Int]] = und.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val graph = Graph.fromEdges(edgeRdd, 0)
       .partitionBy(PartitionStrategy.EdgePartition2D)

@@ -98,6 +98,45 @@ object Triangles {
     edgeWedge.crossJoin(nTriangles)
   }
 
+  /** DOULION-style APPROXIMATE triangle census (Tsourakakis et al.,
+    * "DOULION: Counting Triangles in Massive Graphs with a Coin",
+    * KDD '09): keep each canonical edge independently with probability
+    * `p`, count triangles EXACTLY on the sparsified graph (the same
+    * degree-ordered plan as [[counts]]), and scale by `1/p³` — each
+    * triangle survives iff all three of its edges do. At 100× corpus
+    * scale this is the census a user reaches for first: the exact count
+    * grows super-linearly with graph densification (g36 measured 2.6×
+    * per data doubling at sf2.0), while the sparsified census runs on a
+    * `p²`-mass wedge set with unbiased estimate and relative error
+    * O(1/√(p³·T)) — sharpening with the very triangle count that makes
+    * the exact plan expensive.
+    *
+    * The coin is a DETERMINISTIC md5-threshold on the canonical edge
+    * key (the p21 split-column convention), so the sample — and
+    * therefore the estimate — is reproducible across engines, retries,
+    * and repartitioning, and a DuckDB oracle can replay it exactly.
+    * Default `p = 0.5` is dyadic: `p³ = 0.125` and the scale-up
+    * `count · 8` are float-exact on every engine.
+    *
+    * Output: one row `(n_edges_sampled, n_triangles_sampled,
+    * est_triangles)`.
+    */
+  def approxCounts(edges: DataFrame, p: Double = 0.5,
+                   salt: String = "doulion:"): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"sampling probability in (0,1]: $p")
+    val und = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val kept = und.filter(
+      graft.functions.Sampling.hash01(
+        concat(col("u").cast("string"), lit("_"), col("v").cast("string")), salt) < p)
+    counts(kept).select(
+      col("n_edges").as("n_edges_sampled"),
+      col("n_triangles").as("n_triangles_sampled"),
+      round(col("n_triangles") / math.pow(p, 3)).cast("long").as("est_triangles"))
+  }
+
   /** PER-NODE structural features — the node-level twin of [[counts]]
     * and the standard GNN/node-classification feature block: degree,
     * triangle participation count, and the local clustering coefficient

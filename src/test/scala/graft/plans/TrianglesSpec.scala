@@ -65,6 +65,64 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("approxCounts: deterministic sample, exact census of the sample, 1/p³ scale-up") {
+    val rng = new scala.util.Random(91L)
+    val n = 40
+    val edges = Seq.fill(8 * n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+    val p = 0.5
+    val got = Triangles.approxCounts(edges.toDF("u", "v"), p).collect()(0)
+    // replay the md5 coin on the canonical edge set in plain Scala
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    def h01(s: String): Double =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+          .take(7), 16) / (1L << 28).toDouble
+    val kept = und.filter { case (u, v) => h01(s"doulion:${u}_$v") < p }
+    val (ke, _, kt) = ref(kept.map(e => (e._1, e._2)))
+    assert(got.getLong(0) == ke, "sampled edge count")
+    assert(got.getLong(1) == kt, "sampled triangle count")
+    assert(got.getLong(2) == math.round(kt / (p * p * p)), "estimate")
+    // and running it twice is bit-identical (no rand() anywhere)
+    val again = Triangles.approxCounts(edges.toDF("u", "v"), p).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((again.getLong(0), again.getLong(1), again.getLong(2))))
+  }
+
+  test("approxCounts estimate lands near the exact census on a triangle-rich graph") {
+    // K25: C(25,3) = 2300 triangles — enough mass for the concentration
+    // bound to keep a deterministic p=0.5 sample within a loose band
+    val k = for (i <- 1L to 25L; j <- (i + 1) to 25L) yield (i, j)
+    val exact = counts(k)._3
+    val est = Triangles.approxCounts(k.toDF("u", "v"), 0.5)
+      .collect()(0).getLong(2)
+    assert(math.abs(est - exact).toDouble / exact < 0.35,
+      s"estimate $est vs exact $exact")
+  }
+
+  test("GraphX census above maxEdges runs on the deterministic induced subgraph") {
+    val rng = new scala.util.Random(14L)
+    val n = 30
+    val edges = Seq.fill(6 * n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+    val df = edges.toDF("u", "v")
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val maxEdges = und.size / 3L
+    def h01(s: String): Double =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+          .take(7), 16) / (1L << 28).toDouble
+    val f = math.sqrt(maxEdges.toDouble / und.size)
+    val keptV = und.flatMap(e => Seq(e._1, e._2)).distinct
+      .filter(v => h01(s"graphx-tri:$v") < f).toSet
+    val sub = und.filter(e => keptV(e._1) && keptV(e._2))
+    val want = ref(sub.map(e => (e._1, e._2)))
+    val got = GraphAnalytics.triangleCounts(df, maxEdges).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == want)
+  }
+
   test("perNodeCounts: K4 plus a pendant — exact per-vertex features") {
     // K4 on 1-4 (every vertex in 3 triangles, cc = 1) + pendant 5 on 4
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
