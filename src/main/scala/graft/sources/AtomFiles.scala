@@ -136,16 +136,43 @@ object AtomFiles {
   /** S5 at scale — the same file-per-atom layout written from the
     * EXECUTORS: nodes cogroup with their out-edges on the key (one
     * co-partitioned shuffle), each partition renders and writes its own
-    * atoms, and the driver never materializes the graph. Tasks write
-    * disjoint key-named files, so a retry overwrites only its own
-    * output (idempotent on a posix dir; on an object store the same
-    * layout maps to one PUT per atom). [[save]] keeps the driver-side
-    * form for the reference's interactive-scale usage.
+    * atoms, and the driver never materializes the graph.
+    *
+    * Writes go through the Hadoop `FileSystem` resolved from the
+    * directory URI, so the layout lands on whatever store the cluster
+    * mounts — `file:` for the reference's posix directories, `hdfs:`,
+    * or an `s3a:`-style object store — not just a shared local mount
+    * (the earlier `java.nio` writer was single-node-only). Each atom is
+    * written to a task-attempt-suffixed temp name and renamed into
+    * place: concurrent speculative attempts never collide on the temp
+    * (attempt id is unique), and the delete+rename publish is
+    * idempotent because the bytes are deterministic (adjacency sorted)
+    * — a retry republishes identical content. On object stores rename
+    * degrades to copy+delete of ONE small atom, preserving the
+    * one-PUT-per-atom cost shape. The driver's Hadoop configuration
+    * ships to executors as its effective key/value map (credentials,
+    * endpoints, and filesystem impls ride along). [[save]] keeps the
+    * driver-side form for the reference's interactive-scale usage.
     */
   def saveDistributed(g: GraphState, dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
     val spark = g.nodes.sparkSession
     import spark.implicits._
+    // Configuration is not serializable; its effective entries are
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val confB = spark.sparkContext.broadcast(confEntries)
+    val dirStr = dir
+    locally {
+      val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+      val p = new Path(dirStr)
+      p.getFileSystem(conf).mkdirs(p)
+    }
     g.nodes.groupByKey(_.key)
       .cogroup(g.edges.groupByKey(_.src)) { (_, ns, es) =>
         // deterministic adjacency order so the written bytes are stable
@@ -154,9 +181,21 @@ object AtomFiles {
         ns.map(n => (n.key, renderAtom(n, adj)))
       }
       .foreachPartition { (it: Iterator[(String, String)]) =>
+        val conf = new Configuration(false)
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
+        val dirPath = new Path(dirStr)
+        val fs = dirPath.getFileSystem(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         it.foreach { case (key, json) =>
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(dir, s"atom-${fileSafe(key)}.json"), json)
+          val dst = new Path(dirPath, s"atom-${fileSafe(key)}.json")
+          val tmp = new Path(dirPath, s".atom-${fileSafe(key)}.json.$attempt.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"atom publish failed: $tmp -> $dst")
         }
       }
   }

@@ -78,5 +78,21 @@ class AtomFilesSpec extends SparkSpec {
     // save() groups adjacency in collect order; with the deterministic
     // two-edge atom sorted identically the bytes must match exactly
     f1.foreach { case (name, body) => assert(f2(name) == body, s"file $name differs") }
+
+    // and the writer resolves an explicit Hadoop filesystem URI (the
+    // object-store path: scheme routing, create-temp-rename publish) —
+    // `file:` is the scheme-qualified Hadoop FS the test rig has
+    val d3 = java.nio.file.Files.createTempDirectory("graft-atoms-uri").toString
+    AtomFiles.saveDistributed(g, s"file:$d3")
+    val f3 = new java.io.File(d3).listFiles().filter(_.getName.startsWith("atom-"))
+      .map(f => f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+    assert(f3 == f1)
+    // re-publish over existing files must be idempotent (retry semantics)
+    AtomFiles.saveDistributed(g, s"file:$d3")
+    val f3b = new java.io.File(d3).listFiles().filter(_.getName.startsWith("atom-"))
+      .map(f => f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+    assert(f3b == f1)
+    // no temp droppings left behind
+    assert(!new java.io.File(d3).listFiles().exists(_.getName.endsWith(".tmp")))
   }
 }
