@@ -32,25 +32,84 @@ object Multimodal {
     }
   }
 
-  /** STUB decode + feature extraction. A real implementation would replace
-    * the body of `decodeOne` with an actual codec (e.g. ImageIO) — the
-    * batching/partitioning contract stays identical.
+  /** What a decoder recovers from one payload: pixel (or sample)
+    * dimensions and a brightness statistic on the 0–255 scale.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  final case class DecodedMedia(width: Int, height: Int, brightness: Double)
+
+  /** The init-once decoder contract: the OUTER thunk runs once per
+    * partition (native context, codec tables, scratch buffers); the
+    * inner function runs per row in the partition's tight loop. This is
+    * the seam a real codec plugs into — the operator, schema, and
+    * batching do not change (MultimodalSpec proves it by running a real
+    * `javax.imageio` PNG/JPEG decoder through the same path the oracle
+    * queries run the stub through).
+    */
+  type DecoderInit = () => MediaRow => DecodedMedia
+
+  /** STUB decoder — deterministic fake for oracle-checked queries:
+    * "brightness" is the mean raw byte value, dimensions echo the
+    * metadata. SQL-replayable, needs no codec.
+    */
+  val stubDecoder: DecoderInit = () => { r =>
+    val bytes = r.content
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    DecodedMedia(r.meta_width, r.meta_height,
+      math.round(sum.toDouble / math.max(bytes.length, 1) * 10000d) / 10000d)
+  }
+
+  /** REAL image decoder on the JDK's built-in `javax.imageio` (PNG,
+    * JPEG, BMP, GIF — part of `java.desktop`, headless-safe): true
+    * pixel dimensions and mean gray level (mean over pixels of
+    * (r+g+b)/3, rounded to 4 dp — the same 0–255 scale as the stub).
+    * Init-once disables ImageIO's temp-file cache (per-partition, not
+    * per-row); decode failures surface as a loud exception with the
+    * media id, never a silent wrong row.
+    */
+  val imageIoDecoder: DecoderInit = () => {
+    javax.imageio.ImageIO.setUseCache(false) // once per partition
+    r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"media_id=${r.media_id}: payload is not a decodable image")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(img.getWidth.toLong * img.getHeight, 1L)
+      DecodedMedia(img.getWidth, img.getHeight,
+        math.round(sum.toDouble / (3L * n) * 10000d) / 10000d)
+  }
+
+  /** Decode + feature extraction with a pluggable [[DecoderInit]]:
+    * raw-byte features (length, CRC) come from the operator, decoded
+    * features (dimensions, brightness) from the decoder. Default is the
+    * [[stubDecoder]] (the oracle-checked deterministic fake); swap in
+    * [[imageIoDecoder]] — or a native codec — without touching the
+    * operator.
+    */
+  def extractFeatures(media: Dataset[MediaRow],
+                      decoder: DecoderInit = stubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup (a real decoder would init its native context here, once)
+      val decode = decoder() // per-partition init, once
       rows.map { r =>
         val bytes = r.content
-        var sum = 0L
-        var i = 0
-        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-        // STUB: "brightness" = mean byte value; real decode goes here.
+        val d = decode(r)
         val crc = new java.util.zip.CRC32()
         crc.update(bytes)
-        MediaFeatures(r.media_id, r.kind, bytes.length, r.meta_width, r.meta_height,
-          crc.getValue,
-          math.round(sum.toDouble / math.max(bytes.length, 1) * 10000d) / 10000d)
+        MediaFeatures(r.media_id, r.kind, bytes.length, d.width, d.height,
+          crc.getValue, d.brightness)
       }
     }
   }
