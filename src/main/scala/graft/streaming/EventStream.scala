@@ -346,7 +346,7 @@ object EventStream {
     * rows only emit when the watermark passes them needs the far-future
     * sentinel to fire). Returns the staged directory + source schema.
     */
-  private def stagedEventsWithSentinel(
+  private[streaming] def stagedEventsWithSentinel(
       spark: SparkSession, sfDir: String
   ): (java.io.File, org.apache.spark.sql.types.StructType) = {
     // ---- stage <events, sentinel> with strictly increasing mtimes.

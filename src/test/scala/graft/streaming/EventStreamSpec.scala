@@ -99,6 +99,65 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.map(t => t._2).sum == v.count())
   }
 
+  test("availableNow twin: two production-style runs over one checkpoint drain the left-outer join identically") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the production trigger path: each run is Trigger.AvailableNow over
+    // whatever files exist, state carries across runs via the
+    // checkpoint, and NO in-run drain sentinel exists — the next run's
+    // naturally-later data advances the watermark and evicts held state
+    // (exactly how a periodic batch-of-streams job drains in
+    // production). The staged per-type far-future file stands in for
+    // "the next day's arrivals".
+    val (staged, schema) = EventStream.stagedEventsWithSentinel(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-an-src").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft-an-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-an-ckpt").toString
+    def stage(name: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(staged, name).toPath,
+        new java.io.File(dir, name).toPath)
+    def runOnce(): Unit = {
+      val base = TpchGraph.normalizeTs(
+        spark.readStream.schema(schema).parquet(dir.getAbsolutePath))
+        .withWatermark("ts", "0 seconds")
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("value"))
+      val q = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("interval 10 minutes"),
+          "left_outer")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage("00_events.parquet")
+    runOnce() // run 1: events only — sentinel-free, like production
+    stage("01_sentinel.parquet")
+    runOnce() // run 2: picks up ONLY the new file from the checkpoint
+    val drained = spark.read.parquet(out)
+      .filter(col("v_user") >= 0) // the stand-in rows' own join output
+      .groupBy(date_format(col("view_ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("purchase_ts"))).as("n_unmatched"),
+        coalesce(sum(round(col("value") * 1000).cast("long")), lit(0L))
+          .as("sum_value_milli"))
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val viaSentinelHarness = EventStream.runIntervalLeftJoinStream(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(drained == viaSentinelHarness && drained.nonEmpty)
+    assert(drained.map(_._4).sum > 0) // unmatched rows drained across runs
+  }
+
   test("stream-static enrichment join equals the batch join and stays stateless") {
     val streamed = EventStream.runStreamStaticJoin(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
