@@ -18,32 +18,37 @@ import org.apache.spark.sql.SparkSession
   * run-to-run noise at sf0.1 is up to 8× on a single query (BENCH_r03 vs
   * r04 on identical code), so single-shot numbers cannot adjudicate a 2×
   * performance gate; min-of-2 strips the worst of the scheduling/GC noise
-  * while keeping the bench under the driver's time budget.
+  * while keeping the bench under the driver's time budget. BENCH_FULL
+  * additionally records each query's max/min "spread" (the contention
+  * signal), and SPARK_GRAFT_RECYCLE isolates a named query family in its
+  * own SparkContext for long batch sweeps.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/executor/codegen bootstrap so fixed engine-warmup cost
-    // isn't charged to whichever query happens to run first: exercise the
-    // heavy codegen shapes (shuffle join, hash agg, window, exchange) on
-    // tiny synthetic data — the SF-dir parquet is deliberately NOT
-    // touched, so measured scan/IO work stays honest
-    locally {
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // absorb JVM/executor/codegen bootstrap so fixed engine-warmup cost
+      // isn't charged to whichever query happens to run first: exercise the
+      // heavy codegen shapes (shuffle join, hash agg, window, exchange) on
+      // tiny synthetic data — the SF-dir parquet is deliberately NOT
+      // touched, so measured scan/IO work stays honest
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      val a = spark.range(1000).select(col("id"), (col("id") % 7).as("g"))
+      val a = s.range(1000).select(col("id"), (col("id") % 7).as("g"))
       a.join(a.withColumnRenamed("id", "id2"), "g")
         .groupBy("g").agg(count(lit(1)), sum("id"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("g")).orderBy(col("g"))))
         .filter(col("rn") >= 0).count()
+      s
     }
+    var spark = newSession()
     // sorted order keeps per-query attribution stable across rounds
     // (shared-cache materialization always lands on the same first query).
     // The noop sink forces FULL execution — count() would let Catalyst
@@ -70,7 +75,26 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .filter { case (name, _) => !skip.exists(_.exists(name.startsWith)) }
+    // SPARK_GRAFT_RECYCLE=g18,g36,g43,g5 — recycle the SparkContext at
+    // every boundary where a query enters or leaves the named family.
+    // Long single-JVM all-heavy batches degrade tail queries via block
+    // manager / GC accumulation (BENCH_NOTES: g50 10→55 s at sf1.0);
+    // isolating the heavy-graph family in its own context bounds that
+    // cross-talk without perturbing what each query measures. The
+    // process-global graph caches are session-validated, so they
+    // rebuild cleanly in the fresh context (their build cost lands on
+    // the family's first query, same as a cold batch).
+    val recycle = sys.env.get("SPARK_GRAFT_RECYCLE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
+    def inRecycleGroup(name: String) = recycle.exists(name.startsWith)
+    var prevInGroup = false
     val results = selected.map { case (name, fn) =>
+      if (recycle.nonEmpty && inRecycleGroup(name) != prevInGroup) {
+        System.err.println(s"[bench] recycling SparkContext at $name")
+        spark.stop()
+        spark = newSession()
+      }
+      prevInGroup = inRecycleGroup(name)
       val r1 = once(name, fn)
       val r2 = if (r1 < 0) -1.0 else once(name, fn)
       val best = if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2)
@@ -78,9 +102,13 @@ object Bench {
       (name, best, r1, r2)
     }
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // full-fidelity record, immune to the stdout tail window
+    // full-fidelity record, immune to the stdout tail window. "spread" =
+    // max/min of the two runs — the per-query variance signal that
+    // separates a real regression from scheduling/GC noise (a 2× spread
+    // means the min is the honest number and the max is contention)
     val fullQs = results.map { case (name, best, r1, r2) =>
-      s""""$name":{"min":${f3(best)},"runs":[${f3(r1)},${f3(r2)}]}"""
+      val spread = if (best <= 0) -1.0 else math.max(r1, r2) / best
+      s""""$name":{"min":${f3(best)},"runs":[${f3(r1)},${f3(r2)}],"spread":${f3(spread)}}"""
     }.mkString("{", ",", "}")
     // failed queries report -1 per query but must not SUBTRACT from the
     // total — a run with failures may never look faster than a clean one
