@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Layout, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, Sketch, TextOps}
+import graft.pipeline.Cdc
 import graft.sources.TpchGraph
 import graft.sources.TpchGraph.table
 import graft.streaming.EventStream
@@ -161,6 +162,47 @@ object PipelineQueries {
   /** DuckDB double-list literal, e.g. `[0.1, -0.2]::DOUBLE[]`. */
   private def doubleList(xs: Seq[Double]): String =
     xs.mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** p131/p132 shared change feed: the documents table as a versioned
+    * CDC stream — v0 base upserts for every doc, v1 re-crawl upserts
+    * (every 4th doc, text suffixed), v2 takedown tombstones (every
+    * 17th), v3 post-takedown re-crawls (every 34th — resurrection).
+    * Deterministic from doc_id, so the oracle rebuilds it in SQL.
+    */
+  private def cdcFeed(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      lit(0L).as("version"), lit("upsert").as("op"))
+    val recrawl = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [recrawl]")).as("text"),
+        lit(1L).as("version"), lit("upsert").as("op"))
+    val takedown = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), lit("").as("text"),
+        lit(2L).as("version"), lit("delete").as("op"))
+    val restore = docs.filter(col("doc_id") % 34 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [restored]")).as("text"),
+        lit(3L).as("version"), lit("upsert").as("op"))
+    base.unionByName(recrawl).unionByName(takedown).unionByName(restore)
+  }
+
+  /** p131/p132 shared oracle: rebuild the deterministic feed, pick the
+    * per-key winner by (version, tombstone-rank), drop tombstones.
+    */
+  private val cdcOracle: String = """
+        WITH feed AS (
+          SELECT doc_id, text, 0 AS version, 'upsert' AS op FROM documents
+          UNION ALL
+          SELECT doc_id, text || ' [recrawl]', 1, 'upsert' FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id, '', 2, 'delete' FROM documents WHERE doc_id % 17 = 0
+          UNION ALL
+          SELECT doc_id, text || ' [restored]', 3, 'upsert' FROM documents WHERE doc_id % 34 = 0),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY version DESC,
+                         CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC) AS rn
+              FROM feed)
+        SELECT doc_id, CAST(version AS BIGINT) AS version,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM r WHERE rn = 1 AND op <> 'delete' ORDER BY doc_id"""
 
   /** DuckDB replica of p130 — the dedup endgame at the CORPUS-DERIVED
     * sign-LSH config (the operator default): blocking → inline cosine
@@ -4614,6 +4656,70 @@ object PipelineQueries {
         "sized), and the within-class token curve is linear so the " +
         "boundary resolves in closed integer form. Zipf in one query, " +
         "exact"),
+
+    Q("p131_cdc_compaction",
+      (s, d) => {
+        // standing-corpus CDC: the documents table as a versioned change
+        // feed — re-crawled docs (every 4th) arrive as v1 upserts,
+        // takedowns (every 17th) as v2 tombstones, and a recrawl AFTER
+        // takedown (every 34th) as a v3 upsert that resurrects the doc.
+        // Compaction is one map-side-combined max_by aggregation per key
+        // (no window, no sort, no join) and the aggregate is associative
+        // + idempotent, so p132's wave-merged incremental store must
+        // reproduce this byte for byte.
+        val docs = table(s, d, "documents")
+        Cdc.compact(cdcFeed(docs), col("doc_id"), col("version"), col("op"))
+          .select(col("doc_id"), col("version"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(cdcOracle),
+      "pipeline ops — CDC compaction of a standing corpus (merge-into): " +
+        "latest version wins, tombstone removes, later upsert resurrects " +
+        "(takedown-then-recrawl). ONE hash aggregation on the key " +
+        "(max_by over (version, tombstone-rank), map-side combined) — " +
+        "no window, no global sort, no join; the shape that holds at a " +
+        "100 TB corpus with a daily delta"),
+
+    Q("p132_streaming_cdc",
+      (s, d) => {
+        // incremental twin: the feed arrives in three waves and the
+        // standing snapshot is re-compacted as (previous snapshot ∪
+        // delta) — compact is associative + idempotent, so the
+        // maintained snapshot equals p131's one-shot compaction verbatim
+        // (shared oracle). Each refresh touches the delta plus the
+        // (already compacted, one-row-per-key) snapshot, never the full
+        // feed history.
+        val dir = graft.core.TempStores.scratchDir("graft_p132_cdc")
+        val docs = table(s, d, "documents")
+        val feed = cdcFeed(docs)
+        Seq(0, 1, 2).foreach { w =>
+          val delta = feed.filter(col("version") === w ||
+            (col("version") === 3 && lit(w) === 2))
+          // the stored snapshot KEEPS winning tombstones (dropping one
+          // would let a late lower-version upsert resurrect a deleted
+          // key); only the final read filters them
+          val merged =
+            if (w == 0) Cdc.compact(delta, col("doc_id"), col("version"), col("op"),
+              keepTombstones = true)
+            else Cdc.compact(
+              s.read.parquet(s"$dir/v${w - 1}").unionByName(delta),
+              col("doc_id"), col("version"), col("op"), keepTombstones = true)
+          merged.write.mode("overwrite").parquet(s"$dir/v$w")
+        }
+        s.read.parquet(s"$dir/v2")
+          .filter(col("op") =!= "delete")
+          .select(col("doc_id"), col("version"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(cdcOracle),
+      "pipeline ops — INCREMENTAL CDC maintenance: the p131 merge as a " +
+        "wave-refreshed standing snapshot (previous snapshot ∪ delta → " +
+        "recompact). Associativity + idempotence of the max_by " +
+        "aggregate make the maintained snapshot identical to the " +
+        "one-shot compaction — same oracle, the p101/p114 store pattern " +
+        "applied to corpus mutation"),
 
     Q("p130_derived_lsh_endgame",
       (s, d) => {

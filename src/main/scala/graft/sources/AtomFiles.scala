@@ -185,17 +185,50 @@ object AtomFiles {
         confB.value.foreach { case (k, v) => conf.set(k, v) }
         val dirPath = new Path(dirStr)
         val fs = dirPath.getFileSystem(conf)
+        // one metadata-op-per-file matters at millions of atoms: local
+        // .crc sidecar files would DOUBLE the create/rename count (the
+        // atom bytes are deterministic and re-derivable — checksums buy
+        // nothing here), and the publish rename is OPTIMISTIC — try it,
+        // and only on refusal (HDFS-style no-overwrite rename onto a
+        // prior attempt's file) delete and retry. Fresh writes — the
+        // overwhelming case — pay exactly create + write + rename.
+        fs.setWriteChecksum(false)
+        fs.setVerifyChecksum(false)
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
+        // local fast path: for the `file:` scheme the Hadoop stream
+        // stack costs ~4× per tiny file (measured on the g49 roundtrip:
+        // 1.3 s nio vs 5.2 s Hadoop LocalFileSystem at sf0.1); same
+        // temp+rename publish semantics via java.nio with
+        // REPLACE_EXISTING move. Every other scheme takes the generic
+        // FileSystem path.
+        val localRoot: Option[java.nio.file.Path] =
+          if (fs.getScheme == "file")
+            Some(java.nio.file.Paths.get(
+              fs.makeQualified(dirPath).toUri.getPath))
+          else None
         it.foreach { case (key, json) =>
-          val dst = new Path(dirPath, s"atom-${fileSafe(key)}.json")
-          val tmp = new Path(dirPath, s".atom-${fileSafe(key)}.json.$attempt.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          if (fs.exists(dst)) fs.delete(dst, false)
-          if (!fs.rename(tmp, dst))
-            throw new java.io.IOException(s"atom publish failed: $tmp -> $dst")
+          val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val dstName = s"atom-${fileSafe(key)}.json"
+          val tmpName = s".$dstName.$attempt.tmp"
+          localRoot match {
+            case Some(root) =>
+              val tmp = root.resolve(tmpName)
+              java.nio.file.Files.write(tmp, bytes)
+              java.nio.file.Files.move(tmp, root.resolve(dstName),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            case None =>
+              val dst = new Path(dirPath, dstName)
+              val tmp = new Path(dirPath, tmpName)
+              val out = fs.create(tmp, true)
+              try out.write(bytes)
+              finally out.close()
+              if (!fs.rename(tmp, dst)) {
+                fs.delete(dst, false)
+                if (!fs.rename(tmp, dst))
+                  throw new java.io.IOException(s"atom publish failed: $tmp -> $dst")
+              }
+          }
         }
       }
   }
