@@ -121,17 +121,30 @@ object Triangles {
     * Output: one row `(n_edges_sampled, n_triangles_sampled,
     * est_triangles)`.
     */
-  def approxCounts(edges: DataFrame, p: Double = 0.5,
-                   salt: String = "doulion:"): DataFrame = {
+  /** The DOULION coin as its own plan stage: canonicalize to the simple
+    * undirected edge set, then keep each edge iff its deterministic
+    * md5-threshold hash clears `p`. Exposed separately from
+    * [[approxCounts]] so the plan audit can pin the load-bearing shape —
+    * the coin is a per-row `Filter` on the edge derivation itself, below
+    * every wedge join, which is the only place the `p²` wedge-mass saving
+    * can happen (a coin above a pair join would sample the OUTPUT and
+    * save nothing).
+    */
+  def sparsify(edges: DataFrame, p: Double,
+               salt: String = "doulion:"): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"sampling probability in (0,1]: $p")
-    val und = edges
+    edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-    val kept = und.filter(
-      graft.functions.Sampling.hash01(
-        concat(col("u").cast("string"), lit("_"), col("v").cast("string")), salt) < p)
-    counts(kept).select(
+      .filter(
+        graft.functions.Sampling.hash01(
+          concat(col("u").cast("string"), lit("_"), col("v").cast("string")), salt) < p)
+  }
+
+  def approxCounts(edges: DataFrame, p: Double = 0.5,
+                   salt: String = "doulion:"): DataFrame = {
+    counts(sparsify(edges, p, salt)).select(
       col("n_edges").as("n_edges_sampled"),
       col("n_triangles").as("n_triangles_sampled"),
       round(col("n_triangles") / math.pow(p, 3)).cast("long").as("est_triangles"))

@@ -626,4 +626,45 @@ class PlanAuditSpec extends SparkSpec {
     // checkpointed blocks (Scan ExistingRDD), not a re-derived window
     assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
   }
+
+  test("p131 CDC compaction is one max_by aggregate: no window, no join, one hash exchange") {
+    val p = plan("p131_cdc_compaction")
+    // struct-valued max_by compiles to SortAggregate (local sorts only —
+    // the data moves once); the partial_ prefix proves the map-side
+    // combine that makes the winner-per-key linear in CHANGES, not a
+    // per-key window over the whole feed
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly one data exchange (the key hash) + the output ordering's
+    // range exchange — a second hash exchange would mean the winner is
+    // being recomputed
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("g60 DOULION: the sampling coin is a Filter on the edge derivation, below every pair join") {
+    // the census localCheckpoints its canonical edge set, so the final
+    // g60 plan reads ExistingRDD blocks — audit the sparsify stage (the
+    // exact plan the checkpoint job runs) directly
+    val p = graft.plans.Triangles
+      .sparsify(TpchGraph.copurchaseEdges(spark, sf), p = 0.5)
+      .queryExecution.executedPlan.toString
+    // the md5-threshold coin must run where the edges are produced, not
+    // after any wedge join — the p² wedge-mass saving happens only if
+    // candidate wedges are generated from the SPARSIFIED edge set
+    val firstCoin = p.indexOf("conv(substring(md5")
+    assert(firstCoin >= 0, p)
+    // plans print top-down, so "coin below every pair join" means no
+    // join text ahead of the first coin occurrence (the co-purchase
+    // self-join that DERIVES the edges legitimately sits below it)
+    assert(!p.substring(0, firstCoin).contains("HashJoin") &&
+      !p.substring(0, firstCoin).contains("SortMergeJoin"),
+      s"coin filter must not sit above a pair join\n$p")
+  }
+
+  test("g60 census on the sparsified graph: equi-joins only, 1x1 scalar combine is the sole nested loop") {
+    val p = plan("g60_approx_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
 }
