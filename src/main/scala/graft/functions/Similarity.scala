@@ -387,4 +387,51 @@ object Similarity {
     while (planes > 1 && tablesFor(planes) > maxTables) planes -= 1
     (planes, math.min(maxTables, tablesFor(planes)))
   }
+
+  /** Reciprocal-rank fusion of ranked retrieval legs — the standard
+    * hybrid-retrieval combiner (Cormack, Clarke & Buettcher, SIGIR '09):
+    * each leg contributes `1 / (rrfK + rank)` for the ids it returned,
+    * and the fused score is the sum across legs. Rank-based fusion
+    * needs no score calibration between legs, which is exactly why it is
+    * the default way to merge a lexical (BM25) and a dense (embedding)
+    * retriever over the same corpus.
+    *
+    * Each leg is `(name, df)` where `df` has two columns `(id, score)`
+    * and is ALREADY top-k bounded by its retriever (BM25 / ANN top-k) —
+    * so the per-leg rank window runs over ≤ k rows, the pinned
+    * bounded-post-aggregate class, and the fold of full-outer joins is
+    * k-row × k-row: at 100 TB the corpus-sized work lives entirely in
+    * the legs, never here. Ranks break ties by id (the engine-portable
+    * convention used by every top-k in this library), and the fused sum
+    * is a FIXED left-to-right expression tree over the legs — IEEE
+    * addition order is compile-time pinned, so a SQL oracle replays it
+    * bit for bit (a groupBy-sum over a union of legs would instead add
+    * in partition order, which no oracle can promise to reproduce).
+    *
+    * Output: `(id, rank_<name>... , rrf)` — per-leg ranks are null for
+    * ids a leg did not return — ordered by `(rrf desc, id)`, top `topK`.
+    */
+  def rrfFuse(legs: Seq[(String, DataFrame)], rrfK: Int = 60, topK: Int = 10,
+              roundTo: Int = 6): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    require(rrfK >= 1 && topK >= 1, s"positive rrfK/topK: $rrfK/$topK")
+    val names = legs.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate leg names: $names")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = legs.map { case (name, df) =>
+      require(df.columns.length == 2, s"leg '$name' must be (id, score)")
+      val Array(idC, scoreC) = df.columns
+      df.select(col(idC).as("id"),
+        row_number().over(Window.orderBy(col(scoreC).desc, col(idC)))
+          .cast("long").as(s"rank_$name"))
+    }
+    val joined = ranked.reduceLeft((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = names.map(n =>
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(s"rank_$n")), lit(0.0)))
+      .reduceLeft(_ + _)
+    joined.select(col("id") +: names.map(n => col(s"rank_$n")) :+
+        round(rrf, roundTo).as("rrf"): _*)
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
 }

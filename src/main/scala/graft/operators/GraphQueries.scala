@@ -133,6 +133,57 @@ object GraphQueries {
     * support ≥ k−2. Rounds past convergence are exact no-ops, matching
     * the Spark loop's repeated fixpoint rows.
     */
+  /** g61 oracle: `rounds`-deep unrolled Luby MIS over the co-purchase
+    * graph. Per round: each active vertex compares its packed priority
+    * (28-bit md5 hash · 2³¹ + id — integer-total order, so a plain
+    * `min()` is the neighborhood comparison) against the minimum over
+    * its active neighbors; winners (and neighborless actives) select,
+    * the selected set plus its neighborhood retires. Counts are exact
+    * integers, and an empty active set unrolls to the same zero rows
+    * the early-exiting Spark loop emits.
+    */
+  private def misOracle(rounds: Int): String = {
+    val rnds = (1 to rounds).map { i =>
+      s"""nm$i AS (SELECT e.x, min(p.pk) AS npk
+              FROM ed${i - 1} e JOIN pri p ON p.x = e.y GROUP BY 1),
+        sel$i AS MATERIALIZED (
+          SELECT v.x FROM act${i - 1} v
+          JOIN pri p ON p.x = v.x
+          LEFT JOIN nm$i n ON n.x = v.x
+          WHERE n.npk IS NULL OR p.pk < n.npk),
+        ret$i AS (SELECT DISTINCT e.y AS x
+                  FROM ed${i - 1} e JOIN sel$i s ON s.x = e.x),
+        act$i AS MATERIALIZED (
+          SELECT a.x FROM act${i - 1} a
+          LEFT JOIN sel$i s ON s.x = a.x
+          LEFT JOIN ret$i r ON r.x = a.x
+          WHERE s.x IS NULL AND r.x IS NULL),
+        ed$i AS MATERIALIZED (
+          SELECT e.x, e.y FROM ed${i - 1} e
+          JOIN act$i a ON a.x = e.x JOIN act$i b ON b.x = e.y),
+        t$i AS (SELECT $i AS round,
+                       (SELECT count(*) FROM sel$i) AS n_selected,
+                       (SELECT count(*) FROM act$i) AS n_remaining)"""
+    }.mkString(",\n        ")
+    val unioned = (1 to rounds).map(i => s"SELECT * FROM t$i").mkString("\n        UNION ALL ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        ed0 AS MATERIALIZED (SELECT u AS x, v AS y FROM e0
+               UNION ALL SELECT v AS x, u AS y FROM e0),
+        act0 AS MATERIALIZED (SELECT DISTINCT x FROM ed0),
+        pri AS MATERIALIZED (
+          SELECT x, ('0x' || substring(md5('mis:' || CAST(x AS VARCHAR)), 1, 7))::BIGINT
+                      * 2147483648 + x AS pk
+          FROM act0),
+        $rnds
+        SELECT CAST(round AS INT) AS round,
+               CAST(n_selected AS BIGINT) AS n_selected,
+               CAST(n_remaining AS BIGINT) AS n_remaining
+        FROM ($unioned) ORDER BY round"""
+  }
+
   private def ktrussOracle(k: Int, rounds: Int): String = {
     val minSup = k - 2
     val rnds = (1 to rounds).map { i =>
@@ -2070,6 +2121,23 @@ object GraphQueries {
         "sf2.0): wedge mass drops by p², the estimate is unbiased with " +
         "error O(1/√(p³·T)), and the dyadic p makes the 8× scale-up " +
         "float-exact — so the DuckDB oracle replays sample and estimate " +
-        "bit for bit")
+        "bit for bit"),
+
+    Q("g61_luby_mis",
+      (s, d) => graft.plans.Mis.trajectory(
+        TpchGraph.copurchaseEdges(s, d), maxRounds = 3),
+      Some(misOracle(rounds = 3)),
+      "graph analytics — Luby maximal-independent-set rounds on the " +
+        "co-purchase graph: the distributed symmetry-breaking primitive " +
+        "(parallel greedy coloring, conflict-free updates, landmark " +
+        "selection). Per round each active vertex compares a " +
+        "DETERMINISTIC packed priority (28-bit md5 hash · 2³¹ + id — " +
+        "integer-total order, plain min() is the neighborhood " +
+        "comparison) against its active neighbors' minimum; winners " +
+        "select, closed neighborhoods retire, the active edge set " +
+        "halves in expectation per round. Trajectory rows (round, " +
+        "n_selected, n_remaining) are exact integers; converged rounds " +
+        "repeat the fixpoint so the fixed-depth oracle unroll matches " +
+        "the early-exiting loop")
   )
 }

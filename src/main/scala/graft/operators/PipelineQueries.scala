@@ -4760,6 +4760,104 @@ object PipelineQueries {
         "collapse to one keeper per cluster. The oracle re-derives the " +
         "config from count(*) in SQL and replays the seeded plane " +
         "constants spliced at Verify time (DerivedLshGolden), so both " +
-        "the derivation and the pair set are hash-gated")
+        "the derivation and the pair set are hash-gated"),
+
+    Q("p133_hybrid_rrf",
+      (s, d) => {
+        // hybrid retrieval: a lexical leg (BM25 over documents) and a
+        // dense leg (cosine over the 1:1-aligned embeddings) fused by
+        // reciprocal-rank fusion — the rank-based combiner that needs
+        // no score calibration between legs. Both legs are top-20
+        // bounded by their retrievers, so the fusion's rank windows and
+        // full-outer join run over ≤ 20 rows each (the pinned
+        // bounded-post-aggregate class); corpus-sized work lives
+        // entirely inside the legs
+        val docs = table(s, d, "documents")
+        val emb = table(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        val lex = Corpus.bm25(docs, col("doc_id"), col("text"),
+          terms = Seq("spark", "vector", "stream"), k1 = 1.2, b = 0.75, topK = 20)
+        val dense = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"),
+          query, k = 20)
+        Similarity.rrfFuse(Seq("bm25" -> lex, "dense" -> dense),
+          rrfK = 60, topK = 10)
+      },
+      Some(s"""
+        WITH lex AS (${bm25Oracle(Seq("spark", "vector", "stream"),
+                                  k1 = 1.2, b = 0.75, topK = 20)}),
+        den AS (
+          SELECT vec_id AS id,
+                 round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 0)), 6) AS cos
+          FROM embeddings ORDER BY cos DESC, id LIMIT 20),
+        lr AS (SELECT doc_id AS id,
+                      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                        AS rank_bm25 FROM lex),
+        dr AS (SELECT id,
+                      CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT)
+                        AS rank_dense FROM den)
+        SELECT coalesce(lr.id, dr.id) AS id, rank_bm25, rank_dense,
+               round(coalesce(1.0 / (60 + rank_bm25), 0.0)
+                     + coalesce(1.0 / (60 + rank_dense), 0.0), 6) AS rrf
+        FROM lr FULL OUTER JOIN dr ON lr.id = dr.id
+        ORDER BY rrf DESC, id LIMIT 10"""),
+      "retrieval — HYBRID lexical+dense ranking via reciprocal-rank " +
+        "fusion (1/(60+rank) per leg, summed in a fixed expression " +
+        "tree so IEEE addition order is compile-time pinned and the " +
+        "oracle replays it exactly). The missing third member of the " +
+        "retrieval family next to BM25 (p27/p96) and dense ANN " +
+        "(p09–p16): rank fusion needs no cross-leg score calibration, " +
+        "which is why production RAG stacks default to it"),
+
+    Q("p134_matryoshka_recall",
+      (s, d) => {
+        // matryoshka-truncation audit: how much exact-top-k recall
+        // survives truncating embeddings to their 16-dim prefix
+        // (cosine renormalizes, so truncate-and-renormalize is just
+        // cosine over the slice). The 4× cheaper scan+store is the
+        // production first-stage at 100 TB — this query measures, not
+        // guesses, what that costs in recall, the same in-engine audit
+        // posture as p91/p94. Both paths are deterministic (rounded
+        // cosines, id tie-breaks) so recall is an exact integer.
+        val emb = table(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 3)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        val full = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"),
+          query, k = 10).select(col("id"))
+        val trunc = Similarity.cosineTopK(emb, col("vec_id"),
+          slice(col("embedding"), 1, 16), query.take(16), k = 10).select(col("id"))
+        full.join(trunc, "id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(64).as("d_full"), lit(16).as("d_trunc"), col("n_hits"),
+            (col("n_hits") * 100000L).as("recall_micro"))
+      },
+      Some("""
+        WITH fulltk AS (
+          SELECT vec_id AS id FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 3)), 6) AS cos
+            FROM embeddings) ORDER BY cos DESC, id LIMIT 10),
+        trunctk AS (
+          SELECT vec_id AS id FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity((CAST(embedding AS DOUBLE[]))[1:16],
+                     (SELECT (CAST(embedding AS DOUBLE[]))[1:16] FROM embeddings
+                      WHERE vec_id = 3)), 6) AS cos
+            FROM embeddings) ORDER BY cos DESC, id LIMIT 10)
+        SELECT CAST(64 AS INT) AS d_full, CAST(16 AS INT) AS d_trunc,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(*) * 100000 AS BIGINT) AS recall_micro
+        FROM fulltk JOIN trunctk USING (id)"""),
+      "similarity — matryoshka-truncation recall audit: exact top-10 " +
+        "over the 16-dim embedding prefix vs the full 64 dims, recall " +
+        "as an exact integer. The in-engine measurement behind the " +
+        "standard 100 TB two-stage ANN layout (truncated prefix store " +
+        "for candidate generation, full vectors only for re-ranking)")
   )
 }

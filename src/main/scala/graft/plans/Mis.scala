@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Luby's maximal-independent-set rounds (Luby, "A Simple Parallel
+  * Algorithm for the Maximal Independent Set Problem", SICOMP '86) —
+  * the distributed symmetry-breaking primitive behind parallel greedy
+  * coloring, conflict-free parallel updates, and landmark selection on
+  * graphs. Each round every active vertex whose PRIORITY beats all of
+  * its active neighbors joins the set; selected vertices and their
+  * neighborhoods retire, and the residual graph recurses. With random
+  * priorities the active edge set halves in expectation per round, so
+  * the loop is O(log n) rounds of pure hash joins and map-side-combined
+  * aggregates — no per-vertex sequential dependency anywhere.
+  *
+  * The priority is DETERMINISTIC: the p21 split-column md5-threshold
+  * hash of the vertex id, packed with the id itself into one long
+  * (`h·2³¹ + id`, `h` the 28-bit hash) so the order is total even on
+  * hash collisions and a plain integer `min()` — exact on every engine
+  * — is the neighborhood comparison. A DuckDB oracle therefore replays
+  * every round bit for bit. The packed key needs `0 ≤ id < 2³¹`
+  * (checked); a deployment with wider ids swaps the packed long for a
+  * `min(struct(h, id))` — the Spark plan is otherwise unchanged.
+  *
+  * A round that leaves no active vertices has converged; remaining
+  * trajectory rows repeat the fixpoint zeros, so a fixed-depth unrolled
+  * oracle matches the early-exiting loop (the KTruss convention).
+  *
+  * Output: the trajectory `(round, n_selected, n_remaining)` — vertices
+  * selected this round and vertices still active after removing the
+  * selected set and its neighborhood; `maxRounds` rows. Totals are
+  * exact integers.
+  */
+object Mis {
+
+  /** The per-round neighborhood-minimum stage: one hash equi-join of
+    * the active adjacency against priorities, then a map-side-combined
+    * `min` per vertex. Exposed (package-private) so PlanAuditSpec can
+    * pin the exact plan the loop runs — the trajectory output itself
+    * is a collected LocalTableScan and pins nothing.
+    */
+  private[graft] def neighborhoodMin(adj: DataFrame, active: DataFrame): DataFrame =
+    adj.join(active.select(col("x").as("y"), col("pk").as("ypk")), "y")
+      .groupBy("x").agg(min(col("ypk")).as("npk"))
+
+  /** `edges` in any orientation (canonicalized + deduped internally;
+    * self-loops dropped). Isolated-by-attrition vertices (all
+    * neighbors retired) select trivially on their next round — the
+    * neighborhood minimum over an empty set is "no constraint".
+    */
+  def trajectory(edges: DataFrame, maxRounds: Int,
+                 salt: String = "mis:"): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val und = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    // both directions: one row per (vertex, neighbor) — the shape the
+    // per-vertex neighborhood minimum aggregates over
+    var adj = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+      .localCheckpoint(eager = false)
+
+    // packed priority h·2³¹ + id: 28-bit md5 hash in the high bits, id
+    // below — integer-total order, collision-proof, oracle-replayable
+    def packedPriority(id: org.apache.spark.sql.Column) = {
+      val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 7), 16, 10)
+        .cast("long")
+      h * lit(1L << 31) + id.cast("long")
+    }
+    var active = adj.select(col("x")).distinct()
+      .select(col("x"), packedPriority(col("x")).as("pk"))
+      .localCheckpoint(eager = false)
+    require(active.filter(col("x") < 0 || col("x") >= (1L << 31)).isEmpty,
+      "packed MIS priority needs vertex ids in [0, 2^31)")
+
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var remaining = active.count()
+    var round = 0
+    while (round < maxRounds) {
+      round += 1
+      if (remaining == 0L) {
+        rows += ((round, 0L, 0L)) // fixpoint — matches the oracle's no-op unroll
+      } else {
+        // neighborhood minimum per active vertex: one hash join of the
+        // active adjacency against priorities + a map-side-combined min
+        val nbrMin = neighborhoodMin(adj, active)
+        val selected = active.join(nbrMin, Seq("x"), "left")
+          .filter(col("npk").isNull || col("pk") < col("npk"))
+          .select("x")
+          .localCheckpoint(eager = false)
+        // retire the selected set and its whole neighborhood
+        val retiredNbrs = adj
+          .join(selected, "x")
+          .select(col("y").as("x")).distinct()
+        val nextActive = active
+          .join(selected, Seq("x"), "left_anti")
+          .join(retiredNbrs, Seq("x"), "left_anti")
+          .localCheckpoint(eager = false)
+        val nSelected = selected.count()
+        val nRemaining = nextActive.count()
+        rows += ((round, nSelected, nRemaining))
+        // residual adjacency: both endpoints still active
+        adj = adj
+          .join(nextActive.select("x"), "x")
+          .join(nextActive.select(col("x").as("y")), "y")
+          .select("x", "y")
+          .localCheckpoint(eager = false)
+        active = nextActive
+        remaining = nRemaining
+      }
+    }
+    rows.toSeq.toDF("round", "n_selected", "n_remaining")
+  }
+}

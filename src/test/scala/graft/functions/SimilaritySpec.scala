@@ -182,4 +182,44 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
     assert(got == Seq((0, 0, 1L), (0, 1, 1L), (1, 1, 1L)))
   }
+
+  test("rrfFuse: hand-computed two-leg fusion with partial overlap") {
+    import spark.implicits._
+    // leg A ranks: 10 (1), 20 (2), 30 (3); leg B ranks: 20 (1), 40 (2)
+    val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "score")
+    val b = Seq((20L, 5.0), (40L, 4.0)).toDF("id", "score")
+    val got = Similarity.rrfFuse(Seq("a" -> a, "b" -> b), rrfK = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    // 20 is in both legs and must fuse highest; 40 (rank 2 in B, 1/62)
+    // beats 30 (rank 3 in A, 1/63)
+    assert(got.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    assert(got.head === ((20L, Some(2L), Some(1L), r6(1.0 / 62 + 1.0 / 61))))
+    // single-leg ids carry a null rank for the absent leg
+    assert(got(1) === ((10L, Some(1L), None, r6(1.0 / 61))))
+    assert(got(2) === ((40L, None, Some(2L), r6(1.0 / 62))))
+    assert(got(3) === ((30L, Some(3L), None, r6(1.0 / 63))))
+  }
+
+  test("rrfFuse: leg score ties break by id, topK bounds the output") {
+    import spark.implicits._
+    val a = Seq((3L, 1.0), (1L, 1.0), (2L, 1.0)).toDF("id", "score")
+    val got = Similarity.rrfFuse(Seq("only" -> a), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // equal scores rank by ascending id; topK=2 keeps the best two
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("rrfFuse validates its inputs") {
+    import spark.implicits._
+    val ok = Seq((1L, 1.0)).toDF("id", "score")
+    intercept[IllegalArgumentException] { Similarity.rrfFuse(Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq("x" -> ok, "x" -> ok))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq("bad" -> ok.withColumn("extra", lit(1))))
+    }
+  }
 }

@@ -118,10 +118,12 @@ class PlanAuditSpec extends SparkSpec {
     // p128: same strata-sized waterfill windows as p123; p129: the
     // cumulative walk over FREQUENCY-OF-FREQUENCY classes (bounded by
     // distinct frequency values)
+    // p133: rrfFuse's per-leg rank windows run over legs each retriever
+    // already TakeOrdered-bounded to k rows (pinned by the p133 test)
     assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture",
       "p100_dataset_card", "p123_waterfill_budget", "p124_mixture_build",
       "p127_quantile_normalization", "p128_streaming_waterfill",
-      "p129_vocab_coverage"),
+      "p129_vocab_coverage", "p133_hybrid_rrf"),
       offenders.toString)
   }
 
@@ -666,5 +668,50 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("g60_approx_triangles")
     assert(!p.contains("CartesianProduct"), p)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("p133 RRF: both legs are TakeOrdered top-k; the fusion never joins corpus-sized inputs") {
+    val p = plan("p133_hybrid_rrf")
+    // corpus-sized work lives in the legs — each must bound itself with
+    // TakeOrderedAndProject before the fusion's rank windows / full-outer
+    // join ever see a row
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the BM25 leg's 1-row corpus-stats broadcast is the sole permitted
+    // nested-loop combine (the pinned scalar pattern, as in g60)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    // the per-leg rank window runs over a k-row input: every Window in
+    // the plan must sit ABOVE a TakeOrdered (plans print top-down, so
+    // the last Window offset precedes the last TakeOrdered offset)
+    val lastWindow = p.lastIndexOf("Window")
+    assert(lastWindow < p.lastIndexOf("TakeOrderedAndProject"), p)
+  }
+
+  test("p134 matryoshka audit: two TakeOrdered scans, 10-row overlap join broadcasts") {
+    val p = plan("p134_matryoshka_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    // the overlap join of two top-10 id sets must broadcast, not shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("g61 MIS round stage: hash equi-join + map-side-combined min, no cartesian, no window") {
+    import org.apache.spark.sql.functions._
+    // the trajectory output is a collected LocalTableScan — audit the
+    // per-round neighborhood-min stage (the exact plan each round runs)
+    val und = TpchGraph.copurchaseEdges(spark, sf)
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+    val active = adj.select(col("x")).distinct().withColumn("pk", col("x") * 7L)
+    val p = graft.plans.Mis.neighborhoodMin(adj, active)
+      .queryExecution.executedPlan.toString
+    // map-side combine: the min aggregates partially before the key
+    // exchange — the shape that keeps each round one shuffle of the
+    // (halving) active adjacency
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
   }
 }
