@@ -176,4 +176,61 @@ object Clustering {
       .select(col("vec_id"), col("q.code_sum").as("code_sum"),
         col("q.code_checksum").as("code_checksum"), col("q.max_err").as("max_err"))
   }
+
+  /** Driver-side twin of [[graft.functions.expressions.QuantizeOps]]'
+    * per-position code — encodes one (constant) vector, e.g. the query
+    * for [[quantizedDotTopK]], with bit-identical semantics to the
+    * executor path (same `(x − mn)·(255/(mx − mn))` constant-fold order,
+    * same HALF_UP round-6 before the +0.5/floor).
+    */
+  def quantizeVector(v: Seq[Double], bounds: Seq[(Double, Double)]): Seq[Int] = {
+    require(v.length == bounds.length,
+      s"quantizeVector length mismatch: vector ${v.length} vs bounds ${bounds.length}")
+    v.zip(bounds).map { case (x, (mn, mx)) =>
+      if (mx > mn) {
+        val s = 255.0 / (mx - mn)
+        val r = BigDecimal((x - mn) * s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.floor(r + 0.5).toInt
+      } else 0
+    }
+  }
+
+  /** Candidate generation over the int8 scalar-quantized store: top-k by
+    * the INTEGER dot product of the row's codes against a constant
+    * query-code vector. This is the first stage of the two-stage ANN
+    * layout a quantized index serves — scores are exact integers (codes
+    * ≤ 255, so a 64-dim dot fits a long with room to spare), which makes
+    * the ranking a pure function of the input on every engine.
+    *
+    * Scale shape: the score is a FIXED expression tree of per-position
+    * scalar terms (`element_at` + the quantize arithmetic, all codegen —
+    * no higher-order array function in the hot path, the same reason
+    * [[scalarQuantize]] grew a native expression); zero-code query
+    * positions drop out of the tree entirely. One corpus scan, map-side
+    * only, TakeOrdered top-k — the bounds and query codes are a few
+    * hundred bytes of broadcast constants.
+    */
+  def quantizedDotTopK(df: DataFrame, id: Column, vec: Column,
+                       bounds: Seq[(Double, Double)], queryCodes: Seq[Int],
+                       k: Int): DataFrame = {
+    require(queryCodes.length == bounds.length,
+      s"query codes ${queryCodes.length} vs bounds ${bounds.length}")
+    require(k >= 1, s"k must be positive: $k")
+    val terms: Seq[Column] = queryCodes.zipWithIndex.collect {
+      case (qc, i) if qc != 0 =>
+        val (mn, mx) = bounds(i)
+        val code: Column =
+          if (mx > mn) {
+            val s = 255.0 / (mx - mn)
+            floor(round((element_at(vec, i + 1).cast("double") - lit(mn)) * lit(s), 6)
+              + lit(0.5)).cast("long")
+          } else lit(0L)
+        code * lit(qc.toLong)
+    }
+    val score = terms.reduceOption(_ + _).getOrElse(lit(0L))
+    df.select(id.as("id"), score.as("qdot"))
+      .orderBy(col("qdot").desc, col("id"))
+      .limit(k)
+  }
 }

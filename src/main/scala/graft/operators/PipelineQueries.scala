@@ -4858,6 +4858,64 @@ object PipelineQueries {
         "over the 16-dim embedding prefix vs the full 64 dims, recall " +
         "as an exact integer. The in-engine measurement behind the " +
         "standard 100 TB two-stage ANN layout (truncated prefix store " +
-        "for candidate generation, full vectors only for re-ranking)")
+        "for candidate generation, full vectors only for re-ranking)"),
+
+    Q("p135_quantized_recall",
+      (s, d) => {
+        // int8-index recall audit: candidate generation by the INTEGER
+        // dot product of p31's scalar-quantized codes (query encoded
+        // driver-side with the bit-identical twin of the executor
+        // formula) vs the exact-cosine top-10. Completes the two-stage
+        // audit family next to p134's matryoshka truncation: p134
+        // measures what the narrow store costs, this measures what the
+        // 4x-smaller int8 store costs. Integer scores make the
+        // quantized ranking exact on every engine; the overlap count is
+        // an exact integer.
+        val emb = table(s, d, "embeddings")
+        val bounds = Clustering.dimMinMax(emb, col("embedding"))
+        val query = emb.filter(col("vec_id") === 5)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        val qCodes = Clustering.quantizeVector(query, bounds)
+        val quant = Clustering.quantizedDotTopK(emb, col("vec_id"),
+          col("embedding"), bounds, qCodes, k = 10).select("id")
+        val full = Similarity.cosineTopK(emb, col("vec_id"), col("embedding"),
+          query, k = 10).select("id")
+        full.join(quant, "id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(8).as("quant_bits"), lit(10).as("k"), col("n_hits"),
+            (col("n_hits") * 100000L).as("recall_micro"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        x AS (SELECT vec_id, u.i - 1 AS pos, u.v AS val
+              FROM (SELECT vec_id, unnest(list_transform(generate_series(1, len(e)),
+                           i -> {'i': i, 'v': e[i]})) AS u FROM v)),
+        b AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM x GROUP BY 1),
+        c AS (SELECT vec_id, x.pos,
+                     CASE WHEN mx > mn
+                          THEN CAST(floor(round((val - mn) * (255.0 / (mx - mn)), 6) + 0.5) AS BIGINT)
+                          ELSE 0 END AS code
+              FROM x JOIN b USING (pos)),
+        qc AS (SELECT pos, code AS qcode FROM c WHERE vec_id = 5),
+        qd AS (SELECT c.vec_id AS id, CAST(sum(c.code * qc.qcode) AS BIGINT) AS qdot
+               FROM c JOIN qc USING (pos) GROUP BY 1),
+        quanttk AS (SELECT id FROM qd ORDER BY qdot DESC, id LIMIT 10),
+        fulltk AS (SELECT vec_id AS id FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 5)), 6) AS cos
+            FROM embeddings) ORDER BY cos DESC, id LIMIT 10)
+        SELECT CAST(8 AS INT) AS quant_bits, CAST(10 AS INT) AS k,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(*) * 100000 AS BIGINT) AS recall_micro
+        FROM fulltk JOIN quanttk USING (id)"""),
+      "similarity — int8-quantized-search recall audit: top-10 by the " +
+        "INTEGER code dot product over p31's scalar-quantized store vs " +
+        "the exact-cosine top-10, overlap as an exact integer. With " +
+        "p134 this completes the two-stage ANN audit family: what the " +
+        "4x-smaller quantized store costs in first-stage recall, " +
+        "measured in-engine rather than assumed")
   )
 }

@@ -78,4 +78,44 @@ class ClusteringSpec extends SparkSpec {
       Seq(3 -> Seq(1.0, 0.0), 7 -> Seq(1.0, 0.0))).collect()
     assert(out.head.getAs[Int]("cluster") == 3)
   }
+
+  test("quantizeVector matches the executor code formula (QuantizeOps twin)") {
+    val bounds = Seq((0.0, 1.0), (-2.0, 2.0), (5.0, 5.0))
+    // constant dim → code 0; endpoints → 0 and 255; midpoint rounds up
+    assert(Clustering.quantizeVector(Seq(0.0, -2.0, 5.0), bounds) == Seq(0, 0, 0))
+    assert(Clustering.quantizeVector(Seq(1.0, 2.0, 5.0), bounds) == Seq(255, 255, 0))
+    assert(Clustering.quantizeVector(Seq(0.5, 0.0, 5.0), bounds) == Seq(128, 128, 0))
+  }
+
+  test("quantizedDotTopK ranks by the exact integer code dot; ties break by id") {
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)),   // codes (255, 0)   → qdot 255·255 = 65025
+      (1L, Seq(0.0, 1.0)),   // codes (0, 255)   → qdot 0
+      (2L, Seq(0.5, 0.5)),   // codes (128, 128) → qdot 128·255 = 32640
+      (3L, Seq(1.0, 1.0))    // codes (255, 255) → qdot 65025 — ties id 0
+    ).toDF("vec_id", "embedding")
+    val bounds = Seq((0.0, 1.0), (0.0, 1.0))
+    val qCodes = Clustering.quantizeVector(Seq(1.0, 0.0), bounds) // (255, 0)
+    val got = Clustering.quantizedDotTopK(df, col("vec_id"), col("embedding"),
+        bounds, qCodes, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 65025L), (3L, 65025L), (2L, 32640L)))
+  }
+
+  test("quantizedDotTopK drops zero-code query positions and validates shapes") {
+    val df = Seq((0L, Seq(0.3, 0.7))).toDF("vec_id", "embedding")
+    val bounds = Seq((0.0, 1.0), (0.0, 1.0))
+    // all-zero query codes → score collapses to the constant 0
+    val z = Clustering.quantizedDotTopK(df, col("vec_id"), col("embedding"),
+      bounds, Seq(0, 0), k = 1).collect()
+    assert(z.head.getLong(1) == 0L)
+    intercept[IllegalArgumentException] {
+      Clustering.quantizedDotTopK(df, col("vec_id"), col("embedding"),
+        bounds, Seq(1), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.quantizedDotTopK(df, col("vec_id"), col("embedding"),
+        bounds, Seq(1, 1), k = 0)
+    }
+  }
 }

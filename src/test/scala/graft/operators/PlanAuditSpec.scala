@@ -695,6 +695,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("p135 quantized search: map-side codegen score, TakeOrdered candidates, no explode") {
+    val p = plan("p135_quantized_recall")
+    // the integer-dot score must be a per-row scalar expression over the
+    // vector column — a posexplode/higher-order formulation would shuffle
+    // corpus × dim rows
+    assert(!p.contains("Generate"), p)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    // the 10-row overlap join broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("g61 MIS round stage: hash equi-join + map-side-combined min, no cartesian, no window") {
     import org.apache.spark.sql.functions._
     // the trajectory output is a collected LocalTableScan — audit the
