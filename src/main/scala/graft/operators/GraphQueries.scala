@@ -184,6 +184,47 @@ object GraphQueries {
         FROM ($unioned) ORDER BY round"""
   }
 
+  /** g62 oracle: `rounds`-deep unrolled locally-minimal matching over
+    * the co-purchase graph. Per round: an active edge matches iff its
+    * md5-hex priority is the minimum among active edges incident to
+    * EITHER endpoint (full-hex string min — collision-proof and
+    * identically ordered on both engines); matched endpoints retire
+    * every incident edge. Counts are exact integers; an empty edge set
+    * unrolls to the same fixpoint zeros the early-exiting loop emits.
+    */
+  private def matchingOracle(rounds: Int): String = {
+    val rnds = (1 to rounds).map { i =>
+      s"""vm$i AS (SELECT x, min(pe) AS mpe FROM (
+            SELECT u AS x, pe FROM ed${i - 1}
+            UNION ALL SELECT v AS x, pe FROM ed${i - 1}) GROUP BY 1),
+        sel$i AS MATERIALIZED (
+          SELECT e.u, e.v FROM ed${i - 1} e
+          JOIN vm$i a ON a.x = e.u JOIN vm$i b ON b.x = e.v
+          WHERE e.pe = a.mpe AND e.pe = b.mpe),
+        mv$i AS (SELECT u AS x FROM sel$i UNION SELECT v AS x FROM sel$i),
+        ed$i AS MATERIALIZED (
+          SELECT e.u, e.v, e.pe FROM ed${i - 1} e
+          LEFT JOIN mv$i a ON a.x = e.u LEFT JOIN mv$i b ON b.x = e.v
+          WHERE a.x IS NULL AND b.x IS NULL),
+        t$i AS (SELECT $i AS round,
+                       (SELECT count(*) FROM sel$i) AS n_matched,
+                       (SELECT count(*) FROM ed$i) AS n_remaining)"""
+    }.mkString(",\n        ")
+    val unioned = (1 to rounds).map(i => s"SELECT * FROM t$i").mkString("\n        UNION ALL ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        ed0 AS MATERIALIZED (
+          SELECT u, v, md5('match:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pe
+          FROM e0),
+        $rnds
+        SELECT CAST(round AS INT) AS round,
+               CAST(n_matched AS BIGINT) AS n_matched,
+               CAST(n_remaining AS BIGINT) AS n_remaining
+        FROM ($unioned) ORDER BY round"""
+  }
+
   private def ktrussOracle(k: Int, rounds: Int): String = {
     val minSup = k - 2
     val rnds = (1 to rounds).map { i =>
@@ -2138,6 +2179,23 @@ object GraphQueries {
         "halves in expectation per round. Trajectory rows (round, " +
         "n_selected, n_remaining) are exact integers; converged rounds " +
         "repeat the fixpoint so the fixed-depth oracle unroll matches " +
-        "the early-exiting loop")
+        "the early-exiting loop"),
+
+    Q("g62_maximal_matching",
+      (s, d) => graft.plans.Matching.trajectory(
+        TpchGraph.copurchaseEdges(s, d), maxRounds = 3),
+      Some(matchingOracle(rounds = 3)),
+      "graph analytics — greedy maximal matching by locally-minimal-" +
+        "edge rounds on the co-purchase graph: the coarsening primitive " +
+        "of multilevel graph partitioning (matching contracts a 100 TB " +
+        "graph level by level) and the edge dual of g61's MIS. Per " +
+        "round an active edge matches iff its DETERMINISTIC md5-hex " +
+        "priority is the min among edges incident to EITHER endpoint " +
+        "(full-hex string min — collision-proof, identically ordered on " +
+        "every engine); matched endpoints retire their incident edges, " +
+        "a constant fraction of edges drops per round in expectation. " +
+        "Trajectory rows (round, n_matched, n_remaining) are exact " +
+        "integers; converged rounds repeat the fixpoint so the fixed-" +
+        "depth oracle unroll matches the early-exiting loop")
   )
 }

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy maximal matching by locally-minimal-edge rounds (the parallel
+  * "local max/min" matching of Israeli & Itai, Inf. Process. Lett. '86;
+  * the analysis in Blelloch, Fineman & Shun, SPAA '12 gives O(log m)
+  * rounds w.h.p.) — the coarsening primitive of multilevel graph
+  * partitioning (METIS-style matching contracts a 100 TB graph level by
+  * level) and the symmetry-breaking dual of [[Mis]] on edges.
+  *
+  * Each round an active edge joins the matching iff its priority is the
+  * MINIMUM among all active edges incident to either endpoint; matched
+  * endpoints retire and every edge touching them deactivates. A
+  * constant fraction of edges drops per round in expectation, so the
+  * loop is O(log m) rounds of unions, map-side-combined string mins,
+  * and hash joins — no sequential dependency anywhere.
+  *
+  * The priority is the DETERMINISTIC full md5 hex of the canonical edge
+  * (`md5("match:u:v")`): 128 bits make distinct edges' priorities
+  * distinct for every practical purpose (a tie would be an md5
+  * collision), lowercase-hex string order is identical on every engine,
+  * and `min(string)` is exact — so a DuckDB oracle replays each round
+  * bit for bit. (A packed-long priority à la [[Mis]] cannot carry both
+  * endpoints, and a truncated hash with a single-endpoint tie-break can
+  * collide on two edges sharing that endpoint — which would select two
+  * adjacent edges and break the matching invariant.)
+  *
+  * A round that leaves no active edges has converged; remaining
+  * trajectory rows repeat the fixpoint zeros, so a fixed-depth unrolled
+  * oracle matches the early-exiting loop (the [[Mis]]/KTruss convention).
+  *
+  * Output: the trajectory `(round, n_matched, n_remaining)` — edges
+  * matched this round and active edges left after retiring matched
+  * endpoints; `maxRounds` rows. Totals are exact integers.
+  */
+object Matching {
+
+  /** The per-round selection stage: per-vertex minimum over incident
+    * active edges (one union of the two endpoint roles + a map-side-
+    * combined string min), then two hash joins back — an edge matches
+    * iff it is the minimum at BOTH endpoints. Exposed (package-private)
+    * so PlanAuditSpec can pin the exact plan the loop runs — the
+    * trajectory output itself is a collected LocalTableScan.
+    */
+  private[graft] def roundSelect(e: DataFrame): DataFrame = {
+    val inc = e.select(col("u").as("x"), col("pe"))
+      .unionAll(e.select(col("v").as("x"), col("pe")))
+    val vmin = inc.groupBy("x").agg(min(col("pe")).as("mpe"))
+    e.join(vmin.select(col("x").as("u"), col("mpe").as("mu")), "u")
+      .join(vmin.select(col("x").as("v"), col("mpe").as("mv")), "v")
+      .filter(col("pe") === col("mu") && col("pe") === col("mv"))
+      .select(col("u"), col("v"))
+  }
+
+  /** `edges` in any orientation (canonicalized + deduped internally;
+    * self-loops dropped — a self-loop can never be matched).
+    */
+  def trajectory(edges: DataFrame, maxRounds: Int,
+                 salt: String = "match:"): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    var e = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .select(col("u"), col("v"),
+        md5(concat(lit(salt), col("u").cast("string"), lit(":"),
+          col("v").cast("string"))).as("pe"))
+      .localCheckpoint(eager = false)
+
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var remaining = e.count()
+    var round = 0
+    while (round < maxRounds) {
+      round += 1
+      if (remaining == 0L) {
+        rows += ((round, 0L, 0L)) // fixpoint — matches the oracle's no-op unroll
+      } else {
+        val sel = roundSelect(e).localCheckpoint(eager = false)
+        val matchedV = sel.select(col("u").as("x"))
+          .unionAll(sel.select(col("v").as("x"))).distinct()
+        val eNext = e
+          .join(matchedV.select(col("x").as("u")), Seq("u"), "left_anti")
+          .join(matchedV.select(col("x").as("v")), Seq("v"), "left_anti")
+          .select("u", "v", "pe")
+          .localCheckpoint(eager = false)
+        val nSel = sel.count()
+        val nRem = eNext.count()
+        rows += ((round, nSel, nRem))
+        e = eNext
+        remaining = nRem
+      }
+    }
+    rows.toSeq.toDF("round", "n_matched", "n_remaining")
+  }
+}

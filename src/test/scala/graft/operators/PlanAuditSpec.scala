@@ -726,4 +726,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("g62 matching round stage: map-side-combined incident min + hash equi-joins only") {
+    import org.apache.spark.sql.functions._
+    // audit the per-round selection plan (trajectory output is collected)
+    val e = TpchGraph.copurchaseEdges(spark, sf)
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .select(col("u"), col("v"),
+        md5(concat(lit("match:"), col("u").cast("string"), lit(":"),
+          col("v").cast("string"))).as("pe"))
+    val p = graft.plans.Matching.roundSelect(e)
+      .queryExecution.executedPlan.toString
+    // the per-vertex incident min partially aggregates before its key
+    // exchange — one shuffle of the (dropping) edge set per round
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

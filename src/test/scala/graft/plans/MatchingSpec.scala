@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MatchingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The operator's exact edge priority: full md5 hex of "match:u:v". */
+  private def pe(u: Long, v: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"match:$u:$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Sequential reference: round-synchronous locally-minimal matching
+    * with the same priority, trajectory with fixpoint-zero padding.
+    */
+  private def reference(edges: Seq[(Long, Long)], rounds: Int): Seq[(Int, Long, Long)] = {
+    var e = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).distinct
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    for (r <- 1 to rounds) {
+      if (e.isEmpty) out += ((r, 0L, 0L))
+      else {
+        val vmin = (e.map(p => (p._1, pe(p._1, p._2))) ++ e.map(p => (p._2, pe(p._1, p._2))))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+        val sel = e.filter(p => pe(p._1, p._2) == vmin(p._1) && pe(p._1, p._2) == vmin(p._2))
+        val matched = sel.flatMap(p => Seq(p._1, p._2)).toSet
+        e = e.filter(p => !matched(p._1) && !matched(p._2))
+        out += ((r, sel.size.toLong, e.size.toLong))
+      }
+    }
+    out.toSeq
+  }
+
+  private def run(edges: Seq[(Long, Long)], rounds: Int): Seq[(Int, Long, Long)] =
+    Matching.trajectory(edges.toDF("u", "v"), rounds)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("matches the sequential reference on a path graph") {
+    val path = (0L until 10L).map(i => (i, i + 1))
+    assert(run(path, 4) === reference(path, 4))
+  }
+
+  test("matches the sequential reference on a clique + pendant edges") {
+    val clique = for (a <- 0L until 6L; b <- (a + 1) until 6L) yield (a, b)
+    val g = clique ++ Seq((5L, 10L), (10L, 11L), (2L, 20L))
+    assert(run(g, 5) === reference(g, 5))
+  }
+
+  test("star graph matches exactly one edge in round 1 and converges") {
+    val star = (1L to 8L).map(l => (0L, l))
+    val t = run(star, 3)
+    // all star edges share vertex 0: exactly one can ever match, after
+    // which every other edge retires with the center
+    assert(t.head === ((1, 1L, 0L)))
+    assert(t.tail.forall(r => r._2 == 0L && r._3 == 0L))
+    assert(t === reference(star, 3))
+  }
+
+  test("matched edges form a maximal matching (no active edge survives)") {
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L), (5L, 6L), (7L, 7L))
+    val t = run(g, 6)
+    // self-loop dropped; convergence = no remaining edges
+    assert(t.last._3 === 0L)
+    // C5 matches exactly 2 edges, the isolated edge 1 — total 3
+    assert(t.map(_._2).sum === 3L)
+    assert(t === reference(g, 6))
+  }
+
+  test("duplicate and reversed edges canonicalize") {
+    val g = Seq((1L, 0L), (0L, 1L), (1L, 2L), (2L, 1L))
+    assert(run(g, 3) === reference(Seq((0L, 1L), (1L, 2L)), 3))
+  }
+
+  test("rejects non-positive maxRounds") {
+    intercept[IllegalArgumentException] {
+      Matching.trajectory(Seq((0L, 1L)).toDF("u", "v"), 0)
+    }
+  }
+}
