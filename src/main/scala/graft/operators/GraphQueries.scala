@@ -225,6 +225,62 @@ object GraphQueries {
         FROM ($unioned) ORDER BY round"""
   }
 
+  /** g63 oracle: `rounds`-deep unrolled HyperANF over the co-purchase
+    * graph. Registers, ranks (`57 − length(bin(w))`), the m = 16 bias
+    * constant, and the linear-counting literal table are generated from
+    * the SAME Scala values the Spark plan splices, and every float
+    * expression mirrors the operator's fixed tree — so `round(est·10⁶)`
+    * lands on identical longs on both engines.
+    */
+  private def hyperAnfOracle(rounds: Int): String = {
+    val M = graft.plans.HyperAnf.M
+    val regList = (0 until M).map(j => s"rg$j")
+    val sumRegs = regList.mkString(" + ")
+    val z = regList.map(r => s"1.0 / CAST((CAST(1 AS BIGINT) << $r) AS DOUBLE)")
+      .mkString(" + ")
+    val vz = regList.map(r => s"(CASE WHEN $r = 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val lc = graft.plans.HyperAnf.linearCountingTable
+      .map { case (v, e) => s"WHEN $v THEN CAST($e AS DOUBLE)" }.mkString(" ")
+    val alpha = graft.plans.HyperAnf.Alpha * M * M
+    def statsCte(i: Int, src: String): String =
+      s"""t$i AS (SELECT $i AS round,
+            CAST(sum($sumRegs) AS BIGINT) AS sum_registers,
+            CAST(sum(CAST(round((CASE WHEN raw <= ${2.5 * M} AND vz > 0
+                                      THEN (CASE vz $lc ELSE 0.0 END)
+                                      ELSE raw END) * 1000000.0) AS BIGINT)) AS BIGINT) AS nf_micro
+          FROM (SELECT *, CAST($alpha AS DOUBLE) / ($z) AS raw, $vz AS vz
+                FROM $src))"""
+    val initRegs = (0 until M)
+      .map(j => s"(CASE WHEN bkt = $j THEN rnk ELSE 0 END) AS rg$j").mkString(", ")
+    val maxRegs = regList.map(r => s"max(v.$r) AS $r").mkString(", ")
+    val rnds = (1 to rounds).map { i =>
+      s"""vr$i AS MATERIALIZED (
+            SELECT e.x, $maxRegs FROM eds e JOIN vr${i - 1} v ON v.x = e.y GROUP BY e.x)"""
+    }.mkString(",\n        ")
+    val stats = (0 to rounds).map(i => statsCte(i, s"vr$i")).mkString(",\n        ")
+    val unioned = (0 to rounds).map(i => s"SELECT * FROM t$i").mkString("\n        UNION ALL ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        ed0 AS MATERIALIZED (SELECT u AS x, v AS y FROM e0
+               UNION ALL SELECT v AS x, u AS y FROM e0),
+        vx AS MATERIALIZED (SELECT DISTINCT x FROM ed0),
+        eds AS MATERIALIZED (SELECT x, y FROM ed0 UNION ALL SELECT x, x AS y FROM vx),
+        rk AS (SELECT x, h & ${M - 1} AS bkt,
+                      CASE WHEN (h >> 4) = 0 THEN 57
+                           ELSE 57 - length(bin(h >> 4)) END AS rnk
+               FROM (SELECT x, ('0x' || substring(md5('anf:' || CAST(x AS VARCHAR)), 1, 15))::BIGINT AS h
+                     FROM vx)),
+        vr0 AS MATERIALIZED (SELECT x, $initRegs FROM rk),
+        $rnds,
+        $stats
+        SELECT CAST(round AS INT) AS round,
+               CAST(sum_registers AS BIGINT) AS sum_registers,
+               CAST(nf_micro AS BIGINT) AS nf_micro
+        FROM ($unioned) ORDER BY round"""
+  }
+
   private def ktrussOracle(k: Int, rounds: Int): String = {
     val minSup = k - 2
     val rnds = (1 to rounds).map { i =>
@@ -2196,6 +2252,23 @@ object GraphQueries {
         "a constant fraction of edges drops per round in expectation. " +
         "Trajectory rows (round, n_matched, n_remaining) are exact " +
         "integers; converged rounds repeat the fixpoint so the fixed-" +
-        "depth oracle unroll matches the early-exiting loop")
+        "depth oracle unroll matches the early-exiting loop"),
+
+    Q("g63_hyperanf",
+      (s, d) => graft.plans.HyperAnf.trajectory(
+        TpchGraph.copurchaseEdges(s, d), maxRounds = 2),
+      Some(hyperAnfOracle(rounds = 2)),
+      "graph analytics — HyperANF approximate neighborhood function of " +
+        "the co-purchase graph (Boldi-Rosa-Vigna): per vertex an HLL " +
+        "sketch of its radius-r ball, advanced one radius per round by " +
+        "an element-wise register max over neighbors. The scale answer " +
+        "to exact ball counting (the S×V multi-source-BFS product g56 " +
+        "caps): O(rounds) shuffles of V × 16 small ints, with the " +
+        "16 registers laid out as COLUMNS so the max is 16 map-side-" +
+        "combined aggregates — no arrays, no explode. Deterministic " +
+        "md5 register hash, bin()-length ranks, literal-spliced bias/" +
+        "linear-counting constants and a fixed estimate expression tree " +
+        "make round(est·1e6) land on identical longs on both engines; " +
+        "trajectory rows (round, sum_registers, nf_micro) are exact")
   )
 }

@@ -727,6 +727,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("g63 HyperANF round stage: 16 map-side-combined maxes, one hash join, no explode") {
+    import org.apache.spark.sql.functions._
+    // audit the per-round register-max plan (trajectory output is collected)
+    val und = TpchGraph.copurchaseEdges(spark, sf)
+    val adj = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+    val vs = adj.select("x").distinct()
+    val adjSelf = adj.unionAll(vs.select(col("x"), col("x").as("y")))
+    val regs = graft.plans.HyperAnf.initRegisters(vs, "anf:")
+    val p = graft.plans.HyperAnf.roundMax(adjSelf, regs)
+      .queryExecution.executedPlan.toString
+    // the element-wise register max must be column aggregates with a
+    // partial (map-side) phase — an array/explode formulation would
+    // shuffle V × 16 exploded rows instead of V wide rows
+    assert("partial_max".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("g62 matching round stage: map-side-combined incident min + hash equi-joins only") {
     import org.apache.spark.sql.functions._
     // audit the per-round selection plan (trajectory output is collected)
