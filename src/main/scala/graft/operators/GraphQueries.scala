@@ -281,6 +281,49 @@ object GraphQueries {
         FROM ($unioned) ORDER BY round"""
   }
 
+  /** g64 oracle: `rounds`-deep unrolled FULL min-label propagation over
+    * the directed next-purchase transition graph (the delta form in
+    * [[graft.plans.SccLabels]] computes identical state). Labels are
+    * vertex ids, so plain integer `min()`/`least()` replays exactly.
+    */
+  private def sccOracle(rounds: Int): String = {
+    def step(i: Int, name: String, src: String, dst: String): String =
+      s"""$name$i AS MATERIALIZED (
+            SELECT v.x, least(v.lbl, coalesce(m.nm, v.lbl)) AS lbl
+            FROM $name${i - 1} v
+            LEFT JOIN (SELECT e.$dst AS x, min(s.lbl) AS nm
+                       FROM ed e JOIN $name${i - 1} s ON s.x = e.$src
+                       GROUP BY 1) m ON m.x = v.x)"""
+    val rnds = (1 to rounds).map { i =>
+      step(i, "f", "src", "dst") + ",\n        " + step(i, "b", "dst", "src")
+    }.mkString(",\n        ")
+    val stats = (0 to rounds).map { i =>
+      s"""t$i AS (SELECT $i AS round,
+            sum(CASE WHEN f.lbl = b.lbl THEN 1 ELSE 0 END) AS n_certified,
+            sum(f.lbl) AS f_mass, sum(b.lbl) AS b_mass
+          FROM f$i f JOIN b$i b ON b.x = f.x)"""
+    }.mkString(",\n        ")
+    val unioned = (0 to rounds).map(i => s"SELECT * FROM t$i").mkString("\n        UNION ALL ")
+    s"""
+        WITH o AS (SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS dt FROM orders),
+        nx AS (SELECT k, lead(k) OVER (PARTITION BY c ORDER BY dt, k) AS k2 FROM o),
+        li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        ed AS MATERIALIZED (
+          SELECT DISTINCT a.p AS src, b.p AS dst
+          FROM nx JOIN li a ON a.k = nx.k JOIN li b ON b.k = nx.k2
+          WHERE nx.k2 IS NOT NULL AND a.p <> b.p),
+        vx AS MATERIALIZED (SELECT src AS x FROM ed UNION SELECT dst FROM ed),
+        f0 AS MATERIALIZED (SELECT x, x AS lbl FROM vx),
+        b0 AS MATERIALIZED (SELECT x, x AS lbl FROM vx),
+        $rnds,
+        $stats
+        SELECT CAST(round AS INT) AS round,
+               CAST(n_certified AS BIGINT) AS n_certified,
+               CAST(f_mass AS BIGINT) AS f_mass,
+               CAST(b_mass AS BIGINT) AS b_mass
+        FROM ($unioned) ORDER BY round"""
+  }
+
   private def ktrussOracle(k: Int, rounds: Int): String = {
     val minSup = k - 2
     val rnds = (1 to rounds).map { i =>
@@ -2269,6 +2312,40 @@ object GraphQueries {
         "md5 register hash, bin()-length ranks, literal-spliced bias/" +
         "linear-counting constants and a fixed estimate expression tree " +
         "make round(est·1e6) land on identical longs on both engines; " +
-        "trajectory rows (round, sum_registers, nf_micro) are exact")
+        "trajectory rows (round, sum_registers, nf_micro) are exact"),
+
+    Q("g64_scc_certificates",
+      (s, d) => {
+        // the directed next-purchase transition graph (g58's edge set,
+        // un-truncated): does the purchase sequence contain round-trip
+        // dynamics? Bounded bidirectional min-label propagation answers
+        // with radius-r SCC certificates
+        val ord = TpchGraph.table(s, d, "orders").select(
+          col("o_custkey").as("c"), col("o_orderkey").as("k"),
+          col("o_orderdate").as("dt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c").orderBy("dt", "k")
+        val nxt = ord.withColumn("k2", lead(col("k"), 1).over(w))
+          .filter(col("k2").isNotNull)
+          .select(col("k"), col("k2"))
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val ed = nxt.join(li, "k")
+          .join(li.withColumnsRenamed(Map("k" -> "k2", "p" -> "p2")), "k2")
+          .select(col("p").as("src"), col("p2").as("dst"))
+        graft.plans.SccLabels.trajectory(ed, maxRounds = 3)
+      },
+      Some(sccOracle(rounds = 3)),
+      "graph analytics — bounded-round SCC certificates on the DIRECTED " +
+        "next-purchase transition graph (the FW-BW/Multistep first " +
+        "phase): propagate the min vertex id forward (f = min id " +
+        "reaching v) and backward (b = min id v reaches); f_r(v) = " +
+        "b_r(v) = m PROVES v and m mutually reachable within r hops — " +
+        "the cycle/feedback detector for sequential-pattern graphs. " +
+        "DELTA propagation: only improved labels send messages (the " +
+        "SSSP relaxation discipline), so message volume tracks the " +
+        "shrinking frontier; the full-propagation oracle unroll " +
+        "computes identical state. Trajectory rows (round, n_certified, " +
+        "f_mass, b_mass) are exact integers, masses monotone")
   )
 }

@@ -747,6 +747,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("g64 SCC propagate stage: delta messages only, map-side-combined min, hash joins") {
+    import org.apache.spark.sql.functions._
+    val ed = spark.range(100).select(col("id").as("src"), ((col("id") * 7) % 100).as("dst"))
+    val verts = ed.select(col("src").as("x")).distinct()
+    val state = verts.select(col("x"), col("x").as("lbl"))
+    // a SHRUNK delta (10 of 100 labels improved last round): the message
+    // join must be keyed on the delta, not the full state
+    val delta = state.filter(col("x") < 10)
+    val (merged, nextDelta) = graft.plans.SccLabels.propagate(ed, state, delta)
+    for (df <- Seq(merged, nextDelta)) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("partial_min"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("Window"), p)
+    }
+  }
+
   test("g62 matching round stage: map-side-combined incident min + hash equi-joins only") {
     import org.apache.spark.sql.functions._
     // audit the per-round selection plan (trajectory output is collected)
