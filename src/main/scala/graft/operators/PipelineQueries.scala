@@ -4916,6 +4916,65 @@ object PipelineQueries {
         "the exact-cosine top-10, overlap as an exact integer. With " +
         "p134 this completes the two-stage ANN audit family: what the " +
         "4x-smaller quantized store costs in first-stage recall, " +
-        "measured in-engine rather than assumed")
+        "measured in-engine rather than assumed"),
+
+    Q("p136_tokenizer_fertility",
+      (s, d) => {
+        // tokenizer fertility per language — the budget planner's table:
+        // subwords-per-word and bytes-per-subword decide how many
+        // TRAINING tokens a 100 TB multilingual corpus actually yields
+        // per language (fertility >> 1 means the tokenizer fragments
+        // that language; bytes/subword prices storage against budget).
+        // One map-side pass (token counts are codegen expressions) +
+        // one partial-aggregated rollup per lang; ratios computed on
+        // the k-row aggregate
+        val docs = table(s, d, "documents")
+        docs.select(col("lang"),
+            octet_length(col("text")).as("b"),
+            TextOps.tokenCount(col("text")).as("t"),
+            TextOps.subwordCountApprox(col("text")).as("sw"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("b").cast("long")).as("n_bytes"),
+            sum(col("t").cast("long")).as("n_tokens"),
+            sum(col("sw").cast("long")).as("n_subwords"))
+          .select(col("lang"), col("n_docs"), col("n_bytes"), col("n_tokens"),
+            col("n_subwords"),
+            when(col("n_tokens") > 0,
+              round(col("n_subwords") * lit(1e6) / col("n_tokens")).cast("long"))
+              .otherwise(0L).as("fertility_micro"),
+            when(col("n_subwords") > 0,
+              round(col("n_bytes") * lit(1e6) / col("n_subwords")).cast("long"))
+              .otherwise(0L).as("bytes_per_subword_micro"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH per AS (
+          SELECT lang, strlen(text) AS b,
+                 len(${sqlTokens("text")}) AS t,
+                 length(regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g'))
+                   - length(replace(regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g'), chr(1), ''))
+                   + length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS sw
+          FROM documents),
+        agg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(b) AS BIGINT) AS n_bytes,
+                 CAST(sum(t) AS BIGINT) AS n_tokens,
+                 CAST(sum(sw) AS BIGINT) AS n_subwords
+          FROM per GROUP BY 1)
+        SELECT lang, n_docs, n_bytes, n_tokens, n_subwords,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(round(n_subwords * 1000000.0 / n_tokens) AS BIGINT)
+                    ELSE 0 END AS fertility_micro,
+               CASE WHEN n_subwords > 0
+                    THEN CAST(round(n_bytes * 1000000.0 / n_subwords) AS BIGINT)
+                    ELSE 0 END AS bytes_per_subword_micro
+        FROM agg ORDER BY lang"""),
+      "text analysis — tokenizer fertility audit per language: docs, " +
+        "UTF-8 bytes, whitespace words, BPE-ish subwords, and the two " +
+        "budget ratios (subwords-per-word, bytes-per-subword, in micro " +
+        "units) that convert a multilingual corpus size into actual " +
+        "training tokens. Map-side token counts + one per-lang rollup; " +
+        "ratios computed on the k-row aggregate")
   )
 }
