@@ -4975,6 +4975,56 @@ object PipelineQueries {
         "budget ratios (subwords-per-word, bytes-per-subword, in micro " +
         "units) that convert a multilingual corpus size into actual " +
         "training tokens. Map-side token counts + one per-lang rollup; " +
-        "ratios computed on the k-row aggregate")
+        "ratios computed on the k-row aggregate"),
+
+    Q("p137_time_travel",
+      (s, d) => {
+        // the corpus's version history in ONE aggregation: what did the
+        // standing corpus look like AT EVERY version (Delta/Iceberg
+        // read-as-of semantics)? Each change row is a winner candidate
+        // for exactly the snapshots as_of >= version, so the feed
+        // explodes by the VERSION count (4 here — never key- or
+        // corpus-sized) and one map-side-combined max_by per
+        // (as_of, key) picks all snapshots' winners simultaneously —
+        // instead of one full compaction per audited version
+        val docs = table(s, d, "documents")
+        graft.pipeline.Cdc.snapshotAll(cdcFeed(docs),
+            col("doc_id"), col("version"), col("op"), maxVersion = 3)
+          .groupBy("as_of")
+          .agg(count(lit(1)).as("n_live"),
+            sum(col("version")).as("version_mass"),
+            sum(length(col("text")).cast("long")).as("n_chars_total"))
+          .orderBy("as_of")
+      },
+      Some("""
+        WITH feed AS (
+          SELECT doc_id, text, 0 AS version, 'upsert' AS op FROM documents
+          UNION ALL
+          SELECT doc_id, text || ' [recrawl]', 1, 'upsert' FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id, '', 2, 'delete' FROM documents WHERE doc_id % 17 = 0
+          UNION ALL
+          SELECT doc_id, text || ' [restored]', 3, 'upsert' FROM documents WHERE doc_id % 34 = 0),
+        x AS (SELECT f.*, a.as_of
+              FROM feed f JOIN (SELECT unnest(generate_series(0, 3)) AS as_of) a
+                ON a.as_of >= f.version),
+        r AS (SELECT *, row_number() OVER (PARTITION BY as_of, doc_id
+                ORDER BY version DESC,
+                         CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC) AS rn
+              FROM x)
+        SELECT CAST(as_of AS BIGINT) AS as_of,
+               CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(version) AS BIGINT) AS version_mass,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars_total
+        FROM r WHERE rn = 1 AND op <> 'delete'
+        GROUP BY 1 ORDER BY 1"""),
+      "pipeline ops — TIME TRAVEL over the p131 CDC corpus: the " +
+        "standing snapshot at EVERY version (read-as-of semantics) in " +
+        "one aggregation — each change row explodes to the snapshots " +
+        "it is a candidate for (bounded by the version count, never " +
+        "corpus-sized) and one map-side-combined max_by per " +
+        "(as_of, key) picks all winners simultaneously. The 4-row " +
+        "history (n_live, version_mass, n_chars_total) pins the full " +
+        "recrawl/takedown/restore arc as exact integers")
   )
 }

@@ -47,4 +47,35 @@ object Cdc {
       .select(col("w.*"))
     if (keepTombstones) winner else winner.filter(op =!= "delete")
   }
+
+  /** Time travel, all versions at once: the snapshot the corpus
+    * presented at EVERY `as_of` in `[0, maxVersion]` — the read-as-of
+    * semantics of a versioned table (Delta/Iceberg time travel),
+    * computed in ONE aggregation instead of one compaction per version.
+    *
+    * Each change row is a winner candidate for exactly the snapshots
+    * `as_of ≥ version`, so the feed explodes by that bounded factor
+    * (the VERSION count — single digits in practice, never corpus- or
+    * key-sized) and one map-side-combined `max_by` per `(as_of, key)`
+    * picks every snapshot's winner simultaneously. Same order as
+    * [[compact]]: higher version wins, delete outranks upsert at equal
+    * version, later upserts resurrect.
+    *
+    * Returns `as_of` plus the feed's columns for each key LIVE at that
+    * snapshot (tombstone winners are dropped — this is the reader view;
+    * audits that need deletion counts aggregate before the filter).
+    */
+  def snapshotAll(feed: DataFrame, key: Column, version: Column, op: Column,
+                  maxVersion: Long): DataFrame = {
+    require(maxVersion >= 0, s"maxVersion must be non-negative: $maxVersion")
+    val opRank = when(op === "delete", 1).otherwise(0)
+    val payload = struct(feed.columns.map(col).toIndexedSeq: _*)
+    feed
+      .select(key.as("_k"), payload.as("_p"), version.as("_v"), opRank.as("_r"),
+        explode(sequence(version.cast("long"), lit(maxVersion))).as("as_of"))
+      .groupBy(col("as_of"), col("_k"))
+      .agg(max_by(col("_p"), struct(col("_v"), col("_r"))).as("w"))
+      .select(col("as_of"), col("w.*"))
+      .filter(op =!= "delete")
+  }
 }

@@ -63,4 +63,33 @@ class CdcSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(waved == oneShot)
   }
+
+  test("snapshotAll: every as_of equals the per-version compaction of the prefix") {
+    val all = feed(
+      (1L, "a0", 0L, "upsert"), (1L, "a1", 1L, "upsert"),
+      (2L, "b0", 0L, "upsert"), (2L, "", 1L, "delete"),
+      (3L, "c0", 0L, "upsert"), (3L, "", 1L, "delete"), (3L, "c2", 2L, "upsert"),
+      (4L, "d2", 2L, "upsert"))                       // key born at v2
+    val got = Cdc.snapshotAll(all, col("id"), col("version"), col("op"), maxVersion = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val expect = (0L to 2L).flatMap { asOf =>
+      Cdc.compact(all.filter(col("version") <= asOf),
+          col("id"), col("version"), col("op"))
+        .collect().map(r => (asOf, r.getLong(0), r.getString(1), r.getLong(2)))
+    }.toSet
+    assert(got == expect)
+    // spot-check the history: v0 all live; v1 deletes 2 and 3; v2
+    // resurrects 3 and births 4
+    assert(got.filter(_._1 == 0L).map(_._2) == Set(1L, 2L, 3L))
+    assert(got.filter(_._1 == 1L).map(_._2) == Set(1L))
+    assert(got.filter(_._1 == 2L).map(_._2) == Set(1L, 3L, 4L))
+  }
+
+  test("snapshotAll validates maxVersion") {
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotAll(feed((1L, "a", 0L, "upsert")),
+        col("id"), col("version"), col("op"), maxVersion = -1)
+    }
+  }
 }
