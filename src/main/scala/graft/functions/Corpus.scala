@@ -80,7 +80,8 @@ object Corpus {
     * ([[bm25]]) or chunks ([[bm25Chunks]]).
     */
   private def scoreBm25(base: DataFrame, idCols: Seq[String], terms: Seq[String],
-                        k1: Double, b: Double, topK: Int): DataFrame = {
+                        k1: Double, b: Double, topK: Int,
+                        extraCols: Seq[String] = Nil): DataFrame = {
     val statAggs =
       count(lit(1)).cast("double").as("n") +:
         (sum(col("len")).cast("double") / count(lit(1))).as("avglen") +:
@@ -97,7 +98,7 @@ object Corpus {
         ((lit(1.0) - lit(b)) + lit(b) * (col("len").cast("double") / col("avglen")))
       when(tf > 0, idf * ((tf * lit(k1 + 1)) / denom)).otherwise(lit(0.0))
     }
-    scored.select(idCols.map(col) :+
+    scored.select((idCols ++ extraCols).map(col) :+
         round(termScores.reduceLeft(_ + _), 6).as("bm25"): _*)
       .filter(col("bm25") > 0)
       .orderBy(col("bm25").desc +: idCols.map(col): _*)
@@ -116,7 +117,8 @@ object Corpus {
     */
   def bm25Chunks(df: DataFrame, id: Column, text: Column, terms: Seq[String],
                  chunkLen: Int = 32, stride: Int = 32,
-                 k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+                 withLen: Boolean = false): DataFrame = {
     require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
       s"bm25Chunks needs 0 < stride <= chunkLen, got $stride/$chunkLen")
     val staged = df.filter(text.rlike("\\S"))
@@ -132,7 +134,30 @@ object Corpus {
       .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
         slice(col("ts"), col("chunk_id") * stride + 1, lit(chunkLen)).as("toks"))
       .withColumn("len", size(col("toks")))
-    scoreBm25(base, Seq("doc_id", "chunk_id"), terms, k1, b, topK)
+    scoreBm25(base, Seq("doc_id", "chunk_id"), terms, k1, b, topK,
+      extraCols = if (withLen) Seq("len") else Nil)
+  }
+
+  /** Context packing for RAG prompt assembly: given top-k retrieval
+    * hits (ALREADY bounded by their retriever), keep the prefix in
+    * score order whose cumulative token count fits `budget` —
+    * take-while semantics: token counts are positive, so prefix sums
+    * are monotone and the fitting set IS a prefix. The running-sum
+    * window is global but runs over ≤ k rows (the pinned bounded-
+    * post-aggregate class — corpus-sized work lives in the retriever).
+    * Ties in `score` break by `ids` ascending (engine-portable).
+    * Emits `cum_tokens` — the assembled prompt length after each kept
+    * chunk.
+    */
+  def packContext(hits: DataFrame, score: Column, ids: Seq[Column],
+                  tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val order = score.desc +: ids.map(_.asc)
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits.withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(order: _*)
   }
 
   // Max-occurrence counting (top token / top bigram) runs in the native

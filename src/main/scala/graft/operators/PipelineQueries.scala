@@ -693,7 +693,8 @@ object PipelineQueries {
     * left-to-right term sum as [[bm25Oracle]].
     */
   private def bm25ChunksOracle(terms: Seq[String], chunkLen: Int, stride: Int,
-                               k1: Double, b: Double, topK: Int): String = {
+                               k1: Double, b: Double, topK: Int,
+                               withLen: Boolean = false): String = {
     val dfCols = terms.map(t =>
       s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
       .mkString(",\n                 ")
@@ -722,7 +723,7 @@ object PipelineQueries {
                          CAST(sum(len) AS DOUBLE) / count(*) AS avglen,
                          $dfCols
                   FROM base)
-        SELECT doc_id, chunk_id, round($termScores, 6) AS bm25
+        SELECT doc_id, chunk_id,${if (withLen) " CAST(len AS INT) AS len," else ""} round($termScores, 6) AS bm25
         FROM base CROSS JOIN stats
         WHERE round($termScores, 6) > 0
         ORDER BY bm25 DESC, doc_id, chunk_id LIMIT $topK"""
@@ -5025,6 +5026,44 @@ object PipelineQueries {
         "corpus-sized) and one map-side-combined max_by per " +
         "(as_of, key) picks all winners simultaneously. The 4-row " +
         "history (n_live, version_mass, n_chars_total) pins the full " +
-        "recrawl/takedown/restore arc as exact integers")
+        "recrawl/takedown/restore arc as exact integers"),
+
+    Q("p138_context_packing",
+      (s, d) => {
+        // RAG prompt assembly: p96's chunk retrieval feeds a greedy
+        // token-budget packer — keep chunks in score order while the
+        // running prompt length fits 256 tokens (take-while: lengths
+        // are positive, so prefix sums are monotone and the fitting
+        // set IS a prefix). The packing window runs over the top-20
+        // hits only; corpus-sized work lives in the retriever
+        val hits = Corpus.bm25Chunks(table(s, d, "documents"),
+          col("doc_id"), col("text"),
+          terms = Seq("spark", "vector", "stream"),
+          chunkLen = 32, stride = 32, topK = 20, withLen = true)
+        Corpus.packContext(hits, col("bm25"),
+            Seq(col("doc_id"), col("chunk_id")), col("len"), budget = 256)
+          .select(col("doc_id"), col("chunk_id"), col("len").as("n_tokens"),
+            col("bm25"), col("cum_tokens"))
+      },
+      Some(s"""
+        WITH hits AS (${bm25ChunksOracle(Seq("spark", "vector", "stream"),
+                                         chunkLen = 32, stride = 32, k1 = 1.2,
+                                         b = 0.75, topK = 20, withLen = true)}),
+        packed AS (
+          SELECT doc_id, chunk_id, len, bm25,
+                 CAST(sum(len) OVER (ORDER BY bm25 DESC, doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM hits)
+        SELECT doc_id, chunk_id, CAST(len AS INT) AS n_tokens, bm25, cum_tokens
+        FROM packed WHERE cum_tokens <= 256
+        ORDER BY bm25 DESC, doc_id, chunk_id"""),
+      "retrieval — RAG context packing: greedy token-budget prompt " +
+        "assembly over p96's chunk hits (keep chunks in score order " +
+        "while the running length fits the 256-token budget; positive " +
+        "lengths make prefix sums monotone, so take-while is a plain " +
+        "cumulative-sum filter). The packing window is bounded by the " +
+        "retriever's top-k; cum_tokens pins the assembled prompt " +
+        "length after each kept chunk")
   )
 }

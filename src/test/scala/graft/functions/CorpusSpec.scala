@@ -188,4 +188,30 @@ class CorpusSpec extends SparkSpec {
     val total = out.map(_._3).sum
     out.foreach { case (_, _, w, ppm) => assert(ppm == w * 1000000L / total) }
   }
+
+  test("packContext keeps the score-order prefix that fits the budget (take-while)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // scores 9 > 8 > 7 > 6; lengths 100, 120, 50, 10 — budget 250 keeps
+    // the first two (220) but NOT the third (270 > 250), and take-while
+    // semantics must also exclude the fourth even though 220+10 fits
+    val hits = Seq((1L, 9.0, 100), (2L, 8.0, 120), (3L, 7.0, 50), (4L, 6.0, 10))
+      .toDF("id", "score", "len")
+    val got = Corpus.packContext(hits, col("score"), Seq(col("id")), col("len"), 250)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 100L), (2L, 220L)))
+  }
+
+  test("packContext breaks score ties by id and validates the budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hits = Seq((5L, 1.0, 10), (3L, 1.0, 10), (4L, 1.0, 10))
+      .toDF("id", "score", "len")
+    val got = Corpus.packContext(hits, col("score"), Seq(col("id")), col("len"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((3L, 10L), (4L, 20L)))
+    intercept[IllegalArgumentException] {
+      Corpus.packContext(hits, col("score"), Seq(col("id")), col("len"), 0)
+    }
+  }
 }
