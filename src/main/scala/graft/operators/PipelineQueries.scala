@@ -184,6 +184,32 @@ object PipelineQueries {
     base.unionByName(recrawl).unionByName(takedown).unionByName(restore)
   }
 
+  /** p14/p139 shared oracle: the lag + running-sum session numbering.
+    * Both the batch sessionizer and the built-in `session_window` form
+    * implement the identical `diff > gap` rule (Spark merges touching
+    * windows — EventStreamSpec pins the boundary), so one oracle gates
+    * both.
+    */
+  private val sessionizeOracle: String = """
+        WITH t AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_id, value,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR epoch(date_trunc('second', ts))
+                             - epoch(date_trunc('second', prev_ts)) > 1800
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+          FROM t)
+        SELECT user_id,
+               strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value),2) AS sum_value
+        FROM s GROUP BY user_id, session_no
+        ORDER BY user_id, session_start"""
+
   /** p131/p132 shared oracle: rebuild the deterministic feed, pick the
     * per-key winner by (version, tombstone-rank), drop tombstones.
     */
@@ -1334,25 +1360,7 @@ object PipelineQueries {
 
     Q("p14_sessionize",
       (s, d) => EventStream.sessionizeBatch(table(s, d, "events"), gapMinutes = 30),
-      Some("""
-        WITH t AS (
-          SELECT user_id, ts, event_id, value,
-                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-          FROM events),
-        s AS (
-          SELECT user_id, ts, event_id, value,
-                 sum(CASE WHEN prev_ts IS NULL
-                          OR epoch(date_trunc('second', ts))
-                             - epoch(date_trunc('second', prev_ts)) > 1800
-                          THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
-          FROM t)
-        SELECT user_id,
-               strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
-               CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value),2) AS sum_value
-        FROM s GROUP BY user_id, session_no
-        ORDER BY user_id, session_start"""),
+      Some(sessionizeOracle),
       "streaming — gap-based sessionization (batch form; stateful-streaming twin in EventStreamSpec)"),
 
     Q("p24_dedup_clusters",
@@ -5064,6 +5072,17 @@ object PipelineQueries {
         "lengths make prefix sums monotone, so take-while is a plain " +
         "cumulative-sum filter). The packing window is bounded by the " +
         "retriever's top-k; cum_tokens pins the assembled prompt " +
-        "length after each kept chunk")
+        "length after each kept chunk"),
+
+    Q("p139_session_window_builtin",
+      (s, d) => EventStream.sessionizeBuiltin(table(s, d, "events"), gapMinutes = 30),
+      Some(sessionizeOracle),
+      "streaming — sessionization on Spark's BUILT-IN session_window " +
+        "(the native operator form, identical under a streaming " +
+        "watermark): same gap rule as p14 including the boundary " +
+        "(touching windows merge — EventStreamSpec pins it), so the " +
+        "two share one oracle. The scale argument for the native form: " +
+        "session assignment is ONE aggregation, not a lag window plus " +
+        "a running-sum window over the full event stream")
   )
 }

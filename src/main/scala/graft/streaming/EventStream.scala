@@ -524,6 +524,29 @@ object EventStream {
       .orderBy("user_id", "session_start")
   }
 
+  /** Sessionization via Spark's BUILT-IN `session_window` — the twin of
+    * [[sessionizeBatch]] on the engine's native operator (usable
+    * identically under `groupBy` in batch and under a watermark in
+    * streaming). Semantics are IDENTICAL including the gap boundary:
+    * Spark merges touching windows, so an event arriving exactly `gap`
+    * after the previous one stays in the same session — the same
+    * `diff > gap` rule as the batch form (pinned by EventStreamSpec's
+    * boundary case). The comparison basis is second-truncated to match
+    * `sessionizeBatch`'s `unix_timestamp` arithmetic. Prefer this form
+    * at scale: session assignment is ONE aggregation — no lag window +
+    * running-sum window pair over the full event stream.
+    */
+  def sessionizeBuiltin(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(date_trunc("second", col("ts")), s"$gapMinutes minutes").as("sw"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+
   /** Stateful-streaming sessionization via `flatMapGroupsWithState` — the
     * custom-state operator of SURVEY §2.9's streaming extension. The
     * bounded smoke path feeds all data in one batch (NoTimeout, emit at
