@@ -102,4 +102,46 @@ class HyperAnfSpec extends SparkSpec {
       HyperAnf.trajectory(Seq((0L, 1L)).toDF("u", "v"), 0)
     }
   }
+
+  test("incremental edge arrival converges to the one-shot fixpoint (max-monotone registers)") {
+    // the incremental-maintenance argument for ANF sketches at 100 TB:
+    // registers only ever advance (element-wise max), so running rounds
+    // on a PARTIAL edge set and then continuing on the full set reaches
+    // the same fixpoint as a fresh full-graph run — stale partial state
+    // can never overshoot, only lag. Demonstrated by: fresh(full, d)
+    // equals the final row of a run whose early rounds saw only wave 1.
+    val wave1 = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val wave2 = Seq((3L, 4L), (4L, 5L), (5L, 0L)) // closes the cycle
+    val full = wave1 ++ wave2
+    val d = 6 // past the merged graph's diameter
+    val fresh = run(full, d).last
+
+    // staged run: advance registers on wave 1 only, then merge wave 2's
+    // edges and continue — reuse the operator's own stages
+    val undFull = full.toDF("u", "v")
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v")).distinct()
+    val adjFull = undFull.select($"u".as("x"), $"v".as("y"))
+      .unionAll(undFull.select($"v".as("x"), $"u".as("y")))
+    val vertsFull = adjFull.select($"x").distinct()
+    val adjSelfFull = adjFull.unionAll(vertsFull.select($"x", $"x".as("y")))
+    val und1 = wave1.toDF("u", "v")
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v")).distinct()
+    val adj1 = und1.select($"u".as("x"), $"v".as("y"))
+      .unionAll(und1.select($"v".as("x"), $"u".as("y")))
+    // wave-1 closed adjacency over ALL vertices (isolated-for-now
+    // vertices carry their own registers forward)
+    val adjSelf1 = adj1.unionAll(vertsFull.select($"x", $"x".as("y")))
+
+    var regs = HyperAnf.initRegisters(vertsFull, "anf:")
+    (1 to 3).foreach(_ => regs = HyperAnf.roundMax(adjSelf1, regs))
+    (1 to d).foreach(_ => regs = HyperAnf.roundMax(adjSelfFull, regs))
+
+    val regCols = (0 until M).map(j => col(s"rg$j"))
+    val sumReg = regCols.map(_.cast("long")).reduceLeft(_ + _)
+    val nfTerm = org.apache.spark.sql.functions.round(HyperAnf.estimate(regCols) * lit(1e6))
+      .cast("long")
+    val row = regs.agg(sum(sumReg), sum(nfTerm)).head()
+    assert((row.getLong(0), row.getLong(1)) === ((fresh._2, fresh._3)),
+      s"staged fixpoint ${(row.getLong(0), row.getLong(1))} vs fresh $fresh")
+  }
 }

@@ -54,6 +54,36 @@ class EventStreamSpec extends SparkSpec {
     assert(EventStream.sessionizeBuiltin(past, 30).count() == 2L)
   }
 
+  test("STREAMING session_window under a watermark equals the batch sessionizer") {
+    // the native operator in its streaming form: append mode emits a
+    // session only once the watermark passes its end; the staged
+    // far-future sentinel rows advance the watermark so every real
+    // session flushes (their own negative-user sessions are dropped)
+    val (staged, schema) = EventStream.stagedEventsWithSentinel(spark, sf)
+    // truncate BEFORE the watermark: session_window must key on the
+    // watermarked column itself (a derived expression loses the tag)
+    val base = TpchGraph.normalizeTs(
+        spark.readStream.schema(schema).parquet(staged.getAbsolutePath))
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withWatermark("ts", "0 seconds")
+    val name = "graft_stream_session_window"
+    val q = base
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStream.sessionizeBuiltin(TpchGraph.events(spark, sf), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("event-time-timeout sessionization equals the batch answer") {
     val batch = EventStream.sessionizeBatch(TpchGraph.events(spark, sf), gapMinutes = 30)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
