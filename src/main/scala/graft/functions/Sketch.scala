@@ -82,6 +82,28 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** JOIN-SIZE estimation from two [[countMin]] counter matrices (same
+    * shape + seed): `|A ⋈ B| ≈ min over rows of Σ_bucket cntA·cntB` —
+    * the Cormode-Muthukrishnan inner-product estimate. Each row's dot
+    * product is the true join size plus non-negative collision mass, so
+    * the estimate is ALWAYS ≥ exact, within ε·N_A·N_B (ε = e/width) with
+    * probability 1 − e^(−depth). This is the optimizer's pre-shuffle
+    * cardinality probe: both inputs reduce to depth×width integers, so
+    * estimating a 100 TB ⋈ 100 TB join size costs two corpus-linear
+    * sketch passes and a constant-size combine — no join runs. A
+    * SELF-inner-product estimates the self-join size Σc² (the F₂
+    * moment), the skew statistic the salting thresholds derive from.
+    *
+    * Exact integer arithmetic throughout (ANSI mode makes a counter-
+    * product overflow loud, not silent — at petabyte counts size the
+    * width up or pre-scale, don't let counters reach 2³² each).
+    */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.select(col("row"), col("bucket"), col("cnt").as("cntB")),
+        Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("cnt") * col("cntB")).as("ip"))
+      .agg(min(col("ip")).as("join_size_est"))
+
   /** Mergeable-histogram quantiles: equi-width integer bins (`floor` of
     * the value), cumulative counts, and the estimate for quantile q is
     * the first bin whose cumulative count reaches ⌈q·N⌉. The histogram

@@ -5083,6 +5083,56 @@ object PipelineQueries {
         "(touching windows merge — EventStreamSpec pins it), so the " +
         "two share one oracle. The scale argument for the native form: " +
         "session assignment is ONE aggregation, not a lag window plus " +
-        "a running-sum window over the full event stream")
+        "a running-sum window over the full event stream"),
+
+    Q("p140_join_cardinality",
+      (s, d) => {
+        // the optimizer's pre-shuffle cardinality probe: estimate the
+        // l_partkey SELF-join size (the F2 moment Σc² — the exact skew
+        // statistic p102/p103's salting thresholds derive from) from a
+        // fixed-size CMS instead of running the join. Both engines
+        // rebuild the 4x2048 counter matrix from the same 8 splitmix
+        // constants; estimate = min over rows of the bucketwise counter
+        // dot product, always >= exact, integer throughout
+        val li = table(s, d, "lineitem")
+          .select(col("l_partkey").cast("string").as("k"))
+        val cms = Sketch.countMin(li, col("k"), depth = 4, width = 2048)
+        val est = Sketch.cmsJoinSize(cms, cms)
+        val exact = li.groupBy("k").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("exact_sj"))
+        exact.crossJoin(est)
+          .select(lit(4).as("depth"), lit(2048).as("width"),
+            col("exact_sj").cast("long").as("exact_sj"),
+            col("join_size_est").cast("long").as("cms_est"),
+            expr("CAST((join_size_est - exact_sj) * 1000000 DIV exact_sj AS BIGINT)")
+              .as("over_ppm"))
+      },
+      Some {
+        val ps = graft.functions.Dedup.permutationParams(4, 42L)
+        val branches = ps.zipWithIndex.map { case ((a, b), i) =>
+          s"SELECT $i AS row, (($a * h + $b) % 2147483647) % 2048 AS bucket FROM occ"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH occ AS (SELECT ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 7))::BIGINT AS h
+                     FROM lineitem),
+        counters AS (SELECT row, bucket, count(*) AS cnt
+                     FROM ($branches) GROUP BY 1, 2),
+        ip AS (SELECT row, sum(cnt * cnt) AS ip FROM counters GROUP BY 1),
+        est AS (SELECT min(ip) AS cms_est FROM ip),
+        ex AS (SELECT sum(c * c) AS exact_sj FROM (
+                 SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+        SELECT CAST(4 AS INT) AS depth, CAST(2048 AS INT) AS width,
+               CAST(exact_sj AS BIGINT) AS exact_sj,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               CAST((cms_est - exact_sj) * 1000000 // exact_sj AS BIGINT) AS over_ppm
+        FROM ex CROSS JOIN est"""
+      },
+      "sketch — JOIN-SIZE estimation by CMS inner product (Cormode-" +
+        "Muthukrishnan): the l_partkey self-join size (the F2 moment " +
+        "Σc², the statistic salting thresholds derive from) estimated " +
+        "as min over rows of the bucketwise counter dot product — " +
+        "always >= exact, within e/width · N². Estimating a 100 TB " +
+        "join costs two sketch passes + a constant-size combine, no " +
+        "join runs; exact twin beside it, overestimate in ppm")
   )
 }

@@ -203,4 +203,27 @@ class SketchSpec extends SparkSpec {
     assert(half._2 == 1000L / 3) // exact: 150 / 450
     assert(math.abs(half._1 - half._2) < 200, s"estimate ${half._1} vs exact ${half._2}")
   }
+
+  test("cmsJoinSize: self inner product >= exact F2, exact when collision-free") {
+    import spark.implicits._
+    // 3 distinct keys with counts 3, 2, 1 → exact self-join size 14;
+    // width 2048 makes a 3-key collision essentially impossible for
+    // this fixed seed, so every row's dot product is exactly 14
+    val keys = Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")
+    val df = keys.toDF("k")
+    val cms = Sketch.countMin(df, col("k"), depth = 4, width = 2048)
+    val est = Sketch.cmsJoinSize(cms, cms).head().getLong(0)
+    assert(est == 14L)
+  }
+
+  test("cmsJoinSize: two-sided estimate >= exact join size, tight without collisions") {
+    import spark.implicits._
+    // A = {a×2, b×1}, B = {a×3, c×5} → |A ⋈ B| = 2·3 = 6
+    val a = (Seq.fill(2)("a") ++ Seq("b")).toDF("k")
+    val b = (Seq.fill(3)("a") ++ Seq.fill(5)("c")).toDF("k")
+    val ca = Sketch.countMin(a, col("k"))
+    val cb = Sketch.countMin(b, col("k"))
+    val est = Sketch.cmsJoinSize(ca, cb).head().getLong(0)
+    assert(est == 6L)
+  }
 }
