@@ -97,6 +97,14 @@ class HyperAnfSpec extends SparkSpec {
       s"round-0 nf_micro ${t.head._3} vs expected ${n * per * 1e6}")
   }
 
+  test("PROPERTY: random multigraphs match the sequential reference") {
+    for (seed <- 9L to 11L) {
+      val g = GraphGen.randGraph(seed, n = 14, m = 24)
+        .filter(p => p._1 != p._2) // reference keys nbrs by canonical edges
+      assert(run(g, 3) === reference(g, 3), s"seed $seed: $g")
+    }
+  }
+
   test("rejects non-positive maxRounds") {
     intercept[IllegalArgumentException] {
       HyperAnf.trajectory(Seq((0L, 1L)).toDF("u", "v"), 0)

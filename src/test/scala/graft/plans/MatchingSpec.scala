@@ -74,6 +74,13 @@ class MatchingSpec extends SparkSpec {
     assert(run(g, 3) === reference(Seq((0L, 1L), (1L, 2L)), 3))
   }
 
+  test("PROPERTY: random multigraphs match the sequential reference") {
+    for (seed <- 1L to 4L) {
+      val g = GraphGen.randGraph(seed, n = 18, m = 30)
+      assert(run(g, 4) === reference(g, 4), s"seed $seed: $g")
+    }
+  }
+
   test("rejects non-positive maxRounds") {
     intercept[IllegalArgumentException] {
       Matching.trajectory(Seq((0L, 1L)).toDF("u", "v"), 0)

@@ -83,6 +83,13 @@ class MisSpec extends SparkSpec {
     assert(run(g, 3) === reference(Seq((0L, 1L), (1L, 2L)), 3))
   }
 
+  test("PROPERTY: random multigraphs match the sequential reference") {
+    for (seed <- 1L to 4L) {
+      val g = GraphGen.randGraph(seed, n = 18, m = 30)
+      assert(run(g, 4) === reference(g, 4), s"seed $seed: $g")
+    }
+  }
+
   test("rejects ids outside the packed-priority range") {
     val bad = Seq((1L << 31, 1L)).toDF("u", "v")
     intercept[IllegalArgumentException] { Mis.trajectory(bad, 2) }

@@ -77,6 +77,13 @@ class SccLabelsSpec extends SparkSpec {
     assert(settled.forall(r => (r._2, r._3, r._4) == (settled.head._2, settled.head._3, settled.head._4)))
   }
 
+  test("PROPERTY: random directed multigraphs match the full-propagation reference") {
+    for (seed <- 5L to 8L) {
+      val g = GraphGen.randGraph(seed, n = 15, m = 28)
+      assert(run(g, 4) === reference(g, 4), s"seed $seed: $g")
+    }
+  }
+
   test("self-loops and duplicate edges canonicalize; maxRounds validated") {
     val g = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L))
     assert(run(g, 2) === reference(g, 2))
