@@ -2346,6 +2346,51 @@ object GraphQueries {
         "SSSP relaxation discipline), so message volume tracks the " +
         "shrinking frontier; the full-propagation oracle unroll " +
         "computes identical state. Trajectory rows (round, n_certified, " +
-        "f_mass, b_mass) are exact integers, masses monotone")
+        "f_mass, b_mass) are exact integers, masses monotone"),
+
+    Q("g65_incremental_triangles",
+      (s, d) => {
+        // incremental census maintenance: the co-purchase edges split
+        // by a deterministic coin into a standing BASE graph and an
+        // arriving DELTA; the maintained total must equal the full
+        // census without re-censusing the base — each new triangle is
+        // counted once by its maximal delta edge
+        val full = TpchGraph.copurchaseEdges(s, d)
+        val coin = graft.functions.Sampling.hash01(
+          concat(col("u").cast("string"), lit("_"), col("v").cast("string")),
+          "triwave:")
+        graft.plans.Triangles.incrementalCounts(
+          full.filter(coin < 0.5), full.filter(coin >= 0.5))
+      },
+      Some(s"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        eb AS MATERIALIZED (SELECT u, v FROM e0
+              WHERE ('0x' || substring(md5('triwave:' || CAST(u AS VARCHAR)
+                       || '_' || CAST(v AS VARCHAR)), 1, 7))::BIGINT
+                    / 268435456.0 < 0.5),
+        tf AS (SELECT count(*) AS t
+               FROM e0 e1 JOIN e0 e2 ON e2.u = e1.u AND e1.v < e2.v
+                          JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v),
+        tb AS (SELECT count(*) AS t
+               FROM eb e1 JOIN eb e2 ON e2.u = e1.u AND e1.v < e2.v
+                          JOIN eb e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT CAST((SELECT count(*) FROM eb) AS BIGINT) AS n_base_edges,
+               CAST((SELECT count(*) FROM e0) - (SELECT count(*) FROM eb) AS BIGINT)
+                 AS n_delta_edges,
+               CAST((SELECT t FROM tb) AS BIGINT) AS t_base,
+               CAST((SELECT t FROM tf) - (SELECT t FROM tb) AS BIGINT) AS t_delta,
+               CAST((SELECT t FROM tf) AS BIGINT) AS t_total"""),
+      "graph analytics — INCREMENTAL triangle census maintenance: the " +
+        "co-purchase edges split by a deterministic coin into a " +
+        "standing base and an arriving delta; t(G ∪ D) = t(G) + " +
+        "delta-attributed triangles, each counted once by its MAXIMAL " +
+        "delta edge (md5-hex total order, the Matching convention). " +
+        "Enumeration pivots at each delta edge's lower-degree endpoint, " +
+        "so the incremental term costs Σ min-degree over the DELTA — " +
+        "the base census is the stored standing artifact, never " +
+        "re-run. The oracle computes base and full censuses " +
+        "independently, so the attribution arithmetic is hash-gated")
   )
 }

@@ -150,6 +150,82 @@ object Triangles {
       round(col("n_triangles") / math.pow(p, 3)).cast("long").as("est_triangles"))
   }
 
+  /** INCREMENTAL census maintenance: the triangle count of `base ∪
+    * delta` WITHOUT re-running the census over the base graph —
+    * `t(G ∪ D) = t(G) + |{triangles with ≥ 1 D edge}|`, and each new
+    * triangle is counted exactly once by its MAXIMAL delta edge
+    * (full-md5-hex edge keys give a portable total order, the
+    * [[Matching]] convention — a truncated key colliding on two edges
+    * of one triangle would double- or zero-count it). For the maximal
+    * delta edge, the closing vertex's other two edges must each be a
+    * base edge or a smaller-key delta edge.
+    *
+    * Scale shape: enumeration pivots at each delta edge's LOWER-degree
+    * endpoint (degrees over the merged graph), so candidate mass is
+    * `Σ_{e∈D} min(d(u), d(v))` — delta-sized work against the standing
+    * adjacency, the incremental bound; the base census term is the
+    * STORED standing artifact in production (recomputed here once so
+    * the query is self-contained, exactly like the p132 wave pattern).
+    * Inserting an edge that already exists is a no-op (anti-join), so
+    * replayed deltas cannot double-count.
+    *
+    * Output: one row `(n_base_edges, n_delta_edges, t_base, t_delta,
+    * t_total)`, all exact integers.
+    */
+  def incrementalCounts(base: DataFrame, delta: DataFrame,
+                        salt: String = "ie:"): DataFrame = {
+    def canon(df: DataFrame) = df
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val b = canon(base).localCheckpoint(eager = false)
+    val d = canon(delta).join(b, Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"),
+        md5(concat(lit(salt), col("u").cast("string"), lit(":"),
+          col("v").cast("string"))).as("k"))
+      .localCheckpoint(eager = false)
+
+    // labeled merged adjacency, both directions: wv = 0 base / 1 delta
+    val labeled = b.select(col("u"), col("v"), lit(0).as("wv"), lit("").as("k"))
+      .unionAll(d.select(col("u"), col("v"), lit(1).as("wv"), col("k")))
+    val adj = labeled.select(col("u").as("x"), col("v").as("y"), col("wv"), col("k"))
+      .unionAll(labeled.select(col("v").as("x"), col("u").as("y"), col("wv"), col("k")))
+      .localCheckpoint(eager = false)
+    val deg = adj.groupBy("x").agg(count(lit(1)).as("dg"))
+
+    // orient each delta edge at its lower-(degree, id) endpoint
+    val dd = d
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val pivots = dd.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("pv"),
+      when(uFirst, col("v")).otherwise(col("u")).as("ot"),
+      col("k"))
+
+    // pivot neighbors, then the closing (other, w) edge — both under the
+    // base-or-smaller-key constraint that makes the count attribution
+    // exactly-once
+    val cands = pivots
+      .join(adj.select(col("x").as("pv"), col("y").as("w"),
+        col("wv").as("wv1"), col("k").as("k1")), "pv")
+      .filter(col("w") =!= col("ot") && (col("wv1") === 0 || col("k1") < col("k")))
+      .select(col("ot"), col("w"), col("k"))
+    val closed = cands
+      .join(adj.select(col("x").as("ot"), col("y").as("w"),
+        col("wv").as("wv2"), col("k").as("k2")), Seq("ot", "w"))
+      .filter(col("wv2") === 0 || col("k2") < col("k"))
+
+    val tDelta = closed.agg(count(lit(1)).as("t_delta"))
+    val tBase = counts(b).select(col("n_triangles").as("t_base"))
+    b.agg(count(lit(1)).as("n_base_edges"))
+      .crossJoin(d.agg(count(lit(1)).as("n_delta_edges")))
+      .crossJoin(tBase)
+      .crossJoin(tDelta)
+      .select(col("n_base_edges"), col("n_delta_edges"), col("t_base"),
+        col("t_delta"), (col("t_base") + col("t_delta")).as("t_total"))
+  }
+
   /** PER-NODE structural features — the node-level twin of [[counts]]
     * and the standard GNN/node-classification feature block: degree,
     * triangle participation count, and the local clustering coefficient

@@ -749,6 +749,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("g65 incremental census: equi-joins only; scalar combines are the sole nested loops") {
+    val p = plan("g65_incremental_triangles")
+    // every pair join (delta attribution + the embedded base census) is
+    // an equi-join — sort-merge or hash, never a cartesian; the only
+    // nested loops are the 1x1 scalar combines assembling the single
+    // output row (3 crossJoins + the census's edge/wedge combine)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+  }
+
   test("g64 SCC propagate stage: delta messages only, map-side-combined min, hash joins") {
     import org.apache.spark.sql.functions._
     val ed = spark.range(100).select(col("id").as("src"), ((col("id") * 7) % 100).as("dst"))

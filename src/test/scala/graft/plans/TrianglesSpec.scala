@@ -150,4 +150,41 @@ class TrianglesSpec extends SparkSpec {
       assert(perNode.map(_.getLong(1)).sum == 2L * census.getLong(0), s"trial $trial")
     }
   }
+
+  private def incr(base: Seq[(Long, Long)], delta: Seq[(Long, Long)]) =
+    Triangles.incrementalCounts(base.toDF("u", "v"), delta.toDF("u", "v"))
+      .collect()(0)
+
+  test("incrementalCounts: base + delta attribution equals the full census") {
+    // K4 split: base gets a path, delta closes all 4 triangles
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val delta = Seq((0L, 2L), (1L, 3L), (0L, 3L))
+    val r = incr(base, delta)
+    val full = Triangles.counts((base ++ delta).toDF("u", "v")).collect()(0)
+    assert(r.getLong(2) === 0L)                       // path has no triangles
+    assert(r.getLong(3) === full.getLong(2))          // all 4 are delta-attributed
+    assert(r.getLong(4) === full.getLong(2))
+  }
+
+  test("incrementalCounts: delta edges already in base are no-ops (replay-safe)") {
+    val base = Seq((0L, 1L), (1L, 2L), (0L, 2L))      // one existing triangle
+    val r = incr(base, Seq((1L, 0L), (2L, 0L)))       // reversed replays
+    assert(r.getLong(1) === 0L)                       // nothing genuinely new
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((1L, 0L, 1L)))
+  }
+
+  test("incrementalCounts: triangles fully inside the delta count exactly once") {
+    val r = incr(Seq((10L, 11L)), Seq((0L, 1L), (1L, 2L), (0L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((0L, 1L, 1L)))
+  }
+
+  test("PROPERTY: incremental total equals the full census on random splits") {
+    for (seed <- 21L to 25L) {
+      val g = GraphGen.randGraph(seed, n = 13, m = 40)
+      val (base, delta) = g.zipWithIndex.partition(_._2 % 3 != 0)
+      val r = incr(base.map(_._1), delta.map(_._1))
+      val full = Triangles.counts(g.toDF("u", "v")).collect()(0)
+      assert(r.getLong(4) === full.getLong(2), s"seed $seed: $g")
+    }
+  }
 }
