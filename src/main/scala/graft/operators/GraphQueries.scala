@@ -324,6 +324,49 @@ object GraphQueries {
         FROM ($unioned) ORDER BY round"""
   }
 
+  /** g66 oracle: `rounds`-deep unrolled HEAVY-edge matching over the
+    * WEIGHTED co-purchase graph (w = shared-order count). The priority
+    * string `lpad(10¹² − w) ⧺ md5` makes lexicographic min = weight max
+    * with a collision-proof tiebreak, so the same min()-based unroll as
+    * [[matchingOracle]] replays the weighted rule exactly.
+    */
+  private def heavyMatchingOracle(rounds: Int): String = {
+    val rnds = (1 to rounds).map { i =>
+      s"""vm$i AS (SELECT x, min(pe) AS mpe FROM (
+            SELECT u AS x, pe FROM ed${i - 1}
+            UNION ALL SELECT v AS x, pe FROM ed${i - 1}) GROUP BY 1),
+        sel$i AS MATERIALIZED (
+          SELECT e.u, e.v, e.w FROM ed${i - 1} e
+          JOIN vm$i a ON a.x = e.u JOIN vm$i b ON b.x = e.v
+          WHERE e.pe = a.mpe AND e.pe = b.mpe),
+        mv$i AS (SELECT u AS x FROM sel$i UNION SELECT v AS x FROM sel$i),
+        ed$i AS MATERIALIZED (
+          SELECT e.u, e.v, e.w, e.pe FROM ed${i - 1} e
+          LEFT JOIN mv$i a ON a.x = e.u LEFT JOIN mv$i b ON b.x = e.v
+          WHERE a.x IS NULL AND b.x IS NULL),
+        t$i AS (SELECT $i AS round,
+                       (SELECT count(*) FROM sel$i) AS n_matched,
+                       (SELECT coalesce(sum(w), 0) FROM sel$i) AS matched_weight,
+                       (SELECT count(*) FROM ed$i) AS n_remaining)"""
+    }.mkString(",\n        ")
+    val unioned = (1 to rounds).map(i => s"SELECT * FROM t$i").mkString("\n        UNION ALL ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        ed0 AS MATERIALIZED (
+          SELECT u, v, w,
+                 lpad(CAST(1000000000000 - w AS VARCHAR), 13, '0')
+                   || md5('hmatch:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pe
+          FROM wco),
+        $rnds
+        SELECT CAST(round AS INT) AS round,
+               CAST(n_matched AS BIGINT) AS n_matched,
+               CAST(matched_weight AS BIGINT) AS matched_weight,
+               CAST(n_remaining AS BIGINT) AS n_remaining
+        FROM ($unioned) ORDER BY round"""
+  }
+
   private def ktrussOracle(k: Int, rounds: Int): String = {
     val minSup = k - 2
     val rnds = (1 to rounds).map { i =>
@@ -2391,6 +2434,30 @@ object GraphQueries {
         "so the incremental term costs Σ min-degree over the DELTA — " +
         "the base census is the stored standing artifact, never " +
         "re-run. The oracle computes base and full censuses " +
-        "independently, so the attribution arithmetic is hash-gated")
+        "independently, so the attribution arithmetic is hash-gated"),
+
+    Q("g66_heavy_matching",
+      (s, d) => {
+        // WEIGHTED co-purchase graph: w = number of orders sharing the
+        // pair — the multigraph contraction weight a multilevel
+        // partitioner coarsens by
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val wed = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .groupBy(col("p").as("u"), col("p2").as("v")).agg(count(lit(1)).as("w"))
+        graft.plans.Matching.weightedTrajectory(wed, maxRounds = 3)
+      },
+      Some(heavyMatchingOracle(rounds = 3)),
+      "graph analytics — HEAVY-edge greedy matching on the weighted " +
+        "co-purchase graph (w = shared-order count): the METIS " +
+        "coarsening rule — each round the heaviest edge in its " +
+        "neighborhood matches, a ½-approximation of maximum weight " +
+        "matching in O(log m) parallel rounds. Weight-descending order " +
+        "rides the same min(string) machinery as g62 via the " +
+        "lpad(10¹² − w) ⧺ md5 priority (lexicographic min = weight max, " +
+        "collision-proof ties); row-level raise_error guards the " +
+        "weight domain. Trajectory (round, n_matched, matched_weight, " +
+        "n_remaining) — exact integers, fixpoint rows repeat")
   )
 }

@@ -54,6 +54,93 @@ object Matching {
       .select(col("u"), col("v"))
   }
 
+  /** HEAVY-edge greedy matching — the weighted form ([[trajectory]]'s
+    * priority replaced by weight-descending order): each round an
+    * active edge matches iff it is the HEAVIEST among edges incident to
+    * either endpoint. This is the coarsening rule of multilevel
+    * partitioners (METIS heavy-edge matching): contracting the
+    * heaviest matched pairs preserves the most edge mass per level,
+    * and the greedy local-max rule is a ½-approximation of maximum
+    * weight matching (Preis/Avis) — computed here in O(log m) fully
+    * parallel rounds.
+    *
+    * Portability: the priority is the STRING `lpad(CAP − w) ⧺ md5(u:v)`
+    * — fixed-width zero-padded inverted weight makes lexicographic min
+    * = weight max, and the md5 suffix breaks weight ties by a
+    * collision-proof total order, so the same `min(string)` machinery
+    * as the unweighted form replays on every engine. Weights must be
+    * positive integers below 10¹² (row-level raise_error guard — a bad
+    * weight must fail loudly, not mis-match silently); duplicate /
+    * reversed edges canonicalize by SUMMING their weights (parallel
+    * edges merge, the multigraph contraction rule).
+    *
+    * Output: `(round, n_matched, matched_weight, n_remaining)` —
+    * exact integers, fixpoint rows repeated past convergence.
+    */
+  def weightedTrajectory(edges: DataFrame, maxRounds: Int,
+                         salt: String = "hmatch:"): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val cap = 1000000000000L // 10^12: weight domain bound for the fixed-width key
+    val wGuard = when(col("w").isNotNull && col("w") > 0 && col("w") < cap,
+        col("w").cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"Matching.weightedTrajectory: weights must be integers in (0, $cap), got w="),
+        coalesce(col("w").cast("string"), lit("null")),
+        lit(" on edge u="), col("u").cast("string"),
+        lit(" v="), col("v").cast("string"))))
+    var e = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"),
+        wGuard.as("w"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+      .select(col("u"), col("v"), col("w"),
+        concat(lpad((lit(cap) - col("w")).cast("string"), 13, "0"),
+          md5(concat(lit(salt), col("u").cast("string"), lit(":"),
+            col("v").cast("string")))).as("pe"))
+      .localCheckpoint(eager = false)
+
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    var remaining = e.count()
+    var round = 0
+    while (round < maxRounds) {
+      round += 1
+      if (remaining == 0L) {
+        rows += ((round, 0L, 0L, 0L))
+      } else {
+        val sel = roundSelectW(e).localCheckpoint(eager = false)
+        val matchedV = sel.select(col("u").as("x"))
+          .unionAll(sel.select(col("v").as("x"))).distinct()
+        val eNext = e
+          .join(matchedV.select(col("x").as("u")), Seq("u"), "left_anti")
+          .join(matchedV.select(col("x").as("v")), Seq("v"), "left_anti")
+          .select("u", "v", "w", "pe")
+          .localCheckpoint(eager = false)
+        val selAgg = sel.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("w")), lit(0L)).as("mw")).head()
+        val nRem = eNext.count()
+        rows += ((round, selAgg.getLong(0), selAgg.getLong(1), nRem))
+        e = eNext
+        remaining = nRem
+      }
+    }
+    rows.toSeq.toDF("round", "n_matched", "matched_weight", "n_remaining")
+  }
+
+  /** [[roundSelect]] carrying the weight through — shared shape: one
+    * union + map-side-combined string min + two hash joins.
+    */
+  private def roundSelectW(e: DataFrame): DataFrame = {
+    val inc = e.select(col("u").as("x"), col("pe"))
+      .unionAll(e.select(col("v").as("x"), col("pe")))
+    val vmin = inc.groupBy("x").agg(min(col("pe")).as("mpe"))
+    e.join(vmin.select(col("x").as("u"), col("mpe").as("mu")), "u")
+      .join(vmin.select(col("x").as("v"), col("mpe").as("mv")), "v")
+      .filter(col("pe") === col("mu") && col("pe") === col("mv"))
+      .select(col("u"), col("v"), col("w"))
+  }
+
   /** `edges` in any orientation (canonicalized + deduped internally;
     * self-loops dropped — a self-loop can never be matched).
     */

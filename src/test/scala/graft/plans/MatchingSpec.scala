@@ -86,4 +86,76 @@ class MatchingSpec extends SparkSpec {
       Matching.trajectory(Seq((0L, 1L)).toDF("u", "v"), 0)
     }
   }
+
+  /** Sequential weighted reference: heaviest-incident-edge rounds with
+    * the operator's exact (inverted-weight ⧺ md5) key order.
+    */
+  private def wkey(u: Long, v: Long, w: Long): String =
+    f"${1000000000000L - w}%013d" + {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"hmatch:$u:$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
+  private def wreference(edges: Seq[(Long, Long, Long)],
+                         rounds: Int): Seq[(Int, Long, Long, Long)] = {
+    var e = edges.map(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3))
+      .filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2)).map { case ((u, v), ts) => (u, v, ts.map(_._3).sum) }
+      .toSeq
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    for (r <- 1 to rounds) {
+      if (e.isEmpty) out += ((r, 0L, 0L, 0L))
+      else {
+        val vmin = (e.map(t => (t._1, wkey(t._1, t._2, t._3))) ++
+            e.map(t => (t._2, wkey(t._1, t._2, t._3))))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+        val sel = e.filter(t => wkey(t._1, t._2, t._3) == vmin(t._1) &&
+          wkey(t._1, t._2, t._3) == vmin(t._2))
+        val matched = sel.flatMap(t => Seq(t._1, t._2)).toSet
+        e = e.filter(t => !matched(t._1) && !matched(t._2))
+        out += ((r, sel.size.toLong, sel.map(_._3).sum, e.size.toLong))
+      }
+    }
+    out.toSeq
+  }
+
+  private def wrun(edges: Seq[(Long, Long, Long)], rounds: Int): Seq[(Int, Long, Long, Long)] =
+    Matching.weightedTrajectory(edges.toDF("u", "v", "w"), rounds)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("weighted: the heaviest edge wins its neighborhood") {
+    // triangle with one heavy edge: (0,1,w=10) beats both neighbors
+    val g = Seq((0L, 1L, 10L), (1L, 2L, 3L), (0L, 2L, 3L))
+    val t = wrun(g, 2)
+    assert(t === wreference(g, 2))
+    assert(t.head === ((1, 1L, 10L, 0L))) // heavy edge matches, rest retire
+  }
+
+  test("weighted: parallel edges merge weights before matching") {
+    // (0,1) appears twice with weights 2+4=6, outweighing (1,2,w=5)
+    val g = Seq((0L, 1L, 2L), (1L, 0L, 4L), (1L, 2L, 5L))
+    val t = wrun(g, 2)
+    assert(t === wreference(Seq((0L, 1L, 6L), (1L, 2L, 5L)), 2))
+    assert(t.head._3 === 6L)
+  }
+
+  test("weighted PROPERTY: random weighted multigraphs match the reference") {
+    for (seed <- 31L to 34L) {
+      val es = GraphGen.randGraph(seed, n = 14, m = 26)
+      val g = es.zipWithIndex.map { case ((u, v), i) => (u, v, (i % 7 + 1).toLong) }
+      assert(wrun(g, 4) === wreference(g, 4), s"seed $seed: $g")
+    }
+  }
+
+  test("weighted: null / non-positive / oversized weights fail loudly") {
+    def messageOf(body: => Unit): String =
+      intercept[Exception](body).getMessage
+    val bad = Seq((0L, 1L, 0L)).toDF("u", "v", "w")
+    assert(messageOf(Matching.weightedTrajectory(bad, 2).collect())
+      .contains("weights must be integers"))
+    val huge = Seq((0L, 1L, 2000000000000L)).toDF("u", "v", "w")
+    assert(messageOf(Matching.weightedTrajectory(huge, 2).collect())
+      .contains("weights must be integers"))
+  }
 }
