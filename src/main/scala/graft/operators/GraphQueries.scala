@@ -2458,6 +2458,56 @@ object GraphQueries {
         "lpad(10¹² − w) ⧺ md5 priority (lexicographic min = weight max, " +
         "collision-proof ties); row-level raise_error guards the " +
         "weight domain. Trajectory (round, n_matched, matched_weight, " +
-        "n_remaining) — exact integers, fixpoint rows repeat")
+        "n_remaining) — exact integers, fixpoint rows repeat"),
+
+    Q("g67_coarsen_level",
+      (s, d) => {
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val wed = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .groupBy(col("p").as("u"), col("p2").as("v")).agg(count(lit(1)).as("w"))
+        graft.plans.Matching.coarsenOnce(wed)
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        ed0 AS MATERIALIZED (
+          SELECT u, v, w,
+                 lpad(CAST(1000000000000 - w AS VARCHAR), 13, '0')
+                   || md5('hmatch:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pe
+          FROM wco),
+        vm1 AS (SELECT x, min(pe) AS mpe FROM (
+            SELECT u AS x, pe FROM ed0 UNION ALL SELECT v AS x, pe FROM ed0) GROUP BY 1),
+        sel1 AS MATERIALIZED (
+          SELECT e.u, e.v, e.w FROM ed0 e
+          JOIN vm1 a ON a.x = e.u JOIN vm1 b ON b.x = e.v
+          WHERE e.pe = a.mpe AND e.pe = b.mpe),
+        verts AS (SELECT u AS x FROM ed0 UNION SELECT v FROM ed0),
+        cmap AS (SELECT u AS x, u AS sx FROM sel1 UNION ALL SELECT v, u FROM sel1),
+        sup AS (SELECT v.x, coalesce(c.sx, v.x) AS sx
+                FROM verts v LEFT JOIN cmap c ON c.x = v.x),
+        rek AS (SELECT a.sx AS su, b.sx AS sv, e.w
+                FROM ed0 e JOIN sup a ON a.x = e.u JOIN sup b ON b.x = e.v),
+        coarse AS (SELECT least(su, sv) AS cu, greatest(su, sv) AS cv, sum(w) AS w
+                   FROM rek WHERE su <> sv GROUP BY 1, 2)
+        SELECT CAST((SELECT count(*) FROM verts) AS BIGINT) AS n_vertices,
+               CAST((SELECT count(*) FROM sel1) AS BIGINT) AS n_matched_pairs,
+               CAST((SELECT count(DISTINCT sx) FROM sup) AS BIGINT) AS n_super_vertices,
+               CAST((SELECT count(*) FROM coarse) AS BIGINT) AS n_super_edges,
+               CAST((SELECT coalesce(sum(w), 0) FROM ed0) AS BIGINT) AS edge_weight_before,
+               CAST((SELECT coalesce(sum(w), 0) FROM coarse) AS BIGINT) AS edge_weight_after,
+               CAST((SELECT coalesce(sum(w), 0) FROM rek WHERE su = sv) AS BIGINT)
+                 AS collapsed_weight"""),
+      "graph analytics — one multilevel COARSENING level over the " +
+        "weighted co-purchase graph: contract each heavy-matched pair " +
+        "(g66's rule) into a supervertex, re-key every edge through " +
+        "the contraction map, merge parallel coarse edges, and emit " +
+        "the conservation invariant edge_weight_before = " +
+        "edge_weight_after + collapsed_weight that a multilevel " +
+        "partitioner checks per level. One matching round + two " +
+        "vertex-map hash joins + one re-aggregation — corpus-linear, " +
+        "no windows; all outputs exact integers")
   )
 }

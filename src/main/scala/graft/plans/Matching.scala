@@ -128,6 +128,73 @@ object Matching {
     rows.toSeq.toDF("round", "n_matched", "matched_weight", "n_remaining")
   }
 
+  /** One multilevel COARSENING level (the step [[weightedTrajectory]]'s
+    * matching exists for): contract each heavy-matched pair into a
+    * supervertex (the smaller endpoint id — deterministic), re-key
+    * every edge through the contraction map, drop collapsed intra-pair
+    * edges, and SUM parallel coarse edges. Weight is conserved by
+    * construction: `edge_weight_before = edge_weight_after +
+    * collapsed_weight` — the invariant a multilevel partitioner checks
+    * per level, emitted here so an oracle gates it.
+    *
+    * Scale shape: one matching round (union + map-side-combined min +
+    * hash joins), a vertex→supervertex hash join per endpoint, one
+    * re-aggregation of the edge list — all corpus-linear, no windows.
+    *
+    * Output: one row `(n_vertices, n_matched_pairs, n_super_vertices,
+    * n_super_edges, edge_weight_before, edge_weight_after,
+    * collapsed_weight)`, exact integers.
+    */
+  def coarsenOnce(edges: DataFrame, salt: String = "hmatch:"): DataFrame = {
+    val spark = edges.sparkSession
+    val cap = 1000000000000L
+    val wGuard = when(col("w").isNotNull && col("w") > 0 && col("w") < cap,
+        col("w").cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"Matching.coarsenOnce: weights must be integers in (0, $cap), got w="),
+        coalesce(col("w").cast("string"), lit("null")),
+        lit(" on edge u="), col("u").cast("string"),
+        lit(" v="), col("v").cast("string"))))
+    val e = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"),
+        wGuard.as("w"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+      .select(col("u"), col("v"), col("w"),
+        concat(lpad((lit(cap) - col("w")).cast("string"), 13, "0"),
+          md5(concat(lit(salt), col("u").cast("string"), lit(":"),
+            col("v").cast("string")))).as("pe"))
+      .localCheckpoint(eager = false)
+    val sel = roundSelectW(e).localCheckpoint(eager = false)
+    val verts = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x"))).distinct()
+    // contraction map: both endpoints of a matched pair → the smaller id
+    val cmap = sel.select(col("u").as("x"), col("u").as("sx"))
+      .unionAll(sel.select(col("v").as("x"), col("u").as("sx")))
+    val superOf = verts.join(cmap, Seq("x"), "left")
+      .select(col("x"), coalesce(col("sx"), col("x")).as("sx"))
+    val rek = e
+      .join(superOf.select(col("x").as("u"), col("sx").as("su")), "u")
+      .join(superOf.select(col("x").as("v"), col("sx").as("sv")), "v")
+    val coarse = rek.filter(col("su") =!= col("sv"))
+      .groupBy(least(col("su"), col("sv")).as("cu"),
+        greatest(col("su"), col("sv")).as("cv"))
+      .agg(sum(col("w")).as("w"))
+    val collapsed = rek.filter(col("su") === col("sv"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("collapsed_weight"))
+    verts.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(sel.agg(count(lit(1)).as("n_matched_pairs")))
+      .crossJoin(superOf.select(col("sx")).distinct()
+        .agg(count(lit(1)).as("n_super_vertices")))
+      .crossJoin(coarse.agg(count(lit(1)).as("n_super_edges"),
+        coalesce(sum(col("w")), lit(0L)).as("edge_weight_after")))
+      .crossJoin(e.agg(coalesce(sum(col("w")), lit(0L)).as("edge_weight_before")))
+      .crossJoin(collapsed)
+      .select(col("n_vertices"), col("n_matched_pairs"), col("n_super_vertices"),
+        col("n_super_edges"), col("edge_weight_before"), col("edge_weight_after"),
+        col("collapsed_weight"))
+  }
+
   /** [[roundSelect]] carrying the weight through — shared shape: one
     * union + map-side-combined string min + two hash joins.
     */

@@ -148,6 +148,43 @@ class MatchingSpec extends SparkSpec {
     }
   }
 
+  test("coarsenOnce: contraction conserves weight and shrinks the graph") {
+    // two heavy pairs (0,1) and (2,3) with a light cross edge (1,2):
+    // both pairs match, the cross edge survives re-keyed (0,2)
+    val g = Seq((0L, 1L, 9L), (2L, 3L, 8L), (1L, 2L, 1L))
+    val r = Matching.coarsenOnce(g.toDF("u", "v", "w")).collect()(0)
+    val (nv, np, nsv, nse) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (before, after, collapsed) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    assert((nv, np, nsv, nse) === ((4L, 2L, 2L, 1L)))
+    assert((before, after, collapsed) === ((18L, 1L, 17L)))
+  }
+
+  test("coarsenOnce: parallel coarse edges merge; unmatched vertices survive") {
+    // triangle 0-1-2 plus pendant 3: (0,1) heaviest matches; edges
+    // (1,2) and (0,2) both re-key to (0,2) and merge to weight 4
+    val g = Seq((0L, 1L, 10L), (1L, 2L, 3L), (0L, 2L, 1L), (2L, 3L, 2L))
+    val r = Matching.coarsenOnce(g.toDF("u", "v", "w")).collect()(0)
+    assert(r.getLong(0) === 4L)  // vertices
+    assert(r.getLong(1) === 1L)  // one matched pair — (2,3) also matches?
+    // NOTE: (2,3) has no heavier incident edge after... within ONE round
+    // (2,3): incident edges at 2 are (1,2,3),(0,2,1),(2,3,2) — heaviest
+    // at 2 is (1,2,w=3), so (2,3) does NOT match in round 1
+    assert(r.getLong(2) === 3L)  // supervertices {0}, {2}, {3}
+    assert(r.getLong(4) === r.getLong(5) + r.getLong(6)) // conservation
+  }
+
+  test("PROPERTY: coarsenOnce conserves weight on random weighted graphs") {
+    for (seed <- 41L to 44L) {
+      val es = GraphGen.randGraph(seed, n = 12, m = 24).filter(p => p._1 != p._2)
+      if (es.nonEmpty) {
+        val g = es.zipWithIndex.map { case ((u, v), i) => (u, v, (i % 5 + 1).toLong) }
+        val r = Matching.coarsenOnce(g.toDF("u", "v", "w")).collect()(0)
+        assert(r.getLong(4) === r.getLong(5) + r.getLong(6), s"seed $seed")
+        assert(r.getLong(2) === r.getLong(0) - r.getLong(1), s"seed $seed")
+      }
+    }
+  }
+
   test("weighted: null / non-positive / oversized weights fail loudly") {
     def messageOf(body: => Unit): String =
       intercept[Exception](body).getMessage
