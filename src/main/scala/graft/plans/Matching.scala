@@ -77,29 +77,43 @@ object Matching {
     * Output: `(round, n_matched, matched_weight, n_remaining)` —
     * exact integers, fixpoint rows repeated past convergence.
     */
-  def weightedTrajectory(edges: DataFrame, maxRounds: Int,
-                         salt: String = "hmatch:"): DataFrame = {
-    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val cap = 1000000000000L // 10^12: weight domain bound for the fixed-width key
-    val wGuard = when(col("w").isNotNull && col("w") > 0 && col("w") < cap,
+  /** Weight domain bound for the fixed-width priority key: 10¹². */
+  private val WeightCap = 1000000000000L
+
+  /** Canonicalize a weighted edge list for the heavy-edge operators:
+    * least/greatest endpoints, parallel-edge weights SUMMED (multigraph
+    * contraction rule), row-level raise_error on weights outside
+    * `(0, 10¹²)` — a bad weight must fail loudly, not mis-match
+    * silently — and the `lpad(CAP − w) ⧺ md5` priority whose
+    * lexicographic MIN is the weight MAX with collision-proof ties.
+    */
+  private def prepWeighted(edges: DataFrame, salt: String,
+                           op: String): DataFrame = {
+    val wGuard = when(col("w").isNotNull && col("w") > 0 && col("w") < WeightCap,
         col("w").cast("long"))
       .otherwise(raise_error(concat(
-        lit(s"Matching.weightedTrajectory: weights must be integers in (0, $cap), got w="),
+        lit(s"Matching.$op: weights must be integers in (0, $WeightCap), got w="),
         coalesce(col("w").cast("string"), lit("null")),
         lit(" on edge u="), col("u").cast("string"),
         lit(" v="), col("v").cast("string"))))
-    var e = edges
+    edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"),
         wGuard.as("w"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .groupBy("u", "v").agg(sum(col("w")).as("w"))
       .select(col("u"), col("v"), col("w"),
-        concat(lpad((lit(cap) - col("w")).cast("string"), 13, "0"),
+        concat(lpad((lit(WeightCap) - col("w")).cast("string"), 13, "0"),
           md5(concat(lit(salt), col("u").cast("string"), lit(":"),
             col("v").cast("string")))).as("pe"))
       .localCheckpoint(eager = false)
+  }
+
+  def weightedTrajectory(edges: DataFrame, maxRounds: Int,
+                         salt: String = "hmatch:"): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = prepWeighted(edges, salt, "weightedTrajectory")
 
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
     var remaining = e.count()
@@ -146,25 +160,7 @@ object Matching {
     * collapsed_weight)`, exact integers.
     */
   def coarsenOnce(edges: DataFrame, salt: String = "hmatch:"): DataFrame = {
-    val spark = edges.sparkSession
-    val cap = 1000000000000L
-    val wGuard = when(col("w").isNotNull && col("w") > 0 && col("w") < cap,
-        col("w").cast("long"))
-      .otherwise(raise_error(concat(
-        lit(s"Matching.coarsenOnce: weights must be integers in (0, $cap), got w="),
-        coalesce(col("w").cast("string"), lit("null")),
-        lit(" on edge u="), col("u").cast("string"),
-        lit(" v="), col("v").cast("string"))))
-    val e = edges
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"),
-        wGuard.as("w"))
-      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
-      .groupBy("u", "v").agg(sum(col("w")).as("w"))
-      .select(col("u"), col("v"), col("w"),
-        concat(lpad((lit(cap) - col("w")).cast("string"), 13, "0"),
-          md5(concat(lit(salt), col("u").cast("string"), lit(":"),
-            col("v").cast("string")))).as("pe"))
-      .localCheckpoint(eager = false)
+    val e = prepWeighted(edges, salt, "coarsenOnce")
     val sel = roundSelectW(e).localCheckpoint(eager = false)
     val verts = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x"))).distinct()
