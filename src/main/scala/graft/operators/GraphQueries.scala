@@ -2508,6 +2508,68 @@ object GraphQueries {
         "edge_weight_after + collapsed_weight that a multilevel " +
         "partitioner checks per level. One matching round + two " +
         "vertex-map hash joins + one re-aggregation — corpus-linear, " +
-        "no windows; all outputs exact integers")
+        "no windows; all outputs exact integers"),
+
+    Q("g68_partition_cut",
+      (s, d) => {
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val wed = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+          .filter(col("p") < col("p2"))
+          .groupBy(col("p").as("u"), col("p2").as("v")).agg(count(lit(1)).as("w"))
+        graft.plans.Matching.partitionCut(wed, k = 4).orderBy("partition")
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        ed0 AS MATERIALIZED (
+          SELECT u, v, w,
+                 lpad(CAST(1000000000000 - w AS VARCHAR), 13, '0')
+                   || md5('hmatch:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pe
+          FROM wco),
+        vm1 AS (SELECT x, min(pe) AS mpe FROM (
+            SELECT u AS x, pe FROM ed0 UNION ALL SELECT v AS x, pe FROM ed0) GROUP BY 1),
+        sel1 AS MATERIALIZED (
+          SELECT e.u, e.v, e.w FROM ed0 e
+          JOIN vm1 a ON a.x = e.u JOIN vm1 b ON b.x = e.v
+          WHERE e.pe = a.mpe AND e.pe = b.mpe),
+        verts AS (SELECT u AS x FROM ed0 UNION SELECT v FROM ed0),
+        cmap AS (SELECT u AS x, u AS sx FROM sel1 UNION ALL SELECT v, u FROM sel1),
+        sup AS MATERIALIZED (SELECT v.x, coalesce(c.sx, v.x) AS sx
+                FROM verts v LEFT JOIN cmap c ON c.x = v.x),
+        coarse AS MATERIALIZED (
+          SELECT least(a.sx, b.sx) AS cu, greatest(a.sx, b.sx) AS cv, sum(e.w) AS w
+          FROM ed0 e JOIN sup a ON a.x = e.u JOIN sup b ON b.x = e.v
+          WHERE a.sx <> b.sx GROUP BY 1, 2),
+        vw AS (SELECT sx, count(*) AS bw FROM sup GROUP BY 1),
+        asg AS MATERIALIZED (
+          SELECT sx, bw,
+                 CAST((row_number() OVER (ORDER BY bw DESC, sx) - 1) % 4 AS BIGINT) AS pid
+          FROM vw),
+        lab AS (SELECT c.w, a.pid AS pu, b.pid AS pv
+                FROM coarse c JOIN asg a ON a.sx = c.cu JOIN asg b ON b.sx = c.cv),
+        cut AS (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS cut_weight
+                FROM lab WHERE pu <> pv),
+        intw AS (SELECT pu AS partition, sum(w) AS iw FROM lab WHERE pu = pv GROUP BY 1)
+        SELECT a.pid AS partition,
+               CAST(count(*) AS BIGINT) AS n_super,
+               CAST(sum(a.bw) AS BIGINT) AS base_weight,
+               CAST(coalesce(any_value(i.iw), 0) AS BIGINT) AS internal_weight,
+               (SELECT cut_weight FROM cut) AS cut_weight
+        FROM asg a LEFT JOIN intw i ON i.partition = a.pid
+        GROUP BY 1 ORDER BY 1"""),
+      "graph analytics — balanced 4-way INITIAL PARTITIONING of the " +
+        "coarse graph plus the edge cut it induces: the step after " +
+        "g67's contraction in a multilevel partitioner. Supervertices " +
+        "assign by weight-descending round-robin (rank mod k over " +
+        "base-vertex weight, id tie-break) — deterministic, balanced " +
+        "to within one max-weight vertex, a plain SQL window; in a " +
+        "full stack this runs at the COARSEST level where the vertex " +
+        "set is small by construction, so the global sort is bounded " +
+        "while corpus-sized work stays in the hash-join levels. " +
+        "Output rows (partition, n_super, base_weight, " +
+        "internal_weight, cut_weight) — exact integers gating the " +
+        "invariant edge_weight_after = Σ internal + cut")
   )
 }

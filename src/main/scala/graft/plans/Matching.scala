@@ -191,6 +191,73 @@ object Matching {
         col("collapsed_weight"))
   }
 
+  /** Balanced k-way PARTITION of the coarse graph plus the cut it
+    * induces — the initial-partitioning step a multilevel partitioner
+    * runs after coarsening ([[coarsenOnce]]'s contraction, then assign,
+    * then project back / refine). Supervertices are assigned by
+    * weight-descending round-robin (`rank mod k` over base-vertex
+    * weight, the parallel-friendly LPT relative): deterministic (ties
+    * broken by supervertex id), balanced to within one max-weight
+    * vertex per partition, and replayable as a plain SQL window.
+    *
+    * Scale shape: in a full multilevel stack the assignment runs at
+    * the COARSEST level, where the vertex set is small by construction
+    * (each level halves it), so the single global sort under the rank
+    * window is over a bounded set — the corpus-sized work stays in the
+    * matching/contraction levels, which are hash joins and map-side
+    * mins. The cut itself is two hash joins of the coarse edge list
+    * against the assignment plus one aggregation.
+    *
+    * Output: `k` rows `(partition, n_super, base_weight,
+    * internal_weight, cut_weight)` — supervertices and base-vertex
+    * mass per partition, intra-partition edge weight, and the global
+    * cut weight (repeated per row; `edge_weight_after =
+    * Σ internal_weight + cut_weight` is the check an oracle gates).
+    * All exact integers.
+    */
+  def partitionCut(edges: DataFrame, k: Int,
+                   salt: String = "hmatch:"): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val e = prepWeighted(edges, salt, "partitionCut")
+    val sel = roundSelectW(e).localCheckpoint(eager = false)
+    val verts = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x"))).distinct()
+    val cmap = sel.select(col("u").as("x"), col("u").as("sx"))
+      .unionAll(sel.select(col("v").as("x"), col("u").as("sx")))
+    val superOf = verts.join(cmap, Seq("x"), "left")
+      .select(col("x"), coalesce(col("sx"), col("x")).as("sx"))
+      .localCheckpoint(eager = false)
+    val coarse = e
+      .join(superOf.select(col("x").as("u"), col("sx").as("su")), "u")
+      .join(superOf.select(col("x").as("v"), col("sx").as("sv")), "v")
+      .filter(col("su") =!= col("sv"))
+      .groupBy(least(col("su"), col("sv")).as("cu"),
+        greatest(col("su"), col("sv")).as("cv"))
+      .agg(sum(col("w")).as("w"))
+    // base-vertex weight per supervertex (1 or 2 after one level) —
+    // the balance criterion METIS carries through contraction
+    val vw = superOf.groupBy("sx").agg(count(lit(1)).as("bw"))
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bw").desc, col("sx"))
+    val assign = vw.select(col("sx"), col("bw"),
+        (((row_number().over(rankWin) - 1) % k).cast("long")).as("pid"))
+      .localCheckpoint(eager = false)
+    val labeled = coarse
+      .join(assign.select(col("sx").as("cu"), col("pid").as("pu")), "cu")
+      .join(assign.select(col("sx").as("cv"), col("pid").as("pv")), "cv")
+    val cut = labeled.filter(col("pu") =!= col("pv"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("cut_weight"))
+    val internal = labeled.filter(col("pu") === col("pv"))
+      .groupBy(col("pu").as("partition"))
+      .agg(sum(col("w")).as("iw"))
+    assign.groupBy(col("pid").as("partition"))
+      .agg(count(lit(1)).as("n_super"), sum(col("bw")).as("base_weight"))
+      .join(internal, Seq("partition"), "left")
+      .crossJoin(cut)
+      .select(col("partition"), col("n_super"), col("base_weight"),
+        coalesce(col("iw"), lit(0L)).as("internal_weight"), col("cut_weight"))
+  }
+
   /** [[roundSelect]] carrying the weight through — shared shape: one
     * union + map-side-combined string min + two hash joins.
     */

@@ -185,6 +185,39 @@ class MatchingSpec extends SparkSpec {
     }
   }
 
+  test("partitionCut: hand-computed assignment, cut, and balance") {
+    // triangle 0-1-2 plus pendant 3 (the coarsenOnce fixture): one
+    // matched pair (0,1) → supervertices {0}(bw2), {2}(bw1), {3}(bw1);
+    // weight-desc round-robin with k=2 assigns 0→p0, 2→p1, 3→p0.
+    // Coarse edges (0,2,w4) and (2,3,w2) both cross → cut 6, internal 0.
+    val g = Seq((0L, 1L, 10L), (1L, 2L, 3L), (0L, 2L, 1L), (2L, 3L, 2L))
+    val rows = Matching.partitionCut(g.toDF("u", "v", "w"), k = 2)
+      .orderBy("partition").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ===
+      Seq((0L, 2L, 3L, 0L, 6L), (1L, 1L, 1L, 0L, 6L)))
+  }
+
+  test("PROPERTY: partitionCut invariants vs coarsenOnce on random graphs") {
+    for (seed <- 51L to 54L) {
+      val es = GraphGen.randGraph(seed, n = 12, m = 24).filter(p => p._1 != p._2)
+      if (es.nonEmpty) {
+        val g = es.zipWithIndex.map { case ((u, v), i) => (u, v, (i % 5 + 1).toLong) }
+        val co = Matching.coarsenOnce(g.toDF("u", "v", "w")).collect()(0)
+        val parts = Matching.partitionCut(g.toDF("u", "v", "w"), k = 2).collect()
+        // base-vertex mass is conserved across partitions
+        assert(parts.map(_.getLong(2)).sum === co.getLong(0), s"seed $seed")
+        // supervertex count is conserved and balanced to within one
+        val ns = parts.map(_.getLong(1))
+        assert(ns.sum === co.getLong(2), s"seed $seed")
+        assert(ns.max - ns.min <= 1L, s"seed $seed")
+        // every coarse edge is internal or cut, exactly once
+        assert(parts.map(_.getLong(3)).sum + parts(0).getLong(4)
+          === co.getLong(5), s"seed $seed")
+      }
+    }
+  }
+
   test("weighted: null / non-positive / oversized weights fail loudly") {
     def messageOf(body: => Unit): String =
       intercept[Exception](body).getMessage
