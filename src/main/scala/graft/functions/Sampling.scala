@@ -78,6 +78,61 @@ object Sampling {
         col("cap").as("water_level"), col("budget"))
   }
 
+  /** Temperature-scaled mixture weights (the mT5/XLM-R sampling rule):
+    * `p_i ∝ n_i^α` with α = 1/2 — upsample low-resource strata, flatten
+    * the head, without the waterfill's hard cap. α = 1/2 is chosen for
+    * EXACTNESS, not just convention: `n^0.5` is a single correctly-
+    * rounded IEEE sqrt (where libm `pow` drifts across engines, the
+    * p119 lesson), corrected to the true INTEGER sqrt by one
+    * neighbor-check — after which every downstream quantity is long
+    * arithmetic that reproduces bit-for-bit anywhere.
+    *
+    * `weight_micro = round(10⁶·s_i/S)` and the per-stratum epoch count
+    * `epochs_micro = round(B·weight_micro/n_i)` (how many times a
+    * stratum repeats when the whole budget B = Σn_i is drawn at these
+    * weights — the famous consequence: low-resource languages cycle)
+    * use `(2a+b) div 2b` round-half-up, identical on both engines.
+    * The one product that can outgrow a long (`B·weight_micro`, past
+    * ~9·10¹² corpus tokens) is widened to decimal(38,0) — HUGEINT on
+    * the oracle side — and `div`'d back to an exact long, so the
+    * arithmetic stays integer-exact at any realistic corpus size.
+    *
+    * Scale shape: one map-side-combined mass aggregate (stratum-sized),
+    * then a k-row crossJoin with the two global totals — the corpus is
+    * touched once, the mixture math runs on k rows.
+    */
+  def temperatureMixture(df: DataFrame, stratum: Column, tokens: Column): DataFrame =
+    temperatureFromMasses(
+      df.groupBy(stratum.as("stratum")).agg(sum(tokens).cast("long").as("n")))
+
+  /** [[temperatureMixture]] from a pre-aggregated `(stratum, n)` mass
+    * table (the incremental-maintenance form, as [[waterfillFromMasses]]).
+    */
+  def temperatureFromMasses(masses: DataFrame): DataFrame = {
+    val n = col("n")
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    // exact integer sqrt: double sqrt is correctly rounded, so the truth
+    // is within one of floor(sqrt) — one neighbor check settles it
+    val isqrt = when(n <= 0L, lit(0L))
+      .when((s0 + lit(1L)) * (s0 + lit(1L)) <= n, s0 + lit(1L))
+      .when(s0 * s0 > n, s0 - lit(1L))
+      .otherwise(s0)
+    val staged = masses.select(col("stratum"), n, isqrt.as("s"))
+    val glob = staged.agg(
+      coalesce(sum(col("s")), lit(0L)).as("s_total"),
+      coalesce(sum(col("n")), lit(0L)).as("b_total"))
+    staged.crossJoin(glob)
+      .withColumn("weight_micro",
+        when(col("s_total") > 0L, expr("(2000000 * s + s_total) div (2 * s_total)"))
+          .otherwise(lit(0L)))
+      .withColumn("epochs_micro",
+        when(n > 0L,
+          expr("(2 * CAST(b_total AS DECIMAL(38,0)) * weight_micro + n) div (2 * n)"))
+          .otherwise(lit(0L)))
+      .select(col("stratum"), n.as("n_tokens"), col("s").as("sqrt_tokens"),
+        col("weight_micro"), col("epochs_micro"))
+  }
+
   /** Uniform [0,1) value derived from the first 28 bits of md5(salt+id).
     *
     * `salt` separates DECISIONS: two samples/splits keyed off the same id

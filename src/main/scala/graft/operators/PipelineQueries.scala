@@ -5133,6 +5133,42 @@ object PipelineQueries {
         "as min over rows of the bucketwise counter dot product — " +
         "always >= exact, within e/width · N². Estimating a 100 TB " +
         "join costs two sketch passes + a constant-size combine, no " +
-        "join runs; exact twin beside it, overestimate in ppm")
+        "join runs; exact twin beside it, overestimate in ppm"),
+
+    Q("p141_temperature_mixture",
+      (s, d) => Sampling.temperatureMixture(table(s, d, "documents"),
+          col("lang"), size(TextOps.tokens(lower(col("text")))))
+        .orderBy("stratum"),
+      Some(s"""
+        WITH m AS (SELECT lang AS stratum,
+                          CAST(sum(len(${sqlTokens("lower(text)")})) AS BIGINT) AS n
+                   FROM documents GROUP BY 1),
+        st AS (SELECT stratum, n,
+                 CASE WHEN n <= 0 THEN 0
+                      WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+                      WHEN s0 * s0 > n THEN s0 - 1 ELSE s0 END AS s
+               FROM (SELECT stratum, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM m)),
+        g AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS s_total,
+                     CAST(coalesce(sum(n), 0) AS BIGINT) AS b_total FROM st),
+        w AS (SELECT stratum, n, s,
+                CASE WHEN s_total > 0
+                     THEN (2000000 * s + s_total) // (2 * s_total) ELSE 0 END AS wm,
+                b_total
+              FROM st CROSS JOIN g)
+        SELECT stratum, n AS n_tokens, s AS sqrt_tokens, wm AS weight_micro,
+               CASE WHEN n > 0
+                    THEN CAST((2 * CAST(b_total AS HUGEINT) * wm + n) // (2 * n) AS BIGINT)
+                    ELSE 0 END AS epochs_micro
+        FROM w ORDER BY stratum"""),
+      "sampling — temperature-scaled mixture weights per language " +
+        "(the mT5/XLM-R rule p_i ∝ n_i^α, α = 1/2): upsample " +
+        "low-resource strata without the waterfill's hard cap. " +
+        "α = 1/2 is chosen for exactness — one correctly-rounded IEEE " +
+        "sqrt corrected to the true INTEGER sqrt by a neighbor check, " +
+        "then pure long arithmetic (round-half-up as (2a+b) div 2b), " +
+        "so weights and per-stratum epoch counts land on identical " +
+        "integers on every engine. One corpus pass + k-row mixture " +
+        "math; epochs_micro > 10⁶ is the low-resource-repeat signal")
   )
 }
