@@ -78,14 +78,18 @@ object Sampling {
         col("cap").as("water_level"), col("budget"))
   }
 
-  /** Temperature-scaled mixture weights (the mT5/XLM-R sampling rule):
-    * `p_i ∝ n_i^α` with α = 1/2 — upsample low-resource strata, flatten
-    * the head, without the waterfill's hard cap. α = 1/2 is chosen for
-    * EXACTNESS, not just convention: `n^0.5` is a single correctly-
-    * rounded IEEE sqrt (where libm `pow` drifts across engines, the
-    * p119 lesson), corrected to the true INTEGER sqrt by one
-    * neighbor-check — after which every downstream quantity is long
-    * arithmetic that reproduces bit-for-bit anywhere.
+  /** Mixture EPOCH planning under temperature sampling: how many times
+    * each stratum repeats when the full token budget B = Σn_i is drawn
+    * at weights `p_i ∝ n_i^α`, α = 1/2 — the repeat/cycling number a
+    * mixture plan is judged by (4+ epochs of a low-resource language
+    * measurably degrades it; the counterpart probability table for
+    * general α is [[graft.functions.Corpus.temperatureMixture]]).
+    * α = 1/2 is chosen for EXACTNESS, not just convention: `n^0.5` is a
+    * single correctly-rounded IEEE sqrt (where libm `pow` drifts across
+    * engines, the p119 lesson), corrected to the true INTEGER sqrt by
+    * one neighbor-check — after which every downstream quantity is long
+    * arithmetic that reproduces bit-for-bit anywhere, where the
+    * general-α form necessarily rounds to a float grid.
     *
     * `weight_micro = round(10⁶·s_i/S)` and the per-stratum epoch count
     * `epochs_micro = round(B·weight_micro/n_i)` (how many times a
@@ -101,14 +105,14 @@ object Sampling {
     * then a k-row crossJoin with the two global totals — the corpus is
     * touched once, the mixture math runs on k rows.
     */
-  def temperatureMixture(df: DataFrame, stratum: Column, tokens: Column): DataFrame =
-    temperatureFromMasses(
+  def mixtureEpochs(df: DataFrame, stratum: Column, tokens: Column): DataFrame =
+    mixtureEpochsFromMasses(
       df.groupBy(stratum.as("stratum")).agg(sum(tokens).cast("long").as("n")))
 
-  /** [[temperatureMixture]] from a pre-aggregated `(stratum, n)` mass
+  /** [[mixtureEpochs]] from a pre-aggregated `(stratum, n)` mass
     * table (the incremental-maintenance form, as [[waterfillFromMasses]]).
     */
-  def temperatureFromMasses(masses: DataFrame): DataFrame = {
+  def mixtureEpochsFromMasses(masses: DataFrame): DataFrame = {
     val n = col("n")
     val s0 = floor(sqrt(n.cast("double"))).cast("long")
     // exact integer sqrt: double sqrt is correctly rounded, so the truth

@@ -5135,8 +5135,8 @@ object PipelineQueries {
         "join costs two sketch passes + a constant-size combine, no " +
         "join runs; exact twin beside it, overestimate in ppm"),
 
-    Q("p141_temperature_mixture",
-      (s, d) => Sampling.temperatureMixture(table(s, d, "documents"),
+    Q("p141_mixture_epochs",
+      (s, d) => Sampling.mixtureEpochs(table(s, d, "documents"),
           col("lang"), size(TextOps.tokens(lower(col("text")))))
         .orderBy("stratum"),
       Some(s"""
@@ -5161,14 +5161,17 @@ object PipelineQueries {
                     THEN CAST((2 * CAST(b_total AS HUGEINT) * wm + n) // (2 * n) AS BIGINT)
                     ELSE 0 END AS epochs_micro
         FROM w ORDER BY stratum"""),
-      "sampling — temperature-scaled mixture weights per language " +
-        "(the mT5/XLM-R rule p_i ∝ n_i^α, α = 1/2): upsample " +
-        "low-resource strata without the waterfill's hard cap. " +
-        "α = 1/2 is chosen for exactness — one correctly-rounded IEEE " +
-        "sqrt corrected to the true INTEGER sqrt by a neighbor check, " +
-        "then pure long arithmetic (round-half-up as (2a+b) div 2b), " +
-        "so weights and per-stratum epoch counts land on identical " +
-        "integers on every engine. One corpus pass + k-row mixture " +
-        "math; epochs_micro > 10⁶ is the low-resource-repeat signal")
+      "sampling — mixture EPOCH planning under temperature sampling " +
+        "(p_i ∝ n_i^α, α = 1/2): how many times each language " +
+        "REPEATS when the full budget B = Σn is drawn at these " +
+        "weights — the cycling number a mixture plan is judged by, " +
+        "which p57's probability table does not produce. α = 1/2 " +
+        "buys exactness: one correctly-rounded IEEE sqrt corrected " +
+        "to the true INTEGER sqrt by a neighbor check, then pure " +
+        "integer arithmetic (round-half-up (2a+b) div 2b; the one " +
+        "long-outgrowing product widened to decimal38/HUGEINT), so " +
+        "every output lands on identical integers on both engines " +
+        "where p57's general-α pow rounds to a float grid. One " +
+        "corpus pass + k-row math; epochs_micro > 10⁶ = repeat signal")
   )
 }

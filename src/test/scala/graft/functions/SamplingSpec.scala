@@ -173,32 +173,32 @@ class SamplingSpec extends SparkSpec {
     assert(free.map(_._1).sum == 330L)
   }
 
-  test("temperatureMixture: exact integer sqrt, weights, and epoch counts") {
+  test("mixtureEpochs: exact integer sqrt, weights, and epoch counts") {
     import spark.implicits._
     // masses 100, 400, 2500 → isqrt 10, 20, 50; S = 80, B = 3000.
     // weights: round(1e6·10/80)=125000, 250000, 625000.
     // epochs: round(3000·125000/100)=3750000 (stratum A repeats 3.75×),
     //         round(3000·250000/400)=1875000, round(3000·625000/2500)=750000
     val masses = Seq(("A", 100L), ("B", 400L), ("C", 2500L)).toDF("stratum", "n")
-    val got = Sampling.temperatureFromMasses(masses).orderBy("stratum").collect()
+    val got = Sampling.mixtureEpochsFromMasses(masses).orderBy("stratum").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(got === Seq(("A", 100L, 10L, 125000L, 3750000L),
       ("B", 400L, 20L, 250000L, 1875000L), ("C", 2500L, 50L, 625000L, 750000L)))
   }
 
-  test("temperatureMixture: isqrt neighbor correction and degenerate strata") {
+  test("mixtureEpochs: isqrt neighbor correction and degenerate strata") {
     import spark.implicits._
     // 2⁵⁰−1: floor(double sqrt) overshoots the integer sqrt by one —
     // the neighbor check must correct it (isqrt = 2²⁵−1, not 2²⁵)
     val big = (1L << 50) - 1
     val masses = Seq(("A", big), ("B", 0L)).toDF("stratum", "n")
-    val got = Sampling.temperatureFromMasses(masses).orderBy("stratum").collect()
+    val got = Sampling.mixtureEpochsFromMasses(masses).orderBy("stratum").collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
     assert(got === Seq(("A", (1L << 25) - 1, 1000000L), ("B", 0L, 0L)))
     // isqrt property sweep around perfect squares
     val edge = (1L to 60L).flatMap(i => Seq(i * i - 1, i * i, i * i + 1))
       .map(n => (s"s$n", n)).toDF("stratum", "n")
-    val sq = Sampling.temperatureFromMasses(edge).collect()
+    val sq = Sampling.mixtureEpochsFromMasses(edge).collect()
       .map(r => (r.getLong(1), r.getLong(2)))
     sq.foreach { case (n, s) =>
       assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s") }
