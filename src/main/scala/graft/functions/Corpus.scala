@@ -160,6 +160,55 @@ object Corpus {
       .orderBy(order: _*)
   }
 
+  /** Training SEQUENCE-PACKING audit — the pretraining last mile
+    * ([[packContext]] packs a retriever's top-k into one prompt; this
+    * packs the whole corpus into fixed-length training sequences): docs
+    * are dealt to `shards` by a salted hash, shuffled within each shard
+    * by the same hash (the deterministic epoch order), concatenated,
+    * and cut every `seqLen` tokens (the GPT concat-and-chunk rule).
+    * Emitted per shard: sequence count, how many documents straddle a
+    * cut (`n_boundary_docs` — the attention-contamination / truncation
+    * cost the packing strategy is judged by), and the tail fill of the
+    * final partial sequence.
+    *
+    * Scale shape: the cumulative sum is windowed PER SHARD — exactly
+    * how a real packer writes output shards in parallel — so the sort
+    * is shard-local; no global window ever sees the corpus. Membership,
+    * order, and every cut position are pure md5 functions of the doc
+    * id, so retries, re-partitions, and other engines reproduce the
+    * same packing bit for bit. Empty documents are dropped (they
+    * occupy no sequence space).
+    *
+    * Output: `(shard, n_docs, n_tokens, n_seqs, n_boundary_docs,
+    * tail_fill)` — exact integers; `n_seqs = ceil(n_tokens/seqLen)`,
+    * `tail_fill = n_tokens mod seqLen`.
+    */
+  def sequencePacking(df: DataFrame, id: Column, tokens: Column,
+                      seqLen: Int, shards: Int,
+                      salt: String = "pack:"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    require(shards >= 1, s"shards must be positive: $shards")
+    val h = md5(concat(lit(salt), id.cast("string")))
+    val base = df.select(id.as("id"), tokens.cast("long").as("t"), h.as("h"))
+      .filter(col("t") > 0)
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 7), 16, 10).cast("long") % shards).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("cum_before", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("crosses",
+        expr(s"(cum_before + t - 1) div ${seqLen}L") >
+          expr(s"cum_before div ${seqLen}L"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(when(col("crosses"), 1L).otherwise(0L)).as("n_boundary_docs"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${seqLen - 1}L) div ${seqLen}L").as("n_seqs"),
+        col("n_boundary_docs"),
+        (col("n_tokens") % seqLen).as("tail_fill"))
+  }
+
   // Max-occurrence counting (top token / top bigram) runs in the native
   // [[graft.functions.expressions.MaxRunCount]] expression: one compiled
   // index-sort + run-scan per document inside whole-stage codegen. The

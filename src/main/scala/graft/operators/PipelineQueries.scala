@@ -5172,6 +5172,42 @@ object PipelineQueries {
         "long-outgrowing product widened to decimal38/HUGEINT), so " +
         "every output lands on identical integers on both engines " +
         "where p57's general-α pow rounds to a float grid. One " +
-        "corpus pass + k-row math; epochs_micro > 10⁶ = repeat signal")
+        "corpus pass + k-row math; epochs_micro > 10⁶ = repeat signal"),
+
+    Q("p142_sequence_packing",
+      (s, d) => Corpus.sequencePacking(table(s, d, "documents"),
+          col("doc_id"), size(TextOps.tokens(lower(col("text")))),
+          seqLen = 256, shards = 8)
+        .orderBy("shard"),
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(${sqlTokens("lower(text)")}) AS BIGINT) AS t,
+                          md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+                   FROM documents),
+        b AS (SELECT doc_id, t, h,
+                     CAST(('0x' || substring(h, 1, 7))::BIGINT % 8 AS INT) AS shard
+              FROM d WHERE t > 0),
+        st AS (SELECT shard, t,
+                 coalesce(sum(t) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+               FROM b)
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS n_tokens,
+               CAST((sum(t) + 255) // 256 AS BIGINT) AS n_seqs,
+               CAST(sum(CASE WHEN (cb + t - 1) // 256 > cb // 256
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+               CAST(sum(t) % 256 AS BIGINT) AS tail_fill
+        FROM st GROUP BY 1 ORDER BY 1"""),
+      "corpus — training SEQUENCE-PACKING audit (the pretraining last " +
+        "mile): docs dealt to 8 shards by salted hash, hash-shuffled " +
+        "within shard (the deterministic epoch order), concatenated " +
+        "and cut every 256 tokens (GPT concat-and-chunk). Per shard: " +
+        "sequence count, documents straddling a cut (the attention-" +
+        "contamination cost packing is judged by), tail fill. The " +
+        "cumulative sum windows PER SHARD — exactly how a parallel " +
+        "packer writes shards, no global window over the corpus; " +
+        "order and cuts are pure md5 functions so retries and other " +
+        "engines reproduce the packing bit for bit")
   )
 }

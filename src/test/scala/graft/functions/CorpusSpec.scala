@@ -214,4 +214,42 @@ class CorpusSpec extends SparkSpec {
       Corpus.packContext(hits, col("score"), Seq(col("id")), col("len"), 0)
     }
   }
+
+  test("sequencePacking matches a sequential concat-and-chunk reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // ids 0..99, token lengths 1..40 cycling, plus empty docs (t=0) that
+    // must be dropped; one shard so the whole order is the md5 shuffle
+    val docs = (0L until 100L).map(i => (i, (i % 41).toInt)).toDF("id", "t")
+    val got = Corpus.sequencePacking(docs, col("id"), col("t"),
+        seqLen = 64, shards = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // sequential reference: md5-sorted docs, running offset, cut at 64
+    val ordered = (0L until 100L).map(i => (i, (i % 41).toLong))
+      .filter(_._2 > 0).sortBy { case (i, _) => (md5hex(s"pack:$i"), i) }
+    var off = 0L; var crossers = 0L
+    ordered.foreach { case (_, t) =>
+      if ((off + t - 1) / 64 > off / 64) crossers += 1
+      off += t
+    }
+    assert(got === Seq((0, ordered.size.toLong, off,
+      (off + 63) / 64, crossers, off % 64)))
+  }
+
+  test("sequencePacking: sharding conserves mass and is partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 500L).map(i => (i, 1 + (i % 17).toInt)).toDF("id", "t")
+    val a = Corpus.sequencePacking(docs, col("id"), col("t"), 128, 4)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(a.map(_(2).asInstanceOf[Long]).sum ===
+      (0L until 500L).map(i => 1 + (i % 17)).sum)
+    assert(a.map(_(1).asInstanceOf[Long]).sum === 500L)
+    val b = Corpus.sequencePacking(docs.repartition(13), col("id"), col("t"), 128, 4)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
