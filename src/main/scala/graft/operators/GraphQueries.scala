@@ -2437,17 +2437,8 @@ object GraphQueries {
         "independently, so the attribution arithmetic is hash-gated"),
 
     Q("g66_heavy_matching",
-      (s, d) => {
-        // WEIGHTED co-purchase graph: w = number of orders sharing the
-        // pair — the multigraph contraction weight a multilevel
-        // partitioner coarsens by
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val wed = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .groupBy(col("p").as("u"), col("p2").as("v")).agg(count(lit(1)).as("w"))
-        graft.plans.Matching.weightedTrajectory(wed, maxRounds = 3)
-      },
+      (s, d) => graft.plans.Matching.weightedTrajectory(
+        TpchGraph.weightedCopurchaseEdges(s, d), maxRounds = 3),
       Some(heavyMatchingOracle(rounds = 3)),
       "graph analytics — HEAVY-edge greedy matching on the weighted " +
         "co-purchase graph (w = shared-order count): the METIS " +
@@ -2461,14 +2452,8 @@ object GraphQueries {
         "n_remaining) — exact integers, fixpoint rows repeat"),
 
     Q("g67_coarsen_level",
-      (s, d) => {
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val wed = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .groupBy(col("p").as("u"), col("p2").as("v")).agg(count(lit(1)).as("w"))
-        graft.plans.Matching.coarsenOnce(wed)
-      },
+      (s, d) => graft.plans.Matching.coarsenOnce(
+        TpchGraph.weightedCopurchaseEdges(s, d)),
       Some(s"""
         WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
         wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
@@ -2511,14 +2496,8 @@ object GraphQueries {
         "no windows; all outputs exact integers"),
 
     Q("g68_partition_cut",
-      (s, d) => {
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val wed = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .groupBy(col("p").as("u"), col("p2").as("v")).agg(count(lit(1)).as("w"))
-        graft.plans.Matching.partitionCut(wed, k = 4).orderBy("partition")
-      },
+      (s, d) => graft.plans.Matching.partitionCut(
+        TpchGraph.weightedCopurchaseEdges(s, d), k = 4).orderBy("partition"),
       Some(s"""
         WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
         wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
