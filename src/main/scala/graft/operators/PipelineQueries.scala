@@ -5208,6 +5208,72 @@ object PipelineQueries {
         "cumulative sum windows PER SHARD — exactly how a parallel " +
         "packer writes shards, no global window over the corpus; " +
         "order and cuts are pure md5 functions so retries and other " +
-        "engines reproduce the packing bit for bit")
+        "engines reproduce the packing bit for bit"),
+
+    Q("p143_quality_keeper",
+      (s, d) => {
+        // curation KEEPER POLICY: the p32 clusters (shared LSH pair set
+        // + CC), but the kept document is the argmax-QUALITY member,
+        // not the min id — the rule a production dedup actually
+        // applies (p32's min-id canonical stays the cluster NAME; which
+        // member survives is a policy choice, decided here by integer
+        // stopword density with id tie-break)
+        val pairs = TpchGraph.lshPairs(s, d)
+          .select(col("id_a").cast("long").as("src"),
+            col("id_b").cast("long").as("dst"))
+        val comp = graft.plans.DfConnectedComponents.run(pairs)
+        val qc = graft.functions.expressions.QualityCounts
+          .qualityCountsCol(col("text"), TextOps.defaultStopwords)
+        val q = table(s, d, "documents")
+          .select(col("doc_id").cast("long").as("id"),
+            qc.getField("n_stop").cast("long").as("nstop"),
+            qc.getField("n_tokens").cast("long").as("ntok"))
+          .withColumn("q_micro", expr("nstop * 1000000 div greatest(ntok, 1)"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("component").orderBy(col("q_micro").desc, col("id"))
+        comp.join(q, "id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("component").as("canonical_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rn") === 1, col("id"))).as("keeper_id"),
+            max(when(col("rn") === 1, col("q_micro"))).as("keeper_q_micro"))
+          .orderBy("canonical_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $lshPairCtes,
+        pairs AS (SELECT id_a, id_b FROM pr WHERE cos >= 0.4),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        q AS (SELECT doc_id AS id,
+                CAST(CAST(len(list_filter(${sqlTokens("lower(text)")},
+                       x -> x IN ('the','a','an','of','and','or','to','in','is','it')))
+                     AS BIGINT) * 1000000
+                  // greatest(CAST(len(${sqlTokens("text")}) AS BIGINT), 1)
+                  AS BIGINT) AS q_micro
+              FROM documents),
+        rk AS (SELECT c.id, c.component, q.q_micro,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY q.q_micro DESC, c.id) AS rn
+               FROM comp c JOIN q ON q.id = c.id)
+        SELECT CAST(component AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id,
+               CAST(max(CASE WHEN rn = 1 THEN q_micro END) AS BIGINT) AS keeper_q_micro
+        FROM rk GROUP BY 1 ORDER BY 1"""),
+      "dedup — quality-aware KEEPER selection on the p32 near-dup " +
+        "clusters: which member survives the collapse is a POLICY, " +
+        "and production pipelines keep the best document, not the " +
+        "smallest id. Same shared LSH pair set + CC (no new heavy " +
+        "work); keeper = argmax integer stopword density (the p02 " +
+        "signal on a 10⁻⁶ grid, id tie-break) via a per-cluster " +
+        "window — partitioned by cluster, so no global sort at any " +
+        "corpus size")
   )
 }
