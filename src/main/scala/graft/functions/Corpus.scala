@@ -209,6 +209,52 @@ object Corpus {
         (col("n_tokens") % seqLen).as("tail_fill"))
   }
 
+  /** T5-style SPAN-CORRUPTION planning stats — the denoising-objective
+    * data prep (Raffel et al. 2020): deterministic hash-seeded span
+    * starts at `seedThreshold/2²⁸` of token positions, each seed
+    * corrupting `spanLen` tokens; overlapping spans merge, and each
+    * MAXIMAL corrupted run becomes one sentinel. Emitted per document:
+    * seed/corrupted/span counts and the resulting encoder/decoder
+    * lengths (`input_len = n − corrupted + spans`,
+    * `target_len = corrupted + spans`) — the numbers a batch-shape
+    * planner needs before materializing any corrupted text.
+    *
+    * Determinism: a position is a seed iff the 28-bit md5 integer of
+    * `salt:id:pos` is below `seedThreshold` — an INTEGER compare (no
+    * float rate), so membership is a pure function of (id, pos) and any
+    * engine replays the exact noise mask. Zero shuffle: positions,
+    * seeds, span union, and run counting are per-row array expressions
+    * (`sequence`/`filter`/`flatten`/`array_distinct`) — nothing
+    * explodes, nothing moves; cost is O(tokens) per doc with an
+    * O(corrupted²) run-count term bounded by the corruption rate.
+    */
+  def spanCorruption(df: DataFrame, id: Column, nTokens: Column,
+                     spanLen: Int = 3, seedThreshold: Long = 1L << 25,
+                     salt: String = "span:"): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be positive: $spanLen")
+    require(seedThreshold >= 0 && seedThreshold <= (1L << 28),
+      s"seedThreshold must be a 28-bit bound: $seedThreshold")
+    df.select(id.as("id"), nTokens.cast("int").as("n"))
+      .withColumn("seeds", when(col("n") > 0,
+          filter(sequence(lit(0), col("n") - 1), p =>
+            conv(substring(md5(concat(lit(salt), col("id").cast("string"),
+              lit(":"), p.cast("string"))), 1, 7), 16, 10).cast("long")
+              < seedThreshold))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("corrupted", array_sort(array_distinct(flatten(
+        transform(col("seeds"),
+          p => sequence(p, least(p + spanLen - 1, col("n") - 1)))))))
+      .withColumn("n_spans", size(filter(col("corrupted"),
+        x => !array_contains(col("corrupted"), x - 1))).cast("long"))
+      .select(col("id"), col("n").cast("long").as("n_tokens"),
+        size(col("seeds")).cast("long").as("n_seeds"),
+        size(col("corrupted")).cast("long").as("n_corrupted"),
+        col("n_spans"),
+        (col("n") - size(col("corrupted")) + col("n_spans")).cast("long")
+          .as("input_len"),
+        (size(col("corrupted")) + col("n_spans")).cast("long").as("target_len"))
+  }
+
   // Max-occurrence counting (top token / top bigram) runs in the native
   // [[graft.functions.expressions.MaxRunCount]] expression: one compiled
   // index-sort + run-scan per document inside whole-stage codegen. The

@@ -5274,6 +5274,51 @@ object PipelineQueries {
         "work); keeper = argmax integer stopword density (the p02 " +
         "signal on a 10⁻⁶ grid, id tie-break) via a per-cluster " +
         "window — partitioned by cluster, so no global sort at any " +
-        "corpus size")
+        "corpus size"),
+
+    Q("p144_span_corruption",
+      (s, d) => Corpus.spanCorruption(table(s, d, "documents"),
+          col("doc_id"), size(TextOps.tokens(lower(col("text")))))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(${sqlTokens("lower(text)")}) AS INT) AS n
+                   FROM documents),
+        pos AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS p
+                FROM d WHERE n > 0),
+        seeds AS (SELECT doc_id, n, p FROM pos
+                  WHERE ('0x' || substring(md5('span:' || CAST(doc_id AS VARCHAR)
+                          || ':' || CAST(p AS VARCHAR)), 1, 7))::BIGINT < 33554432),
+        corr AS (SELECT DISTINCT doc_id, q FROM (
+                   SELECT doc_id, unnest(generate_series(p, least(p + 2, n - 1))) AS q
+                   FROM seeds)),
+        spans AS (SELECT c.doc_id, count(*) AS n_spans
+                  FROM corr c LEFT JOIN corr c2
+                    ON c2.doc_id = c.doc_id AND c2.q = c.q - 1
+                  WHERE c2.q IS NULL GROUP BY 1),
+        cagg AS (SELECT doc_id, count(*) AS n_corrupted FROM corr GROUP BY 1),
+        sagg AS (SELECT doc_id, count(*) AS n_seeds FROM seeds GROUP BY 1)
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+               CAST(coalesce(sagg.n_seeds, 0) AS BIGINT) AS n_seeds,
+               CAST(coalesce(cagg.n_corrupted, 0) AS BIGINT) AS n_corrupted,
+               CAST(coalesce(spans.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(d.n - coalesce(cagg.n_corrupted, 0)
+                    + coalesce(spans.n_spans, 0) AS BIGINT) AS input_len,
+               CAST(coalesce(cagg.n_corrupted, 0)
+                    + coalesce(spans.n_spans, 0) AS BIGINT) AS target_len
+        FROM d LEFT JOIN sagg USING (doc_id) LEFT JOIN cagg USING (doc_id)
+               LEFT JOIN spans USING (doc_id)
+        ORDER BY d.doc_id"""),
+      "corpus — T5-style SPAN-CORRUPTION planning stats (the " +
+        "denoising-objective data prep): hash-seeded span starts at " +
+        "1/8 of token positions (INTEGER 28-bit md5 compare, no float " +
+        "rate), 3-token spans, overlaps merged, each maximal run = one " +
+        "sentinel; per doc the seed/corrupted/span counts and the " +
+        "encoder/decoder lengths a batch-shape planner needs. Zero " +
+        "shuffle — the noise mask is per-row array expressions " +
+        "(sequence/filter/flatten/distinct), nothing explodes; " +
+        "membership is a pure function of (doc, pos) so any engine " +
+        "replays the exact mask")
   )
 }

@@ -239,6 +239,35 @@ class CorpusSpec extends SparkSpec {
       (off + 63) / 64, crossers, off % 64)))
   }
 
+  test("spanCorruption matches a sequential mask reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def seed(id: Long, p: Int): Boolean =
+      java.lang.Long.parseLong(md5hex(s"span:$id:$p").take(7), 16) < (1L << 25)
+    val docs = (0L until 60L).map(i => (i, (i % 23).toInt)).toDF("id", "t")
+    val got = Corpus.spanCorruption(docs, col("id"), col("t"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val want = (0L until 60L).map { i =>
+      val n = (i % 23).toInt
+      val seeds = (0 until n).filter(p => seed(i, p))
+      val corrupted = seeds.flatMap(p => p to math.min(p + 2, n - 1)).distinct.sorted
+      val spans = corrupted.count(x => !corrupted.contains(x - 1))
+      (i, n.toLong, seeds.size.toLong, corrupted.size.toLong, spans.toLong,
+        (n - corrupted.size + spans).toLong, (corrupted.size + spans).toLong)
+    }
+    assert(got === want)
+    // invariants: a doc with zero tokens is all zeros + input_len 0;
+    // sentinel count never exceeds seeds; target ≤ n + spans
+    got.foreach { case (_, n, s, c, sp, in, tg) =>
+      assert(sp <= s && c <= n && in + tg === n + 2 * sp)
+      if (n == 0L) assert((s, c, sp, in, tg) === ((0L, 0L, 0L, 0L, 0L)))
+    }
+  }
+
   test("sequencePacking: sharding conserves mass and is partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
