@@ -2219,30 +2219,17 @@ object GraphQueries {
         "provably agrees with the delta form round for round"),
 
     Q("g58_purchase_transitions",
-      (s, d) => {
+      (s, d) =>
         // next-purchase transition counts — the SEQUENTIAL pattern
-        // export (what do customers buy next): per customer, each
-        // consecutive order pair contributes its (part-then-part)
-        // cross; the count table is what a sequential recommender /
-        // next-item model trains on. Per-customer window + two
-        // order-bounded joins (≤7 parts per order) — linear in orders
-        val ord = TpchGraph.table(s, d, "orders").select(
-          col("o_custkey").as("c"), col("o_orderkey").as("k"),
-          col("o_orderdate").as("dt"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("c").orderBy("dt", "k")
-        val nxt = ord.withColumn("k2", lead(col("k"), 1).over(w))
-          .filter(col("k2").isNotNull)
-          .select(col("k"), col("k2"))
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        nxt.join(li, "k")
-          .join(li.withColumnsRenamed(Map("k" -> "k2", "p" -> "p2")), "k2")
-          .groupBy(col("p").as("from_part"), col("p2").as("to_part"))
-          .agg(count(lit(1)).as("n_transitions"))
+        // export (what do customers buy next): the count table a
+        // sequential recommender / next-item model trains on, read off
+        // the process-cached transition edge set (per-customer window +
+        // two order-bounded joins, run once per session; g64 shares it)
+        TpchGraph.transitionEdges(s, d)
+          .select(col("src").as("from_part"), col("dst").as("to_part"),
+            col("n_transitions"))
           .orderBy(col("n_transitions").desc, col("from_part"), col("to_part"))
-          .limit(30)
-      },
+          .limit(30),
       Some(s"""
         WITH o AS (SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS dt
                    FROM orders),
@@ -2358,26 +2345,14 @@ object GraphQueries {
         "trajectory rows (round, sum_registers, nf_micro) are exact"),
 
     Q("g64_scc_certificates",
-      (s, d) => {
-        // the directed next-purchase transition graph (g58's edge set,
-        // un-truncated): does the purchase sequence contain round-trip
-        // dynamics? Bounded bidirectional min-label propagation answers
-        // with radius-r SCC certificates
-        val ord = TpchGraph.table(s, d, "orders").select(
-          col("o_custkey").as("c"), col("o_orderkey").as("k"),
-          col("o_orderdate").as("dt"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("c").orderBy("dt", "k")
-        val nxt = ord.withColumn("k2", lead(col("k"), 1).over(w))
-          .filter(col("k2").isNotNull)
-          .select(col("k"), col("k2"))
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val ed = nxt.join(li, "k")
-          .join(li.withColumnsRenamed(Map("k" -> "k2", "p" -> "p2")), "k2")
-          .select(col("p").as("src"), col("p2").as("dst"))
-        graft.plans.SccLabels.trajectory(ed, maxRounds = 3)
-      },
+      (s, d) =>
+        // the directed next-purchase transition graph (g58's cached
+        // edge set, un-truncated): does the purchase sequence contain
+        // round-trip dynamics? Bounded bidirectional min-label
+        // propagation answers with radius-r SCC certificates
+        graft.plans.SccLabels.trajectory(
+          TpchGraph.transitionEdges(s, d).select(col("src"), col("dst")),
+          maxRounds = 3),
       Some(sccOracle(rounds = 3)),
       "graph analytics — bounded-round SCC certificates on the DIRECTED " +
         "next-purchase transition graph (the FW-BW/Multistep first " +

@@ -60,6 +60,13 @@ object SccLabels {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // iterative rounds re-shuffle a shrinking delta many times — size
+    // the shuffle width to the iteration, not the session scan width
+    // (the DfConnectedComponents discipline); restored in the finally
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+
     val ed = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
@@ -96,5 +103,6 @@ object SccLabels {
       }
     }
     rows.toSeq.toDF("round", "n_certified", "f_mass", "b_mass")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

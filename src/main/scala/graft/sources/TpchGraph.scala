@@ -265,6 +265,38 @@ object TpchGraph {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  private val transitionCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** Process-cached DIRECTED next-purchase transition counts
+    * `(src, dst, n_transitions)`: per customer each consecutive order
+    * pair (orderdate, orderkey order) contributes its part-then-part
+    * cross. The temporal counterpart of [[copurchaseEdges]], shared by
+    * the sequential-pattern export (g58) and the SCC certificate query
+    * (g64) — the per-customer window plus two order-bounded joins runs
+    * once per session, the standing-artifact pattern.
+    */
+  def transitionEdges(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    sessionCached(transitionCache, spark, dir) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.storage.StorageLevel
+      val ord = table(spark, dir, "orders").select(
+        col("o_custkey").as("c"), col("o_orderkey").as("k"),
+        col("o_orderdate").as("dt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c").orderBy("dt", "k")
+      val nxt = ord.withColumn("k2", lead(col("k"), 1).over(w))
+        .filter(col("k2").isNotNull)
+        .select(col("k"), col("k2"))
+      val li = lineitemDeduped(spark, dir)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      nxt.join(li, "k")
+        .join(li.withColumnsRenamed(Map("k" -> "k2", "p" -> "p2")), "k2")
+        .groupBy(col("p").as("src"), col("p2").as("dst"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   private val weightedCopurchaseCache =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
