@@ -330,6 +330,40 @@ object GraphQueries {
     * with a collision-proof tiebreak, so the same min()-based unroll as
     * [[matchingOracle]] replays the weighted rule exactly.
     */
+  /** Shared oracle CTE chain for the multilevel-partitioning family
+    * (g68 partition+cut, g70 refinement): weighted co-purchase edges →
+    * one heavy-matching round → contraction → coarse graph → balanced
+    * round-robin assignment. Mirrors `Matching.coarsePartition`.
+    */
+  private def partitionCtes: String =
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        ed0 AS MATERIALIZED (
+          SELECT u, v, w,
+                 lpad(CAST(1000000000000 - w AS VARCHAR), 13, '0')
+                   || md5('hmatch:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pe
+          FROM wco),
+        vm1 AS (SELECT x, min(pe) AS mpe FROM (
+            SELECT u AS x, pe FROM ed0 UNION ALL SELECT v AS x, pe FROM ed0) GROUP BY 1),
+        sel1 AS MATERIALIZED (
+          SELECT e.u, e.v, e.w FROM ed0 e
+          JOIN vm1 a ON a.x = e.u JOIN vm1 b ON b.x = e.v
+          WHERE e.pe = a.mpe AND e.pe = b.mpe),
+        verts AS (SELECT u AS x FROM ed0 UNION SELECT v FROM ed0),
+        cmap AS (SELECT u AS x, u AS sx FROM sel1 UNION ALL SELECT v, u FROM sel1),
+        sup AS MATERIALIZED (SELECT v.x, coalesce(c.sx, v.x) AS sx
+                FROM verts v LEFT JOIN cmap c ON c.x = v.x),
+        coarse AS MATERIALIZED (
+          SELECT least(a.sx, b.sx) AS cu, greatest(a.sx, b.sx) AS cv, sum(e.w) AS w
+          FROM ed0 e JOIN sup a ON a.x = e.u JOIN sup b ON b.x = e.v
+          WHERE a.sx <> b.sx GROUP BY 1, 2),
+        vw AS (SELECT sx, count(*) AS bw FROM sup GROUP BY 1),
+        asg AS MATERIALIZED (
+          SELECT sx, bw,
+                 CAST((row_number() OVER (ORDER BY bw DESC, sx) - 1) % 4 AS BIGINT) AS pid
+          FROM vw)"""
+
   private def heavyMatchingOracle(rounds: Int): String = {
     val rnds = (1 to rounds).map { i =>
       s"""vm$i AS (SELECT x, min(pe) AS mpe FROM (
@@ -2474,33 +2508,7 @@ object GraphQueries {
       (s, d) => graft.plans.Matching.partitionCut(
         TpchGraph.weightedCopurchaseEdges(s, d), k = 4).orderBy("partition"),
       Some(s"""
-        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
-        wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
-               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
-        ed0 AS MATERIALIZED (
-          SELECT u, v, w,
-                 lpad(CAST(1000000000000 - w AS VARCHAR), 13, '0')
-                   || md5('hmatch:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pe
-          FROM wco),
-        vm1 AS (SELECT x, min(pe) AS mpe FROM (
-            SELECT u AS x, pe FROM ed0 UNION ALL SELECT v AS x, pe FROM ed0) GROUP BY 1),
-        sel1 AS MATERIALIZED (
-          SELECT e.u, e.v, e.w FROM ed0 e
-          JOIN vm1 a ON a.x = e.u JOIN vm1 b ON b.x = e.v
-          WHERE e.pe = a.mpe AND e.pe = b.mpe),
-        verts AS (SELECT u AS x FROM ed0 UNION SELECT v FROM ed0),
-        cmap AS (SELECT u AS x, u AS sx FROM sel1 UNION ALL SELECT v, u FROM sel1),
-        sup AS MATERIALIZED (SELECT v.x, coalesce(c.sx, v.x) AS sx
-                FROM verts v LEFT JOIN cmap c ON c.x = v.x),
-        coarse AS MATERIALIZED (
-          SELECT least(a.sx, b.sx) AS cu, greatest(a.sx, b.sx) AS cv, sum(e.w) AS w
-          FROM ed0 e JOIN sup a ON a.x = e.u JOIN sup b ON b.x = e.v
-          WHERE a.sx <> b.sx GROUP BY 1, 2),
-        vw AS (SELECT sx, count(*) AS bw FROM sup GROUP BY 1),
-        asg AS MATERIALIZED (
-          SELECT sx, bw,
-                 CAST((row_number() OVER (ORDER BY bw DESC, sx) - 1) % 4 AS BIGINT) AS pid
-          FROM vw),
+        WITH $partitionCtes,
         lab AS (SELECT c.w, a.pid AS pu, b.pid AS pv
                 FROM coarse c JOIN asg a ON a.sx = c.cu JOIN asg b ON b.sx = c.cv),
         cut AS (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS cut_weight
@@ -2591,6 +2599,62 @@ object GraphQueries {
         "edges) with sign-safe round-half-up onto the 10⁻⁶ grid, so " +
         "q_micro lands on the same long on both engines. One edge " +
         "pass + two label hash joins + a per-community rollup — " +
-        "corpus-linear, no windows, arithmetic on one row")
+        "corpus-linear, no windows, arithmetic on one row"),
+
+    Q("g70_refine_cut",
+      (s, d) => graft.plans.Matching.refineOnce(
+        TpchGraph.weightedCopurchaseEdges(s, d), k = 4),
+      Some(s"""
+        WITH $partitionCtes,
+        inc AS (SELECT cu AS x, cv AS nbr, w FROM coarse
+                UNION ALL SELECT cv, cu, w FROM coarse),
+        conn AS MATERIALIZED (
+          SELECT i.x, a.pid AS q, sum(i.w) AS cw
+          FROM inc i JOIN asg a ON a.sx = i.nbr GROUP BY 1, 2),
+        best AS (SELECT x, q AS target, cw AS bw2 FROM (
+                   SELECT x, q, cw,
+                          row_number() OVER (PARTITION BY x
+                                             ORDER BY cw DESC, q) AS rn
+                   FROM conn) WHERE rn = 1),
+        cur AS (SELECT a.sx, a.pid, coalesce(c.cw, 0) AS curw
+                FROM asg a LEFT JOIN conn c ON c.x = a.sx AND c.q = a.pid),
+        mv AS MATERIALIZED (
+          SELECT cur.sx, cur.pid, b.target, b.bw2 - cur.curw AS gain,
+                 ('0x' || substring(md5('refine:' || CAST(cur.sx AS VARCHAR)),
+                   1, 7))::BIGINT % 2 AS par
+          FROM cur LEFT JOIN best b ON b.x = cur.sx),
+        asg2 AS (SELECT sx,
+                   CASE WHEN gain > 0 AND par = 0 AND target <> pid
+                        THEN target ELSE pid END AS pid
+                 FROM mv),
+        cb AS (SELECT CAST(coalesce(sum(c.w), 0) AS BIGINT) AS cut_before
+               FROM coarse c JOIN asg a ON a.sx = c.cu
+                             JOIN asg b ON b.sx = c.cv
+               WHERE a.pid <> b.pid),
+        ca AS (SELECT CAST(coalesce(sum(c.w), 0) AS BIGINT) AS cut_after
+               FROM coarse c JOIN asg2 a ON a.sx = c.cu
+                             JOIN asg2 b ON b.sx = c.cv
+               WHERE a.pid <> b.pid),
+        nb AS (SELECT CAST(count(DISTINCT c.x) AS BIGINT) AS n_boundary
+               FROM conn c JOIN asg a ON a.sx = c.x WHERE c.q <> a.pid)
+        SELECT CAST((SELECT count(*) FROM mv) AS BIGINT) AS n_super,
+               (SELECT n_boundary FROM nb) AS n_boundary,
+               CAST((SELECT coalesce(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END), 0)
+                     FROM mv) AS BIGINT) AS n_candidates,
+               CAST((SELECT coalesce(sum(CASE WHEN gain > 0 AND par = 0
+                       THEN 1 ELSE 0 END), 0) FROM mv) AS BIGINT) AS n_moved,
+               (SELECT cut_before FROM cb) AS cut_before,
+               (SELECT cut_after FROM ca) AS cut_after"""),
+      "graph analytics — one Spinner-style REFINEMENT pass over the " +
+        "g68 assignment (coarsen g67 → assign g68 → REFINE, the third " +
+        "multilevel phase): per supervertex the connectivity to every " +
+        "partition, the argmax move and its gain; positive-gain " +
+        "vertices whose md5 PARITY bit is 0 move simultaneously — the " +
+        "alternating-parity conflict gate of streaming partitioners " +
+        "(a full synchronous move set lets adjacent vertices chase " +
+        "each other). Connectivity = one edge expansion + assignment " +
+        "join + (vertex, partition) aggregate; argmax = per-vertex " +
+        "window; cut evaluated before and after as exact integers so " +
+        "the caller gates on improvement")
   )
 }

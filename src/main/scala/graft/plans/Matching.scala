@@ -217,8 +217,31 @@ object Matching {
     */
   def partitionCut(edges: DataFrame, k: Int,
                    salt: String = "hmatch:"): DataFrame = {
+    val (coarse, assign) = coarsePartition(edges, k, salt, "partitionCut")
+    val labeled = coarse
+      .join(assign.select(col("sx").as("cu"), col("pid").as("pu")), "cu")
+      .join(assign.select(col("sx").as("cv"), col("pid").as("pv")), "cv")
+    val cut = labeled.filter(col("pu") =!= col("pv"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("cut_weight"))
+    val internal = labeled.filter(col("pu") === col("pv"))
+      .groupBy(col("pu").as("partition"))
+      .agg(sum(col("w")).as("iw"))
+    assign.groupBy(col("pid").as("partition"))
+      .agg(count(lit(1)).as("n_super"), sum(col("bw")).as("base_weight"))
+      .join(internal, Seq("partition"), "left")
+      .crossJoin(cut)
+      .select(col("partition"), col("n_super"), col("base_weight"),
+        coalesce(col("iw"), lit(0L)).as("internal_weight"), col("cut_weight"))
+  }
+
+  /** One coarsening level + balanced k-way assignment — the shared
+    * state of [[partitionCut]] (reports it) and [[refineOnce]] (refines
+    * it): `(coarse(cu, cv, w), assign(sx, bw, pid))`.
+    */
+  private def coarsePartition(edges: DataFrame, k: Int, salt: String,
+                              op: String): (DataFrame, DataFrame) = {
     require(k >= 2, s"k must be >= 2: $k")
-    val e = prepWeighted(edges, salt, "partitionCut")
+    val e = prepWeighted(edges, salt, op)
     val sel = roundSelectW(e).localCheckpoint(eager = false)
     val verts = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x"))).distinct()
@@ -234,6 +257,7 @@ object Matching {
       .groupBy(least(col("su"), col("sv")).as("cu"),
         greatest(col("su"), col("sv")).as("cv"))
       .agg(sum(col("w")).as("w"))
+      .localCheckpoint(eager = false)
     // base-vertex weight per supervertex (1 or 2 after one level) —
     // the balance criterion METIS carries through contraction
     val vw = superOf.groupBy("sx").agg(count(lit(1)).as("bw"))
@@ -242,20 +266,80 @@ object Matching {
     val assign = vw.select(col("sx"), col("bw"),
         (((row_number().over(rankWin) - 1) % k).cast("long")).as("pid"))
       .localCheckpoint(eager = false)
-    val labeled = coarse
-      .join(assign.select(col("sx").as("cu"), col("pid").as("pu")), "cu")
-      .join(assign.select(col("sx").as("cv"), col("pid").as("pv")), "cv")
-    val cut = labeled.filter(col("pu") =!= col("pv"))
-      .agg(coalesce(sum(col("w")), lit(0L)).as("cut_weight"))
-    val internal = labeled.filter(col("pu") === col("pv"))
-      .groupBy(col("pu").as("partition"))
-      .agg(sum(col("w")).as("iw"))
-    assign.groupBy(col("pid").as("partition"))
-      .agg(count(lit(1)).as("n_super"), sum(col("bw")).as("base_weight"))
-      .join(internal, Seq("partition"), "left")
-      .crossJoin(cut)
-      .select(col("partition"), col("n_super"), col("base_weight"),
-        coalesce(col("iw"), lit(0L)).as("internal_weight"), col("cut_weight"))
+    (coarse, assign)
+  }
+
+  /** One Spinner-style REFINEMENT pass over [[partitionCut]]'s
+    * assignment — the third phase of a multilevel partitioner (coarsen
+    * g67 → assign g68 → refine): each supervertex computes its
+    * connectivity `conn(x, q)` to every partition, its best move
+    * (argmax conn, smaller-partition tie-break) and the gain
+    * `conn(x, best) − conn(x, current)`; positive-gain vertices whose
+    * md5 PARITY bit is 0 move simultaneously (the alternating-parity
+    * conflict gate of Spinner-class streaming partitioners — a fully
+    * synchronous move set would let adjacent vertices chase each other;
+    * the deterministic hash bit admits half the candidates with no
+    * coordination, and alternating the bit round by round covers the
+    * rest).
+    *
+    * Scale shape: connectivity is one edge-list expansion (both
+    * orientations) + a hash join to the assignment + one (vertex,
+    * partition) aggregate; the argmax is a per-vertex window
+    * (partitioned by vertex, never global); the move and both cut
+    * evaluations are assignment hash joins — all corpus-linear.
+    *
+    * Output: one row `(n_super, n_boundary, n_candidates, n_moved,
+    * cut_before, cut_after)` — boundary = vertices with any external
+    * connectivity, candidates = strictly-positive-gain moves, moved =
+    * candidates passing the parity gate; cuts exact. A refinement pass
+    * is judged by `cut_after < cut_before`; the synchronous-move
+    * approximation means improvement is expected, not guaranteed, and
+    * the exact integers let the caller gate either way.
+    */
+  def refineOnce(edges: DataFrame, k: Int,
+                 salt: String = "hmatch:",
+                 paritySalt: String = "refine:"): DataFrame = {
+    val (coarse, assign) = coarsePartition(edges, k, salt, "refineOnce")
+    def cutOf(asg: DataFrame): DataFrame = coarse
+      .join(asg.select(col("sx").as("cu"), col("pid").as("pu")), "cu")
+      .join(asg.select(col("sx").as("cv"), col("pid").as("pv")), "cv")
+      .filter(col("pu") =!= col("pv"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("cut"))
+    val inc = coarse.select(col("cu").as("x"), col("cv").as("nbr"), col("w"))
+      .unionAll(coarse.select(col("cv").as("x"), col("cu").as("nbr"), col("w")))
+    val conn = inc
+      .join(assign.select(col("sx").as("nbr"), col("pid").as("q")), "nbr")
+      .groupBy("x", "q").agg(sum(col("w")).as("cw"))
+      .localCheckpoint(eager = false)
+    val bestWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("x").orderBy(col("cw").desc, col("q"))
+    val best = conn.withColumn("rn", row_number().over(bestWin))
+      .filter(col("rn") === 1)
+      .select(col("x"), col("q").as("target"), col("cw").as("bw2"))
+    val cur = assign
+      .join(conn, col("x") === col("sx") && col("q") === col("pid"), "left")
+      .select(col("sx"), col("pid"), coalesce(col("cw"), lit(0L)).as("curw"))
+    val mv = cur.join(best.withColumnRenamed("x", "sx"), Seq("sx"), "left")
+      .select(col("sx"), col("pid"), col("target"),
+        (col("bw2") - col("curw")).as("gain"),
+        (conv(substring(md5(concat(lit(paritySalt), col("sx").cast("string"))),
+          1, 7), 16, 10).cast("long") % 2).as("par"))
+      .localCheckpoint(eager = false)
+    val asg2 = mv.select(col("sx"),
+      when(col("gain") > 0 && col("par") === 0L && col("target") =!= col("pid"),
+        col("target")).otherwise(col("pid")).as("pid"))
+    mv.agg(count(lit(1)).as("n_super"),
+        sum(when(col("gain") > 0, 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("gain") > 0 && col("par") === 0L, 1L).otherwise(0L))
+          .as("n_moved"))
+      .crossJoin(conn.join(assign.select(col("sx").as("x"),
+          col("pid")), "x")
+        .filter(col("q") =!= col("pid"))
+        .agg(countDistinct(col("x")).as("n_boundary")))
+      .crossJoin(cutOf(assign).withColumnRenamed("cut", "cut_before"))
+      .crossJoin(cutOf(asg2).withColumnRenamed("cut", "cut_after"))
+      .select(col("n_super"), col("n_boundary"), col("n_candidates"),
+        col("n_moved"), col("cut_before"), col("cut_after"))
   }
 
   /** [[roundSelect]] carrying the weight through — shared shape: one

@@ -218,6 +218,44 @@ class MatchingSpec extends SparkSpec {
     }
   }
 
+  test("refineOnce: hand-computed gains, parity gate, and both cuts") {
+    // the partitionCut fixture: assignment 0→p0, 2→p1, 3→p0 with coarse
+    // edges (0,2,w4),(2,3,w2). Every vertex is boundary with positive
+    // gain (connectivity 4/6/2 vs 0 internal); which ones MOVE is the
+    // md5 parity bit, and the new cut follows from the moved set.
+    def par(x: Long): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"refine:$x".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(7), 16) % 2
+    val g = Seq((0L, 1L, 10L), (1L, 2L, 3L), (0L, 2L, 1L), (2L, 3L, 2L))
+    val r = Matching.refineOnce(g.toDF("u", "v", "w"), k = 2).collect()(0)
+    val before = Map(0L -> 0L, 2L -> 1L, 3L -> 0L)
+    val target = Map(0L -> 1L, 2L -> 0L, 3L -> 1L)
+    val after = before.map { case (x, p) =>
+      x -> (if (par(x) == 0L) target(x) else p) }
+    val cutAfter = Seq((0L, 2L, 4L), (2L, 3L, 2L))
+      .filter { case (a, b, _) => after(a) != after(b) }.map(_._3).sum
+    val moved = before.keys.count(x => par(x) == 0L).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((3L, 3L, 3L, moved, 6L, cutAfter)))
+  }
+
+  test("PROPERTY: refineOnce counts nest and cut_before matches partitionCut") {
+    for (seed <- 61L to 64L) {
+      val es = GraphGen.randGraph(seed, n = 12, m = 24).filter(p => p._1 != p._2)
+      if (es.nonEmpty) {
+        val g = es.zipWithIndex.map { case ((u, v), i) => (u, v, (i % 5 + 1).toLong) }
+        val r = Matching.refineOnce(g.toDF("u", "v", "w"), k = 2).collect()(0)
+        val cut = Matching.partitionCut(g.toDF("u", "v", "w"), k = 2)
+          .collect()(0).getLong(4)
+        assert(r.getLong(4) === cut, s"seed $seed: cut_before vs partitionCut")
+        assert(r.getLong(3) <= r.getLong(2), s"seed $seed: moved <= candidates")
+        assert(r.getLong(2) <= r.getLong(1), s"seed $seed: candidates <= boundary")
+        assert(r.getLong(1) <= r.getLong(0), s"seed $seed: boundary <= vertices")
+      }
+    }
+  }
+
   test("weighted: null / non-positive / oversized weights fail loudly") {
     def messageOf(body: => Unit): String =
       intercept[Exception](body).getMessage
