@@ -508,6 +508,35 @@ object PipelineQueries {
     * component. Same collapse as p24's oracle, but over the
     * literal-inlined LSH pairs instead of exact all-pairs.
     */
+  /** DuckDB replica of p141 (and the p145 maintained form — the
+    * merged masses equal the one-shot masses, so one oracle serves
+    * both): per-lang token masses, exact integer sqrt via the
+    * neighbor-corrected double sqrt, then pure integer mixture math.
+    */
+  private def mixtureEpochsOracle: String =
+    s"""
+        WITH m AS (SELECT lang AS stratum,
+                          CAST(sum(len(${sqlTokens("lower(text)")})) AS BIGINT) AS n
+                   FROM documents GROUP BY 1),
+        st AS (SELECT stratum, n,
+                 CASE WHEN n <= 0 THEN 0
+                      WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+                      WHEN s0 * s0 > n THEN s0 - 1 ELSE s0 END AS s
+               FROM (SELECT stratum, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM m)),
+        g AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS s_total,
+                     CAST(coalesce(sum(n), 0) AS BIGINT) AS b_total FROM st),
+        w AS (SELECT stratum, n, s,
+                CASE WHEN s_total > 0
+                     THEN (2000000 * s + s_total) // (2 * s_total) ELSE 0 END AS wm,
+                b_total
+              FROM st CROSS JOIN g)
+        SELECT stratum, n AS n_tokens, s AS sqrt_tokens, wm AS weight_micro,
+               CASE WHEN n > 0
+                    THEN CAST((2 * CAST(b_total AS HUGEINT) * wm + n) // (2 * n) AS BIGINT)
+                    ELSE 0 END AS epochs_micro
+        FROM w ORDER BY stratum"""
+
   private def lshCollapseOracle: String =
     s"""
         WITH RECURSIVE $lshPairCtes,
@@ -5139,28 +5168,7 @@ object PipelineQueries {
       (s, d) => Sampling.mixtureEpochs(table(s, d, "documents"),
           col("lang"), size(TextOps.tokens(lower(col("text")))))
         .orderBy("stratum"),
-      Some(s"""
-        WITH m AS (SELECT lang AS stratum,
-                          CAST(sum(len(${sqlTokens("lower(text)")})) AS BIGINT) AS n
-                   FROM documents GROUP BY 1),
-        st AS (SELECT stratum, n,
-                 CASE WHEN n <= 0 THEN 0
-                      WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
-                      WHEN s0 * s0 > n THEN s0 - 1 ELSE s0 END AS s
-               FROM (SELECT stratum, n,
-                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM m)),
-        g AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS s_total,
-                     CAST(coalesce(sum(n), 0) AS BIGINT) AS b_total FROM st),
-        w AS (SELECT stratum, n, s,
-                CASE WHEN s_total > 0
-                     THEN (2000000 * s + s_total) // (2 * s_total) ELSE 0 END AS wm,
-                b_total
-              FROM st CROSS JOIN g)
-        SELECT stratum, n AS n_tokens, s AS sqrt_tokens, wm AS weight_micro,
-               CASE WHEN n > 0
-                    THEN CAST((2 * CAST(b_total AS HUGEINT) * wm + n) // (2 * n) AS BIGINT)
-                    ELSE 0 END AS epochs_micro
-        FROM w ORDER BY stratum"""),
+      Some(mixtureEpochsOracle),
       "sampling — mixture EPOCH planning under temperature sampling " +
         "(p_i ∝ n_i^α, α = 1/2): how many times each language " +
         "REPEATS when the full budget B = Σn is drawn at these " +
@@ -5319,6 +5327,39 @@ object PipelineQueries {
         "shuffle — the noise mask is per-row array expressions " +
         "(sequence/filter/flatten/distinct), nothing explodes; " +
         "membership is a pure function of (doc, pos) so any engine " +
-        "replays the exact mask")
+        "replays the exact mask"),
+
+    Q("p145_streaming_mixture_epochs",
+      (s, d) => {
+        // incremental maintenance of p141's epoch plan — the repeat
+        // counts stay current under ingest: per-wave token MASSES merge
+        // into a strata-sized store by an associative sum, the mixture
+        // math recomputes from the store in O(strata), and the
+        // maintained plan passes p141's one-shot oracle verbatim
+        val dir = graft.core.TempStores.scratchDir("graft_p145_me")
+        val docs = table(s, d, "documents")
+        def waveMasses(w: Int) = docs.filter(col("doc_id") % 3 === w)
+          .groupBy(col("lang").as("stratum"))
+          .agg(sum(size(TextOps.tokens(lower(col("text"))))).cast("long").as("n"))
+        Seq(0, 1, 2).foreach { w =>
+          val delta = waveMasses(w)
+          val merged =
+            if (w == 0) delta
+            else s.read.parquet(s"$dir/v${w - 1}").unionByName(delta)
+              .groupBy("stratum").agg(sum("n").cast("long").as("n"))
+          merged.write.mode("overwrite").parquet(s"$dir/v$w")
+        }
+        Sampling.mixtureEpochsFromMasses(s.read.parquet(s"$dir/v2"))
+          .orderBy("stratum")
+      },
+      Some(mixtureEpochsOracle), // maintained masses == one-shot: p141's oracle
+      "streaming — mixture-EPOCH plan maintenance under incremental " +
+        "ingest: per-wave token masses merge into the strata-sized " +
+        "store by an associative long sum, the integer-exact α = 1/2 " +
+        "mixture math recomputes from the store in O(strata) — the " +
+        "repeat-count plan stays current per wave without rescanning " +
+        "the corpus, and the maintained plan passes p141's one-shot " +
+        "oracle verbatim. Joins p128 in the incremental-planning " +
+        "family (p71 counts, p101 cardinality, p114 HLL, p117 sample)")
   )
 }

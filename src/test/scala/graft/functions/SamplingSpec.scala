@@ -204,6 +204,22 @@ class SamplingSpec extends SparkSpec {
       assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s") }
   }
 
+  test("mixtureEpochs wave-merge == one-shot (the p145 maintenance invariant)") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"l${i % 4}", 1 + (i % 9)))
+      .toDF("id", "lang", "t")
+    val oneShot = Sampling.mixtureEpochs(docs, col("lang"), col("t"))
+      .orderBy("stratum").collect().map(_.toSeq).toSeq
+    val merged = (0 to 2).map(w =>
+        docs.filter(col("id") % 3 === w)
+          .groupBy(col("lang").as("stratum")).agg(sum("t").cast("long").as("n")))
+      .reduce(_ unionByName _)
+      .groupBy("stratum").agg(sum("n").cast("long").as("n"))
+    val maintained = Sampling.mixtureEpochsFromMasses(merged)
+      .orderBy("stratum").collect().map(_.toSeq).toSeq
+    assert(maintained === oneShot)
+  }
+
   test("weightedSample wave-merge == one-shot (the p117 maintenance invariant)") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, s"doc $i " + ("w " * (1 + (i % 37)).toInt)))
