@@ -137,6 +137,63 @@ object Sampling {
         col("weight_micro"), col("epochs_micro"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds on the 28-bit hash grid:
+    * `weight = #{j : u ≥ T_j}` gives Poisson(1) replicate weights
+    * (tail mass ≥ 6 lumped into 6) from one uniform integer — exact
+    * integer compares, no floats. */
+  private val PoissonThresholds: Seq[Long] =
+    Seq(98751885L, 197503771L, 246879713L, 263338361L, 267453023L, 268275955L)
+
+  /** Deterministic POISSON BOOTSTRAP over the corpus — error bars on
+    * corpus statistics without resampling passes (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", the standard
+    * one-pass bootstrap at web scale): each of `k` replicates weights
+    * every document by a Poisson(1) draw, approximating multinomial
+    * resampling; the spread of the replicate totals IS the sampling
+    * variance of the statistic.
+    *
+    * Determinism: the draw is the Poisson inverse-CDF applied to the
+    * 28-bit md5 integer of `salt:replicate:id` via SIX literal integer
+    * thresholds ([[PoissonThresholds]]) — weight is a pure function of
+    * (replicate, id), so retries, re-partitions and other engines
+    * reproduce every replicate exactly. Variance is emitted as the
+    * EXACT scaled numerator `sse = k·ΣX² − (ΣX)²` (= k²·Σ(X−mean)²
+    * content, all integer; the division by k²(k−1) is the consumer's
+    * one float op) — computed in decimal38/HUGEINT and cast back, so
+    * an overflow fails loudly rather than drifting.
+    *
+    * Scale shape: one corpus pass expanded ×k replicate rows that
+    * map-side-combine straight down to k groups — the shuffle carries
+    * k rows per partition regardless of corpus size.
+    *
+    * Output: `k` rows `(replicate, docs_eff, tokens_eff,
+    * sse_scaled_docs, sse_scaled_tokens)` (the sse columns repeat the
+    * two scalars). All exact integers.
+    */
+  def bootstrapReplicates(df: DataFrame, id: Column, tokens: Column,
+                          k: Int = 16, salt: String = "boot:"): DataFrame = {
+    require(k >= 2, s"bootstrap needs k >= 2 replicates: $k")
+    val base = df.select(id.as("id"), tokens.cast("long").as("t"))
+      .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+    val u = conv(substring(md5(concat(lit(salt), col("r").cast("string"),
+        lit(":"), col("id").cast("string"))), 1, 7), 16, 10).cast("long")
+    val w = PoissonThresholds.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = base.select(col("r"), w.as("w"), col("t"))
+      .groupBy("r").agg(sum(col("w")).as("docs_eff"),
+        sum(col("w") * col("t")).as("tokens_eff"))
+      .localCheckpoint(eager = false)
+    val sse = reps.agg(
+      expr(s"$k * sum(CAST(docs_eff AS DECIMAL(38,0)) * docs_eff)" +
+        s" - CAST(sum(docs_eff) AS DECIMAL(38,0)) * sum(docs_eff)").as("ssd"),
+      expr(s"$k * sum(CAST(tokens_eff AS DECIMAL(38,0)) * tokens_eff)" +
+        s" - CAST(sum(tokens_eff) AS DECIMAL(38,0)) * sum(tokens_eff)").as("sst"))
+    reps.crossJoin(sse)
+      .select(col("r").as("replicate"), col("docs_eff"), col("tokens_eff"),
+        col("ssd").cast("long").as("sse_scaled_docs"),
+        col("sst").cast("long").as("sse_scaled_tokens"))
+  }
+
   /** Uniform [0,1) value derived from the first 28 bits of md5(salt+id).
     *
     * `salt` separates DECISIONS: two samples/splits keyed off the same id

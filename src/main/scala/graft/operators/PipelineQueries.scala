@@ -5360,6 +5360,52 @@ object PipelineQueries {
         "repeat-count plan stays current per wave without rescanning " +
         "the corpus, and the maintained plan passes p141's one-shot " +
         "oracle verbatim. Joins p128 in the incremental-planning " +
-        "family (p71 counts, p101 cardinality, p114 HLL, p117 sample)")
+        "family (p71 counts, p101 cardinality, p114 HLL, p117 sample)"),
+
+    Q("p146_bootstrap_variance",
+      (s, d) => Sampling.bootstrapReplicates(table(s, d, "documents"),
+          col("doc_id"), size(TextOps.tokens(lower(col("text")))), k = 16)
+        .orderBy("replicate"),
+      Some(s"""
+        WITH d AS (SELECT doc_id AS id,
+                          CAST(len(${sqlTokens("lower(text)")}) AS BIGINT) AS t
+                   FROM documents),
+        e AS (SELECT id, t, unnest(generate_series(0, 15)) AS r FROM d),
+        u AS (SELECT r, t,
+                ('0x' || substring(md5('boot:' || CAST(r AS VARCHAR) || ':'
+                  || CAST(id AS VARCHAR)), 1, 7))::BIGINT AS u
+              FROM e),
+        w AS (SELECT r, t,
+                (CASE WHEN u >= 98751885 THEN 1 ELSE 0 END)
+                + (CASE WHEN u >= 197503771 THEN 1 ELSE 0 END)
+                + (CASE WHEN u >= 246879713 THEN 1 ELSE 0 END)
+                + (CASE WHEN u >= 263338361 THEN 1 ELSE 0 END)
+                + (CASE WHEN u >= 267453023 THEN 1 ELSE 0 END)
+                + (CASE WHEN u >= 268275955 THEN 1 ELSE 0 END) AS w
+              FROM u),
+        reps AS (SELECT r, CAST(sum(w) AS BIGINT) AS docs_eff,
+                        CAST(sum(w * t) AS BIGINT) AS tokens_eff
+                 FROM w GROUP BY 1),
+        sse AS (SELECT
+                  CAST(16 * sum(CAST(docs_eff AS HUGEINT) * docs_eff)
+                    - CAST(sum(docs_eff) AS HUGEINT) * CAST(sum(docs_eff) AS HUGEINT)
+                    AS BIGINT) AS ssd,
+                  CAST(16 * sum(CAST(tokens_eff AS HUGEINT) * tokens_eff)
+                    - CAST(sum(tokens_eff) AS HUGEINT) * CAST(sum(tokens_eff) AS HUGEINT)
+                    AS BIGINT) AS sst
+                FROM reps)
+        SELECT r AS replicate, docs_eff, tokens_eff,
+               ssd AS sse_scaled_docs, sst AS sse_scaled_tokens
+        FROM reps CROSS JOIN sse ORDER BY replicate"""),
+      "sampling — deterministic POISSON BOOTSTRAP error bars on corpus " +
+        "statistics (Chamandy et al.: the one-pass bootstrap at web " +
+        "scale): 16 replicates weight every doc by a Poisson(1) draw — " +
+        "the inverse CDF applied to the 28-bit md5 of (replicate, id) " +
+        "via six LITERAL integer thresholds, no floats — and the " +
+        "replicate totals' spread is the sampling variance, emitted as " +
+        "the exact scaled numerator k·ΣX² − (ΣX)² in decimal38/" +
+        "HUGEINT. One corpus pass, ×16 map-side expansion combining " +
+        "straight down to 16 groups — the shuffle carries 16 rows per " +
+        "partition at any corpus size")
   )
 }

@@ -204,6 +204,37 @@ class SamplingSpec extends SparkSpec {
       assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s") }
   }
 
+  test("bootstrapReplicates matches a sequential Poisson-weight reference") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val thresholds = Seq(98751885L, 197503771L, 246879713L, 263338361L,
+      267453023L, 268275955L)
+    def weight(r: Int, id: Long): Long = {
+      val u = java.lang.Long.parseLong(md5hex(s"boot:$r:$id").take(7), 16)
+      thresholds.count(u >= _).toLong
+    }
+    val docs = (0L until 200L).map(i => (i, 1 + (i % 11))).toDF("id", "t")
+    val got = Sampling.bootstrapReplicates(docs, col("id"), col("t"), k = 8)
+      .orderBy("replicate").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val xs = (0 until 8).map { r =>
+      val ws = (0L until 200L).map(i => (weight(r, i), (1 + (i % 11)).toLong))
+      (ws.map(_._1).sum, ws.map(w => w._1 * w._2).sum)
+    }
+    val ssd = 8 * xs.map(x => x._1 * x._1).sum - math.pow(xs.map(_._1).sum.toDouble, 2).toLong
+    val sst = 8 * xs.map(x => x._2 * x._2).sum - math.pow(xs.map(_._2).sum.toDouble, 2).toLong
+    assert(got.toSeq === (0 until 8).map(r => (r, xs(r)._1, xs(r)._2, ssd, sst)))
+    // replicate means hover around the true totals (Poisson(1) mean 1)
+    val meanDocs = xs.map(_._1).sum / 8.0
+    assert(math.abs(meanDocs - 200.0) < 40, s"mean docs_eff $meanDocs")
+    // determinism under repartitioning
+    val again = Sampling.bootstrapReplicates(docs.repartition(7), col("id"), col("t"), 8)
+      .orderBy("replicate").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("mixtureEpochs wave-merge == one-shot (the p145 maintenance invariant)") {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (i, s"l${i % 4}", 1 + (i % 9)))
