@@ -364,6 +364,52 @@ object GraphQueries {
                  CAST((row_number() OVER (ORDER BY bw DESC, sx) - 1) % 4 AS BIGINT) AS pid
           FROM vw)"""
 
+  /** DuckDB replica of `Matching.coarsenTrajectory`: the g67 contraction
+    * chain unrolled level over level, each level's coarse graph feeding
+    * the next as `src_{i+1}`.
+    */
+  private def coarsenTrajectoryOracle(levels: Int): String = {
+    def lvl(i: Int) = s"""
+        ed_$i AS MATERIALIZED (
+          SELECT u, v, w,
+                 lpad(CAST(1000000000000 - w AS VARCHAR), 13, '0')
+                   || md5('hmatch:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pe
+          FROM src_$i),
+        vm_$i AS (SELECT x, min(pe) AS mpe FROM (
+            SELECT u AS x, pe FROM ed_$i UNION ALL SELECT v AS x, pe FROM ed_$i) GROUP BY 1),
+        sel_$i AS MATERIALIZED (
+          SELECT e.u, e.v, e.w FROM ed_$i e
+          JOIN vm_$i a ON a.x = e.u JOIN vm_$i b ON b.x = e.v
+          WHERE e.pe = a.mpe AND e.pe = b.mpe),
+        verts_$i AS (SELECT u AS x FROM ed_$i UNION SELECT v FROM ed_$i),
+        cmap_$i AS (SELECT u AS x, u AS sx FROM sel_$i UNION ALL SELECT v, u FROM sel_$i),
+        sup_$i AS MATERIALIZED (SELECT v.x, coalesce(c.sx, v.x) AS sx
+                FROM verts_$i v LEFT JOIN cmap_$i c ON c.x = v.x),
+        rek_$i AS MATERIALIZED (SELECT a.sx AS su, b.sx AS sv, e.w
+                FROM ed_$i e JOIN sup_$i a ON a.x = e.u JOIN sup_$i b ON b.x = e.v),
+        coarse_$i AS MATERIALIZED (
+          SELECT least(su, sv) AS cu, greatest(su, sv) AS cv, sum(w) AS w
+          FROM rek_$i WHERE su <> sv GROUP BY 1, 2),
+        src_${i + 1} AS (SELECT cu AS u, cv AS v, w FROM coarse_$i),
+        stats_$i AS (SELECT CAST($i AS INT) AS level,
+          CAST((SELECT count(*) FROM verts_$i) AS BIGINT) AS n_vertices,
+          CAST((SELECT count(*) FROM sel_$i) AS BIGINT) AS n_matched_pairs,
+          CAST((SELECT count(DISTINCT sx) FROM sup_$i) AS BIGINT) AS n_super_vertices,
+          CAST((SELECT count(*) FROM coarse_$i) AS BIGINT) AS n_super_edges,
+          CAST((SELECT coalesce(sum(w), 0) FROM ed_$i) AS BIGINT) AS edge_weight_before,
+          CAST((SELECT coalesce(sum(w), 0) FROM coarse_$i) AS BIGINT) AS edge_weight_after,
+          CAST((SELECT coalesce(sum(w), 0) FROM rek_$i WHERE su = sv) AS BIGINT)
+            AS collapsed_weight)"""
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        src_1 AS (SELECT u, v, w FROM wco),
+        ${(1 to levels).map(lvl).mkString(",")}
+        ${(1 to levels).map(i => s"SELECT * FROM stats_$i").mkString(" UNION ALL ")}
+        ORDER BY level"""
+  }
+
   private def heavyMatchingOracle(rounds: Int): String = {
     val rnds = (1 to rounds).map { i =>
       s"""vm$i AS (SELECT x, min(pe) AS mpe FROM (
@@ -2655,6 +2701,22 @@ object GraphQueries {
         "each other). Connectivity = one edge expansion + assignment " +
         "join + (vertex, partition) aggregate; argmax = per-vertex " +
         "window; cut evaluated before and after as exact integers so " +
-        "the caller gates on improvement")
+        "the caller gates on improvement"),
+
+    Q("g71_coarsen_trajectory",
+      (s, d) => graft.plans.Matching.coarsenTrajectory(
+        TpchGraph.weightedCopurchaseEdges(s, d), levels = 3),
+      Some(coarsenTrajectoryOracle(levels = 3)),
+      "graph analytics — the multilevel COARSENING LOOP itself (the " +
+        "V-cycle's descending leg): g67's heavy-matching contraction " +
+        "applied level over level, each level's coarse graph feeding " +
+        "the next, three levels deep. The trajectory pins the " +
+        "geometric shrink a partitioner banks on (n_super ≈ n − " +
+        "matched per level) and conservation level over level " +
+        "(weight_before = weight_after + collapsed). Level cost " +
+        "tracks the SHRINKING graph — one matching round + two " +
+        "vertex-map joins + one re-aggregation per level — so the " +
+        "full descent is a constant factor over level one; exact " +
+        "integers throughout")
   )
 }

@@ -269,6 +269,68 @@ object Matching {
     (coarse, assign)
   }
 
+  /** The multilevel COARSENING LOOP itself — [[coarsenOnce]] applied
+    * level over level, each level's coarse graph feeding the next
+    * (the V-cycle's descending leg; METIS runs this until the graph
+    * fits one worker, then [[partitionCut]] assigns and [[refineOnce]]
+    * climbs back up). One trajectory row per level pins the geometric
+    * shrink a partitioner banks on — `n_super_vertices ≈ n_vertices −
+    * n_matched` per level, edge weight conserved level over level
+    * (`weight_before = weight_after + collapsed`).
+    *
+    * Each level is the g67 shape re-keyed to the previous level's
+    * supervertices: one matching round + two vertex-map hash joins +
+    * one re-aggregation — the level cost tracks the SHRINKING graph,
+    * so the whole trajectory is a constant factor over level one.
+    *
+    * Output: `levels` rows `(level, n_vertices, n_matched_pairs,
+    * n_super_vertices, n_super_edges, edge_weight_before,
+    * edge_weight_after, collapsed_weight)` — exact integers.
+    */
+  def coarsenTrajectory(edges: DataFrame, levels: Int,
+                        salt: String = "hmatch:"): DataFrame = {
+    require(levels >= 1, s"levels must be positive: $levels")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var cur = edges
+    val rows = scala.collection.mutable
+      .ArrayBuffer[(Int, Long, Long, Long, Long, Long, Long, Long)]()
+    for (level <- 1 to levels) {
+      val e = prepWeighted(cur, salt, "coarsenTrajectory")
+      val sel = roundSelectW(e).localCheckpoint(eager = false)
+      val verts = e.select(col("u").as("x"))
+        .unionAll(e.select(col("v").as("x"))).distinct()
+      val cmap = sel.select(col("u").as("x"), col("u").as("sx"))
+        .unionAll(sel.select(col("v").as("x"), col("u").as("sx")))
+      val superOf = verts.join(cmap, Seq("x"), "left")
+        .select(col("x"), coalesce(col("sx"), col("x")).as("sx"))
+      val rek = e
+        .join(superOf.select(col("x").as("u"), col("sx").as("su")), "u")
+        .join(superOf.select(col("x").as("v"), col("sx").as("sv")), "v")
+        .localCheckpoint(eager = false)
+      val coarse = rek.filter(col("su") =!= col("sv"))
+        .groupBy(least(col("su"), col("sv")).as("cu"),
+          greatest(col("su"), col("sv")).as("cv"))
+        .agg(sum(col("w")).as("w"))
+        .localCheckpoint(eager = false)
+      val r = verts.agg(count(lit(1)).as("nv"))
+        .crossJoin(sel.agg(count(lit(1)).as("np")))
+        .crossJoin(superOf.select(col("sx")).distinct().agg(count(lit(1)).as("ns")))
+        .crossJoin(coarse.agg(count(lit(1)).as("ne"),
+          coalesce(sum(col("w")), lit(0L)).as("wa")))
+        .crossJoin(e.agg(coalesce(sum(col("w")), lit(0L)).as("wb")))
+        .crossJoin(rek.filter(col("su") === col("sv"))
+          .agg(coalesce(sum(col("w")), lit(0L)).as("cw")))
+        .head()
+      rows += ((level, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5), r.getLong(4), r.getLong(6)))
+      cur = coarse.select(col("cu").as("u"), col("cv").as("v"), col("w"))
+    }
+    rows.toSeq.toDF("level", "n_vertices", "n_matched_pairs",
+      "n_super_vertices", "n_super_edges", "edge_weight_before",
+      "edge_weight_after", "collapsed_weight")
+  }
+
   /** One Spinner-style REFINEMENT pass over [[partitionCut]]'s
     * assignment — the third phase of a multilevel partitioner (coarsen
     * g67 → assign g68 → refine): each supervertex computes its

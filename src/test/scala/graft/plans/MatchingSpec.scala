@@ -218,6 +218,34 @@ class MatchingSpec extends SparkSpec {
     }
   }
 
+  test("coarsenTrajectory: level 1 == coarsenOnce; per-level invariants hold") {
+    for (seed <- 71L to 73L) {
+      val es = GraphGen.randGraph(seed, n = 14, m = 28).filter(p => p._1 != p._2)
+      if (es.nonEmpty) {
+        val g = es.zipWithIndex.map { case ((u, v), i) => (u, v, (i % 5 + 1).toLong) }
+        val once = Matching.coarsenOnce(g.toDF("u", "v", "w")).collect()(0)
+        val traj = Matching.coarsenTrajectory(g.toDF("u", "v", "w"), levels = 3)
+          .orderBy("level").collect()
+        // level 1 must be exactly the single-level operator's row
+        assert(traj(0).toSeq.tail === once.toSeq, s"seed $seed")
+        traj.foreach { r =>
+          // contraction arithmetic + conservation at every level
+          assert(r.getLong(3) === r.getLong(1) - r.getLong(2), s"seed $seed lvl ${r.getInt(0)}")
+          assert(r.getLong(5) === r.getLong(6) + r.getLong(7), s"seed $seed lvl ${r.getInt(0)}")
+        }
+        // levels chain: level i+1 starts on level i's coarse graph —
+        // its edge weight is exactly level i's surviving weight, and
+        // its vertex set is level i's supervertices MINUS any that
+        // collapsed into isolation (no surviving incident edge)
+        traj.sliding(2).foreach { case Array(a, b) =>
+          assert(b.getLong(1) <= a.getLong(3), s"seed $seed: vertex chain")
+          assert(b.getLong(5) === a.getLong(6), s"seed $seed: weight chain")
+        case _ => ()
+        }
+      }
+    }
+  }
+
   test("refineOnce: hand-computed gains, parity gate, and both cuts") {
     // the partitionCut fixture: assignment 0→p0, 2→p1, 3→p0 with coarse
     // edges (0,2,w4),(2,3,w2). Every vertex is boundary with positive
