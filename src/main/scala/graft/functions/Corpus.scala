@@ -209,6 +209,56 @@ object Corpus {
         (col("n_tokens") % seqLen).as("tail_fill"))
   }
 
+  /** LENGTH-BUCKETED padding-efficiency audit — the dynamic-batching
+    * planner ([[sequencePacking]] concatenates for pretraining; this
+    * measures the PADDING cost of batching variable-length documents
+    * for fine-tuning/inference, where examples cannot be concatenated):
+    * docs bucket by power-of-two length bands starting at `base`
+    * (`[0,base), [base,2·base), …`, top band open), each batch pads to
+    * its bucket max. Emitted per bucket: doc/token mass, the bucket
+    * max, padded cost `n_docs·max`, and the waste ratio — beside the
+    * single-bucket (unbucketed) global padded cost, the number that
+    * justifies length bucketing in every serving/training stack.
+    *
+    * Exactness: band edges are integer literals (a float log2 would
+    * knife-edge at the boundaries); waste ratios are round-half-up
+    * integer ppm. One map-side bucket assignment + one aggregate per
+    * bucket + a 1-row global aggregate broadcast back.
+    */
+  def lengthBuckets(df: DataFrame, id: Column, tokens: Column,
+                    base: Int = 16, buckets: Int = 8): DataFrame = {
+    require(base >= 1, s"base must be positive: $base")
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    val t = tokens.cast("long")
+    val edges = (0 until buckets - 1).map(b => base.toLong << b)
+    val bucket = edges.zipWithIndex.foldRight(lit(buckets - 1): Column) {
+      case ((edge, i), alt) => when(t < edge, i).otherwise(alt)
+    }
+    val per = df.select(id.as("id"), t.as("t"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        max(col("t")).as("max_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_tokens"))
+      .withColumn("waste_ppm",
+        when(col("padded_tokens") > 0,
+          expr("(2 * (padded_tokens - n_tokens) * 1000000 + padded_tokens)" +
+            " div (2 * padded_tokens)")).otherwise(0L))
+    val glob = per.agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("gn"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("gt"),
+        coalesce(max(col("max_tokens")), lit(0L)).as("gm"))
+      .select((col("gn") * col("gm")).as("global_padded"), col("gt"), col("gn"),
+        col("gm"))
+      .select(col("global_padded"),
+        when(col("global_padded") > 0,
+          expr("(2 * (global_padded - gt) * 1000000 + global_padded)" +
+            " div (2 * global_padded)")).otherwise(0L).as("global_waste_ppm"))
+    per.crossJoin(glob)
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("max_tokens"),
+        col("padded_tokens"), col("waste_ppm"),
+        col("global_padded"), col("global_waste_ppm"))
+  }
+
   /** T5-style SPAN-CORRUPTION planning stats — the denoising-objective
     * data prep (Raffel et al. 2020): deterministic hash-seeded span
     * starts at `seedThreshold/2²⁸` of token positions, each seed

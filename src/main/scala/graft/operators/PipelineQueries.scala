@@ -5406,6 +5406,53 @@ object PipelineQueries {
         "the exact scaled numerator k·ΣX² − (ΣX)² in decimal38/" +
         "HUGEINT. One corpus pass, ×16 map-side expansion combining " +
         "straight down to 16 groups — the shuffle carries 16 rows per " +
-        "partition at any corpus size")
+        "partition at any corpus size"),
+
+    Q("p147_length_buckets",
+      (s, d) => Corpus.lengthBuckets(table(s, d, "documents"),
+          col("doc_id"), size(TextOps.tokens(lower(col("text")))))
+        .orderBy("bucket"),
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(${sqlTokens("lower(text)")}) AS BIGINT) AS t
+                   FROM documents),
+        b AS (SELECT t,
+                CASE WHEN t < 16 THEN 0 WHEN t < 32 THEN 1 WHEN t < 64 THEN 2
+                     WHEN t < 128 THEN 3 WHEN t < 256 THEN 4 WHEN t < 512 THEN 5
+                     WHEN t < 1024 THEN 6 ELSE 7 END AS bucket
+              FROM d),
+        per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(t) AS BIGINT) AS n_tokens,
+                       CAST(max(t) AS BIGINT) AS max_tokens
+                FROM b GROUP BY 1),
+        per2 AS (SELECT *, n_docs * max_tokens AS padded_tokens FROM per),
+        per3 AS (SELECT *,
+                   CASE WHEN padded_tokens > 0
+                        THEN (2 * (padded_tokens - n_tokens) * 1000000 + padded_tokens)
+                             // (2 * padded_tokens)
+                        ELSE 0 END AS waste_ppm
+                 FROM per2),
+        g AS (SELECT CAST(sum(n_docs) * max(max_tokens) AS BIGINT) AS global_padded,
+                     CAST(sum(n_tokens) AS BIGINT) AS gt
+              FROM per3),
+        g2 AS (SELECT global_padded,
+                 CASE WHEN global_padded > 0
+                      THEN (2 * (global_padded - gt) * 1000000 + global_padded)
+                           // (2 * global_padded)
+                      ELSE 0 END AS global_waste_ppm
+               FROM g)
+        SELECT bucket, n_docs, n_tokens, max_tokens, padded_tokens,
+               CAST(waste_ppm AS BIGINT) AS waste_ppm,
+               global_padded, CAST(global_waste_ppm AS BIGINT) AS global_waste_ppm
+        FROM per3 CROSS JOIN g2 ORDER BY bucket"""),
+      "corpus — LENGTH-BUCKETED padding-efficiency audit (the dynamic-" +
+        "batching planner; p142 concatenates for pretraining, this " +
+        "prices the PADDING of variable-length fine-tuning/serving " +
+        "batches): power-of-two length bands with INTEGER literal " +
+        "edges (a float log2 would knife-edge the boundaries), per-" +
+        "bucket padded cost n_docs·max and round-half-up ppm waste, " +
+        "beside the unbucketed global cost — the number that " +
+        "justifies length bucketing in every serving stack. One " +
+        "map-side bucket assignment + k-row aggregates")
   )
 }

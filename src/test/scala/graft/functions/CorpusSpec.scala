@@ -239,6 +239,27 @@ class CorpusSpec extends SparkSpec {
       (off + 63) / 64, crossers, off % 64)))
   }
 
+  test("lengthBuckets: band edges, padded cost, and waste arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // lengths straddling the 16/32 edges: bucket 0 = {5, 15}, bucket 1
+    // = {16, 31}, bucket 2 = {32}; padded = n·max per bucket
+    val docs = Seq((1L, 5), (2L, 15), (3L, 16), (4L, 31), (5L, 32))
+      .toDF("id", "t")
+    val got = Corpus.lengthBuckets(docs, col("id"), col("t"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // global: 5 docs × max 32 = 160 padded over 99 tokens →
+    // waste = round(61e6/160) = 381250
+    assert(got === Seq(
+      (0, 2L, 20L, 15L, 30L, 333333L, 160L, 381250L),
+      (1, 2L, 47L, 31L, 62L, 241935L, 160L, 381250L),
+      (2, 1L, 32L, 32L, 32L, 0L, 160L, 381250L)))
+    // bucketing can only reduce padded cost
+    assert(got.map(_._5).sum <= got.head._7)
+  }
+
   test("spanCorruption matches a sequential mask reference") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
