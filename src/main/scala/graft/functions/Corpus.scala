@@ -209,6 +209,75 @@ object Corpus {
         (col("n_tokens") % seqLen).as("tail_fill"))
   }
 
+  /** The iterative BPE MERGE-TRAINING loop (Sennrich et al. 2016) —
+    * the missing link between [[bpePairCounts]] (one round's candidate
+    * statistics) and the encode step (applying a learned merge table):
+    * per round, count symbol-pair frequencies weighted by word
+    * frequency, adopt the argmax pair (count desc, then pair — the
+    * deterministic tie-break), and APPLY it greedy-leftmost
+    * non-overlapping before recounting.
+    *
+    * The apply step is fully relational — no per-word fold: match
+    * positions form gaps-and-islands (consecutive matches = one run),
+    * and greedy leftmost = the odd ranks within each run (on "aaaa"
+    * merging (a,a): matches at 0,1,2 are one island, ranks 1,3 →
+    * positions 0,2 → [aa][aa], exactly the sequential semantics).
+    * Windows are partitioned per WORD of the vocab table — the corpus
+    * collapsed to (word, freq) before any character exploded (the
+    * [[bpePairCounts]] discipline), so every stage is vocab-sized at
+    * any corpus scale and per-word windows never see a global sort.
+    *
+    * Output: one row per round `(round, left_sym, right_sym,
+    * pair_count, n_symbols_after)` — the learned merge table in order,
+    * with the weighted corpus symbol count after each merge (the
+    * number that shows compression taking hold). Exact integers.
+    */
+  def bpeTrainRounds(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in 1..8: $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(TextOps.tokens(lower(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(eager = false)
+    var sym = words.select(col("word"), col("freq"),
+        posexplode(expr("transform(sequence(1, length(word)), j -> substring(word, j, 1))"))
+          .as(Seq("pos", "s")))
+      .localCheckpoint(eager = false)
+    val byPos = Window.partitionBy("word").orderBy("pos")
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    for (r <- 1 to rounds) {
+      val pairs = sym.withColumn("s2", lead(col("s"), 1).over(byPos))
+        .localCheckpoint(eager = false)
+      val top = pairs.filter(col("s2").isNotNull)
+        .groupBy("s", "s2").agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("s"), col("s2")).limit(1).head()
+      val (s1v, s2v, cv) = (top.getString(0), top.getString(1), top.getLong(2))
+      val m = pairs.filter(col("s") === s1v && col("s2") === s2v)
+        .select(col("word"), col("pos"))
+      val sel = m
+        .withColumn("island", col("pos") - row_number().over(byPos))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy("word", "island").orderBy("pos")))
+        .filter(col("rn2") % 2 === 1)
+        .select(col("word"), col("pos"))
+        .localCheckpoint(eager = false)
+      sym = sym
+        .join(sel.withColumn("selq", lit(1)), Seq("word", "pos"), "left")
+        .join(sel.select(col("word"), (col("pos") + 1).as("pos"))
+          .withColumn("dropq", lit(1)), Seq("word", "pos"), "left")
+        .filter(col("dropq").isNull)
+        .select(col("word"), col("freq"), col("pos"),
+          when(col("selq") === 1, lit(s1v + s2v)).otherwise(col("s")).as("s"))
+        .withColumn("pos2", row_number().over(byPos) - 1)
+        .select(col("word"), col("freq"), col("pos2").as("pos"), col("s"))
+        .localCheckpoint(eager = false)
+      val nAfter = sym.agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
+      out += ((r, s1v, s2v, cv, nAfter))
+    }
+    out.toSeq.toDF("round", "left_sym", "right_sym", "pair_count",
+      "n_symbols_after")
+  }
+
   /** LENGTH-BUCKETED padding-efficiency audit — the dynamic-batching
     * planner ([[sequencePacking]] concatenates for pretraining; this
     * measures the PADDING cost of batching variable-length documents

@@ -508,6 +508,57 @@ object PipelineQueries {
     * component. Same collapse as p24's oracle, but over the
     * literal-inlined LSH pairs instead of exact all-pairs.
     */
+  /** DuckDB replica of `Corpus.bpeTrainRounds`: the merge-train loop
+    * unrolled — per round pair counts → argmax merge → gaps-and-islands
+    * greedy-leftmost apply, each round's symbolization feeding the next.
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    def lvl(n: Int) = s"""
+        pr_$n AS (SELECT word, freq, pos, s,
+            lead(s) OVER (PARTITION BY word ORDER BY pos) AS s2 FROM sym_$n),
+        top_$n AS (SELECT s AS s1, s2, CAST(sum(freq) AS BIGINT) AS c
+                   FROM pr_$n WHERE s2 IS NOT NULL GROUP BY s, s2
+                   ORDER BY c DESC, s, s2 LIMIT 1),
+        m_$n AS (SELECT p.word, p.pos FROM pr_$n p
+                 JOIN top_$n t ON p.s = t.s1 AND p.s2 = t.s2),
+        sel_$n AS (SELECT word, pos FROM (
+            SELECT word, pos,
+                   row_number() OVER (PARTITION BY word, island ORDER BY pos) AS rn2
+            FROM (SELECT word, pos,
+                         pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS island
+                  FROM m_$n))
+          WHERE rn2 % 2 = 1),
+        sym_${n + 1} AS MATERIALIZED (
+          SELECT word, freq,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, s
+          FROM (
+            SELECT y.word, y.freq, y.pos,
+                   CASE WHEN sel.pos IS NOT NULL
+                        THEN (SELECT s1 || s2 FROM top_$n) ELSE y.s END AS s
+            FROM sym_$n y
+            LEFT JOIN sel_$n sel ON sel.word = y.word AND sel.pos = y.pos
+            LEFT JOIN sel_$n dn ON dn.word = y.word AND dn.pos = y.pos - 1
+            WHERE dn.pos IS NULL)),
+        stats_$n AS (SELECT CAST($n AS INT) AS round,
+            (SELECT s1 FROM top_$n) AS left_sym,
+            (SELECT s2 FROM top_$n) AS right_sym,
+            (SELECT c FROM top_$n) AS pair_count,
+            CAST((SELECT sum(freq) FROM sym_${n + 1}) AS BIGINT) AS n_symbols_after)"""
+    s"""
+        WITH w0 AS (SELECT unnest(${sqlTokens("lower(text)")}) AS word FROM documents),
+        v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                           FROM w0 GROUP BY 1),
+        sym_1 AS MATERIALIZED (
+          SELECT word, freq,
+                 unnest(generate_series(1, len(word))) - 1 AS pos,
+                 unnest(list_transform(generate_series(1, len(word)),
+                   j -> substring(word, j, 1))) AS s
+          FROM v),
+        ${(1 to rounds).map(lvl).mkString(",")}
+        ${(1 to rounds).map(i => s"SELECT * FROM stats_$i").mkString(" UNION ALL ")}
+        ORDER BY round"""
+  }
+
   /** DuckDB replica of p141 (and the p145 maintained form — the
     * merged masses equal the one-shot masses, so one oracle serves
     * both): per-lang token masses, exact integer sqrt via the
@@ -5453,6 +5504,23 @@ object PipelineQueries {
         "bucket padded cost n_docs·max and round-half-up ppm waste, " +
         "beside the unbucketed global cost — the number that " +
         "justifies length bucketing in every serving stack. One " +
-        "map-side bucket assignment + k-row aggregates")
+        "map-side bucket assignment + k-row aggregates"),
+
+    Q("p148_bpe_train",
+      (s, d) => Corpus.bpeTrainRounds(table(s, d, "documents"),
+        col("text"), rounds = 3),
+      Some(bpeTrainOracle(rounds = 3)),
+      "tokenization — the iterative BPE MERGE-TRAINING loop (the " +
+        "missing link between p54's candidate counts and p109's " +
+        "encode): per round, pair counts weighted by word frequency, " +
+        "argmax merge adopted (count desc then pair — deterministic " +
+        "tie-break), applied greedy-leftmost non-overlapping BEFORE " +
+        "recounting. The apply is fully relational — match positions " +
+        "form gaps-and-islands, greedy leftmost = odd ranks within " +
+        "each run — with every window partitioned per vocab WORD: the " +
+        "corpus collapses to (word, freq) before a character explodes, " +
+        "so all three rounds are vocab-sized at any corpus scale. " +
+        "Output = the learned merge table with the weighted symbol " +
+        "count after each merge, exact integers")
   )
 }

@@ -93,6 +93,30 @@ class CorpusSpec extends SparkSpec {
     assert(pairs == Seq(("ab", 4L), ("ba", 1L)))
   }
 
+  test("bpeTrainRounds: argmax merge per round, greedy-leftmost apply, weighted counts") {
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // vocab: aaab freq 2, ab freq 1
+    // r1: aa=4 ab=3 → merge (a,a); aaab→[aa,a,b] (greedy leftmost), n=3·2+2·1=8
+    // r2: (a,b)=3 (aa,a)=2 → merge (a,b); aaab→[aa,ab], ab→[ab], n=2·2+1=5
+    // r3: (aa,ab)=2 → merge; n=1·2+1=3
+    val rows = Corpus.bpeTrainRounds(docs, col("text"), rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1, "a", "a", 4L, 8L),
+      (2, "a", "b", 3L, 5L),
+      (3, "aa", "ab", 2L, 3L)))
+  }
+
+  test("bpeTrainRounds: overlapping run takes odd ranks (sequential semantics)") {
+    // "aaaa": (a,a) matches at pos 0,1,2 = one island; greedy leftmost keeps
+    // ranks 1 and 3 → [aa][aa], NOT [aa][a][a]
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val r1 = Corpus.bpeTrainRounds(docs, col("text"), rounds = 1).head()
+    assert((r1.getString(1), r1.getString(2), r1.getLong(3), r1.getLong(4)) ==
+      ("a", "a", 3L, 2L))
+  }
+
   test("bm25Chunks surfaces the relevant passage a whole-doc ranking buries") {
     import spark.implicits._
     // doc 1: long noise with ONE query-dense chunk near the end; doc 2:
