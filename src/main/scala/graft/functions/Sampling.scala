@@ -335,6 +335,66 @@ object Sampling {
     * manifest's job is placement + membership, which the commutative
     * fingerprint already pins.)
     */
+  /** RENDEZVOUS (highest-random-weight) shard assignment with a
+    * reshard-stability audit — the placement rule for a corpus that
+    * GROWS shards over its lifetime. [[shardManifest]]'s `hash mod N`
+    * is perfect for a one-shot export, but adding one shard remaps
+    * ~`(N-1)/N` of every existing shard; rendezvous hashing (Thaler &
+    * Ravishankar 1998, the rule behind consistent object placement)
+    * assigns each doc to `argmax over s of h(s, id)`, so growing N→N+1
+    * moves exactly the docs whose NEW candidate wins — an expected
+    * `1/(N+1)` of the corpus, every one of them INTO the new shard and
+    * none between old shards.
+    *
+    * This operator computes both assignments in one pass (the N+1
+    * candidate scores per doc are one map-side `transform` over a
+    * literal range — no join, no shuffle beyond the final `shards`-row
+    * aggregate) and emits, per CURRENT shard: doc/token mass, the mass
+    * that would move under N→N+1, and `moved_to` — which is the
+    * structural invariant made visible: every non-null value equals the
+    * new shard's index. Hashes are the engine-portable 28-bit md5
+    * ([[graft.functions.Dedup.gramHash]]), ties break toward the
+    * smaller shard index, so placement is a pure function of the id.
+    *
+    * 100 TB posture: per-row work is O(shards) inside one codegen
+    * stage; state is the k-row result. The audit quantifies the cost of
+    * a capacity change BEFORE the reshard runs — `moved_tokens` is the
+    * bytes a 100 TB store would actually copy (≈ 1/(N+1) of it, vs
+    * ≈ all of it under mod placement).
+    */
+  def rendezvousAudit(df: DataFrame, id: Column, nTokens: Column,
+                      shards: Int, salt: String = ""): DataFrame = {
+    require(shards >= 1, s"shard count must be positive: $shards")
+    val idS = id.cast("string")
+    // one scored candidate array covering s = 0..shards (N+1 entries);
+    // argmax(h, then smaller s) read off a prefix for N, the whole
+    // array for N+1 — each md5 computed once
+    val scored = transform(sequence(lit(0), lit(shards)), s =>
+      struct(
+        Dedup.gramHash(concat(lit(s"${salt}rv:"), s.cast("string"),
+          lit(":"), idS)).as("h"),
+        (lit(0) - s).cast("int").as("neg_s")))
+    val shardNow = (lit(0) - array_max(slice(scored, 1, shards))
+      .getField("neg_s")).cast("int")
+    val shardAfter = (lit(0) - array_max(scored).getField("neg_s")).cast("int")
+    df.select(
+        id.cast("long").as("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        shardNow.as("shard"),
+        shardAfter.as("shard_after"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("shard_after") =!= col("shard"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(when(col("shard_after") =!= col("shard"), col("n_tokens"))
+          .otherwise(0L)).as("moved_tokens"),
+        max(when(col("shard_after") =!= col("shard"), col("shard_after")))
+          .as("moved_to"))
+      .orderBy("shard")
+  }
+
   def shardManifest(df: DataFrame, id: Column, nTokens: Column,
                     shards: Int, salt: String = ""): DataFrame = {
     require(shards >= 1, s"shard count must be positive: $shards")

@@ -5521,6 +5521,49 @@ object PipelineQueries {
         "corpus collapses to (word, freq) before a character explodes, " +
         "so all three rounds are vocab-sized at any corpus scale. " +
         "Output = the learned merge table with the weighted symbol " +
-        "count after each merge, exact integers")
+        "count after each merge, exact integers"),
+
+    Q("p149_rendezvous_shards",
+      (s, d) => Sampling.rendezvousAudit(table(s, d, "documents"),
+        col("doc_id"), size(TextOps.tokens(lower(col("text")))), shards = 8),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, len(${sqlTokens("lower(text)")}) AS n_tokens,
+                 unnest(generate_series(0, 8)) AS s
+          FROM documents),
+        sc AS (
+          SELECT doc_id, n_tokens, s,
+                 ('0x' || substring(md5('rv:' || CAST(s AS VARCHAR) || ':'
+                    || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+          FROM d),
+        rk AS (
+          SELECT doc_id, n_tokens, s,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY h DESC, s) AS rk_all,
+                 row_number() OVER (PARTITION BY doc_id, (s < 8)
+                   ORDER BY h DESC, s) AS rk_grp
+          FROM sc),
+        a AS (
+          SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                 CAST(min(CASE WHEN s < 8 AND rk_grp = 1 THEN s END) AS INT) AS shard,
+                 CAST(min(CASE WHEN rk_all = 1 THEN s END) AS INT) AS shard_after
+          FROM rk GROUP BY doc_id)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(CASE WHEN shard_after <> shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+               CAST(sum(CASE WHEN shard_after <> shard THEN n_tokens ELSE 0 END) AS BIGINT) AS moved_tokens,
+               CAST(max(CASE WHEN shard_after <> shard THEN shard_after END) AS INT) AS moved_to
+        FROM a GROUP BY 1 ORDER BY 1"""),
+      "curation — rendezvous (highest-random-weight) shard placement " +
+        "with the reshard-stability audit p83's mod placement cannot " +
+        "give: growing 8 shards to 9 moves only the docs whose NEW " +
+        "candidate hash wins (expected 1/9 of the corpus), every one " +
+        "into the new shard — the audit computes both assignments in " +
+        "one map-side pass (N+1 md5 scores per doc, argmax read off a " +
+        "prefix vs the full array) and reports per-shard doc/token " +
+        "mass, the mass that moves, and moved_to (structurally always " +
+        "the new shard — the invariant made visible). O(shards) per " +
+        "row, one k-row aggregate; moved_tokens is the bytes a 100 TB " +
+        "store would copy: ~1/(N+1) of it vs ~all under mod")
   )
 }

@@ -267,4 +267,50 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(maintained == oneShot)
   }
+
+  test("rendezvousAudit: minimal disruption — every move lands on the new shard") {
+    import spark.implicits._
+    val docs = (0L until 900L).map(i => (i, "w " * (1 + (i % 11)).toInt))
+      .toDF("doc_id", "text")
+    val rows = Sampling.rendezvousAudit(docs, col("doc_id"),
+        size(split(trim(col("text")), "\\s+")), shards = 8)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq.sorted == (0 until 8), "all shards populated")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == 900L)
+    // moved mass ≈ 1/9 of the corpus (binomial(900, 1/9): generous 3x bounds)
+    val moved = rows.map(_.getLong(3)).sum
+    assert(moved > 900 / 27 && moved < 900 / 3, s"moved=$moved")
+    // the rendezvous invariant: a move can only be INTO the new shard (8)
+    rows.foreach { r =>
+      if (!r.isNullAt(5)) assert(r.getInt(5) == 8, r.toString)
+      if (r.getLong(3) == 0L) assert(r.isNullAt(5))
+    }
+  }
+
+  test("rendezvousAudit matches a scalar reimplementation of the argmax") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def h(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def shardOf(id: Long, n: Int): Int =
+      (0 until n).maxBy(s => (h(s"rv:$s:$id"), -s))
+    val docs = (0L until 64L).map(i => (i, "x")).toDF("doc_id", "text")
+    // reproduce the per-shard counts from the scalar rule
+    val expect = (0L until 64L).groupBy(shardOf(_, 8)).view
+      .mapValues(_.size.toLong).toMap
+    val got = Sampling.rendezvousAudit(docs, col("doc_id"), lit(1), shards = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // and the moved set is exactly {id : shardOf(id,9) != shardOf(id,8)}
+    val movedExpect = (0L until 64L)
+      .filter(i => shardOf(i, 9) != shardOf(i, 8))
+      .groupBy(shardOf(_, 8)).view.mapValues(_.size.toLong).toMap
+    val movedGot = Sampling.rendezvousAudit(docs, col("doc_id"), lit(1), shards = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).filter(_._2 > 0).toMap
+    assert(movedGot == movedExpect)
+  }
 }
