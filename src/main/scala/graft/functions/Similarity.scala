@@ -269,6 +269,100 @@ object Similarity {
     rerankTopK(assigned, query, k)
   }
 
+  /** Per-rank DCG discount weights in exact integer MICRO-units:
+    * `round(1e6 / log2(rank+1))` for ranks 1..k, computed once on the
+    * driver and inlined as literals on BOTH engines — so DCG sums are
+    * order-free integer arithmetic, never a float accumulation whose
+    * last ulp depends on add order or libm.
+    */
+  def dcgWeightsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i => Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+
+  /** Retrieval RANKING-quality metrics — the eval gate that complements
+    * the hit-counting audits (p91/p94 recall, p125 kNN confusion) with
+    * ORDER sensitivity: for a bounded multi-query eval set, run the IVF
+    * probe path (nprobe of the coarse buckets) and the exact brute-force
+    * ranking side by side, treat the exact top-k as the relevant set,
+    * and score the approximate list per query with recall@k, MRR and
+    * binary-relevance nDCG@k — the triple every retrieval deployment
+    * reports. An ANN config can have perfect recall and still bury the
+    * best hits at the bottom of the list; nDCG/MRR see that, recall
+    * cannot.
+    *
+    * Every metric is an exact integer in micro-units ([[dcgWeightsMicro]]
+    * — literal per-rank discounts shared with the SQL oracle; reciprocal
+    * ranks as `1e6 div rank`), so the eval is a pure function of the
+    * corpus: no float accumulation, engine- and retry-portable, fit to
+    * gate a release.
+    *
+    * Scale shape: the eval set is bounded by design (fixed key range —
+    * an eval set is an artifact, not corpus-proportional; the p121/g56
+    * posture), so both passes are one broadcast-eval × train codegen
+    * scan; per-query top-k runs through the bounded-heap TopKPerGroup
+    * operator (≤ k rows per query cross the shuffle). At 100 TB the
+    * exact leg is the expensive-but-linear audit you run on a schedule,
+    * the IVF leg is the production path being audited.
+    */
+  def rankingMetrics(df: DataFrame, id: Column, vec: Column,
+                     centroids: Seq[Seq[Double]], evalPred: Column,
+                     k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k and nprobe must be positive: $k, $nprobe")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.filter(evalPred)
+      .select(id.as("eval_id"), vec.cast("array<double>").as("qe"))
+    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("bucket", "cvec")
+    // per-eval probe set: top-nprobe coarse buckets (cos desc, bucket asc
+    // — the ivfProbes tie-break); eval × centroids is tiny by construction
+    val probes = broadcast(ev).join(broadcast(centDf))
+      .select(col("eval_id"), col("qe"), col("bucket"),
+        round(cosine(col("qe"), col("cvec")), roundTo).as("pcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("eval_id").orderBy(col("pcos").desc, col("bucket"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("eval_id"), col("qe"), col("bucket"))
+    val train = df.filter(!evalPred)
+    val assigned = ivfAssign(train, id, vec.cast("array<double>"), centroids)
+      .select(col("id").as("train_id"), col("v"), col("bucket"))
+    val sysPairs = assigned.join(broadcast(probes), "bucket")
+      .select(col("eval_id"), col("train_id"),
+        round(cosine(col("v"), col("qe")), roundTo).as("cos"))
+    val sysTop = graft.plans.TopKPerGroup.topK(sysPairs, Seq(col("eval_id")),
+        struct(col("cos"), -col("train_id")), k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("eval_id").orderBy(col("cos").desc, col("train_id"))))
+    val exactPairs = train
+      .select(id.as("train_id"), vec.cast("array<double>").as("v"))
+      .join(broadcast(ev))
+      .select(col("eval_id"), col("train_id"),
+        round(cosine(col("v"), col("qe")), roundTo).as("cos"))
+    val rel = graft.plans.TopKPerGroup.topK(exactPairs, Seq(col("eval_id")),
+        struct(col("cos"), -col("train_id")), k)
+      .select(col("eval_id"), col("train_id"))
+    val w = dcgWeightsMicro(k)
+    val idcgMicro = w.sum
+    val perQuery = sysTop.join(rel, Seq("eval_id", "train_id"))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rn")).as("first_rank"),
+        sum(element_at(array(w.map(lit): _*), col("rn"))).as("dcg_micro"))
+    // rr via integer `div` (not an array lookup: a 1-element literal
+    // array lookup constant-folds past a null index) — 1e6 div rank is
+    // the same floor value the oracle's literal table carries
+    ev.select(col("eval_id"))
+      .join(perQuery, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_rank"), lit(0)).cast("int").as("first_rank"),
+        coalesce(expr("1000000 div first_rank"), lit(0L)).as("rr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"))
+      .withColumn("ndcg_ppm",
+        expr(s"(dcg_micro * 1000000) div $idcgMicro"))
+      .orderBy("eval_id")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component
     * `j` of plane `p` derives from the splitmix stream, mapped to
     * [-1, 1]. Seeded → identical across retries and executors.

@@ -5564,6 +5564,88 @@ object PipelineQueries {
         "mass, the mass that moves, and moved_to (structurally always " +
         "the new shard — the invariant made visible). O(shards) per " +
         "row, one k-row aggregate; moved_tokens is the bytes a 100 TB " +
-        "store would copy: ~1/(N+1) of it vs ~all under mod")
+        "store would copy: ~1/(N+1) of it vs ~all under mod"),
+
+    Q("p150_ranking_metrics",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val cents = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+          .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        Similarity.rankingMetrics(emb, col("vec_id"), col("embedding"), cents,
+          col("vec_id") % 29 === 3 && col("vec_id") < 1000, k = 10, nprobe = 3)
+      },
+      Some {
+        val w = Similarity.dcgWeightsMicro(10)
+        val rr = (1 to 10).map(1000000L / _)
+        val wList = w.mkString("[", ", ", "]")
+        val rrList = rr.mkString("[", ", ", "]")
+        s"""
+        WITH cent AS (
+          SELECT label AS bucket, list(c ORDER BY pos) AS cvec FROM (
+            SELECT label, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+            FROM (SELECT label,
+                         unnest(list_transform(generate_series(1, len(embedding)),
+                                i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+                  FROM embeddings)
+            GROUP BY label, u.i)
+          GROUP BY label),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        ev AS (SELECT vec_id AS eval_id, e AS qe FROM v
+               WHERE vec_id % 29 = 3 AND vec_id < 1000),
+        tr AS (SELECT vec_id AS train_id, e FROM v
+               WHERE NOT (vec_id % 29 = 3 AND vec_id < 1000)),
+        probe AS (SELECT eval_id, qe, bucket FROM (
+            SELECT ev.eval_id, ev.qe, c.bucket,
+                   row_number() OVER (PARTITION BY ev.eval_id
+                     ORDER BY round(list_cosine_similarity(c.cvec, ev.qe), 6) DESC,
+                              c.bucket) AS rn
+            FROM ev CROSS JOIN cent c) WHERE rn <= 3),
+        assign AS (SELECT train_id, e, bucket FROM (
+            SELECT t.train_id, t.e, c.bucket,
+                   row_number() OVER (PARTITION BY t.train_id
+                     ORDER BY round(list_cosine_similarity(t.e, c.cvec), 6) DESC,
+                              c.bucket DESC) AS rn
+            FROM tr t CROSS JOIN cent c) WHERE rn = 1),
+        sys AS (SELECT eval_id, train_id, rn FROM (
+            SELECT p.eval_id, a.train_id,
+                   row_number() OVER (PARTITION BY p.eval_id
+                     ORDER BY round(list_cosine_similarity(a.e, p.qe), 6) DESC,
+                              a.train_id) AS rn
+            FROM probe p JOIN assign a USING (bucket)) WHERE rn <= 10),
+        ex AS (SELECT eval_id, train_id FROM (
+            SELECT ev.eval_id, t.train_id,
+                   row_number() OVER (PARTITION BY ev.eval_id
+                     ORDER BY round(list_cosine_similarity(t.e, ev.qe), 6) DESC,
+                              t.train_id) AS rn
+            FROM ev CROSS JOIN tr t) WHERE rn <= 10),
+        hit AS (SELECT s.eval_id, s.rn
+                FROM sys s JOIN ex USING (eval_id, train_id)),
+        agg AS (SELECT eval_id, count(*) AS n_hits, min(rn) AS first_rank,
+                       sum(($wList)[rn]) AS dcg_micro
+                FROM hit GROUP BY 1)
+        SELECT ev.eval_id,
+               CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(a.first_rank, 0) AS INT) AS first_rank,
+               CAST(coalesce(($rrList)[a.first_rank], 0) AS BIGINT) AS rr_micro,
+               CAST(coalesce(a.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+               CAST(coalesce(a.dcg_micro, 0) * 1000000 // ${w.sum} AS BIGINT) AS ndcg_ppm
+        FROM ev LEFT JOIN agg a USING (eval_id)
+        ORDER BY eval_id"""
+      },
+      "similarity — retrieval RANKING metrics (recall@10, MRR, " +
+        "binary-relevance nDCG@10) of the IVF probe path against exact " +
+        "brute force over a bounded multi-query eval set: the triple " +
+        "every retrieval deployment reports, and the ORDER sensitivity " +
+        "p91/p94's hit counts lack (an ANN config can have perfect " +
+        "recall and still bury the best hits — nDCG/MRR see that). " +
+        "Every metric is exact integer micro-units: per-rank DCG " +
+        "discounts are driver-computed literals shared with the oracle, " +
+        "reciprocal ranks are 1e6 div rank — no float accumulation " +
+        "anywhere, so the gate reproduces bit-for-bit. Eval set fixed " +
+        "by key range (an artifact, not corpus-proportional); both " +
+        "legs are broadcast-eval x train codegen scans with bounded-heap " +
+        "top-k — the exact leg is the scheduled audit, the IVF leg the " +
+        "production path under audit")
   )
 }

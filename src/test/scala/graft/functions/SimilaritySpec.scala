@@ -211,6 +211,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("rankingMetrics: perfect probes score 1.0; a pruned probe shows in nDCG/recall") {
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // train: t1,t2 land in bucket 0, t3,t4 in bucket 1; eval q=(1,0.3)
+    // probes order buckets (0, then 1); exact top-3 vs q = t1, t2, t3
+    val df = Seq(
+      (1L, Seq(1.0, 0.02)), (2L, Seq(0.8, 0.6)),
+      (3L, Seq(0.6, 0.8)), (4L, Seq(0.1, 1.0)),
+      (10L, Seq(1.0, 0.3))).toDF("vec_id", "embedding")
+    val w = Similarity.dcgWeightsMicro(3)
+    def run(nprobe: Int) =
+      Similarity.rankingMetrics(df, col("vec_id"), col("embedding"), cents,
+        col("vec_id") === 10, k = 3, nprobe = nprobe)
+        .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).head
+    // nprobe=2 covers every bucket: system == exact ⇒ all metrics perfect
+    assert(run(2) == ((3L, 1, 1000000L, w.sum, 1000000L)))
+    // nprobe=1 sees only bucket 0 (t1, t2): exact hit t3 is unreachable
+    val (nHits, firstRank, rr, dcg, ndcg) = run(1)
+    assert(nHits == 2L && firstRank == 1 && rr == 1000000L)
+    assert(dcg == w(0) + w(1))
+    assert(ndcg == (w(0) + w(1)) * 1000000L / w.sum)
+  }
+
+  test("rankingMetrics: an eval query with zero hits reports zeros, not nulls") {
+    import spark.implicits._
+    // one train vector per bucket; eval q probes ONLY bucket 0, but the
+    // exact top-1 (k=1) is the bucket-1 vector ⇒ sys∩rel = ∅
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)),
+      (10L, Seq(0.9, 0.5))).toDF("vec_id", "embedding")
+    // t2 assigns to bucket 1 (cos 0.8 > 0.6); q=(0.9,0.5) probes only
+    // bucket 0 (cos 0.874 > 0.486) ⇒ sys={t1}; but exact top-1 is t2
+    // (cos(q,t2)=0.94/1.0296=0.913 > cos(q,t1)=0.874) ⇒ zero hits
+    val r = Similarity.rankingMetrics(df, col("vec_id"), col("embedding"), cents,
+        col("vec_id") === 10, k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).head
+    assert(r == ((0L, 0, 0L, 0L, 0L)))
+  }
+
   test("rrfFuse validates its inputs") {
     import spark.implicits._
     val ok = Seq((1L, 1.0)).toDF("id", "score")
