@@ -363,6 +363,57 @@ object Similarity {
       .orderBy("eval_id")
   }
 
+  /** Eval-proximity scoring — SEMANTIC targeted selection and
+    * decontamination in one pass, the embedding-space twin of the
+    * n-gram machinery (p52 DSIR selects by n-gram importance; p25/p51/
+    * p99 decontaminate by n-gram overlap — both blind to paraphrase).
+    * Every train vector gets its max cosine to a bounded eval PROBE set
+    * and the probe that achieved it; from that one number fall two
+    * production decisions:
+    *  - `sel_rank` ∈ 1..topM — the targeted-selection shortlist (the
+    *    "train on what looks like my eval/instruction distribution"
+    *    move), 0 otherwise;
+    *  - `contaminated` = 1 when max-cos ≥ `contamCos` — the SEMANTIC
+    *    decontamination drop list n-gram overlap cannot see (a
+    *    paraphrased benchmark question shares no 13-gram but sits at
+    *    cosine ≈ 1).
+    *
+    * Scale shape: probes broadcast (an eval set is a fixed artifact —
+    * the p121/g56 posture), so scoring is ONE codegen map pass over the
+    * train corpus — no shuffle at all for the score; the only shuffled
+    * rows are the ≤ topM shortlist through the bounded-heap operator.
+    * Ties break toward the smaller probe id / smaller train id, so the
+    * whole table is a pure function of the corpus.
+    */
+  def evalProximity(df: DataFrame, id: Column, vec: Column,
+                    evalPred: Column, topM: Int, contamCos: Double,
+                    roundTo: Int = 6): DataFrame = {
+    require(topM >= 1, s"topM must be positive: $topM")
+    val probes = broadcast(df.filter(evalPred)
+      .select(id.as("probe_id"), vec.cast("array<double>").as("pe")))
+    val train = df.filter(!evalPred)
+      .select(id.as("train_id"), vec.cast("array<double>").as("te"))
+    val best = train.crossJoin(probes)
+      .select(col("train_id"), col("probe_id"),
+        round(cosine(col("te"), col("pe")), roundTo).as("cos"))
+      .groupBy("train_id")
+      .agg(max(struct(col("cos"), (-col("probe_id")).as("neg_probe"))).as("b"))
+      .select(col("train_id"), (-col("b.neg_probe")).as("best_probe"),
+        col("b.cos").as("cos"))
+    val shortlist = graft.plans.TopKPerGroup.topK(best, Seq(lit(1)),
+        struct(col("cos"), -col("train_id")), topM)
+      .withColumn("sel_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("train_id"))))
+      .select(col("train_id"), col("sel_rank"))
+    best.join(shortlist, Seq("train_id"), "left")
+      .select(col("train_id"), col("best_probe"), col("cos"),
+        coalesce(col("sel_rank"), lit(0)).cast("int").as("sel_rank"),
+        when(col("cos") >= contamCos, 1).otherwise(0).cast("int")
+          .as("contaminated"))
+      .orderBy("train_id")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component
     * `j` of plane `p` derives from the splitmix stream, mapped to
     * [-1, 1]. Seeded → identical across retries and executors.

@@ -5646,6 +5646,44 @@ object PipelineQueries {
         "by key range (an artifact, not corpus-proportional); both " +
         "legs are broadcast-eval x train codegen scans with bounded-heap " +
         "top-k — the exact leg is the scheduled audit, the IVF leg the " +
-        "production path under audit")
+        "production path under audit"),
+
+    Q("p151_semantic_decontam",
+      (s, d) => Similarity.evalProximity(table(s, d, "embeddings"),
+        col("vec_id"), col("embedding"),
+        col("vec_id") % 37 === 5 && col("vec_id") < 2000,
+        topM = 50, contamCos = 0.99),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        pr AS (SELECT vec_id AS probe_id, e AS pe FROM v
+               WHERE vec_id % 37 = 5 AND vec_id < 2000),
+        tr AS (SELECT vec_id AS train_id, e AS te FROM v
+               WHERE NOT (vec_id % 37 = 5 AND vec_id < 2000)),
+        sc AS (SELECT train_id, probe_id,
+                      round(list_cosine_similarity(te, pe), 6) AS cos
+               FROM tr CROSS JOIN pr),
+        best AS (SELECT train_id, probe_id AS best_probe, cos FROM (
+            SELECT train_id, probe_id, cos,
+                   row_number() OVER (PARTITION BY train_id
+                     ORDER BY cos DESC, probe_id) AS rn
+            FROM sc) WHERE rn = 1),
+        rk AS (SELECT train_id,
+                      row_number() OVER (ORDER BY cos DESC, train_id) AS r
+               FROM best)
+        SELECT b.train_id, b.best_probe, b.cos,
+               CAST(CASE WHEN rk.r <= 50 THEN rk.r ELSE 0 END AS INT) AS sel_rank,
+               CAST(CASE WHEN b.cos >= 0.99 THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM best b JOIN rk USING (train_id)
+        ORDER BY b.train_id"""),
+      "similarity — SEMANTIC targeted selection + decontamination in one " +
+        "pass (the embedding-space twin of p52's n-gram DSIR and the " +
+        "p25/p51/p99 n-gram decontamination, which are blind to " +
+        "paraphrase): every train vector scores max-cosine to a bounded " +
+        "broadcast eval probe set — one codegen map pass, NO shuffle for " +
+        "the score — yielding the top-M 'train on what looks like my " +
+        "eval distribution' shortlist (bounded-heap top-M, only M rows " +
+        "shuffle) and the cos>=0.99 semantic drop list a paraphrased " +
+        "benchmark question lands on despite sharing no 13-gram. Ties " +
+        "break to smaller probe/train id — a pure function of the corpus")
   )
 }

@@ -253,6 +253,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r == ((0L, 0, 0L, 0L, 0L)))
   }
 
+  test("evalProximity: max-cos scoring, shortlist ranks, contamination flag, tie-breaks") {
+    import spark.implicits._
+    // probes 100/101 are identical ⇒ best_probe tie breaks to 100
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.8, 0.6)), (3L, Seq(0.0, 1.0)),
+      (100L, Seq(1.0, 0.0)), (101L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val rows = Similarity.evalProximity(df, col("vec_id"), col("embedding"),
+        col("vec_id") >= 100, topM = 2, contamCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4))).toSeq
+    assert(rows == Seq(
+      (1L, 100L, 1.0, 1, 1),   // exact duplicate of a probe: contaminated
+      (2L, 100L, 0.8, 2, 0),   // shortlisted but clean
+      (3L, 100L, 0.0, 0, 0)))  // orthogonal: unselected, clean
+  }
+
   test("rrfFuse validates its inputs") {
     import spark.implicits._
     val ok = Seq((1L, 1.0)).toDF("id", "score")
