@@ -172,6 +172,58 @@ object Similarity {
     pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
   }
 
+  /** LABEL-NOISE audit — confident-learning-style kNN disagreement,
+    * the quality gate for LABELED training data (classification heads,
+    * reward-model preference sets, quality-classifier seeds): for each
+    * anchor in a bounded audit sample, take the k nearest OTHER vectors
+    * by cosine, vote, and flag anchors whose own label loses the vote.
+    * Unlike [[knnEval]] (which scores a SPLIT's accuracy), this
+    * interrogates individual rows: a flagged anchor sitting deep inside
+    * another label's neighborhood is, with high probability, mislabeled
+    * — the rows a re-annotation pass should look at first.
+    *
+    * Per anchor it emits both vote masses (`n_votes_pred`,
+    * `n_votes_own`), so downstream can threshold on MARGIN (pred−own)
+    * rather than the binary flag. Majority ties break toward the
+    * smaller label, cosine ties toward the smaller id — pure function
+    * of the corpus.
+    *
+    * Scale shape: anchors are a fixed bounded sample (an audit is an
+    * artifact — the g56 posture; sweep the corpus in key-range batches),
+    * broadcast over ONE codegen scan of the full vector set; per-anchor
+    * top-k through the bounded-heap operator.
+    */
+  def labelNoiseAudit(df: DataFrame, id: Column, vec: Column, label: Column,
+                      anchorPred: Column, k: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"labelNoiseAudit needs k >= 1: $k")
+    val anchors = df.filter(anchorPred)
+      .select(id.as("anchor_id"), vec.cast("array<double>").as("va"),
+        label.cast("int").as("own_label"))
+    val cands = df.select(id.as("cand_id"), vec.cast("array<double>").as("vc"),
+      label.cast("int").as("cand_label"))
+    val scored = broadcast(anchors)
+      .join(cands, col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("own_label"), col("cand_id"), col("cand_label"),
+        round(cosine(col("va"), col("vc")), roundTo).as("cos"))
+    val topk = graft.plans.TopKPerGroup.topK(scored, Seq(col("anchor_id")),
+      struct(col("cos"), -col("cand_id")), k)
+    val votes = topk.groupBy("anchor_id", "own_label", "cand_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = graft.plans.TopKPerGroup.topK(votes, Seq(col("anchor_id")),
+        struct(col("n_votes"), negate(col("cand_label"))), 1)
+      .select(col("anchor_id"), col("own_label"),
+        col("cand_label").as("pred_label"), col("n_votes").as("n_votes_pred"))
+    val own = votes.filter(col("cand_label") === col("own_label"))
+      .select(col("anchor_id"), col("n_votes").as("n_votes_own"))
+    pred.join(own, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("own_label"), col("pred_label"),
+        col("n_votes_pred"),
+        coalesce(col("n_votes_own"), lit(0L)).as("n_votes_own"),
+        when(col("pred_label") =!= col("own_label"), 1).otherwise(0)
+          .cast("int").as("mislabel_flag"))
+      .orderBy("anchor_id")
+  }
+
   /** Per-label mean embedding ("class centroids") as a long-format
     * DataFrame `(label, pos, c)` — one `posexplode` + hash aggregate,
     * map-side combinable; the natural coarse quantizer for [[ivfTopK]].

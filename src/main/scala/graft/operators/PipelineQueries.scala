@@ -5684,6 +5684,52 @@ object PipelineQueries {
         "eval distribution' shortlist (bounded-heap top-M, only M rows " +
         "shuffle) and the cos>=0.99 semantic drop list a paraphrased " +
         "benchmark question lands on despite sharing no 13-gram. Ties " +
-        "break to smaller probe/train id — a pure function of the corpus")
+        "break to smaller probe/train id — a pure function of the corpus"),
+
+    Q("p152_label_noise",
+      (s, d) => Similarity.labelNoiseAudit(table(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"),
+        col("vec_id") % 13 === 4 && col("vec_id") < 2000, k = 5),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                          CAST(label AS INT) AS label FROM embeddings),
+        an AS (SELECT vec_id AS anchor_id, e AS va, label AS own_label FROM v
+               WHERE vec_id % 13 = 4 AND vec_id < 2000),
+        sc AS (SELECT a.anchor_id, a.own_label, c.vec_id AS cand_id,
+                      c.label AS cand_label,
+                      round(list_cosine_similarity(a.va, c.e), 6) AS cos
+               FROM an a JOIN v c ON a.anchor_id <> c.vec_id),
+        tk AS (SELECT anchor_id, own_label, cand_label FROM (
+            SELECT anchor_id, own_label, cand_label,
+                   row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY cos DESC, cand_id) AS rn
+            FROM sc) WHERE rn <= 5),
+        vt AS (SELECT anchor_id, own_label, cand_label,
+                      CAST(count(*) AS BIGINT) AS n_votes
+               FROM tk GROUP BY 1, 2, 3),
+        pd AS (SELECT anchor_id, own_label, cand_label AS pred_label,
+                      n_votes AS n_votes_pred FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY n_votes DESC, cand_label) AS rn
+            FROM vt) WHERE rn = 1),
+        ow AS (SELECT anchor_id, n_votes AS n_votes_own FROM vt
+               WHERE cand_label = own_label)
+        SELECT p.anchor_id, p.own_label, p.pred_label, p.n_votes_pred,
+               CAST(coalesce(o.n_votes_own, 0) AS BIGINT) AS n_votes_own,
+               CAST(CASE WHEN p.pred_label <> p.own_label THEN 1 ELSE 0 END AS INT)
+                 AS mislabel_flag
+        FROM pd p LEFT JOIN ow o USING (anchor_id)
+        ORDER BY p.anchor_id"""),
+      "similarity — LABEL-NOISE audit (confident-learning-style kNN " +
+        "disagreement), the quality gate for labeled data (reward-model " +
+        "preference sets, quality-classifier seeds): each anchor in a " +
+        "bounded audit sample takes the 5 nearest OTHER vectors' vote; " +
+        "anchors whose own label loses are the rows a re-annotation " +
+        "pass reads first. Emits both vote masses so downstream can " +
+        "threshold on margin, not just the flag. Unlike p125 (a split's " +
+        "aggregate accuracy) this interrogates individual rows. Anchors " +
+        "fixed-sample broadcast over one codegen scan; per-anchor top-k " +
+        "via bounded heaps; majority ties to smaller label, cosine ties " +
+        "to smaller id — reproducible anywhere")
   )
 }

@@ -269,6 +269,25 @@ class SimilaritySpec extends SparkSpec {
       (3L, 100L, 0.0, 0, 0)))  // orthogonal: unselected, clean
   }
 
+  test("labelNoiseAudit flags the planted mislabel and passes the clean anchor") {
+    import spark.implicits._
+    val df = (Seq(
+      (0L, Seq(1.0, 0.00), 0), (2L, Seq(1.0, 0.02), 0), (4L, Seq(1.0, 0.04), 0),
+      (6L, Seq(1.0, 0.06), 0), (8L, Seq(1.0, 0.08), 0),
+      (11L, Seq(0.0, 1.0), 1), (13L, Seq(0.02, 1.0), 1), (15L, Seq(0.04, 1.0), 1),
+      (50L, Seq(1.0, 0.01), 1))) // planted: sits in cluster 0, labeled 1
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.labelNoiseAudit(df, col("vec_id"), col("embedding"),
+        col("label"), col("vec_id") === 0 || col("vec_id") === 50, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+    assert(rows == Seq(
+      // clean anchor: the planted vector IS its nearest neighbor, so the
+      // vote is 2 own / 1 foreign — still a clear pass
+      (0L, 0, 0, 2L, 2L, 0),
+      (50L, 1, 0, 3L, 0L, 1)))  // planted: own label gets zero votes
+  }
+
   test("rrfFuse validates its inputs") {
     import spark.implicits._
     val ok = Seq((1L, 1.0)).toDF("id", "score")
