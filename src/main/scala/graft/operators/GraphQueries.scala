@@ -2717,6 +2717,39 @@ object GraphQueries {
         "tracks the SHRINKING graph — one matching round + two " +
         "vertex-map joins + one re-aggregation per level — so the " +
         "full descent is a constant factor over level one; exact " +
-        "integers throughout")
+        "integers throughout"),
+
+    Q("g72_walk_contexts",
+      (s, d) => {
+        // g54's deterministic walk corpus → the (center, context,
+        // n_pairs) skip-gram table a DeepWalk/node2vec trainer consumes
+        // — the graph-side twin of p118's text skip-gram export
+        val half = TpchGraph.copurchaseEdges(s, d)
+        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val starts = e.select(col("u").as("start"))
+          .filter(col("start") % 20 === 0).distinct()
+        val w = graft.plans.RandomWalks.walks(e, starts, walksPerStart = 2,
+          steps = 4, edgesAreDistinct = true)
+        graft.plans.RandomWalks.contextPairs(w, window = 2)
+      },
+      Some(s"""
+        WITH wk AS (${randomWalksOracle(steps = 4)}),
+        t AS (SELECT start, walk, string_split(path, '->') AS p FROM wk),
+        a AS (SELECT start, walk, p,
+                     unnest(generate_series(1, len(p))) AS i
+              FROM t),
+        n AS (SELECT start, walk, i, CAST(p[i] AS BIGINT) AS node FROM a)
+        SELECT c.node AS center, x.node AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM n c JOIN n x ON c.start = x.start AND c.walk = x.walk
+                         AND c.i <> x.i AND abs(c.i - x.i) <= 2
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "graph analytics — skip-gram context pairs from the walk corpus: " +
+        "the (center, context, n_pairs) co-occurrence table a DeepWalk/" +
+        "node2vec trainer consumes, completing the graph→embedding " +
+        "training-data path (g54 walks → THIS → p119-style negative " +
+        "sampling). Pair generation is one nested array transform per " +
+        "walk — map-side inside codegen, no self-join, bounded " +
+        "(steps+1)·2w expansion — with one aggregate for the counts")
   )
 }

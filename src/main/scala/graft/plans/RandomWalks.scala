@@ -87,4 +87,34 @@ object RandomWalks {
     f.select(col("start"), col("walk").cast("int").as("walk"),
       col("cur").as("end_node"), col("path"))
   }
+
+  /** Skip-gram CONTEXT PAIRS from a walk corpus — the step that turns
+    * [[walks]]' node sequences into the `(center, context, n_pairs)`
+    * co-occurrence table a node-embedding trainer (DeepWalk/node2vec)
+    * actually consumes, the graph-side twin of the text pipeline's
+    * p118 skip-gram export. For every position in every walk, every
+    * other position within `window` hops contributes one (center,
+    * context) pair; the aggregated counts are the corpus statistic
+    * that also feeds a p119-style negative-sampling table.
+    *
+    * Shape: pair generation is ONE nested array `transform` over each
+    * walk's split path — entirely map-side inside codegen, no
+    * self-join, no shuffle besides the final pair-count aggregate
+    * (walk length is a fixed small constant, so the per-row expansion
+    * is bounded at (steps+1)·2·window).
+    */
+  def contextPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    walks
+      .select(explode(expr(s"""
+        flatten(transform(split(path, '->'), (c, i) ->
+          transform(
+            filter(transform(split(path, '->'), (x, j) -> struct(x AS x, j AS j)),
+              s -> s.j != i AND abs(s.j - i) <= $window),
+            s -> struct(CAST(c AS BIGINT) AS center,
+                        CAST(s.x AS BIGINT) AS context))))""")).as("pr"))
+      .groupBy(col("pr.center").as("center"), col("pr.context").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("center", "context")
+  }
 }

@@ -68,4 +68,18 @@ class RandomWalksSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
     assert(out == Seq((1L, "1->2->1")))
   }
+
+  test("contextPairs: windowed skip-gram pairs, aggregated over repeated nodes") {
+    val walks = Seq((1L, 0, 4L, "1->2->3->4"), (9L, 0, 1L, "1->2->1"))
+      .toDF("start", "walk", "end_node", "path")
+    val got = RandomWalks.contextPairs(walks, window = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // walk 1 (1,2,3,4), w=2: 1→{2,3}, 2→{1,3,4}, 3→{1,2,4}, 4→{2,3}
+    // walk 2 (1,2,1): (1,2)×2, (1,1)×2, (2,1)×2 — repeated node aggregates
+    assert(got == Map(
+      (1L, 2L) -> 3L, (1L, 3L) -> 1L, (1L, 1L) -> 2L,
+      (2L, 1L) -> 3L, (2L, 3L) -> 1L, (2L, 4L) -> 1L,
+      (3L, 1L) -> 1L, (3L, 2L) -> 1L, (3L, 4L) -> 1L,
+      (4L, 2L) -> 1L, (4L, 3L) -> 1L))
+  }
 }
