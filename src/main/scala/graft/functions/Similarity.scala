@@ -172,6 +172,38 @@ object Similarity {
     pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
   }
 
+  /** MUTUAL-kNN graph sparsification — the similarity-graph builder
+    * that sits between near-dup pair generation and clustering: from a
+    * candidate pair set (the LSH-blocked near-dup pairs at scale —
+    * never all-pairs), keep edge (a, b) only when b is in a's top-k
+    * neighbors AND a is in b's. Thresholded graphs (p24/p32 collapse at
+    * `cos ≥ τ`) explode around hubs — one generic vector inside a dense
+    * region keeps its entire neighborhood; the mutuality test is the
+    * standard degree-bounded sparsifier (≤ k per node by construction,
+    * and asymmetric hub→satellite edges drop because the hub doesn't
+    * reciprocate). The result is the graph SemDedup-style semantic
+    * clustering and kNN-graph community detection actually run on.
+    *
+    * Shape: symmetrize the pair set, per-node top-k through the
+    * bounded-heap operator (≤ k rows per node cross the shuffle), then
+    * ONE self-semi-join on the reversed edge for mutuality — cost is
+    * O(k·|nodes|) after blocking, independent of how dense the raw
+    * pair set was. Ties break toward the smaller neighbor id.
+    */
+  def mutualKnnGraph(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("cos")))
+    val top = graft.plans.TopKPerGroup.topK(sym, Seq(col("src")),
+      struct(col("cos"), -col("dst")), k)
+    val rev = top.select(col("dst").as("src"), col("src").as("dst"))
+    top.join(rev, Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** LABEL-NOISE audit — confident-learning-style kNN disagreement,
     * the quality gate for LABELED training data (classification heads,
     * reward-model preference sets, quality-classifier seeds): for each

@@ -5730,6 +5730,32 @@ object PipelineQueries {
         "aggregate accuracy) this interrogates individual rows. Anchors " +
         "fixed-sample broadcast over one codegen scan; per-anchor top-k " +
         "via bounded heaps; majority ties to smaller label, cosine ties " +
-        "to smaller id — reproducible anywhere")
+        "to smaller id — reproducible anywhere"),
+
+    Q("p153_mutual_knn_graph",
+      (s, d) => Similarity.mutualKnnGraph(TpchGraph.lshPairs(s, d), k = 4),
+      Some(s"""
+        WITH $lshPairCtes,
+        pairs AS (SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4),
+        sym AS (SELECT id_a AS src, id_b AS dst, cos FROM pairs
+                UNION ALL SELECT id_b, id_a, cos FROM pairs),
+        tk AS (SELECT src, dst, cos FROM (
+            SELECT src, dst, cos,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY cos DESC, dst) AS rn
+            FROM sym) WHERE rn <= 4)
+        SELECT t.src AS id_a, t.dst AS id_b, t.cos
+        FROM tk t JOIN tk r ON r.src = t.dst AND r.dst = t.src
+        WHERE t.src < t.dst ORDER BY 1, 2"""),
+      "similarity — MUTUAL-kNN graph sparsification over the shared " +
+        "LSH-blocked pair set (p22's maintained artifact): keep (a,b) " +
+        "only when each is in the other's top-4 — the degree-bounded " +
+        "similarity graph SemDedup-style clustering actually runs on, " +
+        "where p24/p32's plain cos>=t threshold explodes around hubs " +
+        "(a generic vector keeps its whole dense neighborhood; the hub " +
+        "doesn't reciprocate its satellites, so those edges drop). " +
+        "Symmetrize, bounded-heap top-k per node (<=k rows shuffle), " +
+        "one reversed-edge semi-join for mutuality — O(k·nodes) after " +
+        "blocking regardless of raw pair density")
   )
 }

@@ -460,6 +460,51 @@ object RelationalQueries {
         "one semi + one anti join over deduped (order, supplier) pairs — " +
         "the fact table shuffles once into compact pairs and the " +
         "quantifiers never rescan it; supplier dim broadcasts, top-10 is " +
-        "TakeOrdered")
+        "TakeOrdered"),
+
+    Q("q21_sales_opportunity",
+      (s, d) => {
+        // TPC-H Q22 shape (global sales opportunity), adapted to this
+        // schema (nation keys stand in for phone country codes):
+        // customers from a fixed country set with above-average positive
+        // balance and NO orders. Money in integer CENTS throughout —
+        // the avg threshold is exact integer arithmetic, so the
+        // above-average cut has no cross-engine float knife edge.
+        val cust = table(s, d, "customer")
+          .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        val avgBal = cust.filter(col("cents") > 0)
+          .agg(expr("sum(cents) div count(1)").as("avg_cents"))
+        val noOrders = cust.join(
+          table(s, d, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        noOrders.crossJoin(broadcast(avgBal))
+          .filter(col("cents") > col("avg_cents"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            (sum(col("cents")) / 100.0).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        a AS (SELECT sum(cents) // count(*) AS avg_cents
+              FROM cust WHERE cents > 0)
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(cents) AS BIGINT) / 100.0 AS totacctbal
+        FROM cust, a
+        WHERE cents > avg_cents
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = cust.c_custkey)
+        GROUP BY 1 ORDER BY 1"""),
+      "TPC-H Q22 shape: above-average-balance customers with no orders, " +
+        "by country — a scalar aggregate broadcast against the dimension " +
+        "(one-row crossJoin, never a shuffle), an anti join against the " +
+        "fact table's custkeys, and a k-row aggregate. Money is integer " +
+        "cents end-to-end so the average threshold is exact and the " +
+        "above-average cut cannot drift between engines")
   )
 }

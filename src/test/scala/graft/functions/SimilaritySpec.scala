@@ -288,6 +288,19 @@ class SimilaritySpec extends SparkSpec {
       (50L, 1, 0, 3L, 0L, 1)))  // planted: own label gets zero votes
   }
 
+  test("mutualKnnGraph drops unreciprocated hub→satellite edges, keeps mutual ones") {
+    import spark.implicits._
+    // hub 1 has five satellites at equal cos; with k=2 the hub only
+    // reciprocates 2 and 3 (cos ties break to the smaller id), so
+    // (1,4)(1,5)(1,6) must drop; isolated pair (7,8) is trivially mutual
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.9), (1L, 4L, 0.9), (1L, 5L, 0.9), (1L, 6L, 0.9),
+      (7L, 8L, 0.8)).toDF("id_a", "id_b", "cos")
+    val got = Similarity.mutualKnnGraph(pairs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (7L, 8L, 0.8)))
+  }
+
   test("rrfFuse validates its inputs") {
     import spark.implicits._
     val ok = Seq((1L, 1.0)).toDF("id", "score")

@@ -122,10 +122,13 @@ class PlanAuditSpec extends SparkSpec {
     // already TakeOrdered-bounded to k rows (pinned by the p133 test)
     // p138: the context-packing cumulative sum windows over the
     // retriever's TakeOrdered-bounded top-20 hits
+    // p151: the shortlist rank window runs over the bounded-heap top-M
+    // output (M = 50 rows by construction)
     assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture",
       "p100_dataset_card", "p123_waterfill_budget", "p124_mixture_build",
       "p127_quantile_normalization", "p128_streaming_waterfill",
-      "p129_vocab_coverage", "p133_hybrid_rrf", "p138_context_packing"),
+      "p129_vocab_coverage", "p133_hybrid_rrf", "p138_context_packing",
+      "p151_semantic_decontam"),
       offenders.toString)
   }
 
