@@ -190,13 +190,32 @@ object Similarity {
     * O(k·|nodes|) after blocking, independent of how dense the raw
     * pair set was. Ties break toward the smaller neighbor id.
     */
-  def mutualKnnGraph(pairs: DataFrame, k: Int): DataFrame = {
+  def mutualKnnGraph(pairs: DataFrame, k: Int): DataFrame =
+    mutualKnnFromStore(knnStoreMerge(None, pairs, k))
+
+  /** The MAINTAINED form's merge step: fold a new wave of candidate
+    * pairs into the per-node top-k neighbor STORE. Top-k selection is
+    * mergeable — `topk(A ∪ B) = topk(topk(A) ∪ B)` for a fixed total
+    * order — so a store maintained wave by wave equals the one-shot
+    * top-k over everything (the p58/p117/p128 maintenance discipline);
+    * state is ≤ k rows per node, fixed-size forever.
+    */
+  def knnStoreMerge(store: Option[DataFrame], wavePairs: DataFrame,
+                    k: Int): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
-        col("cos")))
-    val top = graft.plans.TopKPerGroup.topK(sym, Seq(col("src")),
+    val sym = wavePairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(wavePairs.select(col("id_b").as("src"),
+        col("id_a").as("dst"), col("cos")))
+    val in = store.fold(sym)(_.unionByName(sym))
+    graft.plans.TopKPerGroup.topK(in, Seq(col("src")),
       struct(col("cos"), -col("dst")), k)
+  }
+
+  /** Mutuality readout over a per-node top-k neighbor store: keep
+    * (a, b) only when each lists the other; canonical `id_a < id_b`.
+    */
+  def mutualKnnFromStore(top: DataFrame): DataFrame = {
     val rev = top.select(col("dst").as("src"), col("src").as("dst"))
     top.join(rev, Seq("src", "dst"), "left_semi")
       .filter(col("src") < col("dst"))

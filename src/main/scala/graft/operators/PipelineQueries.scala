@@ -588,6 +588,26 @@ object PipelineQueries {
                     ELSE 0 END AS epochs_micro
         FROM w ORDER BY stratum"""
 
+  /** DuckDB replica of p153 — blocking, per-node top-4, mutuality.
+    * p155's maintained form merges waves into the same store (top-k is
+    * mergeable), so ONE oracle serves both: maintained == one-shot is
+    * exactly the invariant being gated.
+    */
+  private def mutualKnnOracle: String =
+    s"""
+        WITH $lshPairCtes,
+        pairs AS (SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4),
+        sym AS (SELECT id_a AS src, id_b AS dst, cos FROM pairs
+                UNION ALL SELECT id_b, id_a, cos FROM pairs),
+        tk AS (SELECT src, dst, cos FROM (
+            SELECT src, dst, cos,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY cos DESC, dst) AS rn
+            FROM sym) WHERE rn <= 4)
+        SELECT t.src AS id_a, t.dst AS id_b, t.cos
+        FROM tk t JOIN tk r ON r.src = t.dst AND r.dst = t.src
+        WHERE t.src < t.dst ORDER BY 1, 2"""
+
   private def lshCollapseOracle: String =
     s"""
         WITH RECURSIVE $lshPairCtes,
@@ -5734,19 +5754,7 @@ object PipelineQueries {
 
     Q("p153_mutual_knn_graph",
       (s, d) => Similarity.mutualKnnGraph(TpchGraph.lshPairs(s, d), k = 4),
-      Some(s"""
-        WITH $lshPairCtes,
-        pairs AS (SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4),
-        sym AS (SELECT id_a AS src, id_b AS dst, cos FROM pairs
-                UNION ALL SELECT id_b, id_a, cos FROM pairs),
-        tk AS (SELECT src, dst, cos FROM (
-            SELECT src, dst, cos,
-                   row_number() OVER (PARTITION BY src
-                     ORDER BY cos DESC, dst) AS rn
-            FROM sym) WHERE rn <= 4)
-        SELECT t.src AS id_a, t.dst AS id_b, t.cos
-        FROM tk t JOIN tk r ON r.src = t.dst AND r.dst = t.src
-        WHERE t.src < t.dst ORDER BY 1, 2"""),
+      Some(mutualKnnOracle),
       "similarity — MUTUAL-kNN graph sparsification over the shared " +
         "LSH-blocked pair set (p22's maintained artifact): keep (a,b) " +
         "only when each is in the other's top-4 — the degree-bounded " +
@@ -5756,6 +5764,80 @@ object PipelineQueries {
         "doesn't reciprocate its satellites, so those edges drop). " +
         "Symmetrize, bounded-heap top-k per node (<=k rows shuffle), " +
         "one reversed-edge semi-join for mutuality — O(k·nodes) after " +
-        "blocking regardless of raw pair density")
+        "blocking regardless of raw pair density"),
+
+    Q("p154_semantic_clusters",
+      (s, d) => {
+        // cluster collapse over the DEGREE-BOUNDED similarity graph:
+        // p153's mutual-kNN edges -> DataFrame CC. p24/p32 collapse the
+        // raw thresholded graph, where one hub chains unrelated regions
+        // into a mega-cluster; mutuality cuts those bridges first, so
+        // the components are the tight semantic groups SemDedup keeps
+        val mutual = Similarity.mutualKnnGraph(TpchGraph.lshPairs(s, d), k = 4)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        graft.plans.DfConnectedComponents.run(mutual)
+          .groupBy(col("component").cast("long").as("cluster_id"))
+          .agg(count(lit(1)).cast("long").as("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $lshPairCtes,
+        pairs AS (SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.4),
+        sym AS (SELECT id_a AS src, id_b AS dst, cos FROM pairs
+                UNION ALL SELECT id_b, id_a, cos FROM pairs),
+        tk AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY cos DESC, dst) AS rn
+            FROM sym) WHERE rn <= 4),
+        mu AS (SELECT t.src AS id_a, t.dst AS id_b
+               FROM tk t JOIN tk r ON r.src = t.dst AND r.dst = t.src
+               WHERE t.src < t.dst),
+        edges AS (SELECT id_a AS s, id_b AS t FROM mu
+                  UNION ALL SELECT id_b, id_a FROM mu),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT CAST(component AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY 1 ORDER BY 1"""),
+      "similarity — cluster collapse over the DEGREE-BOUNDED graph: " +
+        "p153's mutual-kNN edges -> DataFrame CC (O(log n) star " +
+        "contraction), the SemDedup-style semantic grouping. Where " +
+        "p24/p32 collapse the raw cos>=t graph — one hub vector chains " +
+        "unrelated dense regions into a mega-cluster — mutuality cuts " +
+        "hub bridges BEFORE the transitive closure, so components stay " +
+        "tight. Same CC engine, structurally skew-proofed input; the " +
+        "oracle replays blocking, top-k, mutuality, and the closure as " +
+        "one recursive CTE"),
+
+    Q("p155_streaming_knn_store",
+      (s, d) => {
+        // the similarity graph as a MAINTAINED artifact: three arrival
+        // waves of near-dup pairs fold into the per-node top-4 neighbor
+        // store (<= k rows per node, fixed-size forever); the mutuality
+        // readout of the maintained store must equal p153's one-shot
+        // graph — top-k is mergeable, so it does, and the shared oracle
+        // gates exactly that invariant
+        val pairs = TpchGraph.lshPairs(s, d)
+        val store = (0 to 2).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (st, w) => Some(Similarity.knnStoreMerge(st,
+            pairs.filter((col("id_a") + col("id_b")) % 3 === w), k = 4))
+        }.get
+        Similarity.mutualKnnFromStore(store)
+      },
+      Some(mutualKnnOracle),
+      "similarity/streaming — the mutual-kNN store MAINTAINED across " +
+        "three arrival waves: each wave merges into the per-node top-4 " +
+        "neighbor store via the bounded-heap operator (top-k is " +
+        "mergeable: topk(A∪B) = topk(topk(A)∪B), the p58/p117/p128 " +
+        "maintenance discipline), state <= k rows per node forever. " +
+        "The mutuality readout of the maintained store hash-equals " +
+        "p153's one-shot graph — the shared oracle IS the " +
+        "maintained==one-shot invariant")
   )
 }

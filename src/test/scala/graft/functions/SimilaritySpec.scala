@@ -301,6 +301,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (7L, 8L, 0.8)))
   }
 
+  test("knnStoreMerge wave-merge == one-shot (the p155 maintenance invariant)") {
+    import spark.implicits._
+    // a dense-ish deterministic pair soup: cos varies by (a+b) so top-k
+    // selection is non-trivial; three waves split by (a+b) % 3
+    val pairs = (for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+      if (a * 7 + b * 3) % 4 != 0
+    } yield (a, b, ((a + b) % 9 + 1) / 10.0)).toDF("id_a", "id_b", "cos")
+    val oneShot = Similarity.mutualKnnGraph(pairs, k = 3)
+      .collect().map(_.toSeq).toSeq
+    val store = (0 to 2).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (st, w) => Some(Similarity.knnStoreMerge(st,
+        pairs.filter((col("id_a") + col("id_b")) % 3 === w), k = 3))
+    }.get
+    val maintained = Similarity.mutualKnnFromStore(store)
+      .collect().map(_.toSeq).toSeq
+    assert(maintained == oneShot && oneShot.nonEmpty)
+  }
+
   test("rrfFuse validates its inputs") {
     import spark.implicits._
     val ok = Seq((1L, 1.0)).toDF("id", "score")
