@@ -5838,6 +5838,52 @@ object PipelineQueries {
         "maintenance discipline), state <= k rows per node forever. " +
         "The mutuality readout of the maintained store hash-equals " +
         "p153's one-shot graph — the shared oracle IS the " +
-        "maintained==one-shot invariant")
+        "maintained==one-shot invariant"),
+
+    Q("p156_delete_cascade",
+      (s, d) => graft.pipeline.Curation.deleteCascade(
+        table(s, d, "documents"), col("doc_id"), col("text"),
+        col("doc_id") % 41 === 6, shards = 8),
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id,
+                 len(${sqlTokens("lower(text)")}) AS n_tok,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                 ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8 AS shard,
+                 doc_id % 41 = 6 AS del
+          FROM documents),
+        d1 AS (SELECT 'documents' AS artifact,
+                      count(*) AS nb,
+                      sum(CASE WHEN del THEN 1 ELSE 0 END) AS na,
+                      count(*) - sum(CASE WHEN del THEN 1 ELSE 0 END) AS nf
+               FROM base),
+        d2 AS (SELECT 'fingerprint_store', count(*),
+                      sum(CASE WHEN nd = n THEN 1 ELSE 0 END),
+                      count(*) - sum(CASE WHEN nd = n THEN 1 ELSE 0 END)
+               FROM (SELECT fp, count(*) AS n,
+                            sum(CASE WHEN del THEN 1 ELSE 0 END) AS nd
+                     FROM base GROUP BY fp)),
+        d3 AS (SELECT 'shard_manifests', count(*), sum(touched), count(*)
+               FROM (SELECT shard,
+                            max(CASE WHEN del THEN 1 ELSE 0 END) AS touched
+                     FROM base GROUP BY shard)),
+        d4 AS (SELECT 'token_mass', sum(n_tok),
+                      sum(CASE WHEN del THEN n_tok ELSE 0 END),
+                      sum(n_tok) - sum(CASE WHEN del THEN n_tok ELSE 0 END)
+               FROM base),
+        u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+              UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4)
+        SELECT artifact, CAST(nb AS BIGINT) AS n_before,
+               CAST(na AS BIGINT) AS n_affected, CAST(nf AS BIGINT) AS n_after
+        FROM u ORDER BY artifact"""),
+      "curation — right-to-be-forgotten CASCADE audit: what a delete " +
+        "set costs across the derived artifacts BEFORE the deletion " +
+        "runs. A delete at 100 TB is never one table — the fingerprint " +
+        "dedup store loses only groups whose EVERY member died, shard " +
+        "manifests containing a deleted doc must rewrite (placement = " +
+        "p83's hash rule, so the touched count is that store's exact " +
+        "rewrite set), and the mixture planner's token masses shift. " +
+        "One pass over the corpus; every artifact row is a map-side-" +
+        "combined aggregate of the same projected base; exact integers")
   )
 }

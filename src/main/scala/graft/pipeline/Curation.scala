@@ -103,6 +103,61 @@ object Curation {
     * (both partitioned — no global window touches the corpus); the
     * allocation table is strata-sized and broadcasts back.
     */
+  /** RIGHT-TO-BE-FORGOTTEN cascade audit — what a delete set actually
+    * costs across the DERIVED artifacts of a standing corpus, before
+    * the deletion runs. At 100 TB a delete is never one table: the
+    * fingerprint dedup store loses groups (only when EVERY member is
+    * deleted — a group with a surviving member keeps its entry), shard
+    * manifests containing a deleted doc must be rewritten, and the
+    * mixture planner's token masses shift. This audit computes all of
+    * it in ONE pass over the corpus (every artifact row is a map-side-
+    * combined aggregate of the same projected base), emitting
+    * `(artifact, n_before, n_affected, n_after)` exact integers:
+    *  - `documents`: rows before / deleted / remaining;
+    *  - `fingerprint_store`: distinct fingerprints / groups that
+    *    disappear entirely / surviving groups;
+    *  - `shard_manifests`: shards / shards touched (must rewrite) /
+    *    shards after (count unchanged — rewrite, not removal);
+    *  - `token_mass`: corpus tokens / deleted tokens / remaining.
+    * Placement uses [[Sampling.shardManifest]]'s hash rule, so the
+    * touched-shard count is exactly the rewrite set that store would
+    * see.
+    */
+  def deleteCascade(docs: DataFrame, id: Column, text: Column,
+                    deletePred: Column, shards: Int): DataFrame = {
+    require(shards >= 1, s"shard count must be positive: $shards")
+    val base = docs.select(
+        id.cast("long").as("doc_id"),
+        size(TextOps.tokens(lower(text))).cast("long").as("n_tok"),
+        TextOps.fingerprint(text).as("fp"),
+        (graft.functions.Dedup.gramHash(concat(lit("shard:"), id.cast("string")))
+          % shards).cast("int").as("shard"),
+        deletePred.as("del"))
+      .localCheckpoint(eager = false)
+    def row(name: String, before: Column, affected: Column, after: Column) =
+      (df: DataFrame) => df.select(lit(name).as("artifact"),
+        before.cast("long").as("n_before"),
+        affected.cast("long").as("n_affected"),
+        after.cast("long").as("n_after"))
+    val docsRow = row("documents", col("nb"), col("na"), col("nb") - col("na"))(
+      base.agg(count(lit(1)).as("nb"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("na")))
+    val fpRow = row("fingerprint_store", col("nb"), col("na"), col("nb") - col("na"))(
+      base.groupBy("fp")
+        .agg(count(lit(1)).as("n"), sum(when(col("del"), 1L).otherwise(0L)).as("nd"))
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("nd") === col("n"), 1L).otherwise(0L)).as("na")))
+    val shRow = row("shard_manifests", col("nb"), col("na"), col("nb"))(
+      base.groupBy("shard")
+        .agg(max(when(col("del"), 1L).otherwise(0L)).as("touched"))
+        .agg(count(lit(1)).as("nb"), sum(col("touched")).as("na")))
+    val tokRow = row("token_mass", col("nb"), col("na"), col("nb") - col("na"))(
+      base.agg(sum(col("n_tok")).as("nb"),
+        sum(when(col("del"), col("n_tok")).otherwise(0L)).as("na")))
+    docsRow.unionByName(fpRow).unionByName(shRow).unionByName(tokRow)
+      .orderBy("artifact")
+  }
+
   def mixtureBuild(docs: DataFrame, id: Column, text: Column, stratum: Column,
                    minTokens: Int, budgetNum: Long, budgetDen: Long): DataFrame = {
     require(minTokens >= 0, s"minTokens must be non-negative: $minTokens")

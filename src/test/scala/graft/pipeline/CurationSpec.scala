@@ -80,4 +80,26 @@ class CurationSpec extends SparkSpec {
     // selection never exceeds the allocation; B takes everything
     assert(a._7 <= 130L && b._7 == 40L)
   }
+
+  test("deleteCascade: group survival, shard rewrite set, token mass — exact") {
+    import spark.implicits._
+    // docs 1/2 share a fingerprint (dup pair); 3 and 4 are unique.
+    // delete {2, 4}: the 1/2 group SURVIVES (member 1 remains), doc 4's
+    // group disappears entirely
+    val docs = Seq(
+      (1L, "same text"), (2L, "same  TEXT "), // fingerprint-equal
+      (3L, "alpha beta gamma"), (4L, "delta")).toDF("doc_id", "text")
+    val rows = graft.pipeline.Curation.deleteCascade(docs, col("doc_id"),
+        col("text"), col("doc_id").isin(2L, 4L), shards = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("documents") == ((4L, 2L, 2L)))
+    assert(rows("fingerprint_store") == ((3L, 1L, 2L)))
+    // token mass: 2+2+3+1 = 8; deleted 2 (doc 2) + 1 (doc 4) = 3
+    assert(rows("token_mass") == ((8L, 3L, 5L)))
+    // shards: manifests exist per OCCUPIED shard (4 docs → ≤ 4 of the 8);
+    // the count survives the rewrite; touched is bounded by the delete size
+    val (sb, sa, sf) = rows("shard_manifests")
+    assert(sb >= 1L && sb <= 4L && sf == sb && sa >= 1L && sa <= 2L)
+  }
 }
