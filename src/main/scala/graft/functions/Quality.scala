@@ -79,6 +79,65 @@ object Quality {
     * row per source with exact integer summary stats of the
     * normalized distribution.
     */
+  /** Per-source LOWER MEDIAN of an integral column, derived from a
+    * value HISTOGRAM: group to (source, value, count), one cumulative
+    * window over DISTINCT values per source, pick the smallest value
+    * whose cumulative count reaches rank `(n+1) div 2`. The window is
+    * bounded by #distinct values, never corpus-sized — the p70/p127
+    * discipline — and the result is an exact integer.
+    */
+  private def lowerMedianBy(in: DataFrame, valCol: String,
+                            out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = in.groupBy("source", valCol).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy("source").orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nW = Window.partitionBy("source")
+    hist.select(col("source"), col(valCol),
+        sum("cnt").over(cumW).as("cum"), sum("cnt").over(nW).as("n"))
+      .filter(expr("cum >= (n + 1) div 2"))
+      .groupBy("source").agg(min(valCol).cast("long").as(out))
+  }
+
+  /** MAD outlier gate — the ROBUST twin of the k-sigma rule (p59):
+    * flag docs whose integral quality value sits more than `k` median-
+    * absolute-deviations from the per-source median. Mean/stddev gates
+    * are exactly what heavy-tailed corpus statistics break (one 10 MB
+    * boilerplate page drags the mean past half the outliers it should
+    * catch); median and MAD have a 50% breakdown point, and on integral
+    * inputs both are EXACT INTEGERS here — no float percentile
+    * estimate, so the gate hash-reproduces anywhere.
+    *
+    * Degenerate case, documented: when MAD = 0 (a majority of the
+    * source at one exact value) the rule `dev > k·0` flags every
+    * deviation — the strict-but-well-defined reading.
+    *
+    * Scale shape: two histogram passes (values, then deviations), each
+    * a map-side-combined aggregate plus a cumulative window over
+    * DISTINCT values per source (bounded, never corpus-wide); medians
+    * broadcast back as k-row tables.
+    */
+  def madOutlierGate(df: DataFrame, id: Column, source: Column,
+                     value: Column, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val base = df.select(id.as("doc_id"), source.as("source"),
+      value.cast("long").as("v"))
+    val med = lowerMedianBy(base, "v", "med")
+    val dev = base.join(broadcast(med), "source")
+      .select(col("source"), col("doc_id"), col("med"),
+        abs(col("v") - col("med")).as("dev"))
+    val mad = lowerMedianBy(dev, "dev", "mad")
+    dev.join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med")).as("median_v"),
+        max(col("mad")).as("mad_v"),
+        sum(when(col("dev") > lit(k.toLong) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
   def quantileNormalize(df: DataFrame, id: Column, source: Column,
                         score: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

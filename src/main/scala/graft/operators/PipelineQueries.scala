@@ -5884,6 +5884,49 @@ object PipelineQueries {
         "p83's hash rule, so the touched count is that store's exact " +
         "rewrite set), and the mixture planner's token masses shift. " +
         "One pass over the corpus; every artifact row is a map-side-" +
-        "combined aggregate of the same projected base; exact integers")
+        "combined aggregate of the same projected base; exact integers"),
+
+    Q("p157_mad_outliers",
+      (s, d) => Quality.madOutlierGate(table(s, d, "documents"),
+        col("doc_id"), col("source"),
+        size(TextOps.tokens(lower(col("text")))), k = 3),
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, source, len(${sqlTokens("lower(text)")}) AS v
+          FROM documents),
+        h1 AS (SELECT source, v, count(*) AS cnt FROM base GROUP BY 1, 2),
+        c1 AS (SELECT source, v,
+                      sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+                      sum(cnt) OVER (PARTITION BY source) AS n
+               FROM h1),
+        med AS (SELECT source, CAST(min(v) AS BIGINT) AS med FROM c1
+                WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        dev AS (SELECT b.source, b.doc_id, m.med, abs(b.v - m.med) AS dev
+                FROM base b JOIN med m USING (source)),
+        h2 AS (SELECT source, dev, count(*) AS cnt FROM dev GROUP BY 1, 2),
+        c2 AS (SELECT source, dev,
+                      sum(cnt) OVER (PARTITION BY source ORDER BY dev) AS cum,
+                      sum(cnt) OVER (PARTITION BY source) AS n
+               FROM h2),
+        mad AS (SELECT source, CAST(min(dev) AS BIGINT) AS mad FROM c2
+                WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(d.med) AS BIGINT) AS median_v,
+               CAST(max(m.mad) AS BIGINT) AS mad_v,
+               CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)
+                 * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+        FROM dev d JOIN mad m USING (source)
+        GROUP BY 1 ORDER BY 1"""),
+      "text quality — MAD outlier gate, the ROBUST twin of p59's " +
+        "k-sigma rule: flag docs > 3 median-absolute-deviations from " +
+        "the per-source token-count median. Heavy-tailed corpus stats " +
+        "break mean/stddev gates (one 10 MB boilerplate page drags the " +
+        "mean past half the outliers); median/MAD have a 50% breakdown " +
+        "point and on integral inputs are EXACT INTEGERS — both derived " +
+        "from value histograms with cumulative windows over DISTINCT " +
+        "values per source (bounded, never corpus-wide), medians " +
+        "broadcast back as k-row tables")
   )
 }

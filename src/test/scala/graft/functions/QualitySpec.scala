@@ -69,4 +69,34 @@ class QualitySpec extends SparkSpec {
     // not a per-source rescale): min from A's range, max from B's
     assert(a._4 <= 10L && a._6 >= 101L)
   }
+
+  test("madOutlierGate: exact integer median/MAD; robust to the planted whale") {
+    import spark.implicits._
+    // source A: values 10,10,11,12,13 + a 100000-token whale.
+    // n=6 → lower-median rank 3: sorted (10,10,11,12,13,100000) → med=11;
+    // devs (1,1,0,1,2,99989) sorted (0,1,1,1,2,99989) → MAD=1;
+    // outliers (dev > 3): only the whale. A mean/stddev gate would let
+    // the whale inflate sigma past its own deviation.
+    val docs = Seq(10, 10, 11, 12, 13, 100000).zipWithIndex
+      .map { case (v, i) => (i.toLong, "A", ("w " * v).trim) }
+      .toDF("doc_id", "source", "text")
+    val r = Quality.madOutlierGate(docs, col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          TextOps.tokens(lower(col("text")))), k = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).head
+    assert(r == (("A", 6L, 11L, 1L, 1L, 166666L)))
+  }
+
+  test("madOutlierGate MAD=0 degenerate case flags every deviation (documented)") {
+    import spark.implicits._
+    val docs = Seq(5, 5, 5, 5, 9).zipWithIndex
+      .map { case (v, i) => (i.toLong, "B", ("w " * v).trim) }
+      .toDF("doc_id", "source", "text")
+    val r = Quality.madOutlierGate(docs, col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          TextOps.tokens(lower(col("text")))), k = 3)
+      .collect().map(x => (x.getLong(2), x.getLong(3), x.getLong(4))).head
+    assert(r == ((5L, 0L, 1L))) // med=5, MAD=0, the single deviant flagged
+  }
 }
