@@ -5927,6 +5927,44 @@ object PipelineQueries {
         "point and on integral inputs are EXACT INTEGERS — both derived " +
         "from value histograms with cumulative windows over DISTINCT " +
         "values per source (bounded, never corpus-wide), medians " +
-        "broadcast back as k-row tables")
+        "broadcast back as k-row tables"),
+
+    Q("p158_preference_pairs",
+      (s, d) => graft.pipeline.Curation.preferencePairs(
+        table(s, d, "documents"), col("doc_id"), col("text"), col("source"),
+        k = 3, minMarginPpm = 100000L),
+      Some(s"""
+        WITH t AS (
+          SELECT source, doc_id,
+                 CAST(len(list_filter(${sqlTokens("lower(text)")},
+                      x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS BIGINT)
+                   * 1000000
+                 // greatest(CAST(len(${sqlTokens("lower(text)")}) AS BIGINT), 1)
+                   AS score_ppm
+          FROM documents),
+        ch AS (SELECT source, doc_id AS chosen_id, score_ppm AS chosen_ppm,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY score_ppm DESC, doc_id) AS rank
+               FROM t),
+        rj AS (SELECT source, doc_id AS rejected_id, score_ppm AS rejected_ppm,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY score_ppm ASC, doc_id) AS rank
+               FROM t)
+        SELECT ch.source, CAST(ch.rank AS INT) AS rank,
+               ch.chosen_id, ch.chosen_ppm, rj.rejected_id, rj.rejected_ppm,
+               ch.chosen_ppm - rj.rejected_ppm AS margin_ppm
+        FROM ch JOIN rj ON ch.source = rj.source AND ch.rank = rj.rank
+        WHERE ch.rank <= 3 AND ch.chosen_id <> rj.rejected_id
+          AND ch.chosen_ppm - rj.rejected_ppm >= 100000
+        ORDER BY ch.source, ch.rank"""),
+      "curation — PREFERENCE-PAIR export, the (chosen, rejected) table " +
+        "a reward-model / DPO trainer consumes: per source the k best " +
+        "and k worst docs by integer-ppm stopword ratio (the p39/p43 " +
+        "signal made exact — no float), zipped by rank so extremes pair " +
+        "with extremes, kept only when the margin clears 100000 ppm (a " +
+        "near-tie teaches a preference model nothing). Both ends come " +
+        "from bounded heaps — <= k rows per source cross the shuffle, " +
+        "one map-side corpus scan; ties break by smaller doc id, so two " +
+        "training runs see identical preference data")
   )
 }

@@ -158,6 +158,63 @@ object Curation {
       .orderBy("artifact")
   }
 
+  /** PREFERENCE-PAIR export — the (chosen, rejected) table a reward
+    * model / DPO trainer consumes, mined from the corpus's own quality
+    * signal: per source, the k best and k worst docs by integer-ppm
+    * stopword ratio (the p39/p43 signal made exact — `n_stop · 1e6 div
+    * n_tokens`, no float), zipped by rank (best vs worst, 2nd-best vs
+    * 2nd-worst …) and kept only when the quality margin clears
+    * `minMarginPpm` — a near-tie teaches a preference model nothing,
+    * and pairing extremes maximizes the signal per pair.
+    *
+    * Scale shape: both ends come from the bounded-heap operator (≤ k
+    * rows per source cross the shuffle — the corpus is scanned once,
+    * map-side); the zip join and margin gate run on 2k rows per
+    * source. Ties break by smaller doc id at every step, so the export
+    * is a pure function of the corpus — the property that lets two
+    * training runs see the same preference data.
+    */
+  def preferencePairs(docs: DataFrame, id: Column, text: Column,
+                      stratum: Column, k: Int,
+                      minMarginPpm: Long): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(minMarginPpm >= 0, s"minMarginPpm must be non-negative: $minMarginPpm")
+    val toks = TextOps.tokens(lower(text))
+    val stops = TextOps.defaultStopwords
+    val scored = docs.select(stratum.as("source"), id.cast("long").as("doc_id"),
+        (size(filter(toks, t => t.isin(stops: _*))).cast("long") * 1000000L)
+          .as("num"),
+        greatest(size(toks), lit(1)).cast("long").as("den"))
+      // integer `div`, not `/` — Spark's `/` on longs is true division
+      .select(col("source"), col("doc_id"),
+        expr("num div den").as("score_ppm"))
+      .localCheckpoint(eager = false)
+    val byRankW = Window.partitionBy("source")
+    def ranked(df: DataFrame, best: Boolean) = {
+      val ord = if (best) Seq(col("score_ppm").desc, col("doc_id").asc)
+                else Seq(col("score_ppm").asc, col("doc_id").asc)
+      df.withColumn("rank",
+        row_number().over(byRankW.orderBy(ord: _*)))
+    }
+    val chosen = ranked(graft.plans.TopKPerGroup.topK(scored,
+        Seq(col("source")), struct(col("score_ppm"), -col("doc_id")), k),
+        best = true)
+      .select(col("source"), col("rank"), col("doc_id").as("chosen_id"),
+        col("score_ppm").as("chosen_ppm"))
+    val rejected = ranked(graft.plans.TopKPerGroup.topK(scored,
+        Seq(col("source")), struct(-col("score_ppm"), -col("doc_id")), k),
+        best = false)
+      .select(col("source"), col("rank"), col("doc_id").as("rejected_id"),
+        col("score_ppm").as("rejected_ppm"))
+    chosen.join(rejected, Seq("source", "rank"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_ppm") - col("rejected_ppm") >= minMarginPpm)
+      .select(col("source"), col("rank"), col("chosen_id"), col("chosen_ppm"),
+        col("rejected_id"), col("rejected_ppm"),
+        (col("chosen_ppm") - col("rejected_ppm")).as("margin_ppm"))
+      .orderBy("source", "rank")
+  }
+
   def mixtureBuild(docs: DataFrame, id: Column, text: Column, stratum: Column,
                    minTokens: Int, budgetNum: Long, budgetDen: Long): DataFrame = {
     require(minTokens >= 0, s"minTokens must be non-negative: $minTokens")

@@ -102,4 +102,28 @@ class CurationSpec extends SparkSpec {
     val (sb, sa, sf) = rows("shard_manifests")
     assert(sb >= 1L && sb <= 4L && sf == sb && sa >= 1L && sa <= 2L)
   }
+
+  test("preferencePairs: extremes zip by rank, near-ties drop, ids never collide") {
+    import spark.implicits._
+    // one source, stopword ratios (ppm): doc1 500000, doc2 500000 (tie →
+    // id order), doc3 250000, doc4 0. k=2:
+    //   chosen  rank1=doc1(500000) rank2=doc2(500000)
+    //   rejected rank1=doc4(0)     rank2=doc3(250000)
+    // margins: 500000, 250000 — both clear 100000
+    val docs = Seq(
+      (1L, "A", "the of x y"),     // 2 stop / 4 → 500000
+      (2L, "A", "and to p q"),     // 500000
+      (3L, "A", "the w x y"),      // 1/4 → 250000
+      (4L, "A", "w x y z")).toDF("doc_id", "source", "text")
+    val rows = graft.pipeline.Curation.preferencePairs(docs, col("doc_id"),
+        col("text"), col("source"), k = 2, minMarginPpm = 100000L)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(4),
+        r.getLong(6))).toSeq
+    assert(rows == Seq((1, 1L, 4L, 500000L), (2, 2L, 3L, 250000L)))
+    // raise the margin: the 250000 pair drops
+    val strict = graft.pipeline.Curation.preferencePairs(docs, col("doc_id"),
+        col("text"), col("source"), k = 2, minMarginPpm = 300000L)
+      .collect().map(r => (r.getLong(2), r.getLong(4))).toSeq
+    assert(strict == Seq((1L, 4L)))
+  }
 }
