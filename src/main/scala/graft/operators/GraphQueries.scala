@@ -515,6 +515,57 @@ object GraphQueries {
     * mod degree`, exactly the Spark recurrence. Generated, not
     * hand-written.
     */
+  /** g73 oracle: the exact scaled-integer PPR recurrence unrolled over
+    * the both-direction co-purchase graph (seed = min part id), then the
+    * sweep — top-`maxPrefix` by `rank·1e6 // deg`, per-edge inside
+    * activation at `max(rank_u, rank_v)`, cumulative volume/within, ppm
+    * conductance with the half-volume guard. Generated, mechanical.
+    */
+  private def sweepCutOracle(iters: Int, maxPrefix: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (
+          SELECT od.u AS key,
+                 CAST(CASE WHEN od.u = (SELECT s FROM sd) THEN 150000 ELSE 0 END
+                   + (85 * coalesce(inc.inc, 0)) // 100 AS BIGINT) AS r
+          FROM od LEFT JOIN (
+            SELECT e.v AS key, sum(p.r // d.d) AS inc
+            FROM e JOIN p${i - 1} p ON p.key = e.u
+                   JOIN od d ON d.u = e.u
+            GROUP BY e.v) inc ON inc.key = od.u)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+        od AS MATERIALIZED (SELECT u, count(*) AS d FROM e GROUP BY 1),
+        sd AS (SELECT min(u) AS s FROM e),
+        p0 AS (SELECT u AS key,
+                      CAST(CASE WHEN u = (SELECT s FROM sd) THEN 1000000 ELSE 0 END AS BIGINT) AS r
+               FROM od),
+        $rounds,
+        sc AS (SELECT p.key, od.d AS deg, (p.r * 1000000) // od.d AS score
+               FROM p$iters p JOIN od ON od.u = p.key WHERE p.r > 0),
+        tp AS (SELECT key, deg, rk FROM (
+            SELECT key, deg,
+                   row_number() OVER (ORDER BY score DESC, key) AS rk
+            FROM sc) WHERE rk <= $maxPrefix),
+        wn AS (SELECT greatest(a.rk, b.rk) AS m, count(*) AS w
+               FROM e JOIN tp a ON a.key = e.u JOIN tp b ON b.key = e.v
+               GROUP BY 1),
+        tot AS (SELECT count(*) AS v2 FROM e),
+        sw AS (SELECT tp.rk, tp.key,
+                      sum(tp.deg) OVER (ORDER BY tp.rk) AS volc,
+                      sum(coalesce(wn.w, 0)) OVER (ORDER BY tp.rk) AS wc
+               FROM tp LEFT JOIN wn ON wn.m = tp.rk)
+        SELECT CAST(rk AS INT) AS k, CAST(key AS BIGINT) AS added_node,
+               CAST(volc AS BIGINT) AS volume,
+               CAST(volc - wc AS BIGINT) AS cut,
+               CAST(CASE WHEN least(volc, v2 - volc) > 0
+                    THEN ((volc - wc) * 1000000) // least(volc, v2 - volc)
+                    ELSE 1000000 END AS BIGINT) AS conductance_ppm
+        FROM sw CROSS JOIN tot ORDER BY k"""
+  }
+
   private def randomWalksOracle(steps: Int): String = {
     val stepCtes = (1 to steps).map { i =>
       s"""w$i AS MATERIALIZED (
@@ -2750,6 +2801,31 @@ object GraphQueries {
         "training-data path (g54 walks → THIS → p119-style negative " +
         "sampling). Pair generation is one nested array transform per " +
         "walk — map-side inside codegen, no self-join, bounded " +
-        "(steps+1)·2w expansion — with one aggregate for the counts")
+        "(steps+1)·2w expansion — with one aggregate for the counts"),
+
+    Q("g73_sweep_cut",
+      (s, d) => {
+        // local community around the smallest part: PPR from the seed,
+        // sweep prefixes of the rank/degree order, conductance per
+        // prefix — the seeded "find THIS node's community" primitive
+        // (LPA g39 and the g66-g71 partitioning arc answer the global
+        // question; a recommender asks the local one)
+        val half = TpchGraph.copurchaseEdges(s, d)
+        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+          .select(col("u").as("src"), col("v").as("dst"))
+        val seed = e.agg(min("src")).head().getLong(0)
+        graft.plans.SweepCut.localCommunity(e, col("key") === seed,
+          iters = 3, maxPrefix = 20)
+      },
+      Some(sweepCutOracle(iters = 3, maxPrefix = 20)),
+      "graph analytics — PPR SWEEP CUT (Andersen-Chung-Lang): local " +
+        "community around a seed by conductance sweep over the " +
+        "rank/degree order, exact scaled-integer PPR + ppm conductance " +
+        "with floor division — hash-verifiable cross-engine where " +
+        "float PPR never is. The sweep needs only the top-maxPrefix " +
+        "vertices (bounded heap, never a global sort of the reached " +
+        "set); per-prefix cut/volume come from one pass over edges " +
+        "incident to the chosen vertices (inside activation = max of " +
+        "endpoint ranks), finished by windows over maxPrefix rows")
   )
 }
