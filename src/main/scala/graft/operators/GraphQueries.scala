@@ -2814,8 +2814,9 @@ object GraphQueries {
         val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
           .select(col("u").as("src"), col("v").as("dst"))
         val seed = e.agg(min("src")).head().getLong(0)
+        // the mirrored canonical (u < v) half is distinct by construction
         graft.plans.SweepCut.localCommunity(e, col("key") === seed,
-          iters = 3, maxPrefix = 20)
+          iters = 3, maxPrefix = 20, edgesAreDistinct = true)
       },
       Some(sweepCutOracle(iters = 3, maxPrefix = 20)),
       "graph analytics — PPR SWEEP CUT (Andersen-Chung-Lang): local " +

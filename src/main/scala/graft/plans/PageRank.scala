@@ -57,12 +57,16 @@ object PageRank {
     */
   def personalizedScaled(edges: DataFrame, seedPred: org.apache.spark.sql.Column,
                          iters: Int, scale: Long = 1000000L,
-                         dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                         dampNum: Long = 85L, dampDen: Long = 100L,
+                         edgesAreDistinct: Boolean = false): DataFrame = {
     require(iters >= 0 && scale % dampDen == 0 && dampNum >= 0 && dampNum <= dampDen,
       s"invalid pagerank params (iters=$iters scale=$scale damp=$dampNum/$dampDen)")
-    val e = edges.select(col("src"), col("dst"))
+    // duplicate edges would double-count contributions, so dedup is the
+    // default; a caller that already produced distinct edges skips one
+    // full-edge-set shuffle (the RandomWalks.walks contract)
+    val base = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e = if (edgesAreDistinct) base else base.distinct()
     val vertices = e.select(col("src").as("key"))
       .unionAll(e.select(col("dst").as("key")))
       .distinct()

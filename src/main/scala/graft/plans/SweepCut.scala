@@ -39,13 +39,16 @@ object SweepCut {
     * everything is no community).
     */
   def localCommunity(edges: DataFrame, seedPred: Column, iters: Int,
-                     maxPrefix: Int): DataFrame = {
+                     maxPrefix: Int,
+                     edgesAreDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive: $iters")
     require(maxPrefix >= 1, s"maxPrefix must be positive: $maxPrefix")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val base = edges.select(col("src"), col("dst"))
+    val e = (if (edgesAreDistinct) base else base.distinct())
       .localCheckpoint(eager = false)
     val deg = e.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
-    val ppr = PageRank.personalizedScaled(e, seedPred, iters)
+    val ppr = PageRank.personalizedScaled(e, seedPred, iters,
+        edgesAreDistinct = true)
       .filter(col("rank_scaled") > 0)
     val scored = ppr.join(deg, "key")
       .select(col("key"), col("deg"),
