@@ -76,4 +76,45 @@ object Anomaly {
       .select(col("event_id"), col("entity"), col("v").as("v_milli"),
         col("s").as("win_sum_milli"))
   }
+
+  /** CUSUM change-point alarm over a time-bucketed count series — the
+    * SEQUENTIAL drift detector beside the point-wise gates ([[kSigmaFlags]]
+    * flags single outliers; p80 compares whole distributions): a
+    * sustained small shift that never trips a per-point test
+    * accumulates in the CUSUM statistic and alarms within a few
+    * buckets. Page's recursion `S_t = max(0, S_{t−1} + x_t − μ − κ)`
+    * looks inherently sequential, but it has a closed PREFIX form:
+    * with `y_t = prefix_t − t·(μ+κ)`,  `S_t = y_t − min_{j≤t} y_j` —
+    * two cumulative windows over the BUCKET aggregate (bounded by the
+    * time range, never row-sized), all exact integers (μ and κ by
+    * floor division).
+    *
+    * Output one row per bucket: `(bucket, n, cusum, alarm)` with
+    * `alarm = 1` when the statistic clears the threshold `h = μ` —
+    * the "counts ran ≥5% hot long enough to add up to a full mean
+    * bucket" reading under the default κ = μ/20.
+    */
+  def cusumAlarm(df: DataFrame, ts: Column,
+                 slackDen: Long = 20L): DataFrame = {
+    require(slackDen >= 1, s"slackDen must be positive: $slackDen")
+    val hourly = df
+      .groupBy(date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.agg(sum(col("n")).as("tot"), count(lit(1)).as("nh"))
+    val ord = Window.orderBy("bucket")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+    hourly.crossJoin(broadcast(stats))
+      .select(col("bucket"), col("n"),
+        expr("tot div nh").as("mean"),
+        expr("(tot div nh) div " + slackDen).as("slack"),
+        row_number().over(ord).as("t"),
+        sum(col("n")).over(cum).as("prefix"))
+      .withColumn("y", col("prefix") - col("t") * (col("mean") + col("slack")))
+      .withColumn("cusum", col("y") - min(col("y")).over(cum))
+      .select(col("bucket"), col("n"), col("cusum"),
+        when(col("cusum") > col("mean"), 1).otherwise(0).cast("int")
+          .as("alarm"))
+      .orderBy("bucket")
+  }
 }

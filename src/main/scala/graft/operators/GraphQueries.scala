@@ -2827,6 +2827,63 @@ object GraphQueries {
         "vertices (bounded heap, never a global sort of the reached " +
         "set); per-prefix cut/volume come from one pass over edges " +
         "incident to the chosen vertices (inside activation = max of " +
-        "endpoint ranks), finished by windows over maxPrefix rows")
+        "endpoint ranks), finished by windows over maxPrefix rows"),
+
+    Q("g74_assortativity",
+      (s, d) => {
+        // DEGREE ASSORTATIVITY (Newman): do hubs attach to hubs (r>0)
+        // or to satellites (r<0)? The one-number mixing diagnostic that
+        // decides which skew mitigations matter — a disassortative
+        // graph concentrates wedge mass at hubs (the g36/g43 pressure),
+        // an assortative one spreads it. Sufficient statistics are
+        // EXACT integer sums over the mirrored edge set (by symmetry
+        // Sx = Sy, Sxx = Syy — computed once); the final Pearson form
+        // is a fixed double expression over those integers, identical
+        // op-for-op on both engines, rounded to 6.
+        val half = TpchGraph.copurchaseEdges(s, d)
+        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val deg = e.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
+        val joined = e
+          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        joined.agg(
+            count(lit(1)).as("m_edges"),
+            sum(col("du")).as("sum_deg"),
+            sum(col("du") * col("du")).as("sum_deg_sq"),
+            sum(col("du") * col("dv")).as("sum_prod"))
+          .select(col("m_edges"), col("sum_deg"), col("sum_deg_sq"),
+            col("sum_prod"),
+            round((col("m_edges").cast("double") * col("sum_prod")
+                - col("sum_deg").cast("double") * col("sum_deg"))
+              / (col("m_edges").cast("double") * col("sum_deg_sq")
+                - col("sum_deg").cast("double") * col("sum_deg")), 6)
+              .as("assortativity"))
+      },
+      Some(s"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+        deg AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+        j AS (SELECT du.dg AS du, dv.dg AS dv
+              FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                      CAST(sum(du) AS BIGINT) AS sum_deg,
+                      CAST(sum(du * du) AS BIGINT) AS sum_deg_sq,
+                      CAST(sum(du * dv) AS BIGINT) AS sum_prod
+               FROM j)
+        SELECT m_edges, sum_deg, sum_deg_sq, sum_prod,
+               round((CAST(m_edges AS DOUBLE) * sum_prod
+                      - CAST(sum_deg AS DOUBLE) * sum_deg)
+                     / (CAST(m_edges AS DOUBLE) * sum_deg_sq
+                      - CAST(sum_deg AS DOUBLE) * sum_deg), 6) AS assortativity
+        FROM st"""),
+      "graph analytics — Newman DEGREE ASSORTATIVITY: the one-number " +
+        "mixing diagnostic (hubs-to-hubs r>0 vs hubs-to-satellites " +
+        "r<0) that predicts where wedge mass concentrates and hence " +
+        "which skew mitigations a graph needs. Exact integer " +
+        "sufficient statistics over one mirrored-edge scan + two " +
+        "degree joins (Sx=Sy, Sxx=Syy by symmetry — computed once); " +
+        "the Pearson form is one fixed double expression over those " +
+        "integers, op-for-op identical on both engines")
   )
 }

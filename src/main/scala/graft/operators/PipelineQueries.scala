@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Layout, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, Sketch, TextOps}
+import graft.functions.{Anomaly, AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Layout, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, Sketch, TextOps}
 import graft.pipeline.Cdc
 import graft.sources.TpchGraph
 import graft.sources.TpchGraph.table
@@ -5965,6 +5965,40 @@ object PipelineQueries {
         "near-tie teaches a preference model nothing). Both ends come " +
         "from bounded heaps — <= k rows per source cross the shuffle, " +
         "one map-side corpus scan; ties break by smaller doc id, so two " +
-        "training runs see identical preference data")
+        "training runs see identical preference data"),
+
+    Q("p159_cusum_alarm",
+      (s, d) => Anomaly.cusumAlarm(
+        graft.sources.TpchGraph.events(s, d), col("ts")),
+      Some("""
+        WITH h AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        st AS (SELECT sum(n) AS tot, count(*) AS nh FROM h),
+        c AS (SELECT bucket, n,
+                     tot // nh AS mean,
+                     (tot // nh) // 20 AS slack,
+                     row_number() OVER (ORDER BY bucket) AS t,
+                     sum(n) OVER (ORDER BY bucket) AS prefix
+              FROM h CROSS JOIN st),
+        y AS (SELECT bucket, n, mean,
+                     prefix - t * (mean + slack) AS y
+              FROM c),
+        s AS (SELECT bucket, n, mean,
+                     y - min(y) OVER (ORDER BY bucket) AS cusum
+              FROM y)
+        SELECT bucket, n, CAST(cusum AS BIGINT) AS cusum,
+               CAST(CASE WHEN cusum > mean THEN 1 ELSE 0 END AS INT) AS alarm
+        FROM s ORDER BY bucket"""),
+      "monitoring — CUSUM change-point alarm over hourly event counts: " +
+        "the SEQUENTIAL drift detector beside the point-wise gates (p59 " +
+        "flags single outliers, p80 compares whole distributions) — a " +
+        "sustained small shift that never trips a per-point test " +
+        "accumulates and alarms within a few buckets. Page's recursion " +
+        "max(0, S+x-mu-k) is made relational via its prefix form " +
+        "S_t = y_t - min_{j<=t} y_j: two cumulative windows over the " +
+        "hour-bucket aggregate (bounded by the time range, never " +
+        "row-sized), exact integers throughout (mu, kappa by floor div)")
   )
 }

@@ -71,4 +71,23 @@ class AnomalySpec extends SparkSpec {
     }.toSet
     assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
   }
+
+  test("cusumAlarm prefix form == Page's sequential recursion; sustained shift alarms") {
+    import java.sql.Timestamp
+    // 4 quiet hours of 10 events, then 4 hot hours of 18: a shift no
+    // single bucket would flag point-wise, but CUSUM accumulates
+    val counts = Seq(10, 10, 10, 10, 18, 18, 18, 18)
+    val rows = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i =>
+        (h.toLong * 1000 + i, Timestamp.valueOf(f"2024-01-01 ${h}%02d:15:00")))
+    }
+    val df = rows.toDF("event_id", "ts")
+    val got = Anomaly.cusumAlarm(df, col("ts"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // mean = 112 div 8 = 14, slack = 0; sequential S_t = max(0, S+x-14)
+    var s = 0L
+    val want = counts.map { n => s = math.max(0L, s + n - 14); (n.toLong, s, if (s > 14) 1 else 0) }
+    assert(got == want)
+    assert(got.last._3 == 1 && got.take(4).forall(_._3 == 0))
+  }
 }
