@@ -95,12 +95,30 @@ object Anomaly {
     * bucket" reading under the default κ = μ/20.
     */
   def cusumAlarm(df: DataFrame, ts: Column,
-                 slackDen: Long = 20L): DataFrame = {
-    require(slackDen >= 1, s"slackDen must be positive: $slackDen")
-    val hourly = df
-      .groupBy(date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss")
+                 slackDen: Long = 20L): DataFrame =
+    cusumFromBuckets(bucketCounts(df, ts), slackDen)
+
+  /** The maintained artifact behind [[cusumAlarm]]: per-hour counts.
+    * Counts are commutative sums, so waves merge by re-aggregation —
+    * the maintained series equals the one-shot series exactly (the
+    * p145/p155 maintenance discipline), and the alarm computed from a
+    * wave-merged store is bit-identical to the batch answer.
+    */
+  def bucketCounts(df: DataFrame, ts: Column): DataFrame =
+    df.groupBy(date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss")
         .as("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  /** Merge per-wave bucket counts into the standing store (plain
+    * re-aggregation — sums are commutative and associative).
+    */
+  def mergeBucketCounts(store: DataFrame, wave: DataFrame): DataFrame =
+    store.unionByName(wave).groupBy("bucket")
+      .agg(sum(col("n")).as("n"))
+
+  /** The CUSUM readout over a `(bucket, n)` series — see [[cusumAlarm]]. */
+  def cusumFromBuckets(hourly: DataFrame, slackDen: Long = 20L): DataFrame = {
+    require(slackDen >= 1, s"slackDen must be positive: $slackDen")
     val stats = hourly.agg(sum(col("n")).as("tot"), count(lit(1)).as("nh"))
     val ord = Window.orderBy("bucket")
     val cum = ord.rowsBetween(Window.unboundedPreceding, 0)

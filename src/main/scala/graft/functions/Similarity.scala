@@ -315,6 +315,49 @@ object Similarity {
       (best.getField("nl") * -1).as("predicted"))
   }
 
+  /** CALIBRATION bins for the centroid classifier — the reliability-
+    * diagram table behind Expected Calibration Error: bucket every
+    * vector by the classifier's CONFIDENCE (cosine to the winning
+    * centroid, micro-units) and report per-bin count, hits, exact
+    * accuracy ppm, and the summed confidence mass. A classifier gating
+    * corpus curation (p20/p43-style) is only trustworthy if 0.9-
+    * confidence predictions are right ~90% of the time — this is the
+    * query that checks, and |acc − conf| per bin weighted by n/N is
+    * ECE, computable exactly from these columns.
+    *
+    * Everything is integer: confidence = `round(cos·1e6)` on the
+    * 6-dp-rounded cosine (never a raw double truncation — Spark CAST
+    * truncates where other engines round, so the explicit round-then-
+    * cast is the portable form), bins by floor division on the
+    * non-negative clamp, accuracy in ppm. One broadcast-centroid
+    * map pass + a `bins`-row aggregate.
+    */
+  def calibrationBins(df: DataFrame, id: Column, vec: Column, label: Column,
+                      centroids: Seq[(Int, Seq[Double])],
+                      bins: Int = 10): DataFrame = {
+    require(centroids.nonEmpty, "calibrationBins needs at least one centroid")
+    require(bins >= 1, s"bins must be positive: $bins")
+    val scored = centroids.map { case (lab, c) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct(round(dot(vec, array(c.map(lit): _*)) / (norm(vec) * lit(cNorm)), 6)
+        .as("cos"), lit(-lab).as("nl"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.select(label.cast("int").as("label"),
+        (best.getField("nl") * -1).as("predicted"),
+        round(best.getField("cos") * 1000000, 0).cast("long").as("conf_micro"))
+      .select(col("label"), col("predicted"), col("conf_micro"),
+        least(expr(s"greatest(conf_micro, 0L) * $bins div 1000000"),
+          lit((bins - 1).toLong)).cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("conf_micro")).as("conf_sum_micro"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n"))
+      .orderBy("bin")
+  }
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest coarse
     * centroid (bucket); a query probes only the `nprobe` nearest buckets
     * and re-ranks exactly. At scale the bucket assignment partitions the

@@ -5999,6 +5999,103 @@ object PipelineQueries {
         "max(0, S+x-mu-k) is made relational via its prefix form " +
         "S_t = y_t - min_{j<=t} y_j: two cumulative windows over the " +
         "hour-bucket aggregate (bounded by the time range, never " +
-        "row-sized), exact integers throughout (mu, kappa by floor div)")
+        "row-sized), exact integers throughout (mu, kappa by floor div)"),
+
+    Q("p160_calibration_bins",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val cents = Similarity.labelCentroids(emb, col("label"), col("embedding"))
+          .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map { case (lab, rows) =>
+            lab -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+        Similarity.calibrationBins(emb, col("vec_id"), col("embedding"),
+          col("label"), cents, bins = 10)
+      },
+      Some("""
+        WITH cent AS (
+          SELECT label AS clabel, list(c ORDER BY pos) AS cvec FROM (
+            SELECT label, u.i - 1 AS pos, round(avg(u.v), 4) AS c
+            FROM (SELECT label,
+                         unnest(list_transform(generate_series(1, len(embedding)),
+                                i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+                  FROM embeddings)
+            GROUP BY label, u.i)
+          GROUP BY label),
+        best AS (
+          SELECT vec_id, label, predicted, conf_micro FROM (
+            SELECT e.vec_id, CAST(e.label AS INT) AS label,
+                   c.clabel AS predicted,
+                   CAST(round(round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), c.cvec), 6) * 1000000, 0)
+                     AS BIGINT) AS conf_micro,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
+                              c.clabel) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        b AS (SELECT CAST(least(greatest(conf_micro, 0) * 10 // 1000000, 9) AS INT) AS bin,
+                     label, predicted, conf_micro
+              FROM best)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+               CAST(sum(conf_micro) AS BIGINT) AS conf_sum_micro,
+               CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+                 * 1000000 // count(*) AS BIGINT) AS acc_ppm
+        FROM b GROUP BY 1 ORDER BY 1"""),
+      "similarity — CALIBRATION bins for the centroid classifier (the " +
+        "reliability diagram behind ECE): bucket every vector by " +
+        "prediction confidence (cosine to the winning centroid, " +
+        "micro-units), report per-bin count / hits / exact accuracy " +
+        "ppm / summed confidence mass — a classifier gating curation " +
+        "is only trustworthy if 0.9-confidence predictions are right " +
+        "~90% of the time, and |acc-conf| weighted by n/N over these " +
+        "rows IS the ECE. All integer: round-then-cast confidence " +
+        "(Spark CAST truncates where other engines round — the " +
+        "explicit round is the portable form), floor-div binning on " +
+        "the non-negative clamp. One broadcast-centroid map pass + a " +
+        "bins-row aggregate"),
+
+    Q("p161_streaming_cusum",
+      (s, d) => {
+        // the CUSUM series as a MAINTAINED artifact: three arrival
+        // waves of events fold into the per-hour count store (counts
+        // are commutative sums, so maintained == one-shot exactly);
+        // the alarm readout of the merged store must hash-equal p159 —
+        // the shared oracle gates that invariant
+        val ev = graft.sources.TpchGraph.events(s, d)
+        val store = (0 to 2).map(w =>
+            Anomaly.bucketCounts(ev.filter(pmod(col("user_id"), lit(3)) === w),
+              col("ts")))
+          .reduce(Anomaly.mergeBucketCounts)
+        Anomaly.cusumFromBuckets(store)
+      },
+      Some("""
+        WITH h AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        st AS (SELECT sum(n) AS tot, count(*) AS nh FROM h),
+        c AS (SELECT bucket, n,
+                     tot // nh AS mean,
+                     (tot // nh) // 20 AS slack,
+                     row_number() OVER (ORDER BY bucket) AS t,
+                     sum(n) OVER (ORDER BY bucket) AS prefix
+              FROM h CROSS JOIN st),
+        y AS (SELECT bucket, n, mean,
+                     prefix - t * (mean + slack) AS y
+              FROM c),
+        s AS (SELECT bucket, n, mean,
+                     y - min(y) OVER (ORDER BY bucket) AS cusum
+              FROM y)
+        SELECT bucket, n, CAST(cusum AS BIGINT) AS cusum,
+               CAST(CASE WHEN cusum > mean THEN 1 ELSE 0 END AS INT) AS alarm
+        FROM s ORDER BY bucket"""),
+      "monitoring/streaming — the CUSUM hour-bucket series MAINTAINED " +
+        "across three arrival waves: counts are commutative sums, so " +
+        "the wave-merged store equals the one-shot series exactly and " +
+        "the alarm readout hash-equals p159 (the shared oracle IS the " +
+        "maintained==one-shot invariant). Fixed-size state — one row " +
+        "per hour bucket — regardless of event volume")
   )
 }

@@ -125,13 +125,14 @@ class PlanAuditSpec extends SparkSpec {
     // p151: the shortlist rank window runs over the bounded-heap top-M
     // output (M = 50 rows by construction)
     // g73: the sweep windows run over the bounded-heap top-maxPrefix
-    // vertices (20 rows); p159: the CUSUM prefix windows run over the
-    // hour-bucket aggregate (bounded by the time range)
+    // vertices (20 rows); p159/p161: the CUSUM prefix windows run over
+    // the hour-bucket aggregate (bounded by the time range)
     assert(offenders.toSet == Set("p42_mixture_weights", "p57_temperature_mixture",
       "p100_dataset_card", "p123_waterfill_budget", "p124_mixture_build",
       "p127_quantile_normalization", "p128_streaming_waterfill",
       "p129_vocab_coverage", "p133_hybrid_rrf", "p138_context_packing",
-      "p151_semantic_decontam", "g73_sweep_cut", "p159_cusum_alarm"),
+      "p151_semantic_decontam", "g73_sweep_cut", "p159_cusum_alarm",
+      "p161_streaming_cusum"),
       offenders.toString)
   }
 
