@@ -335,6 +335,42 @@ object Sampling {
     * manifest's job is placement + membership, which the commutative
     * fingerprint already pins.)
     */
+  /** Mixture-epoch MATERIALIZATION — the step that turns [[mixtureEpochs]]'
+    * fractional plan into actual per-doc repeat counts a shard writer
+    * executes: a stratum planned at 1.37 epochs gives every doc 1 copy
+    * plus a second copy for a deterministic 37% of docs (hash draw
+    * `h·1e6 div 2²⁸ < frac`, a pure function of the id — retries and
+    * engines agree; rand() here would re-deal the corpus every run).
+    * Emits the per-stratum audit `(n_docs, planned_micro, sum_copies,
+    * realized_micro, err_micro)` — realized mean copies tracks the plan
+    * within hash-draw noise, and the err column is the number a mixture
+    * QA gate thresholds. Exact integers end to end.
+    *
+    * Scale shape: the plan is a k-row broadcast; the draw is one
+    * codegen map pass over the corpus into a k-row aggregate.
+    */
+  def epochMaterialization(df: DataFrame, id: Column, stratum: Column,
+                           tokens: Column, salt: String = ""): DataFrame = {
+    val plan = mixtureEpochs(df, stratum, tokens)
+      .select(col("stratum"), col("epochs_micro"))
+    df.select(stratum.as("stratum"), id.cast("long").as("doc_id"))
+      .join(broadcast(plan), "stratum")
+      .withColumn("h", Dedup.gramHash(concat(lit(s"${salt}epoch:"),
+        col("doc_id").cast("string"))))
+      .select(col("stratum"), col("epochs_micro"),
+        (expr("epochs_micro div 1000000") +
+          when(expr("(h * 1000000) div 268435456") <
+              expr("epochs_micro % 1000000"), 1L)
+            .otherwise(0L)).as("copies"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("epochs_micro")).as("planned_micro"),
+        sum(col("copies")).as("sum_copies"))
+      .withColumn("realized_micro", expr("sum_copies * 1000000 div n_docs"))
+      .withColumn("err_micro", abs(col("realized_micro") - col("planned_micro")))
+      .orderBy("stratum")
+  }
+
   /** RENDEZVOUS (highest-random-weight) shard assignment with a
     * reshard-stability audit — the placement rule for a corpus that
     * GROWS shards over its lifetime. [[shardManifest]]'s `hash mod N`

@@ -6096,6 +6096,36 @@ object PipelineQueries {
         "the wave-merged store equals the one-shot series exactly and " +
         "the alarm readout hash-equals p159 (the shared oracle IS the " +
         "maintained==one-shot invariant). Fixed-size state — one row " +
-        "per hour bucket — regardless of event volume")
+        "per hour bucket — regardless of event volume"),
+
+    Q("p162_epoch_materialization",
+      (s, d) => Sampling.epochMaterialization(table(s, d, "documents"),
+        col("doc_id"), col("lang"), size(TextOps.tokens(lower(col("text"))))),
+      Some(s"""
+        WITH me AS ($mixtureEpochsOracle),
+        j AS (SELECT d.lang AS stratum, d.doc_id, me.epochs_micro
+              FROM documents d JOIN me ON me.stratum = d.lang),
+        c AS (SELECT stratum, epochs_micro,
+                     epochs_micro // 1000000
+                     + CASE WHEN (('0x' || substring(md5('epoch:'
+                           || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                           * 1000000) // 268435456
+                         < epochs_micro % 1000000 THEN 1 ELSE 0 END AS copies
+              FROM j)
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(epochs_micro) AS BIGINT) AS planned_micro,
+               CAST(sum(copies) AS BIGINT) AS sum_copies,
+               CAST(sum(copies) * 1000000 // count(*) AS BIGINT) AS realized_micro,
+               CAST(abs(sum(copies) * 1000000 // count(*)
+                 - max(epochs_micro)) AS BIGINT) AS err_micro
+        FROM c GROUP BY 1 ORDER BY 1"""),
+      "curation — mixture-epoch MATERIALIZATION: turns p141's " +
+        "fractional plan into actual per-doc repeat counts a shard " +
+        "writer executes (1.37 epochs = 1 copy each + a second copy " +
+        "for a deterministic hash-drawn 37% — rand() would re-deal the " +
+        "corpus every retry), with the per-stratum audit of realized " +
+        "vs planned mean copies in exact integer micro-units; err is " +
+        "the number a mixture QA gate thresholds. k-row plan " +
+        "broadcast, one codegen map pass, k-row aggregate")
   )
 }

@@ -268,6 +268,32 @@ class SamplingSpec extends SparkSpec {
     assert(maintained == oneShot)
   }
 
+  test("epochMaterialization: copies = floor(epochs) + hash-drawn fraction; audit is exact") {
+    import spark.implicits._
+    // two strata: "big" 3600 tokens (60 docs × 60), "small" 400 (40 × 10).
+    // sqrt weights: s=60/20 → alpha-0.5 plan upsamples the small stratum;
+    // whatever the plan says, the materialized mean must track it within
+    // the hash-draw tolerance and integer floors must hold per doc
+    val docs = ((0L until 60L).map(i => (i, "big", ("w " * 60).trim)) ++
+      (100L until 140L).map(i => (i, "small", ("w " * 10).trim)))
+      .toDF("doc_id", "lang", "text")
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val plan = Sampling.mixtureEpochs(docs, col("lang"), toks)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val rows = Sampling.epochMaterialization(docs, col("doc_id"), col("lang"), toks)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for ((stratum, (n, planned, copies, realized, err)) <- rows) {
+      assert(planned == plan(stratum))
+      // every doc gets at least floor(planned) and at most floor+1 copies
+      assert(copies >= (planned / 1000000) * n && copies <= (planned / 1000000 + 1) * n)
+      assert(realized == copies * 1000000 / n)
+      assert(err == math.abs(realized - planned))
+      // the hash draw tracks the fraction: err within 25% of a copy
+      assert(err <= 250000L, s"$stratum err=$err")
+    }
+  }
+
   test("rendezvousAudit: minimal disruption — every move lands on the new shard") {
     import spark.implicits._
     val docs = (0L until 900L).map(i => (i, "w " * (1 + (i % 11)).toInt))
