@@ -2884,6 +2884,69 @@ object GraphQueries {
         "sufficient statistics over one mirrored-edge scan + two " +
         "degree joins (Sx=Sy, Sxx=Syy by symmetry — computed once); " +
         "the Pearson form is one fixed double expression over those " +
-        "integers, op-for-op identical on both engines")
+        "integers, op-for-op identical on both engines"),
+
+    Q("g75_rich_club",
+      (s, d) => {
+        // RICH-CLUB coefficient at a ladder of degree thresholds:
+        // φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of nodes with
+        // degree > k — do the hubs form their own densely-wired club?
+        // The structural complement of g74's assortativity (r>0 says
+        // hubs PREFER hubs; φ(k) says whether the club is actually
+        // dense), and the number that decides whether hub-subgraph
+        // caching pays. One degree aggregate + one edge⋈degree pass,
+        // the k-ladder applied as a broadcast explode — never a
+        // per-k rescan; exact integers + one ppm floor division.
+        import s.implicits._
+        val ks = Seq(2, 4, 8, 16, 32, 64)
+        val half = TpchGraph.copurchaseEdges(s, d)
+        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val deg = e.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
+        val kDf = ks.toDF("k")
+        val nodes = deg.crossJoin(broadcast(kDf)).filter(col("dg") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+        val edges = half
+          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+          .crossJoin(broadcast(kDf))
+          .filter(least(col("du"), col("dv")) > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_edges"))
+        nodes.join(edges, Seq("k"), "left")
+          .select(col("k"),
+            col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            when(col("n_nodes") >= 2,
+              expr("coalesce(n_edges, 0L) * 2000000 div (n_nodes * (n_nodes - 1))"))
+              .otherwise(lit(0L)).as("phi_ppm"))
+          .orderBy("k")
+      },
+      Some(s"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        he AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        e AS (SELECT u, v FROM he UNION ALL SELECT v, u FROM he),
+        deg AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+        ks AS (SELECT unnest([2, 4, 8, 16, 32, 64]) AS k),
+        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+              FROM deg CROSS JOIN ks WHERE dg > k GROUP BY 1),
+        ed AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+               FROM he JOIN deg du ON du.x = he.u JOIN deg dv ON dv.x = he.v
+               CROSS JOIN ks
+               WHERE least(du.dg, dv.dg) > k GROUP BY 1)
+        SELECT n.k, n.n_nodes,
+               CAST(coalesce(ed.n_edges, 0) AS BIGINT) AS n_edges,
+               CAST(CASE WHEN n.n_nodes >= 2
+                    THEN coalesce(ed.n_edges, 0) * 2000000
+                         // (n.n_nodes * (n.n_nodes - 1))
+                    ELSE 0 END AS BIGINT) AS phi_ppm
+        FROM n LEFT JOIN ed USING (k) ORDER BY n.k"""),
+      "graph analytics — RICH-CLUB coefficient ladder: phi(k) = " +
+        "2·E_k/(N_k·(N_k-1)) over nodes of degree > k — do the hubs " +
+        "wire densely among themselves? The structural complement of " +
+        "g74 (assortativity says hubs PREFER hubs; this says whether " +
+        "the club is dense) and the number that decides if " +
+        "hub-subgraph caching pays. One degree aggregate + one " +
+        "edge-degree pass with the k-ladder as a broadcast explode — " +
+        "never a per-k rescan; exact integers, ppm floor division")
   )
 }
