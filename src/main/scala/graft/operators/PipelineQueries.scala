@@ -6126,6 +6126,51 @@ object PipelineQueries {
         "corpus every retry), with the per-stratum audit of realized " +
         "vs planned mean copies in exact integer micro-units; err is " +
         "the number a mixture QA gate thresholds. k-row plan " +
-        "broadcast, one codegen map pass, k-row aggregate")
+        "broadcast, one codegen map pass, k-row aggregate"),
+
+    Q("p163_funnel_latency",
+      (s, d) => graft.functions.Events.funnelLatency(
+        graft.sources.TpchGraph.events(s, d),
+        col("user_id"), col("ts"), col("event_type"),
+        steps = Seq("view", "click", "purchase")),
+      Some("""
+        WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t, min(v.t) AS pt
+              FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t, min(c.t) AS pt
+              FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+              WHERE e.event_type = 'purchase' GROUP BY 1),
+        d AS (SELECT 1 AS step, 'view->click' AS transition,
+                     date_diff('second', pt, t) // 60 AS delay_min FROM c
+              UNION ALL
+              SELECT 2, 'click->purchase',
+                     date_diff('second', pt, t) // 60 FROM p),
+        h AS (SELECT step, transition, delay_min, count(*) AS cnt
+              FROM d GROUP BY 1, 2, 3),
+        cc AS (SELECT step, transition, delay_min,
+                      sum(cnt) OVER (PARTITION BY transition
+                        ORDER BY delay_min) AS cum,
+                      sum(cnt) OVER (PARTITION BY transition) AS n,
+                      max(delay_min) OVER (PARTITION BY transition) AS mx
+               FROM h)
+        SELECT CAST(step AS INT) AS step, transition,
+               CAST(max(n) AS BIGINT) AS n_users,
+               CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN delay_min END) AS BIGINT)
+                 AS median_min,
+               CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN delay_min END) AS BIGINT)
+                 AS p90_min,
+               CAST(max(mx) AS BIGINT) AS max_min
+        FROM cc GROUP BY 1, 2 ORDER BY 1"""),
+      "analytics — funnel TIME-TO-CONVERT quantiles, the latency " +
+        "companion of p60's survival counts (counts alone hide a dying " +
+        "funnel whose users still trickle through): per transition, " +
+        "exact lower-median / p90 / max delay in whole minutes between " +
+        "first-touch at step i and the first qualifying touch at i+1. " +
+        "Quantiles via the histogram-rank technique (p70/p157) — one " +
+        "cumulative window per transition over DISTINCT minute values, " +
+        "never user-sized; p90 rank = (9n+9) div 10 exact. The p90 is " +
+        "the number a re-engagement SLA is set against")
   )
 }

@@ -49,4 +49,25 @@ class EventsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)), // user 3's cohort
       out.toString)
   }
+
+  test("funnelLatency: first-touch delays, exact median/p90 ranks") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+    // users 1..3 view at 10:00; clicks at +1, +5, +10 min; a pre-view
+    // click (user 4) never qualifies; user 3 later purchases at +20
+    val ev = Seq(
+      (1L, t(0), "view"), (2L, t(0), "view"), (3L, t(0), "view"),
+      (1L, t(1), "click"), (2L, t(5), "click"), (3L, t(10), "click"),
+      (4L, t(2), "click"), // no prior view: excluded
+      (3L, t(30), "purchase")).toDF("user_id", "ts", "event_type")
+    val rows = graft.functions.Events.funnelLatency(ev, col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // delays view->click: 1, 5, 10 → n=3, lower median rank (3+1)/2=2 → 5,
+    // p90 rank (27+9)/10=3 → 10, max 10; click->purchase: user 3, 20 min
+    assert(rows == Seq(
+      (1, "view->click", 3L, 5L, 10L, 10L),
+      (2, "click->purchase", 1L, 20L, 20L, 20L)))
+  }
 }
