@@ -2947,6 +2947,69 @@ object GraphQueries {
         "the club is dense) and the number that decides if " +
         "hub-subgraph caching pays. One degree aggregate + one " +
         "edge-degree pass with the k-ladder as a broadcast explode — " +
-        "never a per-k rescan; exact integers, ppm floor division")
+        "never a per-k rescan; exact integers, ppm floor division"),
+
+    Q("g76_link_prediction",
+      (s, d) => {
+        // LINK-PREDICTION candidate scores — the labeled-pair export a
+        // GNN / recommender trains on: for NON-adjacent 2-hop pairs,
+        // common-neighbor count, the Resource-Allocation index
+        // (Σ 1/deg(w) over shared neighbors — Adamic-Adar's rational
+        // twin, exact in integer micro-units where 1/log(deg) never
+        // is), and neighborhood Jaccard ppm. Wedge enumeration is the
+        // g36 discipline (each unordered pair once per shared
+        // neighbor); existing edges drop via one anti join; top-25 by
+        // CN through the bounded heap.
+        val half = TpchGraph.copurchaseEdges(s, d)
+        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val deg = e.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
+        val wedges = e.select(col("u").as("c"), col("v").as("a"))
+          .join(e.select(col("u").as("c"), col("v").as("b")), "c")
+          .filter(col("a") < col("b"))
+          .join(deg.select(col("x").as("c"), col("dg").as("dc")), "c")
+        val cand = wedges.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("cn"),
+            sum(expr("1000000 div dc")).as("ra_micro"))
+          .join(half.select(col("u").as("a"), col("v").as("b")),
+            Seq("a", "b"), "left_anti")
+          .join(deg.select(col("x").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("x").as("b"), col("dg").as("db")), "b")
+          .select(col("a").as("id_a"), col("b").as("id_b"), col("cn"),
+            col("ra_micro"),
+            expr("cn * 1000000 div (da + db - cn)").as("jaccard_ppm"))
+        graft.plans.TopKPerGroup.topK(cand, Seq(lit(1)),
+            struct(col("cn"), -col("id_a"), -col("id_b")), 25)
+          .orderBy(col("cn").desc, col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        he AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        e AS MATERIALIZED (SELECT u, v FROM he UNION ALL SELECT v, u FROM he),
+        deg AS MATERIALIZED (SELECT u AS x, CAST(count(*) AS BIGINT) AS dg
+               FROM e GROUP BY 1),
+        w AS (SELECT e1.v AS a, e2.v AS b, d.dg AS dc
+              FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN deg d ON d.x = e1.u),
+        cd AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+                      CAST(sum(1000000 // dc) AS BIGINT) AS ra_micro
+               FROM w GROUP BY 1, 2),
+        ne AS (SELECT cd.* FROM cd
+               LEFT JOIN he ON he.u = cd.a AND he.v = cd.b
+               WHERE he.u IS NULL),
+        sc AS (SELECT ne.a AS id_a, ne.b AS id_b, ne.cn, ne.ra_micro,
+                      CAST(ne.cn * 1000000
+                        // (da.dg + db.dg - ne.cn) AS BIGINT) AS jaccard_ppm
+               FROM ne JOIN deg da ON da.x = ne.a JOIN deg db ON db.x = ne.b)
+        SELECT id_a, id_b, cn, ra_micro, jaccard_ppm FROM sc
+        ORDER BY cn DESC, id_a, id_b LIMIT 25"""),
+      "graph analytics — LINK-PREDICTION candidate export (the labeled " +
+        "pair table a GNN or recommender trains on): for non-adjacent " +
+        "2-hop pairs, common-neighbor count, the Resource-Allocation " +
+        "index (sum of 1/deg over shared neighbors — Adamic-Adar's " +
+        "RATIONAL twin, exact in integer micro-units where 1/log(deg) " +
+        "never is), and neighborhood Jaccard ppm. Wedge enumeration " +
+        "per shared neighbor, one anti join drops existing edges, " +
+        "top-25 by CN through the bounded heap")
   )
 }
