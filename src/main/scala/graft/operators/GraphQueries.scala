@@ -2951,35 +2951,43 @@ object GraphQueries {
 
     Q("g76_link_prediction",
       (s, d) => {
-        // LINK-PREDICTION candidate scores — the labeled-pair export a
-        // GNN / recommender trains on: for NON-adjacent 2-hop pairs,
-        // common-neighbor count, the Resource-Allocation index
-        // (Σ 1/deg(w) over shared neighbors — Adamic-Adar's rational
-        // twin, exact in integer micro-units where 1/log(deg) never
-        // is), and neighborhood Jaccard ppm. Wedge enumeration is the
-        // g36 discipline (each unordered pair once per shared
-        // neighbor); existing edges drop via one anti join; top-25 by
-        // CN through the bounded heap.
+        // LINK-PREDICTION recommendations for a FIXED SEED BATCH: for
+        // each seed's non-adjacent 2-hop candidates, common-neighbor
+        // count, the Resource-Allocation index (Σ 1/deg(w) over shared
+        // neighbors — Adamic-Adar's rational twin, exact in integer
+        // micro-units where 1/log(deg) never is), and neighborhood
+        // Jaccard ppm; top-5 per seed. The GLOBAL all-pairs CN table is
+        // wedge-quadratic around hubs (measured here: 8× growth per 10×
+        // data before seeding) — a recommender serves per-node batches,
+        // and a batch's cost is Σ_{v∈N(seeds)} deg(v), independent of
+        // corpus size for a fixed batch. Sweep key ranges to cover the
+        // graph.
         val half = TpchGraph.copurchaseEdges(s, d)
         val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
         val deg = e.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
-        val wedges = e.select(col("u").as("c"), col("v").as("a"))
+        // fixed seed batch (an accuracy/batch parameter, never
+        // corpus-proportional — the g56/g73 posture); sweep the corpus
+        // in key-range batches at deployment
+        val seeds = e.filter(col("u") % 997 === 0 && col("u") < 20000)
+        val wedges = broadcast(seeds.select(col("u").as("a"), col("v").as("c"))
+            .distinct())
           .join(e.select(col("u").as("c"), col("v").as("b")), "c")
-          .filter(col("a") < col("b"))
+          .filter(col("b") =!= col("a"))
           .join(deg.select(col("x").as("c"), col("dg").as("dc")), "c")
         val cand = wedges.groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("cn"),
             sum(expr("1000000 div dc")).as("ra_micro"))
-          .join(half.select(col("u").as("a"), col("v").as("b")),
+          .join(e.select(col("u").as("a"), col("v").as("b")),
             Seq("a", "b"), "left_anti")
           .join(deg.select(col("x").as("a"), col("dg").as("da")), "a")
           .join(deg.select(col("x").as("b"), col("dg").as("db")), "b")
-          .select(col("a").as("id_a"), col("b").as("id_b"), col("cn"),
+          .select(col("a").as("seed"), col("b").as("cand_id"), col("cn"),
             col("ra_micro"),
             expr("cn * 1000000 div (da + db - cn)").as("jaccard_ppm"))
-        graft.plans.TopKPerGroup.topK(cand, Seq(lit(1)),
-            struct(col("cn"), -col("id_a"), -col("id_b")), 25)
-          .orderBy(col("cn").desc, col("id_a"), col("id_b"))
+        graft.plans.TopKPerGroup.topK(cand, Seq(col("seed")),
+            struct(col("cn"), col("ra_micro"), -col("cand_id")), 5)
+          .orderBy(col("seed"), col("cn").desc, col("ra_micro").desc,
+            col("cand_id"))
       },
       Some(s"""
         WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
@@ -2988,28 +2996,37 @@ object GraphQueries {
         e AS MATERIALIZED (SELECT u, v FROM he UNION ALL SELECT v, u FROM he),
         deg AS MATERIALIZED (SELECT u AS x, CAST(count(*) AS BIGINT) AS dg
                FROM e GROUP BY 1),
-        w AS (SELECT e1.v AS a, e2.v AS b, d.dg AS dc
-              FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-              JOIN deg d ON d.x = e1.u),
+        sd AS (SELECT DISTINCT u AS a, v AS c FROM e
+               WHERE u % 997 = 0 AND u < 20000),
+        w AS (SELECT sd.a, e2.v AS b, d.dg AS dc
+              FROM sd JOIN e e2 ON e2.u = sd.c AND e2.v <> sd.a
+              JOIN deg d ON d.x = sd.c),
         cd AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
                       CAST(sum(1000000 // dc) AS BIGINT) AS ra_micro
                FROM w GROUP BY 1, 2),
         ne AS (SELECT cd.* FROM cd
-               LEFT JOIN he ON he.u = cd.a AND he.v = cd.b
-               WHERE he.u IS NULL),
-        sc AS (SELECT ne.a AS id_a, ne.b AS id_b, ne.cn, ne.ra_micro,
+               LEFT JOIN e ON e.u = cd.a AND e.v = cd.b
+               WHERE e.u IS NULL),
+        sc AS (SELECT ne.a AS seed, ne.b AS cand_id, ne.cn, ne.ra_micro,
                       CAST(ne.cn * 1000000
-                        // (da.dg + db.dg - ne.cn) AS BIGINT) AS jaccard_ppm
+                        // (da.dg + db.dg - ne.cn) AS BIGINT) AS jaccard_ppm,
+                      row_number() OVER (PARTITION BY ne.a
+                        ORDER BY ne.cn DESC, ne.ra_micro DESC, ne.b) AS rn
                FROM ne JOIN deg da ON da.x = ne.a JOIN deg db ON db.x = ne.b)
-        SELECT id_a, id_b, cn, ra_micro, jaccard_ppm FROM sc
-        ORDER BY cn DESC, id_a, id_b LIMIT 25"""),
-      "graph analytics — LINK-PREDICTION candidate export (the labeled " +
-        "pair table a GNN or recommender trains on): for non-adjacent " +
-        "2-hop pairs, common-neighbor count, the Resource-Allocation " +
-        "index (sum of 1/deg over shared neighbors — Adamic-Adar's " +
-        "RATIONAL twin, exact in integer micro-units where 1/log(deg) " +
-        "never is), and neighborhood Jaccard ppm. Wedge enumeration " +
-        "per shared neighbor, one anti join drops existing edges, " +
-        "top-25 by CN through the bounded heap")
+        SELECT seed, cand_id, cn, ra_micro, jaccard_ppm FROM sc
+        WHERE rn <= 5
+        ORDER BY seed, cn DESC, ra_micro DESC, cand_id"""),
+      "graph analytics — LINK-PREDICTION recommendations for a fixed " +
+        "seed batch: per seed, the top-5 non-adjacent 2-hop candidates " +
+        "by common-neighbor count, with the Resource-Allocation index " +
+        "(sum of 1/deg over shared neighbors — Adamic-Adar's RATIONAL " +
+        "twin, exact integer micro-units where 1/log(deg) never is) " +
+        "and neighborhood Jaccard ppm. The global all-pairs CN table " +
+        "is wedge-quadratic around hubs (measured 8x per 10x data); a " +
+        "recommender serves per-node batches, whose cost is the seed " +
+        "neighborhoods' edge mass — independent of corpus size for a " +
+        "fixed batch (the g56/g73 posture; sweep key ranges to cover " +
+        "the graph). Anti join drops existing edges; per-seed top-5 " +
+        "via bounded heaps")
   )
 }
