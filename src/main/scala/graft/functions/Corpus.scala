@@ -548,6 +548,56 @@ object Corpus {
     * collapses each partition's repeats before the exchange), and the
     * top-N is TakeOrdered — no global sort is ever materialized.
     */
+  /** COLLOCATION mining — statistically-bound word pairs ranked by
+    * LIFT `P(ab)/(P(a)P(b)) = joint·N/(left·right)`, the PMI
+    * exponential kept in exact integer MILLI-units so the ranking is a
+    * pure function of the counts (log-PMI itself needs libm and never
+    * hash-verifies; lift orders identically). Raw bigram counts rank
+    * "of the"-style function-word pairs first; lift surfaces the pairs
+    * that co-occur far above chance — the multi-word-expression
+    * vocabulary a tokenizer or index wants as single units. `minJoint`
+    * is the standard PMI noise floor (a pair seen twice can have huge
+    * lift by luck).
+    *
+    * Shape: one token scan each for unigrams and bigrams (map-side
+    * combined), two broadcast-sized joins of the bigram table against
+    * the unigram counts, bounded-heap top-N. Overflow bound: `joint ·
+    * N · 1000` stays under 2⁶³ for corpora to ~10⁹ tokens per batch —
+    * shard the statistic beyond that (counts merge by sum).
+    */
+  def collocations(df: DataFrame, text: Column, minJoint: Long,
+                   topN: Int): DataFrame = {
+    require(minJoint >= 1 && topN >= 1, "collocations needs positive bounds")
+    val staged = df.select(TextOps.tokens(lower(text)).as("ts"))
+      .localCheckpoint(eager = false)
+    val uni = staged.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val nTotal = staged.select(coalesce(sum(size(col("ts"))), lit(0))
+      .cast("long").as("n_total"))
+    val bi = staged.select(explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("joint"))
+      .filter(col("joint") >= minJoint)
+    val scored = bi
+      .join(uni.select(col("t").as("w1"), col("c").as("left_c")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("right_c")), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("joint"), col("left_c"),
+        col("right_c"),
+        expr("joint * n_total * 1000 div (left_c * right_c)")
+          .as("lift_milli"))
+    // TakeOrderedAndProject: per-partition heaps + a k-row merge, never
+    // a global sort (the lexicographic tie-break needs ascending string
+    // order, which the max-heap operator cannot express)
+    scored.orderBy(col("lift_milli").desc, col("joint").desc,
+        col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   def topNgrams(df: DataFrame, text: Column, n: Int, topN: Int): DataFrame = {
     require(n >= 1 && topN >= 1, "topNgrams needs n >= 1 and topN >= 1")
     // stage the token array in its own projection: the generator

@@ -6171,6 +6171,38 @@ object PipelineQueries {
         "Quantiles via the histogram-rank technique (p70/p157) — one " +
         "cumulative window per transition over DISTINCT minute values, " +
         "never user-sized; p90 rank = (9n+9) div 10 exact. The p90 is " +
-        "the number a re-engagement SLA is set against")
+        "the number a re-engagement SLA is set against"),
+
+    Q("p164_collocations",
+      (s, d) => Corpus.collocations(table(s, d, "documents"), col("text"),
+        minJoint = 5L, topN = 30),
+      Some(s"""
+        WITH t AS (SELECT ${sqlTokens("lower(text)")} AS ts FROM documents),
+        uni AS (SELECT tk AS t, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(ts) AS tk FROM t) GROUP BY 1),
+        tot AS (SELECT CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS n_total FROM t),
+        bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS joint FROM (
+            SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                   i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS p
+            FROM t WHERE len(ts) >= 2) q(p),
+            LATERAL (SELECT p.w1 AS w1, p.w2 AS w2) x
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT bi.w1, bi.w2, bi.joint,
+               u1.c AS left_c, u2.c AS right_c,
+               CAST(bi.joint * tot.n_total * 1000
+                 // (u1.c * u2.c) AS BIGINT) AS lift_milli
+        FROM bi JOIN uni u1 ON u1.t = bi.w1
+                JOIN uni u2 ON u2.t = bi.w2
+                CROSS JOIN tot
+        ORDER BY lift_milli DESC, joint DESC, w1, w2 LIMIT 30"""),
+      "corpus — COLLOCATION mining: word pairs ranked by exact integer " +
+        "LIFT joint*N*1000 div (left*right) — the PMI exponential kept " +
+        "in milli-units so the ranking hash-verifies (log-PMI needs " +
+        "libm and never does; lift orders identically). Raw bigram " +
+        "counts rank 'of the' first; lift surfaces the multi-word " +
+        "expressions a tokenizer or index wants as single units, with " +
+        "the standard count floor against rare-pair luck. Two map-side " +
+        "token scans, two joins against the unigram table, " +
+        "TakeOrdered top-30 (per-partition heaps, no global sort)")
   )
 }

@@ -93,6 +93,26 @@ class CorpusSpec extends SparkSpec {
     assert(pairs == Seq(("ab", 4L), ("ba", 1L)))
   }
 
+  test("collocations: lift surfaces the bound pair over the frequent one") {
+    // "san francisco" always co-occurs (5/5); "the cat" co-occurs 5
+    // times but both words are everywhere — lift must rank the bound
+    // pair far above the frequent one, exact integers
+    val docs = (1L to 5L).map(i =>
+      (i, "the cat sat on the mat near san francisco bay the end"))
+      .toDF("doc_id", "text")
+    val rows = Corpus.collocations(docs, col("text"), minJoint = 5L, topN = 50)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(5)))).toMap
+    val n = 5L * 12L
+    assert(rows(("san", "francisco")) == ((5L, 5L * n * 1000L / (5L * 5L))))
+    assert(rows(("the", "cat")) == ((5L, 5L * n * 1000L / (15L * 5L))))
+    assert(rows(("san", "francisco"))._2 > rows(("the", "cat"))._2)
+    // the count floor: every pair here appears exactly 5 times, so a
+    // floor of 6 empties the table
+    assert(Corpus.collocations(docs, col("text"), minJoint = 6L, topN = 10)
+      .count() == 0L)
+  }
+
   test("bpeTrainRounds: argmax merge per round, greedy-leftmost apply, weighted counts") {
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     // vocab: aaab freq 2, ab freq 1
