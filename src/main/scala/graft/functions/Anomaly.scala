@@ -129,7 +129,11 @@ object Anomaly {
         row_number().over(ord).as("t"),
         sum(col("n")).over(cum).as("prefix"))
       .withColumn("y", col("prefix") - col("t") * (col("mean") + col("slack")))
-      .withColumn("cusum", col("y") - min(col("y")).over(cum))
+      // least(0, min): Page's recursion anchors at S_0 = 0, i.e. the prefix
+      // form's running minimum includes the implicit y_0 = 0 — without it a
+      // series that runs hot from the first bucket (all-positive y prefix)
+      // reads y_t - min_{j>=1} y_j instead of y_t and the alarm is delayed
+      .withColumn("cusum", col("y") - least(lit(0L), min(col("y")).over(cum)))
       .select(col("bucket"), col("n"), col("cusum"),
         when(col("cusum") > col("mean"), 1).otherwise(0).cast("int")
           .as("alarm"))

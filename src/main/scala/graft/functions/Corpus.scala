@@ -248,9 +248,19 @@ object Corpus {
     for (r <- 1 to rounds) {
       val pairs = sym.withColumn("s2", lead(col("s"), 1).over(byPos))
         .localCheckpoint(eager = false)
-      val top = pairs.filter(col("s2").isNotNull)
+      val topOpt = pairs.filter(col("s2").isNotNull)
         .groupBy("s", "s2").agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("s"), col("s2")).limit(1).head()
+        .orderBy(col("c").desc, col("s"), col("s2")).limit(1)
+        .collect().headOption
+      if (topOpt.isEmpty) {
+        // fixpoint: no adjacent pair remains (single-character words, or
+        // every word fully merged before `rounds` ran out) — emit explicit
+        // no-op rows instead of throwing, the same convention the other
+        // trajectory operators (MIS, k-core peel) follow
+        val nNow = sym.agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
+        out += ((r, "", "", 0L, nNow))
+      } else {
+      val top = topOpt.get
       val (s1v, s2v, cv) = (top.getString(0), top.getString(1), top.getLong(2))
       val m = pairs.filter(col("s") === s1v && col("s2") === s2v)
         .select(col("word"), col("pos"))
@@ -273,6 +283,7 @@ object Corpus {
         .localCheckpoint(eager = false)
       val nAfter = sym.agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
       out += ((r, s1v, s2v, cv, nAfter))
+      }
     }
     out.toSeq.toDF("round", "left_sym", "right_sym", "pair_count",
       "n_symbols_after")

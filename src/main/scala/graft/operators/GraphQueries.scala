@@ -1801,7 +1801,11 @@ object GraphQueries {
         graft.plans.GraphAnalytics.triangleCounts(
           TpchGraph.copurchaseEdges(s, d))
       },
-      Some(copurchaseCensusOracle),
+      // same census oracle as g36 plus the sampling-state columns: the
+      // co-purchase graph is under the 2M-edge bound at every gate SF, so
+      // the exact branch must report sampled=0 and input==kept edges
+      Some(s"""SELECT n_edges AS n_edges_input, CAST(0 AS INT) AS sampled, *
+        FROM ($copurchaseCensusOracle) t"""),
       "graph analytics — GraphX twin of g36 (TriangleCount neighbor-set " +
         "intersection), same census contract and oracle: the g18/g23 GraphX-vs-" +
         "DataFrame cross-validation pattern applied to triangles; the DataFrame " +

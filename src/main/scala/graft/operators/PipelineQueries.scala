@@ -5986,7 +5986,7 @@ object PipelineQueries {
                      prefix - t * (mean + slack) AS y
               FROM c),
         s AS (SELECT bucket, n, mean,
-                     y - min(y) OVER (ORDER BY bucket) AS cusum
+                     y - least(0, min(y) OVER (ORDER BY bucket)) AS cusum
               FROM y)
         SELECT bucket, n, CAST(cusum AS BIGINT) AS cusum,
                CAST(CASE WHEN cusum > mean THEN 1 ELSE 0 END AS INT) AS alarm
@@ -6086,7 +6086,7 @@ object PipelineQueries {
                      prefix - t * (mean + slack) AS y
               FROM c),
         s AS (SELECT bucket, n, mean,
-                     y - min(y) OVER (ORDER BY bucket) AS cusum
+                     y - least(0, min(y) OVER (ORDER BY bucket)) AS cusum
               FROM y)
         SELECT bucket, n, CAST(cusum AS BIGINT) AS cusum,
                CAST(CASE WHEN cusum > mean THEN 1 ELSE 0 END AS INT) AS alarm

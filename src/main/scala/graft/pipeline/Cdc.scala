@@ -71,6 +71,11 @@ object Cdc {
     val opRank = when(op === "delete", 1).otherwise(0)
     val payload = struct(feed.columns.map(col).toIndexedSeq: _*)
     feed
+      // rows from versions AFTER the requested horizon are not-yet-born at
+      // every as_of in [0, maxVersion] — without this bound, sequence(v,
+      // maxVersion) on v > maxVersion generates a DESCENDING range and a
+      // future row leaks into (and wins) snapshots it did not exist in
+      .filter(version.cast("long") <= maxVersion)
       .select(key.as("_k"), payload.as("_p"), version.as("_v"), opRank.as("_r"),
         explode(sequence(version.cast("long"), lit(maxVersion))).as("as_of"))
       .groupBy(col("as_of"), col("_k"))

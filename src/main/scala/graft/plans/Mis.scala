@@ -75,8 +75,13 @@ object Mis {
     var active = adj.select(col("x")).distinct()
       .select(col("x"), packedPriority(col("x")).as("pk"))
       .localCheckpoint(eager = false)
-    require(active.filter(col("x") < 0 || col("x") >= (1L << 31)).isEmpty,
-      "packed MIS priority needs vertex ids in [0, 2^31)")
+    // cast first: a non-numeric id null-casts, and `col < 0` on null matches
+    // nothing — the guard would fail OPEN and packedPriority's null `pk`
+    // would make every active vertex select in round 1 (pk < npk never
+    // true, npk null). Null casts must fail LOUDLY here.
+    require(active.filter(col("x").cast("long").isNull ||
+        col("x").cast("long") < 0 || col("x").cast("long") >= (1L << 31)).isEmpty,
+      "packed MIS priority needs numeric vertex ids in [0, 2^31)")
 
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
     var remaining = active.count()

@@ -137,6 +137,22 @@ class CorpusSpec extends SparkSpec {
       ("a", "a", 3L, 2L))
   }
 
+  test("bpeTrainRounds: merge-table exhaustion emits fixpoint rows, not an exception") {
+    // "a b a": single-character words only — no adjacent pair EVER exists,
+    // so every round is a no-op fixpoint row (the MIS/k-core convention)
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val rows = Corpus.bpeTrainRounds(docs, col("text"), rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((1, "", "", 0L, 3L), (2, "", "", 0L, 3L)))
+    // exhaustion mid-run: "ab ab" fully merges in round 1, round 2 is a no-op
+    val docs2 = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val rows2 = Corpus.bpeTrainRounds(docs2, col("text"), rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows2.toSeq == Seq((1, "a", "b", 2L, 2L), (2, "", "", 0L, 2L)))
+  }
+
   test("bm25Chunks surfaces the relevant passage a whole-doc ranking buries") {
     import spark.implicits._
     // doc 1: long noise with ONE query-dense chunk near the end; doc 2:

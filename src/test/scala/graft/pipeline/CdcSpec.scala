@@ -86,6 +86,17 @@ class CdcSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).map(_._2) == Set(1L, 3L, 4L))
   }
 
+  test("snapshotAll: rows from versions beyond maxVersion are not-yet-born, not winners") {
+    // key 5 arrives at v5 — a read as-of [0, 3] must never see it, and a
+    // v5 UPDATE of key 1 must not shadow key 1's v1 value in history
+    val all = feed(
+      (1L, "a1", 1L, "upsert"), (1L, "a5", 5L, "upsert"),
+      (5L, "e5", 5L, "upsert"))
+    val got = Cdc.snapshotAll(all, col("id"), col("version"), col("op"), maxVersion = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 1L, "a1"), (2L, 1L, "a1"), (3L, 1L, "a1")))
+  }
+
   test("snapshotAll validates maxVersion") {
     intercept[IllegalArgumentException] {
       Cdc.snapshotAll(feed((1L, "a", 0L, "upsert")),

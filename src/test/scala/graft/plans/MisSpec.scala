@@ -94,4 +94,11 @@ class MisSpec extends SparkSpec {
     val bad = Seq((1L << 31, 1L)).toDF("u", "v")
     intercept[IllegalArgumentException] { Mis.trajectory(bad, 2) }
   }
+
+  test("rejects NON-NUMERIC ids loudly (the guard must not fail open on null casts)") {
+    // a string id null-casts to long; before the cast-aware guard this
+    // passed the range check silently and every vertex selected in round 1
+    val bad = Seq(("node_a", "node_b"), ("node_b", "node_c")).toDF("u", "v")
+    intercept[IllegalArgumentException] { Mis.trajectory(bad, 2) }
+  }
 }

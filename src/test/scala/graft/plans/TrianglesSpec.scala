@@ -59,9 +59,12 @@ class TrianglesSpec extends SparkSpec {
       val edges = Seq.fill(4 * n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
       val df = edges.toDF("u", "v")
       val a = Triangles.counts(df).collect()(0)
-      val b = GraphAnalytics.triangleCounts(df).collect()(0)
+      val b = GraphAnalytics.triangleCounts(df)
+        .select("n_edges", "n_wedges", "n_triangles", "sampled", "n_edges_input")
+        .collect()(0)
       assert((a.getLong(0), a.getLong(1), a.getLong(2)) ==
         ((b.getLong(0), b.getLong(1), b.getLong(2))), s"trial $trial")
+      assert(b.getInt(3) == 0 && b.getLong(4) == b.getLong(0), s"trial $trial exact branch flags")
     }
   }
 
@@ -119,8 +122,12 @@ class TrianglesSpec extends SparkSpec {
       .filter(v => h01(s"graphx-tri:$v") < f).toSet
     val sub = und.filter(e => keptV(e._1) && keptV(e._2))
     val want = ref(sub.map(e => (e._1, e._2)))
-    val got = GraphAnalytics.triangleCounts(df, maxEdges).collect()(0)
+    val got = GraphAnalytics.triangleCounts(df, maxEdges)
+      .select("n_edges", "n_wedges", "n_triangles", "sampled", "n_edges_input")
+      .collect()(0)
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) == want)
+    assert(got.getInt(3) == 1 && got.getLong(4) == und.size.toLong,
+      "sampled branch must flag itself and report the input edge count")
   }
 
   test("perNodeCounts: K4 plus a pendant — exact per-vertex features") {
