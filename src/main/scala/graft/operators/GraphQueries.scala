@@ -81,6 +81,23 @@ object GraphQueries {
                      FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
                                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles"""
 
+  /** Shared by g72 (inline walk corpus) and g78 (the artifact-store twin):
+    * skip-gram context pairs over the deterministic walk corpus. One
+    * oracle for both IS the store-read == inline-build gate.
+    */
+  private lazy val walkContextsOracle = s"""
+        WITH wk AS (${randomWalksOracle(steps = 4)}),
+        t AS (SELECT start, walk, string_split(path, '->') AS p FROM wk),
+        a AS (SELECT start, walk, p,
+                     unnest(generate_series(1, len(p))) AS i
+              FROM t),
+        n AS (SELECT start, walk, i, CAST(p[i] AS BIGINT) AS node FROM a)
+        SELECT c.node AS center, x.node AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM n c JOIN n x ON c.start = x.start AND c.walk = x.walk
+                         AND c.i <> x.i AND abs(c.i - x.i) <= 2
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Oracle unroll depth for g51 — must be ≥ the peel convergence depth
     * at every gate scale factor (measured: 4 rounds at sf0.001, 6 at
     * sf0.01/sf0.1 for k=80); rounds past convergence are exact no-ops,
@@ -2787,18 +2804,7 @@ object GraphQueries {
           steps = 4, edgesAreDistinct = true)
         graft.plans.RandomWalks.contextPairs(w, window = 2)
       },
-      Some(s"""
-        WITH wk AS (${randomWalksOracle(steps = 4)}),
-        t AS (SELECT start, walk, string_split(path, '->') AS p FROM wk),
-        a AS (SELECT start, walk, p,
-                     unnest(generate_series(1, len(p))) AS i
-              FROM t),
-        n AS (SELECT start, walk, i, CAST(p[i] AS BIGINT) AS node FROM a)
-        SELECT c.node AS center, x.node AS context,
-               CAST(count(*) AS BIGINT) AS n_pairs
-        FROM n c JOIN n x ON c.start = x.start AND c.walk = x.walk
-                         AND c.i <> x.i AND abs(c.i - x.i) <= 2
-        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      Some(walkContextsOracle),
       "graph analytics — skip-gram context pairs from the walk corpus: " +
         "the (center, context, n_pairs) co-occurrence table a DeepWalk/" +
         "node2vec trainer consumes, completing the graph→embedding " +
@@ -3031,6 +3037,100 @@ object GraphQueries {
         "neighborhoods' edge mass — independent of corpus size for a " +
         "fixed batch (the g56/g73 posture; sweep key ranges to cover " +
         "the graph). Anti join drops existing edges; per-seed top-5 " +
-        "via bounded heaps")
+        "via bounded heaps"),
+
+    Q("g77_artifact_store",
+      (s, d) => {
+        // the persistent maintained-artifact gate: the three standing
+        // graph artifacts (ranked walk adjacency, weighted co-purchase
+        // edges, next-purchase transitions) are written ONCE as bucketed
+        // parquet via ArtifactStore (source-fingerprint invalidation)
+        // and read back; this query answers ENTIRELY from the store
+        // scan, and the oracle recomputes the identical tables from the
+        // base tables — full-content row hashes, not just counts, so a
+        // store that dropped, duplicated, or corrupted one row fails
+        def sig(df: org.apache.spark.sql.DataFrame, name: String,
+                cols: Seq[String]) =
+          df.agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(conv(substring(md5(concat_ws("|",
+                cols.map(c => col(c).cast("string")): _*)), 1, 7), 16, 10)
+                .cast("long")), lit(0L)).as("checksum"))
+            .select(lit(name).as("artifact"), col("n_rows"), col("checksum"))
+        sig(TpchGraph.storedRankedAdjacency(s, d), "ranked_adjacency",
+            Seq("u", "v", "rk", "deg"))
+          .unionByName(sig(TpchGraph.storedTransitionEdges(s, d),
+            "transition_edges", Seq("src", "dst", "n_transitions")))
+          .unionByName(sig(TpchGraph.storedWeightedCopurchase(s, d),
+            "weighted_copurchase", Seq("u", "v", "w")))
+          .orderBy("artifact")
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        he AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        e AS (SELECT u, v FROM he UNION ALL SELECT v, u FROM he),
+        adj AS (SELECT u, v,
+                       row_number() OVER (PARTITION BY u ORDER BY v) AS rk,
+                       count(*) OVER (PARTITION BY u) AS deg
+                FROM e),
+        wc AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        o AS (SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS dt FROM orders),
+        nx AS (SELECT k, lead(k) OVER (PARTITION BY c ORDER BY dt, k) AS k2 FROM o),
+        tr AS (SELECT a.p AS src, b.p AS dst, count(*) AS n
+               FROM nx JOIN li a ON a.k = nx.k JOIN li b ON b.k = nx.k2
+               WHERE nx.k2 IS NOT NULL GROUP BY 1, 2)
+        SELECT 'ranked_adjacency' AS artifact,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(('0x' || substring(md5(
+                 CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR) || '|' ||
+                 CAST(rk AS VARCHAR) || '|' || CAST(deg AS VARCHAR)), 1, 7))::BIGINT), 0) AS BIGINT) AS checksum
+        FROM adj
+        UNION ALL
+        SELECT 'transition_edges',
+               CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(('0x' || substring(md5(
+                 CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR) || '|' ||
+                 CAST(n AS VARCHAR)), 1, 7))::BIGINT), 0) AS BIGINT)
+        FROM tr
+        UNION ALL
+        SELECT 'weighted_copurchase',
+               CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(('0x' || substring(md5(
+                 CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR) || '|' ||
+                 CAST(w AS VARCHAR)), 1, 7))::BIGINT), 0) AS BIGINT)
+        FROM wc
+        ORDER BY artifact"""),
+      "maintained artifacts — the persistent store gate: ranked walk " +
+        "adjacency, weighted co-purchase edges, and transition counts " +
+        "written once as BUCKETED parquet (ArtifactStore, source-" +
+        "fingerprint invalidation) and answered from the store scan; " +
+        "full-content row-hash checksums verified against an inline " +
+        "recomputation from the base tables. At 100 TB these artifacts " +
+        "are lake tables refreshed with their sources, and consumers " +
+        "bucket-join without a shuffle"),
+
+    Q("g78_walks_from_store",
+      (s, d) => {
+        // g72's skip-gram export re-run from the STANDING adjacency:
+        // the walk loop consumes the bucketed store artifact directly,
+        // so this measures (and gates) the marginal cost of one more
+        // corpus export — the walk joins alone, no adjacency rebuild.
+        // Hash-matching g72's oracle proves store path == inline path.
+        val adj = TpchGraph.storedRankedAdjacency(s, d)
+        val starts = adj.select(col("u").as("start"))
+          .filter(col("start") % 20 === 0).distinct()
+        val w = graft.plans.RandomWalks.walksFromAdjacency(
+          adj, starts, walksPerStart = 2, steps = 4)
+        graft.plans.RandomWalks.contextPairs(w, window = 2)
+      },
+      Some(walkContextsOracle),
+      "maintained artifacts — the marginal-export gate: the g72 " +
+        "skip-gram corpus computed from the PERSISTED ranked adjacency " +
+        "(g77's store artifact) instead of an inline rebuild, sharing " +
+        "g72's oracle byte for byte — the read-from-store path is " +
+        "proven equal to the rebuild, and its bench cost is the walk " +
+        "joins alone (what a deployment pays per additional export " +
+        "from a standing artifact)")
   )
 }

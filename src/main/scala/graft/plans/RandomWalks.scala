@@ -48,17 +48,39 @@ object RandomWalks {
             edgesAreDistinct: Boolean = false): DataFrame = {
     require(walksPerStart >= 1, s"walksPerStart must be positive: $walksPerStart")
     require(steps >= 1, s"steps must be positive: $steps")
-    // duplicate (u, v) rows would corrupt neighbor ranks (a neighbor
-    // counted twice skews the hash-mod choice), so dedup is the default;
-    // a caller that already produced distinct edges skips the extra
-    // full-edge-set shuffle — at sf1.0 that is one shuffle of ~36M rows
+    val adj = rankedAdjacency(edges, edgesAreDistinct).localCheckpoint()
+    walksFromAdjacency(adj, starts, walksPerStart, steps, salt, broadcastFrontier)
+  }
+
+  /** The ranked adjacency `(u, v, rk, deg)` the walk loop consumes —
+    * neighbors rank-sorted per node with the out-degree alongside. This
+    * is the MAINTAINED artifact of the walk family: built once (one
+    * `u`-partitioned shuffle feeding both window functions), persisted
+    * bucketed-by-`u` by `TpchGraph.storedRankedAdjacency`, and every
+    * later export pays only the walk joins.
+    *
+    * Duplicate `(u, v)` rows would corrupt neighbor ranks (a neighbor
+    * counted twice skews the hash-mod choice), so dedup is the default;
+    * a caller that already produced distinct edges skips the extra
+    * full-edge-set shuffle — at sf1.0 that is one shuffle of ~36M rows.
+    */
+  def rankedAdjacency(edges: DataFrame, edgesAreDistinct: Boolean = false): DataFrame = {
     val base = if (edgesAreDistinct) edges.select(col("u"), col("v"))
                else edges.select(col("u"), col("v")).distinct()
-    val adj = base
-      .select(col("u"), col("v"),
-        row_number().over(Window.partitionBy("u").orderBy("v")).as("rk"),
-        count(lit(1)).over(Window.partitionBy("u")).as("deg"))
-      .localCheckpoint()
+    base.select(col("u"), col("v"),
+      row_number().over(Window.partitionBy("u").orderBy("v")).as("rk"),
+      count(lit(1)).over(Window.partitionBy("u")).as("deg"))
+  }
+
+  /** The walk loop over a PREBUILT ranked adjacency (from
+    * [[rankedAdjacency]], a checkpoint, or the artifact store) — the
+    * marginal cost of one more corpus export from a standing adjacency.
+    */
+  def walksFromAdjacency(adj: DataFrame, starts: DataFrame, walksPerStart: Int,
+                         steps: Int, salt: String = "rw:",
+                         broadcastFrontier: Boolean = true): DataFrame = {
+    require(walksPerStart >= 1, s"walksPerStart must be positive: $walksPerStart")
+    require(steps >= 1, s"steps must be positive: $steps")
     var f = starts.select(col("start"))
       .withColumn("walk", explode(array((0 until walksPerStart).map(lit): _*)))
       .withColumn("cur", col("start"))

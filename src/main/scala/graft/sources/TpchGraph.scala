@@ -361,4 +361,56 @@ object TpchGraph {
       persisted
     })
   }
+
+  // ---- persistent maintained artifacts (ArtifactStore-backed) ----------
+  //
+  // The process-local memos above die with the JVM; these write the same
+  // derived tables ONCE as bucketed parquet under graft.core.ArtifactStore
+  // (bucket column = the join/group key every consumer uses) and re-read
+  // them from the store — the durable "built once, reused across exports"
+  // form. Invalidation: the source-parquet fingerprint (file names, sizes,
+  // mtimes), i.e. a lakehouse refresh rule, not a cache heuristic.
+
+  private def artTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  /** The STANDING ranked adjacency `(u, v, rk, deg)` of the undirected
+    * co-purchase graph — what a deployed walk/export service keeps hot
+    * (g54/g72's inline builds derive exactly this per session). Bucketed
+    * and sorted by `u`: every walk step joins the frontier on `u`, so a
+    * bucket-aware reader needs no adjacency shuffle at any corpus size.
+    */
+  def storedRankedAdjacency(spark: SparkSession, dir: String): DataFrame =
+    graft.core.ArtifactStore.bucketed(spark, s"ranked_adj_${artTag(dir)}",
+        graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
+        "u", 8) {
+      val half = copurchaseEdges(spark, dir)
+      val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+      e.select(col("u"), col("v"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("v")).as("rk"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("u")).as("deg"))
+    }
+
+  /** [[weightedCopurchaseEdges]] as a store artifact (g66–g68/g70's
+    * multilevel-partitioning input), bucketed by `u`.
+    */
+  def storedWeightedCopurchase(spark: SparkSession, dir: String): DataFrame =
+    graft.core.ArtifactStore.bucketed(spark, s"weighted_copurchase_${artTag(dir)}",
+        graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
+        "u", 8) {
+      weightedCopurchaseEdges(spark, dir)
+    }
+
+  /** [[transitionEdges]] as a store artifact (g58/g64's sequential
+    * pattern input), bucketed by `src`.
+    */
+  def storedTransitionEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.core.ArtifactStore.bucketed(spark, s"transition_edges_${artTag(dir)}",
+        graft.core.ArtifactStore.sourceFingerprint(dir, Seq("orders", "lineitem")),
+        "src", 8) {
+      transitionEdges(spark, dir)
+    }
 }

@@ -1,0 +1,68 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ArtifactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var builds = 0
+  private def buildOnce() = {
+    builds += 1
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (1L, 11L)).toDF("k", "v")
+  }
+
+  test("build-once, read-from-store thereafter; rebuild only on fingerprint change") {
+    val name = s"spec_art_${System.nanoTime()}"
+    val a = ArtifactStore.bucketed(spark, name, "fp-1", "k", 2)(buildOnce())
+    assert(builds == 1)
+    assert(a.orderBy("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L)))
+    // same fingerprint: the store answers, the build closure never runs
+    val b = ArtifactStore.bucketed(spark, name, "fp-1", "k", 2) {
+      fail("build must not run when the fingerprint is current")
+    }
+    assert(b.count() == 4)
+    // changed fingerprint: rebuild
+    ArtifactStore.bucketed(spark, name, "fp-2", "k", 2)(buildOnce())
+    assert(builds == 2)
+  }
+
+  test("the store read is a BUCKETED scan (catalog carries the bucket spec)") {
+    val name = s"spec_art_bkt_${System.nanoTime()}"
+    ArtifactStore.bucketed(spark, name, "fp", "k", 4)(
+      Seq((1L, 1L), (2L, 2L)).toDF("k", "v"))
+    val cat = spark.sql(s"DESCRIBE TABLE EXTENDED graft_art_$name")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(cat.contains("Num Buckets=4"), cat)
+    assert(cat.contains("Bucket Columns") && cat.contains("`k`"), cat)
+  }
+
+  test("a fresh catalog re-registers from the stored DDL (cross-process read path)") {
+    val name = s"spec_art_reg_${System.nanoTime()}"
+    ArtifactStore.bucketed(spark, name, "fp", "k", 2)(
+      Seq((5L, 50L)).toDF("k", "v"))
+    // simulate the next process: the files + meta survive, the catalog
+    // entry does not
+    spark.sql(s"DROP TABLE graft_art_$name")
+    val back = ArtifactStore.bucketed(spark, name, "fp", "k", 2) {
+      fail("re-registration must not rebuild")
+    }
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 50L)))
+    assert(spark.catalog.tableExists(s"graft_art_$name"))
+  }
+
+  test("sourceFingerprint changes when a source file changes, not when queried twice") {
+    val dir = TempStores.scratchDir("art-fp-spec-")
+    val f = java.nio.file.Paths.get(dir, "tbl.parquet")
+    java.nio.file.Files.write(f, "aaa".getBytes)
+    val fp1 = ArtifactStore.sourceFingerprint(dir, Seq("tbl"))
+    val fp2 = ArtifactStore.sourceFingerprint(dir, Seq("tbl"))
+    assert(fp1 == fp2)
+    java.nio.file.Files.write(f, "aaaa".getBytes) // size change
+    assert(ArtifactStore.sourceFingerprint(dir, Seq("tbl")) != fp1)
+    // an absent table is part of the fingerprint, not an error
+    val fpAbsent = ArtifactStore.sourceFingerprint(dir, Seq("tbl", "ghost"))
+    assert(fpAbsent != fp1)
+  }
+}

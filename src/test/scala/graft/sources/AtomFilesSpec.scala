@@ -95,4 +95,48 @@ class AtomFilesSpec extends SparkSpec {
     // no temp droppings left behind
     assert(!new java.io.File(d3).listFiles().exists(_.getName.endsWith(".tmp")))
   }
+
+  test("saveDistributed PURE-Hadoop branch (non-file scheme) publishes byte-identical atoms") {
+    // `file:` URIs take the java.nio fast path; a re-badged RawLocalFileSystem
+    // under the `graftfs` scheme forces the generic FileSystem branch —
+    // create(temp) + write + optimistic rename, the object-store code path —
+    // while the bytes still land on local disk for inspection
+    val g = GraphState(
+      Seq(
+        NodeRow("taxonnode_genus_salix", "taxonnode", "", """{"PopulationNode":{"TaxonomyNode":{"Genus":"Salix"}}}"""),
+        NodeRow("taxonnode_family_salicaceae", "taxonnode", "", """{"PopulationNode":{"TaxonomyNode":{"Family":"Salicaceae"}}}""")
+      ).toDS(),
+      Seq(
+        EdgeRow("taxonnode_genus_salix", "taxonnode_family_salicaceae", 1, "IsA", "{}"),
+        EdgeRow("taxonnode_genus_salix", "taxonnode_genus_salix", 1, "IsSynonymOf", "{}")
+      ).toDS())
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val dRef = java.nio.file.Files.createTempDirectory("graft-atoms-ref").toString
+    val dHdp = java.nio.file.Files.createTempDirectory("graft-atoms-hdp").toString
+    AtomFiles.save(g, dRef)
+    AtomFiles.saveDistributed(g, s"graftfs://$dHdp")
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("atom-"))
+      .map(f => f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+    val ref = files(dRef)
+    assert(files(dHdp) == ref)
+    // retry over existing files must be idempotent through the Hadoop
+    // rename path too (the refusal-then-delete-and-retry publish)
+    AtomFiles.saveDistributed(g, s"graftfs://$dHdp")
+    assert(files(dHdp) == ref)
+    assert(!new java.io.File(dHdp).listFiles().exists(_.getName.endsWith(".tmp")))
+    // and no checksum sidecars — the writer disables them explicitly
+    assert(!new java.io.File(dHdp).listFiles().exists(_.getName.endsWith(".crc")))
+  }
+}
+
+/** [[org.apache.hadoop.fs.RawLocalFileSystem]] re-badged under a
+  * non-`file` scheme: instantiated by Hadoop reflection via
+  * `fs.graftfs.impl`, it makes `saveDistributed` take the generic
+  * object-store branch while writing to the local disk the spec reads.
+  */
+class GraftTestFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
