@@ -2250,8 +2250,7 @@ object GraphQueries {
         // the oracle's unrolled recurrence
         // mirror the cached canonical (p < p2) half — the union is
         // distinct by construction, so walks() skips its own dedup
-        val half = TpchGraph.copurchaseEdges(s, d)
-        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
         val starts = e.select(col("u").as("start"))
           .filter(col("start") % 20 === 0).distinct()
         graft.plans.RandomWalks.walks(e, starts, walksPerStart = 2, steps = 4,
@@ -2309,8 +2308,7 @@ object GraphQueries {
         // co-purchase graph: one multi-source BFS, all seeds in a single
         // (seed, node)-keyed frontier. Radius 3 — past it this dense
         // graph is fully explored and rounds are no-ops
-        val half = TpchGraph.copurchaseEdges(s, d)
-        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
         // FIXED seed sample (Eppstein–Wang posture: seed count is a
         // function of desired accuracy, NOT graph size) — the key-range
         // cap keeps S constant across scale factors, so cost is O(S·V),
@@ -2579,8 +2577,8 @@ object GraphQueries {
         "n_remaining) — exact integers, fixpoint rows repeat"),
 
     Q("g67_coarsen_level",
-      (s, d) => graft.plans.Matching.coarsenOnce(
-        TpchGraph.weightedCopurchaseEdges(s, d)),
+      (s, d) => graft.plans.Matching.coarsenStats(
+        TpchGraph.coarsenLevelOne(s, d)),
       Some(s"""
         WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
         wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
@@ -2623,8 +2621,8 @@ object GraphQueries {
         "no windows; all outputs exact integers"),
 
     Q("g68_partition_cut",
-      (s, d) => graft.plans.Matching.partitionCut(
-        TpchGraph.weightedCopurchaseEdges(s, d), k = 4).orderBy("partition"),
+      (s, d) => graft.plans.Matching.partitionCutFrom(
+        TpchGraph.coarsenLevelOne(s, d), k = 4).orderBy("partition"),
       Some(s"""
         WITH $partitionCtes,
         lab AS (SELECT c.w, a.pid AS pu, b.pid AS pv
@@ -2720,8 +2718,8 @@ object GraphQueries {
         "corpus-linear, no windows, arithmetic on one row"),
 
     Q("g70_refine_cut",
-      (s, d) => graft.plans.Matching.refineOnce(
-        TpchGraph.weightedCopurchaseEdges(s, d), k = 4),
+      (s, d) => graft.plans.Matching.refineOnceFrom(
+        TpchGraph.coarsenLevelOne(s, d), k = 4),
       Some(s"""
         WITH $partitionCtes,
         inc AS (SELECT cu AS x, cv AS nbr, w FROM coarse
@@ -2776,8 +2774,8 @@ object GraphQueries {
         "the caller gates on improvement"),
 
     Q("g71_coarsen_trajectory",
-      (s, d) => graft.plans.Matching.coarsenTrajectory(
-        TpchGraph.weightedCopurchaseEdges(s, d), levels = 3),
+      (s, d) => graft.plans.Matching.coarsenTrajectoryFrom(
+        TpchGraph.coarsenLevelOne(s, d), levels = 3),
       Some(coarsenTrajectoryOracle(levels = 3)),
       "graph analytics — the multilevel COARSENING LOOP itself (the " +
         "V-cycle's descending leg): g67's heavy-matching contraction " +
@@ -2796,8 +2794,7 @@ object GraphQueries {
         // g54's deterministic walk corpus → the (center, context,
         // n_pairs) skip-gram table a DeepWalk/node2vec trainer consumes
         // — the graph-side twin of p118's text skip-gram export
-        val half = TpchGraph.copurchaseEdges(s, d)
-        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
         val starts = e.select(col("u").as("start"))
           .filter(col("start") % 20 === 0).distinct()
         val w = graft.plans.RandomWalks.walks(e, starts, walksPerStart = 2,
@@ -2820,8 +2817,7 @@ object GraphQueries {
         // prefix — the seeded "find THIS node's community" primitive
         // (LPA g39 and the g66-g71 partitioning arc answer the global
         // question; a recommender asks the local one)
-        val half = TpchGraph.copurchaseEdges(s, d)
-        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
           .select(col("u").as("src"), col("v").as("dst"))
         val seed = e.agg(min("src")).head().getLong(0)
         // the mirrored canonical (u < v) half is distinct by construction
@@ -2850,8 +2846,7 @@ object GraphQueries {
         // Sx = Sy, Sxx = Syy — computed once); the final Pearson form
         // is a fixed double expression over those integers, identical
         // op-for-op on both engines, rounded to 6.
-        val half = TpchGraph.copurchaseEdges(s, d)
-        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
         val deg = e.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
         val joined = e
           .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
@@ -2909,13 +2904,12 @@ object GraphQueries {
         // per-k rescan; exact integers + one ppm floor division.
         import s.implicits._
         val ks = Seq(2, 4, 8, 16, 32, 64)
-        val half = TpchGraph.copurchaseEdges(s, d)
-        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
         val deg = e.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
         val kDf = ks.toDF("k")
         val nodes = deg.crossJoin(broadcast(kDf)).filter(col("dg") > col("k"))
           .groupBy("k").agg(count(lit(1)).as("n_nodes"))
-        val edges = half
+        val edges = TpchGraph.copurchaseEdges(s, d)
           .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
           .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
           .crossJoin(broadcast(kDf))
@@ -2972,8 +2966,7 @@ object GraphQueries {
         // and a batch's cost is Σ_{v∈N(seeds)} deg(v), independent of
         // corpus size for a fixed batch. Sweep key ranges to cover the
         // graph.
-        val half = TpchGraph.copurchaseEdges(s, d)
-        val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
         val deg = e.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
         // fixed seed batch (an accuracy/batch parameter, never
         // corpus-proportional — the g56/g73 posture); sweep the corpus

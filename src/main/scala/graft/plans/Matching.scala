@@ -159,8 +159,25 @@ object Matching {
     * n_super_edges, edge_weight_before, edge_weight_after,
     * collapsed_weight)`, exact integers.
     */
-  def coarsenOnce(edges: DataFrame, salt: String = "hmatch:"): DataFrame = {
-    val e = prepWeighted(edges, salt, "coarsenOnce")
+  def coarsenOnce(edges: DataFrame, salt: String = "hmatch:"): DataFrame =
+    coarsenStats(coarsenLevel(edges, salt, "coarsenOnce"))
+
+  /** One shared coarsening LEVEL — prepped edges, matched pairs,
+    * vertex→supervertex map, re-keyed edges, coarse graph, each piece
+    * checkpoint-materialized. This is the standing intermediate the
+    * whole multilevel family starts from: g67 reads its stats, g68/g70
+    * assign and refine over its coarse graph, g71 descends from it.
+    * `TpchGraph.coarsenLevelOne` memoizes ONE of these per source so the
+    * four queries stop paying four separate level-one
+    * matching+contraction builds (the verdict-measured ~3 s apiece).
+    */
+  final case class CoarsenLevel(e: DataFrame, sel: DataFrame,
+                                superOf: DataFrame, rek: DataFrame,
+                                coarse: DataFrame)
+
+  def coarsenLevel(edges: DataFrame, salt: String = "hmatch:",
+                   op: String = "coarsenLevel"): CoarsenLevel = {
+    val e = prepWeighted(edges, salt, op)
     val sel = roundSelectW(e).localCheckpoint(eager = false)
     val verts = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x"))).distinct()
@@ -169,22 +186,35 @@ object Matching {
       .unionAll(sel.select(col("v").as("x"), col("u").as("sx")))
     val superOf = verts.join(cmap, Seq("x"), "left")
       .select(col("x"), coalesce(col("sx"), col("x")).as("sx"))
+      .localCheckpoint(eager = false)
     val rek = e
       .join(superOf.select(col("x").as("u"), col("sx").as("su")), "u")
       .join(superOf.select(col("x").as("v"), col("sx").as("sv")), "v")
+      .localCheckpoint(eager = false)
     val coarse = rek.filter(col("su") =!= col("sv"))
       .groupBy(least(col("su"), col("sv")).as("cu"),
         greatest(col("su"), col("sv")).as("cv"))
       .agg(sum(col("w")).as("w"))
-    val collapsed = rek.filter(col("su") === col("sv"))
+      .localCheckpoint(eager = false)
+    CoarsenLevel(e, sel, superOf, rek, coarse)
+  }
+
+  /** The g67 stats row off a [[CoarsenLevel]]. `collapsed_weight` is
+    * measured from the re-keyed edges (NOT derived as before − after),
+    * so the oracle's conservation check stays an independent gate.
+    */
+  def coarsenStats(l: CoarsenLevel): DataFrame = {
+    val verts = l.e.select(col("u").as("x"))
+      .unionAll(l.e.select(col("v").as("x"))).distinct()
+    val collapsed = l.rek.filter(col("su") === col("sv"))
       .agg(coalesce(sum(col("w")), lit(0L)).as("collapsed_weight"))
     verts.agg(count(lit(1)).as("n_vertices"))
-      .crossJoin(sel.agg(count(lit(1)).as("n_matched_pairs")))
-      .crossJoin(superOf.select(col("sx")).distinct()
+      .crossJoin(l.sel.agg(count(lit(1)).as("n_matched_pairs")))
+      .crossJoin(l.superOf.select(col("sx")).distinct()
         .agg(count(lit(1)).as("n_super_vertices")))
-      .crossJoin(coarse.agg(count(lit(1)).as("n_super_edges"),
+      .crossJoin(l.coarse.agg(count(lit(1)).as("n_super_edges"),
         coalesce(sum(col("w")), lit(0L)).as("edge_weight_after")))
-      .crossJoin(e.agg(coalesce(sum(col("w")), lit(0L)).as("edge_weight_before")))
+      .crossJoin(l.e.agg(coalesce(sum(col("w")), lit(0L)).as("edge_weight_before")))
       .crossJoin(collapsed)
       .select(col("n_vertices"), col("n_matched_pairs"), col("n_super_vertices"),
         col("n_super_edges"), col("edge_weight_before"), col("edge_weight_after"),
@@ -216,8 +246,12 @@ object Matching {
     * All exact integers.
     */
   def partitionCut(edges: DataFrame, k: Int,
-                   salt: String = "hmatch:"): DataFrame = {
-    val (coarse, assign) = coarsePartition(edges, k, salt, "partitionCut")
+                   salt: String = "hmatch:"): DataFrame =
+    partitionCutFrom(coarsenLevel(edges, salt, "partitionCut"), k)
+
+  /** [[partitionCut]] over a prebuilt (memoized) [[CoarsenLevel]]. */
+  def partitionCutFrom(l: CoarsenLevel, k: Int): DataFrame = {
+    val (coarse, assign) = coarsePartition(l, k)
     val labeled = coarse
       .join(assign.select(col("sx").as("cu"), col("pid").as("pu")), "cu")
       .join(assign.select(col("sx").as("cv"), col("pid").as("pv")), "cv")
@@ -238,29 +272,12 @@ object Matching {
     * state of [[partitionCut]] (reports it) and [[refineOnce]] (refines
     * it): `(coarse(cu, cv, w), assign(sx, bw, pid))`.
     */
-  private def coarsePartition(edges: DataFrame, k: Int, salt: String,
-                              op: String): (DataFrame, DataFrame) = {
+  private def coarsePartition(l: CoarsenLevel, k: Int): (DataFrame, DataFrame) = {
     require(k >= 2, s"k must be >= 2: $k")
-    val e = prepWeighted(edges, salt, op)
-    val sel = roundSelectW(e).localCheckpoint(eager = false)
-    val verts = e.select(col("u").as("x"))
-      .unionAll(e.select(col("v").as("x"))).distinct()
-    val cmap = sel.select(col("u").as("x"), col("u").as("sx"))
-      .unionAll(sel.select(col("v").as("x"), col("u").as("sx")))
-    val superOf = verts.join(cmap, Seq("x"), "left")
-      .select(col("x"), coalesce(col("sx"), col("x")).as("sx"))
-      .localCheckpoint(eager = false)
-    val coarse = e
-      .join(superOf.select(col("x").as("u"), col("sx").as("su")), "u")
-      .join(superOf.select(col("x").as("v"), col("sx").as("sv")), "v")
-      .filter(col("su") =!= col("sv"))
-      .groupBy(least(col("su"), col("sv")).as("cu"),
-        greatest(col("su"), col("sv")).as("cv"))
-      .agg(sum(col("w")).as("w"))
-      .localCheckpoint(eager = false)
+    val coarse = l.coarse
     // base-vertex weight per supervertex (1 or 2 after one level) —
     // the balance criterion METIS carries through contraction
-    val vw = superOf.groupBy("sx").agg(count(lit(1)).as("bw"))
+    val vw = l.superOf.groupBy("sx").agg(count(lit(1)).as("bw"))
     val rankWin = org.apache.spark.sql.expressions.Window
       .orderBy(col("bw").desc, col("sx"))
     val assign = vw.select(col("sx"), col("bw"),
@@ -288,43 +305,41 @@ object Matching {
     * edge_weight_after, collapsed_weight)` — exact integers.
     */
   def coarsenTrajectory(edges: DataFrame, levels: Int,
-                        salt: String = "hmatch:"): DataFrame = {
+                        salt: String = "hmatch:"): DataFrame =
+    coarsenTrajectoryFrom(
+      coarsenLevel(edges, salt, "coarsenTrajectory"), levels, salt)
+
+  /** [[coarsenTrajectory]] descending from a prebuilt (memoized)
+    * level-one [[CoarsenLevel]] — the g67/g71 sharing: the most
+    * expensive level of the descent is computed once per source and
+    * both queries read it, exactly the ~1/3 cut the plan audit priced.
+    */
+  def coarsenTrajectoryFrom(l1: CoarsenLevel, levels: Int,
+                            salt: String = "hmatch:"): DataFrame = {
     require(levels >= 1, s"levels must be positive: $levels")
-    val spark = edges.sparkSession
+    val spark = l1.e.sparkSession
     import spark.implicits._
-    var cur = edges
     val rows = scala.collection.mutable
       .ArrayBuffer[(Int, Long, Long, Long, Long, Long, Long, Long)]()
+    var lvl = l1
     for (level <- 1 to levels) {
-      val e = prepWeighted(cur, salt, "coarsenTrajectory")
-      val sel = roundSelectW(e).localCheckpoint(eager = false)
-      val verts = e.select(col("u").as("x"))
-        .unionAll(e.select(col("v").as("x"))).distinct()
-      val cmap = sel.select(col("u").as("x"), col("u").as("sx"))
-        .unionAll(sel.select(col("v").as("x"), col("u").as("sx")))
-      val superOf = verts.join(cmap, Seq("x"), "left")
-        .select(col("x"), coalesce(col("sx"), col("x")).as("sx"))
-      val rek = e
-        .join(superOf.select(col("x").as("u"), col("sx").as("su")), "u")
-        .join(superOf.select(col("x").as("v"), col("sx").as("sv")), "v")
-        .localCheckpoint(eager = false)
-      val coarse = rek.filter(col("su") =!= col("sv"))
-        .groupBy(least(col("su"), col("sv")).as("cu"),
-          greatest(col("su"), col("sv")).as("cv"))
-        .agg(sum(col("w")).as("w"))
-        .localCheckpoint(eager = false)
+      if (level > 1)
+        lvl = coarsenLevel(
+          lvl.coarse.select(col("cu").as("u"), col("cv").as("v"), col("w")),
+          salt, "coarsenTrajectory")
+      val verts = lvl.e.select(col("u").as("x"))
+        .unionAll(lvl.e.select(col("v").as("x"))).distinct()
       val r = verts.agg(count(lit(1)).as("nv"))
-        .crossJoin(sel.agg(count(lit(1)).as("np")))
-        .crossJoin(superOf.select(col("sx")).distinct().agg(count(lit(1)).as("ns")))
-        .crossJoin(coarse.agg(count(lit(1)).as("ne"),
+        .crossJoin(lvl.sel.agg(count(lit(1)).as("np")))
+        .crossJoin(lvl.superOf.select(col("sx")).distinct().agg(count(lit(1)).as("ns")))
+        .crossJoin(lvl.coarse.agg(count(lit(1)).as("ne"),
           coalesce(sum(col("w")), lit(0L)).as("wa")))
-        .crossJoin(e.agg(coalesce(sum(col("w")), lit(0L)).as("wb")))
-        .crossJoin(rek.filter(col("su") === col("sv"))
+        .crossJoin(lvl.e.agg(coalesce(sum(col("w")), lit(0L)).as("wb")))
+        .crossJoin(lvl.rek.filter(col("su") === col("sv"))
           .agg(coalesce(sum(col("w")), lit(0L)).as("cw")))
         .head()
       rows += ((level, r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(5), r.getLong(4), r.getLong(6)))
-      cur = coarse.select(col("cu").as("u"), col("cv").as("v"), col("w"))
     }
     rows.toSeq.toDF("level", "n_vertices", "n_matched_pairs",
       "n_super_vertices", "n_super_edges", "edge_weight_before",
@@ -360,8 +375,13 @@ object Matching {
     */
   def refineOnce(edges: DataFrame, k: Int,
                  salt: String = "hmatch:",
-                 paritySalt: String = "refine:"): DataFrame = {
-    val (coarse, assign) = coarsePartition(edges, k, salt, "refineOnce")
+                 paritySalt: String = "refine:"): DataFrame =
+    refineOnceFrom(coarsenLevel(edges, salt, "refineOnce"), k, paritySalt)
+
+  /** [[refineOnce]] over a prebuilt (memoized) [[CoarsenLevel]]. */
+  def refineOnceFrom(l: CoarsenLevel, k: Int,
+                     paritySalt: String = "refine:"): DataFrame = {
+    val (coarse, assign) = coarsePartition(l, k)
     def cutOf(asg: DataFrame): DataFrame = coarse
       .join(asg.select(col("sx").as("cu"), col("pid").as("pu")), "cu")
       .join(asg.select(col("sx").as("cv"), col("pid").as("pv")), "cv")

@@ -265,6 +265,25 @@ object TpchGraph {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  private val copurchaseMirrorCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** BOTH-ORIENTATIONS view of [[copurchaseEdges]] (`(u,v)` and
+    * `(v,u)`; distinct by construction since the canonical half is
+    * `u < v`): the undirected adjacency SEVEN analytics queries start
+    * from (walks g54/g72, multi-source BFS g56, sweep cut g73,
+    * assortativity g74, rich club g75, link prediction g76). One
+    * persisted copy instead of seven per-query union+scan rebuilds —
+    * the same standing-artifact economics as the canonical half.
+    */
+  def copurchaseEdgesMirrored(spark: SparkSession, dir: String): DataFrame =
+    sessionCached(copurchaseMirrorCache, spark, dir) {
+      import org.apache.spark.storage.StorageLevel
+      val half = copurchaseEdges(spark, dir)
+      half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   private val transitionCache =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
@@ -362,6 +381,27 @@ object TpchGraph {
     })
   }
 
+  private val coarsenL1Cache =
+    scala.collection.concurrent.TrieMap[String, graft.plans.Matching.CoarsenLevel]()
+
+  /** Session-validated memo of the LEVEL-ONE coarsening of the weighted
+    * co-purchase graph — the shared starting state of the whole
+    * multilevel-partitioning arc (g67 stats, g68 initial partition, g70
+    * refinement, g71 trajectory descent). The level-one
+    * matching+contraction is the most expensive level by construction
+    * (every later level runs on the halved graph), and all four queries
+    * used to pay it separately.
+    */
+  def coarsenLevelOne(spark: SparkSession, dir: String): graft.plans.Matching.CoarsenLevel =
+    coarsenL1Cache.get(dir) match {
+      case Some(l) if l.e.sparkSession eq spark => l
+      case _ =>
+        val built = graft.plans.Matching.coarsenLevel(
+          weightedCopurchaseEdges(spark, dir), op = "coarsenLevelOne")
+        coarsenL1Cache.put(dir, built)
+        built
+    }
+
   // ---- persistent maintained artifacts (ArtifactStore-backed) ----------
   //
   // The process-local memos above die with the JVM; these write the same
@@ -385,8 +425,7 @@ object TpchGraph {
     graft.core.ArtifactStore.bucketed(spark, s"ranked_adj_${artTag(dir)}",
         graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
         "u", 8) {
-      val half = copurchaseEdges(spark, dir)
-      val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+      val e = copurchaseEdgesMirrored(spark, dir)
       e.select(col("u"), col("v"),
         row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("v")).as("rk"),
