@@ -118,7 +118,10 @@ object GraphQueries {
     * Rounds past convergence add nothing (empty frontier), so the fixed
     * unroll equals the short-circuiting Spark loop bit for bit.
     */
-  private def closenessOracle(depth: Int): String = {
+  /** Shared fixed-depth BFS unroll (g56/g79): visited set r_depth over
+    * the undirected co-purchase graph from the fixed seed sample.
+    */
+  private def bfsUnrollCtes(depth: Int): String = {
     val rounds = (1 to depth).map { i =>
       s"""f$i AS MATERIALIZED (
           SELECT DISTINCT p.start, e.v AS node
@@ -137,12 +140,22 @@ object GraphQueries {
         s AS (SELECT DISTINCT u AS start FROM e WHERE u % 100 = 0 AND u <= 2000),
         r0 AS MATERIALIZED (SELECT start, start AS node, 0 AS dist FROM s),
         f0 AS MATERIALIZED (SELECT start, node FROM r0),
-        $rounds
+        $rounds"""
+  }
+
+  private def closenessOracle(depth: Int): String =
+    s"""${bfsUnrollCtes(depth)}
         SELECT start, CAST(count(*) AS BIGINT) AS n_reached,
                CAST(sum(dist) AS BIGINT) AS sum_dist,
                CAST(max(dist) AS INT) AS eccentricity
         FROM r$depth GROUP BY start ORDER BY start"""
-  }
+
+  private def harmonicOracle(depth: Int): String =
+    s"""${bfsUnrollCtes(depth)}
+        SELECT start, CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(coalesce(sum(CASE WHEN dist >= 1 THEN 1000000 // dist END), 0)
+                 AS BIGINT) AS harmonic_micro
+        FROM r$depth GROUP BY start ORDER BY start"""
 
   /** g59 oracle: `rounds`-deep unrolled k-truss peel — s_i = per-edge
     * triangle support over e_{i-1} (natural-order triangle join, each
@@ -3124,6 +3137,31 @@ object GraphQueries {
         "g72's oracle byte for byte — the read-from-store path is " +
         "proven equal to the rebuild, and its bench cost is the walk " +
         "joins alone (what a deployment pays per additional export " +
-        "from a standing artifact)")
+        "from a standing artifact)"),
+
+    Q("g79_harmonic_centrality",
+      (s, d) => {
+        // harmonic centrality from the same fixed seed sample as g56 —
+        // the disconnected-robust centrality (unreachable vertices
+        // contribute 0 instead of making closeness undefined), kept
+        // exact via scale-div-dist integer contributions. ONE
+        // multi-source BFS; only the readout differs from g56
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
+        val starts = e.select(col("u").as("start"))
+          .filter(col("start") % 100 === 0 && col("start") <= 2000).distinct()
+        graft.plans.MultiSourceBfs.harmonicCentrality(e, starts, maxDepth = 3)
+          .orderBy("start")
+      },
+      Some(harmonicOracle(depth = 3)),
+      "graph analytics — truncated HARMONIC centrality " +
+        "(Marchiori-Latora; the form Boldi-Vigna recommend over " +
+        "closeness because unreachable vertices contribute 0 instead " +
+        "of poisoning the sum): per seed, the exact integer " +
+        "sum of floor(1000000 / dist) over reached vertices within " +
+        "radius 3. Shares g56's single multi-source (seed, node)-keyed " +
+        "BFS and its fixed-seed-sample rule; the oracle shares the " +
+        "same fixed-depth visited-set unroll with only the readout " +
+        "changed — integer floor division keeps the harmonic sum " +
+        "bit-portable where float 1/d never is")
   )
 }

@@ -34,6 +34,36 @@ object MultiSourceBfs {
     * seen within the radius.
     */
   def truncatedCloseness(edges: DataFrame, starts: DataFrame,
+                         maxDepth: Int): DataFrame =
+    visitedSet(edges, starts, maxDepth).groupBy("start")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).cast("long").as("sum_dist"),
+        max(col("dist")).cast("int").as("eccentricity"))
+
+  /** Truncated HARMONIC centrality — closeness's disconnected-robust
+    * twin (Marchiori–Latora; Boldi–Vigna's recommended form): per seed
+    * `Σ_{v ≠ seed reached} 1/dist(v)`, where unreachable vertices
+    * contribute 0 instead of poisoning the sum as they do closeness.
+    * Kept EXACT by scaling: each reached vertex contributes
+    * `scale div dist` (integer floor division), so the readout is a
+    * bit-portable long — the same trick the PageRank/conductance
+    * family uses where float harmonics would be sum-order-dependent.
+    * Same single multi-source BFS as [[truncatedCloseness]]; only the
+    * readout differs.
+    */
+  def harmonicCentrality(edges: DataFrame, starts: DataFrame,
+                         maxDepth: Int, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    visitedSet(edges, starts, maxDepth).groupBy("start")
+      .agg(count(lit(1)).as("n_reached"),
+        coalesce(sum(when(col("dist") >= 1, expr(s"$scale div dist"))), lit(0L))
+          .cast("long").as("harmonic_micro"))
+  }
+
+  /** The shared BFS engine: the `(start, node, dist)` visited set
+    * within `maxDepth` rounds — one frontier for ALL seeds.
+    */
+  private def visitedSet(edges: DataFrame, starts: DataFrame,
                          maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be positive: $maxDepth")
     val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(eager = false)
@@ -52,9 +82,6 @@ object MultiSourceBfs {
       visited = visited.unionByName(next).localCheckpoint(eager = false)
       frontier = next
     }
-    visited.groupBy("start")
-      .agg(count(lit(1)).as("n_reached"),
-        sum(col("dist")).cast("long").as("sum_dist"),
-        max(col("dist")).cast("int").as("eccentricity"))
+    visited
   }
 }

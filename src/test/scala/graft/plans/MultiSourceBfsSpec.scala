@@ -29,6 +29,24 @@ class MultiSourceBfsSpec extends SparkSpec {
     assert(shallow == deep && deep == Seq((2L, 1L)))
   }
 
+  test("harmonic centrality: exact scale-div-dist sums; unreachable contributes 0") {
+    // two components: path 1-2-3, isolated edge 10-11; radius 2 from 1 and 10
+    val e = und(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val got = MultiSourceBfs.harmonicCentrality(
+        e, Seq(1L, 10L).toDF("start"), maxDepth = 2)
+      .orderBy("start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // seed 1: 2@1 → 1000000, 3@2 → 500000; total 1500000 (self excluded)
+    // seed 10: 11@1 → 1000000; the other component contributes NOTHING —
+    // the property that makes harmonic robust where closeness is undefined
+    assert(got == Seq((1L, 3L, 1500000L), (10L, 2L, 1000000L)))
+    // odd divisor floors: path 1-2-3-4, radius 3 from 1 → 1000000 + 500000 + 333333
+    val e2 = und(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val h = MultiSourceBfs.harmonicCentrality(e2, Seq(1L).toDF("start"), maxDepth = 3)
+      .head()
+    assert(h.getLong(2) == 1833333L)
+  }
+
   test("PROPERTY: matches sequential BFS on random graphs, partition-invariant") {
     val rng = new scala.util.Random(20260814L)
     for (trial <- 1 to 3) {
