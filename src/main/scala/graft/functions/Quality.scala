@@ -170,4 +170,54 @@ object Quality {
           .as("norm_med"),
         max("norm").as("norm_max"))
   }
+
+  /** INTER-RATER AGREEMENT (Cohen's κ) between two integer label
+    * columns — the labeling-QA gate every supervised-data pipeline
+    * runs before trusting annotations (two human raters, or
+    * model-vs-heuristic as the drift check): raw agreement alone is
+    * inflated by skewed label marginals, κ subtracts the agreement two
+    * INDEPENDENT raters with these marginals would reach by chance,
+    *   κ = (p_o − p_e) / (1 − p_e),   p_e = Σ_k p_A(k)·p_B(k).
+    *
+    * Exact integer arithmetic throughout (the repo's oracle
+    * discipline): p_o and p_e as ppm by floor division, κ as ppm with
+    * EXPLICIT truncation-toward-zero on a possibly negative numerator
+    * (worse-than-chance raters yield κ < 0) — `CASE`d so Spark's `div`
+    * and the oracle's `//` agree on sign handling. The p_e numerator
+    * is Σ rowTot·colTot·10⁶ ≤ n²·10⁶: exact in a long to n ≈ 3×10⁶
+    * per label pair, and ANSI mode fails LOUDLY past that rather than
+    * wrapping.
+    *
+    * Output: the confusion matrix `(label_a, label_b, n_docs)` with
+    * the global `(n_total, po_ppm, pe_ppm, kappa_ppm)` repeated per
+    * row (the g68 cut_weight convention — cells and verdict in one
+    * gate-checkable table). Shape: one map-side-combined count to
+    * label²-sized cells, marginals and κ on those cells only — the
+    * corpus is touched exactly once, nothing downstream exceeds the
+    * label-pair cardinality.
+    */
+  def raterAgreement(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val cells = df
+      .select(labelA.cast("long").as("label_a"), labelB.cast("long").as("label_b"))
+      .groupBy("label_a", "label_b").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = false)
+    val rowTot = cells.groupBy(col("label_a").as("k")).agg(sum("n_docs").as("ra"))
+    val colTot = cells.groupBy(col("label_b").as("k")).agg(sum("n_docs").as("rb"))
+    val stats = cells
+      .agg(sum("n_docs").as("n_total"),
+        coalesce(sum(when(col("label_a") === col("label_b"), col("n_docs"))),
+          lit(0L)).as("agree"))
+      .crossJoin(rowTot.join(colTot, "k")
+        .agg(coalesce(sum(expr("ra * rb")), lit(0L)).as("pesum")))
+      .select(col("n_total"),
+        expr("agree * 1000000 div n_total").as("po_ppm"),
+        expr("pesum * 1000000 div (n_total * n_total)").as("pe_ppm"))
+      .select(col("n_total"), col("po_ppm"), col("pe_ppm"),
+        when(lit(1000000L) - col("pe_ppm") <= 0, lit(0L))
+          .when(col("po_ppm") >= col("pe_ppm"),
+            expr("(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)"))
+          .otherwise(-expr("(pe_ppm - po_ppm) * 1000000 div (1000000 - pe_ppm)"))
+          .as("kappa_ppm"))
+    cells.crossJoin(broadcast(stats))
+  }
 }

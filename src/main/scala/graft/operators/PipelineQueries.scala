@@ -6203,6 +6203,66 @@ object PipelineQueries {
         "expressions a tokenizer or index wants as single units, with " +
         "the standard count floor against rare-pair luck. Two map-side " +
         "token scans, two joins against the unigram table, " +
-        "TakeOrdered top-30 (per-partition heaps, no global sort)")
+        "TakeOrdered top-30 (per-partition heaps, no global sort)"),
+
+    Q("p165_rater_agreement",
+      (s, d) => {
+        // two deterministic size raters over the same docs — a
+        // char-band rater and a word-band (space-count) rater: they
+        // measure the same latent quantity differently, so agreement
+        // is high but imperfect (the model-vs-heuristic drift-check
+        // shape; swap in real annotator columns unchanged)
+        val docs = table(s, d, "documents")
+        val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+        Quality.raterAgreement(docs,
+          when(col("n_chars") < 150, 0L).when(col("n_chars") < 350, 1L).otherwise(2L),
+          when(spaces < 25, 0L).when(spaces < 60, 1L).otherwise(2L))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""
+        WITH l AS (
+          SELECT CASE WHEN n_chars < 150 THEN 0
+                      WHEN n_chars < 350 THEN 1 ELSE 2 END AS label_a,
+                 CASE WHEN length(text) - length(replace(text, ' ', '')) < 25 THEN 0
+                      WHEN length(text) - length(replace(text, ' ', '')) < 60 THEN 1
+                      ELSE 2 END AS label_b
+          FROM documents),
+        cells AS (SELECT CAST(label_a AS BIGINT) AS label_a,
+                         CAST(label_b AS BIGINT) AS label_b,
+                         CAST(count(*) AS BIGINT) AS n_docs
+                  FROM l GROUP BY 1, 2),
+        rt AS (SELECT label_a AS k, sum(n_docs) AS ra FROM cells GROUP BY 1),
+        ct AS (SELECT label_b AS k, sum(n_docs) AS rb FROM cells GROUP BY 1),
+        st0 AS (SELECT
+                  (SELECT sum(n_docs) FROM cells) AS n_total,
+                  (SELECT coalesce(sum(CASE WHEN label_a = label_b
+                     THEN n_docs END), 0) FROM cells) AS agree,
+                  (SELECT coalesce(sum(ra * rb), 0)
+                   FROM rt JOIN ct ON ct.k = rt.k) AS pesum),
+        st1 AS (SELECT CAST(n_total AS BIGINT) AS n_total,
+                       CAST(agree * 1000000 // n_total AS BIGINT) AS po_ppm,
+                       CAST(pesum * 1000000 // (n_total * n_total) AS BIGINT) AS pe_ppm
+                FROM st0),
+        st AS (SELECT n_total, po_ppm, pe_ppm,
+                      CAST(CASE
+                        WHEN 1000000 - pe_ppm <= 0 THEN 0
+                        WHEN po_ppm >= pe_ppm
+                          THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+                        ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
+                      END AS BIGINT) AS kappa_ppm
+               FROM st1)
+        SELECT c.label_a, c.label_b, c.n_docs,
+               st.n_total, st.po_ppm, st.pe_ppm, st.kappa_ppm
+        FROM cells c CROSS JOIN st
+        ORDER BY c.label_a, c.label_b"""),
+      "labeling QA — INTER-RATER AGREEMENT (Cohen's kappa) between two " +
+        "label columns: raw agreement is inflated by skewed marginals, " +
+        "kappa subtracts the chance agreement of independent raters " +
+        "with the same marginals. Exact integer ppm throughout, with " +
+        "explicit truncation-toward-zero CASEs so a worse-than-chance " +
+        "negative kappa divides identically on both engines. One " +
+        "map-side corpus pass to label-pair cells; marginals and the " +
+        "kappa live on the cells alone — output is the confusion " +
+        "matrix with the global verdict repeated per row")
   )
 }

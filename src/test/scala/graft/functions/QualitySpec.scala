@@ -88,6 +88,38 @@ class QualitySpec extends SparkSpec {
     assert(r == (("A", 6L, 11L, 1L, 1L, 166666L)))
   }
 
+  test("raterAgreement: hand-computed kappa, perfect agreement, worse-than-chance sign") {
+    // 10 docs, 2 labels; A = (6×0, 4×1), B agrees on 8:
+    //   cells (0,0)=5 (0,1)=1 (1,0)=1 (1,1)=3 → po = 0.8
+    //   marginals A(0)=6 A(1)=4, B(0)=6 B(1)=4 → pe = (36+16)/100 = 0.52
+    //   kappa = 0.28/0.48 = 0.583333… → 583333 ppm (floor)
+    val ab = Seq((0, 0), (0, 0), (0, 0), (0, 0), (0, 0), (0, 1),
+      (1, 0), (1, 1), (1, 1), (1, 1)).toDF("a", "b")
+    val got = Quality.raterAgreement(ab, col("a"), col("b"))
+      .orderBy("label_a", "label_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 5L, 10L, 800000L, 520000L, 583333L),
+      (0L, 1L, 1L, 10L, 800000L, 520000L, 583333L),
+      (1L, 0L, 1L, 10L, 800000L, 520000L, 583333L),
+      (1L, 1L, 3L, 10L, 800000L, 520000L, 583333L)))
+    // perfect agreement: kappa = 1e6 exactly
+    val perfect = Seq((0, 0), (1, 1), (2, 2)).toDF("a", "b")
+    assert(Quality.raterAgreement(perfect, col("a"), col("b"))
+      .head().getLong(6) == 1000000L)
+    // worse than chance (systematic disagreement): kappa strictly negative,
+    // truncated toward zero identically to the oracle's CASE arithmetic
+    // po = 0, pe = 0.5 → kappa = -0.5/0.5 = -1000000 ppm
+    val anti = Seq((0, 1), (0, 1), (1, 0), (1, 0)).toDF("a", "b")
+    assert(Quality.raterAgreement(anti, col("a"), col("b"))
+      .head().getLong(6) == -1000000L)
+    // constant single label on both sides: pe = 1e6, kappa defined as 0
+    val const = Seq((1, 1), (1, 1)).toDF("a", "b")
+    assert(Quality.raterAgreement(const, col("a"), col("b"))
+      .head().getLong(6) == 0L)
+  }
+
   test("madOutlierGate MAD=0 degenerate case flags every deviation (documented)") {
     import spark.implicits._
     val docs = Seq(5, 5, 5, 5, 9).zipWithIndex
