@@ -196,11 +196,28 @@ object Quality {
     * corpus is touched exactly once, nothing downstream exceeds the
     * label-pair cardinality.
     */
-  def raterAgreement(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
-    val cells = df
-      .select(labelA.cast("long").as("label_a"), labelB.cast("long").as("label_b"))
+  def raterAgreement(df: DataFrame, labelA: Column, labelB: Column): DataFrame =
+    raterVerdict(raterCells(df, labelA, labelB))
+
+  /** The MAINTAINED artifact behind [[raterAgreement]]: label-pair
+    * cells. Counts are commutative sums, so per-wave cells merge by
+    * re-aggregation and the verdict from a wave-merged store is
+    * bit-identical to the one-shot answer (the p71/p101/p114/p128
+    * incremental-family discipline) — fixed label²-sized state
+    * regardless of annotation volume.
+    */
+  def raterCells(df: DataFrame, labelA: Column, labelB: Column): DataFrame =
+    df.select(labelA.cast("long").as("label_a"), labelB.cast("long").as("label_b"))
       .groupBy("label_a", "label_b").agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint(eager = false)
+
+  /** Merge per-wave cells into the standing store (associative sums). */
+  def mergeRaterCells(store: DataFrame, wave: DataFrame): DataFrame =
+    store.unionByName(wave).groupBy("label_a", "label_b")
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** The κ readout over a `(label_a, label_b, n_docs)` cell table. */
+  def raterVerdict(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint(eager = false)
     val rowTot = cells.groupBy(col("label_a").as("k")).agg(sum("n_docs").as("ra"))
     val colTot = cells.groupBy(col("label_b").as("k")).agg(sum("n_docs").as("rb"))
     val stats = cells

@@ -190,6 +190,43 @@ object PipelineQueries {
     * windows — EventStreamSpec pins the boundary), so one oracle gates
     * both.
     */
+  private val kappaOracle: String = """
+        WITH l AS (
+          SELECT CASE WHEN n_chars < 150 THEN 0
+                      WHEN n_chars < 350 THEN 1 ELSE 2 END AS label_a,
+                 CASE WHEN length(text) - length(replace(text, ' ', '')) < 25 THEN 0
+                      WHEN length(text) - length(replace(text, ' ', '')) < 60 THEN 1
+                      ELSE 2 END AS label_b
+          FROM documents),
+        cells AS (SELECT CAST(label_a AS BIGINT) AS label_a,
+                         CAST(label_b AS BIGINT) AS label_b,
+                         CAST(count(*) AS BIGINT) AS n_docs
+                  FROM l GROUP BY 1, 2),
+        rt AS (SELECT label_a AS k, sum(n_docs) AS ra FROM cells GROUP BY 1),
+        ct AS (SELECT label_b AS k, sum(n_docs) AS rb FROM cells GROUP BY 1),
+        st0 AS (SELECT
+                  (SELECT sum(n_docs) FROM cells) AS n_total,
+                  (SELECT coalesce(sum(CASE WHEN label_a = label_b
+                     THEN n_docs END), 0) FROM cells) AS agree,
+                  (SELECT coalesce(sum(ra * rb), 0)
+                   FROM rt JOIN ct ON ct.k = rt.k) AS pesum),
+        st1 AS (SELECT CAST(n_total AS BIGINT) AS n_total,
+                       CAST(agree * 1000000 // n_total AS BIGINT) AS po_ppm,
+                       CAST(pesum * 1000000 // (n_total * n_total) AS BIGINT) AS pe_ppm
+                FROM st0),
+        st AS (SELECT n_total, po_ppm, pe_ppm,
+                      CAST(CASE
+                        WHEN 1000000 - pe_ppm <= 0 THEN 0
+                        WHEN po_ppm >= pe_ppm
+                          THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+                        ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
+                      END AS BIGINT) AS kappa_ppm
+               FROM st1)
+        SELECT c.label_a, c.label_b, c.n_docs,
+               st.n_total, st.po_ppm, st.pe_ppm, st.kappa_ppm
+        FROM cells c CROSS JOIN st
+        ORDER BY c.label_a, c.label_b"""
+
   private val sessionizeOracle: String = """
         WITH t AS (
           SELECT user_id, ts, event_id, value,
@@ -6219,42 +6256,7 @@ object PipelineQueries {
           when(spaces < 25, 0L).when(spaces < 60, 1L).otherwise(2L))
           .orderBy("label_a", "label_b")
       },
-      Some("""
-        WITH l AS (
-          SELECT CASE WHEN n_chars < 150 THEN 0
-                      WHEN n_chars < 350 THEN 1 ELSE 2 END AS label_a,
-                 CASE WHEN length(text) - length(replace(text, ' ', '')) < 25 THEN 0
-                      WHEN length(text) - length(replace(text, ' ', '')) < 60 THEN 1
-                      ELSE 2 END AS label_b
-          FROM documents),
-        cells AS (SELECT CAST(label_a AS BIGINT) AS label_a,
-                         CAST(label_b AS BIGINT) AS label_b,
-                         CAST(count(*) AS BIGINT) AS n_docs
-                  FROM l GROUP BY 1, 2),
-        rt AS (SELECT label_a AS k, sum(n_docs) AS ra FROM cells GROUP BY 1),
-        ct AS (SELECT label_b AS k, sum(n_docs) AS rb FROM cells GROUP BY 1),
-        st0 AS (SELECT
-                  (SELECT sum(n_docs) FROM cells) AS n_total,
-                  (SELECT coalesce(sum(CASE WHEN label_a = label_b
-                     THEN n_docs END), 0) FROM cells) AS agree,
-                  (SELECT coalesce(sum(ra * rb), 0)
-                   FROM rt JOIN ct ON ct.k = rt.k) AS pesum),
-        st1 AS (SELECT CAST(n_total AS BIGINT) AS n_total,
-                       CAST(agree * 1000000 // n_total AS BIGINT) AS po_ppm,
-                       CAST(pesum * 1000000 // (n_total * n_total) AS BIGINT) AS pe_ppm
-                FROM st0),
-        st AS (SELECT n_total, po_ppm, pe_ppm,
-                      CAST(CASE
-                        WHEN 1000000 - pe_ppm <= 0 THEN 0
-                        WHEN po_ppm >= pe_ppm
-                          THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
-                        ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
-                      END AS BIGINT) AS kappa_ppm
-               FROM st1)
-        SELECT c.label_a, c.label_b, c.n_docs,
-               st.n_total, st.po_ppm, st.pe_ppm, st.kappa_ppm
-        FROM cells c CROSS JOIN st
-        ORDER BY c.label_a, c.label_b"""),
+      Some(kappaOracle),
       "labeling QA — INTER-RATER AGREEMENT (Cohen's kappa) between two " +
         "label columns: raw agreement is inflated by skewed marginals, " +
         "kappa subtracts the chance agreement of independent raters " +
@@ -6263,6 +6265,32 @@ object PipelineQueries {
         "negative kappa divides identically on both engines. One " +
         "map-side corpus pass to label-pair cells; marginals and the " +
         "kappa live on the cells alone — output is the confusion " +
-        "matrix with the global verdict repeated per row")
+        "matrix with the global verdict repeated per row"),
+
+    Q("p166_streaming_kappa",
+      (s, d) => {
+        // the kappa cells as a MAINTAINED artifact: three annotation
+        // waves fold into the label-pair cell store (counts are
+        // commutative sums, so maintained == one-shot exactly) and the
+        // verdict of the merged store must hash-equal p165 — the
+        // shared oracle IS that invariant. Fixed label^2-sized state
+        // regardless of annotation volume
+        val docs = table(s, d, "documents")
+        val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+        val a = when(col("n_chars") < 150, 0L).when(col("n_chars") < 350, 1L).otherwise(2L)
+        val b = when(spaces < 25, 0L).when(spaces < 60, 1L).otherwise(2L)
+        val store = (0 to 2).map(w =>
+            Quality.raterCells(docs.filter(pmod(col("doc_id"), lit(3)) === w), a, b))
+          .reduce(Quality.mergeRaterCells)
+        Quality.raterVerdict(store).orderBy("label_a", "label_b")
+      },
+      Some(kappaOracle),
+      "labeling QA / streaming — p165's kappa cells MAINTAINED across " +
+        "three annotation waves: label-pair counts are commutative " +
+        "sums, so the wave-merged store equals the one-shot matrix " +
+        "exactly and the kappa readout hash-equals p165 (the shared " +
+        "oracle gates the maintained == one-shot invariant, the " +
+        "p71/p101/p114/p128/p161 incremental-family discipline). " +
+        "Fixed label-squared state however many annotations arrive")
   )
 }
