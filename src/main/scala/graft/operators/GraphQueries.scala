@@ -1583,7 +1583,8 @@ object GraphQueries {
         // the same bounded-block shape as p55's per-block verify. The
         // canonical edge set is the process-cached standing artifact
         // shared by all six co-purchase analytics queries
-        graft.plans.Triangles.counts(TpchGraph.copurchaseEdges(s, d))
+        graft.plans.Triangles.countsFromList(TpchGraph.copurchaseEdges(s, d),
+          TpchGraph.copurchaseTriangles(s, d))
       },
       Some(copurchaseCensusOracle),
       "graph analytics — exact triangle/wedge census of the part co-purchase " +
@@ -2287,7 +2288,8 @@ object GraphQueries {
         // GNN / node-classification feature block: degree, triangle
         // participation, local clustering coefficient (exact integer
         // permille). The node-level companion of g36's global census
-        graft.plans.Triangles.perNodeCounts(TpchGraph.copurchaseEdges(s, d))
+        graft.plans.Triangles.perNodeCountsFromList(
+          TpchGraph.copurchaseEdges(s, d), TpchGraph.copurchaseTriangles(s, d))
           .withColumnRenamed("x", "part")
           .orderBy("part")
       },
@@ -2416,7 +2418,8 @@ object GraphQueries {
 
     Q("g59_ktruss",
       (s, d) => graft.plans.KTruss.peelSummary(
-          TpchGraph.copurchaseEdges(s, d), k = 4, maxRounds = 3)
+          TpchGraph.copurchaseEdges(s, d), k = 4, maxRounds = 3,
+          tri0 = Some(TpchGraph.copurchaseTriangles(s, d)))
         .orderBy("round"),
       Some(ktrussOracle(k = 4, rounds = 3)),
       "graph analytics — k-truss peel (k = 4) of the co-purchase graph: " +

@@ -264,4 +264,66 @@ object Triangles {
           expr("2000L * coalesce(tri, 0L) div (d * (d - 1L))"))
           .otherwise(lit(0L)).as("cc_permille"))
   }
+
+  /** The canonical TRIANGLE LIST `(x1 < x2 < x3)` — each triangle of the
+    * simple undirected graph exactly once, corners id-sorted so every
+    * consumer derives its own view map-side (count for the census,
+    * corner explode for per-node features, the three canonical edges
+    * for the k-truss peel). Enumerated by the same degree-ordered apex
+    * join as [[counts]]; memoized per source by
+    * `TpchGraph.copurchaseTriangles` this is the standing artifact the
+    * whole triangle family (g36/g55/g59) reads instead of each paying
+    * the wedge join.
+    */
+  def triangleList(edges: DataFrame): DataFrame = {
+    val (und, deg) = prep(edges)
+    val withDegs = und
+      .join(deg.withColumnsRenamed(Map("x" -> "u", "d" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("x" -> "v", "d" -> "dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDegs.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("sid"),
+      when(uFirst, col("v")).otherwise(col("u")).as("tid"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("td"))
+      .localCheckpoint(eager = false)
+    val e1 = oriented.select(col("sid").as("a"), col("tid").as("b"), col("td").as("bd"))
+    val e2 = oriented.select(col("sid").as("a2"), col("tid").as("c"), col("td").as("cd"))
+    val wedges = e1.join(e2, col("a") === col("a2") &&
+        (col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c"))))
+      .select(col("a"), col("b").as("wb"), col("c").as("wc"))
+    val closing = oriented.select(col("sid").as("cb"), col("tid").as("cc"))
+    wedges.join(closing, col("wb") === col("cb") && col("wc") === col("cc"))
+      .select(expr("array_sort(array(a, wb, wc))").as("t"))
+      .select(col("t").getItem(0).as("x1"), col("t").getItem(1).as("x2"),
+        col("t").getItem(2).as("x3"))
+  }
+
+  /** [[counts]] census read off a prebuilt (memoized) [[triangleList]]:
+    * edges/wedges from one degree pass over `edges`, the triangle count
+    * from the standing list — no wedge join.
+    */
+  def countsFromList(edges: DataFrame, tri: DataFrame): DataFrame = {
+    val (_, deg) = prep(edges)
+    val edgeWedge = deg.agg(
+      coalesce(shiftright(sum(col("d")), 1), lit(0L)).as("n_edges"),
+      coalesce(sum(shiftright(col("d") * (col("d") - 1), 1)), lit(0L))
+        .as("n_wedges"))
+    edgeWedge.crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** [[perNodeCounts]] read off a prebuilt [[triangleList]]: one corner
+    * explode + count against the standing list, joined to degrees.
+    */
+  def perNodeCountsFromList(edges: DataFrame, tri0: DataFrame): DataFrame = {
+    val (_, deg) = prep(edges)
+    val tri = tri0
+      .select(explode(array(col("x1"), col("x2"), col("x3"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("x"), "left")
+      .select(col("x"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          expr("2000L * coalesce(tri, 0L) div (d * (d - 1L))"))
+          .otherwise(lit(0L)).as("cc_permille"))
+  }
 }

@@ -381,6 +381,21 @@ object TpchGraph {
     })
   }
 
+  private val copurchaseTriCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** Canonical triangle list `(x1 < x2 < x3)` of the co-purchase graph —
+    * the standing artifact the triangle family reads (g36 census count,
+    * g55 per-node features, g59 k-truss peel input) instead of each
+    * paying the degree-ordered wedge enumeration.
+    */
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame =
+    sessionCached(copurchaseTriCache, spark, dir) {
+      import org.apache.spark.storage.StorageLevel
+      graft.plans.Triangles.triangleList(copurchaseEdges(spark, dir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   private val coarsenL1Cache =
     scala.collection.concurrent.TrieMap[String, graft.plans.Matching.CoarsenLevel]()
 

@@ -52,6 +52,30 @@ class TrianglesSpec extends SparkSpec {
     assert(counts(Seq((7L, 7L))) == ((0L, 0L, 0L)))
   }
 
+  test("triangleList consumers == direct forms on random graphs (census, per-node, peel)") {
+    val rng = new scala.util.Random(41L)
+    for (trial <- 1 to 3) {
+      val n = 10 + rng.nextInt(10)
+      val edges = Seq.fill(4 * n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val df = edges.toDF("u", "v")
+      val tri = Triangles.triangleList(df)
+      // every listed triangle has strictly sorted corners (each once)
+      assert(tri.filter(!(col("x1") < col("x2") && col("x2") < col("x3"))).isEmpty)
+      assert(tri.count() == tri.distinct().count(), s"trial $trial dup triangles")
+      assert(Triangles.countsFromList(df, tri).collect()(0).toSeq ==
+        Triangles.counts(df).collect()(0).toSeq, s"trial $trial census")
+      val a = Triangles.perNodeCounts(df).orderBy("x").collect().map(_.toSeq).toSeq
+      val b = Triangles.perNodeCountsFromList(df, tri).orderBy("x")
+        .collect().map(_.toSeq).toSeq
+      assert(a == b, s"trial $trial per-node")
+      val p1 = KTruss.peelSummary(df, k = 3, maxRounds = 3)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      val p2 = KTruss.peelSummary(df, k = 3, maxRounds = 3, tri0 = Some(tri))
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      assert(p1 == p2, s"trial $trial peel")
+    }
+  }
+
   test("DataFrame census and the GraphX twin agree on random graphs") {
     val rng = new scala.util.Random(72L)
     for (trial <- 1 to 3) {
