@@ -3165,6 +3165,57 @@ object GraphQueries {
         "BFS and its fixed-seed-sample rule; the oracle shares the " +
         "same fixed-depth visited-set unroll with only the readout " +
         "changed — integer floor division keeps the harmonic sum " +
-        "bit-portable where float 1/d never is")
+        "bit-portable where float 1/d never is"),
+
+    Q("g80_weighted_pagerank",
+      (s, d) => {
+        // rank mass splits proportionally to co-purchase FREQUENCY —
+        // the multigraph centrality a recommender wants (an edge seen
+        // in 40 orders carries 40x a one-off's mass); the weighted
+        // co-purchase edges are the standing session artifact the
+        // multilevel-partitioning family already shares
+        val half = TpchGraph.weightedCopurchaseEdges(s, d)
+        val e = half.select(col("u").as("src"), col("v").as("dst"), col("w"))
+          .unionByName(half.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        graft.plans.PageRank.weightedRanksScaled(e, iters = 3)
+          .select(col("key").as("part"), col("rank_scaled"))
+          .orderBy(desc("rank_scaled"), asc("part")).limit(15)
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        he AS MATERIALIZED (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        ed AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM he
+                            UNION ALL SELECT v, u, w FROM he),
+        vv AS (SELECT DISTINCT src AS key FROM ed),
+        ow AS (SELECT src, sum(w) AS tw FROM ed GROUP BY 1),
+        p0 AS (SELECT key, CAST(1000000 AS BIGINT) AS r FROM vv),
+        p1 AS (SELECT vv.key, CAST(150000 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM vv LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r * ed.w // ow.tw) AS inc
+                 FROM ed JOIN p0 p ON p.key = ed.src JOIN ow ON ow.src = ed.src
+                 GROUP BY ed.dst) s USING (key)),
+        p2 AS (SELECT vv.key, CAST(150000 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM vv LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r * ed.w // ow.tw) AS inc
+                 FROM ed JOIN p1 p ON p.key = ed.src JOIN ow ON ow.src = ed.src
+                 GROUP BY ed.dst) s USING (key)),
+        p3 AS (SELECT vv.key, CAST(150000 + (85 * coalesce(s.inc, 0)) // 100 AS BIGINT) AS r
+               FROM vv LEFT JOIN (
+                 SELECT ed.dst AS key, sum(p.r * ed.w // ow.tw) AS inc
+                 FROM ed JOIN p2 p ON p.key = ed.src JOIN ow ON ow.src = ed.src
+                 GROUP BY ed.dst) s USING (key))
+        SELECT key AS part, r AS rank_scaled FROM p3
+        ORDER BY rank_scaled DESC, part LIMIT 15"""),
+      "graph analytics — WEIGHTED PageRank over the co-purchase " +
+        "multigraph: a source's rank splits across neighbors " +
+        "proportionally to co-purchase frequency (r*w div W(u), floor " +
+        "division per edge, associative long sums) — an edge seen in " +
+        "40 orders carries 40x a one-off's mass, the centrality a " +
+        "recommender actually wants from multigraph-derived edges. " +
+        "Same exact scaled-integer recurrence and per-round plan as " +
+        "g37, whose uniform form is the w==1 special case of the " +
+        "shared iteration; 3 fixed iterations, top-15, bit-identical " +
+        "cross-engine")
   )
 }

@@ -78,12 +78,57 @@ object PageRank {
 
     val seedBase = when(seedPred, lit(scale / dampDen * (dampDen - dampNum)))
       .otherwise(lit(0L))
+    runScaled(vertices, withDeg.withColumnRenamed("outdeg", "tw")
+        .withColumn("w", lit(1L)),
+      seedPred, seedBase, iters, scale, dampNum, dampDen)
+  }
+
+  /** WEIGHTED PageRank in the same exact scaled-integer arithmetic: a
+    * source's rank mass splits across its out-edges PROPORTIONALLY to
+    * edge weight — `contrib(u→v) = r(u)·w(u,v) ÷ W(u)` with `W(u)` the
+    * source's total out-weight (floor division per edge, so sums stay
+    * associative longs and the result is bit-identical on any engine).
+    * The natural centrality for multigraph-derived edge sets (an edge
+    * seen in 40 orders should carry 40× the mass of a one-off); the
+    * uniform form is the `w ≡ 1` special case. Duplicate `(src, dst)`
+    * rows collapse by weight SUM (multigraph semantics). Identical
+    * per-round plan shape to [[ranksScaled]].
+    */
+  def weightedRanksScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+                          dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 0 && scale % dampDen == 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"invalid pagerank params (iters=$iters scale=$scale damp=$dampNum/$dampDen)")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val vertices = e.select(col("src").as("key"))
+      .unionAll(e.select(col("dst").as("key")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+    val withW = e.join(outW, "src")
+      .select(col("src"), col("dst"), col("w"), col("tw"))
+      .localCheckpoint(eager = false)
+    runScaled(vertices, withW, lit(true),
+      lit(scale / dampDen * (dampDen - dampNum)), iters, scale, dampNum, dampDen)
+  }
+
+  /** The shared iteration: `edges` carries `(src, dst, w, tw)`; each
+    * round is one ranks⋈edges hash join + one dst aggregate over the
+    * per-edge floor-divided contribution + one left join back.
+    */
+  private def runScaled(vertices: DataFrame, edges: DataFrame,
+                        seedPred: org.apache.spark.sql.Column,
+                        seedBase: org.apache.spark.sql.Column, iters: Int,
+                        scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
     var ranks = vertices.withColumn("rank_scaled",
       when(seedPred, lit(scale)).otherwise(lit(0L)))
     for (_ <- 1 to iters) {
-      val inbound = withDeg
+      val inbound = edges
         .join(ranks, col("src") === col("key"))
-        .select(col("dst"), expr("rank_scaled div outdeg").as("contrib"))
+        // uniform callers pass w = 1, tw = outdeg — rank·1 div outdeg is
+        // bit-identical to the original rank div outdeg form
+        .select(col("dst"), expr("rank_scaled * w div tw").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("inc"))
       ranks = vertices
         .join(inbound, col("key") === col("dst"), "left")

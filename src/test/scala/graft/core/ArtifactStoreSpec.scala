@@ -52,6 +52,16 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(spark.catalog.tableExists(s"graft_art_$name"))
   }
 
+  test("bucketed store scan satisfies a group-by on the bucket column with NO shuffle") {
+    // the 100 TB payoff of bucketBy(u): the scan reports
+    // hashpartitioning(u, 8), so a per-node aggregate (the walk loop's
+    // per-u rank probe shape) needs no Exchange at any corpus size
+    val adj = graft.sources.TpchGraph.storedRankedAdjacency(spark, sf)
+    val p = adj.groupBy("u").count().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(adj.count() > 0)
+  }
+
   test("sourceFingerprint changes when a source file changes, not when queried twice") {
     val dir = TempStores.scratchDir("art-fp-spec-")
     val f = java.nio.file.Paths.get(dir, "tbl.parquet")

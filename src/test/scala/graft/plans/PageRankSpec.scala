@@ -97,6 +97,35 @@ class PageRankSpec extends SparkSpec {
     assert(r2 == refP(twoComp, Set("s1", "s2"), 4))
   }
 
+  test("weighted: w==1 equals uniform; weights steer mass; duplicates sum") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val uni = PageRank.ranksScaled(e, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val w1 = PageRank.weightedRanksScaled(e.withColumn("w", lit(1L)), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(uni == w1)
+    // a splits 3:1 toward b — hand recurrence, scale 1e6, damp 85/100:
+    //   contrib a→b = r(a)*3 div 4, a→c = r(a)*1 div 4
+    val ew = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val got = PageRank.weightedRanksScaled(ew, iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    def step(r: Map[String, Long]): Map[String, Long] = Map(
+      "a" -> (150000L + 85L * (r("b") + r("c")) / 100L),
+      "b" -> (150000L + 85L * (r("a") * 3L / 4L) / 100L),
+      "c" -> (150000L + 85L * (r("a") * 1L / 4L) / 100L))
+    val want = step(step(Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)))
+    assert(got == want)
+    assert(got("b") > got("c"), "heavier edge must carry more mass")
+    // duplicate (src,dst) rows collapse by weight SUM (multigraph):
+    // a→b w=2 + a→b w=1 ≡ a→b w=3
+    val dup = Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)).toDF("src", "dst", "w")
+    val got2 = PageRank.weightedRanksScaled(dup, iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got2 == want)
+  }
+
   test("personalized with all vertices seeded equals global pagerank") {
     val rng = new scala.util.Random(77L)
     val rand = Seq.fill(30)((s"v${rng.nextInt(10)}", s"v${rng.nextInt(10)}"))
