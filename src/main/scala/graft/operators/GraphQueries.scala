@@ -143,6 +143,56 @@ object GraphQueries {
         $rounds"""
   }
 
+  /** g81 oracle: `depth`-deep unrolled truncated Brandes — forward
+    * levels carry exact path counts σ (per-level GROUP BY sum over the
+    * shortest-path parents), the backward unroll accumulates
+    * δ(v) = Σ σ(v)·(1000 + δ(w)) // σ(w) level by level. Seeds and the
+    * co-purchase edge set are g56's.
+    */
+  private def betweennessOracle(depth: Int): String = {
+    val fwd = (1 to depth).map { i =>
+      s"""f$i AS MATERIALIZED (
+          SELECT p.start, e.v AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+          FROM f${i - 1} p JOIN e ON e.u = p.node
+          WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} x
+                            WHERE x.start = p.start AND x.node = e.v)
+          GROUP BY 1, 2),
+        r$i AS MATERIALIZED (
+          SELECT start, node FROM r${i - 1}
+          UNION ALL SELECT start, node FROM f$i)"""
+    }.mkString(",\n        ")
+    val back = ((depth - 1) to 0 by -1).map { d =>
+      s"""d$d AS MATERIALIZED (
+          SELECT c.start, c.node,
+                 CAST(coalesce(sum(c.sigma * (1000 + dn.delta) // sn.sigma), 0)
+                   AS BIGINT) AS delta
+          FROM f$d c
+          LEFT JOIN e ON e.u = c.node
+          LEFT JOIN f${d + 1} sn ON sn.start = c.start AND sn.node = e.v
+          LEFT JOIN d${d + 1} dn ON dn.start = c.start AND dn.node = e.v
+          GROUP BY 1, 2)"""
+    }.mkString(",\n        ")
+    val acc = (0 to depth).map(d => s"SELECT start, node, delta FROM d$d")
+      .mkString(" UNION ALL ")
+    s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        s AS (SELECT DISTINCT u AS start FROM e WHERE u % 100 = 0 AND u <= 2000),
+        f0 AS MATERIALIZED (SELECT start, start AS node, CAST(1 AS BIGINT) AS sigma FROM s),
+        r0 AS MATERIALIZED (SELECT start, node FROM f0),
+        $fwd,
+        d$depth AS MATERIALIZED (
+          SELECT start, node, CAST(0 AS BIGINT) AS delta FROM f$depth),
+        $back,
+        acc AS ($acc)
+        SELECT node AS part, CAST(sum(delta) AS BIGINT) AS betweenness_milli
+        FROM acc WHERE node <> start
+        GROUP BY 1 HAVING sum(delta) > 0
+        ORDER BY part"""
+  }
+
   private def closenessOracle(depth: Int): String =
     s"""${bfsUnrollCtes(depth)}
         SELECT start, CAST(count(*) AS BIGINT) AS n_reached,
@@ -3216,6 +3266,34 @@ object GraphQueries {
         "Same exact scaled-integer recurrence and per-round plan as " +
         "g37, whose uniform form is the w==1 special case of the " +
         "shared iteration; 3 fixed iterations, top-15, bit-identical " +
-        "cross-engine")
+        "cross-engine"),
+
+    Q("g81_betweenness",
+      (s, d) => {
+        // truncated sampled Brandes from g56's fixed seed sample over
+        // the undirected co-purchase graph — the remaining classic
+        // centrality: shortest-path TRAFFIC through a vertex, where
+        // closeness/harmonic measure proximity. Radius 2 + scale 1000
+        // per the documented long-overflow budget
+        val e = TpchGraph.copurchaseEdgesMirrored(s, d)
+        val starts = e.select(col("u").as("start"))
+          .filter(col("start") % 100 === 0 && col("start") <= 2000).distinct()
+        graft.plans.Betweenness.sampled(e, starts, maxDepth = 2)
+          .withColumnRenamed("node", "part")
+          .orderBy("part")
+      },
+      Some(betweennessOracle(depth = 2)),
+      "graph analytics — truncated sampled BETWEENNESS (Brandes 2001; " +
+        "seed sampling Brandes-Pich 2007; bounded distance Borgatti " +
+        "2006): exact integer path counts sigma forward, Brandes's " +
+        "backward dependency accumulation in scaled-integer form " +
+        "sigma(v)*(1000 + delta(w)) div sigma(w) — level-synchronous " +
+        "floor division, so the accumulation is bit-identical " +
+        "cross-engine where float Brandes is sum-order-dependent. " +
+        "Fixed seed sample (the g56 accuracy-parameter rule) and a " +
+        "documented overflow budget (deg^D * reach * scale < 2^63 — " +
+        "ANSI fails loudly past it); forward = the g56 BFS plus one " +
+        "map-side sigma sum per level, backward = one hash join per " +
+        "LEVEL, a small fixed constant")
   )
 }
