@@ -1069,6 +1069,68 @@ object PipelineQueries {
         "(never all-pairs) -> DataFrame CC -> one canonical keeper per cluster"),
 
 
+    Q("p167_dedup_representatives",
+      (s, d) => {
+        // the dedup pipeline's final DELIVERABLE: near-dup clusters
+        // (the p22/p32 shared LSH pair set -> CC) each elect ONE
+        // representative by deterministic quality criteria — longest
+        // document, doc_id tie-break — and export the keep decision
+        // with the cluster accounting a curation audit signs off on.
+        // vec_id is doc-aligned in this corpus (the embedding of doc i
+        // is vec i); quality joins from the documents table
+        val pairs = TpchGraph.lshPairs(s, d)
+          .select(col("id_a").cast("long").as("src"),
+            col("id_b").cast("long").as("dst"))
+        val members = graft.plans.DfConnectedComponents.run(pairs)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("canonical_id"))
+          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id")
+        val elected = graft.plans.TopKPerGroup.topK(members,
+            Seq(col("canonical_id")),
+            struct(col("n_chars"), -col("doc_id")), 1)
+          .select(col("canonical_id"), col("doc_id").as("kept_doc"),
+            col("n_chars").as("kept_n_chars"))
+        members.groupBy("canonical_id")
+          .agg(count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1).cast("long").as("n_dropped"))
+          .join(elected, "canonical_id")
+          .orderBy("canonical_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $lshPairCtes,
+        pairs AS (SELECT id_a, id_b FROM pr WHERE cos >= 0.4),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        mem AS (SELECT c.component, c.id, d.n_chars
+                FROM comp c JOIN documents d ON d.doc_id = c.id),
+        el AS (SELECT component, id, n_chars,
+                      row_number() OVER (PARTITION BY component
+                        ORDER BY n_chars DESC, id) AS rn
+               FROM mem)
+        SELECT CAST(m.component AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+               CAST(any_value(e.id) AS BIGINT) AS kept_doc,
+               CAST(any_value(e.n_chars) AS BIGINT) AS kept_n_chars
+        FROM mem m JOIN el e ON e.component = m.component AND e.rn = 1
+        GROUP BY 1 ORDER BY 1"""),
+      "dedup — REPRESENTATIVE ELECTION, the pipeline's final " +
+        "deliverable: each near-dup cluster (the p22/p32 shared " +
+        "LSH-blocked pair set -> DataFrame CC) elects one keeper by " +
+        "deterministic quality criteria (longest doc, id tie-break) " +
+        "via the bounded-heap top-1 operator — one row per cluster " +
+        "crosses the shuffle, never the membership. Output is the " +
+        "keep/drop manifest a curation audit signs off on: canonical " +
+        "id, member count, drops, the kept doc and its length"),
+
     Q("p01_token_count",
       (s, d) => table(s, d, "documents")
         .select(col("doc_id"),
