@@ -62,6 +62,27 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(adj.count() > 0)
   }
 
+  test("a truncated/corrupt meta file triggers a clean rebuild, not a bad read") {
+    val name = s"spec_art_corrupt_${System.nanoTime()}"
+    ArtifactStore.bucketed(spark, name, "fp", "k", 2)(Seq((1L, 2L)).toDF("k", "v"))
+    // simulate a crash between fingerprint write and DDL line: one-line meta
+    val meta = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", ""), s"$name.meta")
+    // locate the real meta via the registered table's location parent
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED graft_art_$name")
+      .collect().find(_.getString(0) == "Location").get.getString(1)
+    val metaPath = java.nio.file.Paths.get(new java.net.URI(loc)).getParent
+      .resolve(s"$name.meta")
+    java.nio.file.Files.write(metaPath, "fp\n".getBytes) // fingerprint line only, no DDL
+    spark.sql(s"DROP TABLE graft_art_$name") // next process: no catalog entry either
+    var rebuilt = false
+    val back = ArtifactStore.bucketed(spark, name, "fp", "k", 2) {
+      rebuilt = true; Seq((1L, 2L)).toDF("k", "v")
+    }
+    assert(rebuilt, "incomplete meta must be treated as stale")
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
   test("sourceFingerprint changes when a source file changes, not when queried twice") {
     val dir = TempStores.scratchDir("art-fp-spec-")
     val f = java.nio.file.Paths.get(dir, "tbl.parquet")

@@ -800,4 +800,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("g80 weighted pagerank readout: bounded-heap top-15, no window/cartesian") {
+    // the iteration itself is lineage-cut per round (localCheckpoint), so
+    // the executed plan shows only the readout; the per-round shape is the
+    // same contrib-join + partial_sum stage the uniform pagerank runs
+    val p = plan("g80_weighted_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("g81 betweenness readout: map-side-combined delta sum, no window/cartesian") {
+    val p = plan("g81_betweenness")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("p167 representative election ranks via TopKPerGroup (no window sort)") {
+    val p = plan("p167_dedup_representatives")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p165 kappa: one corpus aggregate, label-sized tail (scalar crossJoins only)") {
+    val p = plan("p165_rater_agreement")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("WindowExec"), p)
+    // the verdict broadcast is the only nested-loop combine
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
