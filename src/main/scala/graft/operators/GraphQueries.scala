@@ -3227,7 +3227,9 @@ object GraphQueries {
         val half = TpchGraph.weightedCopurchaseEdges(s, d)
         val e = half.select(col("u").as("src"), col("v").as("dst"), col("w"))
           .unionByName(half.select(col("v").as("src"), col("u").as("dst"), col("w")))
-        graft.plans.PageRank.weightedRanksScaled(e, iters = 3)
+        // the mirrored canonical (u < v) half is distinct by construction
+        graft.plans.PageRank.weightedRanksScaled(e, iters = 3,
+            edgesAreDistinct = true)
           .select(col("key").as("part"), col("rank_scaled"))
           .orderBy(desc("rank_scaled"), asc("part")).limit(15)
       },

@@ -95,12 +95,18 @@ object PageRank {
     * per-round plan shape to [[ranksScaled]].
     */
   def weightedRanksScaled(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-                          dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                          dampNum: Long = 85L, dampDen: Long = 100L,
+                          edgesAreDistinct: Boolean = false): DataFrame = {
     require(iters >= 0 && scale % dampDen == 0 && dampNum >= 0 && dampNum <= dampDen,
       s"invalid pagerank params (iters=$iters scale=$scale damp=$dampNum/$dampDen)")
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val base = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
-      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    // duplicate (src, dst) rows collapse by weight SUM (multigraph
+    // semantics); a caller whose edge set is distinct by construction
+    // (the mirrored canonical half) skips a full-edge-set shuffle —
+    // at sf2.0 that one aggregate was the dominant cost of the query
+    val e = if (edgesAreDistinct) base
+            else base.groupBy("src", "dst").agg(sum(col("w")).as("w"))
     val vertices = e.select(col("src").as("key"))
       .unionAll(e.select(col("dst").as("key")))
       .distinct()
