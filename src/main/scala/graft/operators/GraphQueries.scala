@@ -3296,6 +3296,67 @@ object GraphQueries {
         "documented overflow budget (deg^D * reach * scale < 2^63 — " +
         "ANSI fails loudly past it); forward = the g56 BFS plus one " +
         "map-side sigma sum per level, backward = one hash join per " +
-        "LEVEL, a small fixed constant")
+        "LEVEL, a small fixed constant"),
+
+    Q("g82_purchase_trigrams",
+      (s, d) => {
+        // DEPTH-2 sequential patterns (what follows an A→B purchase —
+        // the table a next-item model conditions on beyond g58's
+        // bigrams) with APRIORI support pruning, GSP/PrefixSpan's
+        // anti-monotonicity made distributed: a trigram is counted only
+        // if BOTH its bigrams are frequent (support ≥ 2 on the standing
+        // transition artifact), and the first prune runs BEFORE the
+        // third lineitem explode — candidate mass tracks the frequent
+        // set (≈2k pairs at every SF), never the corpus-cubed cross
+        val freq = TpchGraph.transitionEdges(s, d)
+          .filter(col("n_transitions") >= 2).select("src", "dst")
+        val w = Window.partitionBy("c").orderBy("dt", "k")
+        val tri = TpchGraph.table(s, d, "orders")
+          .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+            col("o_orderdate").as("dt"))
+          .select(col("k"), lead(col("k"), 1).over(w).as("k2"),
+            lead(col("k"), 2).over(w).as("k3"))
+          .filter(col("k3").isNotNull)
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        tri
+          .join(li.select(col("k"), col("p").as("p1")), "k")
+          .join(li.select(col("k").as("k2"), col("p").as("p2")), "k2")
+          .join(broadcast(freq.select(col("src").as("p1"), col("dst").as("p2"))),
+            Seq("p1", "p2"), "left_semi")
+          .join(li.select(col("k").as("k3"), col("p").as("p3")), "k3")
+          .join(broadcast(freq.select(col("src").as("p2"), col("dst").as("p3"))),
+            Seq("p2", "p3"), "left_semi")
+          .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("n_occurrences"))
+          .orderBy("p1", "p2", "p3")
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        o AS (SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS dt FROM orders),
+        nx AS (SELECT k, lead(k) OVER (PARTITION BY c ORDER BY dt, k) AS k2,
+                      lead(k, 2) OVER (PARTITION BY c ORDER BY dt, k) AS k3
+               FROM o),
+        tr AS (SELECT a.p AS src, b.p AS dst, count(*) AS n
+               FROM nx JOIN li a ON a.k = nx.k JOIN li b ON b.k = nx.k2
+               WHERE nx.k2 IS NOT NULL GROUP BY 1, 2),
+        fr AS MATERIALIZED (SELECT src, dst FROM tr WHERE n >= 2)
+        SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM nx JOIN li a ON a.k = nx.k
+                JOIN li b ON b.k = nx.k2
+                JOIN li c ON c.k = nx.k3
+        WHERE nx.k3 IS NOT NULL
+          AND EXISTS (SELECT 1 FROM fr WHERE fr.src = a.p AND fr.dst = b.p)
+          AND EXISTS (SELECT 1 FROM fr WHERE fr.src = b.p AND fr.dst = c.p)
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      "graph analytics — DEPTH-2 sequential patterns (purchase " +
+        "trigrams): what follows an A->B transition, the conditioning " +
+        "table a next-item recommender needs beyond g58's bigrams. " +
+        "Apriori support pruning (GSP/PrefixSpan anti-monotonicity) " +
+        "distributed: only trigrams whose BOTH bigrams clear the " +
+        "support floor on the standing transition artifact are " +
+        "counted, the ~2k-row frequent set broadcasts, and the first " +
+        "prune lands BEFORE the third lineitem join — candidate mass " +
+        "tracks the frequent set, never the corpus-cubed cross")
   )
 }
