@@ -25,6 +25,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     GraphState(nodes, edges)
   }
 
+  test("graph memo: repeated builds hit (same instance); inputs + graph persist MEMORY_AND_DISK") {
+    import org.apache.spark.storage.StorageLevel
+    val g = taxonomy
+    val g1 = GraphAnalytics.build(g, Seq("IsA"), Seq("taxonnode"))
+    val g2 = GraphAnalytics.build(g, Seq("IsA"), Seq("taxonnode"))
+    // memo hit: the SAME Graph object, not a fresh pair of pinned RDDs
+    assert(g1 eq g2)
+    // disk-backed storage is the r11 batch-cliff fix: under block-manager
+    // pressure an evicted MEMORY_ONLY block forced a full lineage rebuild
+    // per Pregel round (driver r10 read g18 at 9.4s vs the 0.83s floor)
+    assert(g1.vertices.getStorageLevel == StorageLevel.MEMORY_AND_DISK,
+      g1.vertices.getStorageLevel.toString)
+    assert(g1.edges.getStorageLevel == StorageLevel.MEMORY_AND_DISK,
+      g1.edges.getStorageLevel.toString)
+  }
+
   test("fnv64 is deterministic and spreads keys") {
     assert(GraphAnalytics.fnv64("abc") == GraphAnalytics.fnv64("abc"))
     assert(GraphAnalytics.fnv64("abc") != GraphAnalytics.fnv64("abd"))
