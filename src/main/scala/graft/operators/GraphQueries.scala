@@ -2402,14 +2402,12 @@ object GraphQueries {
         // frequently co-purchased links are CHEAP (w = max(1, 6 −
         // shared-order count)) — 'how related are these parts through
         // strong links'. Fixed seed sample (the g56 rule), 4 rounds
-        val li = TpchGraph.lineitemDeduped(s, d)
-          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-        val half = li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-          .filter(col("p") < col("p2"))
-          .groupBy(col("p").as("u"), col("p2").as("v"))
-          .agg(count(lit(1)).as("cnt"))
+        // the (u, v, cnt) aggregate IS the standing weighted co-purchase
+        // artifact the partitioning family shares — derive the cost
+        // transform from the memo instead of re-running the self-join
+        val half = TpchGraph.weightedCopurchaseEdges(s, d)
           .select(col("u"), col("v"),
-            greatest(lit(1L), lit(6L) - col("cnt")).as("w"))
+            greatest(lit(1L), lit(6L) - col("w")).as("w"))
         val e = half.unionByName(
           half.select(col("v").as("u"), col("u").as("v"), col("w")))
         val starts = e.select(col("u").as("start"))

@@ -645,6 +645,37 @@ object PipelineQueries {
         FROM tk t JOIN tk r ON r.src = t.dst AND r.dst = t.src
         WHERE t.src < t.dst ORDER BY 1, 2"""
 
+  /** Shared by p167 (one-shot) and p168 (maintained clusters): the
+    * representative-election manifest over the LSH near-dup clusters.
+    * One oracle for both IS the maintained == one-shot invariant.
+    */
+  private def representativesOracle: String =
+    s"""
+        WITH RECURSIVE $lshPairCtes,
+        pairs AS (SELECT id_a, id_b FROM pr WHERE cos >= 0.4),
+        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
+          WHERE r.lbl < e.s),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        mem AS (SELECT c.component, c.id, d.n_chars
+                FROM comp c JOIN documents d ON d.doc_id = c.id),
+        el AS (SELECT component, id, n_chars,
+                      row_number() OVER (PARTITION BY component
+                        ORDER BY n_chars DESC, id) AS rn
+               FROM mem)
+        SELECT CAST(m.component AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+               CAST(any_value(e.id) AS BIGINT) AS kept_doc,
+               CAST(any_value(e.n_chars) AS BIGINT) AS kept_n_chars
+        FROM mem m JOIN el e ON e.component = m.component AND e.rn = 1
+        GROUP BY 1 ORDER BY 1"""
+
   private def lshCollapseOracle: String =
     s"""
         WITH RECURSIVE $lshPairCtes,
@@ -1097,31 +1128,7 @@ object PipelineQueries {
           .join(elected, "canonical_id")
           .orderBy("canonical_id")
       },
-      Some(s"""
-        WITH RECURSIVE $lshPairCtes,
-        pairs AS (SELECT id_a, id_b FROM pr WHERE cos >= 0.4),
-        edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-        nodes AS (SELECT DISTINCT s AS id FROM edges),
-        reach(id, lbl) AS (
-          SELECT id, id AS lbl FROM nodes
-          UNION
-          SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t
-          WHERE r.lbl < e.s),
-        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
-        mem AS (SELECT c.component, c.id, d.n_chars
-                FROM comp c JOIN documents d ON d.doc_id = c.id),
-        el AS (SELECT component, id, n_chars,
-                      row_number() OVER (PARTITION BY component
-                        ORDER BY n_chars DESC, id) AS rn
-               FROM mem)
-        SELECT CAST(m.component AS BIGINT) AS canonical_id,
-               CAST(count(*) AS BIGINT) AS n_members,
-               CAST(count(*) - 1 AS BIGINT) AS n_dropped,
-               CAST(any_value(e.id) AS BIGINT) AS kept_doc,
-               CAST(any_value(e.n_chars) AS BIGINT) AS kept_n_chars
-        FROM mem m JOIN el e ON e.component = m.component AND e.rn = 1
-        GROUP BY 1 ORDER BY 1"""),
+      Some(representativesOracle),
       "dedup — REPRESENTATIVE ELECTION, the pipeline's final " +
         "deliverable: each near-dup cluster (the p22/p32 shared " +
         "LSH-blocked pair set -> DataFrame CC) elects one keeper by " +
@@ -1130,6 +1137,48 @@ object PipelineQueries {
         "crosses the shuffle, never the membership. Output is the " +
         "keep/drop manifest a curation audit signs off on: canonical " +
         "id, member count, drops, the kept doc and its length"),
+
+    Q("p168_incremental_representatives",
+      (s, d) => {
+        // p167's election over the MAINTAINED cluster store: the
+        // standing two-thirds labeling (p88's per-session fixture)
+        // absorbs the last delta wave via contracted-graph CC, and the
+        // election runs on the merged components — sharing p167's
+        // oracle verbatim gates maintained == one-shot for the full
+        // detect -> cluster -> elect pipeline (p58 is the detection
+        // member, p88 the clustering member, this the deliverable)
+        val pairs = TpchGraph.lshPairs(s, d)
+          .select(col("id_a").cast("long").as("src"),
+            col("id_b").cast("long").as("dst"))
+        val delta = pairs.filter(col("src") % 3 === 2 || col("dst") % 3 === 2)
+        val comp0 = p88Standing.getOrElseUpdate((s, d), {
+          val initial = pairs.filter(col("src") % 3 < 2 && col("dst") % 3 < 2)
+          graft.plans.DfConnectedComponents.run(initial)
+        })
+        val members = graft.plans.DfConnectedComponents.merge(comp0, delta)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("canonical_id"))
+          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id")
+        val elected = graft.plans.TopKPerGroup.topK(members,
+            Seq(col("canonical_id")),
+            struct(col("n_chars"), -col("doc_id")), 1)
+          .select(col("canonical_id"), col("doc_id").as("kept_doc"),
+            col("n_chars").as("kept_n_chars"))
+        members.groupBy("canonical_id")
+          .agg(count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1).cast("long").as("n_dropped"))
+          .join(elected, "canonical_id")
+          .orderBy("canonical_id")
+      },
+      Some(representativesOracle),
+      "dedup — the election over MAINTAINED clusters: p88's standing " +
+        "labeling absorbs the delta wave (contracted-graph CC, " +
+        "O(delta + touched components)) and the keeper election runs " +
+        "on the merged store, hash-equal to p167's one-shot manifest " +
+        "(shared oracle = the maintained == one-shot invariant). The " +
+        "incremental family now covers the whole dedup pipeline: " +
+        "detection p58, clustering p88, deliverable THIS"),
 
     Q("p01_token_count",
       (s, d) => table(s, d, "documents")
