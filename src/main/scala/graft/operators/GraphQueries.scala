@@ -3355,6 +3355,64 @@ object GraphQueries {
         "support floor on the standing transition artifact are " +
         "counted, the ~2k-row frequent set broadcasts, and the first " +
         "prune lands BEFORE the third lineitem join — candidate mass " +
-        "tracks the frequent set, never the corpus-cubed cross")
+        "tracks the frequent set, never the corpus-cubed cross"),
+
+    Q("g83_association_rules",
+      (s, d) => {
+        // market-basket ASSOCIATION RULES (Agrawal et al. 1993) off the
+        // standing weighted co-purchase artifact: for each frequent
+        // pair, both directed rules a→b with exact integer support /
+        // confidence / lift — the basket-level companion of g82's
+        // sequential patterns (within one order vs across orders).
+        // All inputs are artifact- or marginal-sized; the corpus is
+        // never rescanned
+        val li = TpchGraph.lineitemDeduped(s, d)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+        val nOrders = li.select(col("k")).distinct().count()
+        val itemN = li.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+        val pairs = TpchGraph.weightedCopurchaseEdges(s, d)
+          .filter(col("w") >= 2) // support floor: rare-pair luck is not a rule
+        val rules = pairs
+          .select(col("u").as("antecedent"), col("v").as("consequent"), col("w"))
+          .unionByName(pairs
+            .select(col("v").as("antecedent"), col("u").as("consequent"), col("w")))
+          .join(itemN.select(col("p").as("antecedent"), col("n_item").as("na")),
+            "antecedent")
+          .join(itemN.select(col("p").as("consequent"), col("n_item").as("nb")),
+            "consequent")
+          .select(col("antecedent"), col("consequent"), col("w").as("n_joint"),
+            expr(s"w * 1000000 div $nOrders").as("support_ppm"),
+            expr("w * 1000000 div na").as("confidence_ppm"),
+            expr(s"w * $nOrders * 1000 div (na * nb)").as("lift_milli"))
+        rules.orderBy(desc("lift_milli"), desc("confidence_ppm"),
+            asc("antecedent"), asc("consequent"))
+          .limit(25)
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        n AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_orders FROM li),
+        it AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1),
+        pr AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        rl AS (SELECT u AS antecedent, v AS consequent, w FROM pr
+               UNION ALL SELECT v, u, w FROM pr)
+        SELECT r.antecedent, r.consequent, r.w AS n_joint,
+               CAST(r.w * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+               CAST(r.w * 1000000 // ia.n_item AS BIGINT) AS confidence_ppm,
+               CAST(r.w * n.n_orders * 1000 // (ia.n_item * ib.n_item) AS BIGINT) AS lift_milli
+        FROM rl r JOIN it ia ON ia.p = r.antecedent
+                  JOIN it ib ON ib.p = r.consequent
+                  CROSS JOIN n
+        ORDER BY lift_milli DESC, confidence_ppm DESC, antecedent, consequent
+        LIMIT 25"""),
+      "graph analytics — market-basket ASSOCIATION RULES (Agrawal et " +
+        "al. 1993) off the standing weighted co-purchase artifact: " +
+        "both directed rules per frequent pair with exact integer " +
+        "support ppm, confidence ppm, and lift milli (the PMI-class " +
+        "ratio kept hash-portable, as p164 does for text). The basket " +
+        "companion of g82's sequential patterns; inputs are artifact- " +
+        "and marginal-sized — the corpus is never rescanned, and the " +
+        "top-25 readout is a bounded heap")
   )
 }
