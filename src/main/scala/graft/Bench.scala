@@ -105,15 +105,36 @@ object Bench {
     val isolateEnabled = !sys.env.get("SPARK_GRAFT_NO_ISOLATE").contains("1")
     val IsoSpread = 2.0
     val IsoFloorSec = 1.0
-    val floorsPath = java.nio.file.Paths.get("BENCH_FLOORS.json")
-    val floors: Map[String, Double] =
+    // floors are PER-SF files (BENCH_FLOORS_<sf>.json): one shared file
+    // keyed by a single "sf" field meant the dual-SF round-close sweep
+    // (sf0.01 full run after the sf0.1 one) read Map.empty and then
+    // OVERWROTE the other SF's monotone floor record — degrading the
+    // isolation trigger back to the spread heuristic and letting a
+    // degraded run re-seed itself as the best-ever floor. The legacy
+    // single-file record is read once as a migration seed when its
+    // recorded sf matches.
+    val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
+    val floorsPath = java.nio.file.Paths.get(s"BENCH_FLOORS_$sfShort.json")
+    // parse ONLY the floors object: an unanchored "name":number regex
+    // would adopt any future numeric top-level field (e.g. "version":2)
+    // as a query floor and perpetuate it through the monotone merge
+    def parseFloors(p: java.nio.file.Path, requireSf: Option[String]): Map[String, Double] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(floorsPath), "UTF-8")
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-        else """"([A-Za-z0-9_]+)":([0-9][0-9.]*)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toMap
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (requireSf.exists(sf => !txt.contains("\"sf\":\"" + sf + "\""))) Map.empty
+        else {
+          val body = txt.substring(txt.indexOf("\"floors\":{") + "\"floors\":{".length)
+          """"([A-Za-z0-9_]+)":([0-9][0-9.]*)""".r.findAllMatchIn(
+              body.take(body.indexOf('}') max 0))
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0).toMap
+        }
       } catch { case _: Throwable => Map.empty }
+    val floors: Map[String, Double] = {
+      val perSf = parseFloors(floorsPath, None)
+      if (perSf.nonEmpty) perSf
+      else parseFloors(java.nio.file.Paths.get("BENCH_FLOORS.json"), Some(sfDir))
+    }
     val results = selected.map { case (name, fn) =>
       if (recycle.nonEmpty && inRecycleGroup(name) != prevInGroup) {
         System.err.println(s"[bench] recycling SparkContext at $name")
@@ -187,8 +208,14 @@ object Bench {
         s""""cached_rdds":$cachedN,"cached_mem_mb":$memMb,"cached_disk_mb":$diskMb,""" +
         s""""spark":"${spark.version}","cpus":$cpus,"recycles":$nRecycles,"isolated":$isolated}"""
     }
+    // honest timing label: when any query's value came from the isolated
+    // fresh-context pair the min is over up to FOUR runs, not two — a
+    // "min_of_2" label there would make cross-round totals look
+    // methodology-identical when they aren't
+    val timingMode =
+      if (results.exists(_._5.nonEmpty)) "min_of_2_plus_iso" else "min_of_2"
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","failed":${results.count(_._2 < 0)},"provenance":$provenance,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"$timingMode","failed":${results.count(_._2 < 0)},"provenance":$provenance,"queries":$fullQs,"sf":"$sfDir"}"""
     try {
       // filtered runs — and scale-rehearsal runs against ScaleData tiles
       // (written under /tmp) — must not clobber the committed sf0.1
@@ -202,10 +229,13 @@ object Bench {
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full record -> ${p.toAbsolutePath}")
       // merge this run into the monotone floor record (per-query best ever
-      // at this SF — the isolation trigger's reference). Only canonical
-      // runs: partial/rehearsal timings may be measured under different
-      // CPU counts or tile layouts.
-      if (canonical) {
+      // at this SF — the isolation trigger's reference). Canonical runs
+      // always; SPARK_GRAFT_FLOORS=1 opts a filtered/rehearsal run in
+      // (quiet-rig regression floors, /tmp ScaleData sf1.0 tiles) — the
+      // merge is a per-query MIN so an opted-in run can only sharpen the
+      // trigger, and the per-SF file name keeps tile floors out of the
+      // committed-SF records.
+      if (canonical || sys.env.get("SPARK_GRAFT_FLOORS").contains("1")) {
         val merged = (floors.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { n =>
           val cur = results.collectFirst { case (`n`, b, _, _, _) if b > 0 => b }
           val f = (floors.get(n).toSeq ++ cur.toSeq)
@@ -223,7 +253,6 @@ object Bench {
     // byte-budgeted: aggregates always, then per-query entries added
     // slowest-first (the ones perf triage needs) until the line would exceed
     // the budget. The complete per-query record is always in BENCH_FULL.json.
-    val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
     val lineBudget = 1800 // < 2000-byte window, headroom for driver framing
     // "failed"/"failed_ids" are always-present aggregates, and failed
     // queries (best = -1) sort FIRST in the entry order: truncation must
@@ -236,7 +265,7 @@ object Bench {
       .mkString("[", ",", "]")
     def line(entries: Seq[String]) = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_2","n_queries":${results.size},"failed":$nFailed,"failed_ids":$failedIds,"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"$timingMode","n_queries":${results.size},"failed":$nFailed,"failed_ids":$failedIds,"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfShort"}"""
     }
     val entriesBySlowest = results
       .sortBy { case (_, best, _, _, _) => if (best < 0) Double.NegativeInfinity else -best }

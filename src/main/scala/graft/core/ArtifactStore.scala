@@ -30,10 +30,13 @@ object ArtifactStore {
   private lazy val root: String =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", TempStores.scratchDir("graft-artifacts-"))
 
-  /** Fingerprint of the artifact's SOURCE tables: name, size, and mtime
-    * of every data file under each source dir. Cheap (a directory
-    * listing — no data read) and exactly the signal an incremental
-    * refresh job keys on: any rewrite, compaction, or append changes it.
+  /** Fingerprint of the artifact's SOURCE tables: relative path, size,
+    * and mtime of every data file under each source dir — the full tree
+    * ([[java.nio.file.Files.walk]]), so a partitioned/nested layout's
+    * in-place file rewrite (which may not touch the parent dir's mtime)
+    * still invalidates. Cheap (a directory walk — no data read) and
+    * exactly the signal an incremental refresh job keys on: any rewrite,
+    * compaction, or append changes it.
     */
   def sourceFingerprint(sfDir: String, tables: Seq[String]): String = {
     val parts = tables.sorted.flatMap { t =>
@@ -41,11 +44,14 @@ object ArtifactStore {
       if (!java.nio.file.Files.exists(p)) Seq(s"$t:absent")
       else if (java.nio.file.Files.isDirectory(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(p).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq
+          .filter(java.nio.file.Files.isRegularFile(_))
           .filterNot(_.getFileName.toString.startsWith("_"))
           .sortBy(_.toString)
-          .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+          .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
             s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+        finally walk.close()
       } else Seq(s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
         s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
     }
@@ -79,10 +85,16 @@ object ArtifactStore {
       val tbl = tableName(name)
       val meta = metaPath(name)
       val data = dataPath(name)
+      // staleness covers the BUCKET SPEC, not just the sources: files
+      // written under an old (bucketCol, nBuckets) re-registered with a
+      // new spec would let Spark elide exchanges the files don't satisfy
+      // — silently wrong joins/aggregates on the bucket column. A spec
+      // mismatch is a rebuild, same as a source change.
       val current =
         java.nio.file.Files.exists(meta) && java.nio.file.Files.exists(data) && {
           val lines = java.nio.file.Files.readAllLines(meta)
-          lines.size >= 2 && lines.get(0) == fingerprint
+          lines.size >= 3 && lines.get(0) == fingerprint &&
+            lines.get(2) == s"$bucketCol:$nBuckets"
         }
       if (current) {
         // re-register in THIS session's catalog if absent (a fresh process
@@ -106,7 +118,8 @@ object ArtifactStore {
           .saveAsTable(tbl)
         java.nio.file.Files.createDirectories(meta.getParent)
         java.nio.file.Files.write(meta,
-          (fingerprint + "\n" + df.schema.toDDL + "\n").getBytes("UTF-8"))
+          (fingerprint + "\n" + df.schema.toDDL + "\n" +
+            s"$bucketCol:$nBuckets" + "\n").getBytes("UTF-8"))
       }
       spark.table(tbl)
     }

@@ -2582,17 +2582,22 @@ object GraphQueries {
 
     Q("g65_incremental_triangles",
       (s, d) => {
-        // incremental census maintenance: the co-purchase edges split
-        // by a deterministic coin into a standing BASE graph and an
-        // arriving DELTA; the maintained total must equal the full
-        // census without re-censusing the base — each new triangle is
-        // counted once by its maximal delta edge
+        // incremental census maintenance: the standing BASE graph and
+        // its census are STORE ARTIFACTS (ArtifactStore, refreshed per
+        // source fingerprint — never per invocation); only the arriving
+        // DELTA is attributed here, each new triangle counted once by
+        // its maximal delta edge. The maintained total must equal the
+        // oracle's independent full census; Triangles.incrementalCounts
+        // (inline base rebuild) stays as the audit twin under spec.
         val full = TpchGraph.copurchaseEdges(s, d)
         val coin = graft.functions.Sampling.hash01(
           concat(col("u").cast("string"), lit("_"), col("v").cast("string")),
           "triwave:")
-        graft.plans.Triangles.incrementalCounts(
-          full.filter(coin < 0.5), full.filter(coin >= 0.5))
+        graft.plans.Triangles.incrementalCountsFrom(
+          TpchGraph.storedTriwaveBaseEdges(s, d),
+          full.filter(coin >= 0.5),
+          TpchGraph.storedTriwaveBaseTriangles(s, d)
+            .agg(count(lit(1)).as("t_base")))
       },
       Some(s"""
         WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
@@ -2621,8 +2626,10 @@ object GraphQueries {
         "delta edge (md5-hex total order, the Matching convention). " +
         "Enumeration pivots at each delta edge's lower-degree endpoint, " +
         "so the incremental term costs Σ min-degree over the DELTA — " +
-        "the base census is the stored standing artifact, never " +
-        "re-run. The oracle computes base and full censuses " +
+        "the base edge list and base triangle list are ArtifactStore " +
+        "tables (t_base is a count over the stored list's row-group " +
+        "stats, no wedge join), so a refresh genuinely costs only the " +
+        "delta attribution. The oracle computes base and full censuses " +
         "independently, so the attribution arithmetic is hash-gated"),
 
     Q("g66_heavy_matching",
@@ -3413,6 +3420,111 @@ object GraphQueries {
         "ratio kept hash-portable, as p164 does for text). The basket " +
         "companion of g82's sequential patterns; inputs are artifact- " +
         "and marginal-sized — the corpus is never rescanned, and the " +
-        "top-25 readout is a bounded heap")
+        "top-25 readout is a bounded heap"),
+
+    Q("g84_triangle_list_store",
+      (s, d) => {
+        // the triangle family's standing artifact made DURABLE: the
+        // canonical triangle list (g36/g55/g59's shared input) written
+        // once as bucketed parquet via ArtifactStore and answered from
+        // the store scan; full-content row hashes against an
+        // independent oracle enumeration — a store that dropped,
+        // duplicated, or corrupted one triangle fails
+        TpchGraph.storedCopurchaseTriangles(s, d)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(conv(substring(md5(concat_ws("|",
+              col("x1").cast("string"), col("x2").cast("string"),
+              col("x3").cast("string"))), 1, 7), 16, 10)
+              .cast("long")), lit(0L)).as("checksum"))
+          .select(lit("copurchase_triangles").as("artifact"),
+            col("n_rows"), col("checksum"))
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        tri AS (SELECT e1.u AS x1, e1.v AS x2, e2.v AS x3
+                FROM e0 e1 JOIN e0 e2 ON e2.u = e1.u AND e1.v < e2.v
+                           JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT 'copurchase_triangles' AS artifact,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(('0x' || substring(md5(
+                 CAST(x1 AS VARCHAR) || '|' || CAST(x2 AS VARCHAR) || '|' ||
+                 CAST(x3 AS VARCHAR)), 1, 7))::BIGINT), 0) AS BIGINT) AS checksum
+        FROM tri"""),
+      "maintained artifacts — the k-truss family's standing triangle " +
+        "list (x1 < x2 < x3, each triangle exactly once) as a durable " +
+        "ArtifactStore table, bucketed by x1 (the peel's join key) with " +
+        "source-fingerprint invalidation; the session memo form dies " +
+        "with the JVM, this is what a deployment refreshes with the " +
+        "fact table. Oracle: an independent id-ordered enumeration " +
+        "(each triangle once as (e1=(a,b), e2=(a,c), e3=(b,c)), " +
+        "a<b<c), full-content row hashes — not just counts"),
+
+    Q("g85_coarsen_store",
+      (s, d) => {
+        // the multilevel arc's level-one products made DURABLE: the
+        // contraction map superOf(x → sx) and the coarse multigraph
+        // (cu, cv, w) — g67–g71's shared starting state — as bucketed
+        // ArtifactStore tables, answered from the store scan with
+        // full-content row hashes vs the oracle's independent
+        // matching+contraction replay
+        def sig(df: org.apache.spark.sql.DataFrame, name: String,
+                cols: Seq[String]) =
+          df.agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(conv(substring(md5(concat_ws("|",
+                cols.map(c => col(c).cast("string")): _*)), 1, 7), 16, 10)
+                .cast("long")), lit(0L)).as("checksum"))
+            .select(lit(name).as("artifact"), col("n_rows"), col("checksum"))
+        sig(TpchGraph.storedCoarsenSuperOf(s, d), "coarsen_l1_superof",
+            Seq("x", "sx"))
+          .unionByName(sig(TpchGraph.storedCoarsenCoarse(s, d),
+            "coarsen_l1_coarse", Seq("cu", "cv", "w")))
+          .orderBy("artifact")
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        wco AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        ed0 AS MATERIALIZED (
+          SELECT u, v, w,
+                 lpad(CAST(1000000000000 - w AS VARCHAR), 13, '0')
+                   || md5('hmatch:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pe
+          FROM wco),
+        vm1 AS (SELECT x, min(pe) AS mpe FROM (
+            SELECT u AS x, pe FROM ed0 UNION ALL SELECT v AS x, pe FROM ed0) GROUP BY 1),
+        sel1 AS MATERIALIZED (
+          SELECT e.u, e.v, e.w FROM ed0 e
+          JOIN vm1 a ON a.x = e.u JOIN vm1 b ON b.x = e.v
+          WHERE e.pe = a.mpe AND e.pe = b.mpe),
+        verts AS (SELECT u AS x FROM ed0 UNION SELECT v FROM ed0),
+        cmap AS (SELECT u AS x, u AS sx FROM sel1 UNION ALL SELECT v, u FROM sel1),
+        sup AS (SELECT v.x, coalesce(c.sx, v.x) AS sx
+                FROM verts v LEFT JOIN cmap c ON c.x = v.x),
+        rek AS (SELECT a.sx AS su, b.sx AS sv, e.w
+                FROM ed0 e JOIN sup a ON a.x = e.u JOIN sup b ON b.x = e.v),
+        coarse AS (SELECT least(su, sv) AS cu, greatest(su, sv) AS cv, sum(w) AS w
+                   FROM rek WHERE su <> sv GROUP BY 1, 2)
+        SELECT 'coarsen_l1_coarse' AS artifact,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(('0x' || substring(md5(
+                 CAST(cu AS VARCHAR) || '|' || CAST(cv AS VARCHAR) || '|' ||
+                 CAST(w AS VARCHAR)), 1, 7))::BIGINT), 0) AS BIGINT) AS checksum
+        FROM coarse
+        UNION ALL
+        SELECT 'coarsen_l1_superof',
+               CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(('0x' || substring(md5(
+                 CAST(x AS VARCHAR) || '|' || CAST(sx AS VARCHAR)), 1, 7))::BIGINT), 0) AS BIGINT)
+        FROM sup
+        ORDER BY artifact"""),
+      "maintained artifacts — the multilevel-partitioning arc's " +
+        "level-one coarsening products (contraction map superOf " +
+        "bucketed by x, coarse multigraph bucketed by cu) as durable " +
+        "ArtifactStore tables with source-fingerprint invalidation; " +
+        "the per-level scaffolding (sel/rek) is recomputed from these, " +
+        "not stored. Oracle replays the heavy-edge matching and " +
+        "contraction independently (g67's CTE chain) and compares " +
+        "full-content row hashes")
   )
 }

@@ -179,6 +179,27 @@ object Triangles {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
     val b = canon(base).localCheckpoint(eager = false)
+    incrementalCountsFrom(b, delta,
+      counts(b).select(col("n_triangles").as("t_base")), salt)
+  }
+
+  /** The STANDING-ARTIFACT form of [[incrementalCounts]]: the base edge
+    * list arrives ALREADY canonical (`u < v`, distinct, no loops — e.g.
+    * a bucketed store scan) and the base census arrives as a prebuilt
+    * 1-row `(t_base)` (e.g. a count over the stored [[triangleList]]),
+    * so a refresh costs ONLY the delta attribution — Σ min-degree over
+    * the delta against the standing adjacency — never a base re-census.
+    * [[incrementalCounts]] (which rebuilds both inline so the query is
+    * self-contained) is the audit twin; this is the shape a deployment
+    * actually runs, and the two are oracle-identical by construction.
+    */
+  def incrementalCountsFrom(b: DataFrame, delta: DataFrame,
+                            tBase0: DataFrame,
+                            salt: String = "ie:"): DataFrame = {
+    def canon(df: DataFrame) = df
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
     val d = canon(delta).join(b, Seq("u", "v"), "left_anti")
       .select(col("u"), col("v"),
         md5(concat(lit(salt), col("u").cast("string"), lit(":"),
@@ -217,7 +238,7 @@ object Triangles {
       .filter(col("wv2") === 0 || col("k2") < col("k"))
 
     val tDelta = closed.agg(count(lit(1)).as("t_delta"))
-    val tBase = counts(b).select(col("n_triangles").as("t_base"))
+    val tBase = tBase0.select(col("t_base").cast("long").as("t_base"))
     b.agg(count(lit(1)).as("n_base_edges"))
       .crossJoin(d.agg(count(lit(1)).as("n_delta_edges")))
       .crossJoin(tBase)

@@ -83,6 +83,41 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("a changed bucket spec is STALE even when sources are unchanged") {
+    // without the spec in the meta, files written INTO 2 BUCKETS would be
+    // re-registered as 4-bucket — Spark then elides exchanges the files
+    // don't satisfy: silently wrong joins/aggs on the bucket column
+    val name = s"spec_art_spec_${System.nanoTime()}"
+    var builds2 = 0
+    def build() = { builds2 += 1; Seq((1L, 10L), (2L, 20L)).toDF("k", "v") }
+    ArtifactStore.bucketed(spark, name, "fp", "k", 2)(build())
+    assert(builds2 == 1)
+    // same fingerprint, more buckets: must rebuild, and the catalog must
+    // carry the NEW spec
+    val a = ArtifactStore.bucketed(spark, name, "fp", "k", 4)(build())
+    assert(builds2 == 2, "changed nBuckets must invalidate")
+    val cat = spark.sql(s"DESCRIBE TABLE EXTENDED graft_art_$name")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(cat.contains("Num Buckets=4"), cat)
+    assert(a.count() == 2)
+    // same fingerprint, different bucket COLUMN: also a rebuild
+    ArtifactStore.bucketed(spark, name, "fp", "v", 4)(build())
+    assert(builds2 == 3, "changed bucketCol must invalidate")
+  }
+
+  test("sourceFingerprint sees files in NESTED partition subdirectories") {
+    // a partitioned layout's in-place rewrite changes a leaf file, not
+    // necessarily the parent dir entry a flat listing fingerprints
+    val dir = TempStores.scratchDir("art-fp-nested-")
+    val tbl = java.nio.file.Paths.get(dir, "tbl.parquet", "part=a")
+    java.nio.file.Files.createDirectories(tbl)
+    val leaf = tbl.resolve("data.bin")
+    java.nio.file.Files.write(leaf, "aaa".getBytes)
+    val fp1 = ArtifactStore.sourceFingerprint(dir, Seq("tbl"))
+    java.nio.file.Files.write(leaf, "bbbb".getBytes) // leaf-only size change
+    assert(ArtifactStore.sourceFingerprint(dir, Seq("tbl")) != fp1)
+  }
+
   test("sourceFingerprint changes when a source file changes, not when queried twice") {
     val dir = TempStores.scratchDir("art-fp-spec-")
     val f = java.nio.file.Paths.get(dir, "tbl.parquet")

@@ -218,4 +218,25 @@ class TrianglesSpec extends SparkSpec {
       assert(r.getLong(4) === full.getLong(2), s"seed $seed: $g")
     }
   }
+
+  test("incrementalCountsFrom (standing-artifact form) row-equals the inline audit twin") {
+    // the g65 deployment shape: base arrives pre-canonicalized, t_base
+    // as a prebuilt count over the standing triangle list — must be
+    // bit-identical to incrementalCounts' self-contained rebuild
+    import org.apache.spark.sql.functions._
+    for (seed <- 31L to 33L) {
+      val g = GraphGen.randGraph(seed, n = 14, m = 45)
+      val (base, delta) = g.zipWithIndex.partition(_._2 % 4 != 0)
+      val baseDf = base.map(_._1).toDF("u", "v")
+      val canonBase = baseDf
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val tBase = Triangles.triangleList(canonBase)
+        .agg(count(lit(1)).as("t_base"))
+      val fromStore = Triangles.incrementalCountsFrom(
+        canonBase, delta.map(_._1).toDF("u", "v"), tBase).collect()(0)
+      val inline = incr(base.map(_._1), delta.map(_._1))
+      assert(fromStore.toSeq === inline.toSeq, s"seed $seed")
+    }
+  }
 }
