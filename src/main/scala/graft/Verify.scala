@@ -13,8 +13,9 @@ object Verify {
       if (args.length > 2) { val ps = args(2).split(','); n => ps.exists(n.startsWith) }
       else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs this same gate
+    // across real executor JVMs (see graft.core.Masters)
+    val spark = graft.core.Masters.configure(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

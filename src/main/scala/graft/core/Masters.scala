@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-master resolution shared by the runtime mains (Verify, Bench)
+  * and the test harness.
+  *
+  * `SPARK_GRAFT_MASTER` overrides the default single-process
+  * `local[cpus]`. The load-bearing override is `local-cluster[W,C,MB]`:
+  * Spark's standalone-cluster test master, which launches W REAL executor
+  * JVMs (C cores / MB megabytes each) from `SPARK_HOME`. Everything a
+  * single-process `local[N]` run never exercises crosses a process
+  * boundary there — closure serialization of every operator lambda, the
+  * custom Catalyst expressions riding serialized plan fragments,
+  * broadcast values (Bloom filters, centroid arrays, frontier maps)
+  * re-materialized by executor-side deserialization, GraphX
+  * vertex/edge payloads, and task-result traffic — i.e. the classic
+  * works-locally-dies-on-cluster failure class, made testable on one box.
+  */
+object Masters {
+
+  def resolve(cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
+  /** Apply the resolved master; for executor-JVM masters also ship the
+    * library's classes. A local-cluster executor is launched with only
+    * `SPARK_HOME/jars` on its classpath — the application's own classes
+    * must ride `spark.executor.extraClassPath` (a same-host directory
+    * path; a real cluster submits an application jar, which is the same
+    * contract with a copy step). The main-classes directory is derived
+    * from this class's own code source; extra entries (e.g. the test
+    * classes directory when running specs cross-JVM) join via
+    * `SPARK_GRAFT_EXEC_CP`.
+    */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    val m = resolve(cpus)
+    val b1 = b.master(m)
+    if (!m.startsWith("local-cluster")) b1
+    else {
+      val own =
+        try Masters.getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+        catch { case _: Throwable => "" }
+      val entries = (own +: sys.env.get("SPARK_GRAFT_EXEC_CP").toSeq)
+        .filter(_.nonEmpty)
+      b1.config("spark.executor.extraClassPath",
+        entries.mkString(java.io.File.pathSeparator))
+    }
+  }
+}

@@ -44,4 +44,42 @@ class RocksDbStateStoreSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  // The arbitrary-state operators are where providers actually diverge:
+  // flatMapGroupsWithState round-trips USER-DEFINED state through the
+  // store (encoder bytes, timeout timestamps), and session_window uses
+  // the dedicated merging session store path — both exercise provider
+  // code the built-in aggregation/dedup surfaces above never touch.
+
+  test("event-time-timeout sessionization (p111, flatMapGroupsWithState) drains identically under RocksDB") {
+    val want = EventStream.runSessionTimeoutStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = withRocksDb(EventStream.runSessionTimeoutStream(spark, sf))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("built-in session_window aggregation (p139 surface) drains identically under RocksDB") {
+    val want = EventStream.runSessionWindowStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = withRocksDb(EventStream.runSessionWindowStream(spark, sf))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("stream-stream interval join (p82 surface) drains identically under RocksDB") {
+    // symmetric join state (both sides buffered until the watermark
+    // clears the interval) — the third provider-backed state shape
+    val want = EventStream.runIntervalJoinStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = withRocksDb(EventStream.runIntervalJoinStream(spark, sf))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  // NOT under this spec, deliberately: the maintained-store dedup (p58)
+  // and kNN store (p155) keep their state as PARQUET TABLES the queries
+  // own (the lakehouse-artifact form), not in the streaming state store
+  // — there is no provider to vary; their correctness gates are the
+  // oracle queries themselves.
 }
