@@ -1086,7 +1086,7 @@ object PipelineQueries {
         // as p24. p24 keeps the exact pair set as its ground-truth twin;
         // this is the composition a production pipeline runs.
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         val pairs = TpchGraph.lshPairs(s, d)
           .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
         graft.plans.DfConnectedComponents.run(pairs)
@@ -1476,7 +1476,7 @@ object PipelineQueries {
     Q("p22_lsh_near_dups",
       (s, d) => {
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         // this synthetic corpus has no true near-dups (max pairwise cos
         // ≈ 0.6), so block at the similar-pair threshold p17 uses; LSH
         // recall at cos 0.4 is partial by design — the returned subset is
@@ -3261,7 +3261,7 @@ object PipelineQueries {
         // pairs come from the LSH-blocked generator (the 100 TB path, as
         // in p32); the exact-recompute oracle verifies recall end to end
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         val pairs = TpchGraph.lshPairs(s, d)
         Dedup.clusterWeights(emb, col("vec_id"), pairs)
           .orderBy("vec_id")
@@ -3307,7 +3307,7 @@ object PipelineQueries {
         // (shared oracle). Pairs come from the LSH-blocked generator
         // (the 100 TB path, as in p32).
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         val pairs = TpchGraph.lshPairs(s, d)
           .select(col("id_a").cast("long").as("src"),
             col("id_b").cast("long").as("dst"))
@@ -3505,7 +3505,7 @@ object PipelineQueries {
         // cosine-verified), so the single number that needs watching is
         // recall — and it is an exact integer, not a sampled estimate
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         // the exact pair set feeds BOTH counts — materialize it once
         // (without the lineage cut the all-pairs join runs twice)
         val exact = Dedup.embeddingNearDups(
@@ -3853,7 +3853,7 @@ object PipelineQueries {
         // helper with p103's threshold derivation: the monitor and the
         // salting decision read the same numbers.
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         Dedup.lshOccupancyProfile(emb, col("embedding"), dim).orderBy("tbl")
       },
       Some(s"""
@@ -3885,7 +3885,7 @@ object PipelineQueries {
         // operator for ANY thresholds, which is why p22's oracle applies
         // as-is.
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         val profile = Dedup.lshOccupancyProfile(emb, col("embedding"), dim)
         val (hot, shard) = Dedup.deriveSaltingThresholds(profile, partitions = 2048)
         // explicit legacy (4, 6): shares p22's fixed-config oracle
@@ -4200,7 +4200,7 @@ object PipelineQueries {
         // over one count — nothing shuffles; n²/2^planes and n/2^planes
         // are binary-exact in doubles so the mass columns are
         // engine-portable integers.
-        val n = table(s, d, "embeddings").count()
+        val n = TpchGraph.embeddingsCount(s, d)
         val rows = Seq(0.4, 0.7, 0.9, 0.95).map { minCos =>
           val (planes, tables) = Similarity.lshConfigFor(n, minCos)
           val p = Similarity.planeCollisionProb(minCos)
@@ -4548,7 +4548,7 @@ object PipelineQueries {
     Q("p121_contrastive_triplets",
       (s, d) => {
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         val pairs = TpchGraph.lshPairs(s, d)
         // fixed anchor sample (key range): the export stays linear at
         // any SF where "every anchor with a positive" would be the
@@ -4994,14 +4994,14 @@ object PipelineQueries {
         // output columns so the oracle's SQL re-derivation (p112's
         // formulas) cross-checks the Scala derivation by hash.
         val emb = table(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val dim = TpchGraph.embeddingsDim(s, d)
         val pairs = Dedup.embeddingNearDupsLsh(emb, col("vec_id"), col("embedding"),
           minCos = DerivedLshGolden.MinCos, dim = dim)
         val comp = graft.plans.DfConnectedComponents.run(
           pairs.select(col("id_a").cast("long").as("src"),
             col("id_b").cast("long").as("dst")))
-        val (planes, tables) =
-          Similarity.lshConfigFor(emb.count(), DerivedLshGolden.MinCos)
+        val (planes, tables) = Similarity.lshConfigFor(
+          TpchGraph.embeddingsCount(s, d), DerivedLshGolden.MinCos)
         comp.groupBy(col("component").cast("long").as("canonical_id"))
           .agg(count(lit(1)).cast("long").as("n_members"),
             (count(lit(1)) - 1).cast("long").as("n_dropped"))

@@ -38,6 +38,32 @@ object TpchGraph {
       if (name == "events") events(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet"))
 
+  private val embDimCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Int]()
+  private val embCountCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+
+  /** Memoized embedding dimensionality: nine ANN/dedup queries each paid
+    * a one-row `head()` job to read `size(embedding)` — a per-query
+    * driver round-trip for a value that is a constant of the corpus.
+    * One job per (session, dir), shared by every consumer.
+    */
+  def embeddingsDim(spark: SparkSession, dir: String): Int =
+    embDimCache.getOrElseUpdate((spark, dir),
+      table(spark, dir, "embeddings")
+        .select(size(col("embedding"))).head().getInt(0))
+
+  /** Memoized `embeddings` row count — the input of the corpus-derived
+    * LSH config (p112's ledger and p130's output columns re-derive the
+    * same `lshConfigFor(n, ·)` from the same count; the advisor flagged
+    * the duplicate scan). The count INSIDE `Dedup.resolveLshShape`
+    * stays independent on purpose: p130 gates the untouched default
+    * path a new caller gets.
+    */
+  def embeddingsCount(spark: SparkSession, dir: String): Long =
+    embCountCache.getOrElseUpdate((spark, dir),
+      table(spark, dir, "embeddings").count())
+
   /** Schema-adaptive events reader: the generator has shipped `ts` both as
     * parquet TIMESTAMP(NANOS) (int64, which Spark 4 refuses unless read as
     * a raw long) and as a native `timestamp[us]` logical type (which Spark
@@ -232,7 +258,7 @@ object TpchGraph {
       import org.apache.spark.sql.functions._
       import org.apache.spark.storage.StorageLevel
       val emb = table(spark, dir, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val dim = embeddingsDim(spark, dir)
       // EXPLICIT legacy (4, 6) table shape: this pair set is the oracle
       // contract shared by six queries (plane literals are inlined in
       // their SQL), so its config is pinned history, not a default. New
