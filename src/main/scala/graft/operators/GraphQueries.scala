@@ -2582,20 +2582,18 @@ object GraphQueries {
 
     Q("g65_incremental_triangles",
       (s, d) => {
-        // incremental census maintenance: the standing BASE graph and
-        // its census are STORE ARTIFACTS (ArtifactStore, refreshed per
-        // source fingerprint — never per invocation); only the arriving
-        // DELTA is attributed here, each new triangle counted once by
-        // its maximal delta edge. The maintained total must equal the
-        // oracle's independent full census; Triangles.incrementalCounts
-        // (inline base rebuild) stays as the audit twin under spec.
-        val full = TpchGraph.copurchaseEdges(s, d)
-        val coin = graft.functions.Sampling.hash01(
-          concat(col("u").cast("string"), lit("_"), col("v").cast("string")),
-          "triwave:")
+        // incremental census maintenance: the standing BASE graph (90%
+        // of edges, wave-proportioned — see TpchGraph.TriwaveBaseShare)
+        // and its census are STORE ARTIFACTS (ArtifactStore, refreshed
+        // per source fingerprint — never per invocation); only the
+        // arriving 10% DELTA is attributed here, each new triangle
+        // counted once by its maximal delta edge. The maintained total
+        // must equal the oracle's independent full census;
+        // Triangles.incrementalCounts (inline base rebuild) stays as
+        // the audit twin under spec.
         graft.plans.Triangles.incrementalCountsFrom(
           TpchGraph.storedTriwaveBaseEdges(s, d),
-          full.filter(coin >= 0.5),
+          TpchGraph.triwaveDeltaEdges(s, d),
           TpchGraph.storedTriwaveBaseTriangles(s, d)
             .agg(count(lit(1)).as("t_base")))
       },
@@ -2606,7 +2604,7 @@ object GraphQueries {
         eb AS MATERIALIZED (SELECT u, v FROM e0
               WHERE ('0x' || substring(md5('triwave:' || CAST(u AS VARCHAR)
                        || '_' || CAST(v AS VARCHAR)), 1, 7))::BIGINT
-                    / 268435456.0 < 0.5),
+                    / 268435456.0 < 0.9),
         tf AS (SELECT count(*) AS t
                FROM e0 e1 JOIN e0 e2 ON e2.u = e1.u AND e1.v < e2.v
                           JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v),
@@ -2620,8 +2618,10 @@ object GraphQueries {
                CAST((SELECT t FROM tf) - (SELECT t FROM tb) AS BIGINT) AS t_delta,
                CAST((SELECT t FROM tf) AS BIGINT) AS t_total"""),
       "graph analytics — INCREMENTAL triangle census maintenance: the " +
-        "co-purchase edges split by a deterministic coin into a " +
-        "standing base and an arriving delta; t(G ∪ D) = t(G) + " +
+        "co-purchase edges split by a deterministic coin into a 90% " +
+        "standing base and a 10% arriving wave (wave-proportioned — a " +
+        "50/50 split made the attribution itself cost half a rebuild); " +
+        "t(G ∪ D) = t(G) + " +
         "delta-attributed triangles, each counted once by its MAXIMAL " +
         "delta edge (md5-hex total order, the Matching convention). " +
         "Enumeration pivots at each delta edge's lower-degree endpoint, " +

@@ -51,28 +51,35 @@ object Hits {
     var hubs = vertices.withColumn("h", lit(scale))
     var auths = vertices.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
-      // each raw table feeds BOTH the left join and its own max; no
-      // explicit cache — the two subplans are identical, so the physical
-      // plan reuses one exchange (a lazy checkpoint here measured SLOWER:
-      // the materialization barrier costs more than the reuse saves)
+      // the raw mutual-sum table feeds BOTH the score projection and its
+      // own max — checkpoint it ONCE (vertex-sized, null-coalesced) and
+      // derive both consumers from the materialized scan. The earlier
+      // shape computed the scores⋈edges join + aggregate TWICE per
+      // half-round on the assumption Catalyst reuses the identical
+      // exchange; a plan probe showed ReusedExchange never fires here
+      // under AQE (independent query stages), so the join genuinely ran
+      // twice. The normalized scores themselves stay a cheap
+      // scan+broadcast projection — no second checkpoint needed.
       val araw = e.join(hubs, col("key") === col("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
-      auths = vertices
+      val aRaw = vertices
         .join(araw, col("key") === col("dst"), "left")
-        .crossJoin(broadcast(araw.agg(max(col("raw")).as("mx"))))
-        .select(col("key"),
-          expr(s"(coalesce(raw, 0L) * $scale) div greatest(coalesce(mx, 1L), 1L)")
-            .as("a"))
+        .select(col("key"), coalesce(col("raw"), lit(0L)).as("raw"))
         .localCheckpoint(eager = false)
+      auths = aRaw
+        .crossJoin(broadcast(aRaw.agg(max(col("raw")).as("mx"))))
+        .select(col("key"),
+          expr(s"(raw * $scale) div greatest(coalesce(mx, 1L), 1L)").as("a"))
       val hraw = e.join(auths, col("key") === col("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("raw"))
-      hubs = vertices
+      val hRaw = vertices
         .join(hraw, col("key") === col("src"), "left")
-        .crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
-        .select(col("key"),
-          expr(s"(coalesce(raw, 0L) * $scale) div greatest(coalesce(mx, 1L), 1L)")
-            .as("h"))
+        .select(col("key"), coalesce(col("raw"), lit(0L)).as("raw"))
         .localCheckpoint(eager = false)
+      hubs = hRaw
+        .crossJoin(broadcast(hRaw.agg(max(col("raw")).as("mx"))))
+        .select(col("key"),
+          expr(s"(raw * $scale) div greatest(coalesce(mx, 1L), 1L)").as("h"))
     }
     hubs.join(auths, "key")
       .select(col("key"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))

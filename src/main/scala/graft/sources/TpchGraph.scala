@@ -545,17 +545,37 @@ object TpchGraph {
   /** The g65 incremental-census STANDING BASE: the co-purchase edges the
     * deterministic `triwave:` coin assigns to the base graph (canonical
     * `u < v`, distinct by construction), bucketed by `u` — the merged-
-    * adjacency build and the delta anti-join both key on it.
+    * adjacency build and the delta anti-join both key on it. The split
+    * is 90% base / 10% delta: incremental maintenance models a standing
+    * graph absorbing an arriving WAVE, so the delta must be
+    * wave-proportioned, not half the corpus (the original 50/50 split
+    * made the "incremental" query pay Σ min-degree over HALF the edges
+    * — 37 s at sf1.0, as expensive as a rebuild, regardless of where
+    * t_base came from). The coin threshold is baked into the artifact
+    * NAME: artifact content depends on it, and the source fingerprint
+    * alone cannot see a code-parameter change (the ArtifactStore
+    * bucket-spec staleness lesson, applied to derivation params).
     */
+  private val TriwaveBaseShare = 0.9
+
   def storedTriwaveBaseEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.core.ArtifactStore.bucketed(spark, s"triwave_base_edges_${artTag(dir)}",
+    graft.core.ArtifactStore.bucketed(spark, s"triwave_base_edges_p90_${artTag(dir)}",
         graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
         "u", 8) {
       val e = copurchaseEdges(spark, dir)
       e.filter(graft.functions.Sampling.hash01(
         concat(col("u").cast("string"), lit("_"), col("v").cast("string")),
-        "triwave:") < 0.5)
+        "triwave:") < TriwaveBaseShare)
     }
+
+  /** The delta twin of [[storedTriwaveBaseEdges]] — the arriving 10%
+    * wave, for callers composing the g65 refresh. */
+  def triwaveDeltaEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+    e.filter(graft.functions.Sampling.hash01(
+      concat(col("u").cast("string"), lit("_"), col("v").cast("string")),
+      "triwave:") >= TriwaveBaseShare)
+  }
 
   /** The standing base graph's triangle LIST as a store artifact — the
     * base census `t_base` is a count over this scan (parquet row-group
@@ -564,7 +584,7 @@ object TpchGraph {
     * fingerprint at refresh time, never per query invocation.
     */
   def storedTriwaveBaseTriangles(spark: SparkSession, dir: String): DataFrame =
-    graft.core.ArtifactStore.bucketed(spark, s"triwave_base_tri_${artTag(dir)}",
+    graft.core.ArtifactStore.bucketed(spark, s"triwave_base_tri_p90_${artTag(dir)}",
         graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
         "x1", 8) {
       graft.plans.Triangles.triangleList(storedTriwaveBaseEdges(spark, dir))
