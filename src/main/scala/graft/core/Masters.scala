@@ -34,7 +34,14 @@ object Masters {
     */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
     val m = resolve(cpus)
-    val b1 = b.master(m)
+    // SPARK_GRAFT_SERIALIZER=org.apache.spark.serializer.KryoSerializer
+    // runs the gate under the serializer most real clusters deploy with
+    // — shuffle/broadcast/task-result bytes take the Kryo path instead
+    // of Java serialization, the second axis (after the master) on
+    // which single-process runs under-test a deployment.
+    val b0 = sys.env.get("SPARK_GRAFT_SERIALIZER")
+      .fold(b)(s => b.config("spark.serializer", s))
+    val b1 = b0.master(m)
     if (!m.startsWith("local-cluster")) b1
     else {
       val own =

@@ -3525,6 +3525,50 @@ object GraphQueries {
         "the per-level scaffolding (sel/rek) is recomputed from these, " +
         "not stored. Oracle replays the heavy-edge matching and " +
         "contraction independently (g67's CTE chain) and compares " +
-        "full-content row hashes")
+        "full-content row hashes"),
+
+    Q("g86_triangle_list_refresh",
+      (s, d) => {
+        // the artifact-store REFRESH invariant, gated at LIST
+        // granularity: the stored base triangle list plus the wave's
+        // incrementally-attributed NEW triangles must equal the full
+        // graph's triangle list content-exactly — stored ∪ delta-list
+        // is what a refresh job writes back, and a mis-attribution
+        // that cancels in g65's counts cannot cancel in corner hashes
+        val refreshed = TpchGraph.storedTriwaveBaseTriangles(s, d)
+          .unionByName(graft.plans.Triangles.incrementalTriangleList(
+            TpchGraph.storedTriwaveBaseEdges(s, d),
+            TpchGraph.triwaveDeltaEdges(s, d)))
+        refreshed
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(conv(substring(md5(concat_ws("|",
+              col("x1").cast("string"), col("x2").cast("string"),
+              col("x3").cast("string"))), 1, 7), 16, 10)
+              .cast("long")), lit(0L)).as("checksum"))
+          .select(lit("refreshed_triangles").as("artifact"),
+            col("n_rows"), col("checksum"))
+      },
+      Some(s"""
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        tri AS (SELECT e1.u AS x1, e1.v AS x2, e2.v AS x3
+                FROM e0 e1 JOIN e0 e2 ON e2.u = e1.u AND e1.v < e2.v
+                           JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT 'refreshed_triangles' AS artifact,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(('0x' || substring(md5(
+                 CAST(x1 AS VARCHAR) || '|' || CAST(x2 AS VARCHAR) || '|' ||
+                 CAST(x3 AS VARCHAR)), 1, 7))::BIGINT), 0) AS BIGINT) AS checksum
+        FROM tri"""),
+      "maintained artifacts — the REFRESH lifecycle closed: " +
+        "Triangles.incrementalTriangleList attributes each NEW " +
+        "triangle of the arriving wave exactly once (maximal-delta-" +
+        "edge, Σ min-degree over the delta — the g65 machinery at list " +
+        "granularity) and the stored base list ∪ that delta must hash-" +
+        "equal the full graph's independent oracle enumeration: " +
+        "disjointness (stored triangles have no delta edge) + " +
+        "completeness (every new triangle has one) proven by content, " +
+        "which is exactly what a refresh job writes back to the store")
   )
 }

@@ -193,9 +193,15 @@ object Triangles {
     * self-contained) is the audit twin; this is the shape a deployment
     * actually runs, and the two are oracle-identical by construction.
     */
-  def incrementalCountsFrom(b: DataFrame, delta: DataFrame,
-                            tBase0: DataFrame,
-                            salt: String = "ie:"): DataFrame = {
+  /** Shared delta-attribution machinery: canonicalize + anti-join the
+    * delta, build the labeled merged adjacency, and enumerate each NEW
+    * triangle exactly once (by its maximal delta edge), keeping all
+    * three corners `(pv, ot, w)`. Consumed at count granularity by
+    * [[incrementalCountsFrom]] and at list granularity by
+    * [[incrementalTriangleList]].
+    */
+  private def deltaAttributed(b: DataFrame, delta: DataFrame,
+                              salt: String): (DataFrame, DataFrame) = {
     def canon(df: DataFrame) = df
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
@@ -231,12 +237,37 @@ object Triangles {
       .join(adj.select(col("x").as("pv"), col("y").as("w"),
         col("wv").as("wv1"), col("k").as("k1")), "pv")
       .filter(col("w") =!= col("ot") && (col("wv1") === 0 || col("k1") < col("k")))
-      .select(col("ot"), col("w"), col("k"))
+      .select(col("pv"), col("ot"), col("w"), col("k"))
     val closed = cands
       .join(adj.select(col("x").as("ot"), col("y").as("w"),
         col("wv").as("wv2"), col("k").as("k2")), Seq("ot", "w"))
       .filter(col("wv2") === 0 || col("k2") < col("k"))
+      .select(col("pv"), col("ot"), col("w"))
+    (d, closed)
+  }
 
+  /** The NEW triangles `delta` introduces against canonical base `b` —
+    * corners id-sorted `(x1 < x2 < x3)`, each exactly once (maximal-
+    * delta-edge attribution): the LIST companion of
+    * [[incrementalCountsFrom]], i.e. the refresh DELTA for a stored
+    * [[triangleList]] artifact. `stored list ∪ this == triangleList(b ∪
+    * delta)` is the refresh invariant (disjointness holds because every
+    * row here has ≥ 1 delta edge and every stored triangle has none) —
+    * gated at list granularity by g86, which is strictly stronger than
+    * the count gate: a mis-attribution that cancels in counts cannot
+    * cancel in corner hashes.
+    */
+  def incrementalTriangleList(b: DataFrame, delta: DataFrame,
+                              salt: String = "ie:"): DataFrame =
+    deltaAttributed(b, delta, salt)._2
+      .select(expr("array_sort(array(pv, ot, w))").as("t"))
+      .select(col("t").getItem(0).as("x1"), col("t").getItem(1).as("x2"),
+        col("t").getItem(2).as("x3"))
+
+  def incrementalCountsFrom(b: DataFrame, delta: DataFrame,
+                            tBase0: DataFrame,
+                            salt: String = "ie:"): DataFrame = {
+    val (d, closed) = deltaAttributed(b, delta, salt)
     val tDelta = closed.agg(count(lit(1)).as("t_delta"))
     val tBase = tBase0.select(col("t_base").cast("long").as("t_base"))
     b.agg(count(lit(1)).as("n_base_edges"))

@@ -219,6 +219,26 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: incrementalTriangleList refresh invariant — stored ∪ delta-list == full list, disjoint") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 41L to 44L) {
+      val g = GraphGen.randGraph(seed, n = 13, m = 42)
+      val (base, delta) = g.zipWithIndex.partition(_._2 % 5 != 0)
+      val baseDf = base.map(_._1).toDF("u", "v")
+      val canonBase = baseDf
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      def triSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val stored = triSet(Triangles.triangleList(canonBase))
+      val fresh = triSet(Triangles.incrementalTriangleList(
+        canonBase, delta.map(_._1).toDF("u", "v")))
+      val full = triSet(Triangles.triangleList(g.toDF("u", "v")))
+      assert((stored & fresh).isEmpty, s"seed $seed: attribution not disjoint")
+      assert(stored ++ fresh == full, s"seed $seed: refresh != full")
+    }
+  }
+
   test("incrementalCountsFrom (standing-artifact form) row-equals the inline audit twin") {
     // the g65 deployment shape: base arrives pre-canonicalized, t_base
     // as a prebuilt count over the standing triangle list — must be
