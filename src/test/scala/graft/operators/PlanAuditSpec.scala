@@ -832,4 +832,32 @@ class PlanAuditSpec extends SparkSpec {
     // the verdict broadcast is the only nested-loop combine
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("g84 triangle-list checksum answers from a PURE store scan: no joins at all") {
+    // the stored list makes the checksum a scan+aggregate; any Join in
+    // this plan means the wedge enumeration leaked back in
+    val p = plan("g84_triangle_list_store")
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("g85 coarsen-store checksums answer from store scans: no matching/contraction joins") {
+    val p = plan("g85_coarsen_store")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
+  }
+
+  test("g65 store-backed census: t_base is a stored-list count, not a wedge enumeration") {
+    // the attribution joins are delta-driven; the BASE census term must
+    // be an aggregate over the stored triangle-list scan. Count the
+    // wedge-shaped self-join signature: the full inline census has TWO
+    // sort-merge/shuffled joins over the SAME oriented edge set feeding
+    // a range condition; the store-backed plan has only the delta
+    // attribution joins. Weaker proxy pinned here: the plan must scan
+    // the store's parquet (the bucketed artifacts) at least twice
+    // (base edges + base triangle list).
+    val p = plan("g65_incremental_triangles")
+    assert("Scan parquet".r.findAllIn(p).size + "FileScan".r.findAllIn(p).size >= 2, p)
+  }
 }
