@@ -2595,7 +2595,8 @@ object GraphQueries {
           TpchGraph.storedTriwaveBaseEdges(s, d),
           TpchGraph.triwaveDeltaEdges(s, d),
           TpchGraph.storedTriwaveBaseTriangles(s, d)
-            .agg(count(lit(1)).as("t_base")))
+            .agg(count(lit(1)).as("t_base")),
+          baseMirrored = None)
       },
       Some(s"""
         WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
@@ -3538,7 +3539,8 @@ object GraphQueries {
         val refreshed = TpchGraph.storedTriwaveBaseTriangles(s, d)
           .unionByName(graft.plans.Triangles.incrementalTriangleList(
             TpchGraph.storedTriwaveBaseEdges(s, d),
-            TpchGraph.triwaveDeltaEdges(s, d)))
+            TpchGraph.triwaveDeltaEdges(s, d),
+            baseMirrored = None))
         refreshed
           .agg(count(lit(1)).as("n_rows"),
             coalesce(sum(conv(substring(md5(concat_ws("|",

@@ -200,8 +200,8 @@ object Triangles {
     * [[incrementalCountsFrom]] and at list granularity by
     * [[incrementalTriangleList]].
     */
-  private def deltaAttributed(b: DataFrame, delta: DataFrame,
-                              salt: String): (DataFrame, DataFrame) = {
+  private def deltaAttributed(b: DataFrame, delta: DataFrame, salt: String,
+                              baseMirrored: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     def canon(df: DataFrame) = df
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
@@ -212,38 +212,108 @@ object Triangles {
           col("v").cast("string"))).as("k"))
       .localCheckpoint(eager = false)
 
-    // labeled merged adjacency, both directions: wv = 0 base / 1 delta
-    val labeled = b.select(col("u"), col("v"), lit(0).as("wv"), lit("").as("k"))
-      .unionAll(d.select(col("u"), col("v"), lit(1).as("wv"), col("k")))
-    val adj = labeled.select(col("u").as("x"), col("v").as("y"), col("wv"), col("k"))
-      .unionAll(labeled.select(col("v").as("x"), col("u").as("y"), col("wv"), col("k")))
-      .localCheckpoint(eager = false)
-    val deg = adj.groupBy("x").agg(count(lit(1)).as("dg"))
+    baseMirrored match {
+      case Some(mb) =>
+        // SPLIT-JOIN path for a STORED standing adjacency: `mb` is the
+        // base adjacency already mirrored `(x, y)`; when it is a table
+        // BUCKETED by `x`, every base-side probe below inherits
+        // hashpartitioning(x) from the scan and only the DELTA-sized
+        // side exchanges — the standing adjacency never re-shuffles.
+        // MEASURED at sf1.0 local[32] (3 sessions per path, min): the
+        // merged fallback WINS there (g65 7.1 vs 10.8 s, g86 8.8 vs
+        // 11.2 s) — its one localCheckpoint of the merged adjacency
+        // amortizes across the degree pass and both probe joins, while
+        // this path re-reads the base parquet three times. The gate
+        // queries therefore use the merged form; this path is for
+        // deployments where the standing adjacency is a lake table too
+        // big to materialize per refresh and the full re-shuffle (not
+        // the re-scan) is the binding cost. Equivalence is
+        // property-pinned (TrianglesSpec split==merged).
+        val adjD = d.select(col("u").as("x"), col("v").as("y"), col("k"))
+          .unionAll(d.select(col("v").as("x"), col("u").as("y"), col("k")))
+          .localCheckpoint(eager = false)
+        // merged degrees without moving the base: per-x base degree is a
+        // bucket-local aggregate (no exchange), the delta correction is
+        // delta-sized, and a full outer join stitches them
+        val degB = mb.groupBy("x").agg(count(lit(1)).as("db"))
+        val degD = adjD.groupBy("x").agg(count(lit(1)).as("dd"))
+        val deg = degB.join(degD, Seq("x"), "full_outer")
+          .select(col("x"),
+            (coalesce(col("db"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("dg"))
+        val dd0 = d
+          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+        val pivots = dd0.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("pv"),
+          when(uFirst, col("v")).otherwise(col("u")).as("ot"),
+          col("k"))
+          .localCheckpoint(eager = false)
 
-    // orient each delta edge at its lower-(degree, id) endpoint
-    val dd = d
-      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
-    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val pivots = dd.select(
-      when(uFirst, col("u")).otherwise(col("v")).as("pv"),
-      when(uFirst, col("v")).otherwise(col("u")).as("ot"),
-      col("k"))
+        // base and delta neighbor probes separately: the base side needs
+        // no key test (wv = 0 kept unconditionally in the merged form),
+        // the delta side applies the smaller-key constraint
+        val candsB = pivots
+          .join(mb.select(col("x").as("pv"), col("y").as("w")), "pv")
+          .filter(col("w") =!= col("ot"))
+          .select(col("pv"), col("ot"), col("w"), col("k"))
+        val candsD = pivots
+          .join(adjD.select(col("x").as("pv"), col("y").as("w"),
+            col("k").as("k1")), "pv")
+          .filter(col("w") =!= col("ot") && col("k1") < col("k"))
+          .select(col("pv"), col("ot"), col("w"), col("k"))
+        // both closing joins consume the candidate set; measured at
+        // sf1.0: RECOMPUTING the probe per side beats checkpointing the
+        // candidate mass (Σ min-degree over the wave — large enough that
+        // materializing it costs more than the second bucketed probe)
+        val cands = candsB.unionAll(candsD)
+        // base and delta edge sets are disjoint (anti-join above), so a
+        // candidate closes against exactly one of the two sides
+        val closedB = cands
+          .join(mb.select(col("x").as("ot"), col("y").as("w")), Seq("ot", "w"))
+          .select(col("pv"), col("ot"), col("w"))
+        val closedD = cands
+          .join(adjD.select(col("x").as("ot"), col("y").as("w"),
+            col("k").as("k2")), Seq("ot", "w"))
+          .filter(col("k2") < col("k"))
+          .select(col("pv"), col("ot"), col("w"))
+        (d, closedB.unionAll(closedD))
 
-    // pivot neighbors, then the closing (other, w) edge — both under the
-    // base-or-smaller-key constraint that makes the count attribution
-    // exactly-once
-    val cands = pivots
-      .join(adj.select(col("x").as("pv"), col("y").as("w"),
-        col("wv").as("wv1"), col("k").as("k1")), "pv")
-      .filter(col("w") =!= col("ot") && (col("wv1") === 0 || col("k1") < col("k")))
-      .select(col("pv"), col("ot"), col("w"), col("k"))
-    val closed = cands
-      .join(adj.select(col("x").as("ot"), col("y").as("w"),
-        col("wv").as("wv2"), col("k").as("k2")), Seq("ot", "w"))
-      .filter(col("wv2") === 0 || col("k2") < col("k"))
-      .select(col("pv"), col("ot"), col("w"))
-    (d, closed)
+      case None =>
+        // self-contained fallback: labeled merged adjacency, both
+        // directions, wv = 0 base / 1 delta
+        val labeled = b.select(col("u"), col("v"), lit(0).as("wv"), lit("").as("k"))
+          .unionAll(d.select(col("u"), col("v"), lit(1).as("wv"), col("k")))
+        val adj = labeled.select(col("u").as("x"), col("v").as("y"), col("wv"), col("k"))
+          .unionAll(labeled.select(col("v").as("x"), col("u").as("y"), col("wv"), col("k")))
+          .localCheckpoint(eager = false)
+        val deg = adj.groupBy("x").agg(count(lit(1)).as("dg"))
+
+        // orient each delta edge at its lower-(degree, id) endpoint
+        val dd = d
+          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+        val pivots = dd.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("pv"),
+          when(uFirst, col("v")).otherwise(col("u")).as("ot"),
+          col("k"))
+
+        // pivot neighbors, then the closing (other, w) edge — both under
+        // the base-or-smaller-key constraint that makes the count
+        // attribution exactly-once
+        val cands = pivots
+          .join(adj.select(col("x").as("pv"), col("y").as("w"),
+            col("wv").as("wv1"), col("k").as("k1")), "pv")
+          .filter(col("w") =!= col("ot") && (col("wv1") === 0 || col("k1") < col("k")))
+          .select(col("pv"), col("ot"), col("w"), col("k"))
+        val closed = cands
+          .join(adj.select(col("x").as("ot"), col("y").as("w"),
+            col("wv").as("wv2"), col("k").as("k2")), Seq("ot", "w"))
+          .filter(col("wv2") === 0 || col("k2") < col("k"))
+          .select(col("pv"), col("ot"), col("w"))
+        (d, closed)
+    }
   }
 
   /** The NEW triangles `delta` introduces against canonical base `b` —
@@ -258,16 +328,18 @@ object Triangles {
     * cancel in corner hashes.
     */
   def incrementalTriangleList(b: DataFrame, delta: DataFrame,
-                              salt: String = "ie:"): DataFrame =
-    deltaAttributed(b, delta, salt)._2
+                              salt: String = "ie:",
+                              baseMirrored: Option[DataFrame] = None): DataFrame =
+    deltaAttributed(b, delta, salt, baseMirrored)._2
       .select(expr("array_sort(array(pv, ot, w))").as("t"))
       .select(col("t").getItem(0).as("x1"), col("t").getItem(1).as("x2"),
         col("t").getItem(2).as("x3"))
 
   def incrementalCountsFrom(b: DataFrame, delta: DataFrame,
                             tBase0: DataFrame,
-                            salt: String = "ie:"): DataFrame = {
-    val (d, closed) = deltaAttributed(b, delta, salt)
+                            salt: String = "ie:",
+                            baseMirrored: Option[DataFrame] = None): DataFrame = {
+    val (d, closed) = deltaAttributed(b, delta, salt, baseMirrored)
     val tDelta = closed.agg(count(lit(1)).as("t_delta"))
     val tBase = tBase0.select(col("t_base").cast("long").as("t_base"))
     b.agg(count(lit(1)).as("n_base_edges"))

@@ -239,6 +239,33 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: split-join (bucketed-base) attribution == merged-adjacency attribution") {
+    // the baseMirrored path must be a pure plan-shape change: identical
+    // counts AND identical triangle lists on random splits
+    import org.apache.spark.sql.functions._
+    for (seed <- 51L to 54L) {
+      val g = GraphGen.randGraph(seed, n = 14, m = 48)
+      val (base, delta) = g.zipWithIndex.partition(_._2 % 4 != 0)
+      val canonBase = base.map(_._1).toDF("u", "v")
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mirrored = canonBase.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(canonBase.select(col("v").as("x"), col("u").as("y")))
+      val deltaDf = delta.map(_._1).toDF("u", "v")
+      val tBase = Triangles.triangleList(canonBase).agg(count(lit(1)).as("t_base"))
+      val merged = Triangles.incrementalCountsFrom(canonBase, deltaDf, tBase).collect()(0)
+      val split = Triangles.incrementalCountsFrom(canonBase, deltaDf, tBase,
+        baseMirrored = Some(mirrored)).collect()(0)
+      assert(split.toSeq === merged.toSeq, s"seed $seed: counts diverge")
+      def triSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(triSet(Triangles.incrementalTriangleList(canonBase, deltaDf,
+          baseMirrored = Some(mirrored))) ===
+        triSet(Triangles.incrementalTriangleList(canonBase, deltaDf)),
+        s"seed $seed: lists diverge")
+    }
+  }
+
   test("incrementalCountsFrom (standing-artifact form) row-equals the inline audit twin") {
     // the g65 deployment shape: base arrives pre-canonicalized, t_base
     // as a prebuilt count over the standing triangle list — must be
