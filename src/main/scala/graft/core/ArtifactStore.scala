@@ -76,8 +76,14 @@ object ArtifactStore {
     * back. The returned DataFrame ALWAYS scans the store (never the
     * build plan), so every consumer — including the first after a
     * rebuild — exercises the same bucketed read path the deployment
-    * would. Synchronized per-JVM: concurrent first consumers must not
-    * race the write (the driver-side build itself is distributed).
+    * would. Concurrency: `synchronized` serializes threads of THIS JVM;
+    * an OS file lock (held only around the stale→rebuild window)
+    * serializes PROCESSES sharing one `SPARK_GRAFT_ARTIFACTS` root —
+    * two jobs racing the same refresh would otherwise interleave
+    * delete/write on the same directory. Currency is RE-CHECKED after
+    * the lock is granted: the usual outcome of losing the race is that
+    * the winner already rebuilt, and the loser must read, not rebuild
+    * again.
     */
   def bucketed(spark: SparkSession, name: String, fingerprint: String,
                bucketCol: String, nBuckets: Int)(build: => DataFrame): DataFrame =
@@ -90,23 +96,22 @@ object ArtifactStore {
       // new spec would let Spark elide exchanges the files don't satisfy
       // — silently wrong joins/aggregates on the bucket column. A spec
       // mismatch is a rebuild, same as a source change.
-      val current =
+      def isCurrent =
         java.nio.file.Files.exists(meta) && java.nio.file.Files.exists(data) && {
           val lines = java.nio.file.Files.readAllLines(meta)
           lines.size >= 3 && lines.get(0) == fingerprint &&
             lines.get(2) == s"$bucketCol:$nBuckets"
         }
-      if (current) {
-        // re-register in THIS session's catalog if absent (a fresh process
-        // inherits the files but not the in-memory catalog entry); the
-        // stored DDL carries the schema + bucket spec
+      def register(): Unit =
         if (!spark.catalog.tableExists(tbl)) {
+          // a fresh process inherits the files but not the in-memory
+          // catalog entry; the stored DDL carries schema + bucket spec
           val ddl = java.nio.file.Files.readAllLines(meta).get(1)
           spark.sql(s"""CREATE TABLE $tbl ($ddl) USING PARQUET
             CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
             LOCATION '${data.toUri}'""")
         }
-      } else {
+      def rebuild(): Unit = {
         val df = build
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         java.nio.file.Files.deleteIfExists(meta)
@@ -120,6 +125,21 @@ object ArtifactStore {
         java.nio.file.Files.write(meta,
           (fingerprint + "\n" + df.schema.toDDL + "\n" +
             s"$bucketCol:$nBuckets" + "\n").getBytes("UTF-8"))
+      }
+      if (isCurrent) register()
+      else {
+        val lockPath = java.nio.file.Paths.get(root, s"$name.lock")
+        java.nio.file.Files.createDirectories(lockPath.getParent)
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock() // blocks until the other process's refresh completes
+          try {
+            if (isCurrent) register() // loser of the race: winner already rebuilt
+            else rebuild()
+          } finally lock.release()
+        } finally ch.close()
       }
       spark.table(tbl)
     }

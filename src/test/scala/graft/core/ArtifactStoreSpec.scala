@@ -105,6 +105,29 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(builds2 == 3, "changed bucketCol must invalidate")
   }
 
+  test("a rebuild takes and RELEASES the cross-process lock file") {
+    // two processes sharing one SPARK_GRAFT_ARTIFACTS root serialize
+    // refreshes on <name>.lock (OS file lock; same-JVM threads are
+    // already serialized by `synchronized`). After bucketed() returns,
+    // the lock must be free — a leaked lock would deadlock the next
+    // refresh in every other process until this JVM dies.
+    val name = s"spec_art_lock_${System.nanoTime()}"
+    ArtifactStore.bucketed(spark, name, "fp", "k", 2)(
+      Seq((1L, 2L)).toDF("k", "v"))
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED graft_art_$name")
+      .collect().find(_.getString(0) == "Location").get.getString(1)
+    val lockPath = java.nio.file.Paths.get(new java.net.URI(loc)).getParent
+      .resolve(s"$name.lock")
+    assert(java.nio.file.Files.exists(lockPath), "lock file created by the rebuild")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.tryLock()
+      assert(l != null, "lock must be RELEASED after bucketed() returns")
+      l.release()
+    } finally ch.close()
+  }
+
   test("sourceFingerprint sees files in NESTED partition subdirectories") {
     // a partitioned layout's in-place rewrite changes a leaf file, not
     // necessarily the parent dir entry a flat listing fingerprints
