@@ -461,6 +461,10 @@ object TpchGraph {
     * (g54/g72's inline builds derive exactly this per session). Bucketed
     * and sorted by `u`: every walk step joins the frontier on `u`, so a
     * bucket-aware reader needs no adjacency shuffle at any corpus size.
+    * This table's `(u, v)` projection IS the durable twin of
+    * [[copurchaseEdgesMirrored]] — one artifact serving both the walk
+    * ranks and the plain mirrored adjacency (two artifacts with
+    * identical edge content would be a staleness bug waiting).
     */
   def storedRankedAdjacency(spark: SparkSession, dir: String): DataFrame =
     graft.core.ArtifactStore.bucketed(spark, s"ranked_adj_${artTag(dir)}",
@@ -507,17 +511,6 @@ object TpchGraph {
         "x1", 8) {
       copurchaseTriangles(spark, dir)
     }
-
-  /** The MIRRORED co-purchase adjacency read from the store: the ranked
-    * adjacency artifact ([[storedRankedAdjacency]]) already contains
-    * exactly the both-orientations edge set — `(u, v)` projected from
-    * it IS the durable twin of [[copurchaseEdgesMirrored]], bucketed by
-    * `u`, with no second artifact to keep in sync (one artifact, two
-    * consumers is the lakehouse norm; two artifacts with identical
-    * content is a staleness bug waiting).
-    */
-  def storedMirroredEdges(spark: SparkSession, dir: String): DataFrame =
-    storedRankedAdjacency(spark, dir).select(col("u"), col("v"))
 
   /** The level-one coarsening's two durable products as store artifacts
     * (the session memo [[coarsenLevelOne]] vanishes on restart): the
