@@ -24,6 +24,26 @@ import org.apache.spark.sql.SparkSession
   * own SparkContext for long batch sweeps.
   */
 object Bench {
+  /** Cumulative spill counters fed by a SparkListener on every session the
+    * bench creates. Spill is THE signal a memory-constrained run exists to
+    * surface (every run before r13 had ~10× heap headroom and never
+    * spilled); per-query deltas are attributed around each timed run.
+    * Listener delivery is async (bus-posted), so attribution is
+    * approximate at query boundaries — totals are exact.
+    */
+  private val spillMem = new java.util.concurrent.atomic.AtomicLong
+  private val spillDisk = new java.util.concurrent.atomic.AtomicLong
+  private class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        ()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,6 +53,7 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(new SpillListener)
       // absorb JVM/executor/codegen bootstrap so fixed engine-warmup cost
       // isn't charged to whichever query happens to run first: exercise the
       // heavy codegen shapes (shuffle join, hash agg, window, exchange) on
@@ -54,10 +75,17 @@ object Bench {
     // eliminate global sorts and prune every projected expression, timing
     // a bare scan for projection-only queries. Failures are reported as
     // -1 in the JSON (not swallowed into a plausible-looking timing).
+    // per-query spill attribution: cumulative-counter deltas around each
+    // timed run, summed over all of a query's runs (incl. isolated ones)
+    val spillByQuery = scala.collection.mutable.Map.empty[String, Long]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val d0 = spillDisk.get
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9 }
+            val dt = (System.nanoTime() - t0) / 1e9
+            val d = spillDisk.get - d0
+            if (d > 0) spillByQuery(name) = spillByQuery.getOrElse(name, 0L) + d
+            dt }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         -1.0
@@ -104,6 +132,18 @@ object Bench {
     val isolateEnabled = !sys.env.get("SPARK_GRAFT_NO_ISOLATE").contains("1")
     val IsoSpread = 2.0
     val IsoFloorSec = 1.0
+    // the 2× trigger was calibrated on the r10 6–11× cliffs and has a
+    // BLIND BAND at exactly the drift real batch runs show: the r12
+    // driver rig read the heavy tail at 1.5–1.65× floor (g64 7.37 vs
+    // 4.46, g71 5.76 vs 3.87…) and nothing re-measured — ~20 s of
+    // sub-threshold batch-state degradation between the driver and
+    // committed records. Two additions close it: (1) a tighter 1.3×
+    // trigger for queries whose floor is large enough (> 2 s) that 1.3×
+    // is outside scheduling jitter; (2) a suite-level pass below — if
+    // the MEDIAN floor-ratio shows uniform drift, recycle the context
+    // once and re-run the whole over-floor tail.
+    val IsoTight = 1.3
+    val IsoTightFloorSec = 2.0
     // floors are PER-SF files (BENCH_FLOORS_<sf>.json): one shared file
     // keyed by a single "sf" field meant the dual-SF round-close sweep
     // (sf0.01 full run after the sf0.1 one) read Map.empty and then
@@ -122,19 +162,31 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         if (requireSf.exists(sf => !txt.contains("\"sf\":\"" + sf + "\""))) Map.empty
         else {
-          val body = txt.substring(txt.indexOf("\"floors\":{") + "\"floors\":{".length)
-          """"([A-Za-z0-9_]+)":([0-9][0-9.]*)""".r.findAllMatchIn(
-              body.take(body.indexOf('}') max 0))
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._2 > 0).toMap
+          // a missing marker must be "no floors", not substring(-1+10):
+          // a legacy/flat-format file would otherwise be parsed from
+          // byte 9 and could yield bogus floors the monotone merge
+          // then perpetuates
+          val idx = txt.indexOf("\"floors\":{")
+          if (idx < 0) Map.empty
+          else {
+            val body = txt.substring(idx + "\"floors\":{".length)
+            """"([A-Za-z0-9_]+)":([0-9][0-9.]*)""".r.findAllMatchIn(
+                body.take(body.indexOf('}') max 0))
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter(_._2 > 0).toMap
+          }
         }
       } catch { case _: Throwable => Map.empty }
+    // the per-SF read also validates the recorded FULL sfDir: two data
+    // roots sharing a basename (a /tmp tile dir named sf0.1, say) must
+    // not read — or, below, merge into — each other's floor records;
+    // on mismatch we fall back to the spread heuristic
     val floors: Map[String, Double] = {
-      val perSf = parseFloors(floorsPath, None)
+      val perSf = parseFloors(floorsPath, Some(sfDir))
       if (perSf.nonEmpty) perSf
       else parseFloors(java.nio.file.Paths.get("BENCH_FLOORS.json"), Some(sfDir))
     }
-    val results = selected.map { case (name, fn) =>
+    val results0 = selected.map { case (name, fn) =>
       if (recycle.nonEmpty && inRecycleGroup(name) != prevInGroup) {
         System.err.println(s"[bench] recycling SparkContext at $name")
         spark.stop()
@@ -150,7 +202,7 @@ object Bench {
       // PERSISTENT degradation where both runs are slow and spread is low,
       // the r10 g19/g20 signature); spread-heuristic otherwise
       val suspicious = floors.get(name) match {
-        case Some(f) => best0 > IsoSpread * f
+        case Some(f) => best0 > IsoSpread * f || (f > IsoTightFloorSec && best0 > IsoTight * f)
         case None    => spread0 > IsoSpread
       }
       val isoRuns: Seq[Double] =
@@ -174,6 +226,42 @@ object Bench {
         if (isoRuns.nonEmpty) isoRuns.map(v => f"$v%.3f").mkString(", iso ", " / ", "") else ""})")
       (name, best, r1, r2, isoRuns)
     }
+    // SUITE-LEVEL DRIFT PASS: uniform 1.2–1.6× degradation across the
+    // whole batch (GC debt, block-manager accumulation, a dirty rig) sits
+    // under every per-query trigger yet adds tens of seconds to the
+    // total. If the MEDIAN floor-ratio over floored queries exceeds
+    // 1.25×, the batch state — not the code — is suspect: recycle the
+    // context ONCE and re-run every query sitting above 1.25× its floor,
+    // merging mins (re-runs can only lower numbers). Gated on a
+    // full-suite-sized floored population so filtered iteration runs
+    // never pay it.
+    val SuiteDrift = 1.25
+    val results = {
+      val ratios = results0.flatMap { case (n, best, _, _, _) =>
+        floors.get(n).collect { case f if f > 0.2 && best > 0 => best / f }
+      }.sorted
+      val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+      if (!isolateEnabled || ratios.size < 20 || medianRatio <= SuiteDrift) results0
+      else {
+        System.err.println(f"[bench] suite drift: median floor-ratio ${medianRatio}%.2fx over ${ratios.size} floored queries — recycling context, re-running the over-floor tail")
+        spark.stop(); spark = newSession(); nRecycles += 1
+        val fnByName = selected.toMap
+        results0.map { case r @ (name, best, r1, r2, iso) =>
+          val drifted = best > IsoFloorSec &&
+            floors.get(name).exists(f => best > SuiteDrift * f)
+          if (!drifted) r
+          else {
+            val fn = fnByName(name)
+            val i1 = once(name, fn)
+            val i2 = if (i1 < 0) -1.0 else once(name, fn)
+            val ok = (Seq(best, i1, i2) ++ iso).filter(_ >= 0)
+            val nb = if (ok.isEmpty) -1.0 else ok.min
+            System.err.println(f"[bench] $name drift re-run: ${best}%.3f -> ${nb}%.3f s")
+            (name, nb, r1, r2, iso ++ Seq(i1, i2))
+          }
+        }
+      }
+    }
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // full-fidelity record, immune to the stdout tail window. "spread" =
     // max/min of the two runs — the per-query variance signal that
@@ -183,7 +271,9 @@ object Bench {
       val spread = if (best <= 0) -1.0 else math.max(r1, r2) / best
       val isoField =
         if (iso.isEmpty) "" else iso.map(f3).mkString(""","iso":[""", ",", "]")
-      s""""$name":{"min":${f3(best)},"runs":[${f3(r1)},${f3(r2)}],"spread":${f3(spread)}$isoField}"""
+      val spillField = spillByQuery.get(name).filter(_ > 0)
+        .fold("")(b => s""","spill_mb":${b / (1 << 20)}""")
+      s""""$name":{"min":${f3(best)},"runs":[${f3(r1)},${f3(r2)}],"spread":${f3(spread)}$isoField$spillField}"""
     }.mkString("{", ",", "}")
     // failed queries report -1 per query but must not SUBTRACT from the
     // total — a run with failures may never look faster than a clean one
@@ -205,6 +295,7 @@ object Bench {
       s"""{"jvm_uptime_s":$upS,"heap_max_mb":${rt.maxMemory / (1 << 20)},""" +
         s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1 << 20)},""" +
         s""""cached_rdds":$cachedN,"cached_mem_mb":$memMb,"cached_disk_mb":$diskMb,""" +
+        s""""spill_mem_mb":${spillMem.get / (1 << 20)},"spill_disk_mb":${spillDisk.get / (1 << 20)},""" +
         s""""spark":"${spark.version}","cpus":$cpus,"recycles":$nRecycles,"isolated":$isolated}"""
     }
     // honest timing label: when any query's value came from the isolated
@@ -235,14 +326,25 @@ object Bench {
       // trigger, and the per-SF file name keeps tile floors out of the
       // committed-SF records.
       if (canonical || sys.env.get("SPARK_GRAFT_FLOORS").contains("1")) {
-        val merged = (floors.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { n =>
-          val cur = results.collectFirst { case (`n`, b, _, _, _) if b > 0 => b }
-          val f = (floors.get(n).toSeq ++ cur.toSeq)
-          if (f.isEmpty) None else Some(s""""$n":${f3(f.min)}""")
-        }.mkString("{", ",", "}")
-        java.nio.file.Files.write(floorsPath,
-          (s"""{"sf":"$sfDir","floors":$merged}""" + "\n").getBytes("UTF-8"))
-        System.err.println(s"[bench] floors merged -> ${floorsPath.toAbsolutePath}")
+        // never clobber a floors file recorded for a DIFFERENT full
+        // sfDir that happens to share this one's basename — floors
+        // measured under another tile layout aren't comparable
+        val foreign = java.nio.file.Files.exists(floorsPath) && {
+          val txt = new String(java.nio.file.Files.readAllBytes(floorsPath), "UTF-8")
+          txt.contains("\"sf\":\"") && !txt.contains("\"sf\":\"" + sfDir + "\"")
+        }
+        if (foreign)
+          System.err.println(s"[bench] floors NOT merged: ${floorsPath.toAbsolutePath} records a different sfDir")
+        else {
+          val merged = (floors.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { n =>
+            val cur = results.collectFirst { case (`n`, b, _, _, _) if b > 0 => b }
+            val f = (floors.get(n).toSeq ++ cur.toSeq)
+            if (f.isEmpty) None else Some(s""""$n":${f3(f.min)}""")
+          }.mkString("{", ",", "}")
+          java.nio.file.Files.write(floorsPath,
+            (s"""{"sf":"$sfDir","floors":$merged}""" + "\n").getBytes("UTF-8"))
+          System.err.println(s"[bench] floors merged -> ${floorsPath.toAbsolutePath}")
+        }
       }
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // Compact stdout line for the driver. The driver keeps only a 2000-byte

@@ -30,6 +30,12 @@ object ArtifactStore {
   private lazy val root: String =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", TempStores.scratchDir("graft-artifacts-"))
 
+  /** The resolved store root — what a second process must receive as
+    * `SPARK_GRAFT_ARTIFACTS` to share this store (the cross-process
+    * specs use it to point their child JVMs here).
+    */
+  def storeRoot: String = root
+
   /** Fingerprint of the artifact's SOURCE tables: relative path, size,
     * and mtime of every data file under each source dir — the full tree
     * ([[java.nio.file.Files.walk]]), so a partitioned/nested layout's
@@ -71,19 +77,35 @@ object ArtifactStore {
     f.delete(); ()
   }
 
+  /** Meta-file text this JVM last registered per table, so a FOREIGN
+    * rebuild (another process refreshed the artifact since we created
+    * our catalog entry) is detected on the next `bucketed()` call: the
+    * stale entry carries the old schema/bucket DDL and — worse —
+    * Spark's cached file listing for the table can still reference the
+    * deleted pre-rebuild files. On mismatch the entry is dropped,
+    * re-created from the new meta, and `refreshTable` clears the cached
+    * FileIndex/statistics.
+    */
+  private val registeredMeta = scala.collection.mutable.Map.empty[String, String]
+
   /** Read the artifact from the store if its recorded source fingerprint
     * is current; otherwise (re)build it, write it bucketed, and read it
     * back. The returned DataFrame ALWAYS scans the store (never the
     * build plan), so every consumer — including the first after a
     * rebuild — exercises the same bucketed read path the deployment
     * would. Concurrency: `synchronized` serializes threads of THIS JVM;
-    * an OS file lock (held only around the stale→rebuild window)
-    * serializes PROCESSES sharing one `SPARK_GRAFT_ARTIFACTS` root —
-    * two jobs racing the same refresh would otherwise interleave
-    * delete/write on the same directory. Currency is RE-CHECKED after
-    * the lock is granted: the usual outcome of losing the race is that
-    * the winner already rebuilt, and the loser must read, not rebuild
-    * again.
+    * an OS file lock serializes PROCESSES sharing one
+    * `SPARK_GRAFT_ARTIFACTS` root — a SHARED lock around the
+    * currency-check + register read path (so a reader can't interleave
+    * with a concurrent rebuild's delete/rewrite of the same data dir),
+    * an EXCLUSIVE lock around the stale→rebuild window. Currency is
+    * RE-CHECKED after each lock grant: the usual outcome of losing the
+    * refresh race is that the winner already rebuilt, and the loser
+    * must read, not rebuild again; a reader whose shared-lock re-check
+    * finds the artifact gone stale loops back for the exclusive lock.
+    * (Scan-time is still lazy: a job that holds the returned DataFrame
+    * across a later foreign refresh re-validates on its next
+    * `bucketed()` call, the store's freshness boundary.)
     */
   def bucketed(spark: SparkSession, name: String, fingerprint: String,
                bucketCol: String, nBuckets: Int)(build: => DataFrame): DataFrame =
@@ -96,13 +118,24 @@ object ArtifactStore {
       // new spec would let Spark elide exchanges the files don't satisfy
       // — silently wrong joins/aggregates on the bucket column. A spec
       // mismatch is a rebuild, same as a source change.
+      def metaText: String =
+        if (!java.nio.file.Files.exists(meta)) ""
+        else new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
       def isCurrent =
         java.nio.file.Files.exists(meta) && java.nio.file.Files.exists(data) && {
           val lines = java.nio.file.Files.readAllLines(meta)
           lines.size >= 3 && lines.get(0) == fingerprint &&
             lines.get(2) == s"$bucketCol:$nBuckets"
         }
-      def register(): Unit =
+      def register(): Unit = {
+        val txt = metaText
+        if (spark.catalog.tableExists(tbl) && !registeredMeta.get(tbl).contains(txt)) {
+          // registered earlier, but the on-disk meta changed since: a
+          // foreign process rebuilt the artifact. The catalog entry's
+          // DDL and cached file listing describe deleted files — drop
+          // and re-register from the NEW meta.
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        }
         if (!spark.catalog.tableExists(tbl)) {
           // a fresh process inherits the files but not the in-memory
           // catalog entry; the stored DDL carries schema + bucket spec
@@ -110,7 +143,10 @@ object ArtifactStore {
           spark.sql(s"""CREATE TABLE $tbl ($ddl) USING PARQUET
             CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
             LOCATION '${data.toUri}'""")
+          spark.catalog.refreshTable(tbl)
         }
+        registeredMeta(tbl) = txt
+      }
       def rebuild(): Unit = {
         val df = build
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -125,22 +161,37 @@ object ArtifactStore {
         java.nio.file.Files.write(meta,
           (fingerprint + "\n" + df.schema.toDDL + "\n" +
             s"$bucketCol:$nBuckets" + "\n").getBytes("UTF-8"))
+        registeredMeta(tbl) = metaText
       }
-      if (isCurrent) register()
-      else {
-        val lockPath = java.nio.file.Paths.get(root, s"$name.lock")
-        java.nio.file.Files.createDirectories(lockPath.getParent)
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock() // blocks until the other process's refresh completes
-          try {
-            if (isCurrent) register() // loser of the race: winner already rebuilt
-            else rebuild()
-          } finally lock.release()
-        } finally ch.close()
-      }
+      val lockPath = java.nio.file.Paths.get(root, s"$name.lock")
+      java.nio.file.Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.READ,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var done = false
+        while (!done) {
+          if (isCurrent) {
+            // shared lock: many readers may validate + register
+            // concurrently, but none may overlap a rebuilder's
+            // delete/rewrite window
+            val lock = ch.lock(0L, Long.MaxValue, true)
+            try {
+              if (isCurrent) { register(); done = true }
+              // else: went stale between the unlocked peek and the
+              // grant — loop around for the exclusive path
+            } finally lock.release()
+          } else {
+            val lock = ch.lock() // exclusive; blocks until any refresh completes
+            try {
+              if (isCurrent) register() // loser of the race: winner already rebuilt
+              else rebuild()
+              done = true
+            } finally lock.release()
+          }
+        }
+      } finally ch.close()
       spark.table(tbl)
     }
 }

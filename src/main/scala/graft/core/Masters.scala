@@ -44,9 +44,16 @@ object Masters {
     val b1 = b0.master(m)
     if (!m.startsWith("local-cluster")) b1
     else {
+      // decode via toURI→Paths: getPath returns a URL-ENCODED path
+      // (spaces as %20 etc.), which breaks executor class loading for a
+      // classes dir under any path needing escapes — and only on the
+      // local-cluster axis, the worst place for a silent divergence
       val own =
-        try Masters.getClass.getProtectionDomain.getCodeSource.getLocation.getPath
-        catch { case _: Throwable => "" }
+        try {
+          val loc = Masters.getClass.getProtectionDomain.getCodeSource.getLocation
+          try java.nio.file.Paths.get(loc.toURI).toString
+          catch { case _: Throwable => loc.getPath }
+        } catch { case _: Throwable => "" }
       val entries = (own +: sys.env.get("SPARK_GRAFT_EXEC_CP").toSeq)
         .filter(_.nonEmpty)
       b1.config("spark.executor.extraClassPath",
