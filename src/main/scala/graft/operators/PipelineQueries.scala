@@ -374,13 +374,21 @@ object PipelineQueries {
     * miss a pair the threshold accepts — banding needs no replica.
     * Within a batch a doc drops against any smaller-id batch-mate
     * (accepted or not); across batches only against the accepted store.
+    *
+    * The chained CTEs carry MATERIALIZED hints: DuckDB 1.0 otherwise
+    * INLINES each reference, and acc2→{acc1→acc0, acc0}, each dragging
+    * the full sig/m/me subtree, re-computes the signature pipeline
+    * combinatorially — measured at sf0.1: >15 min then a crash under a
+    * 2 GB memory cap, vs 1 s materialized (identical rows at both SFs).
+    * This was the gate's one documented flake (r12 "re-run p58 alone"
+    * procedure); the hints remove the manual step.
     */
   private def streamingDedupOracle: String = {
     val perms = Dedup.permutationParams(64).zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
     s"""
-        WITH perm AS (SELECT * FROM (VALUES $perms) AS t(i, a, b)),
+        WITH perm AS MATERIALIZED (SELECT * FROM (VALUES $perms) AS t(i, a, b)),
         toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
         grams AS (
           SELECT DISTINCT doc_id, gram FROM (
@@ -391,24 +399,24 @@ object PipelineQueries {
           WHERE len(gram) > 0),
         gh AS (SELECT doc_id, ('0x' || substring(md5(gram), 1, 7))::BIGINT AS h
                FROM grams),
-        sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+        sig AS MATERIALIZED (SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
                 FROM gh CROSS JOIN perm GROUP BY doc_id, i),
-        m AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        m AS MATERIALIZED (SELECT x.doc_id AS id_a, y.doc_id AS id_b
               FROM sig x JOIN sig y ON x.i = y.i AND x.v = y.v
                                    AND x.doc_id < y.doc_id
               GROUP BY 1, 2 HAVING count(*) >= 58),
-        me AS (SELECT id_a AS s, id_b AS t FROM m
+        me AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM m
                UNION ALL SELECT id_b, id_a FROM m),
         docs AS (SELECT DISTINCT doc_id FROM grams),
-        acc0 AS (SELECT doc_id FROM docs d WHERE doc_id % 3 = 0
+        acc0 AS MATERIALIZED (SELECT doc_id FROM docs d WHERE doc_id % 3 = 0
                  AND NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = d.doc_id
                                  AND m.id_a % 3 = 0)),
-        acc1 AS (SELECT doc_id FROM docs d WHERE doc_id % 3 = 1
+        acc1 AS MATERIALIZED (SELECT doc_id FROM docs d WHERE doc_id % 3 = 1
                  AND NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = d.doc_id
                                  AND m.id_a % 3 = 1)
                  AND NOT EXISTS (SELECT 1 FROM me JOIN acc0 ON acc0.doc_id = me.s
                                  WHERE me.t = d.doc_id)),
-        acc2 AS (SELECT doc_id FROM docs d WHERE doc_id % 3 = 2
+        acc2 AS MATERIALIZED (SELECT doc_id FROM docs d WHERE doc_id % 3 = 2
                  AND NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = d.doc_id
                                  AND m.id_a % 3 = 2)
                  AND NOT EXISTS (SELECT 1 FROM me JOIN acc0 ON acc0.doc_id = me.s
@@ -4200,9 +4208,11 @@ object PipelineQueries {
         // over one count — nothing shuffles; n²/2^planes and n/2^planes
         // are binary-exact in doubles so the mass columns are
         // engine-portable integers.
-        val n = TpchGraph.embeddingsCount(s, d)
-        val rows = Seq(0.4, 0.7, 0.9, 0.95).map { minCos =>
-          val (planes, tables) = Similarity.lshConfigFor(n, minCos)
+        // the derivation itself comes from the shared config-ledger
+        // artifact (one count scan per source fingerprint, durable —
+        // p130's blocking shape reads the same rows)
+        val rows = TpchGraph.LshLedgerThresholds.map { minCos =>
+          val (n, planes, tables) = TpchGraph.derivedLshConfig(s, d, minCos)
           val p = Similarity.planeCollisionProb(minCos)
           val pT = math.pow(p, planes.toDouble)
           val recall = 1.0 - math.pow(1.0 - pT, tables.toDouble)
@@ -4980,28 +4990,34 @@ object PipelineQueries {
 
     Q("p130_derived_lsh_endgame",
       (s, d) => {
-        // the dedup endgame at the operator DEFAULT config — blocking →
+        // the dedup endgame at the CORPUS-DERIVED config — blocking →
         // inline cosine verify → CC collapse, with (planes, tables)
-        // DERIVED from this corpus's size inside embeddingNearDupsLsh
-        // (no explicit shape args). The p22 family pins the legacy
-        // (4, 6) pair set as oracle history; THIS query gates the path
-        // every new caller gets, the one whose candidate mass stays
-        // linear in corpus size (lshConfigFor holds expected bucket
-        // occupancy constant — the sf2.0 rehearsal measured the fixed
-        // config at ×4 candidate mass per corpus doubling, the derived
-        // one at ×2.5 and 7× faster with identical output at the
-        // production threshold). The derived config rides along as
-        // output columns so the oracle's SQL re-derivation (p112's
-        // formulas) cross-checks the Scala derivation by hash.
+        // read from the shared config-ledger artifact
+        // (TpchGraph.derivedLshConfig: the same lshConfigFor derivation
+        // embeddingNearDupsLsh's default path runs, now durable and
+        // computed once per source fingerprint — before r13 this query
+        // re-counted the corpus on every invocation, p112 on every
+        // session, and the explicit output columns a third time). The
+        // p22 family pins the legacy (4, 6) pair set as oracle history;
+        // THIS query gates the derived-config path every new caller
+        // gets, the one whose candidate mass stays linear in corpus
+        // size (lshConfigFor holds expected bucket occupancy constant —
+        // the sf2.0 rehearsal measured the fixed config at ×4 candidate
+        // mass per corpus doubling, the derived one at ×2.5 and 7×
+        // faster with identical output at the production threshold);
+        // the zero-arg derive-inline default stays spec-covered
+        // (DedupSpec). The derived config rides along as output columns
+        // so the oracle's SQL re-derivation (p112's formulas)
+        // cross-checks the Scala derivation by hash.
         val emb = table(s, d, "embeddings")
         val dim = TpchGraph.embeddingsDim(s, d)
+        val (_, planes, tables) = TpchGraph.derivedLshConfig(s, d, DerivedLshGolden.MinCos)
         val pairs = Dedup.embeddingNearDupsLsh(emb, col("vec_id"), col("embedding"),
-          minCos = DerivedLshGolden.MinCos, dim = dim)
+          minCos = DerivedLshGolden.MinCos, dim = dim,
+          planesPerTable = planes, tables = tables)
         val comp = graft.plans.DfConnectedComponents.run(
           pairs.select(col("id_a").cast("long").as("src"),
             col("id_b").cast("long").as("dst")))
-        val (planes, tables) = Similarity.lshConfigFor(
-          TpchGraph.embeddingsCount(s, d), DerivedLshGolden.MinCos)
         comp.groupBy(col("component").cast("long").as("canonical_id"))
           .agg(count(lit(1)).cast("long").as("n_members"),
             (count(lit(1)) - 1).cast("long").as("n_dropped"))

@@ -582,4 +582,46 @@ object TpchGraph {
         "x1", 8) {
       graft.plans.Triangles.triangleList(storedTriwaveBaseEdges(spark, dir))
     }
+
+  /** The standard admission thresholds the LSH config ledger is derived
+    * at — p112's ledger rows, and the set [[derivedLshConfig]] accepts.
+    */
+  val LshLedgerThresholds: Seq[Double] = Seq(0.4, 0.7, 0.9, 0.95)
+
+  private val lshCfgCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Map[Int, (Long, Int, Int)]]()
+
+  /** The corpus-derived sign-LSH config LEDGER as a store artifact: one
+    * row `(min_cos_milli, n_vectors, planes, tables)` per standard
+    * threshold, fingerprinted on the embeddings source. The config is
+    * CONTENT-DERIVED (a pure function of the corpus count), so the
+    * lakehouse freshness rule applies to it exactly as to a derived
+    * table — and the count scan that feeds `lshConfigFor` runs ONCE per
+    * source fingerprint instead of once per consumer (p112's ledger and
+    * p130's blocking shape + output columns each re-derived it before
+    * r13). Thresholds are part of the artifact's CONTENT, so the list
+    * lives in the code next to the builder; a threshold-list change is
+    * a schema-visible content change callers would catch immediately.
+    */
+  def derivedLshConfigs(spark: SparkSession, dir: String): Map[Int, (Long, Int, Int)] =
+    lshCfgCache.getOrElseUpdate((spark, dir), {
+      val df = graft.core.ArtifactStore.bucketed(spark, s"lsh_config_${artTag(dir)}",
+          graft.core.ArtifactStore.sourceFingerprint(dir, Seq("embeddings")),
+          "min_cos_milli", 1) {
+        val n = embeddingsCount(spark, dir)
+        import spark.implicits._
+        LshLedgerThresholds.map { mc =>
+          val (pl, tb) = graft.functions.Similarity.lshConfigFor(n, mc)
+          (math.round(mc * 1000).toInt, n, pl, tb)
+        }.toDF("min_cos_milli", "n_vectors", "planes", "tables")
+      }
+      df.collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    })
+
+  /** One ledger row: `(n_vectors, planes, tables)` at `minCos` (must be
+    * one of [[LshLedgerThresholds]]).
+    */
+  def derivedLshConfig(spark: SparkSession, dir: String, minCos: Double): (Long, Int, Int) =
+    derivedLshConfigs(spark, dir)(math.round(minCos * 1000).toInt)
 }
