@@ -429,17 +429,19 @@ object EventStream {
     (staged, schema)
   }
 
-  def runSessionTimeoutStream(spark: SparkSession, sfDir: String,
-                              gapMinutes: Int = 30,
-                              statePartitions: Int = 4): DataFrame = {
+  /** The p111 flatMapGroupsWithState sessionization as a PIPELINE over
+    * any normalized event stream — shared by the memory-sink runner
+    * below and the checkpoint restart-recovery harness
+    * ([[RestartRecovery]]), so both drive the identical stateful
+    * operator (the sentinel user is NOT filtered here; callers drop
+    * `user_id == -1`).
+    */
+  def sessionTimeoutPipeline(spark: SparkSession, source: DataFrame,
+                             gapMinutes: Int = 30): Dataset[Session] = {
     import spark.implicits._
     val gapSeconds = gapMinutes * 60L
     val zoneId = spark.conf.get("spark.sql.session.timeZone")
-    val (staged, schema) = stagedEventsWithSentinel(spark, sfDir)
-    val stream = graft.sources.TpchGraph.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged.getAbsolutePath))
+    val stream = source
       .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
         col("value"), col("ts"))
       .withWatermark("ts", "0 seconds")
@@ -485,6 +487,19 @@ object EventStream {
             out.iterator
           }
       }
+    sessions
+  }
+
+  def runSessionTimeoutStream(spark: SparkSession, sfDir: String,
+                              gapMinutes: Int = 30,
+                              statePartitions: Int = 4): DataFrame = {
+    val (staged, schema) = stagedEventsWithSentinel(spark, sfDir)
+    val sessions = sessionTimeoutPipeline(spark,
+      graft.sources.TpchGraph.normalizeTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.getAbsolutePath)),
+      gapMinutes)
 
     val name = "graft_stream_session_timeout"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")

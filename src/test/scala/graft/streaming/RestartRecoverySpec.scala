@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Checkpoint restart-recovery — the durability contract RocksDB (and the
+  * HDFS provider) exist for in production, and the one axis r12's
+  * provider-parity work left untested: every prior drain ran
+  * start-to-finish in one process. Each test stops the query after the
+  * state-building events batch COMMITS (all sessions open / all window
+  * partials live in the checkpoint), restarts the same definition from
+  * that checkpoint, lets the sentinel batch flush, and requires the
+  * two-incarnation file-sink output to equal the uninterrupted run's —
+  * under BOTH state store providers.
+  */
+class RestartRecoverySpec extends SparkSpec {
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withProvider[T](provider: Option[String])(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    provider match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  private def assertRecovers(build: DataFrame => DataFrame): Unit =
+    for (provider <- Seq(None, Some(RocksDb))) withProvider(provider) {
+      val want = sorted(RestartRecovery.run(spark, sf, interrupt = false)(build))
+      val got = sorted(RestartRecovery.run(spark, sf, interrupt = true)(build))
+      assert(want.nonEmpty, s"reference run empty (provider=$provider)")
+      assert(got == want, s"restart output diverges (provider=$provider)")
+    }
+
+  test("p111 flatMapGroupsWithState sessionization recovers user state across a restart") {
+    // all sessions are OPEN at the stop point (the sentinel batch is the
+    // only watermark advance), so every group's encoder-serialized state
+    // and timeout timestamp must round-trip through the checkpoint
+    assertRecovers(ev => EventStream.sessionTimeoutPipeline(spark, ev).toDF())
+  }
+
+  test("p139 built-in session_window aggregation recovers merging-store state across a restart") {
+    assertRecovers { ev =>
+      ev.withColumn("ts", date_trunc("second", col("ts")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "1801 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+    }
+  }
+
+  test("p12 hourly windowed aggregation recovers window partials across a restart") {
+    // append mode (unlike the gate query's complete-mode memory sink):
+    // finalized windows flush exactly once across the two incarnations,
+    // so a lost partial would surface as a missing or low row
+    assertRecovers(ev => EventStream.hourlyAgg(ev))
+  }
+}
