@@ -153,7 +153,16 @@ object Bench {
     // single-file record is read once as a migration seed when its
     // recorded sf matches.
     val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
-    val floorsPath = java.nio.file.Paths.get(s"BENCH_FLOORS_$sfShort.json")
+    // SPARK_GRAFT_PROFILE names a NON-DEFAULT execution profile (e.g.
+    // "mem2g" for the constrained-memory rig). Floors are per-(SF,
+    // profile): a constrained run's numbers are 2–10× the idle-rig
+    // floors BY DESIGN, so sharing a floors file would (a) fire the
+    // isolation trigger on every query of a constrained sweep and (b)
+    // let an unconstrained run's mins mask the constrained profile's
+    // own regression history. Profiled runs are never canonical.
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").filter(_.nonEmpty)
+    val floorsPath = java.nio.file.Paths.get(
+      s"BENCH_FLOORS_$sfShort${profile.fold("")(p => s"_$p")}.json")
     // parse ONLY the floors object: an unanchored "name":number regex
     // would adopt any future numeric top-level field (e.g. "version":2)
     // as a query floor and perpetuate it through the monotone merge
@@ -296,7 +305,9 @@ object Bench {
         s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1 << 20)},""" +
         s""""cached_rdds":$cachedN,"cached_mem_mb":$memMb,"cached_disk_mb":$diskMb,""" +
         s""""spill_mem_mb":${spillMem.get / (1 << 20)},"spill_disk_mb":${spillDisk.get / (1 << 20)},""" +
-        s""""spark":"${spark.version}","cpus":$cpus,"recycles":$nRecycles,"isolated":$isolated}"""
+        s""""spark":"${spark.version}","cpus":$cpus,"recycles":$nRecycles,""" +
+        s""""master":"${graft.core.Masters.resolve(cpus)}","profile":"${profile.getOrElse("default")}",""" +
+        s""""isolated":$isolated}"""
     }
     // honest timing label: when any query's value came from the isolated
     // fresh-context pair the min is over up to FOUR runs, not two — a
@@ -313,7 +324,7 @@ object Bench {
       // root still refreshes it (excluding only /tmp rather than
       // allowlisting /root/testdata keeps the record fresh if the
       // driver ever relocates the data)
-      val canonical = only.isEmpty && skip.isEmpty && !sfDir.startsWith("/tmp")
+      val canonical = only.isEmpty && skip.isEmpty && !sfDir.startsWith("/tmp") && profile.isEmpty
       val p = java.nio.file.Paths.get(
         if (canonical) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))

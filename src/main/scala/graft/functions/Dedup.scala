@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -147,7 +148,7 @@ object Dedup {
     // tokenize/gram-build/md5 subtree would otherwise run three times
     val grams = wordNgrams(df, id, text, n)
       .select(col("id"), gramHash(col("gram")).as("gram"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val indexed = maxGramDocFreq match {
       case Some(cap) =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Ckpt._
 import graft.functions.{Anomaly, AsOf, Boilerplate, Clustering, Corpus, Dedup, Importance, Layout, Multimodal, Packing, Pq, Quality, Sampling, Scrub, Similarity, Sketch, TextOps}
 import graft.pipeline.Cdc
 import graft.sources.TpchGraph
@@ -3076,7 +3077,7 @@ object PipelineQueries {
           .select((col("doc_id") % 3).cast("int").as("wave"),
             explode(TextOps.tokens(lower(col("text")))).as("t"))
           .groupBy("wave", "t").agg(count(lit(1)).as("c"))
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         val totals = counts.groupBy("wave").agg(sum(col("c")).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         def drift(wa: Int, wb: Int) = {
@@ -3518,7 +3519,7 @@ object PipelineQueries {
         // (without the lineage cut the all-pairs join runs twice)
         val exact = Dedup.embeddingNearDups(
           emb, col("vec_id"), col("embedding"), minCos = 0.4)
-          .select("id_a", "id_b").localCheckpoint()
+          .select("id_a", "id_b").lckpt()
         val lsh = TpchGraph.lshPairs(s, d)
           .select("id_a", "id_b")
         val nExact = exact.count()

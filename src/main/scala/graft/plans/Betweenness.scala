@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -45,13 +46,13 @@ object Betweenness {
               scale: Long = 1000L): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be positive: $maxDepth")
     require(scale >= 1, s"scale must be positive: $scale")
-    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(eager = false)
+    val e = edges.select(col("u"), col("v")).distinct().lckpt(eager = false)
 
     // forward: per-level (start, node, sigma); sigma(v) = Σ parent sigma
     var visited = starts.select(col("start"), col("start").as("node"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     var frontier = starts.select(col("start"), col("start").as("node"),
-      lit(1L).as("sigma")).localCheckpoint(eager = false)
+      lit(1L).as("sigma")).lckpt(eager = false)
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -60,9 +61,9 @@ object Betweenness {
         .select(col("start"), col("v").as("node"), col("sigma"))
         .join(visited, Seq("start", "node"), "left_anti")
         .groupBy("start", "node").agg(sum(col("sigma")).as("sigma"))
-        .localCheckpoint(eager = false)
+        .lckpt(eager = false)
       visited = visited.unionByName(next.select("start", "node"))
-        .localCheckpoint(eager = false)
+        .lckpt(eager = false)
       frontier = next
       levels += frontier
     }
@@ -70,7 +71,7 @@ object Betweenness {
     // backward: deepest level's delta is 0; each level accumulates from
     // its shortest-path successors one level deeper
     var delta = levels.last.select(col("start"), col("node"), lit(0L).as("delta"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     var acc = delta
     for (d <- (levels.size - 2) to 0 by -1) {
       val cur = levels(d)
@@ -89,7 +90,7 @@ object Betweenness {
         .join(terms, Seq("start", "node"), "left")
         .select(col("start"), col("node"),
           coalesce(col("delta"), lit(0L)).as("delta"))
-        .localCheckpoint(eager = false)
+        .lckpt(eager = false)
       acc = acc.unionByName(delta)
     }
 

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -51,7 +52,7 @@ object DensestSubgraph {
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct().lckpt()
       val summaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
       var round = 0
       var done = false
@@ -76,7 +77,7 @@ object DensestSubgraph {
           val next = cur
             .join(keep.withColumnRenamed("x", "u"), "u")
             .join(keep.withColumnRenamed("x", "v"), "v")
-            .select("u", "v").localCheckpoint()
+            .select("u", "v").lckpt()
           CatalystBridge.unpersistCheckpoint(cur)
           cur = next
           round += 1

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import graft.core.GraphState
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -84,12 +85,12 @@ object DfConnectedComponents {
       var e = edges.select(col("src").as("u"), col("dst").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .lckpt()
       var sig = signature(e)
       var rounds = 0
       var converged = sig._1 == 0L
       while (!converged && rounds < maxRounds) {
-        val next = smallStar(largeStar(e)).localCheckpoint()
+        val next = smallStar(largeStar(e)).lckpt()
         val nextSig = signature(next)
         converged = nextSig == sig && next.exceptAll(e).isEmpty
         CatalystBridge.unpersistCheckpoint(e) // next is materialized; free the old round
@@ -104,7 +105,7 @@ object DfConnectedComponents {
       e.select(col("u").as("id"), col("v").as("component"))
         .unionByName(e.select(col("v").as("id"), col("v").as("component")))
         .distinct()
-        .localCheckpoint()
+        .lckpt()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 

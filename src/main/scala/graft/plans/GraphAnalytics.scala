@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import graft.core.GraphState
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
@@ -221,7 +222,7 @@ object GraphAnalytics {
         greatest(col("u"), col("v")).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val nAll = undAll.count()
     val und =
       if (nAll <= maxEdges) undAll
@@ -230,7 +231,7 @@ object GraphAnalytics {
         def keep(c: org.apache.spark.sql.Column) =
           graft.functions.Sampling.hash01(c, "graphx-tri:") < f
         undAll.filter(keep(col("u")) && keep(col("v")))
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
       }
     val edgeRdd: RDD[Edge[Int]] = und.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val graph = Graph.fromEdges(edgeRdd, 0)

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,11 +44,11 @@ object Hits {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val vertices = e.select(col("src").as("key"))
       .unionAll(e.select(col("dst").as("key")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     var hubs = vertices.withColumn("h", lit(scale))
     var auths = vertices.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
@@ -65,7 +66,7 @@ object Hits {
       val aRaw = vertices
         .join(araw, col("key") === col("dst"), "left")
         .select(col("key"), coalesce(col("raw"), lit(0L)).as("raw"))
-        .localCheckpoint(eager = false)
+        .lckpt(eager = false)
       auths = aRaw
         .crossJoin(broadcast(aRaw.agg(max(col("raw")).as("mx"))))
         .select(col("key"),
@@ -75,7 +76,7 @@ object Hits {
       val hRaw = vertices
         .join(hraw, col("key") === col("src"), "left")
         .select(col("key"), coalesce(col("raw"), lit(0L)).as("raw"))
-        .localCheckpoint(eager = false)
+        .lckpt(eager = false)
       hubs = hRaw
         .crossJoin(broadcast(hRaw.agg(max(col("raw")).as("mx"))))
         .select(col("key"),

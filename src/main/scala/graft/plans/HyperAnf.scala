@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -109,7 +110,7 @@ object HyperAnf {
       .unionAll(und.select(col("v").as("x"), col("u").as("y")))
     val vertices = adj.select(col("x")).distinct()
     val adjSelf = adj.unionAll(vertices.select(col("x"), col("x").as("y")))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
 
     val regCols = (0 until M).map(j => col(s"rg$j"))
     val sumReg = regCols.map(_.cast("long")).reduceLeft(_ + _)
@@ -120,13 +121,13 @@ object HyperAnf {
       (r, row.getLong(0), row.getLong(1))
     }
 
-    var regs = initRegisters(vertices, salt).localCheckpoint(eager = false)
+    var regs = initRegisters(vertices, salt).lckpt(eager = false)
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
     rows += statsRow(regs, 0)
     var r = 0
     while (r < maxRounds) {
       r += 1
-      regs = roundMax(adjSelf, regs).localCheckpoint(eager = false)
+      regs = roundMax(adjSelf, regs).lckpt(eager = false)
       rows += statsRow(regs, r)
     }
     rows.toSeq.toDF("round", "sum_registers", "nf_micro")

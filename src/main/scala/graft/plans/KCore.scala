@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -55,14 +56,14 @@ object KCore {
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct().lckpt()
       // alive tracks NOT-YET-PEELED vertices explicitly: a vertex whose
       // last edge vanished (all neighbors peeled) has degree 0 — absent
       // from the degree table — yet must still be peeled in the next
       // round, not silently dropped
       var alive = cur.select(col("u").as("key"))
         .unionByName(cur.select(col("v").as("key")))
-        .distinct().localCheckpoint()
+        .distinct().lckpt()
       var removedAll = Seq.empty[(Long, Int)].toDF("key", "peel_round")
       var round = 1
       var converged = false
@@ -70,19 +71,19 @@ object KCore {
         val deg = cur.select(col("u").as("key"))
           .unionByName(cur.select(col("v").as("key")))
           .groupBy("key").agg(count(lit(1)).as("d"))
-          .localCheckpoint()
+          .lckpt()
         // eager checkpoints: everything that outlives the round must own
         // its data before its parents are freed (localCheckpoint
         // truncates lineage — an unpersisted parent is unrecoverable)
-        val keep = deg.filter(col("d") >= k).select("key").localCheckpoint()
+        val keep = deg.filter(col("d") >= k).select("key").lckpt()
         val removed = alive.join(keep, Seq("key"), "left_anti")
-          .select(col("key"), lit(round).as("peel_round")).localCheckpoint()
+          .select(col("key"), lit(round).as("peel_round")).lckpt()
         if (removed.isEmpty) converged = true
         else {
           val next = cur
             .join(keep.withColumnRenamed("key", "u"), "u")
             .join(keep.withColumnRenamed("key", "v"), "v")
-            .select("u", "v").localCheckpoint()
+            .select("u", "v").lckpt()
           removedAll = removedAll.unionByName(removed)
           CatalystBridge.unpersistCheckpoint(cur)
           CatalystBridge.unpersistCheckpoint(alive)

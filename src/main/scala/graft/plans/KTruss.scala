@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -45,7 +46,7 @@ object KTruss {
     var e = edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(eager = false)
+      .distinct().lckpt(eager = false)
 
     // triangle list as its three canonical edges, flat long columns —
     // from the standing artifact when provided (corners are id-sorted,
@@ -56,7 +57,7 @@ object KTruss {
         t.select(col("x1").as("u1"), col("x2").as("v1"),
             col("x1").as("u2"), col("x3").as("v2"),
             col("x2").as("u3"), col("x3").as("v3"))
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
       case None =>
         val deg = e.select(col("u").as("x"))
           .unionAll(e.select(col("v").as("x")))
@@ -69,7 +70,7 @@ object KTruss {
           when(uFirst, col("u")).otherwise(col("v")).as("sid"),
           when(uFirst, col("v")).otherwise(col("u")).as("tid"),
           when(uFirst, col("dv")).otherwise(col("du")).as("td"))
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         val e1 = oriented.select(col("sid").as("a"), col("tid").as("b"), col("td").as("bd"))
         val e2 = oriented.select(col("sid").as("a2"), col("tid").as("c"), col("td").as("cd"))
         val wedges = e1.join(e2, col("a") === col("a2") &&
@@ -81,7 +82,7 @@ object KTruss {
             least(col("a"), col("wb")).as("u1"), greatest(col("a"), col("wb")).as("v1"),
             least(col("a"), col("wc")).as("u2"), greatest(col("a"), col("wc")).as("v2"),
             least(col("wb"), col("wc")).as("u3"), greatest(col("wb"), col("wc")).as("v3"))
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
     }
 
     def supports(t: DataFrame): DataFrame =
@@ -118,20 +119,20 @@ object KTruss {
       } else {
         val kept = e.join(supports(tri), Seq("u", "v"))
           .filter(col("sup") >= minSup)
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         val summary = kept.agg(
           count(lit(1)).as("n"), coalesce(sum("sup"), lit(0L)).as("s")).head()
         rows += ((round, summary.getLong(0), summary.getLong(1)))
         converged = summary.getLong(0) == before
         before = summary.getLong(0)
-        e = kept.select("u", "v").localCheckpoint(eager = false)
+        e = kept.select("u", "v").lckpt(eager = false)
         if (!converged) {
           // triangles only die: filter the list to surviving edges
           tri = tri
             .join(e.select(col("u").as("u1"), col("v").as("v1")), Seq("u1", "v1"))
             .join(e.select(col("u").as("u2"), col("v").as("v2")), Seq("u2", "v2"))
             .join(e.select(col("u").as("u3"), col("v").as("v3")), Seq("u3", "v3"))
-            .localCheckpoint(eager = false)
+            .lckpt(eager = false)
         }
       }
     }

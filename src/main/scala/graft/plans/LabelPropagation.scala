@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,7 +34,7 @@ object LabelPropagation {
       .distinct()
     val und = nbrs.unionByName(nbrs.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val byCount = Window.partitionBy("key").orderBy(desc("n"), asc("label"))
     var labels = und.select(col("u").as("key")).distinct()
       .withColumn("label", col("key"))
@@ -41,7 +42,7 @@ object LabelPropagation {
       // cut lineage on the INPUT of each round (not the output): earlier
       // rounds collapse to a materialized RDD while the last round's
       // join/aggregate/window stays a visible, optimizable plan
-      val prev = if (i == 1) labels else labels.localCheckpoint(eager = false)
+      val prev = if (i == 1) labels else labels.lckpt(eager = false)
       labels = und
         .join(prev.withColumnRenamed("key", "v"), "v")
         .select(col("u").as("key"), col("label"))

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -105,7 +106,7 @@ object Matching {
         concat(lpad((lit(WeightCap) - col("w")).cast("string"), 13, "0"),
           md5(concat(lit(salt), col("u").cast("string"), lit(":"),
             col("v").cast("string")))).as("pe"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
   }
 
   def weightedTrajectory(edges: DataFrame, maxRounds: Int,
@@ -123,14 +124,14 @@ object Matching {
       if (remaining == 0L) {
         rows += ((round, 0L, 0L, 0L))
       } else {
-        val sel = roundSelectW(e).localCheckpoint(eager = false)
+        val sel = roundSelectW(e).lckpt(eager = false)
         val matchedV = sel.select(col("u").as("x"))
           .unionAll(sel.select(col("v").as("x"))).distinct()
         val eNext = e
           .join(matchedV.select(col("x").as("u")), Seq("u"), "left_anti")
           .join(matchedV.select(col("x").as("v")), Seq("v"), "left_anti")
           .select("u", "v", "w", "pe")
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         val selAgg = sel.agg(count(lit(1)).as("n"),
           coalesce(sum(col("w")), lit(0L)).as("mw")).head()
         val nRem = eNext.count()
@@ -178,7 +179,7 @@ object Matching {
   def coarsenLevel(edges: DataFrame, salt: String = "hmatch:",
                    op: String = "coarsenLevel"): CoarsenLevel = {
     val e = prepWeighted(edges, salt, op)
-    val sel = roundSelectW(e).localCheckpoint(eager = false)
+    val sel = roundSelectW(e).lckpt(eager = false)
     val verts = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x"))).distinct()
     // contraction map: both endpoints of a matched pair → the smaller id
@@ -186,16 +187,16 @@ object Matching {
       .unionAll(sel.select(col("v").as("x"), col("u").as("sx")))
     val superOf = verts.join(cmap, Seq("x"), "left")
       .select(col("x"), coalesce(col("sx"), col("x")).as("sx"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val rek = e
       .join(superOf.select(col("x").as("u"), col("sx").as("su")), "u")
       .join(superOf.select(col("x").as("v"), col("sx").as("sv")), "v")
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val coarse = rek.filter(col("su") =!= col("sv"))
       .groupBy(least(col("su"), col("sv")).as("cu"),
         greatest(col("su"), col("sv")).as("cv"))
       .agg(sum(col("w")).as("w"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     CoarsenLevel(e, sel, superOf, rek, coarse)
   }
 
@@ -282,7 +283,7 @@ object Matching {
       .orderBy(col("bw").desc, col("sx"))
     val assign = vw.select(col("sx"), col("bw"),
         (((row_number().over(rankWin) - 1) % k).cast("long")).as("pid"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     (coarse, assign)
   }
 
@@ -392,7 +393,7 @@ object Matching {
     val conn = inc
       .join(assign.select(col("sx").as("nbr"), col("pid").as("q")), "nbr")
       .groupBy("x", "q").agg(sum(col("w")).as("cw"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val bestWin = org.apache.spark.sql.expressions.Window
       .partitionBy("x").orderBy(col("cw").desc, col("q"))
     val best = conn.withColumn("rn", row_number().over(bestWin))
@@ -406,7 +407,7 @@ object Matching {
         (col("bw2") - col("curw")).as("gain"),
         (conv(substring(md5(concat(lit(paritySalt), col("sx").cast("string"))),
           1, 7), 16, 10).cast("long") % 2).as("par"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val asg2 = mv.select(col("sx"),
       when(col("gain") > 0 && col("par") === 0L && col("target") =!= col("pid"),
         col("target")).otherwise(col("pid")).as("pid"))
@@ -453,7 +454,7 @@ object Matching {
       .select(col("u"), col("v"),
         md5(concat(lit(salt), col("u").cast("string"), lit(":"),
           col("v").cast("string"))).as("pe"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
 
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
     var remaining = e.count()
@@ -463,14 +464,14 @@ object Matching {
       if (remaining == 0L) {
         rows += ((round, 0L, 0L)) // fixpoint — matches the oracle's no-op unroll
       } else {
-        val sel = roundSelect(e).localCheckpoint(eager = false)
+        val sel = roundSelect(e).lckpt(eager = false)
         val matchedV = sel.select(col("u").as("x"))
           .unionAll(sel.select(col("v").as("x"))).distinct()
         val eNext = e
           .join(matchedV.select(col("x").as("u")), Seq("u"), "left_anti")
           .join(matchedV.select(col("x").as("v")), Seq("v"), "left_anti")
           .select("u", "v", "pe")
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         val nSel = sel.count()
         val nRem = eNext.count()
         rows += ((round, nSel, nRem))

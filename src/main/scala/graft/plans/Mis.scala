@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -63,7 +64,7 @@ object Mis {
     // per-vertex neighborhood minimum aggregates over
     var adj = und.select(col("u").as("x"), col("v").as("y"))
       .unionAll(und.select(col("v").as("x"), col("u").as("y")))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
 
     // packed priority h·2³¹ + id: 28-bit md5 hash in the high bits, id
     // below — integer-total order, collision-proof, oracle-replayable
@@ -74,7 +75,7 @@ object Mis {
     }
     var active = adj.select(col("x")).distinct()
       .select(col("x"), packedPriority(col("x")).as("pk"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     // cast first: a non-numeric id null-casts, and `col < 0` on null matches
     // nothing — the guard would fail OPEN and packedPriority's null `pk`
     // would make every active vertex select in round 1 (pk < npk never
@@ -97,7 +98,7 @@ object Mis {
         val selected = active.join(nbrMin, Seq("x"), "left")
           .filter(col("npk").isNull || col("pk") < col("npk"))
           .select("x")
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         // retire the selected set and its whole neighborhood
         val retiredNbrs = adj
           .join(selected, "x")
@@ -105,7 +106,7 @@ object Mis {
         val nextActive = active
           .join(selected, Seq("x"), "left_anti")
           .join(retiredNbrs, Seq("x"), "left_anti")
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         val nSelected = selected.count()
         val nRemaining = nextActive.count()
         rows += ((round, nSelected, nRemaining))
@@ -114,7 +115,7 @@ object Mis {
           .join(nextActive.select("x"), "x")
           .join(nextActive.select(col("x").as("y")), "y")
           .select("x", "y")
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         active = nextActive
         remaining = nRemaining
       }

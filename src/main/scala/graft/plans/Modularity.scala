@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -41,7 +42,7 @@ object Modularity {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val lab = labels.select(col("key"), col("label"))
     val verts = ce.select(col("u").as("x")).unionAll(ce.select(col("v").as("x")))
     val deg = verts.groupBy("x").agg(count(lit(1)).as("d"))

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -66,9 +67,9 @@ object MultiSourceBfs {
   private def visitedSet(edges: DataFrame, starts: DataFrame,
                          maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be positive: $maxDepth")
-    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(eager = false)
+    val e = edges.select(col("u"), col("v")).distinct().lckpt(eager = false)
     var visited = starts.select(col("start"), col("start").as("node"),
-      lit(0).as("dist")).localCheckpoint(eager = false)
+      lit(0).as("dist")).lckpt(eager = false)
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -78,8 +79,8 @@ object MultiSourceBfs {
         .join(visited.select(col("start"), col("node")), Seq("start", "node"),
           "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint(eager = false)
-      visited = visited.unionByName(next).localCheckpoint(eager = false)
+        .lckpt(eager = false)
+      visited = visited.unionByName(next).lckpt(eager = false)
       frontier = next
     }
     visited

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -70,11 +71,11 @@ object PageRank {
     val vertices = e.select(col("src").as("key"))
       .unionAll(e.select(col("dst").as("key")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
 
     val seedBase = when(seedPred, lit(scale / dampDen * (dampDen - dampNum)))
       .otherwise(lit(0L))
@@ -110,11 +111,11 @@ object PageRank {
     val vertices = e.select(col("src").as("key"))
       .unionAll(e.select(col("dst").as("key")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
     val withW = e.join(outW, "src")
       .select(col("src"), col("dst"), col("w"), col("tw"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     runScaled(vertices, withW, lit(true),
       lit(scale / dampDen * (dampDen - dampNum)), iters, scale, dampNum, dampDen)
   }
@@ -141,7 +142,7 @@ object PageRank {
         .select(col("key"),
           (seedBase + expr(s"($dampNum * coalesce(inc, 0L)) div $dampDen"))
             .as("rank_scaled"))
-        .localCheckpoint(eager = false)
+        .lckpt(eager = false)
     }
     ranks
   }

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,7 +49,7 @@ object RandomWalks {
             edgesAreDistinct: Boolean = false): DataFrame = {
     require(walksPerStart >= 1, s"walksPerStart must be positive: $walksPerStart")
     require(steps >= 1, s"steps must be positive: $steps")
-    val adj = rankedAdjacency(edges, edgesAreDistinct).localCheckpoint()
+    val adj = rankedAdjacency(edges, edgesAreDistinct).lckpt()
     walksFromAdjacency(adj, starts, walksPerStart, steps, salt, broadcastFrontier)
   }
 

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -70,11 +71,11 @@ object SccLabels {
     val ed = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
     val verts = ed.select(col("src").as("x"))
       .unionAll(ed.select(col("dst").as("x"))).distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
 
     def stats(f: DataFrame, b: DataFrame, r: Int): (Int, Long, Long, Long) = {
       val row = f.join(b.withColumnRenamed("lbl", "blbl"), "x")
@@ -84,7 +85,7 @@ object SccLabels {
       (r, row.getLong(0), row.getLong(1), row.getLong(2))
     }
 
-    val init = verts.select(col("x"), col("x").as("lbl")).localCheckpoint(eager = false)
+    val init = verts.select(col("x"), col("x").as("lbl")).lckpt(eager = false)
     var f = init; var df = init
     var b = init; var db = init
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
@@ -97,8 +98,8 @@ object SccLabels {
       } else {
         val (f2, df2) = propagate(ed, f, df)
         val (b2, db2) = propagate(rev, b, db)
-        f = f2.localCheckpoint(eager = false); df = df2.localCheckpoint(eager = false)
-        b = b2.localCheckpoint(eager = false); db = db2.localCheckpoint(eager = false)
+        f = f2.lckpt(eager = false); df = df2.lckpt(eager = false)
+        b = b2.lckpt(eager = false); db = db2.lckpt(eager = false)
         rows += stats(f, b, r)
       }
     }

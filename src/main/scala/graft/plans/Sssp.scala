@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -39,9 +40,9 @@ object Sssp {
         lit(" on edge u="), col("u").cast("string"),
         lit(" v="), col("v").cast("string"))))
     val e = edges.select(col("u"), col("v"), w.as("w"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     var dist = starts.select(col("start"), col("start").as("node"),
-      lit(0L).as("dist")).localCheckpoint(eager = false)
+      lit(0L).as("dist")).lckpt(eager = false)
     var frontier = dist
     var r = 0
     while (r < rounds && !frontier.isEmpty) {
@@ -50,12 +51,12 @@ object Sssp {
         .select(col("start"), col("v").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionByName(cand)
         .groupBy("start", "node").agg(min("dist").as("dist"))
-        .localCheckpoint(eager = false)
+        .lckpt(eager = false)
       frontier = next.join(
           dist.withColumnRenamed("dist", "old"), Seq("start", "node"), "left")
         .filter(col("old").isNull || col("dist") < col("old"))
         .select("start", "node", "dist")
-        .localCheckpoint(eager = false)
+        .lckpt(eager = false)
       dist = next
     }
     dist

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,7 +46,7 @@ object SweepCut {
     require(maxPrefix >= 1, s"maxPrefix must be positive: $maxPrefix")
     val base = edges.select(col("src"), col("dst"))
     val e = (if (edgesAreDistinct) base else base.distinct())
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val deg = e.groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
     val ppr = PageRank.personalizedScaled(e, seedPred, iters,
         edgesAreDistinct = true)
@@ -57,7 +58,7 @@ object SweepCut {
         struct(col("score"), -col("key")), maxPrefix)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("score").desc, col("key"))))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val within = e
       .join(top.select(col("key").as("ka"), col("rk").as("ra")),
         col("src") === col("ka"))

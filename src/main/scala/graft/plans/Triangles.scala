@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,12 +45,12 @@ object Triangles {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
 
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     (und, deg)
   }
 
@@ -68,7 +69,7 @@ object Triangles {
       when(uFirst, col("u")).otherwise(col("v")).as("sid"),
       when(uFirst, col("v")).otherwise(col("u")).as("tid"),
       when(uFirst, col("dv")).otherwise(col("du")).as("td"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
 
     // wedges at each apex: ordered pairs of out-neighbors, b before c in
     // the SAME (degree, id) order the closing edge is oriented by — a
@@ -178,7 +179,7 @@ object Triangles {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-    val b = canon(base).localCheckpoint(eager = false)
+    val b = canon(base).lckpt(eager = false)
     incrementalCountsFrom(b, delta,
       counts(b).select(col("n_triangles").as("t_base")), salt)
   }
@@ -210,7 +211,7 @@ object Triangles {
       .select(col("u"), col("v"),
         md5(concat(lit(salt), col("u").cast("string"), lit(":"),
           col("v").cast("string"))).as("k"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
 
     baseMirrored match {
       case Some(mb) =>
@@ -231,7 +232,7 @@ object Triangles {
         // property-pinned (TrianglesSpec split==merged).
         val adjD = d.select(col("u").as("x"), col("v").as("y"), col("k"))
           .unionAll(d.select(col("v").as("x"), col("u").as("y"), col("k")))
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         // merged degrees without moving the base: per-x base degree is a
         // bucket-local aggregate (no exchange), the delta correction is
         // delta-sized, and a full outer join stitches them
@@ -248,7 +249,7 @@ object Triangles {
           when(uFirst, col("u")).otherwise(col("v")).as("pv"),
           when(uFirst, col("v")).otherwise(col("u")).as("ot"),
           col("k"))
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
 
         // base and delta neighbor probes separately: the base side needs
         // no key test (wv = 0 kept unconditionally in the merged form),
@@ -286,7 +287,7 @@ object Triangles {
           .unionAll(d.select(col("u"), col("v"), lit(1).as("wv"), col("k")))
         val adj = labeled.select(col("u").as("x"), col("v").as("y"), col("wv"), col("k"))
           .unionAll(labeled.select(col("v").as("x"), col("u").as("y"), col("wv"), col("k")))
-          .localCheckpoint(eager = false)
+          .lckpt(eager = false)
         val deg = adj.groupBy("x").agg(count(lit(1)).as("dg"))
 
         // orient each delta edge at its lower-(degree, id) endpoint
@@ -370,7 +371,7 @@ object Triangles {
       when(uFirst, col("u")).otherwise(col("v")).as("sid"),
       when(uFirst, col("v")).otherwise(col("u")).as("tid"),
       when(uFirst, col("dv")).otherwise(col("du")).as("td"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val e1 = oriented.select(col("sid").as("a"), col("tid").as("b"), col("td").as("bd"))
     val e2 = oriented.select(col("sid").as("a2"), col("tid").as("c"), col("td").as("cd"))
     val wedges = e1.join(e2, col("a") === col("a2") &&
@@ -409,7 +410,7 @@ object Triangles {
       when(uFirst, col("u")).otherwise(col("v")).as("sid"),
       when(uFirst, col("v")).otherwise(col("u")).as("tid"),
       when(uFirst, col("dv")).otherwise(col("du")).as("td"))
-      .localCheckpoint(eager = false)
+      .lckpt(eager = false)
     val e1 = oriented.select(col("sid").as("a"), col("tid").as("b"), col("td").as("bd"))
     val e2 = oriented.select(col("sid").as("a2"), col("tid").as("c"), col("td").as("cd"))
     val wedges = e1.join(e2, col("a") === col("a2") &&

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.core.Ckpt._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory}
 import graft.core.GraphState
@@ -91,7 +92,7 @@ object AtomFiles {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true")
       .option("pathGlobFilter", "atom-*.json").text(dir).as[String]
-    val parsed = raw.map(parseAtom _).localCheckpoint()
+    val parsed = raw.map(parseAtom _).lckpt()
     GraphState(parsed.map(_._1), parsed.flatMap(_._2))
   }
 

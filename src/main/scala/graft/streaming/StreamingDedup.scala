@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.Ckpt._
 import graft.functions.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,7 +64,7 @@ object StreamingDedup {
     val width = spark.sparkContext.defaultParallelism
     val newSigs = Dedup.minHashSignature(
       batch.dropDuplicates().repartition(width), id, text, n, numHashes)
-      .localCheckpoint() // signatures feed probe + verify + store append
+      .lckpt() // signatures feed probe + verify + store append
     val newBuckets = Dedup.bandBuckets(newSigs, bands, rows)
 
     val storedSigs = readOr(spark, s"$storeDir/sigs",
@@ -99,7 +100,7 @@ object StreamingDedup {
       .join(dupPairs, Seq("id"), "left_outer")
       .join(storedSigs.select(col("id"), lit(true).as("replayed")), // replay idempotence
         Seq("id"), "left_outer")
-      .localCheckpoint()
+      .lckpt()
 
     val dups = verdict.filter(col("dup_of").isNotNull)
       .select(col("id"), col("dup_of"), col("est_jaccard"))
