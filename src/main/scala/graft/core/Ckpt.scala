@@ -29,7 +29,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ckpt {
 
-  private def singleJvm(master: String): Boolean =
+  private[core] def singleJvm(master: String): Boolean =
     master == "local" || master.startsWith("local[")
 
   /** A/B hook for the executor-kill harness: forces the unreplicated
@@ -39,10 +39,21 @@ object Ckpt {
   private def forceNoReplica: Boolean =
     sys.env.get("SPARK_GRAFT_CKPT_NO_REPLICA").contains("1")
 
+  /** Replicated AND serialized on cluster masters: the r13 2 GiB-executor
+    * sweep showed deserialized replication OOMing in the replication
+    * upload itself (`BlockManager.replicate → uploadBlockSync` serializes
+    * the block at send time, a full-block allocation spike on top of the
+    * deserialized copy). A SER level stores the bytes once — replication
+    * ships them as-is with no re-serialization spike, the footprint is
+    * 2–5× smaller under exactly the memory pressure where it matters,
+    * and checkpoint blocks are write-once-read-few so the per-read
+    * deserialization cost is the cheap side of the trade. Pairs with
+    * [[Masters]] forcing streamed uploads for blocks past 32 MB.
+    */
   def level(ds: Dataset[_]): StorageLevel =
     if (singleJvm(ds.sparkSession.sparkContext.master) || forceNoReplica)
       StorageLevel.MEMORY_AND_DISK
-    else StorageLevel.MEMORY_AND_DISK_2
+    else StorageLevel.MEMORY_AND_DISK_SER_2
 
   implicit class DatasetCkptOps[T](private val ds: Dataset[T]) extends AnyVal {
     /** `localCheckpoint` with the deployment-resolved storage level. */

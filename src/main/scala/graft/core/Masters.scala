@@ -42,7 +42,23 @@ object Masters {
     val b0 = sys.env.get("SPARK_GRAFT_SERIALIZER")
       .fold(b)(s => b.config("spark.serializer", s))
     val b1 = b0.master(m)
-    if (!m.startsWith("local-cluster")) b1
+    // multi-executor masters: blocks replicate (Ckpt's SER_2 checkpoint
+    // level). (1) past 8 MB the replication upload must STREAM — the
+    // default single-buffer UploadBlock message allocates the whole
+    // block contiguously on top of an already-pressured heap, and the
+    // r13 memory-constrained rig OOMed on exactly that allocation with
+    // ~30 MB checkpoint blocks (a 32 MB threshold missed them; 8 MB
+    // keeps the replication path's transient allocation bounded at
+    // frame size no matter the block); (2) when an executor dies,
+    // re-replicate its blocks' lost copies proactively so a LATER
+    // second failure still finds a replica (the kill-sweep's
+    // repeated-churn case).
+    val b2 =
+      if (Ckpt.singleJvm(m)) b1
+      else b1
+        .config("spark.network.maxRemoteBlockSizeFetchToMem", "8m")
+        .config("spark.storage.replication.proactive", "true")
+    if (!m.startsWith("local-cluster")) b2
     else {
       // decode via toURI→Paths: getPath returns a URL-ENCODED path
       // (spaces as %20 etc.), which breaks executor class loading for a
@@ -56,7 +72,7 @@ object Masters {
         } catch { case _: Throwable => "" }
       val entries = (own +: sys.env.get("SPARK_GRAFT_EXEC_CP").toSeq)
         .filter(_.nonEmpty)
-      b1.config("spark.executor.extraClassPath",
+      b2.config("spark.executor.extraClassPath",
         entries.mkString(java.io.File.pathSeparator))
     }
   }

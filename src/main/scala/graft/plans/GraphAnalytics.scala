@@ -233,9 +233,21 @@ object GraphAnalytics {
         undAll.filter(keep(col("u")) && keep(col("v")))
           .lckpt(eager = false)
       }
+    // Partition count scales with EDGE MASS, not cores: TriangleCount's
+    // per-task heap is the sum of neighbor-set sizes over the vertices
+    // present in one edge partition (plain JVM objects, outside unified
+    // memory — they cannot spill). At cores-sized partitioning the r13
+    // memory-pressure rig (2 GiB executors, sf1.0) OOMed on exactly
+    // this; ~25k edges/partition keeps per-task set mass in the tens of
+    // MB while EdgePartition2D bounds hub replication at 2·√P copies.
+    // Pure partitioning — the census itself is partition-invariant.
+    val nKept = if (nAll <= maxEdges) nAll else maxEdges
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      math.min(512, (nKept / 25000L).toInt + 1))
     val edgeRdd: RDD[Edge[Int]] = und.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .repartition(parts)
     val graph = Graph.fromEdges(edgeRdd, 0)
-      .partitionBy(PartitionStrategy.EdgePartition2D)
+      .partitionBy(PartitionStrategy.EdgePartition2D, parts)
     val nTriangles = graph.triangleCount().vertices
       .map(_._2.toLong).fold(0L)(_ + _) / 3
     val nWedges = graph.degrees

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure the MERGED vs SPLIT-JOIN delta-attribution paths of
+  * the incremental triangle family at a given SF — the crossover probe
+  * the r12 measurement program called for. `runMain graft.tools
+  * .TriPathBench <sfDir> <mode merged|split> [reps]`; one FRESH
+  * SparkSession per rep (the honest unit: a refresh job is a fresh
+  * session), min-of-reps printed per query shape.
+  *
+  * The split path probes the standing base adjacency as a table
+  * BUCKETED by the probe key `x`, so the base side never re-shuffles —
+  * the deployment shape for adjacencies too big to checkpoint per
+  * refresh. The fixture mirrors exactly that: the mirrored base
+  * adjacency written once as bucketed parquet (a MEASUREMENT fixture in
+  * a scratch dir, not an ArtifactStore artifact — the store keeps the
+  * one-artifact rule: a second stored table with derivable content is a
+  * staleness bug waiting).
+  *
+  * Measured shapes per rep: g65 counts (incrementalCountsFrom) and g86
+  * list refresh (incrementalTriangleList + checksum agg), both off the
+  * stored triwave artifacts, exactly as the gate queries run them.
+  */
+object TriPathBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val mode = args(1) // merged | split
+    val reps = if (args.length > 2) args(2).toInt else 3
+    require(mode == "merged" || mode == "split", s"bad mode $mode")
+
+    val fixtureDb = "/tmp/tripath_fixture"
+
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.warehouse.dir", fixtureDb)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // fixture + artifact warm-up OUTSIDE timing: a refresh job reads a
+    // standing store, it doesn't rebuild it
+    {
+      val s = newSession()
+      graft.sources.TpchGraph.storedTriwaveBaseTriangles(s, sfDir).count()
+      if (mode == "split") {
+        val b = graft.sources.TpchGraph.storedTriwaveBaseEdges(s, sfDir)
+        val mb = b.select(col("u").as("x"), col("v").as("y"))
+          .unionAll(b.select(col("v").as("x"), col("u").as("y")))
+        mb.write.format("parquet").bucketBy(8, "x").sortBy("x")
+          .mode("overwrite").saveAsTable("tripath_mb")
+      }
+      s.stop()
+    }
+
+    // the in-memory catalog dies with each session; re-register the
+    // bucketed fixture from its files + known DDL (the ArtifactStore
+    // registration trick — bucket metadata lives in the catalog)
+    def registerFixture(s: SparkSession): DataFrame = {
+      if (!s.catalog.tableExists("tripath_mb"))
+        s.sql(s"""CREATE TABLE tripath_mb (x BIGINT, y BIGINT) USING PARQUET
+          CLUSTERED BY (x) SORTED BY (x) INTO 8 BUCKETS
+          LOCATION '$fixtureDb/tripath_mb'""")
+      s.table("tripath_mb")
+    }
+
+    val g65 = Array.fill(reps)(Double.MaxValue)
+    val g86 = Array.fill(reps)(Double.MaxValue)
+    for (r <- 0 until reps) {
+      val s = newSession()
+      val base = graft.sources.TpchGraph.storedTriwaveBaseEdges(s, sfDir)
+      val delta = graft.sources.TpchGraph.triwaveDeltaEdges(s, sfDir)
+      val mb: Option[DataFrame] =
+        if (mode == "split") Some(registerFixture(s)) else None
+      g65(r) = time {
+        graft.plans.Triangles.incrementalCountsFrom(
+          base, delta,
+          graft.sources.TpchGraph.storedTriwaveBaseTriangles(s, sfDir)
+            .agg(count(lit(1)).as("t_base")),
+          baseMirrored = mb)
+          .write.format("noop").mode("overwrite").save()
+      }
+      g86(r) = time {
+        graft.sources.TpchGraph.storedTriwaveBaseTriangles(s, sfDir)
+          .unionByName(graft.plans.Triangles.incrementalTriangleList(
+            base, delta, baseMirrored = mb))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(conv(substring(md5(concat_ws("|",
+              col("x1").cast("string"), col("x2").cast("string"),
+              col("x3").cast("string"))), 1, 7), 16, 10)
+              .cast("long")), lit(0L)).as("checksum"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[tripath] $mode rep$r g65=${g65(r)}%.2f s g86=${g86(r)}%.2f s")
+      s.stop()
+    }
+    println(f"[tripath] RESULT sf=$sfDir mode=$mode g65_min=${g65.min}%.2f g86_min=${g86.min}%.2f")
+  }
+}
