@@ -39,21 +39,36 @@ object Ckpt {
   private def forceNoReplica: Boolean =
     sys.env.get("SPARK_GRAFT_CKPT_NO_REPLICA").contains("1")
 
-  /** Replicated AND serialized on cluster masters: the r13 2 GiB-executor
-    * sweep showed deserialized replication OOMing in the replication
-    * upload itself (`BlockManager.replicate → uploadBlockSync` serializes
-    * the block at send time, a full-block allocation spike on top of the
-    * deserialized copy). A SER level stores the bytes once — replication
-    * ships them as-is with no re-serialization spike, the footprint is
-    * 2–5× smaller under exactly the memory pressure where it matters,
-    * and checkpoint blocks are write-once-read-few so the per-read
-    * deserialization cost is the cheap side of the trade. Pairs with
-    * [[Masters]] forcing streamed uploads for blocks past 32 MB.
+  /** Replicated and DISK-RESIDENT on cluster masters. The level was
+    * tuned by failure, twice, on the r13 memory-pressure rig (sf1.0,
+    * 2 GiB executors):
+    *
+    *  - `MEMORY_AND_DISK_2` (deserialized): replication serializes each
+    *    block at SEND time — a full-block allocation spike on top of
+    *    the deserialized copy. Executors OOMed inside
+    *    `BlockManager.replicate`.
+    *  - `MEMORY_AND_DISK_SER_2`: the sender ships stored bytes, but the
+    *    RECEIVER of a streamed replica (`TempFileBasedBlockStoreUpdater`)
+    *    reads the temp file back into one contiguous ByteBuffer whenever
+    *    the level wants memory — a 75 MB block on a pressured heap, OOM
+    *    again.
+    *
+    * `DISK_ONLY_2` closes both: the write path serializes straight to
+    * local disk (no block-sized heap residency), replication streams
+    * file-to-file (past [[Masters]]' 8 MB threshold the receiver just
+    * MOVES the temp file — zero allocation), and survivability is
+    * unchanged. Checkpoint blocks are lineage-cut durability artifacts,
+    * not hot caches: they are written once and read a round later, the
+    * OS page cache serves that re-read at memory speed on any healthy
+    * executor, and under real pressure a memory-tiered level would have
+    * evicted to disk anyway — this just stops them competing with
+    * execution memory for heap, which is what UNABLE_TO_ACQUIRE_MEMORY
+    * task deaths were the symptom of.
     */
   def level(ds: Dataset[_]): StorageLevel =
     if (singleJvm(ds.sparkSession.sparkContext.master) || forceNoReplica)
       StorageLevel.MEMORY_AND_DISK
-    else StorageLevel.MEMORY_AND_DISK_SER_2
+    else StorageLevel.DISK_ONLY_2
 
   implicit class DatasetCkptOps[T](private val ds: Dataset[T]) extends AnyVal {
     /** `localCheckpoint` with the deployment-resolved storage level. */

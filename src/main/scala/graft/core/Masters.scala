@@ -53,11 +53,30 @@ object Masters {
     // re-replicate its blocks' lost copies proactively so a LATER
     // second failure still finds a replica (the kill-sweep's
     // repeated-churn case).
+    // Churn resilience under memory pressure (measured on the r13
+    // 2 GiB-executor sweep): an executor that OOMs takes seconds to be
+    // relaunched by the worker, and in that window the scheduler can
+    // burn all 4 default task attempts against the dying JVM
+    // (RejectedExecutionException from its draining thread pool) —
+    // aborting a job the NEXT executor would have finished. Exclusion
+    // routes retries away from a failing executor; 8 attempts outlast
+    // the relaunch window. The two memory knobs bound the UNMANAGED
+    // heap users that a 2 GiB executor cannot absorb: 4 concurrent
+    // reducers × 48 MB default in-flight fetch is ~10% of the heap in
+    // netty buffers, and the default 50% unevictable storage region is
+    // wrong for this engine's storage profile — its bulk is SER+disk
+    // checkpoint blocks that evict gracefully, so protecting less
+    // storage hands execution the headroom that UNABLE_TO_ACQUIRE_MEMORY
+    // task failures were dying for.
     val b2 =
       if (Ckpt.singleJvm(m)) b1
       else b1
         .config("spark.network.maxRemoteBlockSizeFetchToMem", "8m")
         .config("spark.storage.replication.proactive", "true")
+        .config("spark.excludeOnFailure.enabled", "true")
+        .config("spark.task.maxFailures", "8")
+        .config("spark.reducer.maxSizeInFlight", "16m")
+        .config("spark.memory.storageFraction", "0.3")
     if (!m.startsWith("local-cluster")) b2
     else {
       // decode via toURI→Paths: getPath returns a URL-ENCODED path

@@ -33,7 +33,7 @@ class CkptSpec extends SparkSpec {
     // cross-JVM rehearsal — assert the branch the live master selects
     val expected =
       if (Ckpt.singleJvm(spark.sparkContext.master)) StorageLevel.MEMORY_AND_DISK
-      else StorageLevel.MEMORY_AND_DISK_SER_2
+      else StorageLevel.DISK_ONLY_2
     assert(Ckpt.level(df) === expected)
     val c = df.lckpt(eager = true)
     assert(c.count() === 100L)
