@@ -224,11 +224,21 @@ object Triangles {
         // merged fallback WINS there (g65 7.1 vs 10.8 s, g86 8.8 vs
         // 11.2 s) — its one localCheckpoint of the merged adjacency
         // amortizes across the degree pass and both probe joins, while
-        // this path re-reads the base parquet three times. The gate
-        // queries therefore use the merged form; this path is for
-        // deployments where the standing adjacency is a lake table too
-        // big to materialize per refresh and the full re-shuffle (not
-        // the re-scan) is the binding cost. Equivalence is
+        // this path re-reads the base parquet three times.
+        // CROSSOVER MEASURED at sf4.0 (43M base edges, same rig/method,
+        // r13): the COUNTS refresh flips to this path (g65 47.0 vs
+        // merged 55.2 s) — at that mass the merged form's full-adjacency
+        // checkpoint write costs more than this path's two extra
+        // bucketed re-scans — while the LIST refresh stays
+        // merged-favored (g86 39.1 vs 33.8 s; its stored-list union
+        // amortizes the same checkpoint further). Decision rule from
+        // the two SF points, single node, 32 cores / 24 g: prefer the
+        // split for count-granularity refreshes once the standing
+        // adjacency exceeds ~30M edges (≈2× aggregate page-cache-warm
+        // scan cost overtaking one checkpoint write), and always at
+        // lake scale where the adjacency dwarfs cluster memory and the
+        // re-shuffle, not the re-scan, binds. The sub-sf4.0 gate
+        // queries stay on the merged form. Equivalence is
         // property-pinned (TrianglesSpec split==merged).
         val adjD = d.select(col("u").as("x"), col("v").as("y"), col("k"))
           .unionAll(d.select(col("v").as("x"), col("u").as("y"), col("k")))
