@@ -244,8 +244,10 @@ object GraphAnalytics {
     val nKept = if (nAll <= maxEdges) nAll else maxEdges
     val parts = math.max(spark.sparkContext.defaultParallelism,
       math.min(512, (nKept / 25000L).toInt + 1))
+    // partitionBy(strategy, parts) IS the redistribution — an explicit
+    // repartition() before it would be a second full shuffle of the
+    // same edges for nothing
     val edgeRdd: RDD[Edge[Int]] = und.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      .repartition(parts)
     val graph = Graph.fromEdges(edgeRdd, 0)
       .partitionBy(PartitionStrategy.EdgePartition2D, parts)
     val nTriangles = graph.triangleCount().vertices
