@@ -120,8 +120,8 @@ object Bench {
     // batch degrades tail queries via block-manager eviction and GC debt —
     // the r10 driver run read the GraphX trio at 6–11× its quiet-JVM floor
     // on identical code. A query measured well above its best-ever
-    // committed floor (BENCH_FLOORS.json, monotone per-query min at this
-    // SF) is re-measured twice in a fresh SparkContext and the overall min
+    // committed floor (BENCH_FLOORS_<sf>[_<profile>].json, monotone
+    // per-query min) is re-measured twice in a fresh SparkContext and the overall min
     // reported, so a full-suite run measures the CODE, not the batch; a
     // genuine regression stays slow in the fresh context and still reports
     // honestly. Queries with no recorded floor (newly added) fall back to
@@ -132,18 +132,24 @@ object Bench {
     val isolateEnabled = !sys.env.get("SPARK_GRAFT_NO_ISOLATE").contains("1")
     val IsoSpread = 2.0
     val IsoFloorSec = 1.0
-    // the 2× trigger was calibrated on the r10 6–11× cliffs and has a
-    // BLIND BAND at exactly the drift real batch runs show: the r12
-    // driver rig read the heavy tail at 1.5–1.65× floor (g64 7.37 vs
-    // 4.46, g71 5.76 vs 3.87…) and nothing re-measured — ~20 s of
-    // sub-threshold batch-state degradation between the driver and
-    // committed records. Two additions close it: (1) a tighter 1.3×
-    // trigger for queries whose floor is large enough (> 2 s) that 1.3×
-    // is outside scheduling jitter; (2) a suite-level pass below — if
-    // the MEDIAN floor-ratio shows uniform drift, recycle the context
-    // once and re-run the whole over-floor tail.
-    val IsoTight = 1.3
-    val IsoTightFloorSec = 2.0
+    // CONTINUOUS floor-referenced trigger. History: the original 2×
+    // trigger (calibrated on the r10 6–11× cliffs) had a blind band at
+    // the 1.5–1.65× drift real batch runs show (r12, ~20 s of
+    // sub-threshold degradation); r13's stepped fix (1.3× but only when
+    // floor > 2 s) moved the band to 1–2 s floors, where that round's
+    // three largest drifts then sat unre-measured (g80 1.93×, g74
+    // 1.78×, g42 1.54×). The honest jitter argument is ADDITIVE, not a
+    // step: a fresh-context re-measure is justified once the excess
+    // over floor clears both an absolute scheduling-jitter budget
+    // (~0.45 s on this rig regardless of floor) and a same-plan
+    // variance share that scales with the floor (25%). So the trigger
+    // is `best > floor + max(0.25·floor, 0.45 s)` — 1.45× at a 1 s
+    // floor, 1.25× for every floor ≥ 1.8 s, and strictly tighter than
+    // the old 2× everywhere above the jitter budget. Sub-second floors
+    // stay guarded by the `best > IsoFloorSec` gate. The suite-level
+    // median pass below still catches uniform whole-batch drift.
+    val IsoExcessShare = 0.25
+    val IsoJitterSec = 0.45
     // floors are PER-SF files (BENCH_FLOORS_<sf>.json): one shared file
     // keyed by a single "sf" field meant the dual-SF round-close sweep
     // (sf0.01 full run after the sf0.1 one) read Map.empty and then
@@ -189,12 +195,13 @@ object Bench {
     // the per-SF read also validates the recorded FULL sfDir: two data
     // roots sharing a basename (a /tmp tile dir named sf0.1, say) must
     // not read — or, below, merge into — each other's floor records;
-    // on mismatch we fall back to the spread heuristic
-    val floors: Map[String, Double] = {
-      val perSf = parseFloors(floorsPath, Some(sfDir))
-      if (perSf.nonEmpty) perSf
-      else parseFloors(java.nio.file.Paths.get("BENCH_FLOORS.json"), Some(sfDir))
-    }
+    // on mismatch we fall back to the spread heuristic. The per-(SF,
+    // profile) files are the ONLY floor source: the r13 single-file
+    // migration seed is retired (it predated profiles, so a profiled
+    // run with no floors file yet would have seeded from idle-rig
+    // numbers — firing the trigger on every query of a constrained
+    // sweep and min-merging foreign floors into the profile's record).
+    val floors: Map[String, Double] = parseFloors(floorsPath, Some(sfDir))
     val results0 = selected.map { case (name, fn) =>
       if (recycle.nonEmpty && inRecycleGroup(name) != prevInGroup) {
         System.err.println(s"[bench] recycling SparkContext at $name")
@@ -211,7 +218,7 @@ object Bench {
       // PERSISTENT degradation where both runs are slow and spread is low,
       // the r10 g19/g20 signature); spread-heuristic otherwise
       val suspicious = floors.get(name) match {
-        case Some(f) => best0 > IsoSpread * f || (f > IsoTightFloorSec && best0 > IsoTight * f)
+        case Some(f) => best0 > f + math.max(IsoExcessShare * f, IsoJitterSec)
         case None    => spread0 > IsoSpread
       }
       val isoRuns: Seq[Double] =

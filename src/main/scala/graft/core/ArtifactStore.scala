@@ -77,6 +77,23 @@ object ArtifactStore {
     f.delete(); ()
   }
 
+  /** Row count of a stored artifact as recorded at its last rebuild
+    * (meta line 4). `None` for artifacts written before counts were
+    * recorded — callers must treat that as "mass unknown" and take
+    * their conservative default, never as zero. Read lock-free: a
+    * concurrent foreign rebuild can at worst yield a just-stale count,
+    * which only mis-picks a physical plan, never an answer.
+    */
+  def rowCount(name: String): Option[Long] = {
+    val p = metaPath(name)
+    if (!java.nio.file.Files.exists(p)) None
+    else
+      try {
+        val lines = java.nio.file.Files.readAllLines(p)
+        if (lines.size < 4) None else Some(lines.get(3).trim.toLong)
+      } catch { case _: Throwable => None }
+  }
+
   /** Meta-file text this JVM last registered per table, so a FOREIGN
     * rebuild (another process refreshed the artifact since we created
     * our catalog entry) is detected on the next `bucketed()` call: the
@@ -157,10 +174,17 @@ object ArtifactStore {
           .option("path", data.toString)
           .mode("overwrite")
           .saveAsTable(tbl)
+        // meta line 4: the artifact's row count, taken from the WRITTEN
+        // table (an empty-schema parquet scan — footer-driven, no column
+        // decode). Physical-plan choices that depend on the standing
+        // artifact's MASS (e.g. the incremental-triangle merged-vs-split
+        // crossover) read this instead of re-counting per query — the
+        // count is a property of the refresh, not of the consumer.
+        val nRows = spark.table(tbl).count()
         java.nio.file.Files.createDirectories(meta.getParent)
         java.nio.file.Files.write(meta,
           (fingerprint + "\n" + df.schema.toDDL + "\n" +
-            s"$bucketCol:$nBuckets" + "\n").getBytes("UTF-8"))
+            s"$bucketCol:$nBuckets" + "\n" + nRows + "\n").getBytes("UTF-8"))
         registeredMeta(tbl) = metaText
       }
       val lockPath = java.nio.file.Paths.get(root, s"$name.lock")

@@ -66,8 +66,14 @@ object Ckpt {
     * task deaths were the symptom of.
     */
   def level(ds: Dataset[_]): StorageLevel =
-    if (singleJvm(ds.sparkSession.sparkContext.master) || forceNoReplica)
-      StorageLevel.MEMORY_AND_DISK
+    levelFor(ds.sparkSession.sparkContext.master, forceNoReplica)
+
+  /** Pure master-string → level resolution, split out so the spec can
+    * pin CONCRETE levels per known master (and per A/B override state)
+    * without depending on the suite's own live master or env.
+    */
+  private[core] def levelFor(master: String, noReplica: Boolean): StorageLevel =
+    if (singleJvm(master) || noReplica) StorageLevel.MEMORY_AND_DISK
     else StorageLevel.DISK_ONLY_2
 
   implicit class DatasetCkptOps[T](private val ds: Dataset[T]) extends AnyVal {

@@ -42,8 +42,11 @@ object Masters {
     val b0 = sys.env.get("SPARK_GRAFT_SERIALIZER")
       .fold(b)(s => b.config("spark.serializer", s))
     val b1 = b0.master(m)
-    // multi-executor masters: blocks replicate (Ckpt's SER_2 checkpoint
-    // level). (1) past 8 MB the replication upload must STREAM — the
+    // multi-executor masters: blocks replicate (Ckpt's DISK_ONLY_2
+    // checkpoint level — disk-resident precisely so both replication
+    // directions stay zero-allocation; see Ckpt's scaladoc for why the
+    // memory-tiered _2 levels OOMed).
+    // (1) past 8 MB the replication upload must STREAM — the
     // default single-buffer UploadBlock message allocates the whole
     // block contiguously on top of an already-pressured heap, and the
     // r13 memory-constrained rig OOMed on exactly that allocation with

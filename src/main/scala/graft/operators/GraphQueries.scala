@@ -2591,12 +2591,17 @@ object GraphQueries {
         // must equal the oracle's independent full census;
         // Triangles.incrementalCounts (inline base rebuild) stays as
         // the audit twin under spec.
+        // merged-vs-split is PICKED from the store meta (standing edge
+        // mass vs the measured ~30M crossover — Triangles
+        // .SplitCountsEdgeThreshold): below it this resolves to None
+        // (merged), at/above it to the bucketed mirror artifact whose
+        // probes never re-shuffle the standing side
         graft.plans.Triangles.incrementalCountsFrom(
           TpchGraph.storedTriwaveBaseEdges(s, d),
           TpchGraph.triwaveDeltaEdges(s, d),
           TpchGraph.storedTriwaveBaseTriangles(s, d)
             .agg(count(lit(1)).as("t_base")),
-          baseMirrored = None)
+          baseMirrored = TpchGraph.triwaveBaseMirroredAuto(s, d))
       },
       Some(s"""
         WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM $liSql),
@@ -3536,6 +3541,9 @@ object GraphQueries {
         // graph's triangle list content-exactly — stored ∪ delta-list
         // is what a refresh job writes back, and a mis-attribution
         // that cancels in g65's counts cannot cancel in corner hashes
+        // LIST granularity stays merged at every measured point (sf4.0:
+        // merged 33.8 vs split 39.1 s — the stored-list union amortizes
+        // the merged checkpoint further), so no auto-pick exists here
         val refreshed = TpchGraph.storedTriwaveBaseTriangles(s, d)
           .unionByName(graft.plans.Triangles.incrementalTriangleList(
             TpchGraph.storedTriwaveBaseEdges(s, d),

@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Merged-vs-split crossover for COUNT-granularity incremental
+    * refreshes, in standing-adjacency edges. Measured (TriPathBench,
+    * fresh session per rep, min of 3): at sf1.0 (~11M base edges) the
+    * merged path wins (g65 7.1 vs 10.8 s) — its one checkpoint of the
+    * merged adjacency amortizes across the degree pass and both probe
+    * joins; at sf4.0 (43M base edges) the split path wins (47.0 vs
+    * 55.2 s) — there the full-adjacency checkpoint write costs more
+    * than the split's two extra bucketed re-scans. The threshold sits
+    * at the ~2× point where aggregate page-cache-warm re-scan cost
+    * overtakes one checkpoint write on the 32-core rig; at lake scale
+    * (adjacency ≫ cluster memory) the split is strictly right — the
+    * re-shuffle, not the re-scan, binds — so rounding the threshold
+    * DOWN is the safe direction. LIST-granularity refreshes stay
+    * merged-favored at both measured points (g86 39.1 vs 33.8 s at
+    * sf4.0; the stored-list union amortizes the same checkpoint
+    * further), so no split pick exists for them yet.
+    */
+  val SplitCountsEdgeThreshold: Long = 30L * 1000 * 1000
+
+  /** [[SplitCountsEdgeThreshold]] with the test/rehearsal override
+    * applied: `SPARK_GRAFT_TRI_SPLIT_EDGES` forces a different
+    * crossover so the split path can be driven through the FULL oracle
+    * gate at small SF (and A/B-measured at any SF) without synthesizing
+    * 30M edges.
+    */
+  def splitCountsEdgeThreshold: Long =
+    sys.env.get("SPARK_GRAFT_TRI_SPLIT_EDGES").flatMap(s =>
+      scala.util.Try(s.toLong).toOption).getOrElse(SplitCountsEdgeThreshold)
+
+  /** The coded path pick (r13 verdict ask — the crossover was measured
+    * but the choice was static): a count-granularity refresh should
+    * probe the standing adjacency split-join style iff the standing
+    * mass is at/above the crossover. `standingEdges` comes from the
+    * artifact store's rebuild-time row count ([[graft.core
+    * .ArtifactStore.rowCount]]); `None` (mass unknown — pre-r14 meta)
+    * keeps the merged default, which is the measured winner at every
+    * sub-crossover point.
+    */
+  def preferSplitForCounts(standingEdges: Option[Long],
+                           threshold: Long = splitCountsEdgeThreshold): Boolean =
+    standingEdges.exists(_ >= threshold)
+
   /** Global counts for the undirected simple graph induced by `edges`
     * (any orientation, duplicates and self-loops tolerated — the edge
     * set is canonicalized first). Input columns: `u`, `v` (any orderable
@@ -231,15 +273,13 @@ object Triangles {
         // checkpoint write costs more than this path's two extra
         // bucketed re-scans — while the LIST refresh stays
         // merged-favored (g86 39.1 vs 33.8 s; its stored-list union
-        // amortizes the same checkpoint further). Decision rule from
-        // the two SF points, single node, 32 cores / 24 g: prefer the
-        // split for count-granularity refreshes once the standing
-        // adjacency exceeds ~30M edges (≈2× aggregate page-cache-warm
-        // scan cost overtaking one checkpoint write), and always at
-        // lake scale where the adjacency dwarfs cluster memory and the
-        // re-shuffle, not the re-scan, binds. The sub-sf4.0 gate
-        // queries stay on the merged form. Equivalence is
-        // property-pinned (TrianglesSpec split==merged).
+        // amortizes the same checkpoint further). The decision is CODED
+        // (r14): [[preferSplitForCounts]] reads the standing artifact's
+        // rebuild-time row count and flips at
+        // [[SplitCountsEdgeThreshold]]; TpchGraph.triwaveBaseMirroredAuto
+        // is the store-side half that materializes the bucketed mirror
+        // only when the pick says split. Equivalence is property-pinned
+        // (TrianglesSpec split==merged).
         val adjD = d.select(col("u").as("x"), col("v").as("y"), col("k"))
           .unionAll(d.select(col("v").as("x"), col("u").as("y"), col("k")))
           .lckpt(eager = false)

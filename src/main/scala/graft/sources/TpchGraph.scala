@@ -583,6 +583,37 @@ object TpchGraph {
       graft.plans.Triangles.triangleList(storedTriwaveBaseEdges(spark, dir))
     }
 
+  /** Store-driven merged-vs-split pick for the COUNT-granularity
+    * incremental triangle refresh (g65): returns the standing base
+    * adjacency MIRRORED `(x, y)` and bucketed by the probe key `x` —
+    * the shape under which `Triangles.deltaAttributed`'s split-join
+    * path probes it exchange-free — but ONLY when the standing mass
+    * (the base-edge artifact's rebuild-time row count) is at/above the
+    * measured crossover ([[graft.plans.Triangles.SplitCountsEdgeThreshold]]);
+    * `None` keeps the merged path, the measured winner below it.
+    *
+    * The mirror is itself a store artifact sharing the base's SOURCE
+    * fingerprint, so a lineitem change invalidates base and mirror
+    * together — derivable-content staleness is handled by the same
+    * mechanism as every other artifact, and the mirror is only ever
+    * materialized once the pick first asks for it (sub-crossover
+    * deployments never pay its footprint).
+    */
+  def triwaveBaseMirroredAuto(spark: SparkSession, dir: String,
+      threshold: Long = graft.plans.Triangles.splitCountsEdgeThreshold): Option[DataFrame] = {
+    storedTriwaveBaseEdges(spark, dir) // ensure the artifact + its meta are current
+    val standing = graft.core.ArtifactStore.rowCount(s"triwave_base_edges_p90_${artTag(dir)}")
+    if (!graft.plans.Triangles.preferSplitForCounts(standing, threshold)) None
+    else Some(
+      graft.core.ArtifactStore.bucketed(spark, s"triwave_base_adj_p90_${artTag(dir)}",
+          graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
+          "x", 8) {
+        val b = storedTriwaveBaseEdges(spark, dir)
+        b.select(col("u").as("x"), col("v").as("y"))
+          .unionAll(b.select(col("v").as("x"), col("u").as("y")))
+      })
+  }
+
   /** The standard admission thresholds the LSH config ledger is derived
     * at — p112's ledger rows, and the set [[derivedLshConfig]] accepts.
     */

@@ -36,6 +36,27 @@ import org.apache.spark.sql.functions._
   *     cosines to near zero, so the scaled corpus is ~10 independent
   *     copies of the sf0.1 similarity graph rather than 10× duplicate
   *     mega-clusters.
+  *
+  * SKEW MODE (`skew` as the 4th arg — r13 verdict ask: every tile is
+  * uniform by construction, so salting/AQE-skew paths had never been
+  * stress-measured against a genuinely skewed key). Three deterministic
+  * hash-driven distortions, each per-tile so tiles stay disconnected:
+  *   - HUB VERTICES: 10% of lineitem rows remap `l_partkey` onto 16
+  *     per-tile hub parts with a cubic-inverse (zipf-ish) law — hub 0
+  *     alone absorbs ~4% of ALL co-purchase edge endpoints, the
+  *     "curse of the last reducer" shape for the CC / triangle /
+  *     degree-join family. FK integrity holds (hubs are existing low
+  *     part keys).
+  *   - HUB USERS: 10% of events remap `user_id` onto 8 per-tile hub
+  *     customers, same law — one user owns ~4% of the stream, the
+  *     mega-session shape for sessionization/window state.
+  *   - ZIPF DOC LENGTHS: 4% of documents inflate `text` by a
+  *     capped-inverse repeat factor (up to 32×, mean mass ~3×) — the
+  *     long-document tail that stresses shingle/MinHash/LSH row
+  *     explosion; `n_chars` is recomputed so the metadata contract
+  *     holds on the skewed corpus.
+  * Correctness on skewed data is still oracle-gated: Verify + check.py
+  * run against the written dir like any other data root.
   */
 object ScaleData {
 
@@ -46,6 +67,7 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "/tmp/graft-sf1.0"
     val tiles = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -69,17 +91,55 @@ object ScaleData {
       println(s"[scale] $name -> $dst/$name.parquet (${tiles}x)")
     }
 
+    // zipf-ish hub pick: u ~ hash01 uniform on [0,1); rows below `share`
+    // redirect to hub floor(nHubs·(u/share)³) — cubic-inverse mass, hub 0
+    // taking ~(1/nHubs)^(1/3) of redirected rows. Hubs are the nHubs
+    // LOWEST base keys (testdata keys are 0-contiguous), so FK targets
+    // exist; the tile offset is applied AFTER, keeping hubs per-tile.
+    def hubRemap(c: Column, idCol: Column, salt: String, share: Double, nHubs: Int): Column = {
+      val u = graft.functions.Sampling.hash01(idCol, salt)
+      when(u < share,
+        floor(pow(u / lit(share), 3.0) * nHubs).cast("long")).otherwise(c)
+    }
+
     tileTable("region", 1, Map("r_regionkey" -> k32, "r_name" -> nm))
     tileTable("nation", 1, Map("n_nationkey" -> k32, "n_name" -> nm, "n_regionkey" -> k32))
     tileTable("customer", 4, Map("c_custkey" -> k64, "c_name" -> nm, "c_nationkey" -> k32))
     tileTable("supplier", 1, Map("s_suppkey" -> k64, "s_name" -> nm, "s_nationkey" -> k32))
     tileTable("part", 2, Map("p_partkey" -> k64, "p_name" -> nm))
     tileTable("orders", 16, Map("o_orderkey" -> k64, "o_custkey" -> k64))
-    tileTable("lineitem", 32, Map("l_orderkey" -> k64, "l_partkey" -> k64, "l_suppkey" -> k64))
-    tileTable("events", 8, Map("event_id" -> k64, "user_id" -> k64))
+    val liPart: Column => Column =
+      if (!skew) k64
+      else c => k64(hubRemap(c,
+        concat(col("l_orderkey").cast("string"), lit("_"), col("l_linenumber").cast("string")),
+        "skewhub:", share = 0.10, nHubs = 16))
+    tileTable("lineitem", 32, Map("l_orderkey" -> k64, "l_partkey" -> liPart, "l_suppkey" -> k64))
+    val evUser: Column => Column =
+      if (!skew) k64
+      else c => k64(hubRemap(c, col("event_id"), "skewusr:", share = 0.10, nHubs = 8))
+    tileTable("events", 8, Map("event_id" -> k64, "user_id" -> evUser))
+    val marker: Column => Column =
+      c => when(col("tile") === 0, c).otherwise(concat(c, lit(" ⁋"), col("tile")))
+    // capped-inverse repeat factor: 4% of docs get k = min(32, 1/u'),
+    // u' uniform — a zipf-ish length tail with ~3× total text mass
+    def docText(c: Column): Column =
+      if (!skew) marker(c)
+      else {
+        val u = graft.functions.Sampling.hash01(col("doc_id"), "skewlen:")
+        val k = when(u < 0.04,
+          least(lit(32),
+            (lit(1.0) / greatest(u / lit(0.04), lit(1.0 / 32))).cast("int")))
+          .otherwise(lit(1))
+        array_join(array_repeat(marker(c), k), "")
+      }
     tileTable("documents", 4, Map(
       "doc_id" -> k64,
-      "text" -> (c => when(col("tile") === 0, c).otherwise(concat(c, lit(" ⁋"), col("tile"))))))
+      "text" -> (docText _)) ++
+      (if (skew) Map[String, Column => Column](
+        // the metadata contract (n_chars == length(text)) must hold on
+        // the inflated corpus — quality/length operators read it
+        "n_chars" -> (_ => length(docText(col("text"))).cast("long")))
+       else Map.empty[String, Column => Column]))
 
     // deterministic per-tile sign pattern; tile 0 is the identity so the
     // original data embeds verbatim

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
 object TriPathBench {
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: TriPathBench <sfDir> <mode merged|split> [reps=3]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val mode = args(1) // merged | split
     val reps = if (args.length > 2) args(2).toInt else 3
@@ -33,9 +38,14 @@ object TriPathBench {
 
     val fixtureDb = "/tmp/tripath_fixture"
 
+    // rig-portable parallelism: the committed crossover numbers were
+    // taken at 32 cores, but the tool must measure honestly elsewhere
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+
     def newSession(): SparkSession = {
-      val s = SparkSession.builder().master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+      val s = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.warehouse.dir", fixtureDb)
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("WARN")

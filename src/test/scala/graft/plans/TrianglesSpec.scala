@@ -266,6 +266,65 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("preferSplitForCounts flips exactly at the standing-mass crossover") {
+    import graft.plans.Triangles.{preferSplitForCounts, SplitCountsEdgeThreshold}
+    // unknown mass (pre-r14 meta) must keep the merged default
+    assert(!preferSplitForCounts(None))
+    assert(!preferSplitForCounts(None, threshold = 1L))
+    // boundary at an explicit threshold
+    assert(!preferSplitForCounts(Some(9L), threshold = 10L))
+    assert(preferSplitForCounts(Some(10L), threshold = 10L))
+    assert(preferSplitForCounts(Some(11L), threshold = 10L))
+    // the committed default sits between the two measured points:
+    // sf1.0 (~11M edges, merged wins) below, sf4.0 (43M, split wins) above
+    assert(!preferSplitForCounts(Some(11L * 1000 * 1000)))
+    assert(preferSplitForCounts(Some(43L * 1000 * 1000)))
+    assert(SplitCountsEdgeThreshold == 30L * 1000 * 1000)
+  }
+
+  test("the pick reads the artifact store's rebuild-time row count (synthetic meta)") {
+    import org.apache.spark.sql.functions._
+    import graft.core.ArtifactStore
+    // a freshly-built artifact records its mass on meta line 4
+    val name = "tri_pick_spec_art"
+    val df = spark.range(37).select(col("id").as("u"), (col("id") * 2).as("v"))
+    ArtifactStore.bucketed(spark, name, "fp-spec-1", "u", 2)(df)
+    assert(ArtifactStore.rowCount(name) === Some(37L))
+    assert(!graft.plans.Triangles.preferSplitForCounts(ArtifactStore.rowCount(name)))
+    // synthetic meta with a super-crossover mass: the pick must flip on
+    // the META alone — no data scan involved in the decision
+    val metaPath = java.nio.file.Paths.get(ArtifactStore.storeRoot, "tri_pick_spec_fake.meta")
+    java.nio.file.Files.write(metaPath,
+      "fp-spec-2\nu BIGINT,v BIGINT\nu:2\n43000000\n".getBytes("UTF-8"))
+    assert(ArtifactStore.rowCount("tri_pick_spec_fake") === Some(43000000L))
+    assert(graft.plans.Triangles.preferSplitForCounts(
+      ArtifactStore.rowCount("tri_pick_spec_fake")))
+    // a pre-r14 three-line meta reads as mass-unknown, not zero
+    java.nio.file.Files.write(metaPath,
+      "fp-spec-3\nu BIGINT,v BIGINT\nu:2\n".getBytes("UTF-8"))
+    assert(ArtifactStore.rowCount("tri_pick_spec_fake") === None)
+    java.nio.file.Files.deleteIfExists(metaPath)
+  }
+
+  test("triwaveBaseMirroredAuto: merged below the crossover, split mirror at/above it") {
+    import org.apache.spark.sql.functions._
+    // sub-crossover standing mass (sf0.001) + committed threshold → merged
+    assert(graft.sources.TpchGraph.triwaveBaseMirroredAuto(spark, sf).isEmpty)
+    // forced sub-mass threshold → the bucketed mirror artifact, and the
+    // g65 result through it must row-equal the merged path's
+    val mirror = graft.sources.TpchGraph.triwaveBaseMirroredAuto(spark, sf, threshold = 1L)
+    assert(mirror.nonEmpty)
+    val base = graft.sources.TpchGraph.storedTriwaveBaseEdges(spark, sf)
+    assert(mirror.get.count() === 2L * base.count(), "mirror must hold both orientations")
+    val delta = graft.sources.TpchGraph.triwaveDeltaEdges(spark, sf)
+    val tBase = graft.sources.TpchGraph.storedTriwaveBaseTriangles(spark, sf)
+      .agg(count(lit(1)).as("t_base"))
+    val merged = Triangles.incrementalCountsFrom(base, delta, tBase).collect()(0)
+    val split = Triangles.incrementalCountsFrom(base, delta, tBase,
+      baseMirrored = mirror).collect()(0)
+    assert(split.toSeq === merged.toSeq, "auto-picked split path diverges from merged")
+  }
+
   test("incrementalCountsFrom (standing-artifact form) row-equals the inline audit twin") {
     // the g65 deployment shape: base arrives pre-canonicalized, t_base
     // as a prebuilt count over the standing triangle list — must be
