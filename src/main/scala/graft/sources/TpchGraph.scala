@@ -281,13 +281,20 @@ object TpchGraph {
     */
   def copurchaseEdges(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     sessionCached(copurchaseCache, spark, dir) {
-      import org.apache.spark.sql.functions._
       import org.apache.spark.storage.StorageLevel
-      val li = lineitemDeduped(spark, dir)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-        .filter(col("p") < col("p2"))
-        .select(col("p").as("u"), col("p2").as("v")).distinct()
+      // READ the durable artifact, don't re-derive from the fact table:
+      // the ranked adjacency holds exactly both orientations, so the
+      // u < v filter over its bucketed scan IS the canonical half. A
+      // fresh session (bench context recycle, restarted service) now
+      // pays one pruned parquet scan instead of the lineitem self-join
+      // + distinct — measured r14: the fresh-context g73/g74/g80 family
+      // sat 1.7–2× over its warm floors purely on this rebuild, on r12
+      // and r14 code alike. The fact-table derivation lives in the
+      // artifact REFRESH ([[copurchasePairJoin]] under
+      // [[storedRankedAdjacency]]), where a deployment runs it: once
+      // per source change, never per session.
+      storedRankedAdjacency(spark, dir)
+        .filter(col("u") < col("v")).select(col("u"), col("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -305,8 +312,9 @@ object TpchGraph {
   def copurchaseEdgesMirrored(spark: SparkSession, dir: String): DataFrame =
     sessionCached(copurchaseMirrorCache, spark, dir) {
       import org.apache.spark.storage.StorageLevel
-      val half = copurchaseEdges(spark, dir)
-      half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+      // the ranked adjacency's (u, v) projection IS the mirrored edge
+      // set (see its scaladoc) — scan the artifact, don't rebuild
+      storedRankedAdjacency(spark, dir).select(col("u"), col("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -323,22 +331,11 @@ object TpchGraph {
     */
   def transitionEdges(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     sessionCached(transitionCache, spark, dir) {
-      import org.apache.spark.sql.functions._
       import org.apache.spark.storage.StorageLevel
-      val ord = table(spark, dir, "orders").select(
-        col("o_custkey").as("c"), col("o_orderkey").as("k"),
-        col("o_orderdate").as("dt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("c").orderBy("dt", "k")
-      val nxt = ord.withColumn("k2", lead(col("k"), 1).over(w))
-        .filter(col("k2").isNotNull)
-        .select(col("k"), col("k2"))
-      val li = lineitemDeduped(spark, dir)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      nxt.join(li, "k")
-        .join(li.withColumnsRenamed(Map("k" -> "k2", "p" -> "p2")), "k2")
-        .groupBy(col("p").as("src"), col("p2").as("dst"))
-        .agg(count(lit(1)).as("n_transitions"))
+      // scan the durable artifact (the window + two order-bounded joins
+      // live in its refresh under [[storedTransitionEdges]]) — see
+      // [[copurchaseEdges]] for the session-rebuild-cost rationale
+      storedTransitionEdges(spark, dir)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -354,13 +351,11 @@ object TpchGraph {
     */
   def weightedCopurchaseEdges(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     sessionCached(weightedCopurchaseCache, spark, dir) {
-      import org.apache.spark.sql.functions._
       import org.apache.spark.storage.StorageLevel
-      val li = lineitemDeduped(spark, dir)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
-        .filter(col("p") < col("p2"))
-        .groupBy(col("p").as("u"), col("p2").as("v")).agg(count(lit(1)).as("w"))
+      // scan the durable artifact (fact-table aggregation lives in its
+      // refresh under [[storedWeightedCopurchase]]) — see
+      // [[copurchaseEdges]] for the session-rebuild-cost rationale
+      storedWeightedCopurchase(spark, dir)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -418,7 +413,9 @@ object TpchGraph {
   def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame =
     sessionCached(copurchaseTriCache, spark, dir) {
       import org.apache.spark.storage.StorageLevel
-      graft.plans.Triangles.triangleList(copurchaseEdges(spark, dir))
+      // scan the durable artifact (the wedge enumeration lives in its
+      // refresh under [[storedCopurchaseTriangles]])
+      storedCopurchaseTriangles(spark, dir)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -456,6 +453,21 @@ object TpchGraph {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
 
+  /** The REFRESH-side fact-table derivation of the co-purchase pair
+    * join (`p < p2` per shared order) — deliberately un-memoized and
+    * un-persisted: only artifact rebuild blocks call it (ranked
+    * adjacency, weighted co-purchase), once per source fingerprint.
+    * Session memos read the artifacts; calling this from a memo would
+    * recreate the per-session fact-table rebuild the r14 restructure
+    * removed (and a memo-reading artifact build would recurse).
+    */
+  private def copurchasePairJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitemDeduped(spark, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    li.join(li.withColumnsRenamed(Map("p" -> "p2")), "k")
+      .filter(col("p") < col("p2"))
+  }
+
   /** The STANDING ranked adjacency `(u, v, rk, deg)` of the undirected
     * co-purchase graph — what a deployed walk/export service keeps hot
     * (g54/g72's inline builds derive exactly this per session). Bucketed
@@ -470,7 +482,9 @@ object TpchGraph {
     graft.core.ArtifactStore.bucketed(spark, s"ranked_adj_${artTag(dir)}",
         graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
         "u", 8) {
-      val e = copurchaseEdgesMirrored(spark, dir)
+      val half = copurchasePairJoin(spark, dir)
+        .select(col("p").as("u"), col("p2").as("v")).distinct()
+      val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
       e.select(col("u"), col("v"),
         row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("v")).as("rk"),
@@ -485,7 +499,8 @@ object TpchGraph {
     graft.core.ArtifactStore.bucketed(spark, s"weighted_copurchase_${artTag(dir)}",
         graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
         "u", 8) {
-      weightedCopurchaseEdges(spark, dir)
+      copurchasePairJoin(spark, dir)
+        .groupBy(col("p").as("u"), col("p2").as("v")).agg(count(lit(1)).as("w"))
     }
 
   /** [[transitionEdges]] as a store artifact (g58/g64's sequential
@@ -495,7 +510,20 @@ object TpchGraph {
     graft.core.ArtifactStore.bucketed(spark, s"transition_edges_${artTag(dir)}",
         graft.core.ArtifactStore.sourceFingerprint(dir, Seq("orders", "lineitem")),
         "src", 8) {
-      transitionEdges(spark, dir)
+      val ord = table(spark, dir, "orders").select(
+        col("o_custkey").as("c"), col("o_orderkey").as("k"),
+        col("o_orderdate").as("dt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c").orderBy("dt", "k")
+      val nxt = ord.withColumn("k2", lead(col("k"), 1).over(w))
+        .filter(col("k2").isNotNull)
+        .select(col("k"), col("k2"))
+      val li = lineitemDeduped(spark, dir)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      nxt.join(li, "k")
+        .join(li.withColumnsRenamed(Map("k" -> "k2", "p" -> "p2")), "k2")
+        .groupBy(col("p").as("src"), col("p2").as("dst"))
+        .agg(count(lit(1)).as("n_transitions"))
     }
 
   /** [[copurchaseTriangles]] as a store artifact — the canonical
@@ -509,7 +537,9 @@ object TpchGraph {
     graft.core.ArtifactStore.bucketed(spark, s"copurchase_triangles_${artTag(dir)}",
         graft.core.ArtifactStore.sourceFingerprint(dir, Seq("lineitem")),
         "x1", 8) {
-      copurchaseTriangles(spark, dir)
+      // from the edge MEMO (itself an artifact scan), so a refresh
+      // enumerates wedges off the bucketed adjacency, not the fact table
+      graft.plans.Triangles.triangleList(copurchaseEdges(spark, dir))
     }
 
   /** The level-one coarsening's two durable products as store artifacts

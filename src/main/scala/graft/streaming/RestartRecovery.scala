@@ -35,9 +35,19 @@ object RestartRecovery {
     * for the sentinel batch; `false` drains in one incarnation (the
     * reference run). The sentinel's rows (`user_id == -1`) are filtered
     * from the returned frame.
+    *
+    * `betweenIncarnations` (interrupted runs only) fires after the first
+    * incarnation stops and before the second starts — the fault-
+    * injection point for composing restart recovery with infrastructure
+    * loss (the spec kills an executor JVM there, proving recovered state
+    * comes from the CHECKPOINT, not from any executor-resident artifact
+    * of incarnation one — RocksDB working dirs, cached state store
+    * maps, shuffle files all die with the executor and must not matter).
     */
   def run(spark: SparkSession, sfDir: String, interrupt: Boolean,
-          statePartitions: Int = 4)(build: DataFrame => DataFrame): DataFrame = {
+          statePartitions: Int = 4,
+          betweenIncarnations: () => Unit = () => ())
+         (build: DataFrame => DataFrame): DataFrame = {
     val (staged, schema) = EventStream.stagedEventsWithSentinel(spark, sfDir)
     val work = new java.io.File(graft.core.TempStores.scratchDir("graft-restart-"))
     val srcDir = new java.io.File(work, "src"); srcDir.mkdirs()
@@ -73,6 +83,7 @@ object RestartRecovery {
     if (interrupt) {
       val q1 = startQuery()
       try q1.processAllAvailable() finally q1.stop()
+      betweenIncarnations()
       stage("01_sentinel.parquet", t0 + 60000L)
       val q2 = startQuery()
       try q2.processAllAvailable() finally q2.stop()

@@ -63,6 +63,49 @@ class RestartRecoverySpec extends SparkSpec {
     }
   }
 
+  /** SIGKILL one executor JVM of THIS app and wait for the standalone
+    * worker to relaunch a replacement. App-scoped via the driver port in
+    * the executor command line, so a concurrent cluster run on the box
+    * is never the victim.
+    */
+  private def killOneExecutorAndAwaitRelaunch(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val port = spark.conf.get("spark.driver.port")
+    def executors() = ProcessHandle.allProcesses().iterator().asScala.filter { ph =>
+      val cmd = ph.info().commandLine().orElse("")
+      cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(s":$port")
+    }.toList
+    val before = executors()
+    assert(before.nonEmpty, "no executor JVM of this app found to kill")
+    before.head.destroyForcibly()
+    val deadline = System.currentTimeMillis() + 90000L
+    while (executors().size < before.size && System.currentTimeMillis() < deadline)
+      Thread.sleep(500L)
+    assert(executors().size >= before.size,
+      "worker did not relaunch a replacement executor within 90 s")
+  }
+
+  test("executor death between incarnations: state survives process AND executor loss") {
+    // r13 proved restart recovery and executor-kill survival SEPARATELY;
+    // this composes them — incarnation one's executors (their RocksDB
+    // working dirs, loaded state maps, shuffle files) are destroyed
+    // before incarnation two starts, so the recovered output can only
+    // come from the checkpoint. Real executor JVMs required: under
+    // local[N] there is no process whose death could prove anything.
+    assume(spark.sparkContext.master.startsWith("local-cluster"),
+      "requires real executor JVMs (SPARK_GRAFT_MASTER=local-cluster[...])")
+    val build: DataFrame => DataFrame =
+      ev => EventStream.sessionTimeoutPipeline(spark, ev).toDF()
+    for (provider <- Seq(None, Some(RocksDb))) withProvider(provider) {
+      val want = sorted(RestartRecovery.run(spark, sf, interrupt = false)(build))
+      val got = sorted(RestartRecovery.run(spark, sf, interrupt = true,
+        betweenIncarnations = () => killOneExecutorAndAwaitRelaunch())(build))
+      assert(want.nonEmpty, s"reference run empty (provider=$provider)")
+      assert(got == want,
+        s"restart+executor-death output diverges (provider=$provider)")
+    }
+  }
+
   test("p12 hourly windowed aggregation recovers window partials across a restart") {
     // append mode (unlike the gate query's complete-mode memory sink):
     // finalized windows flush exactly once across the two incarnations,
