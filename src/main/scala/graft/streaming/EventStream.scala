@@ -28,10 +28,21 @@ object EventStream {
     // before schema inference: a TIMESTAMP(NANOS) footer fails otherwise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    graft.sources.TpchGraph.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val stream =
+      if (src.isDirectory)
+        // Spark-written table dir (ScaleData tiles): stream the dir
+        // itself — the glob filter below matches leaf FILE names, so
+        // against a dir layout it matches nothing and the stream
+        // silently drains empty (r14 skewed-tile oracle catch)
+        spark.readStream.schema(schema).parquet(src.getAbsolutePath)
+      else
+        // driver layout: one file per table directly under sfDir — the
+        // file-stream source needs a directory, so glob-filter within it
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+    graft.sources.TpchGraph.normalizeTs(stream)
   }
 
   /** Hourly tumbling-window counts + value sums per event type. */
@@ -365,12 +376,21 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val src = new java.io.File(s"$sfDir/events.parquet")
+    // source identity for the version tag: a driver-written single file
+    // keys on its length; a Spark-written table DIRECTORY (ScaleData
+    // tiles) keys on a fold over its part files — a dir's own length is
+    // a constant 4096 and would alias every regeneration
+    val srcIdent: Long =
+      if (src.isDirectory)
+        src.listFiles().map(f =>
+          f.getName.hashCode.toLong ^ f.lastModified() ^ f.length()).sum
+      else src.length()
     val staged = new java.io.File(
       // v2: per-type sentinel rows (a v1 stage with the single-type
       // sentinel must not be reused — hence the version tag)
       s"/tmp/graft_session_stream_v2_${Integer.toHexString(sfDir.hashCode)}_" +
         java.lang.Long.toHexString(src.lastModified()) + "-" +
-        java.lang.Long.toHexString(src.length()))
+        java.lang.Long.toHexString(srcIdent))
     def isFresh(dir: java.io.File): Boolean =
       new java.io.File(dir, "00_events.parquet").exists() &&
         new java.io.File(dir, "01_sentinel.parquet").exists()
@@ -378,8 +398,25 @@ object EventStream {
       val build = java.nio.file.Files.createTempDirectory(
         staged.getParentFile.toPath, staged.getName + ".build-").toFile
       val dst = new java.io.File(build, "00_events.parquet")
-      java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (src.isDirectory) {
+        // a Spark-written events TABLE (ScaleData tiles): Files.copy of
+        // a directory copies an EMPTY dir — the stream then drains zero
+        // event rows and every windowed/sessionized answer is silently
+        // empty (caught by the r14 skewed-tile oracle gate, latent for
+        // every scale rehearsal before it). Compact the table to one
+        // staged file so the <events, sentinel> mtime order still gives
+        // exactly two microbatches.
+        val tmpEv = new java.io.File(build, "_events_build").getAbsolutePath
+        spark.read.parquet(src.getAbsolutePath).repartition(1)
+          .write.mode("overwrite").parquet(tmpEv)
+        val part = new java.io.File(tmpEv).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpEv))
+      } else
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // the staged copy must not look stale against a same-millisecond
       // source regeneration
       dst.setLastModified(math.max(dst.lastModified(), src.lastModified()))
