@@ -24,6 +24,11 @@ rm -rf "$OUT" "$LOG"
 export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
 export SPARK_GRAFT_MASTER='local-cluster[2,4,2048]' SPARK_GRAFT_CPUS=8
 T0=$(date +%s)
+# snapshot FOREIGN executors (a concurrent cluster run on the box) so
+# the victim pick below can never hit another app's executor — the
+# first version SIGPWR'd a concurrently-running bench's executor and
+# then "passed" without its own app ever decommissioning anything
+PRE=$(pgrep -f CoarseGrainedExecutorBackend | sort || true)
 GRAFT_MEM=4g GRAFT_JVM_OPTS="-Dspark.decommission.enabled=true \
  -Dspark.storage.decommission.enabled=true \
  -Dspark.storage.decommission.rddBlocks.enabled=true \
@@ -32,12 +37,15 @@ GRAFT_MEM=4g GRAFT_JVM_OPTS="-Dspark.decommission.enabled=true \
   >"$LOG" 2>&1 &
 PID=$!
 
+own_executors() {
+  comm -13 <(echo "$PRE") <(pgrep -f CoarseGrainedExecutorBackend | sort) 2>/dev/null
+}
 for _ in $(seq 60); do
-  N=$(pgrep -fc CoarseGrainedExecutorBackend || true)
+  N=$(own_executors | wc -l)
   [ "${N:-0}" -ge 2 ] && break
   sleep 1
 done
-echo "[decom-check] $(pgrep -fc CoarseGrainedExecutorBackend) executors up"
+echo "[decom-check] $(own_executors | wc -l) own executors up ($(pgrep -fc CoarseGrainedExecutorBackend || true) total on box)"
 
 AFTER=${DECOM_AFTER:-1}
 for _ in $(seq 300); do
@@ -46,7 +54,7 @@ for _ in $(seq 300); do
   [ "${DONE:-0}" -ge "$AFTER" ] && break
   sleep 1
 done
-VICTIM=$(pgrep -f CoarseGrainedExecutorBackend | head -1)
+VICTIM=$(own_executors | head -1)
 if [ -n "${VICTIM:-}" ] && kill -0 $PID 2>/dev/null; then
   kill -PWR "$VICTIM"
   echo "[decom-check] SIGPWR -> executor JVM $VICTIM after $DONE queries done (graceful decommission)"
