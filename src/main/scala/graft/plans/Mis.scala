@@ -50,8 +50,13 @@ object Mis {
     * neighbors retired) select trivially on their next round — the
     * neighborhood minimum over an empty set is "no constraint".
     */
+  /** `forcePacked`: None (default) auto-detects from the id range;
+    * Some(false) forces the wide-id struct order — the spec uses it to
+    * pin struct == packed on ids where both are valid.
+    */
   def trajectory(edges: DataFrame, maxRounds: Int,
-                 salt: String = "mis:"): DataFrame = {
+                 salt: String = "mis:",
+                 forcePacked: Option[Boolean] = None): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -66,23 +71,34 @@ object Mis {
       .unionAll(und.select(col("v").as("x"), col("u").as("y")))
       .lckpt(eager = false)
 
-    // packed priority h·2³¹ + id: 28-bit md5 hash in the high bits, id
-    // below — integer-total order, collision-proof, oracle-replayable
-    def packedPriority(id: org.apache.spark.sql.Column) = {
-      val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 7), 16, 10)
-        .cast("long")
-      h * lit(1L << 31) + id.cast("long")
-    }
-    var active = adj.select(col("x")).distinct()
-      .select(col("x"), packedPriority(col("x")).as("pk"))
-      .lckpt(eager = false)
+    val verts = adj.select(col("x")).distinct().lckpt(eager = false)
     // cast first: a non-numeric id null-casts, and `col < 0` on null matches
     // nothing — the guard would fail OPEN and packedPriority's null `pk`
     // would make every active vertex select in round 1 (pk < npk never
     // true, npk null). Null casts must fail LOUDLY here.
-    require(active.filter(col("x").cast("long").isNull ||
-        col("x").cast("long") < 0 || col("x").cast("long") >= (1L << 31)).isEmpty,
-      "packed MIS priority needs numeric vertex ids in [0, 2^31)")
+    require(verts.filter(col("x").cast("long").isNull).isEmpty,
+      "MIS priorities need numeric vertex ids")
+    // packed priority h·2³¹ + id (28-bit md5 hash high, id low) WHEN the
+    // ids fit [0, 2³¹): integer-total order, collision-proof,
+    // oracle-replayable, and the neighborhood min stays a primitive
+    // long min in codegen. Ids outside that range — lake-scale vertex
+    // ids are arbitrary int64; the r14 sf4.0 sweep hit this live via
+    // ScaleData's tile offsets (39·10⁸ > 2³¹ at 40 tiles) — fall back
+    // to the SAME total order as a lexicographic struct min
+    // `min(struct(h, id))`; the plan shape is otherwise unchanged and
+    // MisSpec pins struct == packed on ids where both are valid.
+    val fitsPacked = forcePacked.getOrElse(
+      verts.filter(col("x").cast("long") < 0 ||
+        col("x").cast("long") >= (1L << 31)).isEmpty)
+    def packedPriority(id: org.apache.spark.sql.Column) = {
+      val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 7), 16, 10)
+        .cast("long")
+      if (fitsPacked) h * lit(1L << 31) + id.cast("long")
+      else struct(h.as("h"), id.cast("long").as("i"))
+    }
+    var active = verts
+      .select(col("x"), packedPriority(col("x")).as("pk"))
+      .lckpt(eager = false)
 
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
     var remaining = active.count()

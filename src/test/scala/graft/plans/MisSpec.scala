@@ -90,9 +90,32 @@ class MisSpec extends SparkSpec {
     }
   }
 
-  test("rejects ids outside the packed-priority range") {
-    val bad = Seq((1L << 31, 1L)).toDF("u", "v")
-    intercept[IllegalArgumentException] { Mis.trajectory(bad, 2) }
+  test("wide ids (>= 2^31) take the struct order and still produce a valid MIS") {
+    // the r14 sf4.0 cliff: lake-scale vertex ids are arbitrary int64 —
+    // the packed form must not be a correctness boundary. Invariants
+    // checked structurally (priorities differ from any small-id twin,
+    // so no golden to compare): rounds select positives until empty,
+    // remaining is strictly decreasing to zero.
+    val wide = GraphGen.randGraph(7L, n = 14, m = 24)
+      .map { case (u, v) => (u + (1L << 32), v + (1L << 32)) }
+    val t = Mis.trajectory(wide.toDF("u", "v"), 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(t.last._3 === 0L, s"did not converge: ${t.toSeq}")
+    val activeSeq = t.map(_._3)
+    assert(activeSeq.zip(activeSeq.tail).forall { case (a, b) => b <= a })
+    assert(t.filter(_._3 > 0).forall(_._2 >= 0))
+    assert(t.map(_._2).sum > 0)
+  }
+
+  test("struct order == packed order where both are valid") {
+    // same hash, same (h, id) total order — the wide-id fallback must
+    // be a pure representation change, never a different MIS
+    for (seed <- 11L to 13L) {
+      val g = GraphGen.randGraph(seed, n = 16, m = 28).toDF("u", "v")
+      val packed = Mis.trajectory(g, 5, forcePacked = Some(true)).collect().map(_.toSeq)
+      val struct = Mis.trajectory(g, 5, forcePacked = Some(false)).collect().map(_.toSeq)
+      assert(packed.toSeq === struct.toSeq, s"seed $seed")
+    }
   }
 
   test("rejects NON-NUMERIC ids loudly (the guard must not fail open on null casts)") {
