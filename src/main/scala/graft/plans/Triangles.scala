@@ -25,23 +25,31 @@ import org.apache.spark.sql.functions._
 object Triangles {
 
   /** Merged-vs-split crossover for COUNT-granularity incremental
-    * refreshes, in standing-adjacency edges. Measured (TriPathBench,
-    * fresh session per rep, min of 3): at sf1.0 (~11M base edges) the
-    * merged path wins (g65 7.1 vs 10.8 s) — its one checkpoint of the
-    * merged adjacency amortizes across the degree pass and both probe
-    * joins; at sf4.0 (43M base edges) the split path wins (47.0 vs
-    * 55.2 s) — there the full-adjacency checkpoint write costs more
-    * than the split's two extra bucketed re-scans. The threshold sits
-    * at the ~2× point where aggregate page-cache-warm re-scan cost
-    * overtakes one checkpoint write on the 32-core rig; at lake scale
-    * (adjacency ≫ cluster memory) the split is strictly right — the
-    * re-shuffle, not the re-scan, binds — so rounding the threshold
-    * DOWN is the safe direction. LIST-granularity refreshes stay
-    * merged-favored at both measured points (g86 39.1 vs 33.8 s at
-    * sf4.0; the stored-list union amortizes the same checkpoint
-    * further), so no split pick exists for them yet.
+    * refreshes, in STANDING-ARTIFACT ROWS — i.e. exactly what
+    * `ArtifactStore.rowCount` returns for the base-edge artifact
+    * (undirected canonical edges over the DEDUPED fact table). UNITS
+    * MATTER here, measured the hard way in r14: the r13 crossover
+    * notes quoted masses from oracle-side counts over the RAW fact
+    * table (sf4.0 "43M standing edges"), but the engine's artifact at
+    * the same SF holds 21.4M rows (lineitem's duplicate
+    * (orderkey, linenumber) rows shadow ~half the raw distinct pairs)
+    * — a threshold calibrated in raw units against engine-unit masses
+    * silently picks merged at the very point split was measured to
+    * win. Measured points in ENGINE units (TriPathBench, fresh session
+    * per rep, idle rig, r13): merged wins at 5.4M rows (g65 7.1 vs
+    * 10.8 s — its one checkpoint of the merged adjacency amortizes
+    * across the degree pass and both probe joins); split wins at 21.4M
+    * rows (47.0 vs 55.2 s — the full-adjacency checkpoint write
+    * overtakes the split's two extra bucketed re-scans). The threshold
+    * sits between the two points; at lake scale (adjacency ≫ cluster
+    * memory) split is strictly right — the re-shuffle, not the
+    * re-scan, binds — so rounding DOWN is the safe direction.
+    * LIST-granularity refreshes stay merged-favored at both measured
+    * points (g86 33.8 vs 39.1 s at the 21.4M point; the stored-list
+    * union amortizes the same checkpoint further), so no split pick
+    * exists for them yet.
     */
-  val SplitCountsEdgeThreshold: Long = 30L * 1000 * 1000
+  val SplitCountsEdgeThreshold: Long = 15L * 1000 * 1000
 
   /** [[SplitCountsEdgeThreshold]] with the test/rehearsal override
     * applied: `SPARK_GRAFT_TRI_SPLIT_EDGES` forces a different

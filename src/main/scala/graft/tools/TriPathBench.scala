@@ -62,6 +62,11 @@ object TriPathBench {
       val s = newSession()
       graft.sources.TpchGraph.storedTriwaveBaseTriangles(s, sfDir).count()
       if (mode == "split") {
+        // a fixture left by a prior session aborts saveAsTable with
+        // LOCATION_ALREADY_EXISTS — it is a measurement fixture, always
+        // safe to rebuild
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$fixtureDb/tripath_mb"))
         val b = graft.sources.TpchGraph.storedTriwaveBaseEdges(s, sfDir)
         val mb = b.select(col("u").as("x"), col("v").as("y"))
           .unionAll(b.select(col("v").as("x"), col("u").as("y")))

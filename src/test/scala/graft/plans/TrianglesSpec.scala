@@ -275,11 +275,13 @@ class TrianglesSpec extends SparkSpec {
     assert(!preferSplitForCounts(Some(9L), threshold = 10L))
     assert(preferSplitForCounts(Some(10L), threshold = 10L))
     assert(preferSplitForCounts(Some(11L), threshold = 10L))
-    // the committed default sits between the two measured points:
-    // sf1.0 (~11M edges, merged wins) below, sf4.0 (43M, split wins) above
-    assert(!preferSplitForCounts(Some(11L * 1000 * 1000)))
-    assert(preferSplitForCounts(Some(43L * 1000 * 1000)))
-    assert(SplitCountsEdgeThreshold == 30L * 1000 * 1000)
+    // the committed default sits between the two measured points IN
+    // ENGINE UNITS (artifact rows over the deduped fact table): sf1.0
+    // (5.4M rows, merged wins) below, sf4.0 (21.4M rows, split wins)
+    // above — NOT the raw-fact-table masses the r13 notes quoted
+    assert(!preferSplitForCounts(Some(5400L * 1000)))
+    assert(preferSplitForCounts(Some(21400L * 1000)))
+    assert(SplitCountsEdgeThreshold == 15L * 1000 * 1000)
   }
 
   test("the pick reads the artifact store's rebuild-time row count (synthetic meta)") {
