@@ -762,15 +762,49 @@ object Corpus {
     * Heaps' law), one scalar aggregate for the denominator broadcast
     * back via crossJoin (the Hits single-row pattern), one TakeOrdered.
     */
+  /** Exact `floor(1000·n^(3/4))` for ANY non-negative long via integer
+    * square roots over BigInt — the wide-count regime of
+    * [[negativeSamplingTable]]'s smoothing weight. Newton's isqrt with
+    * a two-sided floor correction; exact by construction, no floating
+    * point anywhere.
+    */
+  private[functions] def milliWExact(n: Long): Long = {
+    def isqrt(x: BigInt): BigInt =
+      if (x < 2) x
+      else {
+        var r = BigInt(math.sqrt(x.doubleValue).toLong).max(1)
+        var prev = BigInt(-1)
+        while (prev != r) { prev = r; r = (r + x / r) >> 1 }
+        while (r * r > x) r -= 1
+        while ((r + 1) * (r + 1) <= x) r += 1
+        r
+      }
+    require(n >= 0, s"milliWExact needs n >= 0: $n")
+    isqrt(isqrt(BigInt(n) * n * n * BigInt(10).pow(12))).toLong
+  }
+
+  private val wideMilliW =
+    org.apache.spark.sql.functions.udf((n: Long) => milliWExact(n))
+
   def negativeSamplingTable(df: DataFrame, text: Column, topK: Int): DataFrame = {
     require(topK >= 1, s"negativeSamplingTable needs topK >= 1: $topK")
     val counts = df.select(explode(TextOps.tokens(lower(text))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    // exact-in-double guard: n^3 must stay below 2^53
+    // two exactness regimes (same deterministic value everywhere for a
+    // given n, which is all reproducibility needs):
+    //  - n ≤ 208063 (n³ < 2^53): the bit-portable double form
+    //    floor(sqrt(sqrt(n³))·1000) — pure codegen, and the form the
+    //    DuckDB oracle replays (gate SFs never leave this regime);
+    //  - larger n — a 100 TB corpus has token counts in the BILLIONS;
+    //    the r14 sf4.0 sweep hit the old raise_error guard live at
+    //    n=364480 — the exact INTEGER fourth root
+    //    floor((n³·10¹²)^¼) = isqrt(isqrt(n³·10¹²)) over BigInt
+    //    (floor∘sqrt composes: ⌊√⌊√N⌋⌋ = ⌊N^¼⌋ for all N ≥ 0). Runs
+    //    on the vocab-sized aggregate output, never per token, so the
+    //    non-codegen UDF costs nothing that matters.
     val wMilli = when(col("n") <= 208063L,
         floor(sqrt(sqrt((col("n") * col("n") * col("n")).cast("double"))) * 1000d).cast("long"))
-      .otherwise(raise_error(concat(lit("negativeSamplingTable: count exceeds exact-double range: "),
-        col("n").cast("string"))))
+      .otherwise(wideMilliW(col("n")))
     val weighted = counts.withColumn("w_milli", wMilli)
     val denom = weighted.agg(sum(col("w_milli")).as("w_total"))
     weighted.crossJoin(denom)

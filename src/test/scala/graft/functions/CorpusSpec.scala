@@ -249,6 +249,31 @@ class CorpusSpec extends SparkSpec {
     out.foreach { case (_, _, w, ppm) => assert(ppm == w * 1000000L / total) }
   }
 
+  test("negativeSamplingTable wide counts: exact integer fourth root past the double range") {
+    // defining property of floor(1000*n^0.75) = floor((n^3*10^12)^(1/4)):
+    // r^4 <= n^3*10^12 < (r+1)^4 — exact, no float anywhere. Covers the
+    // r14 sf4.0 live value (364480), the boundary, and billion-scale
+    // counts a 100 TB corpus actually has.
+    for (n <- Seq(0L, 1L, 16L, 208063L, 208064L, 364480L, 1000000007L, 123456789012L)) {
+      val r = BigInt(Corpus.milliWExact(n))
+      val target = BigInt(n) * n * n * BigInt(10).pow(12)
+      assert(r.pow(4) <= target && (r + 1).pow(4) > target, s"n=$n r=$r")
+    }
+    // perfect fourth powers land exactly: 16^0.75 = 8
+    assert(Corpus.milliWExact(16L) == 8000L)
+    // monotone across the regime boundary (the double path serves
+    // n <= 208063 in the query; values must not invert at the seam)
+    assert(Corpus.milliWExact(208064L) >=
+      math.floor(math.sqrt(math.sqrt(208063.0 * 208063 * 208063)) * 1000).toLong)
+    // end-to-end: a token count past the old raise_error guard now
+    // yields a row instead of an error
+    import org.apache.spark.sql.functions._
+    val big = spark.range(1).select(lit(1L).as("doc_id"),
+      concat_ws(" ", array_repeat(lit("tok"), 208100)).as("text"))
+    val row = Corpus.negativeSamplingTable(big, col("text"), topK = 1).collect()(0)
+    assert(row.getLong(1) == 208100L && row.getLong(2) == Corpus.milliWExact(208100L))
+  }
+
   test("packContext keeps the score-order prefix that fits the budget (take-while)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
