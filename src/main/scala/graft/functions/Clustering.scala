@@ -46,6 +46,38 @@ object Clustering {
     data.select(col("id"), col("v"), (best.getField("nc") * -1).as("cluster"))
   }
 
+  /** [[assignClusters]] with the centroid set as a broadcast DataFrame
+    * `(cluster, cvec)` instead of a driver-side literal list — the shape
+    * that survives a centroid count DERIVED from corpus mass
+    * ([[graft.functions.Dedup.semDedupAuto]]): a K-branch `greatest`
+    * expression tree stops compiling usefully past a few dozen
+    * centroids, while the broadcast nested-loop product scales in K and
+    * never collects a vector to the driver. Same math, bit-identical
+    * assignment: rounded-to-6dp cosine, argmax with ties to the smaller
+    * cluster id, realized as `max(struct(cos, -cluster, nv, v))` — the
+    * (cos, -cluster) prefix is distinct per (row, centroid) so the
+    * lexicographic max never tie-breaks on the payload fields, and the
+    * partial aggregate collapses each partition's n·K products back to
+    * n rows before any shuffle.
+    */
+  def assignClustersBroadcast(df: DataFrame, id: Column, vec: Column,
+                              cents: DataFrame): DataFrame = {
+    val data = df.select(id.as("id"), vec.as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
+    val c = broadcast(cents.select(col("cluster"),
+      col("cvec"), Similarity.norm(col("cvec")).as("ncv")))
+    data.crossJoin(c)
+      .select(col("id"),
+        struct(
+          round(Similarity.dot(col("v"), col("cvec")) / (col("nv") * col("ncv")), 6)
+            .as("cos"),
+          (-col("cluster")).as("nc"),
+          col("nv").as("nv"), col("v").as("v")).as("s"))
+      .groupBy("id").agg(max(col("s")).as("m"))
+      .select(col("id"), col("m.v").as("v"), (col("m.nc") * -1).as("cluster"),
+        col("m.nv").as("nv"))
+  }
+
   /** Spherical k-means (cosine Lloyd iterations) from a deterministic
     * initial centroid list; returns the final centroids in long format
     * `(cluster, pos, c)` with 4-dp rounded components. Clusters that end

@@ -764,21 +764,16 @@ object Corpus {
     */
   /** Exact `floor(1000·n^(3/4))` for ANY non-negative long via integer
     * square roots over BigInt — the wide-count regime of
-    * [[negativeSamplingTable]]'s smoothing weight. Newton's isqrt with
-    * a two-sided floor correction; exact by construction, no floating
-    * point anywhere.
+    * [[negativeSamplingTable]]'s smoothing weight. Uses the JDK's
+    * `BigInteger.sqrt()` (JDK 9+, exact floor sqrt by contract) rather
+    * than a hand-rolled Newton loop: the `prev != r` termination of
+    * the old loop 2-cycled forever between a-1 and a when an
+    * intermediate argument landed on a²-1 (the outer isqrt CAN see
+    * one-less-than-a-perfect-square inputs), hanging the executor
+    * task. No floating point anywhere.
     */
   private[functions] def milliWExact(n: Long): Long = {
-    def isqrt(x: BigInt): BigInt =
-      if (x < 2) x
-      else {
-        var r = BigInt(math.sqrt(x.doubleValue).toLong).max(1)
-        var prev = BigInt(-1)
-        while (prev != r) { prev = r; r = (r + x / r) >> 1 }
-        while (r * r > x) r -= 1
-        while ((r + 1) * (r + 1) <= x) r += 1
-        r
-      }
+    def isqrt(x: BigInt): BigInt = BigInt(x.bigInteger.sqrt())
     require(n >= 0, s"milliWExact needs n >= 0: $n")
     isqrt(isqrt(BigInt(n) * n * n * BigInt(10).pow(12))).toLong
   }

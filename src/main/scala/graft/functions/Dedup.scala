@@ -778,9 +778,55 @@ object Dedup {
     * the ROUNDED cosine so membership is engine-portable.
     */
   def semDedup(df: DataFrame, id: Column, vec: Column,
-               cents: Seq[(Int, Seq[Double])], minCos: Double): DataFrame = {
-    val assigned = Clustering.assignClusters(df, id, vec, cents)
-      .withColumn("nv", Similarity.norm(col("v")))
+               cents: Seq[(Int, Seq[Double])], minCos: Double): DataFrame =
+    semDedupPairs(
+      Clustering.assignClusters(df, id, vec, cents)
+        .withColumn("nv", Similarity.norm(col("v"))),
+      minCos)
+
+  /** SemDedup with the centroid count DERIVED from corpus mass — the
+    * paper's own regime (Abbas et al. 2023 scale K with the corpus so
+    * cluster size stays constant) and the p112 `lshConfigFor` discipline
+    * applied to the k-means analogue: a FIXED K means cluster size ∝ n
+    * and within-cluster pairs ∝ n² (measured 11.0× cost at 4× data,
+    * SCALE.md r14); K = ⌈n / targetClusterSize⌉ keeps expected cluster
+    * size constant so the pair term is LINEAR in n. The derivation is
+    * pure integer arithmetic — `(n + target − 1) / target` — so any
+    * engine re-derives the same K from the same count (no transcendental
+    * grid needed).
+    *
+    * Centroids are the K lowest-id vectors (the same deterministic init
+    * convention as p30/p35's fixed-K form), kept as a DATAFRAME and
+    * broadcast — never collected to the driver — so K can grow with the
+    * corpus: assignment goes through
+    * [[Clustering.assignClustersBroadcast]]'s broadcast product.
+    *
+    * Remaining super-linear term, documented: flat argmax assignment
+    * costs n·K·d with K ∝ n. Its constant is 1/targetClusterSize (two
+    * orders below the pair term this replaces) and the standard dial at
+    * lake scale is IVF-style two-level assignment (route to √K coarse
+    * cells, argmax within), the same trade [[Similarity.ivfTopK]] makes
+    * for search.
+    */
+  def semDedupAuto(df: DataFrame, id: Column, vec: Column, minCos: Double,
+                   targetClusterSize: Int = 64): DataFrame = {
+    require(targetClusterSize >= 1, s"positive target cluster size: $targetClusterSize")
+    val data = df.select(id.as("id"), vec.as("v"))
+    val n = data.count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+    require(k <= Int.MaxValue, s"centroid count overflows int: $k")
+    val cents = data.orderBy(col("id"))
+      .limit(k.toInt)
+      .select(col("id").cast("int").as("cluster"), col("v").as("cvec"))
+    semDedupPairs(
+      Clustering.assignClustersBroadcast(df, id, vec, cents), minCos)
+  }
+
+  /** Shared pair stage of [[semDedup]]/[[semDedupAuto]]: compare pairs
+    * ONLY within a cluster; any item with a smaller-id cluster-mate at
+    * rounded cosine ≥ `minCos` is dropped. Input: `(id, v, cluster, nv)`.
+    */
+  private def semDedupPairs(assigned: DataFrame, minCos: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"), col("nv").as("na"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),

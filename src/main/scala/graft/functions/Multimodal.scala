@@ -166,7 +166,7 @@ object Multimodal {
     * [[graft.functions.expressions.PHashBands]] for the per-row pipeline
     * (stub decode → 64-sample resize → mean threshold → band packing).
     */
-  def pHashBands(content: Column, bands: Int = 8, bitsPerBand: Int = 8): Column =
+  def pHashBands(content: Column, bands: Int = 8, bitsPerBand: Int = 16): Column =
     graft.functions.expressions.PHash.pHashBandsCol(content, bands, bitsPerBand)
 
   /** Voice-activity trim stats over an opaque PCM `binary` column — see
@@ -224,11 +224,19 @@ object Multimodal {
     * (p22), and the only join shape that survives a billion-image corpus
     * (shuffle on compact `(band_idx, band_val)` keys; candidate volume is
     * governed by band-value entropy, never forced to all-pairs).
-    * Output: `(id_a, id_b, dist)` with `dist` the exact 64-bit hamming
-    * distance, verified via per-band XOR popcount on the candidates only.
+    * Output: `(id_a, id_b, dist)` with `dist` the exact
+    * `bands*bitsPerBand`-bit hamming distance, verified via per-band XOR
+    * popcount on the candidates only.
+    *
+    * Default geometry: 128-bit code, 8 bands × 16 bits. The band width
+    * IS the candidate-volume dial — at 8-bit bands (256 values) the r14
+    * sf4.0 sweep measured 13.9× cost growth at 4× data because random
+    * band collisions grow as (n/256)² per band; 16-bit bands (65 536
+    * values) cut per-band collision mass ~256× while the pigeonhole
+    * exactness guarantee (maxDist < bands) is untouched.
     */
   def pHashNearDups(media: DataFrame, id: Column, content: Column,
-                    maxDist: Int = 7, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+                    maxDist: Int = 7, bands: Int = 8, bitsPerBand: Int = 16): DataFrame = {
     require(maxDist < bands,
       s"exactness requires maxDist < bands (pigeonhole): $maxDist >= $bands")
     // per-payload hashing is the heavy narrow stage here — same

@@ -21,13 +21,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   *      decodes JPEG/PNG here (the codec is absent in this environment);
   *      everything downstream — resize, threshold, banding, blocking —
   *      is the real machinery and is what the oracle checks.
-  *   2. "resize": nearest-neighbour sample to exactly 64 pixels
-  *      (`pixel_i = bytes[(i*n)/64]`), the analogue of pHash's resize to
-  *      a fixed grid; this is what makes the hash robust to length
-  *      changes.
+  *   2. "resize": nearest-neighbour sample to exactly `bands*bitsPerBand`
+  *      pixels (`pixel_i = bytes[(i*n)/nBits]`), the analogue of pHash's
+  *      resize to a fixed grid; this is what makes the hash robust to
+  *      length changes.
   *   3. threshold: bit_i = 1 iff pixel_i > mean(pixels), compared as
-  *      `pixel_i * 64 > sum` so the test is integer-exact (no division).
-  *   4. band: pack 8 consecutive bits per band value, 8 bands of 8 bits.
+  *      `pixel_i * nBits > sum` so the test is integer-exact (no division).
+  *   4. band: pack `bitsPerBand` consecutive bits per band value.
+  *
+  * Band WIDTH is the scale dial of the downstream blocking join: 8-bit
+  * bands give only 256 distinct bucket values, so the exact-pigeonhole
+  * candidate generator degenerates quadratically in n/256 per band as
+  * the corpus grows (measured 13.9× cost at 4× data in SCALE.md r14).
+  * The default geometry is therefore a 128-bit code banded at 16 bits
+  * (65 536 values per band): per-band candidate mass drops ~256× and
+  * the generator stays EXACT for maxDist < bands — same pigeonhole,
+  * same verify.
   *
   * Empty input yields all-zero bands (a deterministic hash for empty
   * media, matching the oracle's coalesce).
@@ -88,6 +97,6 @@ object PHash {
     new GenericArrayData(out)
   }
 
-  def pHashBandsCol(c: Column, bands: Int = 8, bitsPerBand: Int = 8): Column =
+  def pHashBandsCol(c: Column, bands: Int = 8, bitsPerBand: Int = 16): Column =
     CatalystBridge.column(PHashBands(CatalystBridge.expression(c), bands, bitsPerBand))
 }

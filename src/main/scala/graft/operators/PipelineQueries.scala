@@ -1727,18 +1727,25 @@ object PipelineQueries {
 
     Q("p35_semdedup",
       (s, d) => {
-        val emb = table(s, d, "embeddings")
-        // same deterministic init as p30: the 8 lowest-id vectors are the
-        // cluster centroids; pairs are compared within clusters only
-        val init = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").cast("int"), col("embedding").cast("array<double>"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
-        Dedup.semDedup(emb, col("vec_id"), col("embedding"), init, minCos = 0.4)
+        // K is DERIVED from corpus mass (ceil(n/64), integer arithmetic
+        // both engines reproduce from count(*)) so cluster size — and
+        // with it the within-cluster pair term — stays constant as the
+        // corpus grows (the paper's own regime; the fixed-K form
+        // measured 11x cost at 4x data, SCALE.md r14). Centroids are
+        // the K lowest-id vectors, broadcast as a DataFrame, never
+        // collected to the driver.
+        Dedup.semDedupAuto(table(s, d, "embeddings"),
+            col("vec_id"), col("embedding").cast("array<double>"),
+            minCos = 0.4, targetClusterSize = 64)
           .orderBy("vec_id")
       },
       Some("""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        c0 AS (SELECT CAST(vec_id AS INT) AS cluster, e AS cvec FROM v WHERE vec_id < 8),
+        kk AS (SELECT CAST((count(*) + 63) // 64 AS BIGINT) AS k FROM v),
+        c0 AS (SELECT cluster, cvec FROM (
+                 SELECT CAST(vec_id AS INT) AS cluster, e AS cvec,
+                        row_number() OVER (ORDER BY vec_id) AS rn
+                 FROM v) WHERE rn <= (SELECT k FROM kk)),
         a1 AS (SELECT vec_id, e, cluster FROM (
                  SELECT v.vec_id, v.e, c.cluster,
                         row_number() OVER (PARTITION BY v.vec_id
@@ -1752,9 +1759,11 @@ object PipelineQueries {
                CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
         FROM a1 LEFT JOIN drp d ON a1.vec_id = d.vec_id
         ORDER BY a1.vec_id"""),
-      "dedup — SemDedup-style semantic dedup (Abbas et al. 2023): centroid " +
-        "clustering bounds the pairwise term per cluster (the k-means analogue of " +
-        "LSH blocking); drop = smaller-id cluster-mate at rounded cosine >= 0.4"),
+      "dedup — SemDedup-style semantic dedup (Abbas et al. 2023) with corpus-" +
+        "derived K = ceil(n/64): constant cluster size keeps the within-cluster " +
+        "pair term LINEAR in n (fixed K measured quadratic at sf4.0); centroid " +
+        "assignment is a broadcast product, argmax with ties to smaller cluster; " +
+        "drop = smaller-id cluster-mate at rounded cosine >= 0.4"),
 
     Q("p36_shuffle_order",
       (s, d) => Sampling.shuffleOrder(table(s, d, "documents"),
@@ -2470,34 +2479,55 @@ object PipelineQueries {
       (s, d) => {
         // the documents' bytes stand in for decoded image buffers — the
         // decode is the stubbed step (see PHashBands), the resize/
-        // threshold/band/blocking machinery is real and oracle-checked
-        val media = table(s, d, "documents")
-          .filter(length(col("text")) > 0)
-          .select(col("doc_id"), col("text").cast("binary").as("content"))
+        // threshold/band/blocking machinery is real and oracle-checked.
+        // At the 128-bit geometry the gate corpus has NO natural pairs
+        // within radius 7, so plant copies (exact at +1000000; at
+        // +2000000 the first character is uppercased — pixel 0 is always
+        // bytes[0], so the flip lands a small positive hamming distance)
+        // to keep the dist-0 and 0<dist<=7 paths live in the gate
+        // instead of a trivially-empty pass
+        val base = table(s, d, "documents").filter(length(col("text")) > 0)
+        val corpus = base.select(col("doc_id"), col("text"))
+          .unionByName(base.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(base.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(upper(substring(col("text"), 1, 1)),
+                substring(col("text"), 2, 1000000)).as("text")))
+        val media = corpus.select(col("doc_id"), col("text").cast("binary").as("content"))
         Multimodal.pHashNearDups(media, col("doc_id"), col("content"),
-            maxDist = 7, bands = 8, bitsPerBand = 8)
+            maxDist = 7, bands = 8, bitsPerBand = 16)
           .orderBy("id_a", "id_b")
       },
       Some {
         val dist = (1 to 8).map(i => s"bit_count(xor(a.bd[$i], b.bd[$i]))").mkString(" + ")
         s"""
-        WITH codes AS (
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE length(text) > 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE length(text) > 0 AND doc_id < 40
+          UNION ALL
+          SELECT doc_id + 2000000, upper(substring(text, 1, 1)) || substring(text, 2)
+          FROM documents
+          WHERE length(text) > 0 AND doc_id >= 40 AND doc_id < 80),
+        codes AS (
           SELECT doc_id,
                  list_transform(generate_series(1, length(text)),
                    i -> ascii(substring(text, i, 1))) AS cs,
                  length(text) AS n
-          FROM documents),
+          FROM corpus),
         px AS (
           SELECT doc_id,
-                 list_transform(generate_series(0, 63), i -> cs[(i*n)//64 + 1]) AS pixels
+                 list_transform(generate_series(0, 127), i -> cs[(i*n)//128 + 1]) AS pixels
           FROM codes WHERE n > 0),
         st AS (SELECT doc_id, pixels, list_sum(pixels) AS total FROM px),
         bands AS (
           SELECT doc_id,
             list_transform(generate_series(0, 7), b ->
-              list_sum(list_transform(generate_series(0, 7), j ->
-                CASE WHEN pixels[b*8 + j + 1] * 64 > total
-                     THEN (1 << (7 - j)) ELSE 0 END))) AS bd
+              list_sum(list_transform(generate_series(0, 15), j ->
+                CASE WHEN pixels[b*16 + j + 1] * 128 > total
+                     THEN (1 << (15 - j)) ELSE 0 END))) AS bd
           FROM st)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($dist AS INT) AS dist
         FROM bands a JOIN bands b ON a.doc_id < b.doc_id
@@ -2505,11 +2535,13 @@ object PipelineQueries {
         ORDER BY 1, 2"""
       },
       "multimodal — perceptual-hash (aHash) image near-dup with multi-index " +
-        "hamming blocking (Norouzi et al.): stub decode -> 64-sample resize -> " +
-        "integer mean threshold -> 8x8-bit bands; maxDist 7 < 8 bands makes the " +
+        "hamming blocking (Norouzi et al.): stub decode -> 128-sample resize -> " +
+        "integer mean threshold -> 8x16-bit bands; maxDist 7 < 8 bands makes the " +
         "band-equality join an EXACT candidate generator (pigeonhole), so the " +
         "oracle's brute-force all-pairs answer matches the blocked plan verbatim; " +
-        "shuffle is on compact (band_idx, band_val) keys, never all-pairs"),
+        "shuffle is on compact (band_idx, band_val) keys — 16-bit bands give 65k " +
+        "bucket values so per-band collision mass stays ~256x below the 8-bit " +
+        "geometry that measured quadratic at sf4.0 (SCALE.md r14)"),
 
     Q("p63_crosslingual_dedup",
       (s, d) => {

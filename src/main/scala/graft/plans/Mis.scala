@@ -72,12 +72,22 @@ object Mis {
       .lckpt(eager = false)
 
     val verts = adj.select(col("x")).distinct().lckpt(eager = false)
-    // cast first: a non-numeric id null-casts, and `col < 0` on null matches
-    // nothing — the guard would fail OPEN and packedPriority's null `pk`
-    // would make every active vertex select in round 1 (pk < npk never
-    // true, npk null). Null casts must fail LOUDLY here.
-    require(verts.filter(col("x").cast("long").isNull).isEmpty,
-      "MIS priorities need numeric vertex ids")
+    // ONE aggregate scan over the distinct-vertex set decides everything
+    // the setup needs: null-cast count (the loud guard), id range (the
+    // packed-priority probe), and the initial active count — the old
+    // code ran three separate actions here (two filters + a count).
+    // Cast first: a non-numeric id null-casts, and `col < 0` on null
+    // matches nothing — a filter-shaped guard would fail OPEN and
+    // packedPriority's null `pk` would make every active vertex select
+    // in round 1 (pk < npk never true, npk null). Null casts must fail
+    // LOUDLY here; min/max skip nulls so the range probe stays valid.
+    val probe = verts
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x").cast("long").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("x").cast("long")).as("lo"),
+        max(col("x").cast("long")).as("hi"))
+      .head()
+    require(probe.getLong(1) == 0L, "MIS priorities need numeric vertex ids")
     // packed priority h·2³¹ + id (28-bit md5 hash high, id low) WHEN the
     // ids fit [0, 2³¹): integer-total order, collision-proof,
     // oracle-replayable, and the neighborhood min stays a primitive
@@ -88,8 +98,8 @@ object Mis {
     // `min(struct(h, id))`; the plan shape is otherwise unchanged and
     // MisSpec pins struct == packed on ids where both are valid.
     val fitsPacked = forcePacked.getOrElse(
-      verts.filter(col("x").cast("long") < 0 ||
-        col("x").cast("long") >= (1L << 31)).isEmpty)
+      probe.getLong(0) == 0L ||
+        (probe.getLong(2) >= 0L && probe.getLong(3) < (1L << 31)))
     def packedPriority(id: org.apache.spark.sql.Column) = {
       val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 7), 16, 10)
         .cast("long")
@@ -101,7 +111,7 @@ object Mis {
       .lckpt(eager = false)
 
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    var remaining = active.count()
+    var remaining = probe.getLong(0) // |verts| == |active| (1:1 select)
     var round = 0
     while (round < maxRounds) {
       round += 1

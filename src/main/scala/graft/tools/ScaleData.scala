@@ -134,12 +134,12 @@ object ScaleData {
       }
     tileTable("documents", 4, Map(
       "doc_id" -> k64,
-      "text" -> (docText _)) ++
-      (if (skew) Map[String, Column => Column](
-        // the metadata contract (n_chars == length(text)) must hold on
-        // the inflated corpus — quality/length operators read it
-        "n_chars" -> (_ => length(docText(col("text"))).cast("long")))
-       else Map.empty[String, Column => Column]))
+      "text" -> (docText _),
+      // the metadata contract (n_chars == length(text)) must hold on
+      // EVERY tiled corpus — the per-tile marker alone changes length
+      // on tiles > 0, so recompute unconditionally (docText reduces to
+      // marker(c) when skew is off); quality/length operators read it
+      "n_chars" -> ((_: Column) => length(docText(col("text"))).cast("long"))))
 
     // deterministic per-tile sign pattern; tile 0 is the identity so the
     // original data embeds verbatim

@@ -259,6 +259,16 @@ class CorpusSpec extends SparkSpec {
       val target = BigInt(n) * n * n * BigInt(10).pow(12)
       assert(r.pow(4) <= target && (r + 1).pow(4) > target, s"n=$n r=$r")
     }
+    // regression: the old hand-rolled Newton loop (prev != r termination)
+    // 2-cycled forever on arguments of the form a^2-1 and seeded from a
+    // double that overflows to Infinity for n near 2^63. BigInteger.sqrt
+    // must terminate and stay exact across a dense sweep and at the top
+    // of the long range (n^3*10^12 ~ 2^229, far past double).
+    for (n <- (0L to 5000L) ++ Seq(Long.MaxValue, Long.MaxValue - 1, (1L << 62) - 1)) {
+      val r = BigInt(Corpus.milliWExact(n))
+      val target = BigInt(n) * n * n * BigInt(10).pow(12)
+      assert(r.pow(4) <= target && (r + 1).pow(4) > target, s"n=$n r=$r")
+    }
     // perfect fourth powers land exactly: 16^0.75 = 8
     assert(Corpus.milliWExact(16L) == 8000L)
     // monotone across the regime boundary (the double path serves

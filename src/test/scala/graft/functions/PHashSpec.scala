@@ -25,7 +25,7 @@ class PHashSpec extends SparkSpec {
   private def hamming(a: Seq[Int], b: Seq[Int]): Int =
     a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
 
-  test("expression matches the reference pipeline on assorted buffers") {
+  test("expression matches the reference pipeline on assorted buffers (both geometries)") {
     val rng = new scala.util.Random(62L)
     val cases = Seq(
       Array.empty[Byte],
@@ -33,12 +33,17 @@ class PHashSpec extends SparkSpec {
       Array.tabulate(48)(i => (i * 7 % 256).toByte),
       Array.tabulate(64)(_.toByte),
       Array.tabulate(553)(i => (rng.nextInt(256)).toByte))
-    val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "content")
-      .select(col("id"), Multimodal.pHashBands(col("content")).as("bands"))
-      .orderBy("id")
-    val got = df.collect().map(_.getSeq[Int](1))
-    cases.zip(got).foreach { case (bytes, bands) =>
-      assert(bands == refBands(bytes, 8, 8), s"len=${bytes.length}")
+    // default geometry is the 128-bit scale one (8 x 16-bit bands);
+    // the legacy 64-bit 8 x 8 geometry stays pinned via explicit args
+    for ((bands, bits) <- Seq((8, 16), (8, 8))) {
+      val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "content")
+        .select(col("id"),
+          Multimodal.pHashBands(col("content"), bands, bits).as("bands"))
+        .orderBy("id")
+      val got = df.collect().map(_.getSeq[Int](1))
+      cases.zip(got).foreach { case (bytes, out) =>
+        assert(out == refBands(bytes, bands, bits), s"len=${bytes.length} ${bands}x$bits")
+      }
     }
   }
 
@@ -47,8 +52,8 @@ class PHashSpec extends SparkSpec {
     // doubling every byte preserves the sampled pixel sequence exactly
     val base = Array.tabulate(128)(i => ((i * 31 + 7) % 256).toByte)
     val stretched = base.flatMap(b => Array(b, b))
-    val h1 = refBands(base, 8, 8)
-    val h2 = refBands(stretched, 8, 8)
+    val h1 = refBands(base, 8, 16)
+    val h2 = refBands(stretched, 8, 16)
     assert(hamming(h1, h2) == 0, s"stretch changed the hash: $h1 vs $h2")
   }
 

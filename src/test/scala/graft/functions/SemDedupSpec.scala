@@ -36,6 +36,37 @@ class SemDedupSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("assignClustersBroadcast is bit-identical to the literal-expression path") {
+    val centsDf = cents.map { case (k, v) => (k, v) }.toDF("cluster", "cvec")
+      .select(col("cluster"), col("cvec").cast("array<double>"))
+    val lit = Clustering.assignClusters(vecs, col("vec_id"),
+        col("embedding").cast("array<double>"), cents)
+      .select("id", "cluster").orderBy("id").collect().toSeq
+    val bc = Clustering.assignClustersBroadcast(vecs, col("vec_id"),
+        col("embedding").cast("array<double>"), centsDf)
+      .select("id", "cluster").orderBy("id").collect().toSeq
+    assert(lit == bc)
+  }
+
+  test("semDedupAuto equals fixed-K semDedup given the same centroid set") {
+    // target 2 over 5 vectors → K = ceil(5/2) = 3 = the three lowest-id
+    // vectors; the fixed form with exactly those centroids must agree
+    val derived = Dedup.semDedupAuto(vecs, col("vec_id"),
+        col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val manual = Dedup.semDedup(vecs, col("vec_id"),
+        col("embedding").cast("array<double>"),
+        Seq(0 -> Seq(1.0, 0.0, 0.0), 1 -> Seq(0.999, 0.01, 0.0), 2 -> Seq(0.0, 1.0, 0.0)),
+        minCos = 0.95)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(derived == manual)
+    // K derivation is the integer ceiling: 5/64 → 1 centroid (all rows
+    // land in cluster 0 and every pair is compared)
+    val one = Dedup.semDedupAuto(vecs, col("vec_id"),
+      col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 64)
+    assert(one.select("cluster").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
   test("cross-cluster near-dups are NOT compared (blocking semantics)") {
     // two identical vectors forced into different clusters by init choice:
     // cluster assignment is argmax cosine, so both land in cluster 0 —

@@ -78,7 +78,9 @@ grep -q "failed:" "$LOG" && { echo "[decom-check] FAIL: per-query failure in log
 # a PWR that silently no-ops would otherwise read as a pass.
 DRIVER_EVIDENCE=$(grep -ci "decommission" "$LOG" || true)
 WORK_LOGS=$(find "$SPARK_HOME/work" -newermt "@$T0" -name 'std*' 2>/dev/null)
-MIGRATED=$(grep -hi "migrat" $WORK_LOGS 2>/dev/null | grep -ci "block" || true)
+# /dev/null keeps grep off stdin when find matched nothing (an empty
+# operand list would block a terminal run forever instead of WARNing)
+MIGRATED=$(grep -hi "migrat" $WORK_LOGS /dev/null 2>/dev/null | grep -ci "block" || true)
 echo "[decom-check] driver decommission mentions: $DRIVER_EVIDENCE; executor block-migration lines: $MIGRATED"
 if [ "${DRIVER_EVIDENCE:-0}" -eq 0 ]; then
   echo "[decom-check] FAIL: no decommission observed on the driver (signal lost?)"
