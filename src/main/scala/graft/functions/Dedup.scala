@@ -798,28 +798,70 @@ object Dedup {
     * Centroids are the K lowest-id vectors (the same deterministic init
     * convention as p30/p35's fixed-K form), kept as a DATAFRAME and
     * broadcast — never collected to the driver — so K can grow with the
-    * corpus: assignment goes through
+    * corpus: every argmax goes through
     * [[Clustering.assignClustersBroadcast]]'s broadcast product.
     *
-    * Remaining super-linear term, documented: flat argmax assignment
-    * costs n·K·d with K ∝ n. Its constant is 1/targetClusterSize (two
-    * orders below the pair term this replaces) and the standard dial at
-    * lake scale is IVF-style two-level assignment (route to √K coarse
-    * cells, argmax within), the same trade [[Similarity.ivfTopK]] makes
-    * for search.
+    * Assignment is IVF-ROUTED, not flat: with K ∝ n a flat argmax costs
+    * n·K·d — the r15 re-measure showed it simply INHERITS the 11× growth
+    * the derived K was supposed to remove (the quadratic moved from the
+    * pair term into assignment). Instead the K1 = ⌈√K⌉ lowest-id
+    * centroids double as COARSE cells (faiss's own IVF regime): each
+    * fine centroid routes to its argmax coarse cell (K·K1 products, one
+    * of them itself — rounded cos(c,c) = 1 wins every tie — so no cell
+    * is empty and no row can be lost), each row routes to its argmax
+    * coarse cell (n·K1) and then argmaxes only over that cell's fine
+    * centroids (n·K/K1 expected), for n·2√K·d total instead of n·K·d.
+    * Every cosine is rounded to 6dp and every tie breaks to the smaller
+    * id, so an oracle replays the full two-level recurrence exactly.
+    * `coarseCells` overrides K1 (tests pin coarseCells = K ⇒ singleton
+    * cells ⇒ bit-identical to the flat argmax).
+    *
+    * What 100 TB pays: the fine-centroid table (K rows) broadcasts —
+    * the standard IVF index-shipping trade [[Similarity.ivfTopK]] makes
+    * for search — and assignment quality is the usual IVF approximation
+    * (a row near a cell boundary may assign to the second-best fine
+    * centroid; dedup recall within the target cluster size is
+    * unaffected because near-dup pairs route together with the same
+    * probability k-means assignment gives them).
     */
   def semDedupAuto(df: DataFrame, id: Column, vec: Column, minCos: Double,
-                   targetClusterSize: Int = 64): DataFrame = {
+                   targetClusterSize: Int = 64,
+                   coarseCells: Option[Int] = None): DataFrame = {
     require(targetClusterSize >= 1, s"positive target cluster size: $targetClusterSize")
     val data = df.select(id.as("id"), vec.as("v"))
     val n = data.count()
     val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
     require(k <= Int.MaxValue, s"centroid count overflows int: $k")
-    val cents = data.orderBy(col("id"))
+    val k1 = coarseCells.getOrElse(math.ceil(math.sqrt(k.toDouble)).toInt)
+    require(k1 >= 1 && k1 <= k, s"coarse cells out of range: $k1 of $k")
+    val fine = data.orderBy(col("id"))
       .limit(k.toInt)
       .select(col("id").cast("int").as("cluster"), col("v").as("cvec"))
-    semDedupPairs(
-      Clustering.assignClustersBroadcast(df, id, vec, cents), minCos)
+    val coarse = fine.orderBy(col("cluster")).limit(k1)
+      .select(col("cluster").as("cl"), col("cvec").as("cv"))
+    // fine centroid → coarse cell (K·K1 broadcast product)
+    val froute = Clustering.assignClustersBroadcast(fine,
+        col("cluster"), col("cvec"),
+        coarse.select(col("cl").as("cluster"), col("cv").as("cvec")))
+      .select(col("id").cast("int").as("fcl"), col("v").as("cvec"),
+        col("cluster").as("ccl"), Similarity.norm(col("v")).as("ncv"))
+    // row → coarse cell (n·K1 broadcast product)
+    val rc = Clustering.assignClustersBroadcast(df, id, vec,
+        coarse.select(col("cl").as("cluster"), col("cv").as("cvec")))
+      .select(col("id"), col("v"), col("nv"), col("cluster").as("ccl"))
+    // row → fine centroid WITHIN its cell (n·K/K1 expected): broadcast
+    // hash join on the cell key, then the same max(struct) argmax
+    val assigned = rc.join(broadcast(froute), Seq("ccl"))
+      .select(col("id"),
+        struct(
+          round(Similarity.dot(col("v"), col("cvec")) / (col("nv") * col("ncv")), 6)
+            .as("cos"),
+          (-col("fcl")).as("nc"),
+          col("nv").as("nv"), col("v").as("v")).as("s"))
+      .groupBy("id").agg(max(col("s")).as("m"))
+      .select(col("id"), col("m.v").as("v"), (col("m.nc") * -1).as("cluster"),
+        col("m.nv").as("nv"))
+    semDedupPairs(assigned, minCos)
   }
 
   /** Shared pair stage of [[semDedup]]/[[semDedupAuto]]: compare pairs

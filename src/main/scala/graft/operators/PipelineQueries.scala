@@ -1731,9 +1731,12 @@ object PipelineQueries {
         // both engines reproduce from count(*)) so cluster size — and
         // with it the within-cluster pair term — stays constant as the
         // corpus grows (the paper's own regime; the fixed-K form
-        // measured 11x cost at 4x data, SCALE.md r14). Centroids are
-        // the K lowest-id vectors, broadcast as a DataFrame, never
-        // collected to the driver.
+        // measured 11x cost at 4x data, SCALE.md r14). Assignment is
+        // IVF-routed through ceil(sqrt(K)) coarse cells — a flat argmax
+        // at K ∝ n just moves the quadratic into assignment (measured:
+        // 11.8x growth survived the derived K until routing landed).
+        // Centroids are the K lowest-id vectors, broadcast as a
+        // DataFrame, never collected to the driver.
         Dedup.semDedupAuto(table(s, d, "embeddings"),
             col("vec_id"), col("embedding").cast("array<double>"),
             minCos = 0.4, targetClusterSize = 64)
@@ -1741,17 +1744,35 @@ object PipelineQueries {
       },
       Some("""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        kk AS (SELECT CAST((count(*) + 63) // 64 AS BIGINT) AS k FROM v),
-        c0 AS (SELECT cluster, cvec FROM (
-                 SELECT CAST(vec_id AS INT) AS cluster, e AS cvec,
-                        row_number() OVER (ORDER BY vec_id) AS rn
-                 FROM v) WHERE rn <= (SELECT k FROM kk)),
-        a1 AS (SELECT vec_id, e, cluster FROM (
-                 SELECT v.vec_id, v.e, c.cluster,
+        kk AS (SELECT CAST((count(*) + 63) // 64 AS BIGINT) AS k,
+                      CAST(ceil(sqrt(CAST((count(*) + 63) // 64 AS DOUBLE))) AS BIGINT) AS k1
+               FROM v),
+        fine AS (SELECT cluster, cvec FROM (
+                   SELECT CAST(vec_id AS INT) AS cluster, e AS cvec,
+                          row_number() OVER (ORDER BY vec_id) AS rn
+                   FROM v) WHERE rn <= (SELECT k FROM kk)),
+        coarse AS (SELECT cl, cv FROM (
+                     SELECT cluster AS cl, cvec AS cv,
+                            row_number() OVER (ORDER BY cluster) AS rn
+                     FROM fine) WHERE rn <= (SELECT k1 FROM kk)),
+        fr AS (SELECT fcl, cvec, ccl FROM (
+                 SELECT f.cluster AS fcl, f.cvec, c.cl AS ccl,
+                        row_number() OVER (PARTITION BY f.cluster
+                          ORDER BY round(list_cosine_similarity(f.cvec, c.cv), 6) DESC,
+                                   c.cl) AS rn
+                 FROM fine f CROSS JOIN coarse c) WHERE rn = 1),
+        rc AS (SELECT vec_id, e, ccl FROM (
+                 SELECT v.vec_id, v.e, c.cl AS ccl,
                         row_number() OVER (PARTITION BY v.vec_id
-                          ORDER BY round(list_cosine_similarity(v.e, c.cvec), 6) DESC,
-                                   c.cluster) AS rn
-                 FROM v CROSS JOIN c0 c) WHERE rn = 1),
+                          ORDER BY round(list_cosine_similarity(v.e, c.cv), 6) DESC,
+                                   c.cl) AS rn
+                 FROM v CROSS JOIN coarse c) WHERE rn = 1),
+        a1 AS (SELECT vec_id, e, cluster FROM (
+                 SELECT r.vec_id, r.e, f.fcl AS cluster,
+                        row_number() OVER (PARTITION BY r.vec_id
+                          ORDER BY round(list_cosine_similarity(r.e, f.cvec), 6) DESC,
+                                   f.fcl) AS rn
+                 FROM rc r JOIN fr f ON r.ccl = f.ccl) WHERE rn = 1),
         drp AS (SELECT DISTINCT b.vec_id
                 FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
                 WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4)
@@ -1760,10 +1781,13 @@ object PipelineQueries {
         FROM a1 LEFT JOIN drp d ON a1.vec_id = d.vec_id
         ORDER BY a1.vec_id"""),
       "dedup — SemDedup-style semantic dedup (Abbas et al. 2023) with corpus-" +
-        "derived K = ceil(n/64): constant cluster size keeps the within-cluster " +
-        "pair term LINEAR in n (fixed K measured quadratic at sf4.0); centroid " +
-        "assignment is a broadcast product, argmax with ties to smaller cluster; " +
-        "drop = smaller-id cluster-mate at rounded cosine >= 0.4"),
+        "derived K = ceil(n/64) and IVF-routed assignment through ceil(sqrt(K)) " +
+        "coarse cells: constant cluster size keeps the within-cluster pair term " +
+        "LINEAR in n and routing keeps assignment at n*2*sqrt(K)*d (flat argmax " +
+        "at K ~ n is itself quadratic — both regimes measured at sf4.0); every " +
+        "cosine rounds to 6dp, every tie breaks to the smaller id, so the oracle " +
+        "replays the full two-level recurrence; drop = smaller-id cluster-mate " +
+        "at rounded cosine >= 0.4"),
 
     Q("p36_shuffle_order",
       (s, d) => Sampling.shuffleOrder(table(s, d, "documents"),

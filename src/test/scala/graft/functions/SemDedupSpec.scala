@@ -50,9 +50,12 @@ class SemDedupSpec extends SparkSpec {
 
   test("semDedupAuto equals fixed-K semDedup given the same centroid set") {
     // target 2 over 5 vectors → K = ceil(5/2) = 3 = the three lowest-id
-    // vectors; the fixed form with exactly those centroids must agree
+    // vectors; with coarseCells = K every cell is a singleton, so the
+    // IVF routing reduces EXACTLY to the flat argmax — the fixed form
+    // with the same centroids must agree bit for bit
     val derived = Dedup.semDedupAuto(vecs, col("vec_id"),
-        col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 2)
+        col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 2,
+        coarseCells = Some(3))
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     val manual = Dedup.semDedup(vecs, col("vec_id"),
         col("embedding").cast("array<double>"),
@@ -65,6 +68,26 @@ class SemDedupSpec extends SparkSpec {
     val one = Dedup.semDedupAuto(vecs, col("vec_id"),
       col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 64)
     assert(one.select("cluster").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
+  test("semDedupAuto default IVF routing: deterministic two-level recurrence") {
+    // default K1 = ceil(sqrt(3)) = 2 coarse cells over K = 3 fine
+    // centroids {0, 1, 2}; fine 1 routes to coarse cell 1 (self, cos 1)
+    // so cell 0 = {0}, cell 1 = {1, 2}. The pinned output shows BOTH
+    // faces of the IVF trade, exactly and reproducibly:
+    //  - rows 0 and 1 are near-dups but are THEMSELVES centroids of
+    //    different cells, so each routes to itself and the pair is
+    //    never compared — the documented boundary approximation
+    //    (vanishingly rare for non-centroid rows at real K);
+    //  - row 3 routes through cell 1 to fine 2 and drops against row 2
+    //    exactly as the flat argmax would.
+    // Every row appears exactly once: routing cannot lose rows because
+    // every coarse cell contains at least its own centroid.
+    val out = Dedup.semDedupAuto(vecs, col("vec_id"),
+        col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((0L, 0, 1), (1L, 1, 1), (2L, 2, 1), (3L, 2, 0), (4L, 0, 1)), s"$out")
   }
 
   test("cross-cluster near-dups are NOT compared (blocking semantics)") {
