@@ -298,9 +298,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("p35 semdedup never plans a cartesian or nested-loop pair join") {
+  test("p35 semdedup: pair join is cluster-keyed; products only for centroid assignment") {
     val p = plan("p35_semdedup")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the PAIR generator (the join carrying id_a/id_b and the cosine
+    // admission) must be an equi join on the cluster key — the n×n
+    // danger this pin exists for
+    val pairLines = p.split("\n")
+      .filter(l => l.contains("id_a") && l.contains("id_b") && l.contains("Join"))
+    assert(pairLines.nonEmpty, p)
+    assert(pairLines.forall(l =>
+      l.contains("SortMergeJoin [cluster") || l.contains("BroadcastHashJoin [cluster")), p)
+    // nested-loop products are allowed ONLY as the IVF centroid
+    // assignment's bounded broadcast side (K or K1 rows, BuildRight
+    // Cross) — never an unbroadcast product
+    assert(p.split("\n").filter(_.contains("NestedLoopJoin"))
+      .forall(_.contains("BuildRight, Cross")), p)
   }
 
   test("p36 epoch shuffle is a range-partitioned sort, not a global window") {
