@@ -818,7 +818,17 @@ object Corpus {
     val ctxSide = occ.select(col("doc_id"), col("tok").as("center"),
         col("pos").as("cpos"), explode(array(offsets: _*)).as("off"))
       .select(col("doc_id"), col("center"), (col("cpos") + col("off")).as("pos"))
-    ctxSide.join(occ, Seq("doc_id", "pos"))
+    // BOTH sides of the (doc_id, pos) self-join are corpus-sized (occ is
+    // the posexploded token stream; ctxSide is occ × 2·window), but
+    // Catalyst's size estimate below an explode is the parquet file
+    // size, which reads broadcast-small for any compressed corpus — at
+    // the mem2g×sf4.0 sweep the planner chose a broadcast hash join
+    // whose build side deserialized to a single 512 MB allocation and
+    // OOMed the 2 GiB executor (UNABLE_TO_ACQUIRE_MEMORY inside
+    // UnsafeHashedRelation.read). Pin sort-merge: a corpus-sized build
+    // side must never broadcast, and SMJ spills gracefully where a
+    // shuffled hash join's build side is still an in-memory map.
+    ctxSide.hint("merge").join(occ.hint("merge"), Seq("doc_id", "pos"))
       .groupBy(col("center"), col("tok").as("context"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("center"), col("context"))

@@ -637,6 +637,13 @@ class PlanAuditSpec extends SparkSpec {
   test("p118 skip-gram pairs: position join is an equi-join, pair agg partial-combines") {
     val p = plan("p118_skipgram_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // BOTH sides of the (doc_id, pos) self-join are corpus-sized, but
+    // below an explode the planner's size estimate is the compressed
+    // file size and reads broadcast-small — at mem2g×sf4.0 the chosen
+    // broadcast build side deserialized into one 512 MB allocation and
+    // OOMed the 2 GiB executor. The join must plan sort-merge.
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
     // hot stopword pairs must pre-collapse map-side
     assert(p.contains("partial_count") || p.contains("Partial"), p)
     // top-40 is TakeOrdered, not a global sort
