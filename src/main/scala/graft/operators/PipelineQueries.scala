@@ -2524,7 +2524,11 @@ object PipelineQueries {
           .orderBy("id_a", "id_b")
       },
       Some {
-        val dist = (1 to 8).map(i => s"bit_count(xor(a.bd[$i], b.bd[$i]))").mkString(" + ")
+        // ::INT per term: DuckDB's bit_count returns TINYINT and the
+        // 128-bit geometry's distance can reach exactly 128 — an
+        // all-bits-different pair (first seen on the skewed tile's
+        // repeated-text docs) overflows the TINYINT sum at 112 + 16
+        val dist = (1 to 8).map(i => s"bit_count(xor(a.bd[$i], b.bd[$i]))::INT").mkString(" + ")
         s"""
         WITH corpus AS (
           SELECT doc_id, text FROM documents WHERE length(text) > 0
