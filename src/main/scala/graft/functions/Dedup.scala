@@ -116,7 +116,17 @@ object Dedup {
     }
     val a = indexed.select(col("id").as("id_a"), col("gram"))
     val b = indexed.select(col("id").as("id_b"), col("gram"))
-    val inter = a.join(b, "gram")
+    // hint("merge"): BOTH sides of the inverted-index self-join are
+    // corpus-sized, but Catalyst sizes a side below an explode from the
+    // compressed parquet bytes, which reads broadcast-small — the exact
+    // mis-broadcast class that OOMed p118 at mem2g×sf4.0 (512 MB
+    // UnsafeHashedRelation build on a 2 GiB executor; SCALE.md r15).
+    // Sort-merge shuffles and spills; AQE promoting a SHUFFLED join to
+    // broadcast from real runtime sizes remains safe — it is only the
+    // static estimate that cannot be trusted. Applied to every join in
+    // this file whose both sides descend from per-token/per-gram/
+    // per-band explodes of the corpus.
+    val inter = a.hint("merge").join(b.hint("merge"), "gram")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     withJaccard(inter, sizes, minJaccard)
@@ -159,7 +169,8 @@ object Dedup {
     }
     val a = indexed.select(col("id").as("id_a"), col("gram"))
     val b = indexed.select(col("id").as("id_b"), col("gram"))
-    val inter = a.join(b, "gram")
+    // corpus×corpus self-join: merge pin (see jaccardPairs)
+    val inter = a.hint("merge").join(b.hint("merge"), "gram")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     val aIsContained = col("na") < col("nb") ||
@@ -181,9 +192,13 @@ object Dedup {
     * output) so thresholding is engine-portable.
     */
   private def withJaccard(pairs: DataFrame, sizes: DataFrame, minJaccard: Double): DataFrame =
+    // sizes is one row per DOCUMENT — corpus-scale at a lake, and its
+    // static estimate descends from the same explode; merge pin
     pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na")
+        .hint("merge"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb")
+        .hint("merge"), "id_b")
       .withColumn("jaccard_raw",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard_raw") >= minJaccard)
@@ -259,7 +274,8 @@ object Dedup {
     val banded = bandBuckets(signatures, bands, rowsPerBand)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bucket"))
+    // corpus×corpus banding self-join: merge pin (see jaccardPairs)
+    l.hint("merge").join(r.hint("merge"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -268,7 +284,8 @@ object Dedup {
   def estimatedJaccard(cands: DataFrame, sigs: DataFrame, numHashes: Int): DataFrame = {
     val a = sigs.select(col("id").as("id_a"), col("signature").as("sig_a"))
     val b = sigs.select(col("id").as("id_b"), col("signature").as("sig_b"))
-    cands.join(a, "id_a").join(b, "id_b")
+    // per-doc signature sides are corpus-scale: merge pin (jaccardPairs)
+    cands.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
       .withColumn("est_jaccard",
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -294,7 +311,9 @@ object Dedup {
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val ga = grams.select(col("id").as("id_a"), col("gram"))
     val gb = grams.select(col("id").as("id_b"), col("gram"))
-    val inter = cands.join(ga, "id_a").join(gb, Seq("id_b", "gram"))
+    // gram fetch sides are corpus-sized explodes: merge pin (jaccardPairs)
+    val inter = cands.join(ga.hint("merge"), "id_a")
+      .join(gb.hint("merge"), Seq("id_b", "gram"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     withJaccard(inter, sizes, minJaccard)
   }
@@ -323,7 +342,9 @@ object Dedup {
         i => md5(concat_ws(" ", slice(col("ts"), i * chunkLen + 1, lit(chunkLen))))
       )).as("h"))
     val freq = chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
-    chunks.join(freq, "h")
+    // freq is one row per DISTINCT CHUNK — corpus-scale; merge pin
+    // (see jaccardPairs for the mis-broadcast class)
+    chunks.hint("merge").join(freq.hint("merge"), "h")
       .groupBy("doc_id").agg(
         count(lit(1)).cast("long").as("n_chunks"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
@@ -358,9 +379,13 @@ object Dedup {
     * for a marking/stats signal; a deletion pipeline would widen to the
     * 128-bit md5 pair) — then one hash-keyed frequency aggregate (map-
     * side partial combine collapses each partition's repeats first), one
-    * hash equi-join back (AQE broadcasts the duplicated-gram set when
-    * small), and one per-doc window whose partition is bounded by
-    * document length. No doc×doc or gram×gram term at any point.
+    * hash equi-join back (merge-pinned: the duplicated-gram set is
+    * corpus-scale at a lake, and the static size estimate below the
+    * explode cannot be trusted to keep it out of a broadcast — AQE may
+    * still promote the SHUFFLED join from real runtime sizes when the
+    * set measures small), and one per-doc window whose partition is
+    * bounded by document length. No doc×doc or gram×gram term at any
+    * point.
     */
   def duplicateSpans(df: DataFrame, id: Column, text: Column,
                      k: Int = 8): DataFrame = {
@@ -379,7 +404,7 @@ object Dedup {
       .partitionBy("doc_id").orderBy("pos")
     // spans merge while the next duplicated position starts within (or
     // adjacent to) the previous gram's extent: break iff pos > prev + k
-    val marked = occ.join(dup, "h")
+    val marked = occ.hint("merge").join(dup.hint("merge"), "h")
       .withColumn("brk",
         when(lag(col("pos"), 1).over(w).isNull
           .or(col("pos") > lag(col("pos"), 1).over(w) + k), 1L)
@@ -423,17 +448,22 @@ object Dedup {
     val banded = bandBuckets(sigs, bands, rows).join(routes, "id")
     val l = banded.select(col("route"), col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("route"), col("band"), col("bucket"), col("id").as("id_b"))
-    val cands = l.join(r, Seq("route", "band", "bucket"))
+    // corpus×corpus self-join + corpus-sized fetch/size sides: merge
+    // pins throughout (see jaccardPairs for the mis-broadcast class)
+    val cands = l.hint("merge").join(r.hint("merge"), Seq("route", "band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("route", "id_a", "id_b").distinct()
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val ga = grams.select(col("id").as("id_a"), col("gram"))
     val gb = grams.select(col("id").as("id_b"), col("gram"))
-    val inter = cands.join(ga, "id_a").join(gb, Seq("id_b", "gram"))
+    val inter = cands.join(ga.hint("merge"), "id_a")
+      .join(gb.hint("merge"), Seq("id_b", "gram"))
       .groupBy("route", "id_a", "id_b").agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na")
+        .hint("merge"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb")
+        .hint("merge"), "id_b")
       .withColumn("jaccard_raw",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard_raw") >= minJaccard)
@@ -565,7 +595,8 @@ object Dedup {
       col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
     val r = bucketed.select(col("tbl"), col("bucket"),
       col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
-    l.join(r, Seq("tbl", "bucket"))
+    // corpus×corpus bucket self-join: merge pin (see jaccardPairs)
+    l.hint("merge").join(r.hint("merge"), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       // threshold on the ROUNDED cosine, matching embeddingNearDups: raw
       // last-ulps aren't portable across engines, and the exact/LSH twins
@@ -873,7 +904,8 @@ object Dedup {
       col("v").as("va"), col("nv").as("na"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),
       col("v").as("vb"), col("nv").as("nb"))
-    val dropped = a.join(b, Seq("cluster"))
+    // corpus×corpus cluster self-join: merge pin (see jaccardPairs)
+    val dropped = a.hint("merge").join(b.hint("merge"), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
         >= minCos)
@@ -991,7 +1023,8 @@ object Dedup {
     val recs = df.groupBy(s.as("s"), blockKey.as("k")).agg(min(id).as("id"))
     val a = recs.select(col("k"), col("id").as("id_a"), col("s").as("s_a"))
     val b = recs.select(col("k"), col("id").as("id_b"), col("s").as("s_b"))
-    a.join(b, Seq("k"))
+    // corpus×corpus blocking self-join: merge pin (see jaccardPairs)
+    a.hint("merge").join(b.hint("merge"), Seq("k"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") >= 0) // threshold form marks "too far" as -1

@@ -265,7 +265,11 @@ object Multimodal {
     // times — bounded by `bands`, pure codegen bit arithmetic; dist is
     // deterministic per pair so the post-filter distinct dedups exactly
     // the same pair set.
-    l.join(r, Seq("band_idx", "band_val"))
+    // corpus×corpus band self-join: merge pin — the static size
+    // estimate below the per-payload hash stage reads broadcast-small
+    // for any compressed corpus (the p118 mis-broadcast class,
+    // SCALE.md r15); AQE may still promote from real runtime sizes
+    l.hint("merge").join(r.hint("merge"), Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", dist.cast("int"))
       .filter(col("dist") <= maxDist)

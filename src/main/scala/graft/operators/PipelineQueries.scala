@@ -1124,8 +1124,10 @@ object PipelineQueries {
         val members = graft.plans.DfConnectedComponents.run(pairs)
           .select(col("id").cast("long").as("doc_id"),
             col("component").cast("long").as("canonical_id"))
-          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
-            "doc_id")
+          // documents is corpus-scale: merge pin (the p118
+          // mis-broadcast class, SCALE.md r15)
+          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars"))
+            .hint("merge"), "doc_id")
         val elected = graft.plans.TopKPerGroup.topK(members,
             Seq(col("canonical_id")),
             struct(col("n_chars"), -col("doc_id")), 1)
@@ -1167,8 +1169,10 @@ object PipelineQueries {
         val members = graft.plans.DfConnectedComponents.merge(comp0, delta)
           .select(col("id").cast("long").as("doc_id"),
             col("component").cast("long").as("canonical_id"))
-          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
-            "doc_id")
+          // documents is corpus-scale: merge pin (the p118
+          // mis-broadcast class, SCALE.md r15)
+          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars"))
+            .hint("merge"), "doc_id")
         val elected = graft.plans.TopKPerGroup.topK(members,
             Seq(col("canonical_id")),
             struct(col("n_chars"), -col("doc_id")), 1)
@@ -3534,7 +3538,8 @@ object PipelineQueries {
         val docs = table(s, d, "documents")
         val sig = Dedup.chunkDedupSignals(docs, col("doc_id"), col("text"),
           chunkLen = 32)
-        sig.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        // documents is corpus-scale: merge pin (p118 class)
+        sig.join(docs.select(col("doc_id"), col("source")).hint("merge"), "doc_id")
           .groupBy("source")
           .agg(sum(col("n_chunks")).as("n_chunks"),
             sum(col("n_shared")).as("n_shared"))
@@ -5535,7 +5540,8 @@ object PipelineQueries {
           .withColumn("q_micro", expr("nstop * 1000000 div greatest(ntok, 1)"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("component").orderBy(col("q_micro").desc, col("id"))
-        comp.join(q, "id")
+        // per-doc quality side is corpus-scale: merge pin (p118 class)
+        comp.join(q.hint("merge"), "id")
           .withColumn("rn", row_number().over(w))
           .groupBy(col("component").as("canonical_id"))
           .agg(count(lit(1)).as("n_members"),
