@@ -121,11 +121,16 @@ object Dedup {
     // compressed parquet bytes, which reads broadcast-small — the exact
     // mis-broadcast class that OOMed p118 at mem2g×sf4.0 (512 MB
     // UnsafeHashedRelation build on a 2 GiB executor; SCALE.md r15).
-    // Sort-merge shuffles and spills; AQE promoting a SHUFFLED join to
-    // broadcast from real runtime sizes remains safe — it is only the
-    // static estimate that cannot be trusted. Applied to every join in
-    // this file whose both sides descend from per-token/per-gram/
-    // per-band explodes of the corpus.
+    // Sort-merge shuffles and spills. Note AQE RESPECTS user join
+    // hints: a merge-hinted join is never promoted to broadcast even
+    // when runtime sizes would allow it — the pin trades a possible
+    // small-SF broadcast win for the guarantee that no static
+    // mis-estimate can ever build a corpus-sized hash relation.
+    // Applied to every join in this file whose both sides descend from
+    // per-token/per-gram/per-band explodes of the corpus; joins whose
+    // small side is bounded BY CONSTRUCTION (a capped aggregate, a
+    // lexicon) use an explicit broadcast() instead and are on the
+    // BroadcastAudit allowlist.
     val inter = a.hint("merge").join(b.hint("merge"), "gram")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
@@ -381,9 +386,10 @@ object Dedup {
     * side partial combine collapses each partition's repeats first), one
     * hash equi-join back (merge-pinned: the duplicated-gram set is
     * corpus-scale at a lake, and the static size estimate below the
-    * explode cannot be trusted to keep it out of a broadcast — AQE may
-    * still promote the SHUFFLED join from real runtime sizes when the
-    * set measures small), and one per-doc window whose partition is
+    * explode cannot be trusted to keep it out of a broadcast; AQE
+    * respects the hint, so small-SF runs pay the shuffle+sort — the
+    * documented family trade, see [[jaccardPairs]]), and one per-doc
+    * window whose partition is
     * bounded by document length. No doc×doc or gram×gram term at any
     * point.
     */
@@ -820,69 +826,86 @@ object Dedup {
     * cluster size stays constant) and the p112 `lshConfigFor` discipline
     * applied to the k-means analogue: a FIXED K means cluster size ∝ n
     * and within-cluster pairs ∝ n² (measured 11.0× cost at 4× data,
-    * SCALE.md r14); K = ⌈n / targetClusterSize⌉ keeps expected cluster
-    * size constant so the pair term is LINEAR in n. The derivation is
-    * pure integer arithmetic — `(n + target − 1) / target` — so any
-    * engine re-derives the same K from the same count (no transcendental
-    * grid needed).
+    * SCALE.md r14); centroid counts are derived so expected cluster size
+    * stays `targetClusterSize` and the pair term is LINEAR in n. All
+    * derivations are pure integer arithmetic — `(count + target − 1) /
+    * target` — so any engine re-derives them from the same counts.
     *
-    * Centroids are the K lowest-id vectors (the same deterministic init
-    * convention as p30/p35's fixed-K form), kept as a DATAFRAME and
-    * broadcast — never collected to the driver — so K can grow with the
-    * corpus: every argmax goes through
-    * [[Clustering.assignClustersBroadcast]]'s broadcast product.
+    * Two-level IVF recurrence, with NOTHING corpus-proportional ever
+    * broadcast, globally sorted, or collected (the r15 form selected all
+    * K = ⌈n/64⌉ fine centroids by a global `orderBy().limit(K)` — one
+    * task holding K vector rows — and then broadcast them; both grow
+    * linearly with the corpus, which is a hard ceiling at lake scale):
     *
-    * Assignment is IVF-ROUTED, not flat: with K ∝ n a flat argmax costs
-    * n·K·d — the r15 re-measure showed it simply INHERITS the 11× growth
-    * the derived K was supposed to remove (the quadratic moved from the
-    * pair term into assignment). Instead the K1 = ⌈√K⌉ lowest-id
-    * centroids double as COARSE cells (faiss's own IVF regime): each
-    * fine centroid routes to its argmax coarse cell (K·K1 products, one
-    * of them itself — rounded cos(c,c) = 1 wins every tie — so no cell
-    * is empty and no row can be lost), each row routes to its argmax
-    * coarse cell (n·K1) and then argmaxes only over that cell's fine
-    * centroids (n·K/K1 expected), for n·2√K·d total instead of n·K·d.
+    *  1. COARSE cells: the K1 = ⌈√⌈n/target⌉⌉ lowest-id vectors
+    *     (faiss's IVF regime). K1 grows as √n — ~3×10⁴ cells for a
+    *     10¹⁰-row corpus — so the `orderBy().limit(K1)` TakeOrdered and
+    *     the broadcast argmax through
+    *     [[Clustering.assignClustersBroadcast]] (n·K1 products) stay
+    *     broadcast-sized at any realistic scale.
+    *  2. FINE centroids are selected PER CELL after rows route to their
+    *     argmax coarse cell: each cell elects its ⌈cellCount/target⌉
+    *     lowest-id member rows via one cell-partitioned window
+    *     (`row_number` + `count` over `ccl` — partition-local sort, no
+    *     global order). A non-empty cell therefore always has ≥ 1 fine
+    *     centroid, so the cell-keyed INNER join structurally cannot lose
+    *     rows — the r15 fine→coarse routing step could strand a cell
+    *     empty when two coarse centroids' rounded cosine tied at
+    *     1.000000 (near-identical centroid vectors routing away from
+    *     themselves), silently dropping every row whose own argmax still
+    *     picked the emptied cell. That step no longer exists.
+    *  3. Rows argmax over ONLY their own cell's fine centroids through a
+    *     merge-pinned cell-keyed join: each task sees one cell's
+    *     ~cellCount/target centroids, never the full K-proportional
+    *     table (the p118 mis-broadcast class; see [[jaccardPairs]] for
+    *     the family pin rationale). Expected work is n·√K products on
+    *     balanced cells — the same n^1.5/8 budget as the r15 shape.
+    *
     * Every cosine is rounded to 6dp and every tie breaks to the smaller
     * id, so an oracle replays the full two-level recurrence exactly.
-    * `coarseCells` overrides K1 (tests pin coarseCells = K ⇒ singleton
-    * cells ⇒ bit-identical to the flat argmax).
+    * Cluster ids are the electing row's id kept as LONG end-to-end — no
+    * int cast, so ≥ 2³¹ ids (ScaleData tile offsets past 40 tiles)
+    * neither wrap in Spark nor error in an oracle's CAST. `coarseCells`
+    * overrides K1 (tests pin small cell geometries).
     *
-    * What 100 TB pays: the fine-centroid table (K rows) broadcasts —
-    * the standard IVF index-shipping trade [[Similarity.ivfTopK]] makes
-    * for search — and assignment quality is the usual IVF approximation
+    * What 100 TB pays: assignment quality is the usual IVF approximation
     * (a row near a cell boundary may assign to the second-best fine
     * centroid; dedup recall within the target cluster size is
     * unaffected because near-dup pairs route together with the same
-    * probability k-means assignment gives them).
+    * probability k-means assignment gives them), and fine-centroid
+    * election is per-cell rather than global — cluster sizes stay ~target
+    * within every cell by construction.
     */
   def semDedupAuto(df: DataFrame, id: Column, vec: Column, minCos: Double,
                    targetClusterSize: Int = 64,
                    coarseCells: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(targetClusterSize >= 1, s"positive target cluster size: $targetClusterSize")
     val data = df.select(id.as("id"), vec.as("v"))
     val n = data.count()
     val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
-    require(k <= Int.MaxValue, s"centroid count overflows int: $k")
     val k1 = coarseCells.getOrElse(math.ceil(math.sqrt(k.toDouble)).toInt)
     require(k1 >= 1 && k1 <= k, s"coarse cells out of range: $k1 of $k")
-    val fine = data.orderBy(col("id"))
-      .limit(k.toInt)
-      .select(col("id").cast("int").as("cluster"), col("v").as("cvec"))
-    val coarse = fine.orderBy(col("cluster")).limit(k1)
-      .select(col("cluster").as("cl"), col("cvec").as("cv"))
-    // fine centroid → coarse cell (K·K1 broadcast product)
-    val froute = Clustering.assignClustersBroadcast(fine,
-        col("cluster"), col("cvec"),
-        coarse.select(col("cl").as("cluster"), col("cv").as("cvec")))
-      .select(col("id").cast("int").as("fcl"), col("v").as("cvec"),
-        col("cluster").as("ccl"), Similarity.norm(col("v")).as("ncv"))
+    // K1 lowest-id vectors — a TakeOrdered of √K rows, broadcast-sized
+    val coarse = data.orderBy(col("id")).limit(k1)
+      .select(col("id").as("cluster"), col("v").as("cvec"))
     // row → coarse cell (n·K1 broadcast product)
-    val rc = Clustering.assignClustersBroadcast(df, id, vec,
-        coarse.select(col("cl").as("cluster"), col("cv").as("cvec")))
+    val rc = Clustering.assignClustersBroadcast(df, id, vec, coarse)
       .select(col("id"), col("v"), col("nv"), col("cluster").as("ccl"))
-    // row → fine centroid WITHIN its cell (n·K/K1 expected): broadcast
-    // hash join on the cell key, then the same max(struct) argmax
-    val assigned = rc.join(broadcast(froute), Seq("ccl"))
+    // fine centroids elected PER CELL: the ⌈cellCount/target⌉ lowest-id
+    // rows of each cell — one partition-local window, no global sort
+    val quota = floor((count(lit(1)).over(Window.partitionBy(col("ccl")))
+      + lit(targetClusterSize - 1L)) / lit(targetClusterSize.toLong))
+    val fine = rc
+      .withColumn("rn", row_number().over(Window.partitionBy(col("ccl")).orderBy(col("id"))))
+      .withColumn("q", quota)
+      .filter(col("rn") <= col("q"))
+      .select(col("ccl"), col("id").as("fcl"), col("v").as("cvec"),
+        col("nv").as("ncv"))
+    // row → fine centroid WITHIN its cell: cell-keyed join, merge-pinned
+    // (both sides are corpus-proportional — the static-estimate
+    // mis-broadcast class; see jaccardPairs), then the max(struct) argmax
+    val assigned = rc.hint("merge").join(fine.hint("merge"), Seq("ccl"))
       .select(col("id"),
         struct(
           round(Similarity.dot(col("v"), col("cvec")) / (col("nv") * col("ncv")), 6)

@@ -268,7 +268,8 @@ object Multimodal {
     // corpus×corpus band self-join: merge pin — the static size
     // estimate below the per-payload hash stage reads broadcast-small
     // for any compressed corpus (the p118 mis-broadcast class,
-    // SCALE.md r15); AQE may still promote from real runtime sizes
+    // SCALE.md r15); AQE respects the hint — never promoted, the
+    // shuffle+sort is the documented price (see Dedup.jaccardPairs)
     l.hint("merge").join(r.hint("merge"), Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", dist.cast("int"))

@@ -1731,16 +1731,20 @@ object PipelineQueries {
 
     Q("p35_semdedup",
       (s, d) => {
-        // K is DERIVED from corpus mass (ceil(n/64), integer arithmetic
-        // both engines reproduce from count(*)) so cluster size — and
-        // with it the within-cluster pair term — stays constant as the
-        // corpus grows (the paper's own regime; the fixed-K form
-        // measured 11x cost at 4x data, SCALE.md r14). Assignment is
-        // IVF-routed through ceil(sqrt(K)) coarse cells — a flat argmax
-        // at K ∝ n just moves the quadratic into assignment (measured:
-        // 11.8x growth survived the derived K until routing landed).
-        // Centroids are the K lowest-id vectors, broadcast as a
-        // DataFrame, never collected to the driver.
+        // Centroid counts are DERIVED from corpus mass (integer
+        // arithmetic both engines reproduce from counts) so cluster
+        // size — and with it the within-cluster pair term — stays
+        // constant as the corpus grows (the paper's own regime; the
+        // fixed-K form measured 11x cost at 4x data, SCALE.md r14).
+        // Assignment is IVF-routed through ceil(sqrt(ceil(n/64)))
+        // coarse cells; fine centroids are elected PER CELL
+        // (ceil(cellCount/64) lowest-id rows, one cell-partitioned
+        // window) and joined cell-keyed + merge-pinned, so nothing
+        // corpus-proportional is ever globally sorted, broadcast, or
+        // collected — the r16 re-shape of the r15 global-limit +
+        // broadcast form, which also removes the fine->coarse routing
+        // step that could silently drop rows on a 1.000000 rounded-
+        // cosine centroid tie.
         Dedup.semDedupAuto(table(s, d, "embeddings"),
             col("vec_id"), col("embedding").cast("array<double>"),
             minCos = 0.4, targetClusterSize = 64)
@@ -1748,35 +1752,29 @@ object PipelineQueries {
       },
       Some("""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        kk AS (SELECT CAST((count(*) + 63) // 64 AS BIGINT) AS k,
-                      CAST(ceil(sqrt(CAST((count(*) + 63) // 64 AS DOUBLE))) AS BIGINT) AS k1
+        kk AS (SELECT CAST(ceil(sqrt(CAST((count(*) + 63) // 64 AS DOUBLE))) AS BIGINT) AS k1
                FROM v),
-        fine AS (SELECT cluster, cvec FROM (
-                   SELECT CAST(vec_id AS INT) AS cluster, e AS cvec,
-                          row_number() OVER (ORDER BY vec_id) AS rn
-                   FROM v) WHERE rn <= (SELECT k FROM kk)),
         coarse AS (SELECT cl, cv FROM (
-                     SELECT cluster AS cl, cvec AS cv,
-                            row_number() OVER (ORDER BY cluster) AS rn
-                     FROM fine) WHERE rn <= (SELECT k1 FROM kk)),
-        fr AS (SELECT fcl, cvec, ccl FROM (
-                 SELECT f.cluster AS fcl, f.cvec, c.cl AS ccl,
-                        row_number() OVER (PARTITION BY f.cluster
-                          ORDER BY round(list_cosine_similarity(f.cvec, c.cv), 6) DESC,
-                                   c.cl) AS rn
-                 FROM fine f CROSS JOIN coarse c) WHERE rn = 1),
+                     SELECT vec_id AS cl, e AS cv,
+                            row_number() OVER (ORDER BY vec_id) AS rn
+                     FROM v) WHERE rn <= (SELECT k1 FROM kk)),
         rc AS (SELECT vec_id, e, ccl FROM (
                  SELECT v.vec_id, v.e, c.cl AS ccl,
                         row_number() OVER (PARTITION BY v.vec_id
                           ORDER BY round(list_cosine_similarity(v.e, c.cv), 6) DESC,
                                    c.cl) AS rn
                  FROM v CROSS JOIN coarse c) WHERE rn = 1),
+        fine AS (SELECT ccl, fcl, cvec FROM (
+                   SELECT ccl, vec_id AS fcl, e AS cvec,
+                          row_number() OVER (PARTITION BY ccl ORDER BY vec_id) AS rn,
+                          count(*) OVER (PARTITION BY ccl) AS nc
+                   FROM rc) WHERE rn <= (nc + 63) // 64),
         a1 AS (SELECT vec_id, e, cluster FROM (
                  SELECT r.vec_id, r.e, f.fcl AS cluster,
                         row_number() OVER (PARTITION BY r.vec_id
                           ORDER BY round(list_cosine_similarity(r.e, f.cvec), 6) DESC,
                                    f.fcl) AS rn
-                 FROM rc r JOIN fr f ON r.ccl = f.ccl) WHERE rn = 1),
+                 FROM rc r JOIN fine f ON r.ccl = f.ccl) WHERE rn = 1),
         drp AS (SELECT DISTINCT b.vec_id
                 FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
                 WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4)
@@ -1785,13 +1783,15 @@ object PipelineQueries {
         FROM a1 LEFT JOIN drp d ON a1.vec_id = d.vec_id
         ORDER BY a1.vec_id"""),
       "dedup — SemDedup-style semantic dedup (Abbas et al. 2023) with corpus-" +
-        "derived K = ceil(n/64) and IVF-routed assignment through ceil(sqrt(K)) " +
-        "coarse cells: constant cluster size keeps the within-cluster pair term " +
-        "LINEAR in n and routing keeps assignment at n*2*sqrt(K)*d (flat argmax " +
-        "at K ~ n is itself quadratic — both regimes measured at sf4.0); every " +
-        "cosine rounds to 6dp, every tie breaks to the smaller id, so the oracle " +
-        "replays the full two-level recurrence; drop = smaller-id cluster-mate " +
-        "at rounded cosine >= 0.4"),
+        "derived centroid counts and IVF-routed assignment through " +
+        "ceil(sqrt(ceil(n/64))) coarse cells: constant cluster size keeps the " +
+        "within-cluster pair term LINEAR in n; fine centroids are elected per " +
+        "cell (ceil(cellCount/64) lowest-id rows) so no K-proportional table is " +
+        "ever globally sorted or broadcast and a non-empty cell always has a " +
+        "centroid (no row can be lost to a routing tie); every cosine rounds " +
+        "to 6dp, every tie breaks to the smaller id, so the oracle replays the " +
+        "full two-level recurrence; drop = smaller-id cluster-mate at rounded " +
+        "cosine >= 0.4"),
 
     Q("p36_shuffle_order",
       (s, d) => Sampling.shuffleOrder(table(s, d, "documents"),
@@ -2520,8 +2520,11 @@ object PipelineQueries {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
           .unionByName(base.filter(col("doc_id") >= 40 && col("doc_id") < 80)
             .select((col("doc_id") + 2000000L).as("doc_id"),
+              // unbounded tail (len = length(text)) — a fixed-length
+              // third argument silently truncates docs past that length
+              // and diverges from the oracle's unbounded substring
               concat(upper(substring(col("text"), 1, 1)),
-                substring(col("text"), 2, 1000000)).as("text")))
+                col("text").substr(lit(2), length(col("text")))).as("text")))
         val media = corpus.select(col("doc_id"), col("text").cast("binary").as("content"))
         Multimodal.pHashNearDups(media, col("doc_id"), col("content"),
             maxDist = 7, bands = 8, bitsPerBand = 16)

@@ -83,7 +83,11 @@ object Mis {
     // LOUDLY here; min/max skip nulls so the range probe stays valid.
     val probe = verts
       .agg(count(lit(1)).as("n"),
-        sum(when(col("x").cast("long").isNull, 1L).otherwise(0L)).as("n_null"),
+        // coalesce: sum() over ZERO rows is null, and an empty graph is
+        // a legal input (documented fixpoint of zeros) — getLong on the
+        // raw sum would NPE before fitsPacked's n == 0 short-circuit
+        coalesce(sum(when(col("x").cast("long").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_null"),
         min(col("x").cast("long")).as("lo"),
         max(col("x").cast("long")).as("hi"))
       .head()

@@ -48,46 +48,73 @@ class SemDedupSpec extends SparkSpec {
     assert(lit == bc)
   }
 
-  test("semDedupAuto equals fixed-K semDedup given the same centroid set") {
-    // target 2 over 5 vectors → K = ceil(5/2) = 3 = the three lowest-id
-    // vectors; with coarseCells = K every cell is a singleton, so the
-    // IVF routing reduces EXACTLY to the flat argmax — the fixed form
-    // with the same centroids must agree bit for bit
+  test("semDedupAuto equals fixed-K semDedup when each cell elects its coarse centroid") {
+    // coarseCells = 3 → coarse = the three lowest-id vectors {0, 1, 2};
+    // cells route as 0:{0,4}, 1:{1}, 2:{2,3}, and each cell's quota-1
+    // per-cell election (ceil(cellCount/2) = 1) picks exactly the coarse
+    // centroid itself (it is the lowest id in its own cell here), so the
+    // two-level recurrence lands on the SAME clusters as the flat fixed-K
+    // form with those three centroid vectors — value-for-value equal
     val derived = Dedup.semDedupAuto(vecs, col("vec_id"),
         col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 2,
         coarseCells = Some(3))
-      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     val manual = Dedup.semDedup(vecs, col("vec_id"),
         col("embedding").cast("array<double>"),
         Seq(0 -> Seq(1.0, 0.0, 0.0), 1 -> Seq(0.999, 0.01, 0.0), 2 -> Seq(0.0, 1.0, 0.0)),
         minCos = 0.95)
-      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2))).toSeq
     assert(derived == manual)
-    // K derivation is the integer ceiling: 5/64 → 1 centroid (all rows
-    // land in cluster 0 and every pair is compared)
+    // centroid-count derivation is the integer ceiling: 5/64 → one
+    // coarse cell, one fine centroid (all rows land in cluster 0 and
+    // every pair is compared)
     val one = Dedup.semDedupAuto(vecs, col("vec_id"),
       col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 64)
-    assert(one.select("cluster").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    assert(one.select("cluster").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
   test("semDedupAuto default IVF routing: deterministic two-level recurrence") {
-    // default K1 = ceil(sqrt(3)) = 2 coarse cells over K = 3 fine
-    // centroids {0, 1, 2}; fine 1 routes to coarse cell 1 (self, cos 1)
-    // so cell 0 = {0}, cell 1 = {1, 2}. The pinned output shows BOTH
-    // faces of the IVF trade, exactly and reproducibly:
-    //  - rows 0 and 1 are near-dups but are THEMSELVES centroids of
-    //    different cells, so each routes to itself and the pair is
-    //    never compared — the documented boundary approximation
+    // target 2 → K = 3, K1 = ceil(sqrt(3)) = 2 coarse cells {0, 1};
+    // rows route 0,4 → cell 0 and 1,2,3 → cell 1; per-cell election
+    // (quota ceil(2/2) = 1 and ceil(3/2) = 2) yields fine {0} and
+    // {1, 2}. The pinned output shows BOTH faces of the IVF trade:
+    //  - rows 0 and 1 are near-dups but route to different coarse cells
+    //    (each is a coarse centroid, cos 1.0 with itself), so the pair
+    //    is never compared — the documented boundary approximation
     //    (vanishingly rare for non-centroid rows at real K);
     //  - row 3 routes through cell 1 to fine 2 and drops against row 2
     //    exactly as the flat argmax would.
-    // Every row appears exactly once: routing cannot lose rows because
-    // every coarse cell contains at least its own centroid.
     val out = Dedup.semDedupAuto(vecs, col("vec_id"),
         col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 2)
       .orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
-    assert(out == Seq((0L, 0, 1), (1L, 1, 1), (2L, 2, 1), (3L, 2, 0), (4L, 0, 1)), s"$out")
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((0L, 0L, 1), (1L, 1L, 1), (2L, 2L, 1), (3L, 2L, 0), (4L, 0L, 1)), s"$out")
+  }
+
+  test("semDedupAuto cannot lose rows: identical coarse centroids, emptied cell") {
+    // the r15 ADVICE failure class: the two lowest-id vectors are
+    // IDENTICAL, so they are both coarse centroids with rounded mutual
+    // cosine exactly 1.000000 — every row's cosine ties between the two
+    // cells and breaks to cell 0, leaving cell 1 with zero rows. The
+    // per-cell election makes this structurally safe (an empty cell
+    // elects nothing and joins nothing; a non-empty cell always has ≥ 1
+    // fine centroid), so the output must still partition the input.
+    val twins = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0)),    // identical to 0 → both coarse, tied
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.01, 0.999, 0.0)), // near-dup of 2
+      (4L, Seq(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedupAuto(twins, col("vec_id"),
+        col("embedding").cast("array<double>"), minCos = 0.95, targetClusterSize = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // all five rows present; cell 0 holds everything, elects fine
+    // {0, 1, 2}; 1 drops against its twin 0, 3 drops against 2
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L), s"row loss: $out")
+    assert(out == Seq((0L, 0L, 1), (1L, 0L, 0), (2L, 2L, 1), (3L, 2L, 0), (4L, 0L, 1)), s"$out")
   }
 
   test("cross-cluster near-dups are NOT compared (blocking semantics)") {

@@ -309,11 +309,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(pairLines.nonEmpty, p)
     assert(pairLines.forall(l =>
       l.contains("SortMergeJoin [cluster") || l.contains("BroadcastHashJoin [cluster")), p)
-    // nested-loop products are allowed ONLY as the IVF centroid
-    // assignment's bounded broadcast side (K or K1 rows, BuildRight
-    // Cross) — never an unbroadcast product
+    // nested-loop products are allowed ONLY as the coarse-cell
+    // assignment's bounded broadcast side (K1 = ceil(sqrt(K)) rows,
+    // BuildRight Cross) — never an unbroadcast product
     assert(p.split("\n").filter(_.contains("NestedLoopJoin"))
       .forall(_.contains("BuildRight, Cross")), p)
+    // the rows×fine-centroids join is cell-keyed and SORT-MERGE: a
+    // broadcast here would ship a K-proportional table (K = ceil(n/64)
+    // grows with the corpus — the r15 scale ceiling this pin closes)
+    val cclLines = p.split("\n").filter(l => l.contains("Join [ccl"))
+    assert(cclLines.nonEmpty, p)
+    assert(cclLines.forall(_.contains("SortMergeJoin [ccl")), p)
+    // fine centroids are elected per cell (row_number + count windows
+    // partitioned on ccl), never by a global corpus-wide sort-limit
+    assert(p.contains("row_number() windowspecdefinition(ccl"), p)
+    assert(p.contains("count(1) windowspecdefinition(ccl"), p)
+    // the only TakeOrdered is the K1-row coarse selection — sqrt-scale
+    assert(p.split("\n").filter(_.contains("TakeOrderedAndProject"))
+      .forall(_.contains("output=[cluster")), p)
   }
 
   test("p36 epoch shuffle is a range-partitioned sort, not a global window") {

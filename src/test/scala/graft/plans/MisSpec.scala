@@ -44,6 +44,16 @@ class MisSpec extends SparkSpec {
       .orderBy("round")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
 
+  test("an empty edge set yields the documented fixpoint trajectory of zeros") {
+    // regression (r15 ADVICE): the single setup probe aggregates sum()
+    // over zero vertex rows, which is null — getLong on it NPE'd where
+    // the earlier filter-based guard handled an empty graph
+    val empty = run(Seq.empty, 3)
+    assert(empty === Seq((1, 0L, 0L), (2, 0L, 0L), (3, 0L, 0L)))
+    // self-loops-only reduces to the empty graph after undirection
+    assert(run(Seq((7L, 7L)), 2) === Seq((1, 0L, 0L), (2, 0L, 0L)))
+  }
+
   test("matches the sequential reference on a path graph") {
     val path = (0L until 9L).map(i => (i, i + 1))
     assert(run(path, 4) === reference(path, 4))
