@@ -6488,6 +6488,21 @@ object PipelineQueries {
         "exactly and the kappa readout hash-equals p165 (the shared " +
         "oracle gates the maintained == one-shot invariant, the " +
         "p71/p101/p114/p128/p161 incremental-family discipline). " +
-        "Fixed label-squared state however many annotations arrive")
+        "Fixed label-squared state however many annotations arrive"),
+
+    Q("p169_sessionize_sharded",
+      (s, d) => EventStream.sessionizeBatchSharded(table(s, d, "events"),
+        gapMinutes = 30, hotThreshold = 50, shardMinutes = 1440),
+      Some(sessionizeOracle),
+      "streaming — HOT-KEY-SAFE sessionization (r14 skew ask): users " +
+        "above the hot threshold have their events time-sharded into " +
+        "day buckets, the event-scale lag window runs per (user, shard) " +
+        "— parallel across a mega-user's shards instead of one " +
+        "straggler task — and boundary-straddling sessions stitch back " +
+        "at SESSION granularity. The oracle replays the PLAIN unsharded " +
+        "recurrence (p14's SQL verbatim), so the gate itself proves " +
+        "shard+merge == direct sessionization on real data (threshold " +
+        "50 shards every active user at gate SFs); streaming twin " +
+        "sessionShardTimeoutPipeline drives p111 the same way")
   )
 }

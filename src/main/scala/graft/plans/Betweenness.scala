@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   * δ́ ≤ reach·scale, so the product is bounded by deg^D · reach · scale —
   * at the sf1.0 co-purchase graph (deg ~ 2·10³, reach ~ 2·10⁵) that is
   * ~10⁶·10⁵·10³ ≈ 10¹⁴ for D = 2, comfortably inside a long; scale 10⁶
-  * or D = 3 would cross 2⁶³ on dense graphs. ANSI mode fails LOUDLY on
-  * any graph that exceeds the budget rather than wrapping.
+  * or D = 3 would cross 2⁶³ on dense graphs. The budget is ENFORCED
+  * in-plan (the p119 lesson: comment-and-ANSI-only budgets get found by
+  * scale sweeps, not specs): the term expression itself raise_errors the
+  * moment scale + δ́(w) or σ(v)·(scale + δ́(w)) would cross 2⁶³ — exact
+  * just under the boundary, a descriptive failure just over it, in ANY
+  * SQL mode (non-ANSI long arithmetic wraps silently, which here would
+  * mean plausible-but-wrong centralities). A σ that wrapped negative in
+  * a non-ANSI forward pass trips the same guard.
   *
   * Shape: the forward pass is the g56 multi-source BFS with one extra
   * map-side-combined `sum(sigma)` per level; the backward pass is one
@@ -79,12 +85,24 @@ object Betweenness {
         .join(delta, Seq("start", "node"))
         .select(col("start"), col("node").as("succ"),
           col("sigma").as("ssig"), col("delta").as("sdel"))
+      // budget guard lives INSIDE the term expression so pruning cannot
+      // drop it: sigma ≥ 1 and sdel ≥ 0 by construction, so the product
+      // overflows iff scale + sdel crosses 2⁶³ or exceeds 2⁶³ / sigma
+      val overflows = col("sigma") < 0L ||
+        col("sdel") > lit(Long.MaxValue - scale) ||
+        lit(scale) + col("sdel") > lit(Long.MaxValue) / col("sigma")
+      val term = when(!overflows, expr(s"sigma * ($scale + sdel) div ssig"))
+        .otherwise(raise_error(concat(
+          lit("Betweenness.sampled: overflow budget deg^D*reach*scale " +
+            "exceeded (sigma*(scale+delta) > 2^63) at sigma="),
+          col("sigma").cast("string"), lit(s" scale=$scale delta="),
+          col("sdel").cast("string"),
+          lit(" — reduce scale or maxDepth"))))
       val terms = cur
         .join(e, col("node") === col("u"))
         .select(col("start"), col("node"), col("sigma"), col("v").as("succ"))
         .join(succ, Seq("start", "succ"))
-        .select(col("start"), col("node"),
-          expr(s"sigma * ($scale + sdel) div ssig").as("term"))
+        .select(col("start"), col("node"), term.as("term"))
         .groupBy("start", "node").agg(sum(col("term")).as("delta"))
       delta = cur.select("start", "node")
         .join(terms, Seq("start", "node"), "left")

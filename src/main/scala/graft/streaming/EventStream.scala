@@ -527,22 +527,102 @@ object EventStream {
     sessions
   }
 
+  /** Shard-local session emitted by [[sessionShardTimeoutPipeline]]: a
+    * maximal session WITHIN one (user, time-shard); cross-shard stitches
+    * happen in [[mergeLocalSessions]].
+    */
+  final case class LocalSession(user_id: Long, startMicros: Long, lastMicros: Long,
+                                n_events: Long, sum_value: Double)
+
+  /** The HOT-KEY-SAFE form of [[sessionTimeoutPipeline]] (r14 skew
+    * finding: a user owning 5% of the stream serializes the whole
+    * per-user fold through one state partition — measured +21% on the
+    * skewed sf1.0 tile, flat across 16/64 shuffle partitions because
+    * state partitioning cannot split a single key). State is keyed by
+    * (user, time-shard of `shardMinutes`), so a mega-user's events
+    * spread across as many state keys as their activity spans shards
+    * and the per-key sort/fold parallelizes. Each key emits LOCAL
+    * sessions: gap-closed sessions flush exactly as in the plain form;
+    * a session still open at its shard's end flushes when the watermark
+    * passes the shard boundary (timeout at `min(last + gap, shardEnd)`)
+    * — it can only continue into the NEXT shard, which is
+    * [[mergeLocalSessions]]'s job downstream. A gap-closed session
+    * needs no stitch: if `last + gap < shardEnd` fired, the next event
+    * anywhere (same shard or later ones, all ≥ its close point) is
+    * > gap away by construction. In production the merge is a second
+    * (session-scale, not event-scale) streaming stage; the bounded
+    * runner below applies it on the drained table.
+    */
+  def sessionShardTimeoutPipeline(spark: SparkSession, source: DataFrame,
+                                  gapMinutes: Int = 30,
+                                  shardMinutes: Int = 1440): Dataset[LocalSession] = {
+    import spark.implicits._
+    require(shardMinutes >= 1, s"positive shard size: $shardMinutes")
+    val gapSeconds = gapMinutes * 60L
+    val shardMicros = shardMinutes * 60L * 1000000L
+    val stream = source
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("value"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEventWm]
+
+    stream.groupByKey(e => (e.user_id, Math.floorDiv(e.tsMicros, shardMicros)))
+      .flatMapGroupsWithState[SessState, LocalSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), it: Iterator[SessionEventWm], state: GroupState[SessState]) =>
+          val (user, shard) = key
+          def done(s: SessState): LocalSession =
+            LocalSession(user, s.startMicros, s.lastMicros, s.n, s.sum)
+          if (state.hasTimedOut) {
+            val d = done(state.get)
+            state.remove()
+            Iterator.single(d)
+          } else {
+            val evs = it.toArray.sortBy(_.tsMicros)
+            val out = scala.collection.mutable.ArrayBuffer[LocalSession]()
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(s)
+                  if e.tsMicros / 1000000L - s.lastMicros / 1000000L <= gapSeconds =>
+                  cur = Some(s.copy(lastMicros = e.tsMicros, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += done(s)
+                  cur = Some(SessState(e.tsMicros, e.tsMicros, 1, e.value))
+                case None =>
+                  cur = Some(SessState(e.tsMicros, e.tsMicros, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              val shardEndMs = (shard + 1L) * shardMicros / 1000L
+              val fireAtMs =
+                math.min(s.lastMicros / 1000L + gapSeconds * 1000L, shardEndMs) + 1L
+              state.setTimeoutTimestamp(
+                math.max(fireAtMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   def runSessionTimeoutStream(spark: SparkSession, sfDir: String,
                               gapMinutes: Int = 30,
-                              statePartitions: Int = 4): DataFrame = {
+                              statePartitions: Int = 4,
+                              shardMinutes: Int = 1440): DataFrame = {
     val (staged, schema) = stagedEventsWithSentinel(spark, sfDir)
-    val sessions = sessionTimeoutPipeline(spark,
+    val locals = sessionShardTimeoutPipeline(spark,
       graft.sources.TpchGraph.normalizeTs(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(staged.getAbsolutePath)),
-      gapMinutes)
+      gapMinutes, shardMinutes)
 
     val name = "graft_stream_session_timeout"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q =
-      try sessions.filter(col("user_id") =!= -1L).writeStream
+      try locals.filter(col("user_id") =!= -1L).writeStream
         .outputMode("append")
         .format("memory")
         .queryName(name)
@@ -550,7 +630,12 @@ object EventStream {
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name).orderBy("user_id", "session_start")
+    val local = spark.table(name)
+      .select(col("user_id"),
+        timestamp_micros(col("startMicros")).as("start_ts"),
+        timestamp_micros(col("lastMicros")).as("last_ts"),
+        col("n_events"), col("sum_value"))
+    mergeLocalSessions(local, gapMinutes * 60L).orderBy("user_id", "session_start")
   }
 
   /** Batch sessionization: split each user's event stream into sessions
@@ -574,6 +659,83 @@ object EventStream {
         round(sum(col("value")), 2).as("sum_value"))
       .select("user_id", "session_start", "n_events", "sum_value")
       .orderBy("user_id", "session_start")
+  }
+
+  /** Merge SHARD-LOCAL sessions into final sessions — the second half of
+    * the hot-key sessionization split (r14 skew finding: one user owning
+    * 5% of the stream serializes the whole per-user fold through one
+    * task; measured +21% on the skewed sf1.0 tile). Input rows are
+    * maximal sessions WITHIN a (user, time-shard): `(user_id, start_ts,
+    * last_ts, n_events, sum_value)` with `sum_value` unrounded. Because
+    * every event belongs to exactly one shard and local sessions are
+    * maximal within their shard, the rows of one user are disjoint
+    * time intervals; sorted by start, the SAME gap recurrence applied at
+    * session granularity (lag of the previous session's end + running
+    * sum) reconstructs exactly the unsharded partition of the user's
+    * events — within-shard gaps > gap already split, and cross-shard
+    * adjacency is decided here. The per-user window that made the hot
+    * key a straggler now runs over session rows, smaller than the event
+    * stream by the mean session size; the event-scale work above it is
+    * keyed by (user, shard) and parallelizes across shards.
+    */
+  private[streaming] def mergeLocalSessions(local: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_ts"), col("last_ts"))
+    local
+      .withColumn("prev_last", lag(col("last_ts"), 1).over(byUser))
+      .withColumn("new_m",
+        when(col("prev_last").isNull ||
+          unix_timestamp(col("start_ts")) - unix_timestamp(col("prev_last")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("mno", sum(col("new_m")).over(byUser))
+      .groupBy(col("user_id"), col("mno"))
+      .agg(
+        date_format(min(col("start_ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(col("sum_value")), 2).as("sum_value"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+  }
+
+  /** Hot-key-sharded batch sessionization — identical answers to
+    * [[sessionizeBatch]] (spec-pinned equal, and p169's oracle replays
+    * the PLAIN recurrence, so the gate itself proves the equivalence on
+    * real data), but a user whose event count exceeds `hotThreshold`
+    * has their events time-sharded into `shardMinutes` buckets first:
+    * the event-scale lag window runs per (user, shard) — parallel
+    * across shards — and [[mergeLocalSessions]] stitches
+    * boundary-straddling sessions back together at session granularity.
+    * Cold users keep a single shard, so their plan is the
+    * [[sessionizeBatch]] window plus one no-op merge over their session
+    * rows. The hot set is bounded by n/hotThreshold rows and broadcast
+    * by construction.
+    */
+  def sessionizeBatchSharded(events: DataFrame, gapMinutes: Int,
+                             hotThreshold: Long = 100000L,
+                             shardMinutes: Int = 1440): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hotThreshold >= 0, s"non-negative hot threshold: $hotThreshold")
+    require(shardMinutes >= 1, s"positive shard size: $shardMinutes")
+    val gapSec = gapMinutes * 60L
+    val shardSec = shardMinutes * 60L
+    val hot = events.groupBy(col("user_id")).agg(count(lit(1)).as("hn"))
+      .filter(col("hn") > hotThreshold)
+    val tagged = events.join(broadcast(hot), Seq("user_id"), "left")
+      .withColumn("shard",
+        when(col("hn").isNotNull, floor(unix_timestamp(col("ts")) / shardSec))
+          .otherwise(lit(0L)))
+    val byShard = Window.partitionBy(col("user_id"), col("shard"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = tagged
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byShard))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("sno", sum(col("new_session")).over(byShard))
+      .groupBy(col("user_id"), col("shard"), col("sno"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    mergeLocalSessions(local, gapSec).orderBy("user_id", "session_start")
   }
 
   /** Sessionization via Spark's BUILT-IN `session_window` — the twin of

@@ -66,6 +66,49 @@ class BetweennessSpec extends SparkSpec {
     assert(got == ref(pairs, Seq(1L), 2))
   }
 
+  private def msgChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("BOUNDARY just under 2^63: exact at scale = Long.MaxValue/2 - 1") {
+    // directed chain s→a→b, depth 2: every sigma is 1, the largest
+    // intermediate is the seed's term 1·(scale + scale) = 2·scale,
+    // which fits a long exactly at this scale — the budget guard must
+    // NOT fire and the answer must be exact integer Brandes
+    val scale = Long.MaxValue / 2 - 1
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("u", "v")
+    val got = Betweenness.sampled(edges, Seq(0L).toDF("start"), maxDepth = 2, scale = scale)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // delta(b)=0; delta(a) = 1·(scale+0)/1 = scale; seed filtered
+    assert(got == Map(1L -> scale))
+  }
+
+  test("BOUNDARY just over 2^63 (scale+delta term): loud budget error, not a wrap") {
+    // same chain one level deeper at scale = Long.MaxValue/2 + 1: the
+    // seed's term needs scale + delta(a) = 2·scale + 2 > 2^63 — the
+    // rhs budget guard must raise the descriptive error in any SQL mode
+    val scale = Long.MaxValue / 2 + 1
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("u", "v")
+    val e = intercept[Throwable] {
+      Betweenness.sampled(edges, Seq(0L).toDF("start"), maxDepth = 2, scale = scale)
+        .collect()
+    }
+    assert(msgChain(e).contains("overflow budget"), msgChain(e))
+  }
+
+  test("BOUNDARY just over 2^63 (sigma·(scale+delta) product): loud budget error") {
+    // directed diamond s→{a,b}→c→d: sigma(c) = 2, so c's term is
+    // 2·(scale + 0) which crosses 2^63 at scale = Long.MaxValue/2 + 1
+    // even though scale + delta itself fits — the product guard's case
+    val scale = Long.MaxValue / 2 + 1
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val e = intercept[Throwable] {
+      Betweenness.sampled(edges, Seq(0L).toDF("start"), maxDepth = 3, scale = scale)
+        .collect()
+    }
+    assert(msgChain(e).contains("overflow budget"), msgChain(e))
+  }
+
   test("PROPERTY: matches the sequential reference on random graphs, multi-seed") {
     val rng = new scala.util.Random(81L)
     for (trial <- 1 to 3) {

@@ -84,6 +84,67 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("SHARDED batch sessionization == plain under aggressive sharding") {
+    val events = TpchGraph.events(spark, sf)
+    val plain = EventStream.sessionizeBatch(events, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // threshold 0 makes EVERY user hot; shard sizes at, below, and far
+    // above the gap all reconstruct the identical session partition
+    for (shardMin <- Seq(7, 30, 1440)) {
+      val sharded = EventStream.sessionizeBatchSharded(events, gapMinutes = 30,
+          hotThreshold = 0L, shardMinutes = shardMin)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(sharded == plain, s"shardMinutes=$shardMin")
+    }
+    assert(plain.nonEmpty)
+  }
+
+  test("SHARDED sessionization boundary: chains across shard edges stitch back") {
+    import java.sql.Timestamp
+    def ev(uid: Long, s: String, id: Long, v: Double) =
+      (uid, Timestamp.valueOf(s), id, v)
+    // shard size 60 min, gap 30 min. User 1: a 5-event chain at 20-min
+    // spacing crossing TWO shard boundaries (00:50 → 01:10 crosses 01:00,
+    // 01:50 → 02:10 crosses 02:00) must come back as ONE session.
+    // User 2: an event EXACTLY on a shard boundary (02:00:00) 20 min
+    // after its predecessor joins the same session. User 3: a gap of
+    // exactly 1800 s across a boundary still merges (the > gap rule);
+    // user 4: 1801 s across a boundary splits.
+    val events = Seq(
+      ev(1L, "2026-01-01 00:50:00", 1, 1.0), ev(1L, "2026-01-01 01:10:00", 2, 1.0),
+      ev(1L, "2026-01-01 01:30:00", 11, 1.0),
+      ev(1L, "2026-01-01 01:50:00", 3, 1.0), ev(1L, "2026-01-01 02:10:00", 4, 1.0),
+      ev(2L, "2026-01-01 01:40:00", 5, 1.0), ev(2L, "2026-01-01 02:00:00", 6, 1.0),
+      ev(3L, "2026-01-01 00:45:00", 7, 1.0), ev(3L, "2026-01-01 01:15:00", 8, 1.0),
+      ev(4L, "2026-01-01 00:44:59", 9, 1.0), ev(4L, "2026-01-01 01:15:00", 10, 1.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = EventStream.sessionizeBatchSharded(events, gapMinutes = 30,
+        hotThreshold = 0L, shardMinutes = 60)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sorted
+    assert(got == List(
+      (1L, "2026-01-01 00:50:00", 5L),
+      (2L, "2026-01-01 01:40:00", 2L),
+      (3L, "2026-01-01 00:45:00", 2L),
+      (4L, "2026-01-01 00:44:59", 1L), (4L, "2026-01-01 01:15:00", 1L)), got.toString)
+    // and the plain form agrees on the same fixture
+    val plain = EventStream.sessionizeBatch(events, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sorted
+    assert(got == plain)
+  }
+
+  test("SHARDED streaming timeout sessionization == batch at sub-gap shard size") {
+    // shardMinutes 20 < gap 30: every open-at-boundary local session
+    // exercises the merge, and the drained answer must still equal the
+    // plain batch sessionizer
+    val batch = EventStream.sessionizeBatch(TpchGraph.events(spark, sf), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = EventStream.runSessionTimeoutStream(spark, sf, gapMinutes = 30,
+        shardMinutes = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("event-time-timeout sessionization equals the batch answer") {
     val batch = EventStream.sessionizeBatch(TpchGraph.events(spark, sf), gapMinutes = 30)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
