@@ -87,10 +87,13 @@ object Betweenness {
           col("sigma").as("ssig"), col("delta").as("sdel"))
       // budget guard lives INSIDE the term expression so pruning cannot
       // drop it: sigma ≥ 1 and sdel ≥ 0 by construction, so the product
-      // overflows iff scale + sdel crosses 2⁶³ or exceeds 2⁶³ / sigma
+      // overflows iff scale + sdel crosses 2⁶³ or exceeds 2⁶³ div sigma
+      // (integral `div` — SQL `/` on longs is DOUBLE division, which at
+      // 2⁶² has 1024-ulp granularity and silently passes the boundary;
+      // the subtraction form keeps the condition itself overflow-free)
       val overflows = col("sigma") < 0L ||
         col("sdel") > lit(Long.MaxValue - scale) ||
-        lit(scale) + col("sdel") > lit(Long.MaxValue) / col("sigma")
+        col("sdel") > expr(s"${Long.MaxValue}L div sigma") - lit(scale)
       val term = when(!overflows, expr(s"sigma * ($scale + sdel) div ssig"))
         .otherwise(raise_error(concat(
           lit("Betweenness.sampled: overflow budget deg^D*reach*scale " +

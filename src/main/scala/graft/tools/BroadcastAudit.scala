@@ -39,7 +39,12 @@ object BroadcastAudit {
             || l.startsWith("CartesianProduct"))
         val counts = joins.groupBy(_.split(" ")(0).split("\\[")(0)).map { case (k, v) => s"$k=${v.size}" }
         println(s"[bcast-audit] $name ${counts.toSeq.sorted.mkString(" ")}")
-        joins.filter(_.startsWith("Broadcast")).distinct
+        // expr ids (#1234) and plan ids vary run to run — strip BEFORE
+        // truncating so the gate's baseline diff is stable across runs
+        joins.filter(_.startsWith("Broadcast"))
+          .map(_.replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
+            .replaceAll("\\s+", " "))
+          .distinct
           .foreach(l => println(s"[bcast-audit]   $name BCAST: ${l.take(170)}"))
       } catch {
         case e: Throwable =>

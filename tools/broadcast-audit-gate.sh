@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Standing mis-broadcast gate (r15 verdict ask #5): the p118 failure
+# class — Catalyst statically sizing a corpus-derived side from
+# compressed parquet bytes and building a broadcast join whose build
+# side materializes at corpus scale — must FAIL the round when it
+# reappears, not the next mem2g sweep. This sweeps every registered
+# query's pre-execution physical plan at a realistic scale dir
+# (plan-only, nothing executes) and diffs the statically-chosen
+# broadcast lines against the audited-legitimate baseline
+# (tools/broadcast-audit-baseline.txt — reviewed line by line in r15/r16:
+# bounded sketch tables, strata, hot-bucket lists, eval fingerprint
+# sets, top-k rerank sides, fixed walk frontiers, single-row scalar
+# combines, sqrt-scale IVF coarse centroids, and the exact-twin
+# baselines whose broadcast IS the contract).
+#
+# Usage: tools/broadcast-audit-gate.sh [sfDir]
+#   default sfDir /tmp/graft-sf4.0; generate it with
+#   sbt 'runMain graft.tools.ScaleData /root/testdata/sf0.1 /tmp/graft-sf4.0 40'
+#
+# Regenerating the baseline after an INTENDED new legitimate broadcast:
+# review the new line, then append it to tools/broadcast-audit-baseline.txt
+# with the justification comment and commit both.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/tmp/graft-sf4.0}"
+BASELINE="tools/broadcast-audit-baseline.txt"
+
+if [ ! -d "$SF_DIR" ]; then
+  echo "[bcast-gate] SKIP: scale dir $SF_DIR missing — generate with:"
+  echo "  sbt 'runMain graft.tools.ScaleData /root/testdata/sf0.1 $SF_DIR 40'"
+  echo "[bcast-gate] (the gate must run against at-scale size estimates;"
+  echo "  sf0.1 estimates legitimately broadcast corpus sides)"
+  exit 2
+fi
+
+OUT="$(mktemp)"
+trap 'rm -f "$OUT" "$OUT.bcast" "$OUT.base"' EXIT
+sbt -batch "runMain graft.tools.BroadcastAudit $SF_DIR ALL" 2>/dev/null \
+  | grep '\[bcast-audit\]' > "$OUT" || true
+
+if ! grep -q '\[bcast-audit\]' "$OUT"; then
+  echo "[bcast-gate] FAIL: audit produced no output (build broken?)"
+  exit 1
+fi
+if grep -q 'PLAN_ERROR' "$OUT"; then
+  echo "[bcast-gate] FAIL: queries failed to plan at $SF_DIR:"
+  grep 'PLAN_ERROR' "$OUT"
+  exit 1
+fi
+
+# BCAST lines, stripped of the query-count prefix lines; the audit tool
+# already normalizes expr/plan ids before truncation
+grep 'BCAST:' "$OUT" | sed -E 's/^\[bcast-audit\][[:space:]]+//' | sort -u > "$OUT.bcast"
+grep -v '^#' "$BASELINE" | grep -v '^[[:space:]]*$' | sort -u > "$OUT.base"
+
+NEW="$(comm -13 "$OUT.base" "$OUT.bcast" || true)"
+GONE="$(comm -23 "$OUT.base" "$OUT.bcast" || true)"
+if [ -n "$GONE" ]; then
+  echo "[bcast-gate] note: baseline broadcasts no longer chosen (stale rows — prune when convenient):"
+  echo "$GONE" | sed 's/^/[bcast-gate]   /'
+fi
+if [ -n "$NEW" ]; then
+  echo "[bcast-gate] FAIL: statically-chosen broadcasts NOT on the audited-legitimate baseline:"
+  echo "$NEW" | sed 's/^/[bcast-gate]   /'
+  echo "[bcast-gate] each is a potential p118 (corpus side broadcast off a bad static"
+  echo "[bcast-gate] estimate): either merge-pin the join or, if the side is provably"
+  echo "[bcast-gate] bounded, review and append the line to $BASELINE"
+  exit 1
+fi
+echo "[bcast-gate] PASS: $(wc -l < "$OUT.bcast") broadcast lines, all on the audited baseline ($SF_DIR)"
