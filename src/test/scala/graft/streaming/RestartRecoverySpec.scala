@@ -51,6 +51,17 @@ class RestartRecoverySpec extends SparkSpec {
     assertRecovers(ev => EventStream.sessionTimeoutPipeline(spark, ev).toDF())
   }
 
+  test("SHARDED sessionization pipeline recovers (user, shard) state across a restart") {
+    // the hot-key-safe p111 production path: state keyed by (user,
+    // time-shard) with the min(last+gap, shardEnd) timeout rule — the
+    // tuple group key's encoder, the shard-end timeout timestamps, and
+    // every open local session must round-trip through the checkpoint.
+    // Sub-gap shard size (20 < 30 min) so boundary-open sessions are
+    // plentiful at the stop point
+    assertRecovers(ev => EventStream.sessionShardTimeoutPipeline(spark, ev,
+      gapMinutes = 30, shardMinutes = 20).toDF())
+  }
+
   test("p139 built-in session_window aggregation recovers merging-store state across a restart") {
     assertRecovers { ev =>
       ev.withColumn("ts", date_trunc("second", col("ts")))
