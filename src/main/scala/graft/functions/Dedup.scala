@@ -74,14 +74,86 @@ object Dedup {
     else df
   }
 
-  def wordNgrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  def wordNgrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    gramSets(df, id, text, n).select(col("id"), explode(col("gs")).as("gram"))
+
+  /** Per-document DISTINCT word n-gram SET as ONE map-side array column
+    * `(id, gs)` — the shuffle-free twin of [[wordNgrams]] (identical set:
+    * the explode of `gs` IS wordNgrams). Consumers that used to explode
+    * grams and aggregate them straight back per doc (signatures, per-doc
+    * gram counts) read the array directly instead: per-doc gram counts
+    * are `size(gs)` in the same narrow projection and MinHash signatures
+    * fold over `transform(gs, gramHash)` — zero exchanges where the r15
+    * shape paid a full corpus explode + groupBy(id) shuffle (guide §2.4:
+    * remove shuffles outright; §2.3: shuffle fewer bytes). Documents
+    * with no non-empty gram are dropped, exactly as their absence from
+    * the exploded form implied.
+    */
+  def gramSets(df: DataFrame, id: Column, text: Column, n: Int,
+               extraCols: Column*): DataFrame = {
     val toks = TextOps.tokens(lower(text))
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))
     )
-    spread(df).select(id.as("id"), explode(array_distinct(grams)).as("gram"))
-      .filter(length(col("gram")) > 0)
+    // empty-doc exclusion happens BEFORE the projection, on the raw
+    // text: `gs` is empty iff the text has no token iff it has no
+    // non-whitespace char, so `rlike("\\S")` is the exact predicate —
+    // and it pushes to the scan as a cheap regex. Filtering on
+    // `size(gs) > 0` AFTER the projection instead made Catalyst push
+    // the condition below the Project (and through Unions into every
+    // scan branch), duplicating the whole tokenize→gram→distinct tree
+    // into Filter nodes — measured 4× on p72 (the guide §4.4
+    // duplication class, with built-in expressions instead of UDFs).
+    spread(df.filter(text.rlike("\\S")))
+      .select((id.as("id") +: extraCols) :+
+        filter(array_distinct(grams), g => length(g) > 0).as("gs"): _*)
+  }
+
+  /** Within-bucket unordered pair generation as ONE hash aggregate plus
+    * an in-partition combination explode — the join-free form of the
+    * family's `l.join(r, blockingKeys).filter(id_a < id_b)` self-join
+    * (guide §2.4: remove shuffles outright). The self-join shuffled the
+    * bucketed table TWICE (one Exchange per side) and sort-merged both
+    * sides; this shape shuffles it ONCE into `collect_list` buckets and
+    * generates the identical pair set from the sorted entry array — no
+    * join remains, so the p118 static-mis-broadcast class is closed
+    * structurally rather than by a merge hint, and both sorts disappear.
+    * Payload columns (vectors, per-doc gram counts) ride inside the
+    * entry struct, which also deletes the separate fetch/sizes joins the
+    * r15 shapes paid after candidate generation.
+    *
+    * `entry` must be a struct whose FIRST field is the id — `sort_array`
+    * orders entries by it, and pairs are emitted positionally (i < j)
+    * with a final `eb.id > ea.id` guard (equal-id entries — possible
+    * when callers key on a 28-bit hash — are excluded exactly as the
+    * join's `id_a < id_b` filter excluded them). Emitted rows: the
+    * blocking keys plus `ea` / `eb` entry structs.
+    *
+    * Memory: one bucket's entries materialize as one aggregation-buffer
+    * array, so bucket occupancy must be bounded by construction — which
+    * every caller here already guarantees (occupancy-derived LSH config,
+    * hot-gram caps, ~targetClusterSize cells); `maxBucket` applies the
+    * cap as a filter on the collected size, which for the capped callers
+    * REPLACES the r15 hot-key aggregate + broadcast anti-join. The
+    * uncapped oracle-exact twins are gate-scale by contract (their
+    * quadratic pair output, not this buffer, is the binding constraint).
+    * The generated pair stream is the same f²/2 rows per bucket the
+    * self-join produced, and flows map-side into whatever partial
+    * aggregate consumes it.
+    */
+  private[functions] def bucketPairs(df: DataFrame, keys: Seq[String], entry: Column,
+                                     maxBucket: Option[Int] = None): DataFrame = {
+    val ks = keys.map(col)
+    val buckets0 = df.groupBy(ks: _*).agg(sort_array(collect_list(entry)).as("es"))
+    val buckets = maxBucket.fold(buckets0)(c => buckets0.filter(size(col("es")) <= c))
+    buckets
+      .select(ks ++ Seq(col("es"), posexplode(col("es")).as(Seq("i", "ea"))): _*)
+      // slice beyond the array end yields an empty array (no generated
+      // row), so the last entry terminates cleanly under ANSI mode
+      .select(ks ++ Seq(col("ea"),
+        explode(slice(col("es"), col("i") + lit(2), size(col("es")))).as("eb")): _*)
+      .filter(col("eb").getField("id") > col("ea").getField("id"))
   }
 
   /** n-gram Jaccard similarity for all pairs sharing ≥1 gram, via the
@@ -100,41 +172,31 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int, minJaccard: Double,
                    maxGramDocFreq: Option[Int] = None): DataFrame = {
-    // grams feed three plan branches; recomputing the (cheap, narrow)
-    // projection beats an unmanaged .cache() that would leak storage
-    // memory for the session lifetime — long-running callers should
-    // persist the gram table themselves and own its lifecycle
-    val grams = wordNgrams(df, id, text, n)
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val indexed = maxGramDocFreq match {
-      case Some(cap) =>
-        val hot = grams.groupBy("gram")
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap).select("gram")
-        // hot-gram sets are small → broadcast anti-join, no extra shuffle
-        grams.join(broadcast(hot), Seq("gram"), "left_anti")
-      case None => grams
-    }
-    val a = indexed.select(col("id").as("id_a"), col("gram"))
-    val b = indexed.select(col("id").as("id_b"), col("gram"))
-    // hint("merge"): BOTH sides of the inverted-index self-join are
-    // corpus-sized, but Catalyst sizes a side below an explode from the
-    // compressed parquet bytes, which reads broadcast-small — the exact
-    // mis-broadcast class that OOMed p118 at mem2g×sf4.0 (512 MB
-    // UnsafeHashedRelation build on a 2 GiB executor; SCALE.md r15).
-    // Sort-merge shuffles and spills. Note AQE RESPECTS user join
-    // hints: a merge-hinted join is never promoted to broadcast even
-    // when runtime sizes would allow it — the pin trades a possible
-    // small-SF broadcast win for the guarantee that no static
-    // mis-estimate can ever build a corpus-sized hash relation.
-    // Applied to every join in this file whose both sides descend from
-    // per-token/per-gram/per-band explodes of the corpus; joins whose
-    // small side is bounded BY CONSTRUCTION (a capped aggregate, a
-    // lexicon) use an explicit broadcast() instead and are on the
-    // BroadcastAudit allowlist.
-    val inter = a.hint("merge").join(b.hint("merge"), "gram")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    withJaccard(inter, sizes, minJaccard)
+    // r16 shape (guide §2.4): per-doc gram counts are computed map-side
+    // on the gram ARRAY (no sizes aggregate, and they ride through the
+    // pair generator inside the entry struct, so the two sizes joins of
+    // the r15 shape are gone), and the inverted-index SELF-JOIN on gram
+    // is replaced by [[bucketPairs]] — one Exchange instead of two, no
+    // sorts, no join for a static mis-estimate to turn into a broadcast
+    // (the p118 class the merge pins guarded; see bucketPairs). Plan:
+    // scan → explode → Exchange(gram) → collect buckets → pair explode →
+    // partial count → Exchange(pair) — 2 exchanges where r15 had 5.
+    val entries = gramSets(df, id, text, n)
+      .select(explode(col("gs")).as("gram"),
+        struct(col("id"), size(col("gs")).cast("long").as("ng")).as("e"))
+    // maxGramDocFreq: the bucket size IS the gram's document frequency
+    // (grams are distinct per doc), so the cap is a filter on the
+    // collected bucket — replacing the r15 hot-gram aggregate +
+    // broadcast anti-join. Per-doc totals stay exact (computed before
+    // the cap), preserving the documented lower-bound semantics.
+    bucketPairs(entries, Seq("gram"), col("e"), maxGramDocFreq)
+      .groupBy(col("ea.id").as("id_a"), col("ea.ng").as("na"),
+        col("eb.id").as("id_b"), col("eb.ng").as("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard_raw",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
   /** Asymmetric CONTAINMENT detection: |A∩B| / min(|A|,|B|) ≥
@@ -156,33 +218,26 @@ object Dedup {
     // inverted-index shuffle carries 8-byte keys instead of ~6n-char
     // phrases (measured 6.2 s -> ~3 s at sf0.1), and both engines compute
     // the identical md5-derived hash, so results stay oracle-exact.
-    // Hash collisions conflate identically on both sides (set sizes are
-    // distinct-hash counts) — the standard fingerprinting trade every
+    // Hash collisions conflate identically on both sides (a doc's two
+    // colliding grams yield duplicate hash entries, and the positional
+    // pair generation reproduces the join's multiplicity product
+    // exactly) — the standard fingerprinting trade every
     // winnowing/MinHash operator here already makes.
-    // localCheckpoint: the gram table feeds sizes + both join sides — the
-    // tokenize/gram-build/md5 subtree would otherwise run three times
-    val grams = wordNgrams(df, id, text, n)
-      .select(col("id"), gramHash(col("gram")).as("gram"))
-      .lckpt(eager = false)
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val indexed = maxGramDocFreq match {
-      case Some(cap) =>
-        val hot = grams.groupBy("gram")
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap).select("gram")
-        grams.join(broadcast(hot), Seq("gram"), "left_anti")
-      case None => grams
-    }
-    val a = indexed.select(col("id").as("id_a"), col("gram"))
-    val b = indexed.select(col("id").as("id_b"), col("gram"))
-    // corpus×corpus self-join: merge pin (see jaccardPairs)
-    val inter = a.hint("merge").join(b.hint("merge"), "gram")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // r16 shape (guide §2.4): per-doc totals (`ng` = hash-row count,
+    // multiplicity included, exactly the r15 `sizes` count) are computed
+    // map-side on the gram array and ride through [[bucketPairs]] inside
+    // the entry struct — the self-join, the two sizes joins, the sizes
+    // aggregate, and the lineage checkpoint that serviced those three
+    // plan branches are all gone: the gram table is consumed once.
+    val entries = gramSets(df, id, text, n)
+      .select(explode(transform(col("gs"), g => gramHash(g))).as("h"),
+        struct(col("id"), size(col("gs")).cast("long").as("ng")).as("e"))
     val aIsContained = col("na") < col("nb") ||
       (col("na") === col("nb") && col("id_a") < col("id_b"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+    bucketPairs(entries, Seq("h"), col("e"), maxGramDocFreq)
+      .groupBy(col("ea.id").as("id_a"), col("ea.ng").as("na"),
+        col("eb.id").as("id_b"), col("eb.ng").as("nb"))
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("containment_raw",
         col("n_common").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment_raw") >= minContainment)
@@ -191,23 +246,6 @@ object Dedup {
         when(aIsContained, col("id_b")).otherwise(col("id_a")).as("container"),
         round(col("containment_raw"), 6).as("containment"))
   }
-
-  /** Attach exact Jaccard to `(id_a, id_b, n_common)` pair rows given
-    * per-doc gram counts; filter on the RAW value (rounding only for
-    * output) so thresholding is engine-portable.
-    */
-  private def withJaccard(pairs: DataFrame, sizes: DataFrame, minJaccard: Double): DataFrame =
-    // sizes is one row per DOCUMENT — corpus-scale at a lake, and its
-    // static estimate descends from the same explode; merge pin
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na")
-        .hint("merge"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb")
-        .hint("merge"), "id_b")
-      .withColumn("jaccard_raw",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard_raw") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
 
   // ------------------------------------------------------------ MinHash
 
@@ -239,25 +277,22 @@ object Dedup {
   }
 
   /** MinHash signature: for each permutation `(a,b)`, the min over grams of
-    * `(a*h + b) mod p` with `p = 2^31-1`. Computed entirely with array
-    * expressions (no UDF): per row,
-    * `array_min(transform(gramHashes, h => (a*h+b) % p))`.
+    * `(a*h + b) mod p` with `p = 2^31-1`. Computed entirely map-side: the
+    * per-doc distinct gram SET is one [[gramSets]] array column, hashes
+    * are a `transform` over it, and the fused [[expressions.MinHashSig]]
+    * folds all permutations in one pass — ZERO shuffles. The r15 shape
+    * exploded grams and `groupBy(id).collect_list`-ed them straight back:
+    * a full corpus Exchange whose only purpose was re-assembling the
+    * array this computes in place (guide §2.4). Identical values — the
+    * collected multiset equals the transformed set (min is
+    * order-insensitive), and docs with no grams are absent either way.
+    * For the streaming dedup path this also removes a per-microbatch
+    * aggregation entirely.
     */
   def minHashSignature(df: DataFrame, id: Column, text: Column, n: Int, numHashes: Int): DataFrame =
-    signaturesFromGrams(wordNgrams(df, id, text, n), numHashes)
-
-
-  private def signaturesFromGrams(grams: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = grams
-      .withColumn("h", gramHash(col("gram")))
-      .groupBy("id").agg(collect_list(col("h")).as("hs"))
-    // fused one-pass signature (identical values to the historical
-    // array(array_min(transform(...)) × numHashes) form — see
-    // MinHashSig's scaladoc for why the fused expression is ~10× cheaper)
-    hashed.select(col("id"),
+    gramSets(df, id, text, n).select(col("id"),
       graft.functions.expressions.MinHashSigs
-        .minHashSigCol(col("hs"), numHashes).as("signature"))
-  }
+        .minHashSigCol(transform(col("gs"), g => gramHash(g)), numHashes).as("signature"))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
     * hash each band, and emit `(band, bucket, id)` — the probe index
@@ -266,31 +301,40 @@ object Dedup {
     * compact band keys.
     */
   def bandBuckets(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    // non-signature columns (id, a routing key) ride through the explode
     signatures.select(
-      col("id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)))
-        )
-      ).as(Seq("band", "bucket")))
+      signatures.columns.filterNot(_ == "signature").map(col) :+
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)))
+          )
+        ).as(Seq("band", "bucket")): _*)
 
   def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    // within-bucket pair generation via ONE aggregate — no self-join, no
+    // second Exchange, no sorts, and structurally nothing left for a
+    // static size mis-estimate to broadcast (see bucketPairs; bucket
+    // occupancy is bounded by the banding geometry at near-dup
+    // thresholds, the family contract)
     val banded = bandBuckets(signatures, bands, rowsPerBand)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    // corpus×corpus banding self-join: merge pin (see jaccardPairs)
-    l.hint("merge").join(r.hint("merge"), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    bucketPairs(banded.select(col("band"), col("bucket"), struct(col("id")).as("e")),
+        Seq("band", "bucket"), col("e"))
+      .select(col("ea.id").as("id_a"), col("eb.id").as("id_b")).distinct()
   }
 
   /** Signature-agreement Jaccard estimate for candidate pairs. */
   def estimatedJaccard(cands: DataFrame, sigs: DataFrame, numHashes: Int): DataFrame = {
     val a = sigs.select(col("id").as("id_a"), col("signature").as("sig_a"))
     val b = sigs.select(col("id").as("id_b"), col("signature").as("sig_b"))
-    // per-doc signature sides are corpus-scale: merge pin (jaccardPairs)
-    cands.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
+    // signature-fetch joins hash-build the CANDIDATE side (bounded by
+    // banding collision mass), never the corpus-scale signature side:
+    // the hinted side of a SHUFFLE_HASH join is the build side and AQE
+    // respects the hint, so the p118 static-mis-broadcast class stays
+    // closed while the signature side streams without the r15 merge
+    // pin's sort (guide §3.1)
+    cands.hint("shuffle_hash").join(a, "id_a")
+      .hint("shuffle_hash").join(b, "id_b")
       .withColumn("est_jaccard",
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -310,17 +354,37 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                       minJaccard: Double = 0.9): DataFrame = {
     val rows = numHashes / bands
-    val grams = wordNgrams(df, id, text, n) // see jaccardPairs on lifecycle
-    val sigs = signaturesFromGrams(grams, numHashes)
+    // r16 shape: ONE narrow map pass computes each doc's distinct gram
+    // set, its size, and its MinHash signature (no gram explode, no
+    // groupBy(id) — guide §2.4); banding + bucketPairs generate
+    // candidates with one Exchange; exact Jaccard verifies candidates
+    // from the per-doc gram ARRAYS — |A∩B| = size(array_intersect) on
+    // distinct sets, exactly the r15 per-gram equi-join count — so the
+    // corpus-sized gram table is never shuffled or sorted at all. The
+    // two gram-fetch joins hash-build the CANDIDATE side (bounded by
+    // banding collision mass, measured linear in n at near-dup
+    // thresholds — p102/SCALE.md), never the corpus side: the hinted
+    // side of a SHUFFLE_HASH join is the build side, and AQE respects
+    // the hint, so no static mis-estimate can ever build a corpus-sized
+    // relation (the p118 class) while the doc-array side streams
+    // unsorted (the SMJ sort of the r15 merge pin was the premium the
+    // re-floored family paid; guide §3.1).
+    val g = gramSets(df, id, text, n).lckpt(eager = false)
+    val sigs = g.select(col("id"),
+      graft.functions.expressions.MinHashSigs
+        .minHashSigCol(transform(col("gs"), gr => gramHash(gr)), numHashes).as("signature"))
     val cands = lshCandidates(sigs, bands, rows)
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val ga = grams.select(col("id").as("id_a"), col("gram"))
-    val gb = grams.select(col("id").as("id_b"), col("gram"))
-    // gram fetch sides are corpus-sized explodes: merge pin (jaccardPairs)
-    val inter = cands.join(ga.hint("merge"), "id_a")
-      .join(gb.hint("merge"), Seq("id_b", "gram"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    withJaccard(inter, sizes, minJaccard)
+    val a = g.select(col("id").as("id_a"), col("gs").as("gs_a"))
+    val b = g.select(col("id").as("id_b"), col("gs").as("gs_b"))
+    cands.hint("shuffle_hash").join(a, "id_a")
+      .hint("shuffle_hash").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("n_common"),
+        size(col("gs_a")).cast("long").as("na"), size(col("gs_b")).cast("long").as("nb"))
+      .withColumn("jaccard_raw",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
   /** Chunk-level (passage) dedup signals — the sub-document form of
@@ -346,13 +410,21 @@ object Dedup {
         sequence(lit(0), floor((size(col("ts")) - 1) / chunkLen).cast("int")),
         i => md5(concat_ws(" ", slice(col("ts"), i * chunkLen + 1, lit(chunkLen))))
       )).as("h"))
-    val freq = chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
-    // freq is one row per DISTINCT CHUNK — corpus-scale; merge pin
-    // (see jaccardPairs for the mis-broadcast class)
-    chunks.hint("merge").join(freq.hint("merge"), "h")
+    // r16: "shared by ≥2 docs" as WINDOW counts instead of the frequency
+    // aggregate + merge-pinned join-back (guide §2.4): a chunk hash seen
+    // in another document iff its total occurrence count exceeds its
+    // count within this document — `count over (h)` > `count over
+    // (h, doc_id)` ⟺ countDistinct(doc_id) ≥ 2. One Exchange on h and
+    // one sort by (h, doc_id) — which satisfies both window partitions —
+    // replace the aggregate Exchange plus both SMJ sorts; no join
+    // remains for the p118 mis-broadcast class.
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val wHD = org.apache.spark.sql.expressions.Window.partitionBy("h", "doc_id")
+    chunks
+      .withColumn("shared", count(lit(1)).over(wH) > count(lit(1)).over(wHD))
       .groupBy("doc_id").agg(
         count(lit(1)).cast("long").as("n_chunks"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared"))
   }
 
   /** Cross-corpus exact-substring duplicate spans — the token-k-gram
@@ -404,13 +476,18 @@ object Dedup {
         posexplode(transform(sequence(lit(0), col("n_tokens") - k),
           i => xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(k))))))
           .as(Seq("pos", "h")))
-    val dup = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("h")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     // spans merge while the next duplicated position starts within (or
-    // adjacent to) the previous gram's extent: break iff pos > prev + k
-    val marked = occ.hint("merge").join(dup.hint("merge"), "h")
+    // adjacent to) the previous gram's extent: break iff pos > prev + k.
+    // r16: "gram occurs ≥ 2 times" as a WINDOW count over h instead of
+    // the frequency aggregate + merge-pinned join-back (guide §2.4) —
+    // one Exchange+sort on h replaces the aggregate Exchange plus both
+    // SMJ sorts, and no join remains for the p118 mis-broadcast class
+    val marked = occ
+      .withColumn("cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("cnt") >= 2).drop("cnt")
       .withColumn("brk",
         when(lag(col("pos"), 1).over(w).isNull
           .or(col("pos") > lag(col("pos"), 1).over(w) + k), 1L)
@@ -447,29 +524,30 @@ object Dedup {
                             n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                             minJaccard: Double = 0.9): DataFrame = {
     val rows = numHashes / bands
+    // same r16 shape as [[minHashNearDups]] — see there for the full
+    // rationale — with the route riding the narrow map pass end to end:
+    // it enters the signature projection (so banding carries it into the
+    // blocking key with NO routes join; the r15 shape paid a corpus-sized
+    // bandBuckets⋈routes join just to re-attach it) and the bucketPairs
+    // key is (route, band, bucket), so cross-route pairs are never
+    // generated, exactly as before.
     val routed = df.select(id.as("id"), route.as("route"), text.as("t"))
-    val grams = wordNgrams(routed, col("id"), col("t"), n)
-    val sigs = signaturesFromGrams(grams, numHashes)
-    val routes = routed.select(col("id"), col("route"))
-    val banded = bandBuckets(sigs, bands, rows).join(routes, "id")
-    val l = banded.select(col("route"), col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("route"), col("band"), col("bucket"), col("id").as("id_b"))
-    // corpus×corpus self-join + corpus-sized fetch/size sides: merge
-    // pins throughout (see jaccardPairs for the mis-broadcast class)
-    val cands = l.hint("merge").join(r.hint("merge"), Seq("route", "band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("route", "id_a", "id_b").distinct()
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val ga = grams.select(col("id").as("id_a"), col("gram"))
-    val gb = grams.select(col("id").as("id_b"), col("gram"))
-    val inter = cands.join(ga.hint("merge"), "id_a")
-      .join(gb.hint("merge"), Seq("id_b", "gram"))
-      .groupBy("route", "id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na")
-        .hint("merge"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb")
-        .hint("merge"), "id_b")
+    val g = gramSets(routed, col("id"), col("t"), n, col("route")).lckpt(eager = false)
+    val sigs = g.select(col("id"), col("route"),
+      graft.functions.expressions.MinHashSigs
+        .minHashSigCol(transform(col("gs"), gr => gramHash(gr)), numHashes).as("signature"))
+    val banded = bandBuckets(sigs, bands, rows)
+    val cands = bucketPairs(
+        banded.select(col("route"), col("band"), col("bucket"), struct(col("id")).as("e")),
+        Seq("route", "band", "bucket"), col("e"))
+      .select(col("route"), col("ea.id").as("id_a"), col("eb.id").as("id_b")).distinct()
+    val a = g.select(col("id").as("id_a"), col("gs").as("gs_a"))
+    val b = g.select(col("id").as("id_b"), col("gs").as("gs_b"))
+    cands.hint("shuffle_hash").join(a, "id_a")
+      .hint("shuffle_hash").join(b, "id_b")
+      .select(col("route"), col("id_a"), col("id_b"),
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("n_common"),
+        size(col("gs_a")).cast("long").as("na"), size(col("gs_b")).cast("long").as("nb"))
       .withColumn("jaccard_raw",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard_raw") >= minJaccard)
@@ -597,20 +675,21 @@ object Dedup {
     val data = df.select(id.as("id"), vec.as("v"))
       .withColumn("nv", Similarity.norm(col("v")))
     val bucketed = lshBucketed(data, col("v"), dim, pl, tb)
-    val l = bucketed.select(col("tbl"), col("bucket"),
-      col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
-    val r = bucketed.select(col("tbl"), col("bucket"),
-      col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
-    // corpus×corpus bucket self-join: merge pin (see jaccardPairs)
-    l.hint("merge").join(r.hint("merge"), Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // r16: the bucket self-join is replaced by bucketPairs (one Exchange
+    // of the tables×-replicated vector rows instead of two, both SMJ
+    // sorts gone, and no join left for a static mis-estimate to turn
+    // into a corpus-side broadcast — see bucketPairs). Bucket occupancy
+    // is bounded by the occupancy-derived config (lshConfigFor), so the
+    // per-bucket entry array is bounded by construction.
+    bucketPairs(bucketed.select(col("tbl"), col("bucket"),
+        struct(col("id"), col("v"), col("nv")).as("e")), Seq("tbl", "bucket"), col("e"))
       // threshold on the ROUNDED cosine, matching embeddingNearDups: raw
       // last-ulps aren't portable across engines, and the exact/LSH twins
       // must agree on boundary pairs
-      .withColumn("cos",
-        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .select(col("ea.id").as("id_a"), col("eb.id").as("id_b"),
+        round(Similarity.dot(col("ea.v"), col("eb.v"))
+          / (col("ea.nv") * col("eb.nv")), 6).as("cos"))
       .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()
   }
 
@@ -729,40 +808,49 @@ object Dedup {
         ceil(col("c").cast("double") / shardTarget).cast("int").as("k"))
     val withK = bucketed.join(broadcast(hot), Seq("tbl", "bucket"), "left")
     val cold = withK.filter(col("k").isNull)
-    // cold buckets: both orders of a pair meet under the same (tbl,
-    // bucket) key, so the id-order filter alone halves the verify work
-    val coldPairs = cold.select(col("tbl"), col("bucket"),
-        col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
-      .join(cold.select(col("tbl"), col("bucket"),
-        col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")),
-        Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // cold buckets: bucketPairs (one Exchange, no sorts, no join — see
+    // bucketPairs; occupancy ≤ hotThreshold by the split, so the entry
+    // array is bounded by construction)
+    val coldPairs = bucketPairs(cold.select(col("tbl"), col("bucket"),
+        struct(col("id"), col("v"), col("nv")).as("e")), Seq("tbl", "bucket"), col("e"))
     val hotRows = withK.filter(col("k").isNotNull)
       .withColumn("s", pmod(xxhash64(col("id")), col("k").cast("long")).cast("int"))
-    val left = hotRows
+    // hot buckets: the same ordered-shard-pair keys as r15, but both
+    // sides collect into ONE aggregate (two conditional collect_lists —
+    // collect_list skips the other side's nulls) and the cross product
+    // generates in-partition: one Exchange of the (k+1)-replicated rows
+    // instead of two, no sorts. Per-key arrays hold one shard each
+    // (~shardTarget rows), bounded by the derivation.
+    val tagged = hotRows
       .withColumn("j", explode(sequence(col("s"), col("k") - 1)))
       .select(col("tbl"), col("bucket"), col("s").as("i"), col("j"),
-        col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
-    val right = hotRows
-      .withColumn("i", explode(sequence(lit(0), col("s"))))
-      .select(col("tbl"), col("bucket"), col("i"), col("s").as("j"),
-        col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
-    val hotPairs = left.join(right, Seq("tbl", "bucket", "i", "j"))
-      .filter(col("id_a") =!= col("id_b"))
+        lit(true).as("isL"), struct(col("id"), col("v"), col("nv")).as("e"))
+      .unionByName(hotRows
+        .withColumn("i", explode(sequence(lit(0), col("s"))))
+        .select(col("tbl"), col("bucket"), col("i"), col("s").as("j"),
+          lit(false).as("isL"), struct(col("id"), col("v"), col("nv")).as("e")))
+    val hotPairs = tagged.groupBy("tbl", "bucket", "i", "j")
+      .agg(collect_list(when(col("isL"), col("e"))).as("ls"),
+        collect_list(when(!col("isL"), col("e"))).as("rs"))
+      .select(col("ls"), explode(col("rs")).as("eb"))
+      .select(explode(col("ls")).as("ea"), col("eb"))
+      .filter(col("ea.id") =!= col("eb.id"))
     def verify(pairs: DataFrame): DataFrame = pairs
       .withColumn("cos",
-        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        round(Similarity.dot(col("ea.v"), col("eb.v"))
+          / (col("ea.nv") * col("eb.nv")), 6))
       .filter(col("cos") >= minCos)
     // hot pairs normalize to (min, max) AFTER the verify rather than
-    // filtering id_a < id_b: a cross-shard pair meets under exactly ONE
+    // generating in id order: a cross-shard pair meets under exactly ONE
     // (i,j) key, with the shard order — not the id order — deciding
     // which side is which. The cosine is swap-invariant (elementwise dot
-    // accumulates in index order on both sides; na·nb commutes), so
-    // verifying pre-normalization is bit-identical.
-    verify(coldPairs).select(col("id_a"), col("id_b"), col("cos"))
+    // accumulates in index order on both sides; the norm product
+    // commutes), so verifying pre-normalization is bit-identical.
+    verify(coldPairs)
+      .select(col("ea.id").as("id_a"), col("eb.id").as("id_b"), col("cos"))
       .unionByName(verify(hotPairs)
-        .select(least(col("id_a"), col("id_b")).as("id_a"),
-          greatest(col("id_a"), col("id_b")).as("id_b"), col("cos")))
+        .select(least(col("ea.id"), col("eb.id")).as("id_a"),
+          greatest(col("ea.id"), col("eb.id")).as("id_b"), col("cos")))
       .distinct()
   }
 
@@ -923,16 +1011,15 @@ object Dedup {
     * rounded cosine ≥ `minCos` is dropped. Input: `(id, v, cluster, nv)`.
     */
   private def semDedupPairs(assigned: DataFrame, minCos: Double): DataFrame = {
-    val a = assigned.select(col("cluster"), col("id").as("id_a"),
-      col("v").as("va"), col("nv").as("na"))
-    val b = assigned.select(col("cluster"), col("id").as("id_b"),
-      col("v").as("vb"), col("nv").as("nb"))
-    // corpus×corpus cluster self-join: merge pin (see jaccardPairs)
-    val dropped = a.hint("merge").join(b.hint("merge"), Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-        >= minCos)
-      .select(col("id_b").as("id")).distinct()
+    // r16: within-cluster pairs via bucketPairs — one Exchange instead
+    // of the cluster self-join's two, no sorts, no join to mis-plan (see
+    // bucketPairs). Cluster sizes are ~targetClusterSize by derivation
+    // (semDedupAuto) so the per-cluster entry array is bounded.
+    val dropped = bucketPairs(assigned.select(col("cluster"),
+        struct(col("id"), col("v"), col("nv")).as("e")), Seq("cluster"), col("e"))
+      .filter(round(Similarity.dot(col("ea.v"), col("eb.v"))
+        / (col("ea.nv") * col("eb.nv")), 6) >= minCos)
+      .select(col("eb.id").as("id")).distinct()
     assigned.join(dropped.withColumn("hit", lit(1)), Seq("id"), "left")
       .select(col("id").as("vec_id"), col("cluster"),
         when(col("hit").isNull, 1).otherwise(0).as("kept"))
@@ -1044,13 +1131,13 @@ object Dedup {
                  maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
     val recs = df.groupBy(s.as("s"), blockKey.as("k")).agg(min(id).as("id"))
-    val a = recs.select(col("k"), col("id").as("id_a"), col("s").as("s_a"))
-    val b = recs.select(col("k"), col("id").as("id_b"), col("s").as("s_b"))
-    // corpus×corpus blocking self-join: merge pin (see jaccardPairs)
-    a.hint("merge").join(b.hint("merge"), Seq("k"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+    // r16: block self-join → bucketPairs (one Exchange, no sorts, no
+    // join to mis-plan; see bucketPairs). Block sizes are the caller's
+    // bounded-verify contract, so the per-block entry array is bounded.
+    bucketPairs(recs.select(col("k"), struct(col("id"), col("s")).as("e")),
+        Seq("k"), col("e"))
+      .withColumn("dist", levenshtein(col("ea.s"), col("eb.s"), maxDist))
       .filter(col("dist") >= 0) // threshold form marks "too far" as -1
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("ea.id").as("id_a"), col("eb.id").as("id_b"), col("dist"))
   }
 }

@@ -248,15 +248,11 @@ object Multimodal {
       pHashBands(content, bands, bitsPerBand).as("bands"))
     val e = hashed.select(col("media_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val l = e.select(col("band_idx"), col("band_val"),
-      col("media_id").as("id_a"), col("bands").as("bands_a"))
-    val r = e.select(col("band_idx"), col("band_val"),
-      col("media_id").as("id_b"), col("bands").as("bands_b"))
     val dist = (0 until bands).map { i =>
-      bit_count(element_at(col("bands_a"), i + 1)
-        .bitwiseXOR(element_at(col("bands_b"), i + 1)))
+      bit_count(element_at(col("ea.bands"), i + 1)
+        .bitwiseXOR(element_at(col("eb.bands"), i + 1)))
     }.reduce(_ + _)
-    // Hamming distance verifies INLINE on the band-join output, so only
+    // Hamming distance verifies INLINE on the generated pairs, so only
     // surviving near-dup pairs reach the distinct's shuffle (the same
     // verify-before-shuffle decision as Dedup.embeddingNearDupsLsh,
     // sf1.0-measured in BENCH_NOTES round 9: the earlier
@@ -265,15 +261,17 @@ object Multimodal {
     // times — bounded by `bands`, pure codegen bit arithmetic; dist is
     // deterministic per pair so the post-filter distinct dedups exactly
     // the same pair set.
-    // corpus×corpus band self-join: merge pin — the static size
-    // estimate below the per-payload hash stage reads broadcast-small
-    // for any compressed corpus (the p118 mis-broadcast class,
-    // SCALE.md r15); AQE respects the hint — never promoted, the
-    // shuffle+sort is the documented price (see Dedup.jaccardPairs)
-    l.hint("merge").join(r.hint("merge"), Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", dist.cast("int"))
+    // r16: the band self-join is replaced by Dedup.bucketPairs — one
+    // Exchange of the band-exploded rows instead of two, no SMJ sorts,
+    // and no join left for the p118 static-mis-broadcast class (the r15
+    // merge pin's reason to exist); per-band 16-bit buckets keep
+    // collision mass — and so the per-bucket entry array — bounded
+    // (SCALE.md r15: 65k bucket values, sublinear measured growth).
+    Dedup.bucketPairs(e.select(col("band_idx"), col("band_val"),
+        struct(col("media_id").as("id"), col("bands")).as("e")),
+        Seq("band_idx", "band_val"), col("e"))
+      .select(col("ea.id").as("id_a"), col("eb.id").as("id_b"), dist.cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist").distinct()
+      .distinct()
   }
 }

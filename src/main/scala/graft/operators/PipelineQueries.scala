@@ -1124,10 +1124,14 @@ object PipelineQueries {
         val members = graft.plans.DfConnectedComponents.run(pairs)
           .select(col("id").cast("long").as("doc_id"),
             col("component").cast("long").as("canonical_id"))
-          // documents is corpus-scale: merge pin (the p118
-          // mis-broadcast class, SCALE.md r15)
-          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars"))
-            .hint("merge"), "doc_id")
+          // r16: hash-build the CC-membership side (bounded by near-dup
+          // cluster mass), never the corpus-scale documents side — SHJ
+          // build side is the hinted side, AQE respects it, and the
+          // documents side streams without the r15 merge pin's sort
+          // (guide §3.1)
+          .hint("shuffle_hash")
+          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id")
         val elected = graft.plans.TopKPerGroup.topK(members,
             Seq(col("canonical_id")),
             struct(col("n_chars"), -col("doc_id")), 1)
@@ -1169,10 +1173,14 @@ object PipelineQueries {
         val members = graft.plans.DfConnectedComponents.merge(comp0, delta)
           .select(col("id").cast("long").as("doc_id"),
             col("component").cast("long").as("canonical_id"))
-          // documents is corpus-scale: merge pin (the p118
-          // mis-broadcast class, SCALE.md r15)
-          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars"))
-            .hint("merge"), "doc_id")
+          // r16: hash-build the CC-membership side (bounded by near-dup
+          // cluster mass), never the corpus-scale documents side — SHJ
+          // build side is the hinted side, AQE respects it, and the
+          // documents side streams without the r15 merge pin's sort
+          // (guide §3.1)
+          .hint("shuffle_hash")
+          .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id")
         val elected = graft.plans.TopKPerGroup.topK(members,
             Seq(col("canonical_id")),
             struct(col("n_chars"), -col("doc_id")), 1)
@@ -5543,8 +5551,13 @@ object PipelineQueries {
           .withColumn("q_micro", expr("nstop * 1000000 div greatest(ntok, 1)"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("component").orderBy(col("q_micro").desc, col("id"))
-        // per-doc quality side is corpus-scale: merge pin (p118 class)
-        comp.join(q.hint("merge"), "id")
+        // r16: hash-build the CC-membership side (bounded by near-dup
+        // cluster mass), never the corpus-scale quality side — the
+        // hinted side of a SHUFFLE_HASH join is the build side and AQE
+        // respects it, so the p118 mis-broadcast class stays closed
+        // while the per-doc quality side streams without the r15 merge
+        // pin's sort (guide §3.1)
+        comp.hint("shuffle_hash").join(q, "id")
           .withColumn("rn", row_number().over(w))
           .groupBy(col("component").as("canonical_id"))
           .agg(count(lit(1)).as("n_members"),

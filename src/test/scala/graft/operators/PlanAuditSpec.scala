@@ -301,14 +301,16 @@ class PlanAuditSpec extends SparkSpec {
   test("p35 semdedup: pair join is cluster-keyed; products only for centroid assignment") {
     val p = plan("p35_semdedup")
     assert(!p.contains("CartesianProduct"), p)
-    // the PAIR generator (the join carrying id_a/id_b and the cosine
-    // admission) must be an equi join on the cluster key — the n×n
-    // danger this pin exists for
+    // the PAIR generator is r16's join-free bucketPairs: entries
+    // collect per CLUSTER key and pairs generate in-partition — no join
+    // may carry id_a/id_b at all (the n×n danger this pin exists for:
+    // an un-keyed pair join would be a corpus product)
     val pairLines = p.split("\n")
       .filter(l => l.contains("id_a") && l.contains("id_b") && l.contains("Join"))
-    assert(pairLines.nonEmpty, p)
-    assert(pairLines.forall(l =>
-      l.contains("SortMergeJoin [cluster") || l.contains("BroadcastHashJoin [cluster")), p)
+    assert(pairLines.isEmpty, p)
+    // the cluster-keyed collect that feeds pair generation must exist
+    assert(p.contains("collect_list"), p)
+    assert(p.contains("hashpartitioning(cluster"), p)
     // nested-loop products are allowed ONLY as the coarse-cell
     // assignment's bounded broadcast side (K1 = ceil(sqrt(K)) rows,
     // BuildRight Cross) — never an unbroadcast product
@@ -608,22 +610,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("unicode_norm"), p)
   }
 
-  test("p22 LSH pairs: cosine verifies INLINE below the distinct — no join above the final aggregate") {
-    // the sf1.0-measured shape (BENCH_NOTES round 9): vectors ride
-    // through the bucket self-join and the rounded-cosine filter gates
-    // BEFORE the distinct, so only survivors shuffle. The regressed
-    // shape — candidate ids → distinct → vector-fetch joins → verify —
-    // puts joins ABOVE the distinct aggregate and re-shuffles the
-    // per-bucket-quadratic candidate set. Plan strings print top-down,
-    // so the pin is an ordering assertion: the topmost aggregate (the
-    // final distinct) must appear before any join.
+  test("p22 LSH pairs: join-free — bucket collect + in-partition pairs, cosine verifies before the distinct") {
+    // the r16 shape (bucketPairs): the bucketed vector rows shuffle ONCE
+    // into per-(tbl, bucket) collect_list buckets, pairs generate
+    // in-partition, and the rounded-cosine filter gates BEFORE the
+    // distinct so only survivors shuffle again. No join may appear
+    // anywhere: a join means either the r15 two-Exchange self-join
+    // regressed back in, or worse, the candidate-ids→distinct→fetch
+    // shape (three shuffles of the per-bucket-quadratic candidate set,
+    // the sf1.0-measured 139 s cliff of BENCH_NOTES round 9).
     val p = plan("p22_lsh_near_dups")
-    val firstAgg = p.indexOf("HashAggregate")
-    val firstJoin = p.indexOf("Join")
-    assert(firstAgg >= 0 && firstJoin >= 0, p)
-    assert(firstAgg < firstJoin,
-      s"a join sits above the distinct: candidate set is being re-shuffled\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("collect_list"), p)
+    // pair explode present (two Generates: posexplode + slice explode)
+    assert("Generate".r.findAllIn(p).size >= 2, p)
   }
 
   test("p103 salted LSH: hot-bucket list broadcasts, shard fan-out is a Generate, no nested loops") {

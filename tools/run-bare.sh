@@ -7,9 +7,13 @@
 # Usage: GRAFT_MEM=24g tools/run-bare.sh graft.Bench [args...]
 set -euo pipefail
 MEM="${GRAFT_MEM:-8g}"
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# classpath is relative to the invoking directory so git-worktree builds
+# (e.g. a baseline checkout for before/after plan dumps) run their OWN
+# classes rather than silently picking up /root/repo's
+ROOT="$(pwd)"
+CP="$ROOT/target/scala-2.13/classes:/opt/spark/jars/*"
 if [[ "${GRAFT_TEST_CP:-0}" == "1" ]]; then
-  CP="/root/repo/target/scala-2.13/test-classes:$CP"
+  CP="$ROOT/target/scala-2.13/test-classes:$CP"
 fi
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
