@@ -498,8 +498,14 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_dup_spans"),
         sum(col("span_len")).cast("int").as("dup_tokens"))
+    // perDoc is one row per document WITH a duplicated span — corpus-
+    // derived (its static size estimate descends through two aggregates
+    // below an explode and reads broadcast-small at ANY scale), so the
+    // r16 broadcast-audit review merge-pins it rather than baselining
+    // the broadcast: at a lake this side is billions of rows
     base.select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .hint("merge")
+      .join(perDoc.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
         coalesce(col("dup_tokens"), lit(0)).as("dup_tokens"),
