@@ -73,7 +73,12 @@ object HyperAnf {
     */
   private[graft] def roundMax(adjSelf: DataFrame, regs: DataFrame): DataFrame = {
     val regsY = regs.withColumnRenamed("x", "y")
-    adjSelf.join(regsY, "y")
+    // merge-pinned: adjSelf is keyed(y) + checkpoint-captured (IterPlan)
+    // and regs comes back hash(x)-partitioned from the round aggregate,
+    // so the SMJ is zero-exchange (one regs-side sort, vertex-sized);
+    // unpinned, the leaves' captured stats read broadcast-small at test
+    // SF and the corpus-scale adjacency would re-broadcast per round
+    adjSelf.hint("merge").join(regsY, "y")
       .groupBy("x")
       .agg(max(col("rg0")).as("rg0"),
         (1 until M).map(j => max(col(s"rg$j")).as(s"rg$j")): _*)
@@ -97,7 +102,9 @@ object HyperAnf {
     * identity rows the register max needs).
     */
   def trajectory(edges: DataFrame, maxRounds: Int,
-                 salt: String = "anf:"): DataFrame = {
+                 salt: String = "anf:"): DataFrame =
+   graft.core.IterPlan.coPartitioned(edges.sparkSession) {
+    import graft.core.IterPlan.IterDatasetOps
     require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -109,7 +116,12 @@ object HyperAnf {
     val adj = und.select(col("u").as("x"), col("v").as("y"))
       .unionAll(und.select(col("v").as("x"), col("u").as("y")))
     val vertices = adj.select(col("x")).distinct()
+    // keyed by the round join's key (IterPlan): every roundMax join is
+    // then zero-exchange off the captured partitioning — the union had
+    // no usable partitioning anyway, so this adds nothing over the
+    // Exchange each round previously paid once
     val adjSelf = adj.unionAll(vertices.select(col("x"), col("x").as("y")))
+      .keyed("y")
       .lckpt(eager = false)
 
     val regCols = (0 until M).map(j => col(s"rg$j"))
@@ -127,7 +139,9 @@ object HyperAnf {
     var r = 0
     while (r < maxRounds) {
       r += 1
-      regs = roundMax(adjSelf, regs).lckpt(eager = false)
+      val next = roundMax(adjSelf, regs)
+      graft.core.IterPlan.debugDump(s"hyperanf round $r", next)
+      regs = next.lckpt(eager = false)
       rows += statsRow(regs, r)
     }
     rows.toSeq.toDF("round", "sum_registers", "nf_micro")

@@ -42,10 +42,15 @@ object SccLabels {
     */
   private[graft] def propagate(edges: DataFrame, state: DataFrame,
                                delta: DataFrame): (DataFrame, DataFrame) = {
-    val upd = edges
+    // both joins merge-pinned: the loop tables are keyed + checkpoint-
+    // captured (IterPlan), so the SMJs are zero-exchange and mostly
+    // zero-sort; unpinned, the leaves' captured stats read broadcast-
+    // small at test SF and a corpus-scale side would re-broadcast per
+    // round (the p118 class)
+    val upd = edges.hint("merge")
       .join(delta.select(col("x").as("src"), col("lbl").as("m")), "src")
       .groupBy(col("dst").as("x")).agg(min(col("m")).as("nm"))
-    val joined = state.join(upd, Seq("x"), "left")
+    val joined = state.hint("merge").join(upd, Seq("x"), "left")
     val merged = joined
       .select(col("x"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
     val nextDelta = joined.filter(col("nm") < col("lbl"))
@@ -60,21 +65,29 @@ object SccLabels {
     require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
+    import graft.core.IterPlan.IterDatasetOps
 
     // iterative rounds re-shuffle a shrinking delta many times — size
     // the shuffle width to the iteration, not the session scan width
     // (the DfConnectedComponents discipline); restored in the finally
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try graft.core.IterPlan.coPartitioned(spark) {
 
-    val ed = edges.select(col("src"), col("dst"))
+    val ed0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .lckpt(eager = false)
-    val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
-    val verts = ed.select(col("src").as("x"))
-      .unionAll(ed.select(col("dst").as("x"))).distinct()
+    // both propagation directions join on THEIR src, so each keeps its
+    // own keyed checkpoint copy (one Exchange each at construction;
+    // IterPlan captures the partitioning so every round's edges⋈delta
+    // join is zero-exchange/zero-sort)
+    val ed = ed0.keyed("src").lckpt(eager = false)
+    val rev = ed0.select(col("dst").as("src"), col("src").as("dst"))
+      .keyed("src").lckpt(eager = false)
+    val verts = ed0.select(col("src").as("x"))
+      .unionAll(ed0.select(col("dst").as("x"))).distinct()
+      .keyed("x")
       .lckpt(eager = false)
 
     def stats(f: DataFrame, b: DataFrame, r: Int): (Int, Long, Long, Long) = {
@@ -85,7 +98,11 @@ object SccLabels {
       (r, row.getLong(0), row.getLong(1), row.getLong(2))
     }
 
-    val init = verts.select(col("x"), col("x").as("lbl")).lckpt(eager = false)
+    // a trivial projection over the keyed verts checkpoint — left
+    // UN-checkpointed so round 1 reads the captured hash(x) partitioning
+    // straight through the Project (its own checkpoint came back
+    // UnknownPartitioning and made round 1 re-exchange both init sides)
+    val init = verts.select(col("x"), col("x").as("lbl"))
     var f = init; var df = init
     var b = init; var db = init
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
@@ -98,12 +115,14 @@ object SccLabels {
       } else {
         val (f2, df2) = propagate(ed, f, df)
         val (b2, db2) = propagate(rev, b, db)
+        graft.core.IterPlan.debugDump(s"scc forward round $r", f2)
         f = f2.lckpt(eager = false); df = df2.lckpt(eager = false)
         b = b2.lckpt(eager = false); db = db2.lckpt(eager = false)
         rows += stats(f, b, r)
       }
     }
     rows.toSeq.toDF("round", "n_certified", "f_mass", "b_mass")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }
