@@ -47,11 +47,37 @@ object IterPlan {
     * so checkpoint boundaries preserve partitioning; restores the
     * session value on exit.
     */
+  /** Loop shuffle width. With AQE off nothing coalesces the loop's
+    * vertex-/frontier-sized exchanges, so running them at the session's
+    * scan-sized width (cluster-sized in production, cpus on the bench)
+    * pays a full task wave per stage per round for partitions holding a
+    * few KB — measured 2.5× on the matching family at sf0.1. The width
+    * is derived from the session width (quarter, floor 8), not a
+    * constant: a cluster-width session keeps a proportional loop width
+    * (the SccLabels/KCore "size the shuffle width to the iteration"
+    * discipline, made scale-adaptive); `SPARK_GRAFT_ITER_WIDTH`
+    * overrides for A/B.
+    */
+  private def loopWidth(spark: SparkSession): String =
+    sys.env.getOrElse("SPARK_GRAFT_ITER_WIDTH",
+      math.max(8, spark.conf.get("spark.sql.shuffle.partitions").toInt / 4).toString)
+
   def coPartitioned[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try f finally spark.conf.set(key, prev)
+    // dev A/B switch: SPARK_GRAFT_ITER_AQE=1 leaves AQE on inside the
+    // loops (measures what the scope itself buys/costs)
+    if (sys.env.get("SPARK_GRAFT_ITER_AQE").contains("1")) f
+    else {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val widthKey = "spark.sql.shuffle.partitions"
+      val prevAqe = spark.conf.get(aqeKey)
+      val prevWidth = spark.conf.get(widthKey)
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(widthKey, loopWidth(spark))
+      try f finally {
+        spark.conf.set(aqeKey, prevAqe)
+        spark.conf.set(widthKey, prevWidth)
+      }
+    }
   }
 
   /** Dev-only per-round plan dump (`SPARK_GRAFT_ITER_DEBUG=1`): the

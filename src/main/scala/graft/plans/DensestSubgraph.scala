@@ -47,12 +47,15 @@ object DensestSubgraph {
     import org.apache.spark.sql.graft.CatalystBridge
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try graft.core.IterPlan.coPartitioned(spark) {
+      import graft.core.IterPlan.IterDatasetOps
+      // keyed("u") + IterPlan capture: the per-round u-side restriction
+      // join runs zero-exchange off the checkpointed partitioning
       var cur = edges
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().lckpt()
+        .distinct().keyed("u").lckpt()
       val summaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
       var round = 0
       var done = false
@@ -74,10 +77,13 @@ object DensestSubgraph {
             .filter(col("d") * lit(n) * lit(epsDen) >
               lit(2L * (epsDen + epsNum)) * lit(m))
             .select("x")
-          val next = cur
+          // merge-pinned endpoint restriction, keyed back to u for the
+          // next round's free probe (the KCore discipline)
+          val next = cur.hint("merge")
             .join(keep.withColumnRenamed("x", "u"), "u")
+            .hint("merge")
             .join(keep.withColumnRenamed("x", "v"), "v")
-            .select("u", "v").lckpt()
+            .select("u", "v").keyed("u").lckpt()
           CatalystBridge.unpersistCheckpoint(cur)
           cur = next
           round += 1

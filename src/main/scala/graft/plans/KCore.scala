@@ -48,15 +48,18 @@ object KCore {
     import spark.implicits._
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try graft.core.IterPlan.coPartitioned(spark) {
+      import graft.core.IterPlan.IterDatasetOps
       // canonicalize: undirected edge identity is the unordered pair, so
       // both orientations collapse to one row and self-loops drop (a
       // loop can't help a vertex clear a neighbor-count bar)
+      // keyed("u") + IterPlan capture: the per-round u-side restriction
+      // join runs zero-exchange off the checkpointed partitioning
       var cur = edges
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().lckpt()
+        .distinct().keyed("u").lckpt()
       // alive tracks NOT-YET-PEELED vertices explicitly: a vertex whose
       // last edge vanished (all neighbors peeled) has degree 0 — absent
       // from the degree table — yet must still be peeled in the next
@@ -76,14 +79,20 @@ object KCore {
         // its data before its parents are freed (localCheckpoint
         // truncates lineage — an unpersisted parent is unrecoverable)
         val keep = deg.filter(col("d") >= k).select("key").lckpt()
-        val removed = alive.join(keep, Seq("key"), "left_anti")
+        val removed = alive.hint("merge").join(keep, Seq("key"), "left_anti")
           .select(col("key"), lit(round).as("peel_round")).lckpt()
         if (removed.isEmpty) converged = true
         else {
-          val next = cur
+          // endpoint restriction: the u probe is zero-exchange (cur is
+          // keyed/captured on u), the v probe re-keys the shrunk edge
+          // set; keyed back to u so the NEXT round's u probe stays free.
+          // merge-pinned — the checkpoint leaves' captured stats read
+          // broadcast-small at test SF (the p118 class at a lake).
+          val next = cur.hint("merge")
             .join(keep.withColumnRenamed("key", "u"), "u")
+            .hint("merge")
             .join(keep.withColumnRenamed("key", "v"), "v")
-            .select("u", "v").lckpt()
+            .select("u", "v").keyed("u").lckpt()
           removedAll = removedAll.unionByName(removed)
           CatalystBridge.unpersistCheckpoint(cur)
           CatalystBridge.unpersistCheckpoint(alive)

@@ -1,6 +1,7 @@
 package graft.plans
 
 import graft.core.Ckpt._
+import graft.core.IterPlan.IterDatasetOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,13 +47,26 @@ object Matching {
     * trajectory output itself is a collected LocalTableScan.
     */
   private[graft] def roundSelect(e: DataFrame): DataFrame = {
-    val inc = e.select(col("u").as("x"), col("pe"))
-      .unionAll(e.select(col("v").as("x"), col("pe")))
-    val vmin = inc.groupBy("x").agg(min(col("pe")).as("mpe"))
-    e.join(vmin.select(col("x").as("u"), col("mpe").as("mu")), "u")
-      .join(vmin.select(col("x").as("v"), col("mpe").as("mv")), "v")
-      .filter(col("pe") === col("mu") && col("pe") === col("mv"))
-      .select(col("u"), col("v"))
+    // JOIN-FREE local-min selection (r17): per endpoint, min_by picks the
+    // argmin incident EDGE (ordered by `pe` with the edge identity as an
+    // inert tiebreak suffix — pe is fixed-width and collision-distinct
+    // per the md5 argument above, so the suffix never decides), and an
+    // edge matches iff it is the argmin of BOTH endpoints — its struct
+    // wins exactly twice. The previous shape joined e back against the
+    // per-vertex min TWICE and filtered pe === mu — an equi-predicate
+    // Catalyst folds into the join keys, making them (pe, endpoint):
+    // no endpoint partitioning can serve that join, so each round paid
+    // four full-edge Exchanges + string-key sorts (measured 3-6× on
+    // g62/g66/g71 at sf0.1). Two aggregates replace both joins; the
+    // edge set is scanned twice (the union) and never joined.
+    val tag = concat_ws(":", col("pe"), col("u").cast("string"),
+      col("v").cast("string"))
+    val inc = e.select(col("u").as("x"), struct(col("u"), col("v")).as("edge"), tag.as("tg"))
+      .unionAll(e.select(col("v").as("x"), struct(col("u"), col("v")).as("edge"), tag.as("tg")))
+    inc.groupBy("x").agg(min_by(col("edge"), col("tg")).as("edge"))
+      .groupBy("edge").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .select(col("edge.u").as("u"), col("edge.v").as("v"))
   }
 
   /** HEAVY-edge greedy matching — the weighted form ([[trajectory]]'s
@@ -106,11 +120,14 @@ object Matching {
         concat(lpad((lit(WeightCap) - col("w")).cast("string"), 13, "0"),
           md5(concat(lit(salt), col("u").cast("string"), lit(":"),
             col("v").cast("string")))).as("pe"))
+      .keyed("u")
       .lckpt(eager = false)
   }
 
   def weightedTrajectory(edges: DataFrame, maxRounds: Int,
-                         salt: String = "hmatch:"): DataFrame = {
+                         salt: String = "hmatch:"): DataFrame =
+   graft.core.IterPlan.coPartitioned(edges.sparkSession) {
+    import graft.core.IterPlan.IterDatasetOps
     require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -124,14 +141,22 @@ object Matching {
       if (remaining == 0L) {
         rows += ((round, 0L, 0L, 0L))
       } else {
-        val sel = roundSelectW(e).lckpt(eager = false)
+        val sel0 = roundSelectW(e)
+        graft.core.IterPlan.debugDump(s"wmatch select round $round", sel0)
+        val sel = sel0.lckpt(eager = false)
         val matchedV = sel.select(col("u").as("x"))
           .unionAll(sel.select(col("v").as("x"))).distinct()
-        val eNext = e
+        // u probe merge-pinned (zero-exchange: e keyed u, matchedV comes
+        // hash(x)-partitioned off its distinct); the v probe is left to
+        // the planner — e is not v-partitioned, so a pin would force a
+        // full-edge Exchange+sort that the stats-chosen broadcast avoids
+        // at test SF, and at scale the grown stats pick the SMJ anyway
+        val eNext0 = e.hint("merge")
           .join(matchedV.select(col("x").as("u")), Seq("u"), "left_anti")
           .join(matchedV.select(col("x").as("v")), Seq("v"), "left_anti")
           .select("u", "v", "w", "pe")
-          .lckpt(eager = false)
+        graft.core.IterPlan.debugDump(s"wmatch residual round $round", eNext0)
+        val eNext = eNext0.lckpt(eager = false)
         val selAgg = sel.agg(count(lit(1)).as("n"),
           coalesce(sum(col("w")), lit(0L)).as("mw")).head()
         val nRem = eNext.count()
@@ -141,7 +166,7 @@ object Matching {
       }
     }
     rows.toSeq.toDF("round", "n_matched", "matched_weight", "n_remaining")
-  }
+   }
 
   /** One multilevel COARSENING level (the step [[weightedTrajectory]]'s
     * matching exists for): contract each heavy-matched pair into a
@@ -177,7 +202,8 @@ object Matching {
                                 coarse: DataFrame)
 
   def coarsenLevel(edges: DataFrame, salt: String = "hmatch:",
-                   op: String = "coarsenLevel"): CoarsenLevel = {
+                   op: String = "coarsenLevel"): CoarsenLevel =
+   graft.core.IterPlan.coPartitioned(edges.sparkSession) {
     val e = prepWeighted(edges, salt, op)
     val sel = roundSelectW(e).lckpt(eager = false)
     val verts = e.select(col("u").as("x"))
@@ -188,7 +214,11 @@ object Matching {
     val superOf = verts.join(cmap, Seq("x"), "left")
       .select(col("x"), coalesce(col("sx"), col("x")).as("sx"))
       .lckpt(eager = false)
-    val rek = e
+    // u probe zero-exchange off prepWeighted's keyed(u) and merge-pinned;
+    // the v probe is stats-chosen (e is not v-partitioned — a pin would
+    // force the full-edge Exchange+sort a broadcast avoids at test SF,
+    // and the grown stats pick the SMJ at scale)
+    val rek = e.hint("merge")
       .join(superOf.select(col("x").as("u"), col("sx").as("su")), "u")
       .join(superOf.select(col("x").as("v"), col("sx").as("sv")), "v")
       .lckpt(eager = false)
@@ -198,7 +228,7 @@ object Matching {
       .agg(sum(col("w")).as("w"))
       .lckpt(eager = false)
     CoarsenLevel(e, sel, superOf, rek, coarse)
-  }
+   }
 
   /** The g67 stats row off a [[CoarsenLevel]]. `collapsed_weight` is
     * measured from the re-keyed edges (NOT derived as before − after),
@@ -429,20 +459,27 @@ object Matching {
     * union + map-side-combined string min + two hash joins.
     */
   private def roundSelectW(e: DataFrame): DataFrame = {
-    val inc = e.select(col("u").as("x"), col("pe"))
-      .unionAll(e.select(col("v").as("x"), col("pe")))
-    val vmin = inc.groupBy("x").agg(min(col("pe")).as("mpe"))
-    e.join(vmin.select(col("x").as("u"), col("mpe").as("mu")), "u")
-      .join(vmin.select(col("x").as("v"), col("mpe").as("mv")), "v")
-      .filter(col("pe") === col("mu") && col("pe") === col("mv"))
-      .select(col("u"), col("v"), col("w"))
+    // join-free wins-twice selection carrying the weight — see
+    // [[roundSelect]] for the shape and the equivalence argument
+    val tag = concat_ws(":", col("pe"), col("u").cast("string"),
+      col("v").cast("string"))
+    val inc = e.select(col("u").as("x"),
+        struct(col("u"), col("v"), col("w")).as("edge"), tag.as("tg"))
+      .unionAll(e.select(col("v").as("x"),
+        struct(col("u"), col("v"), col("w")).as("edge"), tag.as("tg")))
+    inc.groupBy("x").agg(min_by(col("edge"), col("tg")).as("edge"))
+      .groupBy("edge").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .select(col("edge.u").as("u"), col("edge.v").as("v"), col("edge.w").as("w"))
   }
 
   /** `edges` in any orientation (canonicalized + deduped internally;
     * self-loops dropped — a self-loop can never be matched).
     */
   def trajectory(edges: DataFrame, maxRounds: Int,
-                 salt: String = "match:"): DataFrame = {
+                 salt: String = "match:"): DataFrame =
+   graft.core.IterPlan.coPartitioned(edges.sparkSession) {
+    import graft.core.IterPlan.IterDatasetOps
     require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -454,6 +491,7 @@ object Matching {
       .select(col("u"), col("v"),
         md5(concat(lit(salt), col("u").cast("string"), lit(":"),
           col("v").cast("string"))).as("pe"))
+      .keyed("u")
       .lckpt(eager = false)
 
     val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
@@ -467,7 +505,9 @@ object Matching {
         val sel = roundSelect(e).lckpt(eager = false)
         val matchedV = sel.select(col("u").as("x"))
           .unionAll(sel.select(col("v").as("x"))).distinct()
-        val eNext = e
+        // u probe pinned (zero-exchange), v probe stats-chosen — see
+        // weightedTrajectory's residual note
+        val eNext = e.hint("merge")
           .join(matchedV.select(col("x").as("u")), Seq("u"), "left_anti")
           .join(matchedV.select(col("x").as("v")), Seq("v"), "left_anti")
           .select("u", "v", "pe")
@@ -480,5 +520,5 @@ object Matching {
       }
     }
     rows.toSeq.toDF("round", "n_matched", "n_remaining")
-  }
+   }
 }

@@ -35,14 +35,21 @@ import org.apache.spark.sql.functions._
   */
 object Mis {
 
-  /** The per-round neighborhood-minimum stage: one hash equi-join of
-    * the active adjacency against priorities, then a map-side-combined
-    * `min` per vertex. Exposed (package-private) so PlanAuditSpec can
-    * pin the exact plan the loop runs — the trajectory output itself
-    * is a collected LocalTableScan and pins nothing.
+  /** The per-round neighborhood-minimum stage: neighbor priorities
+    * computed MAP-SIDE on the (active×active) residual adjacency — the
+    * priority is a pure function of the id, so no join is needed — then
+    * a map-side-combined `min` per vertex. Exposed (package-private) so
+    * PlanAuditSpec can pin the exact plan the loop runs — the trajectory
+    * output itself is a collected LocalTableScan and pins nothing.
     */
-  private[graft] def neighborhoodMin(adj: DataFrame, active: DataFrame): DataFrame =
-    adj.join(active.select(col("x").as("y"), col("pk").as("ypk")), "y")
+  private[graft] def neighborhoodMin(adj: DataFrame,
+                                     pkOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    // JOIN-FREE (r17): the priority is a PURE FUNCTION of the vertex id,
+    // and the residual adjacency is active×active by construction — so
+    // the neighbor's priority is computed map-side on the adjacency row
+    // instead of joined in from the active table. One map-side-combined
+    // min per round; the corpus-scale adjacency is never joined here.
+    adj.select(col("x"), pkOf(col("y")).as("ypk"))
       .groupBy("x").agg(min(col("ypk")).as("npk"))
 
   /** `edges` in any orientation (canonicalized + deduped internally;
@@ -56,7 +63,9 @@ object Mis {
     */
   def trajectory(edges: DataFrame, maxRounds: Int,
                  salt: String = "mis:",
-                 forcePacked: Option[Boolean] = None): DataFrame = {
+                 forcePacked: Option[Boolean] = None): DataFrame =
+   graft.core.IterPlan.coPartitioned(edges.sparkSession) {
+    import graft.core.IterPlan.IterDatasetOps
     require(maxRounds >= 1, s"maxRounds must be positive: $maxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -66,9 +75,12 @@ object Mis {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
     // both directions: one row per (vertex, neighbor) — the shape the
-    // per-vertex neighborhood minimum aggregates over
+    // per-vertex neighborhood minimum aggregates over. keyed("x") +
+    // IterPlan capture: the x-side probes (selected-neighborhood, the
+    // residual's first restriction) run zero-exchange every round
     var adj = und.select(col("u").as("x"), col("v").as("y"))
       .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+      .keyed("x")
       .lckpt(eager = false)
 
     val verts = adj.select(col("x")).distinct().lckpt(eager = false)
@@ -124,32 +136,40 @@ object Mis {
       } else {
         // neighborhood minimum per active vertex: one hash join of the
         // active adjacency against priorities + a map-side-combined min
-        val nbrMin = neighborhoodMin(adj, active)
-        val selected = active.join(nbrMin, Seq("x"), "left")
+        val nbrMin = neighborhoodMin(adj, packedPriority)
+        val selected = active.hint("merge").join(nbrMin, Seq("x"), "left")
           .filter(col("npk").isNull || col("pk") < col("npk"))
           .select("x")
           .lckpt(eager = false)
-        // retire the selected set and its whole neighborhood
-        val retiredNbrs = adj
+        // retire the selected set and its whole neighborhood — probed on
+        // the keyed x side (zero-exchange off the captured partitioning)
+        val retiredNbrs = adj.hint("merge")
           .join(selected, "x")
           .select(col("y").as("x")).distinct()
-        val nextActive = active
+        val nextActive = active.hint("merge")
           .join(selected, Seq("x"), "left_anti")
+          .hint("merge")
           .join(retiredNbrs, Seq("x"), "left_anti")
           .lckpt(eager = false)
         val nSelected = selected.count()
         val nRemaining = nextActive.count()
         rows += ((round, nSelected, nRemaining))
-        // residual adjacency: both endpoints still active
-        adj = adj
+        // residual adjacency: both endpoints still active. x first (free
+        // off the keyed capture), then y (the round's one adjacency
+        // re-key), then SWAP the columns: adj is symmetric as a SET, so
+        // (y, x)-relabelling preserves content while the alias-aware
+        // hash(y) partitioning lands on the new "x" — the next round's
+        // x probes are free again without a second re-key.
+        adj = adj.hint("merge")
           .join(nextActive.select("x"), "x")
+          .hint("merge")
           .join(nextActive.select(col("x").as("y")), "y")
-          .select("x", "y")
+          .select(col("y").as("x"), col("x").as("y"))
           .lckpt(eager = false)
         active = nextActive
         remaining = nRemaining
       }
     }
     rows.toSeq.toDF("round", "n_selected", "n_remaining")
-  }
+   }
 }

@@ -27,7 +27,9 @@ object Sssp {
     * Returns the label table `(start, node, dist)` for every node
     * reached within `rounds` hops.
     */
-  def bounded(edges: DataFrame, starts: DataFrame, rounds: Int): DataFrame = {
+  def bounded(edges: DataFrame, starts: DataFrame, rounds: Int): DataFrame =
+   graft.core.IterPlan.coPartitioned(edges.sparkSession) {
+    import graft.core.IterPlan.IterDatasetOps
     require(rounds >= 1, s"rounds must be positive: $rounds")
     // row-level contract enforcement: a null or non-positive weight
     // would not crash — it would silently produce wrong (or engine-
@@ -39,7 +41,12 @@ object Sssp {
         coalesce(col("w").cast("string"), lit("null")),
         lit(" on edge u="), col("u").cast("string"),
         lit(" v="), col("v").cast("string"))))
+    // keyed(u) + IterPlan capture: the per-round frontier⋈edges join
+    // never re-Exchanges the (corpus-scale) edge table; merge-pinned
+    // since the checkpoint leaves' captured stats read broadcast-small
+    // at test SF (the p118 class at a lake)
     val e = edges.select(col("u"), col("v"), w.as("w"))
+      .keyed("u")
       .lckpt(eager = false)
     var dist = starts.select(col("start"), col("start").as("node"),
       lit(0L).as("dist")).lckpt(eager = false)
@@ -47,12 +54,12 @@ object Sssp {
     var r = 0
     while (r < rounds && !frontier.isEmpty) {
       r += 1
-      val cand = frontier.join(e, col("node") === col("u"))
+      val cand = frontier.join(e.hint("merge"), col("node") === col("u"))
         .select(col("start"), col("v").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionByName(cand)
         .groupBy("start", "node").agg(min("dist").as("dist"))
         .lckpt(eager = false)
-      frontier = next.join(
+      frontier = next.hint("merge").join(
           dist.withColumnRenamed("dist", "old"), Seq("start", "node"), "left")
         .filter(col("old").isNull || col("dist") < col("old"))
         .select("start", "node", "dist")
@@ -60,5 +67,5 @@ object Sssp {
       dist = next
     }
     dist
-  }
+   }
 }

@@ -749,7 +749,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("g61 MIS round stage: hash equi-join + map-side-combined min, no cartesian, no window") {
+  test("g61 MIS round stage: map-side priority + map-side-combined min, no join at all") {
     import org.apache.spark.sql.functions._
     // the trajectory output is a collected LocalTableScan — audit the
     // per-round neighborhood-min stage (the exact plan each round runs)
@@ -758,13 +758,14 @@ class PlanAuditSpec extends SparkSpec {
       .distinct()
     val adj = und.select(col("u").as("x"), col("v").as("y"))
       .unionAll(und.select(col("v").as("x"), col("u").as("y")))
-    val active = adj.select(col("x")).distinct().withColumn("pk", col("x") * 7L)
-    val p = graft.plans.Mis.neighborhoodMin(adj, active)
+    val p = graft.plans.Mis.neighborhoodMin(adj, id => id * 7L)
       .queryExecution.executedPlan.toString
     // map-side combine: the min aggregates partially before the key
     // exchange — the shape that keeps each round one shuffle of the
-    // (halving) active adjacency
+    // (halving) active adjacency; the priority is computed map-side
+    // (pure function of the id), so the stage has NO join whatsoever
     assert(p.contains("partial_min"), p)
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Window"), p)
   }
