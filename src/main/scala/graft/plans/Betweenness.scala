@@ -49,10 +49,16 @@ object Betweenness {
     * Σ_seeds δ́_s(node) at the given `scale`.
     */
   def sampled(edges: DataFrame, starts: DataFrame, maxDepth: Int,
-              scale: Long = 1000L): DataFrame = {
+              scale: Long = 1000L): DataFrame =
+   graft.core.IterPlan.coPartitioned(edges.sparkSession) {
+    import graft.core.IterPlan.IterDatasetOps
     require(maxDepth >= 1, s"maxDepth must be positive: $maxDepth")
     require(scale >= 1, s"scale must be positive: $scale")
-    val e = edges.select(col("u"), col("v")).distinct().lckpt(eager = false)
+    // keyed(u) + IterPlan capture: both the forward levels and the
+    // backward dependency pass join the edge table on u — zero-exchange
+    // on the edge side every level (merge-pinned; p118 class otherwise)
+    val e = edges.select(col("u"), col("v")).distinct()
+      .keyed("u").lckpt(eager = false)
 
     // forward: per-level (start, node, sigma); sigma(v) = Σ parent sigma
     var visited = starts.select(col("start"), col("start").as("node"))
@@ -63,7 +69,7 @@ object Betweenness {
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier.join(e, col("node") === col("u"))
+      val next = frontier.join(e.hint("merge"), col("node") === col("u"))
         .select(col("start"), col("v").as("node"), col("sigma"))
         .join(visited, Seq("start", "node"), "left_anti")
         .groupBy("start", "node").agg(sum(col("sigma")).as("sigma"))
@@ -102,7 +108,7 @@ object Betweenness {
           col("sdel").cast("string"),
           lit(" — reduce scale or maxDepth"))))
       val terms = cur
-        .join(e, col("node") === col("u"))
+        .join(e.hint("merge"), col("node") === col("u"))
         .select(col("start"), col("node"), col("sigma"), col("v").as("succ"))
         .join(succ, Seq("start", "succ"))
         .select(col("start"), col("node"), term.as("term"))
@@ -118,5 +124,5 @@ object Betweenness {
     acc.filter(col("node") =!= col("start"))
       .groupBy("node").agg(sum(col("delta")).as("betweenness_milli"))
       .filter(col("betweenness_milli") > 0)
-  }
+   }
 }

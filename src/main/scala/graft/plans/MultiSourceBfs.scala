@@ -65,16 +65,23 @@ object MultiSourceBfs {
     * within `maxDepth` rounds — one frontier for ALL seeds.
     */
   private def visitedSet(edges: DataFrame, starts: DataFrame,
-                         maxDepth: Int): DataFrame = {
+                         maxDepth: Int): DataFrame =
+   graft.core.IterPlan.coPartitioned(edges.sparkSession) {
+    import graft.core.IterPlan.IterDatasetOps
     require(maxDepth >= 1, s"maxDepth must be positive: $maxDepth")
-    val e = edges.select(col("u"), col("v")).distinct().lckpt(eager = false)
+    // keyed(u) + IterPlan capture: every level's frontier⋈edges join is
+    // zero-exchange/zero-sort on the (corpus-scale) edge side; the
+    // frontier pays the per-level exchange. Merge-pinned: the checkpoint
+    // leaves' captured stats read broadcast-small at test SF (p118 class)
+    val e = edges.select(col("u"), col("v")).distinct()
+      .keyed("u").lckpt(eager = false)
     var visited = starts.select(col("start"), col("start").as("node"),
       lit(0).as("dist")).lckpt(eager = false)
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier.join(e, col("node") === col("u"))
+      val next = frontier.join(e.hint("merge"), col("node") === col("u"))
         .select(col("start"), col("v").as("node")).distinct()
         .join(visited.select(col("start"), col("node")), Seq("start", "node"),
           "left_anti")
@@ -84,5 +91,5 @@ object MultiSourceBfs {
       frontier = next
     }
     visited
-  }
+   }
 }
