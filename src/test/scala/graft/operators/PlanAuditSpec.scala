@@ -368,11 +368,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("dup_gram_count"), p)
   }
 
-  test("p45 shared-fp coverage shuffles only the fp window + doc aggregate; no joins") {
+  test("p45 shared-fp coverage: partial-combined frequency + splittable join, NO window") {
+    // r17 (verdict ask #2): the r16 window count colocated every
+    // occurrence of one hot fingerprint in ONE un-splittable window
+    // partition; the shape is now a partial-combined frequency aggregate
+    // (hot fps collapse map-side) + a merge-pinned equi-join back that
+    // AQE can skew-split — so no Window may appear, the frequency
+    // aggregate must have a partial phase, and the join must be the
+    // sort-merge form (a broadcast would be the p118 corpus-side class)
     val p = plan("p45_shared_fp_coverage")
-    assert("hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Window"), p)
     assert(p.contains("partial_count"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("p46 PQ encode+ADC is one codegen stage with TakeOrdered top-k, zero exchanges") {
