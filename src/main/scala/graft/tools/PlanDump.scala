@@ -22,7 +22,16 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
-      val full = graft.SparkEntry.queries.keys.find(_.startsWith(name)).getOrElse(name)
+      // exact-or-unique-prefix resolution (ADVICE r16: find() over an
+      // unordered Map resolved ambiguous prefixes nondeterministically,
+      // so a dump could silently be written for the wrong query)
+      val full = graft.SparkEntry.queries.keys.filter(_.startsWith(name)).toSeq match {
+        case Seq(one) => one
+        case Seq() => name
+        case many => many.find(_ == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"ambiguous query prefix '$name': ${many.sorted.mkString(", ")}"))
+      }
       val df = graft.SparkEntry.queries(full)(spark, sfDir)
       // the formatted plan BEFORE execution (the judge-readable operator
       // list with PushedFilters/ReadSchema per scan)
@@ -32,9 +41,13 @@ object PlanDump {
       // aggregate plan and would leave this one un-finalized
       val n = df.collect().length
       val p = df.queryExecution.executedPlan.toString
+      // Exchange counts ALL non-reused exchanges (ADVICE r16: the old
+      // "Exchange (?!hashpartitioning)" regex counted only non-hash ones
+      // and still matched inside ReusedExchange, understating the metric
+      // the round narratives track)
       val summary = s"[plandump] $full rows=$n " +
         s"ReusedExchange=${"ReusedExchange".r.findAllIn(p).length} " +
-        s"Exchange=${"Exchange (?!hashpartitioning)".r.findAllIn(p).length} " +
+        s"Exchange=${"(?<!Reused)Exchange".r.findAllIn(p).length} " +
         s"isFinalPlan=${p.contains("isFinalPlan=true")}"
       outTemplate match {
         case Some(t) =>

@@ -37,6 +37,9 @@ if [ ! -f "$BASELINE" ]; then
   echo "[bcast-gate] FAIL: $BASELINE missing — review a sweep's BCAST lines and seed it:"
   echo "  AUDIT_KEEP=/tmp/bcast_audit.txt tools/broadcast-audit-gate.sh $SF_DIR  # sweep survives the failure"
   echo "  (then review each BCAST line, add justification comments, commit)"
+  # ADVICE r16: without AUDIT_KEEP the ~25-min sweep would be thrown away
+  # on exit 1 anyway — fail fast unless the caller asked to keep it
+  [ -n "${AUDIT_KEEP:-}" ] || exit 1
 fi
 
 # AUDIT_OUT reuses a saved sweep (iterating on the baseline without
@@ -46,7 +49,14 @@ fi
 # (SPARK_DRIVER_MEM=24g, same as any sf1+ sweep that touches g43-class
 # graph artifacts — see BENCH_NOTES round 9).
 OUT="${AUDIT_OUT:-${AUDIT_KEEP:-$(mktemp)}}"
-trap 'rm -f "$OUT.bcast" "$OUT.base"' EXIT
+# delete the sweep file too when it was mktemp'd (ADVICE r16: the old
+# trap leaked one temp file per run); a caller-named AUDIT_OUT/AUDIT_KEEP
+# file survives
+if [ -z "${AUDIT_OUT:-}" ] && [ -z "${AUDIT_KEEP:-}" ]; then
+  trap 'rm -f "$OUT" "$OUT.bcast" "$OUT.base"' EXIT
+else
+  trap 'rm -f "$OUT.bcast" "$OUT.base"' EXIT
+fi
 if [ ! -s "$OUT" ]; then
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" GRAFT_MEM="${SPARK_DRIVER_MEM:-24g}" \
     tools/run-bare.sh graft.tools.BroadcastAudit "$SF_DIR" ALL 2>/dev/null \
