@@ -354,9 +354,20 @@ object Dedup {
   }
 
   /** Signature-agreement Jaccard estimate for candidate pairs. */
-  def estimatedJaccard(cands: DataFrame, sigs: DataFrame, numHashes: Int): DataFrame = {
-    val a = sigs.select(col("id").as("id_a"), col("signature").as("sig_a"))
-    val b = sigs.select(col("id").as("id_b"), col("signature").as("sig_b"))
+  def estimatedJaccard(cands: DataFrame, sigs: DataFrame, numHashes: Int): DataFrame =
+    estimatedJaccard(cands, sigs, sigs, numHashes)
+
+  /** Split-sides form (r17, verdict ask #6): when every candidate's
+    * `id_a` is known to come from a BOUNDED table (p58's per-batch docs)
+    * while `id_b` may be store-scale, fetching sig_a from the bounded
+    * table halves the per-batch corpus shuffle — the single-table form
+    * exchanged the full accepted-signature store TWICE per micro-batch
+    * (once per fetch leg) to serve a handful of candidate ids.
+    */
+  def estimatedJaccard(cands: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
+                       numHashes: Int): DataFrame = {
+    val a = sigsA.select(col("id").as("id_a"), col("signature").as("sig_a"))
+    val b = sigsB.select(col("id").as("id_b"), col("signature").as("sig_b"))
     // signature-fetch joins hash-build the CANDIDATE side (bounded by
     // banding collision mass), never the corpus-scale signature side:
     // the hinted side of a SHUFFLE_HASH join is the build side and AQE

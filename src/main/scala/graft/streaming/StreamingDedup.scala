@@ -87,7 +87,12 @@ object StreamingDedup {
       .select(col("id").as("id_a"), col("dup_of").as("id_b"))
 
     val allSigs = newSigs.unionByName(storedSigs)
-    val dupPairs = Dedup.estimatedJaccard(cands, allSigs, numHashes)
+    // id_a is ALWAYS a new-batch doc (vsStore probes from newBuckets,
+    // intra keeps the larger batch id as id_a), so its signature comes
+    // from the batch-sized newSigs; only the id_b side may be stored —
+    // the single-table form exchanged the whole accepted-signature store
+    // twice per micro-batch (verdict ask #6)
+    val dupPairs = Dedup.estimatedJaccard(cands, newSigs, allSigs, numHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a").as("id"), col("id_b").as("dup_of"), col("est_jaccard"))
 
