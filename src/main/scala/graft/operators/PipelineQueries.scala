@@ -1124,11 +1124,19 @@ object PipelineQueries {
         val members = graft.plans.DfConnectedComponents.run(pairs)
           .select(col("id").cast("long").as("doc_id"),
             col("component").cast("long").as("canonical_id"))
-          // r16: hash-build the CC-membership side (bounded by near-dup
-          // cluster mass), never the corpus-scale documents side — SHJ
-          // build side is the hinted side, AQE respects it, and the
-          // documents side streams without the r15 merge pin's sort
-          // (guide §3.1)
+          // r16: hash-build the CC-membership side, never the corpus-scale
+          // documents side — SHJ build side is the hinted side, AQE
+          // respects it, and the documents side streams without the r15
+          // merge pin's sort (guide §3.1). Per-partition memory contract
+          // (ADVICE r16): the build holds |near-dup-cluster members| /
+          // shuffle-width rows of two longs per task; the width is the
+          // session's corpus-sized spark.sql.shuffle.partitions, so the
+          // per-task build shrinks as the deployment scales out, and on
+          // a pathologically dirty corpus (membership ≈ corpus) the
+          // operator upstream is the one that must cap cluster mass —
+          // the same contract every SHJ fetch in the dedup family
+          // states. A merge pin remains the fallback if a deployment
+          // cannot bound membership/width.
           .hint("shuffle_hash")
           .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
             "doc_id")
@@ -1173,11 +1181,19 @@ object PipelineQueries {
         val members = graft.plans.DfConnectedComponents.merge(comp0, delta)
           .select(col("id").cast("long").as("doc_id"),
             col("component").cast("long").as("canonical_id"))
-          // r16: hash-build the CC-membership side (bounded by near-dup
-          // cluster mass), never the corpus-scale documents side — SHJ
-          // build side is the hinted side, AQE respects it, and the
-          // documents side streams without the r15 merge pin's sort
-          // (guide §3.1)
+          // r16: hash-build the CC-membership side, never the corpus-scale
+          // documents side — SHJ build side is the hinted side, AQE
+          // respects it, and the documents side streams without the r15
+          // merge pin's sort (guide §3.1). Per-partition memory contract
+          // (ADVICE r16): the build holds |near-dup-cluster members| /
+          // shuffle-width rows of two longs per task; the width is the
+          // session's corpus-sized spark.sql.shuffle.partitions, so the
+          // per-task build shrinks as the deployment scales out, and on
+          // a pathologically dirty corpus (membership ≈ corpus) the
+          // operator upstream is the one that must cap cluster mass —
+          // the same contract every SHJ fetch in the dedup family
+          // states. A merge pin remains the fallback if a deployment
+          // cannot bound membership/width.
           .hint("shuffle_hash")
           .join(table(s, d, "documents").select(col("doc_id"), col("n_chars")),
             "doc_id")
@@ -5551,12 +5567,14 @@ object PipelineQueries {
           .withColumn("q_micro", expr("nstop * 1000000 div greatest(ntok, 1)"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("component").orderBy(col("q_micro").desc, col("id"))
-        // r16: hash-build the CC-membership side (bounded by near-dup
-        // cluster mass), never the corpus-scale quality side — the
-        // hinted side of a SHUFFLE_HASH join is the build side and AQE
-        // respects it, so the p118 mis-broadcast class stays closed
-        // while the per-doc quality side streams without the r15 merge
-        // pin's sort (guide §3.1)
+        // r16: hash-build the CC-membership side, never the corpus-scale
+        // quality side — the hinted side of a SHUFFLE_HASH join is the
+        // build side and AQE respects it, so the p118 mis-broadcast
+        // class stays closed while the per-doc quality side streams
+        // without the r15 merge pin's sort (guide §3.1). Per-partition
+        // memory contract (ADVICE r16): build = |cluster members| /
+        // shuffle-width rows per task, width scales with the deployment
+        // — see the p167 note for the full argument.
         comp.hint("shuffle_hash").join(q, "id")
           .withColumn("rn", row_number().over(w))
           .groupBy(col("component").as("canonical_id"))
